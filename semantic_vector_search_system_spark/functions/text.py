@@ -1,0 +1,55 @@
+"""Text column expressions (SURVEY §2.7 F1–F3, F8 + shingling for dedup).
+
+All pure Catalyst expressions — no Python UDFs. Tokenization replicates the
+reference's whitespace split (`embeddings/encoder.py:94` ``txt.split()``):
+lowercase is NOT applied (the reference doesn't), empty tokens are dropped.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def tokenize(col: Column | str) -> Column:
+    """Whitespace tokenization, dropping empty strings.
+
+    Matches Python ``str.split()`` semantics (reference `encoder.py:94`):
+    any run of whitespace separates, leading/trailing runs produce nothing.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    return F.filter(F.split(F.trim(c), r"\s+"), lambda t: t != F.lit(""))
+
+
+def query_snippet(text: Column | str, length: int = 200) -> Column:
+    """Query text = first ``length`` chars of a document's text
+    (reference `experiments/create_qs.py:17`)."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.substring(c, 1, length)
+
+
+def token_shingles(tokens: Column, n: int = 3, sep: str = " ") -> Column:
+    """n-gram shingles over a token array: ``["a b c", "b c d", ...]``.
+
+    Built with ``transform`` over an index sequence + ``slice`` — stays in
+    codegen. Documents shorter than ``n`` tokens yield a single shingle of
+    the whole text so they still participate in MinHash.
+    """
+    n_sh = F.greatest(F.size(tokens) - F.lit(n - 1), F.lit(1))
+    return F.transform(
+        F.sequence(F.lit(1), n_sh),
+        lambda i: F.array_join(F.slice(tokens, i, n), sep),
+    )
+
+
+def char_ngrams(col: Column | str, n: int = 4) -> Column:
+    """Character n-grams of a string (for language-ID / fingerprinting)."""
+    c = F.col(col) if isinstance(col, str) else col
+    n_gr = F.greatest(F.length(c) - F.lit(n - 1), F.lit(1))
+    return F.transform(F.sequence(F.lit(1), n_gr), lambda i: F.substring(c, i, n))
+
+
+def sanitize_model_name(col: Column | str) -> Column:
+    """``model.replace('/', '_')`` (reference `run_experiments.py:113`)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.regexp_replace(c, "/", "_")

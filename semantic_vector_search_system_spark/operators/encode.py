@@ -1,0 +1,206 @@
+"""Document/query encoders (SURVEY §2.8).
+
+The reference exposes one extension point — ``encode(texts) -> float32[n, dim]``
+(`embeddings/encoder.py:1-8`) — with four implementations. Spark-first
+re-expression:
+
+* :class:`HashingEncoder` — the reference's hashing fallback
+  (`encoder.py:90-101`): token -> ``hash(tok) % dim`` bucket counts, L2
+  normalized. Here it is a *pure Catalyst expression pipeline* (explode ->
+  pmod(stable_hash) -> pivot-free dense assembly via map lookup) — no Python
+  at all, fully distributed, deterministic (fixes the reference's salted
+  ``hash()`` nondeterminism, SURVEY §7 hard-part (a)).
+
+* :class:`TfIdfEncoder` — the reference's ``DummyEncoder`` TF-IDF mode
+  (`encoder.py:78-89,103-116`): Spark ML ``CountVectorizer + IDF``. The
+  reference *implicitly* fits its vocabulary on whichever corpus hits
+  ``encode`` first (`encoder.py:104-109` — a fit-on-first-call trap); we make
+  fit explicit: always fit on documents, transform both docs and queries
+  (deviation documented in SURVEY §2.8/§7).
+
+* Transformer encoders (SentenceTransformer / BERT, `encoder.py:15-68`) —
+  model-inference pandas UDF; the model libraries are not available in this
+  environment, so :func:`transformer_encode_udf` is real plumbing
+  (iterator-of-series pandas UDF, per-executor model cache) around a stubbed
+  model loader that raises ``NotImplementedError`` unless a loader is
+  injected.
+
+At 100 TB the encode is a single narrow map stage: no shuffle for
+HashingEncoder (explode + re-group keyed by doc id shuffles only token
+buckets; see class docstring for the chosen no-shuffle formulation).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Iterator
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.hashing import stable_hash64
+from ..functions.text import tokenize
+from ..functions.vectors import l2_normalize
+
+
+class HashingEncoder:
+    """Deterministic hashing-TF encoder, L2-normalized, dim-d float32.
+
+    Semantics (reference `embeddings/encoder.py:90-101`): for each whitespace
+    token, increment bucket ``stable_hash64(token) % dim``; L2-normalize the
+    resulting count vector; zero vector stays zero.
+
+    Formulated *without a shuffle*: tokens are exploded and re-assembled
+    per-row using higher-order functions only (``transform`` over the token
+    array -> bucket array -> dense counts via ``aggregate``), so encoding N
+    docs is one narrow stage regardless of N — the right shape for a 100 TB
+    corpus scan.
+    """
+
+    def __init__(self, dim: int = 512):
+        self.dim = dim
+        self.model_name = "hashing"
+
+    def encode_expr(self, text: Column | str) -> Column:
+        buckets = F.transform(
+            tokenize(text), lambda t: F.pmod(stable_hash64(t), F.lit(self.dim))
+        )
+        # Dense counts: for each position i in [0, dim), count tokens whose
+        # bucket == i. aggregate over buckets builds the histogram in one
+        # pass per row without leaving codegen.
+        counts = F.aggregate(
+            buckets,
+            F.array_repeat(F.lit(0.0), self.dim),
+            lambda acc, b: F.transform(
+                acc, lambda x, i: F.when(i == b.cast("int"), x + F.lit(1.0)).otherwise(x)
+            ),
+        )
+        return l2_normalize(counts)
+
+    def encode(self, df: DataFrame, text_col: str = "text", out_col: str = "vec") -> DataFrame:
+        return df.withColumn(out_col, self.encode_expr(text_col))
+
+
+class HashingEncoderFast:
+    """Same semantics as :class:`HashingEncoder`, scored in numpy per Arrow
+    batch (``mapInPandas``) — the throughput path for bulk index builds.
+
+    The expression form above is O(dim * n_tokens) per row inside codegen;
+    for dim=512 and long docs the vectorized histogram (np.bincount) is the
+    faster physical plan while remaining a narrow map stage.
+    """
+
+    def __init__(self, dim: int = 512):
+        self.dim = dim
+        self.model_name = "hashing"
+
+    def encode(self, df: DataFrame, text_col: str = "text", out_col: str = "vec") -> DataFrame:
+        import numpy as np
+
+        dim = self.dim
+        fields = [f for f in df.schema.fields]
+        out_schema = ", ".join(
+            [f"`{f.name}` {f.dataType.simpleString()}" for f in fields] + [f"`{out_col}` array<float>"]
+        )
+
+        def enc(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+            from ..functions.hashing import stable_hash64_py
+
+            for pdf in batches:
+                vecs = []
+                for txt in pdf[text_col].astype(str):
+                    toks = txt.split()
+                    if toks:
+                        idx = np.array([stable_hash64_py(t) % dim for t in toks], dtype=np.int64)
+                        v = np.bincount(idx, minlength=dim).astype(np.float64)
+                        nrm = np.linalg.norm(v)
+                        if nrm > 0:
+                            v = v / nrm
+                    else:
+                        v = np.zeros(dim, dtype=np.float64)
+                    vecs.append(v.astype(np.float32))
+                pdf = pdf.copy()
+                pdf[out_col] = vecs
+                yield pdf
+
+        return df.mapInPandas(enc, schema=out_schema)
+
+
+class TfIdfEncoder:
+    """TF-IDF encoder via Spark ML (reference `encoder.py:78-89,103-116`).
+
+    Explicit fit/transform: ``fit`` on the document corpus, ``transform`` any
+    DataFrame afterwards. Output is a dense L2-normalized ``array<float>`` of
+    length ``dim`` (vocabulary truncated to the top-``dim`` terms by corpus
+    frequency, matching sklearn ``TfidfVectorizer(max_features=dim)``).
+    """
+
+    def __init__(self, dim: int = 512):
+        self.dim = dim
+        self.model_name = "tfidf"
+        self._model = None
+
+    def fit(self, docs: DataFrame, text_col: str = "text") -> "TfIdfEncoder":
+        from pyspark.ml import Pipeline
+        from pyspark.ml.feature import IDF, CountVectorizer, RegexTokenizer
+
+        tok = RegexTokenizer(
+            inputCol=text_col, outputCol="__tokens", pattern=r"\s+", toLowercase=False
+        )
+        cv = CountVectorizer(inputCol="__tokens", outputCol="__tf", vocabSize=self.dim)
+        idf = IDF(inputCol="__tf", outputCol="__tfidf")
+        self._model = Pipeline(stages=[tok, cv, idf]).fit(docs)
+        return self
+
+    def encode(self, df: DataFrame, text_col: str = "text", out_col: str = "vec") -> DataFrame:
+        if self._model is None:
+            raise RuntimeError("TfIdfEncoder.fit(docs) must run before encode()")
+        from pyspark.ml.functions import vector_to_array
+
+        out = self._model.transform(df)
+        out = out.withColumn(out_col, l2_normalize(vector_to_array("__tfidf")))
+        return out.drop("__tokens", "__tf", "__tfidf")
+
+
+def transformer_encode_udf(
+    model_name: str,
+    dim: int,
+    model_loader: Callable[[str], object] | None = None,
+):
+    """Pandas-UDF scaffold for transformer encoders (SentenceTransformer/BERT,
+    reference `embeddings/encoder.py:15-68`, `real_encoder.py:11-72`).
+
+    Iterator-of-series form so the model loads once per executor process, not
+    per batch. The actual model libraries (torch/transformers) are not
+    installed in this environment; inject ``model_loader`` to use a real
+    model, otherwise calling the UDF raises ``NotImplementedError`` — the
+    Spark-side plumbing (Arrow batching, schema, caching) is real and tested
+    with a fake loader in tests.
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("array<float>")
+    def encode_udf(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        if model_loader is None:
+            raise NotImplementedError(
+                f"transformer encoder '{model_name}' requires torch/transformers; "
+                "inject model_loader= to enable"
+            )
+        model = model_loader(model_name)
+        for texts in batches:
+            vecs = model.encode(texts.tolist())  # (n, dim) float32
+            yield pd.Series(list(vecs))
+
+    return encode_udf
+
+
+def get_encoder(name: str, dim: int = 512):
+    """Encoder registry mirroring the reference's model selection
+    (`auto_run_tests.py:272-288`)."""
+    if name in ("hashing", "dummy"):
+        return HashingEncoder(dim)
+    if name == "hashing_fast":
+        return HashingEncoderFast(dim)
+    if name == "tfidf":
+        return TfIdfEncoder(dim)
+    raise ValueError(f"unknown encoder: {name!r} (transformer encoders need transformer_encode_udf)")

@@ -1,0 +1,97 @@
+"""IR evaluation metrics as DataFrame aggregations (SURVEY §2.4 A1–A4).
+
+Reference semantics preserved exactly (`evaluation/metrics.py`):
+
+* precision@k  = |top-k ∩ relevant| / len(top-k)   — divides by the number
+  retrieved (<= k), not k, when fewer than k docs exist (`metrics.py:9-12`);
+  0.0 when nothing retrieved (`metrics.py:7-8`).
+* recall@k     = |top-k ∩ relevant| / |relevant|; 0.0 on empty qrels
+  (`metrics.py:16-17`).
+* AP           = mean over *hit ranks* of (hits-so-far / rank); 0.0 for
+  queries with no hits (`metrics.py:40-54`); MAP = mean of AP over queries.
+* MRR          = mean of 1/first-hit-rank (0 when no hit) — present in the
+  reference's H2 summaries (BASELINE.md).
+
+Input is the explicit retrieval relation ``(qid, docid, rank)`` (ordering as
+a rank column — SURVEY §1.1) plus the qrels relation ``(qid, docid)``.
+
+Scale notes: one shuffle keyed by qid for the per-query aggregation, then a
+tiny global agg. The qrels join broadcasts when qrels are small; at 100 TB
+retrieval scale both sides are pre-partitioned by qid so the join is
+shuffle-free under co-partitioning.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def label_hits(retrievals: DataFrame, qrels: DataFrame) -> DataFrame:
+    """Mark each retrieved row with is_rel + the query's relevant-doc count.
+
+    J2 left join + J3 membership (SURVEY §2.3) in one pass: broadcast-join
+    retrievals against qrels on (qid, docid) for the hit flag, plus a
+    broadcast join of per-qid relevant counts.
+    """
+    rel_counts = qrels.groupBy("qid").agg(F.count("*").alias("n_rel"))
+    hits = qrels.select("qid", "docid").withColumn("is_rel", F.lit(1))
+    return (
+        retrievals.join(F.broadcast(hits), ["qid", "docid"], "left")
+        .fillna({"is_rel": 0})
+        .join(F.broadcast(rel_counts), "qid", "left")
+        .fillna({"n_rel": 0})
+    )
+
+
+def per_query_metrics(
+    retrievals: DataFrame, qrels: DataFrame, k_values: tuple[int, ...] = (5, 10)
+) -> DataFrame:
+    """Per-query p@k / r@k for each k, plus AP and RR.
+
+    Returns one row per qid with columns ``p_at_k``, ``r_at_k`` (per k),
+    ``ap``, ``rr``. Queries present in ``retrievals`` only (the reference
+    iterates over queries and looks up retrievals, default [] —
+    `metrics.py:58-61`; callers wanting all-queries semantics should outer
+    join the query set and fillna(0)).
+    """
+    labeled = label_hits(retrievals, qrels)
+    w = Window.partitionBy("qid").orderBy("rank")
+    labeled = labeled.withColumn("hits_at", F.sum("is_rel").over(w))  # W5 running hit count
+    # precision at each hit rank (AP terms): hits_at / rank where is_rel=1
+    aggs = []
+    for k in k_values:
+        in_k = F.when(F.col("rank") <= k, F.col("is_rel")).otherwise(F.lit(0))
+        n_ret_k = F.sum(F.when(F.col("rank") <= k, 1).otherwise(0))
+        n_hit_k = F.sum(in_k)
+        aggs.append(
+            F.when(n_ret_k > 0, n_hit_k.cast("double") / n_ret_k).otherwise(F.lit(0.0)).alias(f"p_at_{k}")
+        )
+        aggs.append(
+            F.when(F.first("n_rel") > 0, n_hit_k.cast("double") / F.first("n_rel"))
+            .otherwise(F.lit(0.0))
+            .alias(f"r_at_{k}")
+        )
+    ap_terms = F.when(F.col("is_rel") == 1, F.col("hits_at").cast("double") / F.col("rank"))
+    aggs.append(F.coalesce(F.avg(ap_terms), F.lit(0.0)).alias("ap"))
+    first_hit = F.min(F.when(F.col("is_rel") == 1, F.col("rank")))
+    aggs.append(F.coalesce(F.lit(1.0) / first_hit, F.lit(0.0)).alias("rr"))
+    return labeled.groupBy("qid").agg(*aggs)
+
+
+def evaluate_all(
+    retrievals: DataFrame, qrels: DataFrame, k_values: tuple[int, ...] = (5, 10)
+) -> DataFrame:
+    """Mean-over-queries summary (reference ``evaluate_all``, `metrics.py:56-64`).
+
+    One row: ``p_at_k``/``r_at_k`` per k, ``map``, ``mrr``, ``n_queries``.
+    """
+    pq = per_query_metrics(retrievals, qrels, k_values)
+    aggs = []
+    for k in k_values:
+        aggs.append(F.avg(f"p_at_{k}").alias(f"p_at_{k}"))
+        aggs.append(F.avg(f"r_at_{k}").alias(f"r_at_{k}"))
+    aggs.append(F.avg("ap").alias("map"))
+    aggs.append(F.avg("rr").alias("mrr"))
+    aggs.append(F.count("*").alias("n_queries"))
+    return pq.agg(*aggs)

@@ -1,0 +1,151 @@
+"""Exact top-k dense-vector search (SURVEY §2.3 J1, §2.5 W1–W3).
+
+The reference's core operation: every query vector scored against every doc
+vector (chunked ``mat.dot(q)`` + bounded heap, `auto_run_tests.py:119-145`),
+optionally pre-filtered by a metadata predicate ("hybrid" mode,
+`run_experiments.py:171-188`).
+
+Spark-first formulation — two physical strategies for one logical plan:
+
+* :func:`topk_bruteforce_expr` — declarative: ``broadcast(queries)`` cross
+  join -> float64 dot product (``zip_with``/``aggregate``) -> per-query
+  window top-k. Catalyst picks BroadcastNestedLoopJoin; the window is the
+  only shuffle (keyed by qid). This is the oracle-matched reference path.
+
+* :func:`topk_bruteforce` — the throughput path: queries are collected to a
+  numpy matrix (queries are small by construction — the reference samples
+  <=200), broadcast to executors, and each Arrow batch of doc vectors is
+  scored with one BLAS matmul inside ``mapInPandas``; per-partition partial
+  top-k (np.argpartition, exactly the reference's chunk-local partial
+  selection) keeps shuffle output at ``O(n_partitions * n_queries * k)``
+  rows, then a global window finishes the merge. At 100 TB this is a single
+  scan stage + a tiny shuffle — the distributed generalization of the
+  reference's chunked heap merge.
+
+Determinism: ties broken by ascending doc id (the reference's heap order is
+tie-unspecified; we pin it — FIXTURES.md golden expectation #3).
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.vectors import cosine_similarity, dot_product
+
+
+def _rank_topk(scored: DataFrame, k: int, qid_col: str, id_col: str) -> DataFrame:
+    w = Window.partitionBy(qid_col).orderBy(F.desc("score"), F.asc(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def topk_bruteforce_expr(
+    queries: DataFrame,
+    docs: DataFrame,
+    k: int = 10,
+    metric: str = "dot",
+    qid_col: str = "qid",
+    qvec_col: str = "qvec",
+    id_col: str = "docid",
+    vec_col: str = "vec",
+    predicate: Column | None = None,
+) -> DataFrame:
+    """Declarative exact top-k: broadcast cross join + window.
+
+    Returns ``(qid, docid, rank, score)`` with rank 1..k descending by score.
+    ``predicate`` is the hybrid-mode metadata filter, applied to the doc side
+    *before* scoring so Catalyst pushes it into the scan (SURVEY §2.2 P3).
+    """
+    doc_side = docs.filter(predicate) if predicate is not None else docs
+    score = {
+        "dot": dot_product(qvec_col, vec_col),
+        "cosine": cosine_similarity(qvec_col, vec_col),
+    }[metric]
+    scored = (
+        F.broadcast(queries.select(qid_col, qvec_col))
+        .crossJoin(doc_side.select(id_col, vec_col))
+        .withColumn("score", score)
+    )
+    return _rank_topk(scored, k, qid_col, id_col).select(qid_col, id_col, "rank", "score")
+
+
+def topk_bruteforce(
+    queries: DataFrame,
+    docs: DataFrame,
+    k: int = 10,
+    metric: str = "dot",
+    qid_col: str = "qid",
+    qvec_col: str = "qvec",
+    id_col: str = "docid",
+    vec_col: str = "vec",
+    predicate: Column | None = None,
+) -> DataFrame:
+    """BLAS-speed exact top-k: one matmul per Arrow batch + partial top-k.
+
+    Physical shape (reference parity: chunked ``mat.dot(q)`` + argpartition,
+    `auto_run_tests.py:123-138` — distributed across executors):
+
+    1. collect query matrix Q (n_q <= a few thousand) -> spark broadcast
+    2. scan docs; per Arrow batch: ``S = D @ Q.T`` (float64), per-query
+       partial top-k via ``np.argpartition``
+    3. global window merge of the ``n_partitions * n_q * k`` survivors.
+    """
+    import numpy as np
+    import pandas as pd
+
+    doc_side = docs.filter(predicate) if predicate is not None else docs
+    qrows = queries.select(qid_col, qvec_col).collect()
+    if not qrows:
+        spark = queries.sparkSession
+        return spark.createDataFrame([], f"{qid_col} string, {id_col} string, rank int, score double")
+    qids = [r[0] for r in qrows]
+    qmat = np.array([r[1] for r in qrows], dtype=np.float64)
+    if metric == "cosine":
+        qn = np.linalg.norm(qmat, axis=1, keepdims=True)
+        qmat = np.divide(qmat, qn, out=np.zeros_like(qmat), where=qn > 0)
+    sc = docs.sparkSession.sparkContext
+    bq = sc.broadcast((qids, qmat))
+
+    qid_type = dict(queries.dtypes)[qid_col]
+    id_type = dict(doc_side.dtypes)[id_col]
+    out_schema = f"`{qid_col}` {qid_type}, `{id_col}` {id_type}, score double"
+
+    use_cosine = metric == "cosine"
+
+    def score_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        q_ids, Q = bq.value
+        nq = len(q_ids)
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            D = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+            if use_cosine:
+                dn = np.linalg.norm(D, axis=1, keepdims=True)
+                D = np.divide(D, dn, out=np.zeros_like(D), where=dn > 0)
+            S = D @ Q.T  # (n_docs_batch, n_q)
+            n = S.shape[0]
+            kk = min(k, n)
+            # per-query partial top-k within the batch (argpartition: O(n))
+            idx = np.argpartition(-S, kk - 1, axis=0)[:kk, :]  # (kk, n_q)
+            rows_id, rows_qid, rows_score = [], [], []
+            ids = pdf[id_col].to_numpy()
+            for j in range(nq):
+                sel = idx[:, j]
+                rows_id.append(ids[sel])
+                rows_qid.append(np.repeat(q_ids[j], kk))
+                rows_score.append(S[sel, j])
+            yield pd.DataFrame(
+                {
+                    qid_col: np.concatenate(rows_qid),
+                    id_col: np.concatenate(rows_id),
+                    "score": np.concatenate(rows_score),
+                }
+            )
+
+    partial = doc_side.select(id_col, vec_col).mapInPandas(score_batches, schema=out_schema)
+    return _rank_topk(partial, k, qid_col, id_col).select(qid_col, id_col, "rank", "score")

@@ -1,0 +1,131 @@
+"""Similarity search over embedding columns (BASELINE.json north star).
+
+* :func:`cosine_self_join` — all-pairs cosine >= threshold (embedding
+  near-dup detection). Physical shape: the smaller relation is collected to a
+  broadcast numpy matrix; the big side streams through ``mapInPandas`` doing
+  one BLAS matmul per Arrow batch and emitting only surviving pairs. At
+  100 TB the broadcast side must itself be blocked — see
+  :func:`blocked_pairs_note` — but the per-block kernel is this same map.
+* brute-force top-k lives in operators/search.py (shared with the reference's
+  query path).
+* :func:`lsh_bucket_candidates` — sign-random-projection LSH over the
+  embedding column: deterministic hyperplanes derived from stable_hash64, so
+  buckets are reproducible across engines and runs. Bucket equi-join gives
+  candidate pairs at O(n) shuffle instead of O(n^2) compare.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.hashing import stable_hash64
+from ..functions.vectors import dot_product, l2_norm
+
+
+def cosine_self_join(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.45,
+    round_to: int = 4,
+) -> DataFrame:
+    """All-pairs ``(id_a, id_b, cosine)`` with id_a < id_b, cosine >= threshold.
+
+    The full relation is broadcast as a numpy matrix (fine up to ~1M x dim
+    floats ≈ GBs); each Arrow batch of rows scores against it with one
+    matmul. For corpora beyond broadcast size, run per-block over an LSH
+    bucket join (:func:`lsh_bucket_candidates`) instead of all-pairs.
+    """
+    import numpy as np
+    import pandas as pd
+
+    rows = emb.select(id_col, vec_col).collect()
+    ids = np.array([r[0] for r in rows])
+    M = np.array([r[1] for r in rows], dtype=np.float64)
+    nrm = np.linalg.norm(M, axis=1, keepdims=True)
+    Mn = np.divide(M, nrm, out=np.zeros_like(M), where=nrm > 0)
+    bc = emb.sparkSession.sparkContext.broadcast((ids, Mn))
+
+    id_type = dict(emb.dtypes)[id_col]
+    schema = f"id_a {id_type}, id_b {id_type}, cosine double"
+
+    def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        all_ids, allM = bc.value
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            D = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+            dn = np.linalg.norm(D, axis=1, keepdims=True)
+            Dn = np.divide(D, dn, out=np.zeros_like(D), where=dn > 0)
+            S = Dn @ allM.T  # (batch, n_all)
+            bids = pdf[id_col].to_numpy()
+            ii, jj = np.nonzero((S >= threshold) & (bids[:, None] < all_ids[None, :]))
+            if len(ii) == 0:
+                continue
+            yield pd.DataFrame(
+                {
+                    "id_a": bids[ii],
+                    "id_b": all_ids[jj],
+                    "cosine": np.round(S[ii, jj], round_to),
+                }
+            )
+
+    return emb.select(id_col, vec_col).mapInPandas(score, schema=schema)
+
+
+def random_projection_signs(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    num_planes: int = 8,
+    seed: int = 7,
+) -> DataFrame:
+    """Sign-random-projection LSH bucket per row: ``(id, bucket)``.
+
+    Hyperplane p (p in [0, num_planes)) component j is a deterministic
+    pseudo-random value in [-0.5, 0.5) derived from stable_hash64(seed:p:j) —
+    identical on any engine, so bucket assignments are reproducible. Bucket
+    = integer whose bit p is sign(v . plane_p).
+    """
+    dim = len(emb.select(vec_col).first()[0])
+    planes = []
+    from ..functions.hashing import stable_hash64_py
+
+    denom = float(1 << 60)
+    for p in range(num_planes):
+        planes.append(
+            [stable_hash64_py(f"{seed}:{p}:{j}") / denom - 0.5 for j in range(dim)]
+        )
+
+    plane_cols = [
+        F.array(*[F.lit(float(x)) for x in plane]) for plane in planes
+    ]
+    bucket = None
+    for p, plane in enumerate(plane_cols):
+        bit = F.when(dot_product(F.col(vec_col), plane) > 0, F.lit(1 << p)).otherwise(F.lit(0))
+        bucket = bit if bucket is None else bucket + bit
+    return emb.select(F.col(id_col), bucket.cast("long").alias("bucket"))
+
+
+def lsh_bucket_candidates(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    num_planes: int = 8,
+    seed: int = 7,
+) -> DataFrame:
+    """Candidate pairs from shared LSH bucket: ``(id_a, id_b)`` distinct, a<b.
+
+    O(n) shuffle on bucket; follow with exact cosine verification on the
+    candidate set (cosine_self_join on the restricted relation or the
+    expression form for small candidate counts).
+    """
+    sb = random_projection_signs(emb, id_col, vec_col, num_planes, seed)
+    a = sb.select(F.col(id_col).alias("id_a"), "bucket")
+    b = sb.select(F.col(id_col).alias("id_b"), "bucket")
+    return (
+        a.join(b, "bucket").filter(F.col("id_a") < F.col("id_b")).select("id_a", "id_b").distinct()
+    )

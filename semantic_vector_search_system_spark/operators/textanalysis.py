@@ -1,0 +1,131 @@
+"""Text-analysis operators for large-scale training-data pipelines.
+
+Beyond the reference's surface (per BASELINE.json north star): token
+counting, quality scoring, language statistics, document fingerprinting.
+All pure Catalyst expressions over ``array`` higher-order functions — no
+Python, no shuffle except the final aggregations; each operator is a narrow
+map over the corpus scan and so scales linearly to 100 TB.
+
+Cross-engine determinism: only +,-,*,/ and integer ops (no transcendental
+functions whose libm results could differ between engines), and the pinned
+md5-based ``stable_hash64``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.hashing import stable_hash64
+from ..functions.text import token_shingles, tokenize
+
+STOPWORDS = ("the", "a")
+
+
+def with_token_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Add n_tokens / total_token_chars / n_stopwords columns."""
+    toks = tokenize(text_col)
+    return (
+        df.withColumn("__toks", toks)
+        .withColumn("n_tokens", F.size("__toks").cast("long"))
+        .withColumn(
+            "total_token_chars",
+            F.aggregate("__toks", F.lit(0).cast("long"), lambda a, t: a + F.length(t)),
+        )
+        .withColumn(
+            "n_stopwords",
+            F.size(F.filter("__toks", lambda t: t.isin(*STOPWORDS))).cast("long"),
+        )
+        .drop("__toks")
+    )
+
+
+def quality_score_expr() -> Column:
+    """Deterministic quality score from token stats (arithmetic only):
+
+    ``least(1, n_tokens/100) * (1 - stopword_ratio)`` — long docs with few
+    stopwords score high. Requires columns from :func:`with_token_stats`.
+    """
+    stop_ratio = F.col("n_stopwords").cast("double") / F.col("n_tokens")
+    return F.when(
+        F.col("n_tokens") > 0,
+        F.least(F.lit(1.0), F.col("n_tokens").cast("double") / 100.0) * (F.lit(1.0) - stop_ratio),
+    ).otherwise(F.lit(0.0))
+
+
+def doc_quality(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Per-document quality table: token stats + ratios + score."""
+    st = with_token_stats(docs.select(id_col, text_col), text_col)
+    return st.select(
+        id_col,
+        "n_tokens",
+        F.round(F.col("total_token_chars").cast("double") / F.col("n_tokens"), 4).alias(
+            "avg_token_len"
+        ),
+        F.round(F.col("n_stopwords").cast("double") / F.col("n_tokens"), 4).alias("stopword_ratio"),
+        F.round(quality_score_expr(), 4).alias("quality_score"),
+    )
+
+
+def token_stats_by_group(
+    docs: DataFrame, group_col: str = "lang", text_col: str = "text"
+) -> DataFrame:
+    """Corpus token statistics per group (e.g. language)."""
+    st = with_token_stats(docs, text_col)
+    return st.groupBy(group_col).agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+        (F.sum("n_tokens").cast("double") / F.count("*")).alias("avg_tokens"),
+        (F.sum("n_chars").cast("double") / F.count("*")).alias("avg_chars"),
+    )
+
+
+def doc_fingerprint(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", shingle_n: int = 3
+) -> DataFrame:
+    """Winnowing-style document fingerprint: min stable-hash over token
+    shingles — a single-hash MinHash, usable as a cheap near-dup key."""
+    shingles = token_shingles(tokenize(text_col), n=shingle_n)
+    return docs.select(
+        id_col,
+        F.array_min(F.transform(shingles, stable_hash64)).alias("fingerprint"),
+    )
+
+
+def simhash(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bits: int = 32,
+) -> DataFrame:
+    """SimHash fingerprint over whitespace tokens.
+
+    Bit b of the fingerprint is 1 iff ``sum over tokens of
+    (2*bit_b(stable_hash64(tok)) - 1) > 0`` (ties -> 0, deterministic).
+    Expressed as explode(token) x explode(bit) -> groupBy — two narrow
+    explodes and one shuffle keyed by doc id; at corpus scale the shuffle is
+    map-side combined (partial sums per partition).
+    """
+    powers = F.array(*[F.lit(1 << b) for b in range(bits)])
+    tok = docs.select(id_col, F.explode(tokenize(text_col)).alias("tok")).withColumn(
+        "h", stable_hash64("tok")
+    )
+    bitrows = tok.select(
+        id_col,
+        "h",
+        F.explode(F.sequence(F.lit(0), F.lit(bits - 1))).alias("b"),
+    ).select(
+        id_col,
+        "b",
+        F.when(
+            F.col("h").bitwiseAND(F.element_at(powers, F.col("b") + 1).cast("long")) != 0, F.lit(1)
+        )
+        .otherwise(F.lit(-1))
+        .alias("sgn"),
+    )
+    bit_vals = bitrows.groupBy(id_col, "b").agg(
+        F.when(F.sum("sgn") > 0, F.lit(1)).otherwise(F.lit(0)).alias("bit")
+    )
+    return bit_vals.groupBy(id_col).agg(
+        F.sum(F.col("bit").cast("long") * F.element_at(powers, F.col("b") + 1)).alias("simhash")
+    )

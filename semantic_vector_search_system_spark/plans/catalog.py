@@ -1,0 +1,745 @@
+"""Query catalog: every operator from SURVEY §2 (plus the training-data
+pipeline operators) as a named (Spark builder, DuckDB oracle SQL) pair.
+
+This is the engine's public correctness surface: the driver runs each
+builder at sf=0.01 and compares row count, schema and an order-insensitive
+value hash against the oracle SQL executed by DuckDB on the same parquet.
+
+Cross-engine determinism rules used throughout (so value hashes match):
+
+* money/quantity aggregates: sum in DECIMAL(12,2) (exact), cast the final
+  value to DOUBLE — bit-identical in both engines, immune to summation order;
+* averages: exact decimal (or integer) sum cast to double, divided by count;
+* percentiles: exact linear-interpolation percentile (both engines), rounded;
+* means of ratios (IR metrics): ROUND(..., 4) absorbs summation-order noise;
+* hashing: pinned md5-based 60-bit hash (functions/hashing.py) — identical
+  in Spark, DuckDB and Python;
+* no transcendental functions (exp/ln/pow) whose libm rounding may differ;
+* ranking ties broken by explicit unique keys, never left to chance.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.hashing import stable_hash64, stable_hash64_sql
+from ..operators import dedup as dd
+from ..operators import similarity as sim
+from ..operators import textanalysis as ta
+from ..operators.metrics import evaluate_all
+from ..operators.search import topk_bruteforce
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+
+
+def T(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name == "events":
+        # The events table stores TIMESTAMP(NANOS) which Spark's parquet
+        # reader rejects; read nanos as long and convert exactly (integer
+        # division) to microsecond timestamps.
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _dec(c: str | F.Column) -> F.Column:
+    col = F.col(c) if isinstance(c, str) else c
+    return col.cast("decimal(12,2)")
+
+
+def _one() -> F.Column:
+    return F.lit(1).cast("decimal(12,2)")
+
+# SQL fragment helpers (DuckDB dialect)
+_SPLIT = r"regexp_split_to_array(text, '\s+')"
+
+
+def _sumd_sql(expr: str, alias: str) -> str:
+    return f"CAST(SUM(CAST({expr} AS DECIMAL(12,2))) AS DOUBLE) AS {alias}"
+
+
+@dataclass
+class QueryDef:
+    builder: Callable[[SparkSession, str], DataFrame]
+    oracle: str | None
+    bench: bool = False
+    tags: tuple[str, ...] = field(default=())
+
+
+CATALOG: dict[str, QueryDef] = {}
+
+
+def _q(name: str, oracle: str | None, bench: bool = False, tags: tuple[str, ...] = ()):
+    def reg(fn):
+        CATALOG[name] = QueryDef(builder=fn, oracle=oracle, bench=bench, tags=tags)
+        return fn
+
+    return reg
+
+
+# ---------------------------------------------------------------------------
+# Relational surface (SURVEY §2.2–§2.6 exercised on the TPC-H-ish tables)
+# ---------------------------------------------------------------------------
+
+@_q(
+    "pricing_summary",
+    f"""
+    SELECT l_returnflag, l_linestatus,
+      {_sumd_sql('l_quantity', 'sum_qty')},
+      {_sumd_sql('l_extendedprice', 'sum_base_price')},
+      CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE) AS sum_disc_price,
+      CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2))) * (CAST(1 AS DECIMAL(12,2)) + CAST(l_tax AS DECIMAL(12,2)))) AS DOUBLE) AS sum_charge,
+      CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
+      CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS avg_price,
+      CAST(SUM(CAST(l_discount AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS avg_disc,
+      COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+    bench=True,
+    tags=("agg", "A8", "A11"),
+)
+def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q1-shaped scan+agg: filter pushdown, map-side partial agg
+    (SURVEY A8/A11-style group-by summary)."""
+    li = T(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp")
+    )
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.sum(_dec("l_quantity")).cast("double").alias("sum_qty"),
+        F.sum(_dec("l_extendedprice")).cast("double").alias("sum_base_price"),
+        F.sum(_dec("l_extendedprice") * (_one() - _dec("l_discount"))).cast("double").alias("sum_disc_price"),
+        F.sum(
+            _dec("l_extendedprice") * (_one() - _dec("l_discount")) * (_one() + _dec("l_tax"))
+        ).cast("double").alias("sum_charge"),
+        (F.sum(_dec("l_quantity")).cast("double") / F.count("*")).alias("avg_qty"),
+        (F.sum(_dec("l_extendedprice")).cast("double") / F.count("*")).alias("avg_price"),
+        (F.sum(_dec("l_discount")).cast("double") / F.count("*")).alias("avg_disc"),
+        F.count("*").alias("count_order"),
+    )
+
+
+@_q(
+    "revenue_filter",
+    """
+    SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_discount AS DECIMAL(12,2))) AS DOUBLE) AS revenue,
+           COUNT(*) AS n_items
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+      AND l_discount BETWEEN 0.03 AND 0.07
+      AND l_quantity < 24
+    """,
+    bench=True,
+    tags=("filter", "P3", "P4"),
+)
+def revenue_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q6-shaped selective scan: all predicates pushed to parquet."""
+    li = T(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
+            & (F.col("l_discount").between(0.03, 0.07))
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.sum(_dec("l_extendedprice") * _dec("l_discount")).cast("double").alias("revenue"),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+@_q(
+    "revenue_by_nation",
+    """
+    SELECT n.n_name,
+      CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(12,2)) - CAST(l.l_discount AS DECIMAL(12,2)))) AS DOUBLE) AS revenue,
+      COUNT(DISTINCT o.o_orderkey) AS n_orders
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    WHERE o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o.o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY n.n_name
+    """,
+    bench=True,
+    tags=("join", "J2", "broadcast"),
+)
+def revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-way equi-join + agg; nation broadcast (SURVEY J2/J6 analog).
+
+    Plan shape at scale: lineitem⨝orders shuffles on orderkey, the
+    customer⨝nation side broadcasts; AQE coalesces post-shuffle partitions.
+    """
+    c = T(spark, sf_dir, "customer")
+    o = T(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
+    )
+    l = T(spark, sf_dir, "lineitem")
+    n = T(spark, sf_dir, "nation")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(l, o.o_orderkey == l.l_orderkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.sum(_dec("l_extendedprice") * (_one() - _dec("l_discount"))).cast("double").alias("revenue"),
+            F.countDistinct("o_orderkey").alias("n_orders"),
+        )
+    )
+
+
+@_q(
+    "segment_order_stats",
+    """
+    SELECT c_mktsegment,
+      COUNT(*) AS n_customers,
+      CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS avg_acctbal
+    FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    GROUP BY c_mktsegment
+    """,
+    tags=("semi-join", "J3"),
+)
+def segment_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-semi join (customers having orders) + group stats (SURVEY J3)."""
+    c = T(spark, sf_dir, "customer")
+    o = T(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_semi")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("n_customers"),
+            (F.sum(_dec("c_acctbal")).cast("double") / F.count("*")).alias("avg_acctbal"),
+        )
+    )
+
+
+@_q(
+    "customers_without_orders",
+    """
+    SELECT c_mktsegment, COUNT(*) AS n_customers
+    FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    GROUP BY c_mktsegment
+    """,
+    tags=("anti-join", "P7", "SO3"),
+)
+def customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-anti join (SURVEY P7 memoization / SO3 config-dedup pattern)."""
+    c = T(spark, sf_dir, "customer")
+    o = T(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(F.count("*").alias("n_customers"))
+    )
+
+
+@_q(
+    "top_orders_per_customer",
+    """
+    SELECT o_custkey, o_orderkey, o_totalprice, rank_in_cust FROM (
+      SELECT o_custkey, o_orderkey, o_totalprice,
+             CAST(ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS INTEGER) AS rank_in_cust
+      FROM orders) t
+    WHERE rank_in_cust <= 3
+    """,
+    bench=True,
+    tags=("window", "topk", "W1"),
+)
+def top_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group top-k via window row_number (SURVEY W1 — the reference's
+    bounded-heap top-k, distributed)."""
+    o = T(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return (
+        o.withColumn("rank_in_cust", F.row_number().over(w))
+        .filter(F.col("rank_in_cust") <= 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice", "rank_in_cust")
+    )
+
+
+@_q(
+    "event_percentiles",
+    """
+    SELECT event_type, COUNT(*) AS n_events,
+      CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS avg_value,
+      ROUND(quantile_cont(value, 0.5), 4) AS p50,
+      ROUND(quantile_cont(value, 0.9), 4) AS p90,
+      ROUND(quantile_cont(value, 0.99), 4) AS p99
+    FROM events GROUP BY event_type
+    """,
+    bench=True,
+    tags=("agg", "A5", "A6"),
+)
+def event_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Latency-stats-shaped aggregation: exact percentiles (SURVEY A5/A6 —
+    the reference's mean/p50/p90/p99 latency summaries)."""
+    e = T(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.count("*").alias("n_events"),
+        (F.sum(_dec("value")).cast("double") / F.count("*")).alias("avg_value"),
+        F.round(F.expr("percentile(value, 0.5)"), 4).alias("p50"),
+        F.round(F.expr("percentile(value, 0.9)"), 4).alias("p90"),
+        F.round(F.expr("percentile(value, 0.99)"), 4).alias("p99"),
+    )
+
+
+@_q(
+    "user_event_pivot",
+    """
+    SELECT user_id,
+      SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS n_click,
+      SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS n_view,
+      SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS n_purchase,
+      SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS n_signup,
+      SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS n_error,
+      CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
+    FROM events GROUP BY user_id
+    """,
+    tags=("pivot", "J6"),
+)
+def user_event_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Group-comparison pivot (SURVEY J6: per-key side-by-side columns)."""
+    e = T(spark, sf_dir, "events")
+    aggs = [
+        F.sum(F.when(F.col("event_type") == t, 1).otherwise(0)).alias(f"n_{t}")
+        for t in ["click", "view", "purchase", "signup", "error"]
+    ]
+    return e.groupBy("user_id").agg(*aggs, F.sum(_dec("value")).cast("double").alias("total_value"))
+
+
+@_q(
+    "user_running_value",
+    """
+    SELECT user_id, event_id,
+      CAST(SUM(CAST(value AS DECIMAL(12,2))) OVER (
+        PARTITION BY user_id ORDER BY ts, event_id
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_value
+    FROM events
+    """,
+    bench=True,
+    tags=("window", "W5"),
+)
+def user_running_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running sum per user over event time (SURVEY W5 — the AP running-hit
+    frame computation, generalized). Exact decimal accumulation."""
+    e = T(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return e.select(
+        "user_id",
+        "event_id",
+        F.sum(_dec("value")).over(w).cast("double").alias("running_value"),
+    )
+
+
+@_q(
+    "nation_customer_rank",
+    """
+    SELECT c_nationkey, c_custkey, c_acctbal, rnk FROM (
+      SELECT c_nationkey, c_custkey, c_acctbal,
+             CAST(RANK() OVER (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey) AS INTEGER) AS rnk
+      FROM customer) t
+    WHERE rnk <= 3
+    """,
+    tags=("window", "W4"),
+)
+def nation_customer_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranking within group (SURVEY W4)."""
+    c = T(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_nationkey").orderBy(F.desc("c_acctbal"), F.asc("c_custkey"))
+    return (
+        c.withColumn("rnk", F.rank().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select("c_nationkey", "c_custkey", "c_acctbal", "rnk")
+    )
+
+
+@_q(
+    "nations_with_both",
+    """
+    SELECT c_nationkey AS nationkey FROM customer
+    INTERSECT
+    SELECT s_nationkey AS nationkey FROM supplier
+    """,
+    tags=("set-op", "SO1"),
+)
+def nations_with_both(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Relation-level INTERSECT (SURVEY SO1 set semantics)."""
+    c = T(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    s = T(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return c.intersect(s)
+
+
+@_q(
+    "hourly_event_counts",
+    """
+    SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_unix, event_type,
+      COUNT(*) AS n_events,
+      CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+    FROM events GROUP BY 1, 2
+    """,
+    bench=True,
+    tags=("window-agg", "ST1", "streaming-batch-analog"),
+)
+def hourly_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling-window aggregation (batch analog of the streaming path in
+    streaming/events.py; oracle-checkable)."""
+    e = T(spark, sf_dir, "events")
+    return (
+        e.groupBy(
+            F.unix_timestamp(F.date_trunc("hour", F.col("ts"))).alias("hour_unix"),
+            "event_type",
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(_dec("value")).cast("double").alias("sum_value"),
+        )
+    )
+
+
+@_q(
+    "json_kpi",
+    """
+    SELECT event_type,
+      CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+      COUNT(*) AS n_events
+    FROM events GROUP BY event_type
+    """,
+    tags=("scalar", "json"),
+)
+def json_kpi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON extraction from a string column (semi-structured props)."""
+    e = T(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.sum(F.get_json_object("props", "$.k").cast("long")).alias("sum_k"),
+        F.count("*").alias("n_events"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Vector search + IR evaluation (the reference's core surface)
+# ---------------------------------------------------------------------------
+
+def _knn_sql(max_qid: int, k: int, label_filter: int | None = None) -> str:
+    flt = f"AND d.label = {label_filter}" if label_filter is not None else ""
+    return f"""
+    SELECT qid, docid, rank, ROUND(score, 4) AS score FROM (
+      SELECT q.vec_id AS qid, d.vec_id AS docid,
+             list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), CAST(d.embedding AS DOUBLE[])) AS score,
+             CAST(ROW_NUMBER() OVER (
+               PARTITION BY q.vec_id
+               ORDER BY list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), CAST(d.embedding AS DOUBLE[])) DESC,
+                        d.vec_id) AS INTEGER) AS rank
+      FROM (SELECT * FROM embeddings WHERE vec_id < {max_qid}) q
+      CROSS JOIN (SELECT * FROM embeddings d WHERE 1=1 {flt}) d
+    ) t WHERE rank <= {k}
+    """
+
+
+def _knn(spark: SparkSession, sf_dir: str, max_qid: int, k: int, label_filter: int | None):
+    emb = T(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < max_qid).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    d = emb.select(F.col("vec_id").alias("docid"), F.col("embedding").alias("vec"), "label")
+    pred = (F.col("label") == label_filter) if label_filter is not None else None
+    top = topk_bruteforce(q, d, k=k, metric="cosine", predicate=pred)
+    return top.withColumn("score", F.round("score", 4))
+
+
+@_q("knn_topk", _knn_sql(10, 5), bench=True, tags=("vector-search", "J1", "W1"))
+def knn_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact brute-force cosine top-k per query (the reference's core search,
+    `auto_run_tests.py:119-145`): BLAS matmul per Arrow batch + partial
+    top-k + window merge."""
+    return _knn(spark, sf_dir, max_qid=10, k=5, label_filter=None)
+
+
+@_q("knn_hybrid_filtered", _knn_sql(10, 5, label_filter=3), tags=("vector-search", "P3", "hybrid"))
+def knn_hybrid_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid search: metadata equality predicate applied BEFORE scoring
+    (reference `run_experiments.py:171-188`); filter pushed into the scan."""
+    return _knn(spark, sf_dir, max_qid=10, k=5, label_filter=3)
+
+
+@_q(
+    "retrieval_quality",
+    f"""
+    WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv, label AS ql
+               FROM embeddings WHERE vec_id < 20),
+    d AS (SELECT vec_id AS docid, CAST(embedding AS DOUBLE[]) AS dv, label AS dl FROM embeddings),
+    scored AS (SELECT q.qid, d.docid, list_cosine_similarity(q.qv, d.dv) AS s,
+                      CASE WHEN q.ql = d.dl THEN 1 ELSE 0 END AS rel
+               FROM q CROSS JOIN d),
+    ranked AS (SELECT qid, docid, s, rel,
+                      ROW_NUMBER() OVER (PARTITION BY qid ORDER BY s DESC, docid) AS rnk
+               FROM scored),
+    top AS (SELECT * FROM ranked WHERE rnk <= 10),
+    wh AS (SELECT *, SUM(rel) OVER (PARTITION BY qid ORDER BY rnk) AS hits_at FROM top),
+    nrel AS (SELECT q.qid, COUNT(*) AS n_rel FROM q JOIN d ON q.ql = d.dl GROUP BY q.qid),
+    perq AS (
+      SELECT wh.qid,
+        CAST(SUM(CASE WHEN rnk <= 5 THEN rel ELSE 0 END) AS DOUBLE)
+          / SUM(CASE WHEN rnk <= 5 THEN 1 ELSE 0 END) AS p5,
+        CAST(SUM(CASE WHEN rnk <= 10 THEN rel ELSE 0 END) AS DOUBLE)
+          / SUM(CASE WHEN rnk <= 10 THEN 1 ELSE 0 END) AS p10,
+        CAST(SUM(CASE WHEN rnk <= 5 THEN rel ELSE 0 END) AS DOUBLE) / MAX(n_rel) AS r5,
+        CAST(SUM(CASE WHEN rnk <= 10 THEN rel ELSE 0 END) AS DOUBLE) / MAX(n_rel) AS r10,
+        COALESCE(AVG(CASE WHEN rel = 1 THEN CAST(hits_at AS DOUBLE) / rnk END), 0.0) AS ap,
+        COALESCE(1.0 / MIN(CASE WHEN rel = 1 THEN rnk END), 0.0) AS rr
+      FROM wh JOIN nrel ON wh.qid = nrel.qid GROUP BY wh.qid)
+    SELECT ROUND(AVG(p5), 4) AS p_at_5, ROUND(AVG(r5), 4) AS r_at_5,
+           ROUND(AVG(p10), 4) AS p_at_10, ROUND(AVG(r10), 4) AS r_at_10,
+           ROUND(AVG(ap), 4) AS mean_ap, ROUND(AVG(rr), 4) AS mean_rr,
+           COUNT(*) AS n_queries
+    FROM perq
+    """,
+    bench=True,
+    tags=("metrics", "A1", "A2", "A3", "A4"),
+)
+def retrieval_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end IR evaluation (reference `evaluate_all`): top-10 retrieval
+    with label-relevance qrels -> p@k / r@k / MAP / MRR means."""
+    emb = T(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec"), F.col("label").alias("ql")
+    )
+    d = emb.select(F.col("vec_id").alias("docid"), F.col("embedding").alias("vec"))
+    top = topk_bruteforce(q.select("qid", "qvec"), d, k=10, metric="cosine")
+    qrels = q.select("qid", "ql").join(
+        emb.select(F.col("vec_id").alias("docid"), F.col("label").alias("ql")), "ql"
+    ).select("qid", "docid")
+    ev = evaluate_all(top.select("qid", "docid", "rank"), qrels, k_values=(5, 10))
+    return ev.select(
+        F.round("p_at_5", 4).alias("p_at_5"),
+        F.round("r_at_5", 4).alias("r_at_5"),
+        F.round("p_at_10", 4).alias("p_at_10"),
+        F.round("r_at_10", 4).alias("r_at_10"),
+        F.round("map", 4).alias("mean_ap"),
+        F.round("mrr", 4).alias("mean_rr"),
+        F.col("n_queries"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Text analysis (training-data pipeline surface)
+# ---------------------------------------------------------------------------
+
+@_q(
+    "token_stats_by_lang",
+    f"""
+    WITH t AS (SELECT lang, len({_SPLIT}) AS n_tok, n_chars FROM documents)
+    SELECT lang, COUNT(*) AS n_docs,
+      CAST(SUM(n_tok) AS BIGINT) AS total_tokens,
+      CAST(SUM(n_tok) AS DOUBLE) / COUNT(*) AS avg_tokens,
+      CAST(SUM(n_chars) AS DOUBLE) / COUNT(*) AS avg_chars
+    FROM t GROUP BY lang
+    """,
+    bench=True,
+    tags=("text", "F2"),
+)
+def token_stats_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus token statistics per language (token counting op)."""
+    return ta.token_stats_by_group(T(spark, sf_dir, "documents"), group_col="lang")
+
+
+@_q(
+    "doc_quality",
+    f"""
+    WITH t AS (SELECT doc_id, {_SPLIT} AS toks FROM documents)
+    SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+      ROUND(CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE) / len(toks), 4) AS avg_token_len,
+      ROUND(CAST(list_sum(list_transform(toks, x -> CASE WHEN x IN ('the','a') THEN 1 ELSE 0 END)) AS DOUBLE) / len(toks), 4) AS stopword_ratio,
+      ROUND(LEAST(1.0, CAST(len(toks) AS DOUBLE) / 100.0)
+            * (1.0 - CAST(list_sum(list_transform(toks, x -> CASE WHEN x IN ('the','a') THEN 1 ELSE 0 END)) AS DOUBLE) / len(toks)), 4) AS quality_score
+    FROM t
+    """,
+    tags=("text", "quality"),
+)
+def doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document quality scoring (length/stopword ratios, arithmetic-only
+    score)."""
+    return ta.doc_quality(T(spark, sf_dir, "documents"))
+
+
+@_q(
+    "exact_dedup",
+    """
+    SELECT md5(text) AS text_hash, COUNT(*) AS n_copies, MIN(doc_id) AS canonical_id
+    FROM documents GROUP BY md5(text)
+    """,
+    tags=("dedup", "exact"),
+)
+def exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact content-hash dedup clusters."""
+    return dd.exact_dedup(T(spark, sf_dir, "documents"))
+
+
+@_q(
+    "doc_fingerprint",
+    f"""
+    WITH t AS (SELECT doc_id, {_SPLIT} AS t FROM documents),
+    sh AS (SELECT doc_id,
+                  list_transform(range(1, greatest(len(t) - 2, 1) + 1),
+                                 i -> array_to_string(t[i:i+2], ' ')) AS shingles
+           FROM t)
+    SELECT doc_id, list_min(list_transform(shingles, s -> {stable_hash64_sql('s')})) AS fingerprint
+    FROM sh
+    """,
+    tags=("text", "fingerprint"),
+)
+def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Min-hash-of-shingles document fingerprint (cheap near-dup key)."""
+    return ta.doc_fingerprint(T(spark, sf_dir, "documents"))
+
+
+@_q(
+    "simhash",
+    f"""
+    WITH toks AS (SELECT doc_id, unnest({_SPLIT}) AS tok FROM documents),
+    th AS (SELECT doc_id, {stable_hash64_sql('tok')} AS h FROM toks),
+    bitsum AS (
+      SELECT doc_id, b.b,
+             SUM(CASE WHEN (h & ([{', '.join(str(1 << b) for b in range(32))}][b.b + 1])) != 0
+                      THEN 1 ELSE -1 END) AS s
+      FROM th CROSS JOIN (SELECT unnest(range(32)) AS b) b
+      GROUP BY doc_id, b.b)
+    SELECT doc_id,
+           CAST(SUM(CASE WHEN s > 0 THEN [{', '.join(str(1 << b) for b in range(32))}][b + 1] ELSE 0 END) AS BIGINT) AS simhash
+    FROM bitsum GROUP BY doc_id
+    """,
+    tags=("dedup", "simhash"),
+)
+def simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """32-bit SimHash per document."""
+    return ta.simhash(T(spark, sf_dir, "documents"), bits=32)
+
+
+@_q(
+    "minhash_signatures",
+    f"""
+    WITH toks AS (SELECT doc_id, {_SPLIT} AS t FROM documents),
+    shl AS (SELECT doc_id,
+                   list_transform(range(1, greatest(len(t) - 2, 1) + 1),
+                                  i -> array_to_string(t[i:i+2], ' ')) AS shingles
+            FROM toks),
+    sh AS (SELECT DISTINCT doc_id, shingle
+           FROM (SELECT doc_id, unnest(shingles) AS shingle FROM shl) u),
+    seeds AS (SELECT unnest(range(8)) AS seed)
+    SELECT doc_id, seed,
+           MIN({stable_hash64_sql("concat(CAST(seed AS VARCHAR), '#', shingle)")}) AS minhash
+    FROM sh CROSS JOIN seeds
+    GROUP BY doc_id, seed
+    """,
+    bench=True,
+    tags=("dedup", "minhash"),
+)
+def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash signatures (8 hashes over 3-token shingles)."""
+    return dd.minhash_signatures(T(spark, sf_dir, "documents"), num_hashes=8, shingle_n=3)
+
+
+@_q(
+    "lsh_candidate_pairs",
+    f"""
+    WITH toks AS (SELECT doc_id, {_SPLIT} AS t FROM documents),
+    shl AS (SELECT doc_id,
+                   list_transform(range(1, greatest(len(t) - 2, 1) + 1),
+                                  i -> array_to_string(t[i:i+2], ' ')) AS shingles
+            FROM toks),
+    sh AS (SELECT DISTINCT doc_id, shingle
+           FROM (SELECT doc_id, unnest(shingles) AS shingle FROM shl) u),
+    seeds AS (SELECT unnest(range(8)) AS seed),
+    mh AS (SELECT doc_id, seed,
+                  MIN({stable_hash64_sql("concat(CAST(seed AS VARCHAR), '#', shingle)")}) AS minhash
+           FROM sh CROSS JOIN seeds GROUP BY doc_id, seed),
+    bands AS (SELECT doc_id, seed // 2 AS band,
+                     md5(string_agg(CAST(minhash AS VARCHAR), ',' ORDER BY seed)) AS band_sig
+              FROM mh GROUP BY doc_id, seed // 2)
+    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+    FROM bands a JOIN bands b
+      ON a.band = b.band AND a.band_sig = b.band_sig AND a.doc_id < b.doc_id
+    """,
+    tags=("dedup", "lsh"),
+)
+def lsh_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH banding candidate pairs (4 bands x 2 rows)."""
+    sigs = dd.minhash_signatures(T(spark, sf_dir, "documents"), num_hashes=8, shingle_n=3)
+    return dd.lsh_candidate_pairs(sigs, rows_per_band=2)
+
+
+@_q(
+    "ngram_jaccard_pairs",
+    f"""
+    WITH toks AS (SELECT doc_id, {_SPLIT} AS t FROM documents WHERE doc_id < 40),
+    shl AS (SELECT doc_id,
+                   list_transform(range(1, greatest(len(t) - 2, 1) + 1),
+                                  i -> array_to_string(t[i:i+2], ' ')) AS shingles
+            FROM toks),
+    sh AS (SELECT DISTINCT doc_id, shingle
+           FROM (SELECT doc_id, unnest(shingles) AS shingle FROM shl) u),
+    cnt AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS i
+              FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+              GROUP BY 1, 2)
+    SELECT id_a, id_b,
+           ROUND(CAST(i AS DOUBLE) / (ca.n + cb.n - i), 4) AS jaccard
+    FROM inter
+    JOIN cnt ca ON id_a = ca.doc_id
+    JOIN cnt cb ON id_b = cb.doc_id
+    """,
+    tags=("dedup", "jaccard"),
+)
+def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact pairwise shingle-Jaccard on a bounded candidate set (doc_id<40);
+    the scale path feeds LSH candidates into the same verifier."""
+    docs = T(spark, sf_dir, "documents").filter(F.col("doc_id") < 40)
+    return dd.ngram_jaccard_pairs(docs, threshold=0.0)
+
+
+@_q(
+    "embedding_neardup_pairs",
+    """
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           ROUND(list_cosine_similarity(a.v, b.v), 4) AS cosine
+    FROM e a JOIN e b ON a.vec_id < b.vec_id
+    WHERE list_cosine_similarity(a.v, b.v) >= 0.45
+    """,
+    bench=True,
+    tags=("dedup", "embedding", "similarity"),
+)
+def embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: blocked matmul against a
+    broadcast matrix (operators/similarity.py)."""
+    return sim.cosine_self_join(T(spark, sf_dir, "embeddings"), threshold=0.45)
+
+
+def catalog_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return {name: qd.builder for name, qd in CATALOG.items()}
+
+
+def catalog_oracles() -> dict[str, str]:
+    return {name: qd.oracle for name, qd in CATALOG.items() if qd.oracle is not None}
+
+
+def bench_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return {name: qd.builder for name, qd in CATALOG.items() if qd.bench}

@@ -1,0 +1,64 @@
+"""SparkSession factory with scale-oriented defaults.
+
+Defaults are chosen for a large multi-executor cluster but work identically on
+``local[N]``: AQE on (runtime partition coalescing + skew-join splitting),
+Arrow enabled for the Pandas-UDF scoring path, UTC session timezone so
+timestamp semantics are engine-independent, and a shuffle partition count that
+AQE can coalesce down rather than a hardcoded small number it cannot raise.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "sivbp-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or get) a SparkSession with the engine's standard configuration.
+
+    ``master`` defaults to ``local[$SPARK_GRAFT_CPUS]`` (or ``local[*]``) when
+    not running under a cluster manager; on a real cluster pass ``None`` and
+    submit with ``--master``.
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
+    if master is None and "SPARK_MASTER" not in os.environ:
+        master = f"local[{cpus}]"
+    if shuffle_partitions is None:
+        shuffle_partitions = int(os.environ.get("SPARK_GRAFT_SHUFFLE", "32"))
+
+    builder = (
+        SparkSession.builder.appName(app_name)
+        # -- Adaptive execution: coalesce post-shuffle partitions, split skewed
+        #    joins, convert sort-merge to broadcast when runtime stats allow.
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        # -- Arrow for the pandas-UDF scoring hot path (SURVEY §4: BLAS-speed
+        #    scoring inside Arrow batches).
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        # -- Deterministic timestamp semantics across engines (duckdb oracle).
+        .config("spark.sql.session.timeZone", "UTC")
+        # -- Scans: respect parquet row-group pruning; 128 MiB split target is
+        #    the right default for 100 TB table scans.
+        .config("spark.sql.files.maxPartitionBytes", "134217728")
+        .config("spark.sql.parquet.filterPushdown", "true")
+        # -- Broadcast threshold: dimension tables (region/nation/supplier and
+        #    query-side vectors) should broadcast; 64 MiB is safe on executors
+        #    with >=4 GiB heap.
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+    )
+    if master:
+        builder = builder.master(master)
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()

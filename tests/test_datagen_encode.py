@@ -1,0 +1,74 @@
+"""Determinism + schema tests for the synthetic generators and encoders."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from semantic_vector_search_system_spark.datagen import (
+    generate_documents,
+    generate_queries_and_qrels,
+)
+from semantic_vector_search_system_spark.operators.encode import (
+    TfIdfEncoder,
+    transformer_encode_udf,
+)
+
+
+def test_documents_deterministic_across_partitionings(spark):
+    a = generate_documents(spark, 100, seed=7, num_partitions=1).collect()
+    b = generate_documents(spark, 100, seed=7, num_partitions=13).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+def test_documents_schema_and_planted_keyword(spark):
+    df = generate_documents(spark, 10, seed=1)
+    assert df.columns == ["id", "title", "text", "category", "timestamp", "source"]
+    row = df.filter("id = 'd3'").collect()[0]
+    assert "keyword_3" in row["text"]
+
+
+def test_resumable_range_offset(spark):
+    # PROJECT_DETAILED.txt:94-97 — resumable generation via --start.
+    full = {r["id"]: r["text"] for r in generate_documents(spark, 20, seed=7).collect()}
+    tail = {r["id"]: r["text"] for r in generate_documents(spark, 20, seed=7, start=15).collect()}
+    assert set(tail) == {f"d{i}" for i in range(15, 20)}
+    assert all(full[k] == v for k, v in tail.items())
+
+
+def test_queries_are_snippets_with_correct_qrels(spark):
+    docs = generate_documents(spark, 50, seed=42)
+    queries, qrels = generate_queries_and_qrels(docs, 5, seed=42)
+    qmap = {r["id"]: r["query"] for r in queries.collect()}
+    texts = {r["id"]: r["text"] for r in docs.collect()}
+    for qr in qrels.collect():
+        assert qmap[qr["qid"]] == texts[qr["docid"]][:200]
+
+
+def test_tfidf_encoder_fit_transform(spark):
+    docs = spark.createDataFrame(
+        [("d1", "apple banana apple"), ("d2", "banana cherry"), ("d3", "apple date")],
+        "id string, text string",
+    )
+    enc = TfIdfEncoder(dim=8).fit(docs)
+    out = enc.encode(docs).select("id", "vec").collect()
+    assert all(len(r["vec"]) <= 8 for r in out)
+    norms = [sum(x * x for x in r["vec"]) for r in out]
+    assert all(abs(n - 1.0) < 1e-5 for n in norms)
+    # queries transform under the SAME fitted vocabulary (SURVEY §2.8 trap).
+    q = spark.createDataFrame([("q1", "apple")], "id string, text string")
+    qv = enc.encode(q).collect()[0]["vec"]
+    assert sum(abs(x) for x in qv) > 0
+
+
+def test_transformer_udf_plumbing_with_fake_model(spark):
+    class FakeModel:
+        def encode(self, texts):
+            import numpy as np
+
+            return np.stack([np.full(4, float(len(t)), dtype="float32") for t in texts])
+
+    udf = transformer_encode_udf("fake", dim=4, model_loader=lambda name: FakeModel())
+    df = spark.createDataFrame([("ab",), ("abcd",)], "text string")
+    out = df.withColumn("vec", udf("text")).collect()
+    assert [r["vec"][0] for r in out] == [2.0, 4.0]

@@ -1,0 +1,104 @@
+"""Dedup + text-analysis operators on synthetic corpora with known dups."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from semantic_vector_search_system_spark.operators import dedup as dd
+from semantic_vector_search_system_spark.operators import similarity as sim
+from semantic_vector_search_system_spark.operators import textanalysis as ta
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "the quick brown fox jumps over the lazy dog"),  # exact dup of 1
+        (3, "the quick brown fox jumps over a lazy cat"),    # near dup of 1
+        (4, "completely different text about spark engines here"),
+        (5, "unrelated words nothing shared with others at all"),
+    ]
+    return spark.createDataFrame(rows, "doc_id bigint, text string")
+
+
+def test_exact_dedup_finds_cluster(corpus):
+    out = {r["canonical_id"]: r["n_copies"] for r in dd.exact_dedup(corpus).collect()}
+    assert out[1] == 2  # docs 1 and 2 collapse
+    assert sum(out.values()) == 5
+
+
+def test_minhash_identical_docs_identical_signatures(corpus):
+    sigs = dd.minhash_signatures(corpus, num_hashes=8).collect()
+    by_doc = {}
+    for r in sigs:
+        by_doc.setdefault(r["doc_id"], {})[r["seed"]] = r["minhash"]
+    assert by_doc[1] == by_doc[2]
+    assert by_doc[1] != by_doc[4]
+    assert len(by_doc[1]) == 8
+
+
+def test_lsh_candidates_include_exact_dups(corpus):
+    sigs = dd.minhash_signatures(corpus, num_hashes=8)
+    pairs = {(r["id_a"], r["id_b"]) for r in dd.lsh_candidate_pairs(sigs).collect()}
+    assert (1, 2) in pairs
+    assert (4, 5) not in pairs
+
+
+def test_jaccard_values(corpus):
+    out = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in dd.ngram_jaccard_pairs(corpus, threshold=0.0).collect()
+    }
+    assert out[(1, 2)] == 1.0
+    assert 0.0 < out[(1, 3)] < 1.0
+    assert (1, 4) not in out  # no shared 3-shingles
+
+
+def test_simhash_near_dup_distance(corpus):
+    sh = {r["doc_id"]: r["simhash"] for r in ta.simhash(corpus, bits=32).collect()}
+    assert sh[1] == sh[2]
+
+    def hamming(a, b):
+        return bin(a ^ b).count("1")
+
+    assert hamming(sh[1], sh[3]) < hamming(sh[1], sh[4])
+
+
+def test_quality_and_token_stats(corpus):
+    q = {r["doc_id"]: r for r in ta.doc_quality(corpus).collect()}
+    assert q[1]["n_tokens"] == 9
+    assert q[1]["stopword_ratio"] == pytest.approx(2 / 9, abs=1e-4)
+    assert 0.0 <= q[1]["quality_score"] <= 1.0
+
+
+def test_fingerprint_deterministic_and_dup_stable(corpus):
+    fp1 = {r["doc_id"]: r["fingerprint"] for r in ta.doc_fingerprint(corpus).collect()}
+    fp2 = {r["doc_id"]: r["fingerprint"] for r in ta.doc_fingerprint(corpus).collect()}
+    assert fp1 == fp2
+    assert fp1[1] == fp1[2]
+
+
+def test_cosine_self_join_threshold(spark):
+    rows = [
+        (1, [1.0, 0.0, 0.0]),
+        (2, [1.0, 0.01, 0.0]),  # near-dup of 1
+        (3, [0.0, 1.0, 0.0]),
+    ]
+    emb = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+    pairs = {(r["id_a"], r["id_b"]): r["cosine"] for r in
+             sim.cosine_self_join(emb, threshold=0.9).collect()}
+    assert set(pairs) == {(1, 2)}
+    assert pairs[(1, 2)] > 0.99
+
+
+def test_lsh_bucket_candidates_find_near_dup(spark):
+    rows = [
+        (1, [1.0, 0.2, -0.3, 0.5]),
+        (2, [1.0, 0.21, -0.29, 0.5]),  # near-dup of 1
+        (3, [-1.0, 0.9, 0.4, -0.7]),
+    ]
+    emb = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+    pairs = {(r["id_a"], r["id_b"]) for r in
+             sim.lsh_bucket_candidates(emb, num_planes=8).collect()}
+    assert (1, 2) in pairs

@@ -1,0 +1,105 @@
+"""Search correctness: the 5-doc planted-keyword fixture (the reference's
+`experiments/unit_test_precision.py`) plus numpy-oracle agreement of both
+physical top-k strategies."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from semantic_vector_search_system_spark.functions.hashing import stable_hash64_py
+from semantic_vector_search_system_spark.operators.encode import (
+    HashingEncoder,
+    HashingEncoderFast,
+)
+from semantic_vector_search_system_spark.operators.search import (
+    topk_bruteforce,
+    topk_bruteforce_expr,
+)
+
+DIM = 128
+
+# Mirrors reference unit_test_precision.py:7-10 — planted unique keywords.
+DOCS = [
+    ("d1", "alpha beta gamma keyword_3 delta"),
+    ("d2", "epsilon zeta eta theta"),
+    ("d3", "iota kappa keyword_5 lambda"),
+    ("d4", "mu nu xi omicron pi"),
+    ("d5", "rho sigma tau upsilon"),
+]
+QUERIES = [("q1", "keyword_3"), ("q2", "keyword_5 kappa")]
+EXPECTED_TOP1 = {"q1": "d1", "q2": "d3"}
+
+
+@pytest.fixture(scope="module")
+def fixture_vecs(spark):
+    docs = spark.createDataFrame(DOCS, "id string, text string")
+    queries = spark.createDataFrame(QUERIES, "id string, text string")
+    enc = HashingEncoder(dim=DIM)
+    dvec = enc.encode(docs).select(F.col("id").alias("docid"), "vec")
+    qvec = enc.encode(queries).select(F.col("id").alias("qid"), F.col("vec").alias("qvec"))
+    return qvec, dvec
+
+
+def test_planted_keyword_retrieval(spark, fixture_vecs):
+    qvec, dvec = fixture_vecs
+    top = topk_bruteforce_expr(qvec, dvec, k=3)
+    top1 = {r["qid"]: r["docid"] for r in top.filter("rank = 1").collect()}
+    assert top1 == EXPECTED_TOP1
+
+
+def test_physical_strategies_agree(spark, fixture_vecs):
+    qvec, dvec = fixture_vecs
+    a = topk_bruteforce_expr(qvec, dvec, k=5)
+    b = topk_bruteforce(qvec, dvec, k=5)
+    ra = sorted((r["qid"], r["docid"], r["rank"]) for r in a.collect())
+    rb = sorted((r["qid"], r["docid"], r["rank"]) for r in b.collect())
+    assert ra == rb
+
+
+def test_against_numpy_oracle(spark, fixture_vecs):
+    """Exact agreement with a numpy re-implementation of the reference's
+    offline_search (`auto_run_tests.py:119-145`)."""
+    qvec, dvec = fixture_vecs
+    drows = sorted(dvec.collect(), key=lambda r: r["docid"])
+    qrows = sorted(qvec.collect(), key=lambda r: r["qid"])
+    D = np.array([r["vec"] for r in drows], dtype=np.float64)
+    ids = [r["docid"] for r in drows]
+    expected = {}
+    for qr in qrows:
+        scores = D @ np.array(qr["qvec"], dtype=np.float64)
+        order = sorted(range(len(ids)), key=lambda i: (-scores[i], ids[i]))[:3]
+        expected[qr["qid"]] = [ids[i] for i in order]
+    got = {}
+    for r in topk_bruteforce(qvec, dvec, k=3).collect():
+        got.setdefault(r["qid"], [None] * 3)[r["rank"] - 1] = r["docid"]
+    assert got == expected
+
+
+def test_hybrid_predicate_filters_before_scoring(spark, fixture_vecs):
+    qvec, _ = fixture_vecs
+    docs = spark.createDataFrame(
+        [(i, t, "sports" if i in ("d1", "d3") else "news") for i, t in DOCS],
+        "id string, text string, category string",
+    )
+    dvec = HashingEncoder(dim=DIM).encode(docs).select(
+        F.col("id").alias("docid"), "vec", "category"
+    )
+    top = topk_bruteforce(
+        qvec, dvec, k=5, predicate=F.col("category") == "sports"
+    )
+    assert set(r["docid"] for r in top.collect()) <= {"d1", "d3"}
+
+
+def test_hashing_encoder_matches_python_reference(spark):
+    """Bucket semantics: stable_hash64(token) % dim counts, L2-normalized."""
+    docs = spark.createDataFrame(DOCS, "id string, text string")
+    for enc in (HashingEncoder(dim=DIM), HashingEncoderFast(dim=DIM)):
+        got = {r["id"]: np.array(r["vec"]) for r in enc.encode(docs).collect()}
+        for did, text in DOCS:
+            v = np.zeros(DIM)
+            for tok in text.split():
+                v[stable_hash64_py(tok) % DIM] += 1.0
+            v = v / np.linalg.norm(v)
+            assert np.allclose(got[did], v, atol=1e-6), did
