@@ -57,8 +57,9 @@ class HashingEncoder:
     corpus scan.
     """
 
-    def __init__(self, dim: int = 512):
+    def __init__(self, dim: int = 512, out_dtype: str = "float"):
         self.dim = dim
+        self.out_dtype = out_dtype
         self.model_name = "hashing"
 
     def encode_expr(self, text: Column | str) -> Column:
@@ -75,7 +76,7 @@ class HashingEncoder:
                 acc, lambda x, i: F.when(i == b.cast("int"), x + F.lit(1.0)).otherwise(x)
             ),
         )
-        return l2_normalize(counts)
+        return l2_normalize(counts, out_dtype=self.out_dtype)
 
     def encode(self, df: DataFrame, text_col: str = "text", out_col: str = "vec") -> DataFrame:
         return df.withColumn(out_col, self.encode_expr(text_col))

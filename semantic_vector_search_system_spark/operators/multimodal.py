@@ -1,0 +1,138 @@
+"""Multimodal column plumbing (BASELINE.json north star).
+
+Images/audio/video ride through the engine as opaque ``binary`` columns with
+typed metadata structs; decode / feature-extract / resize / frame-sample run
+as Arrow-batched ``mapInPandas`` stages. The media codec libraries are not
+available in this container, so the *decode kernel* is injectable: the
+default is a clearly-marked deterministic fake (tests) or
+``NotImplementedError`` (strict mode); the Spark-side plumbing — schema,
+batch shape, partition sizing — is real and tested.
+
+Scale notes: media blobs make rows wide; keep
+``spark.sql.files.maxPartitionBytes`` at the default 128 MiB so a partition
+holds a bounded number of blobs, and select metadata columns FIRST (column
+pruning keeps the binary out of stages that don't decode).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType, BinaryType, FloatType, IntegerType, LongType,
+    StringType, StructField, StructType,
+)
+
+MEDIA_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("kind", StringType(), False),       # image | audio | video
+        StructField("mime", StringType(), True),
+        StructField("n_bytes", LongType(), True),
+        StructField("width", IntegerType(), True),       # image/video
+        StructField("height", IntegerType(), True),
+        StructField("duration_ms", LongType(), True),    # audio/video
+        StructField("payload", BinaryType(), True),      # opaque blob
+    ]
+)
+
+
+def fake_media_table(spark, n: int = 64) -> DataFrame:
+    """Deterministic synthetic media table for tests: payload bytes derive
+    from the media_id (no randomness)."""
+    return (
+        spark.range(n)
+        .select(
+            F.col("id").alias("media_id"),
+            F.element_at(
+                F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
+                (F.pmod(F.col("id"), F.lit(3)) + 1).cast("int"),
+            ).alias("kind"),
+            F.lit("application/octet-stream").alias("mime"),
+            (F.pmod(F.col("id") * 7919, F.lit(4096)) + 16).alias("n_bytes"),
+            (F.pmod(F.col("id") * 31, F.lit(512)) + 32).cast("int").alias("width"),
+            (F.pmod(F.col("id") * 17, F.lit(512)) + 32).cast("int").alias("height"),
+            (F.pmod(F.col("id") * 977, F.lit(60000)) + 1000).alias("duration_ms"),
+            F.encode(
+                F.concat(F.lit("BLOB:"), F.col("id").cast("string")), "utf-8"
+            ).alias("payload"),
+        )
+    )
+
+
+def _default_decoder(kind: str, payload: bytes) -> "list[float]":
+    raise NotImplementedError(
+        "media codecs (PIL/ffmpeg/torchaudio) are not installed in this "
+        "environment; inject decode_fn= to use a real decoder"
+    )
+
+
+def deterministic_fake_decoder(dim: int = 8) -> Callable[[str, bytes], list]:
+    """Stand-in decode kernel: feature j = byte-sum of payload rotated by j,
+    normalized — deterministic, library-free, shaped like a real extractor."""
+
+    def decode(kind: str, payload: bytes) -> list:
+        if not payload:
+            return [0.0] * dim
+        total = sum(payload)
+        return [float((total + j * payload[j % len(payload)]) % 997) / 997.0 for j in range(dim)]
+
+    return decode
+
+
+def extract_features(
+    media: DataFrame,
+    decode_fn: Callable[[str, bytes], list] | None = None,
+    dim: int = 8,
+    id_col: str = "media_id",
+) -> DataFrame:
+    """Decode + feature-extract as an Arrow-batched mapInPandas stage.
+
+    Output: ``(media_id, kind, features array<float>)``. The decode kernel
+    runs once per row inside a batch loop; with a real library this is where
+    PIL/ffmpeg would run — batch shape and schema are identical.
+    """
+    fn = decode_fn or _default_decoder
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = [fn(k, p) for k, p in zip(pdf["kind"], pdf["payload"])]
+            yield pd.DataFrame(
+                {"media_id": pdf[id_col], "kind": pdf["kind"], "features": feats}
+            )
+
+    return media.select(id_col, "kind", "payload").mapInPandas(
+        run, schema="media_id long, kind string, features array<double>"
+    )
+
+
+def sample_video_frames(
+    media: DataFrame,
+    every_ms: int = 1000,
+    id_col: str = "media_id",
+) -> DataFrame:
+    """Frame-sampling plan for video rows: explodes one row per sampled
+    timestamp (the decode of each frame is the injectable kernel above).
+    Pure Catalyst: metadata-only, binary column untouched (pruned)."""
+    return (
+        media.filter(F.col("kind") == "video")
+        .select(
+            id_col,
+            F.explode(
+                F.sequence(F.lit(0), F.col("duration_ms"), F.lit(every_ms))
+            ).alias("frame_ms"),
+        )
+    )
+
+
+def media_stats(media: DataFrame) -> DataFrame:
+    """Metadata aggregation that never touches payload (column pruning —
+    verify with .explain: payload absent from ReadSchema)."""
+    return media.groupBy("kind").agg(
+        F.count("*").alias("n_items"),
+        F.sum("n_bytes").alias("total_bytes"),
+        F.avg("duration_ms").alias("avg_duration_ms"),
+    )

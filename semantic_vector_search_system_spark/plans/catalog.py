@@ -743,3 +743,325 @@ def catalog_oracles() -> dict[str, str]:
 
 def bench_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: qd.builder for name, qd in CATALOG.items() if qd.bench}
+
+
+# ---------------------------------------------------------------------------
+# Wider relational coverage (part/region tables, stats, routing)
+# ---------------------------------------------------------------------------
+
+@_q(
+    "brand_price_stats",
+    """
+    SELECT p_brand, COUNT(*) AS n_parts,
+      CAST(SUM(CAST(p_retailprice AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS avg_retailprice,
+      MIN(p_size) AS min_size, MAX(p_size) AS max_size
+    FROM part GROUP BY p_brand
+    """,
+    tags=("agg", "A11"),
+)
+def brand_price_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """count/avg/min/max summary per group (SURVEY A11)."""
+    p = T(spark, sf_dir, "part")
+    return p.groupBy("p_brand").agg(
+        F.count("*").alias("n_parts"),
+        (F.sum(_dec("p_retailprice")).cast("double") / F.count("*")).alias("avg_retailprice"),
+        F.min("p_size").alias("min_size"),
+        F.max("p_size").alias("max_size"),
+    )
+
+
+@_q(
+    "region_customer_rollup",
+    """
+    SELECT r.r_name, COUNT(DISTINCT n.n_nationkey) AS n_nations, COUNT(*) AS n_customers
+    FROM region r
+    JOIN nation n ON r.r_regionkey = n.n_regionkey
+    JOIN customer c ON n.n_nationkey = c.c_nationkey
+    GROUP BY r.r_name
+    """,
+    tags=("join", "broadcast", "J2"),
+)
+def region_customer_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snowflake rollup region<-nation<-customer; both dims broadcast."""
+    r = T(spark, sf_dir, "region")
+    n = T(spark, sf_dir, "nation")
+    c = T(spark, sf_dir, "customer")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name")
+        .agg(
+            F.countDistinct("n_nationkey").alias("n_nations"),
+            F.count("*").alias("n_customers"),
+        )
+    )
+
+
+@_q(
+    "urgent_orders_by_year",
+    """
+    SELECT CAST(year(o_orderdate) AS INTEGER) AS order_year, COUNT(*) AS n_orders,
+      CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total_value
+    FROM orders
+    WHERE o_orderpriority = '1-URGENT' AND o_orderstatus = 'O'
+    GROUP BY year(o_orderdate)
+    """,
+    tags=("filter", "P8"),
+)
+def urgent_orders_by_year(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row routing by status/priority (SURVEY P8) + date-part grouping."""
+    o = T(spark, sf_dir, "orders")
+    return (
+        o.filter((F.col("o_orderpriority") == "1-URGENT") & (F.col("o_orderstatus") == "O"))
+        .groupBy(F.year("o_orderdate").alias("order_year"))
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum(_dec("o_totalprice")).cast("double").alias("total_value"),
+        )
+    )
+
+
+@_q(
+    "global_top_spenders",
+    """
+    SELECT o_custkey, CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total_spent
+    FROM orders GROUP BY o_custkey
+    ORDER BY total_spent DESC, o_custkey LIMIT 20
+    """,
+    tags=("topk", "W2", "TakeOrderedAndProject"),
+)
+def global_top_spenders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global top-k: orderBy+limit compiles to TakeOrderedAndProject —
+    per-partition partial top-k + driver merge (SURVEY W2, the reference's
+    argpartition chunk selection, distributed). Decimal-exact sums make the
+    cut deterministic."""
+    o = T(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_custkey")
+        .agg(F.sum(_dec("o_totalprice")).cast("double").alias("total_spent"))
+        .orderBy(F.desc("total_spent"), F.asc("o_custkey"))
+        .limit(20)
+    )
+
+
+@_q(
+    "welch_components_by_type",
+    """
+    SELECT event_type, COUNT(value) AS n,
+      ROUND(AVG(value), 4) AS mean_value,
+      ROUND(var_samp(value), 4) AS var_value
+    FROM events GROUP BY event_type
+    """,
+    tags=("stats", "A12"),
+)
+def welch_components_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed Welch-test components (n/mean/variance per group) —
+    SURVEY A12; the t statistic is driver-side arithmetic in plans/report.py."""
+    e = T(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.count("value").alias("n"),
+        F.round(F.avg("value"), 4).alias("mean_value"),
+        F.round(F.var_samp("value"), 4).alias("var_value"),
+    )
+
+
+@_q(
+    "snippet_queries",
+    """
+    SELECT doc_id AS qid, substr(text, 1, 200) AS query,
+           length(substr(text, 1, 200)) AS n_chars
+    FROM documents WHERE doc_id % 25 = 0
+    """,
+    tags=("scalar", "F1", "S5"),
+)
+def snippet_queries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Query-set generation: deterministic doc sample -> 200-char snippets
+    (reference `create_qs.py:22-31`, SURVEY S5/F1)."""
+    d = T(spark, sf_dir, "documents")
+    from ..functions.text import query_snippet
+
+    return d.filter(F.col("doc_id") % 25 == 0).select(
+        F.col("doc_id").alias("qid"),
+        query_snippet("text").alias("query"),
+        F.length(query_snippet("text")).cast("long").alias("n_chars"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Sessionization: batch (oracle-checked) + Structured Streaming twins
+# ---------------------------------------------------------------------------
+
+@_q(
+    "sessionization",
+    """
+    WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us, value FROM events),
+    flagged AS (
+      SELECT *, CASE WHEN ts_us - LAG(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us, event_id)
+                          > 1800000000 THEN 1 ELSE 0 END AS new_sess
+      FROM e),
+    numbered AS (
+      SELECT *, SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_idx
+      FROM flagged)
+    SELECT user_id, CAST(sess_idx AS BIGINT) AS sess_idx, COUNT(*) AS n_events,
+      MIN(ts_us) AS session_start_us, MAX(ts_us) AS session_end_us,
+      CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS session_value
+    FROM numbered GROUP BY user_id, sess_idx
+    """,
+    bench=True,
+    tags=("window", "sessionization"),
+)
+def sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30-min) in batch form: lag -> new-session
+    flag -> running session index -> per-session aggregates. One shuffle
+    keyed by user_id serves all three windows."""
+    e = T(spark, sf_dir, "events").select(
+        "user_id", "event_id", F.unix_micros("ts").alias("ts_us"), "value"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    wrun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    flagged = e.withColumn(
+        "new_sess",
+        F.when(F.col("ts_us") - F.lag("ts_us").over(w) > 1_800_000_000, 1).otherwise(0),
+    )
+    numbered = flagged.withColumn("sess_idx", F.sum("new_sess").over(wrun).cast("long"))
+    return numbered.groupBy("user_id", "sess_idx").agg(
+        F.count("*").alias("n_events"),
+        F.min("ts_us").alias("session_start_us"),
+        F.max("ts_us").alias("session_end_us"),
+        F.sum(_dec("value")).cast("double").alias("session_value"),
+    )
+
+
+_STREAM_COUNTER = [0]
+
+
+def _run_stream(stream_df, output_mode: str = "complete"):
+    from ..streaming.events import run_stream_to_memory
+
+    _STREAM_COUNTER[0] += 1
+    name = f"sivbp_stream_{_STREAM_COUNTER[0]}"
+    run_stream_to_memory(stream_df, name, output_mode=output_mode)
+    return stream_df.sparkSession.table(name)
+
+
+@_q(
+    "stream_hourly_counts",
+    """
+    SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_unix, event_type,
+      COUNT(*) AS n_events,
+      CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+    FROM events GROUP BY 1, 2
+    """,
+    tags=("streaming", "ST1", "watermark"),
+)
+def stream_hourly_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured Streaming tumbling-window aggregation (availableNow over
+    the events parquet): event-time window + watermark; result must equal
+    the batch oracle exactly."""
+    from ..streaming.events import stream_events, windowed_event_counts
+
+    ev = stream_events(spark, f"{sf_dir}/events.parquet")
+    return _run_stream(windowed_event_counts(ev))
+
+
+@_q(
+    "stream_sessionize",
+    """
+    WITH e AS (SELECT user_id, epoch_us(ts) AS ts_us, value FROM events),
+    flagged AS (
+      SELECT *, CASE WHEN ts_us - LAG(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us)
+                          >= 1800000000 THEN 1 ELSE 0 END AS new_sess
+      FROM e),
+    numbered AS (
+      SELECT *, SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts_us
+                                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_idx
+      FROM flagged)
+    SELECT user_id,
+      CAST(MIN(ts_us) // 1000000 AS BIGINT) AS session_start_unix,
+      CAST((MAX(ts_us) + 1800000000) // 1000000 AS BIGINT) AS session_end_unix,
+      COUNT(*) AS n_events,
+      CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS session_value
+    FROM numbered GROUP BY user_id, sess_idx
+    """,
+    tags=("streaming", "session_window", "stateful"),
+)
+def stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native session_window stateful streaming sessionization; oracle is
+    the relational sessionization (session end = last event + gap)."""
+    from ..streaming.events import sessionize, stream_events
+
+    ev = stream_events(spark, f"{sf_dir}/events.parquet")
+    return _run_stream(sessionize(ev))
+
+
+# ---------------------------------------------------------------------------
+# End-to-end self-retrieval (the reference's full pipeline as ONE query)
+# ---------------------------------------------------------------------------
+
+_E2E_DIM = 64
+_E2E_HASH_BUCKET = (
+    f"CAST(CAST(CONCAT('0x', substr(md5(tok), 1, 15)) AS UBIGINT) % {_E2E_DIM} AS BIGINT)"
+)
+
+@_q(
+    "self_retrieval_e2e",
+    f"""
+    WITH dtok AS (SELECT doc_id, unnest(regexp_split_to_array(text, '\\s+')) AS tok FROM documents),
+    dbuck AS (SELECT doc_id, {_E2E_HASH_BUCKET} AS b, COUNT(*) AS c FROM dtok GROUP BY 1, 2),
+    dnorm AS (SELECT doc_id, sqrt(SUM(CAST(c AS DOUBLE) * c)) AS nrm FROM dbuck GROUP BY doc_id),
+    q AS (SELECT doc_id AS qid, substr(text, 1, 200) AS qtext FROM documents WHERE doc_id < 20),
+    qtok AS (SELECT qid, unnest(regexp_split_to_array(qtext, '\\s+')) AS tok FROM q),
+    qbuck AS (SELECT qid, {_E2E_HASH_BUCKET} AS b, COUNT(*) AS c FROM qtok GROUP BY 1, 2),
+    qnorm AS (SELECT qid, sqrt(SUM(CAST(c AS DOUBLE) * c)) AS nrm FROM qbuck GROUP BY qid),
+    dots AS (
+      SELECT qb.qid, db.doc_id AS docid,
+             SUM(CAST(qb.c AS DOUBLE) * db.c) / (MAX(qn.nrm) * MAX(dn.nrm)) AS score
+      FROM qbuck qb
+      JOIN dbuck db ON qb.b = db.b
+      JOIN qnorm qn ON qb.qid = qn.qid
+      JOIN dnorm dn ON db.doc_id = dn.doc_id
+      GROUP BY qb.qid, db.doc_id),
+    ranked AS (
+      SELECT qid, docid, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY score DESC, docid) AS rnk
+      FROM dots),
+    top AS (SELECT * FROM ranked WHERE rnk <= 10),
+    perq AS (
+      SELECT q.qid,
+        MAX(CASE WHEN t.docid = q.qid AND t.rnk = 1 THEN 1 ELSE 0 END) AS hit1,
+        MAX(CASE WHEN t.docid = q.qid THEN 1 ELSE 0 END) AS hit10,
+        COALESCE(MAX(CASE WHEN t.docid = q.qid THEN 1.0 / t.rnk END), 0.0) AS rr
+      FROM q LEFT JOIN top t ON q.qid = t.qid GROUP BY q.qid)
+    SELECT ROUND(AVG(CAST(hit1 AS DOUBLE)), 4) AS p_at_1,
+           ROUND(AVG(CAST(hit10 AS DOUBLE)), 4) AS r_at_10,
+           ROUND(AVG(rr), 4) AS mean_rr,
+           COUNT(*) AS n_queries
+    FROM perq
+    """,
+    bench=True,
+    tags=("e2e", "encode", "search", "metrics"),
+)
+def self_retrieval_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's whole pipeline as one lazy DAG (SURVEY §3.1): hashing
+    encode docs + snippet queries -> exact cosine top-10 -> self-retrieval
+    qrels -> p@1 / r@10 / MRR. Oracle recomputes the identical hashing
+    encoder relationally in DuckDB (sparse bucket join instead of arrays)."""
+    from ..functions.text import query_snippet
+    from ..operators.encode import HashingEncoder
+
+    docs = T(spark, sf_dir, "documents")
+    queries = docs.filter(F.col("doc_id") < 20).select(
+        F.col("doc_id").alias("qid"), query_snippet("text").alias("text")
+    )
+    enc = HashingEncoder(dim=_E2E_DIM, out_dtype="double")
+    dvec = enc.encode(docs).select(F.col("doc_id").alias("docid"), "vec")
+    qvec = enc.encode(queries).select("qid", F.col("vec").alias("qvec"))
+    top = topk_bruteforce(qvec, dvec, k=10, metric="dot")
+    qrels = queries.select(F.col("qid"), F.col("qid").alias("docid"))
+    ev = evaluate_all(top.select("qid", "docid", "rank"), qrels, k_values=(1, 10))
+    return ev.select(
+        F.round("p_at_1", 4).alias("p_at_1"),
+        F.round("r_at_10", 4).alias("r_at_10"),
+        F.round("mrr", 4).alias("mean_rr"),
+        F.col("n_queries"),
+    )

@@ -1,0 +1,126 @@
+"""Reporting & statistics (SURVEY §3.3, §2.4 A8–A15).
+
+Glob-read result records -> null-tolerant projection -> per-size (and
+per-model) mean summaries -> significance tests. Matches the reference's
+`produce_h3_summary_and_plots.py` / `analyze_and_report.py` /
+`stats_tests.py` semantics with DataFrame aggregation; the scipy
+distribution functions run driver-side over the tiny aggregated arrays
+(SURVEY A12–A13 — exactly where the reference runs them).
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def valid_runs(results: DataFrame, metric_cols: list[str]) -> DataFrame:
+    """P6: keep rows where at least one metric is present
+    (`produce_h3_summary_and_plots.py:38-41`)."""
+    return results.filter(F.coalesce(*[F.col(c) for c in metric_cols]).isNotNull())
+
+
+def summary_by_size(results: DataFrame, metric_cols: list[str]) -> DataFrame:
+    """A8: per-n_docs means of each metric, ascending n_docs."""
+    aggs = [F.avg(c).alias(f"mean_{c.replace('.', '_')}") for c in metric_cols]
+    return results.groupBy("n_docs").agg(*aggs).orderBy("n_docs")
+
+
+def summary_by_size_and_model(results: DataFrame, metric_cols: list[str]) -> DataFrame:
+    """A9: per-(n_docs, model) means (`produce_h3_model_comparison.py`)."""
+    aggs = [F.avg(c).alias(f"mean_{c.replace('.', '_')}") for c in metric_cols]
+    return results.groupBy("n_docs", "model_name").agg(*aggs).orderBy("n_docs", "model_name")
+
+
+def group_medians(results: DataFrame, group_col: str, metric: str) -> DataFrame:
+    """A10: per-group exact medians (`analyze_and_report.py:86-88`)."""
+    return results.groupBy(group_col).agg(
+        F.expr(f"percentile({metric}, 0.5)").alias(f"median_{metric}")
+    )
+
+
+def welch_t_components(results: DataFrame, group_col: str, metric: str) -> DataFrame:
+    """A12 distributed part: per-group n/mean/variance — everything Welch's
+    t needs, computed scalably; the t statistic itself is arithmetic."""
+    return results.groupBy(group_col).agg(
+        F.count(metric).alias("n"),
+        F.avg(metric).alias("mean"),
+        F.var_samp(metric).alias("var"),
+    )
+
+
+def welch_t_stat(n1: int, m1: float, v1: float, n2: int, m2: float, v2: float) -> tuple[float, float]:
+    """Welch t statistic + Welch–Satterthwaite dof (arithmetic only)."""
+    se2 = v1 / n1 + v2 / n2
+    t = (m1 - m2) / math.sqrt(se2)
+    dof = se2 * se2 / ((v1 / n1) ** 2 / (n1 - 1) + (v2 / n2) ** 2 / (n2 - 1))
+    return t, dof
+
+
+def welch_t_test(results: DataFrame, group_col: str, metric: str, g1, g2) -> dict:
+    """A12: Welch t-test between two groups; p-value via scipy on the driver
+    when available (the reference calls scipy the same way,
+    `stats_tests.py:67-80`), else t/dof only."""
+    comp = {r[group_col]: r for r in welch_t_components(results, group_col, metric).collect()}
+    a, b = comp[g1], comp[g2]
+    t, dof = welch_t_stat(a["n"], a["mean"], a["var"], b["n"], b["mean"], b["var"])
+    out = {"t": t, "dof": dof, "n1": a["n"], "n2": b["n"]}
+    try:
+        from scipy import stats as sps
+
+        out["p_value"] = float(2 * sps.t.sf(abs(t), dof))
+    except ImportError:
+        out["p_value"] = None
+    return out
+
+
+def mann_whitney_u(results: DataFrame, group_col: str, metric: str, g1, g2) -> dict:
+    """A12 fallback test (`stats_tests.py:75-80`): rank-sum computed
+    DISTRIBUTED via a global rank window (ties -> average rank), so it scales
+    past driver memory; only the U statistic normalization is local."""
+    from pyspark.sql import Window
+
+    two = results.filter(F.col(group_col).isin([g1, g2])).select(group_col, metric)
+    w = Window.orderBy(metric)
+    # average rank for ties: avg of row_number within equal values
+    ranked = two.withColumn("rn", F.row_number().over(w))
+    avg_rank = ranked.groupBy(metric).agg(F.avg("rn").alias("avg_rank"))
+    rr = ranked.join(avg_rank, metric)
+    sums = rr.groupBy(group_col).agg(F.sum("avg_rank").alias("rank_sum"), F.count("*").alias("n"))
+    d = {r[group_col]: r for r in sums.collect()}
+    n1, n2 = d[g1]["n"], d[g2]["n"]
+    u1 = d[g1]["rank_sum"] - n1 * (n1 + 1) / 2
+    u = min(u1, n1 * n2 - u1)
+    return {"u": float(u), "n1": n1, "n2": n2}
+
+
+def bonferroni(p_values: list[float]) -> list[float]:
+    """A14: ``min(1, p*m)`` (`stats_tests.py:83-88`)."""
+    m = len(p_values)
+    return [min(1.0, p * m) for p in p_values]
+
+
+def paired_tests(before: list[float], after: list[float]) -> dict:
+    """A13: paired t + Wilcoxon signed-rank over small aggregated arrays
+    (driver-side scipy, as the reference does in `experiments/stats.py`)."""
+    try:
+        from scipy import stats as sps
+
+        t_stat, t_p = sps.ttest_rel(before, after)
+        try:
+            w_stat, w_p = sps.wilcoxon(before, after)
+        except ValueError:
+            w_stat, w_p = float("nan"), float("nan")
+        return {
+            "paired_t": float(t_stat), "paired_t_p": float(t_p),
+            "wilcoxon": float(w_stat), "wilcoxon_p": float(w_p),
+        }
+    except ImportError:
+        n = len(before)
+        diffs = [a - b for a, b in zip(after, before)]
+        mean_d = sum(diffs) / n
+        var_d = sum((d - mean_d) ** 2 for d in diffs) / (n - 1)
+        t = mean_d / math.sqrt(var_d / n)
+        return {"paired_t": t, "paired_t_p": None, "wilcoxon": None, "wilcoxon_p": None}

@@ -1,0 +1,140 @@
+"""Structured Streaming surface (SURVEY §2.9).
+
+The reference has no true streaming — its "stream ingest" is micro-batched
+iteration (`ingestion/ingest.py:50-84`). The Spark engine upgrades that
+pattern to real Structured Streaming over the ``events`` table:
+
+* :func:`stream_events` — file/rate source -> typed event stream;
+* :func:`windowed_event_counts` — tumbling event-time window aggregation
+  with a watermark for late data;
+* :func:`streaming_ingest_foreach_batch` — the reference's encode->ingest
+  micro-batch pipeline as ``foreachBatch`` (each micro-batch runs the same
+  batch encode/ingest operators — ST1);
+* :func:`sessionize` — stateful sessionization; expressed with
+  ``session_window`` (native state store operator) so Spark manages state,
+  watermark eviction and recovery — no custom applyInPandasWithState needed
+  for gap-based sessions.
+
+Tests drive these with ``availableNow`` triggers against the driver-provided
+parquet so results are deterministic and comparable to the batch analogs in
+plans/catalog.py (hourly_event_counts / sessionization queries).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def stream_events(
+    spark: SparkSession, events_dir: str, schema_from_batch: bool = True
+) -> DataFrame:
+    """readStream over the events parquet directory.
+
+    Streaming sources require a pinned schema; we take it from a batch read
+    of the same path (footer only, no data scan). The nanosecond-timestamp
+    workaround mirrors plans/catalog.py::T.
+    """
+    import os
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    batch = spark.read.parquet(events_dir)
+    if os.path.isfile(events_dir):
+        # streaming file sources need a directory; point at the parent and
+        # glob-filter down to the one file
+        parent, fname = os.path.split(events_dir)
+        raw = (
+            spark.readStream.schema(batch.schema)
+            .option("pathGlobFilter", fname)
+            .parquet(parent)
+        )
+    else:
+        raw = spark.readStream.schema(batch.schema).parquet(events_dir)
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def windowed_event_counts(
+    events: DataFrame,
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Tumbling event-time window counts + value sums with late-data
+    watermark — the streaming twin of catalog hourly_event_counts."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("win"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(12,2)")).cast("double").alias("sum_value"),
+        )
+        .select(
+            F.unix_timestamp(F.col("win.start")).alias("hour_unix"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def sessionize(
+    events: DataFrame,
+    gap: str = "30 minutes",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Gap-based sessionization per user via the native ``session_window``
+    state-store operator (scales: state is partitioned by user, evicted by
+    watermark)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("sess"), "user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(12,2)")).cast("double").alias("session_value"),
+        )
+        .select(
+            "user_id",
+            F.unix_timestamp(F.col("sess.start")).alias("session_start_unix"),
+            F.unix_timestamp(F.col("sess.end")).alias("session_end_unix"),
+            "n_events",
+            "session_value",
+        )
+    )
+
+
+def run_stream_to_memory(
+    stream_df: DataFrame, table_name: str, output_mode: str = "complete"
+) -> None:
+    """Execute a streaming query to completion on the available data
+    (availableNow trigger) into an in-memory table — the deterministic test
+    harness for streaming operators."""
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(table_name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+def streaming_ingest_foreach_batch(
+    spark: SparkSession,
+    docs_stream: DataFrame,
+    encoder,
+    index_path: str,
+) -> None:
+    """ST1: the reference's stream encode->ingest loop as foreachBatch —
+    each micro-batch reuses the exact batch operators (encode + append to
+    the Parquet index)."""
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        vec = encoder.encode(batch_df)
+        vec.write.mode("append").parquet(index_path)
+
+    q = (
+        docs_stream.writeStream.foreachBatch(handle)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", index_path + "_ckpt")
+        .start()
+    )
+    q.awaitTermination()

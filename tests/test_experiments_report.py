@@ -1,0 +1,123 @@
+"""Experiment grid + reporting/statistics semantics."""
+
+from __future__ import annotations
+
+import pytest
+
+from semantic_vector_search_system_spark.plans.experiments import (
+    RunConfig,
+    build_configs,
+    filter_unrun_configs,
+    run_config,
+)
+from semantic_vector_search_system_spark.plans.report import (
+    bonferroni,
+    mann_whitney_u,
+    paired_tests,
+    summary_by_size,
+    valid_runs,
+    welch_t_stat,
+    welch_t_test,
+)
+
+
+def test_build_configs_grid_shape():
+    cfgs = build_configs(
+        local_only=True,
+        h1_sizes=(100, 200), h2_sizes=(100,), h3_sizes=(100,),
+        h1_batches=(10, 20), h1_repeats=2, models=("hashing", "tfidf"),
+    )
+    h1 = [c for c in cfgs if c.hypothesis == "H1"]
+    h2 = [c for c in cfgs if c.hypothesis == "H2"]
+    h3 = [c for c in cfgs if c.hypothesis == "H3"]
+    assert len(h1) == 2 * 2 * 2  # sizes x batches x repeats
+    assert len(h2) == 2          # modes
+    assert len(h3) == 2          # models
+    assert {c.search_mode for c in h2} == {"vector", "hybrid"}
+
+
+def test_memoization_anti_join(spark):
+    cfgs = build_configs(local_only=True, h1_sizes=(100,), h2_sizes=(), h3_sizes=(),
+                         h1_batches=(10,), h1_repeats=2)
+    done = spark.createDataFrame(
+        [("H1", 100, "local", 10, "hashing", "vector", 0)],
+        "hypothesis string, n_docs long, target_db string, batch_size long, "
+        "model_name string, search_mode string, repeat long",
+    )
+    remaining = filter_unrun_configs(spark, cfgs, done)
+    assert len(remaining) == 1 and remaining[0].repeat == 1
+
+
+def test_run_config_h1_and_h3(spark, tmp_path):
+    h1 = run_config(
+        spark, RunConfig("H1", 200, "local", 50, "hashing", 32, 10), str(tmp_path)
+    )
+    assert h1["metrics"]["ingest"]["total_items"] == 200
+    assert h1["encode_total_s"] >= 0
+
+    h3 = run_config(
+        spark, RunConfig("H3", 200, "local", None, "hashing", 64, 10), str(tmp_path)
+    )
+    m = h3["metrics"]
+    assert 0.0 <= m["p_at_5"] <= 1.0 and 0.0 <= m["map"] <= 1.0
+    # self-retrieval with planted keywords + prefix queries: should hit often
+    assert m["r_at_20"] > 0.5
+
+
+def test_run_config_h2_hybrid_mode(spark, tmp_path):
+    rec = run_config(
+        spark, RunConfig("H2", 150, "local", None, "hashing", 32, 5, "hybrid"), str(tmp_path)
+    )
+    assert rec["config"]["search_mode"] == "hybrid"
+    assert "map" in rec["metrics"]
+
+
+def test_report_summaries_and_stats(spark):
+    rows = [
+        (10, "m1", 0.5), (10, "m1", 0.7), (10, "m2", 0.2), (10, "m2", 0.4),
+        (100, "m1", 0.3), (100, "m1", None),
+    ]
+    df = spark.createDataFrame(rows, "n_docs long, model_name string, p_at_5 double")
+    ok = valid_runs(df, ["p_at_5"])
+    assert ok.count() == 5
+    summ = {r["n_docs"]: r["mean_p_at_5"] for r in summary_by_size(ok, ["p_at_5"]).collect()}
+    assert summ[10] == pytest.approx(0.45)
+
+    t, dof = welch_t_stat(10, 1.0, 0.04, 10, 0.8, 0.09)
+    # scipy cross-check when available
+    scipy = pytest.importorskip("scipy")
+    import numpy as np
+
+    rng = np.random.RandomState(0)
+    a = rng.normal(1.0, 0.2, 10)
+    b = rng.normal(0.8, 0.3, 10)
+    from scipy import stats as sps
+
+    expected = sps.ttest_ind(a, b, equal_var=False)
+    t2, dof2 = welch_t_stat(len(a), a.mean(), a.var(ddof=1), len(b), b.mean(), b.var(ddof=1))
+    assert t2 == pytest.approx(expected.statistic)
+
+
+def test_welch_and_mannwhitney_on_dataframe(spark):
+    rows = [("a", float(v)) for v in [1, 2, 3, 4, 5]] + [("b", float(v)) for v in [3, 4, 5, 6, 7]]
+    df = spark.createDataFrame(rows, "grp string, metric double")
+    w = welch_t_test(df, "grp", "metric", "a", "b")
+    assert w["t"] < 0 and w["n1"] == 5
+    scipy = pytest.importorskip("scipy")
+    from scipy import stats as sps
+
+    expected = sps.ttest_ind([1, 2, 3, 4, 5], [3, 4, 5, 6, 7], equal_var=False)
+    assert w["t"] == pytest.approx(expected.statistic)
+    assert w["p_value"] == pytest.approx(expected.pvalue)
+
+    u = mann_whitney_u(df, "grp", "metric", "a", "b")
+    expected_u = sps.mannwhitneyu([1, 2, 3, 4, 5], [3, 4, 5, 6, 7])
+    assert min(u["u"], u["n1"] * u["n2"] - u["u"]) == pytest.approx(
+        min(expected_u.statistic, 25 - expected_u.statistic)
+    )
+
+
+def test_bonferroni_and_paired():
+    assert bonferroni([0.01, 0.4, 0.9]) == [0.03, 1.0, 1.0]
+    out = paired_tests([1.0, 2.0, 3.0, 4.0], [1.1, 2.3, 3.1, 4.4])
+    assert out["paired_t"] != 0

@@ -1,0 +1,133 @@
+"""Sources/sinks, ingest instrumentation, latency stats, experiments grid."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+from pyspark.sql import functions as F
+
+from semantic_vector_search_system_spark import schemas
+from semantic_vector_search_system_spark.operators.encode import HashingEncoder
+from semantic_vector_search_system_spark.operators.ingest import (
+    foreach_partition_sink,
+    ingest_summary_from_batches,
+    ingest_to_index,
+    per_batch_timings,
+)
+from semantic_vector_search_system_spark.operators.latency import (
+    latency_stats,
+    latency_stats_ms,
+)
+from semantic_vector_search_system_spark.sources.jsonl import (
+    read_documents,
+    read_qrels,
+    read_queries,
+    write_qrels_rows_as_map_json,
+)
+from semantic_vector_search_system_spark.sources.parquet_index import (
+    index_stats,
+    read_vector_index,
+    write_vector_index,
+)
+
+
+def test_jsonl_roundtrip(spark, tmp_path):
+    docs_path = tmp_path / "docs.jsonl"
+    docs_path.write_text(
+        '{"id":"d1","text":"hello world","category":"sports"}\n'
+        '{"id":"d2","text":"spark engine","category":"news"}\n'
+    )
+    docs = read_documents(spark, str(docs_path))
+    assert docs.count() == 2
+    # names+types pinned (the json reader relaxes nullability)
+    assert [(f.name, f.dataType) for f in docs.schema.fields] == [
+        (f.name, f.dataType) for f in schemas.DOCUMENT.fields
+    ]
+
+    q_path = tmp_path / "queries.jsonl"
+    q_path.write_text('{"id":"q1","query":"hello"}\n')
+    assert read_queries(spark, str(q_path)).collect()[0]["query"] == "hello"
+
+    qrels_path = tmp_path / "qrels.json"
+    qrels_path.write_text('{"q1": ["d1"], "q2": ["d1", "d2"]}')
+    qrels = read_qrels(spark, str(qrels_path))
+    rows = {(r["qid"], r["docid"]) for r in qrels.collect()}
+    assert rows == {("q1", "d1"), ("q2", "d1"), ("q2", "d2")}
+
+    out_path = tmp_path / "qrels_out.json"
+    write_qrels_rows_as_map_json(qrels, str(out_path))
+    assert json.loads(out_path.read_text()) == {"q1": ["d1"], "q2": ["d1", "d2"]}
+
+
+def test_vector_index_roundtrip_and_partition_pruning(spark, tmp_path):
+    docs = spark.createDataFrame(
+        [("d1", "alpha beta", "sports"), ("d2", "gamma delta", "news")],
+        "id string, text string, category string",
+    )
+    vec = HashingEncoder(dim=16).encode(docs)
+    path = str(tmp_path / "index")
+    write_vector_index(vec, path, partition_by="category")
+    idx = read_vector_index(spark, path)
+    assert idx.count() == 2
+    stats = index_stats(idx).collect()[0]
+    assert stats["n_vectors"] == 2 and stats["dim"] == 16
+    # partition pruning: the category filter must prune to one directory
+    plan = idx.filter(F.col("category") == "sports")._jdf.queryExecution().executedPlan().toString()
+    assert "category=sports" in plan or "PartitionFilters" in plan
+
+
+def test_ingest_summary_shape(spark, tmp_path):
+    docs = spark.createDataFrame([("d%d" % i, "tok a b") for i in range(50)], "id string, text string")
+    vec = HashingEncoder(dim=8).encode(docs)
+    row = ingest_to_index(vec, str(tmp_path / "ing"), db_name="parquet_index", batch_size=100)
+    assert row["total_items"] == 50
+    assert row["overall_throughput_vps"] > 0
+    assert row["db"] == "parquet_index"
+
+
+def test_per_batch_timings_counts(spark):
+    df = spark.range(1000).select(F.col("id").cast("string").alias("id"))
+    batches = per_batch_timings(df, vec_col="id")
+    summary = ingest_summary_from_batches(batches).collect()[0]
+    assert summary["total_items"] == 1000
+    assert summary["overall_throughput_vps"] > 0
+
+
+def test_foreach_partition_sink(spark, tmp_path):
+    # the "DB client" writes upsert batches to files: observable from the
+    # driver even though upserts run in executor worker processes
+    out_dir = str(tmp_path / "sinkdb")
+    import os
+
+    os.makedirs(out_dir, exist_ok=True)
+
+    def make_client():
+        import uuid
+
+        return open(os.path.join(out_dir, f"{uuid.uuid4().hex}.txt"), "a")
+
+    def upsert(client, rows):
+        for r in rows:
+            client.write(r["id"] + "\n")
+        client.flush()
+
+    df = spark.createDataFrame([(f"d{i}", "x") for i in range(10)], "id string, text string")
+    foreach_partition_sink(df, make_client=make_client, upsert=upsert, batch_size=3)
+    seen = set()
+    for fname in os.listdir(out_dir):
+        with open(os.path.join(out_dir, fname)) as f:
+            seen.update(line.strip() for line in f)
+    assert seen == {f"d{i}" for i in range(10)}
+
+
+def test_latency_stats(spark):
+    lat = spark.createDataFrame(
+        [(f"q{i}", 0.01 * (i + 1)) for i in range(100)], "qid string, latency_s double"
+    )
+    row = latency_stats(lat).collect()[0]
+    assert row["mean_s"] == pytest.approx(0.505)
+    assert row["p50_s"] == pytest.approx(0.505)
+    assert row["qps"] == pytest.approx(100 / sum(0.01 * (i + 1) for i in range(100)))
+    ms = latency_stats_ms(lat).collect()[0]
+    assert ms["mean_ms"] == pytest.approx(505.0)

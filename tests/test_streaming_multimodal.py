@@ -1,0 +1,89 @@
+"""Structured Streaming operators + multimodal column plumbing."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from semantic_vector_search_system_spark.operators.multimodal import (
+    deterministic_fake_decoder,
+    extract_features,
+    fake_media_table,
+    media_stats,
+    sample_video_frames,
+)
+from semantic_vector_search_system_spark.operators.encode import HashingEncoder
+from semantic_vector_search_system_spark.streaming.events import (
+    run_stream_to_memory,
+    streaming_ingest_foreach_batch,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def test_stream_matches_batch_hourly_counts(spark):
+    from semantic_vector_search_system_spark.plans.catalog import T, hourly_event_counts
+    from semantic_vector_search_system_spark.streaming.events import (
+        stream_events,
+        windowed_event_counts,
+    )
+
+    ev = stream_events(spark, f"{SF_DIR}/events.parquet")
+    run_stream_to_memory(windowed_event_counts(ev), "t_stream_hourly")
+    got = {
+        (r["hour_unix"], r["event_type"]): (r["n_events"], r["sum_value"])
+        for r in spark.table("t_stream_hourly").collect()
+    }
+    want = {
+        (r["hour_unix"], r["event_type"]): (r["n_events"], r["sum_value"])
+        for r in hourly_event_counts(spark, SF_DIR).collect()
+    }
+    assert got == want
+
+
+def test_streaming_ingest_foreach_batch(spark, tmp_path):
+    docs = spark.createDataFrame(
+        [(f"d{i}", f"tok{i} alpha beta") for i in range(20)], "id string, text string"
+    )
+    src = str(tmp_path / "docs_src")
+    docs.write.parquet(src)
+    stream = spark.readStream.schema(docs.schema).parquet(src)
+    idx_path = str(tmp_path / "stream_index")
+    streaming_ingest_foreach_batch(spark, stream, HashingEncoder(dim=16), idx_path)
+    out = spark.read.parquet(idx_path)
+    assert out.count() == 20
+    assert "vec" in out.columns
+
+
+def test_media_features_deterministic(spark):
+    media = fake_media_table(spark, n=12)
+    feats = extract_features(media, decode_fn=deterministic_fake_decoder(dim=8))
+    rows = {r["media_id"]: r["features"] for r in feats.collect()}
+    assert len(rows) == 12 and all(len(v) == 8 for v in rows.values())
+    rows2 = {r["media_id"]: r["features"] for r in
+             extract_features(media, decode_fn=deterministic_fake_decoder(dim=8)).collect()}
+    assert rows == rows2
+
+
+def test_media_decode_stub_raises_without_loader(spark):
+    media = fake_media_table(spark, n=3)
+    with pytest.raises(Exception, match="NotImplementedError|media codecs"):
+        extract_features(media).collect()
+
+
+def test_video_frame_sampling_plan(spark):
+    media = fake_media_table(spark, n=12)
+    frames = sample_video_frames(media, every_ms=10_000)
+    rows = frames.collect()
+    assert all(r["frame_ms"] % 10_000 == 0 for r in rows)
+    n_videos = media.filter("kind = 'video'").count()
+    assert frames.select("media_id").distinct().count() == n_videos
+
+
+def test_media_stats_prunes_payload(spark):
+    media = fake_media_table(spark, n=30)
+    stats = media_stats(media)
+    assert {r["kind"] for r in stats.collect()} == {"image", "audio", "video"}
+    # payload must not appear in the optimized plan's scan-side projection
+    plan = stats._jdf.queryExecution().optimizedPlan().toString()
+    assert "payload" not in plan
