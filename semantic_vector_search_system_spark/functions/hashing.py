@@ -48,3 +48,27 @@ def stable_hash64_py(s: str) -> int:
     import hashlib
 
     return int(hashlib.md5(s.encode("utf-8")).hexdigest()[:15], 16)
+
+
+def double_hash_family(col: Column | str, num_hashes: int) -> list[Column]:
+    """Kirsch–Mitzenmacher universal hash family from ONE md5.
+
+    ``h_i = (h1 + i*h2) mod 2^60`` where h1 = 60-bit md5 prefix and h2 =
+    40-bit md5 suffix — one digest per value instead of ``num_hashes``
+    (the MinHash hot-path optimization; overflow-safe in signed int64 on
+    every engine: h1 + i*h2 < 2^60 + num_hashes*2^40).
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    d = F.md5(c)
+    h1 = F.conv(F.substring(d, 1, 15), 16, 10).cast("long")
+    h2 = F.conv(F.substring(d, 16, 10), 16, 10).cast("long")
+    mod = F.lit(1 << HASH_BITS)
+    return [F.pmod(h1 + F.lit(i) * h2, mod) for i in range(num_hashes)]
+
+
+def double_hash_sql(expr: str, i: str) -> str:
+    """DuckDB fragment matching :func:`double_hash_family` for seed column
+    expression ``i`` (bigint)."""
+    h1 = f"CAST(CAST(CONCAT('0x', substr(md5({expr}), 1, 15)) AS UBIGINT) AS BIGINT)"
+    h2 = f"CAST(CAST(CONCAT('0x', substr(md5({expr}), 16, 10)) AS UBIGINT) AS BIGINT)"
+    return f"(({h1} + ({i}) * {h2}) % {1 << HASH_BITS})"

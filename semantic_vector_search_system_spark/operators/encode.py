@@ -91,35 +91,53 @@ class HashingEncoderFast:
     faster physical plan while remaining a narrow map stage.
     """
 
-    def __init__(self, dim: int = 512):
+    def __init__(self, dim: int = 512, out_dtype: str = "float"):
         self.dim = dim
+        self.out_dtype = out_dtype
         self.model_name = "hashing"
 
     def encode(self, df: DataFrame, text_col: str = "text", out_col: str = "vec") -> DataFrame:
         import numpy as np
 
         dim = self.dim
+        np_dtype = np.float32 if self.out_dtype == "float" else np.float64
         fields = [f for f in df.schema.fields]
         out_schema = ", ".join(
-            [f"`{f.name}` {f.dataType.simpleString()}" for f in fields] + [f"`{out_col}` array<float>"]
+            [f"`{f.name}` {f.dataType.simpleString()}" for f in fields]
+            + [f"`{out_col}` array<{self.out_dtype}>"]
         )
 
         def enc(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
             from ..functions.hashing import stable_hash64_py
+
+            # token -> bucket memo: natural-language corpora reuse a small
+            # vocabulary, so one digest per *unique* token per worker beats
+            # one per token occurrence by 10-100x.
+            bucket_of: dict[str, int] = {}
+
+            def bucket(tok: str) -> int:
+                b = bucket_of.get(tok)
+                if b is None:
+                    b = stable_hash64_py(tok) % dim
+                    if len(bucket_of) < 2_000_000:  # bound worker memory
+                        bucket_of[tok] = b
+                return b
 
             for pdf in batches:
                 vecs = []
                 for txt in pdf[text_col].astype(str):
                     toks = txt.split()
                     if toks:
-                        idx = np.array([stable_hash64_py(t) % dim for t in toks], dtype=np.int64)
+                        idx = np.fromiter(
+                            (bucket(t) for t in toks), dtype=np.int64, count=len(toks)
+                        )
                         v = np.bincount(idx, minlength=dim).astype(np.float64)
                         nrm = np.linalg.norm(v)
                         if nrm > 0:
                             v = v / nrm
                     else:
                         v = np.zeros(dim, dtype=np.float64)
-                    vecs.append(v.astype(np.float32))
+                    vecs.append(v.astype(np_dtype))
                 pdf = pdf.copy()
                 pdf[out_col] = vecs
                 yield pdf

@@ -643,10 +643,13 @@ def simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             FROM toks),
     sh AS (SELECT DISTINCT doc_id, shingle
            FROM (SELECT doc_id, unnest(shingles) AS shingle FROM shl) u),
+    hh AS (SELECT doc_id,
+                  CAST(CAST(CONCAT('0x', substr(md5(shingle), 1, 15)) AS UBIGINT) AS BIGINT) AS h1,
+                  CAST(CAST(CONCAT('0x', substr(md5(shingle), 16, 10)) AS UBIGINT) AS BIGINT) AS h2
+           FROM sh),
     seeds AS (SELECT unnest(range(8)) AS seed)
-    SELECT doc_id, seed,
-           MIN({stable_hash64_sql("concat(CAST(seed AS VARCHAR), '#', shingle)")}) AS minhash
-    FROM sh CROSS JOIN seeds
+    SELECT doc_id, seed, MIN((h1 + seed * h2) % {1 << 60}) AS minhash
+    FROM hh CROSS JOIN seeds
     GROUP BY doc_id, seed
     """,
     bench=True,
@@ -654,7 +657,7 @@ def simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash signatures (8 hashes over 3-token shingles)."""
-    return dd.minhash_signatures(T(spark, sf_dir, "documents"), num_hashes=8, shingle_n=3)
+    return dd.minhash_signatures_fast(T(spark, sf_dir, "documents"), num_hashes=8, shingle_n=3)
 
 
 @_q(
@@ -667,10 +670,13 @@ def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
             FROM toks),
     sh AS (SELECT DISTINCT doc_id, shingle
            FROM (SELECT doc_id, unnest(shingles) AS shingle FROM shl) u),
+    hh AS (SELECT doc_id,
+                  CAST(CAST(CONCAT('0x', substr(md5(shingle), 1, 15)) AS UBIGINT) AS BIGINT) AS h1,
+                  CAST(CAST(CONCAT('0x', substr(md5(shingle), 16, 10)) AS UBIGINT) AS BIGINT) AS h2
+           FROM sh),
     seeds AS (SELECT unnest(range(8)) AS seed),
-    mh AS (SELECT doc_id, seed,
-                  MIN({stable_hash64_sql("concat(CAST(seed AS VARCHAR), '#', shingle)")}) AS minhash
-           FROM sh CROSS JOIN seeds GROUP BY doc_id, seed),
+    mh AS (SELECT doc_id, seed, MIN((h1 + seed * h2) % {1 << 60}) AS minhash
+           FROM hh CROSS JOIN seeds GROUP BY doc_id, seed),
     bands AS (SELECT doc_id, seed // 2 AS band,
                      md5(string_agg(CAST(minhash AS VARCHAR), ',' ORDER BY seed)) AS band_sig
               FROM mh GROUP BY doc_id, seed // 2)
@@ -682,7 +688,7 @@ def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def lsh_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH banding candidate pairs (4 bands x 2 rows)."""
-    sigs = dd.minhash_signatures(T(spark, sf_dir, "documents"), num_hashes=8, shingle_n=3)
+    sigs = dd.minhash_signatures_fast(T(spark, sf_dir, "documents"), num_hashes=8, shingle_n=3)
     return dd.lsh_candidate_pairs(sigs, rows_per_band=2)
 
 
@@ -1047,13 +1053,13 @@ def self_retrieval_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     qrels -> p@1 / r@10 / MRR. Oracle recomputes the identical hashing
     encoder relationally in DuckDB (sparse bucket join instead of arrays)."""
     from ..functions.text import query_snippet
-    from ..operators.encode import HashingEncoder
+    from ..operators.encode import HashingEncoderFast
 
     docs = T(spark, sf_dir, "documents")
     queries = docs.filter(F.col("doc_id") < 20).select(
         F.col("doc_id").alias("qid"), query_snippet("text").alias("text")
     )
-    enc = HashingEncoder(dim=_E2E_DIM, out_dtype="double")
+    enc = HashingEncoderFast(dim=_E2E_DIM, out_dtype="double")
     dvec = enc.encode(docs).select(F.col("doc_id").alias("docid"), "vec")
     qvec = enc.encode(queries).select("qid", F.col("vec").alias("qvec"))
     top = topk_bruteforce(qvec, dvec, k=10, metric="dot")
