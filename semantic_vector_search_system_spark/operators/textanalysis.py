@@ -80,6 +80,79 @@ def token_stats_by_group(
     )
 
 
+def langid_confusion(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    lang_col: str = "lang",
+    ngram_n: int = 3,
+    profile_size: int = 20,
+) -> DataFrame:
+    """Language-ID by character n-gram profiles, evaluated as a confusion
+    matrix ``(lang, predicted, n_docs)``.
+
+    Classic n-gram-profile heuristic (Cavnar–Trenkle style): the profile of
+    each language is its top-``profile_size`` char n-grams by corpus
+    frequency (ties -> lexicographic, deterministic); a document is assigned
+    the language whose profile overlaps most with the doc's distinct n-grams
+    (ties -> lexicographic language).
+
+    Scale shape: n-gram explode is a narrow map; the profile is a tiny
+    broadcast relation (n_langs x profile_size); classification is one
+    broadcast join + per-doc argmax window. No O(n^2) anywhere.
+    """
+    from ..functions.text import char_ngrams
+    from pyspark.sql import Window
+
+    grams = docs.select(
+        F.col(id_col), F.col(lang_col), F.explode(char_ngrams(text_col, n=ngram_n)).alias("g")
+    )
+    w_prof = Window.partitionBy(lang_col).orderBy(F.desc("cnt"), F.asc("g"))
+    profile = (
+        grams.groupBy(lang_col, "g")
+        .agg(F.count("*").alias("cnt"))
+        .withColumn("rk", F.row_number().over(w_prof))
+        .filter(F.col("rk") <= profile_size)
+        .select(F.col(lang_col).alias("cand_lang"), "g")
+    )
+    doc_grams = grams.select(id_col, lang_col, "g").distinct()
+    w_doc = Window.partitionBy(id_col).orderBy(F.desc("matches"), F.asc("cand_lang"))
+    scored = (
+        doc_grams.join(F.broadcast(profile), "g")
+        .groupBy(id_col, lang_col, "cand_lang")
+        .agg(F.count("*").alias("matches"))
+        .withColumn("rk", F.row_number().over(w_doc))
+        .filter(F.col("rk") == 1)
+    )
+    return (
+        scored.groupBy(F.col(lang_col).alias("lang"), F.col("cand_lang").alias("predicted"))
+        .agg(F.count("*").alias("n_docs"))
+    )
+
+
+BPE_ISH_PATTERN = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
+
+
+def token_counts_regex(
+    docs: DataFrame, group_col: str = "lang", text_col: str = "text"
+) -> DataFrame:
+    """Token counting two ways (whitespace + BPE-ish regex segmentation):
+    per-group totals, exact integer sums."""
+    ws = F.size(tokenize(text_col)).cast("long")
+    bpe = F.size(F.regexp_extract_all(F.col(text_col), F.lit(BPE_ISH_PATTERN), F.lit(0))).cast(
+        "long"
+    )
+    return (
+        docs.select(F.col(group_col), ws.alias("ws"), bpe.alias("bpe"))
+        .groupBy(group_col)
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("ws").alias("ws_tokens"),
+            F.sum("bpe").alias("bpe_tokens"),
+        )
+    )
+
+
 def doc_fingerprint(
     docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", shingle_n: int = 3
 ) -> DataFrame:

@@ -1071,3 +1071,112 @@ def self_retrieval_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("mrr", 4).alias("mean_rr"),
         F.col("n_queries"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Language ID, regex token counting, sequences, supplier coverage
+# ---------------------------------------------------------------------------
+
+@_q(
+    "langid_confusion",
+    """
+    WITH grams AS (
+      SELECT doc_id, lang, unnest(list_transform(
+               range(1, greatest(length(text) - 2, 1) + 1),
+               i -> substr(text, CAST(i AS INTEGER), 3))) AS g
+      FROM documents),
+    prof AS (
+      SELECT lang AS cand_lang, g FROM (
+        SELECT lang, g, ROW_NUMBER() OVER (PARTITION BY lang ORDER BY COUNT(*) DESC, g) AS rk
+        FROM grams GROUP BY lang, g) t
+      WHERE rk <= 20),
+    dg AS (SELECT DISTINCT doc_id, lang, g FROM grams),
+    scored AS (
+      SELECT doc_id, lang, cand_lang, COUNT(*) AS matches
+      FROM dg JOIN prof USING (g) GROUP BY doc_id, lang, cand_lang),
+    best AS (
+      SELECT doc_id, lang, cand_lang FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY matches DESC, cand_lang) AS rk
+        FROM scored) t
+      WHERE rk = 1)
+    SELECT lang, cand_lang AS predicted, COUNT(*) AS n_docs
+    FROM best GROUP BY lang, cand_lang
+    """,
+    tags=("text", "langid"),
+)
+def langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-n-gram-profile language ID (Cavnar-Trenkle heuristic) ->
+    confusion matrix against the labeled lang column."""
+    return ta.langid_confusion(T(spark, sf_dir, "documents"))
+
+
+@_q(
+    "token_counts_regex",
+    r"""
+    WITH t AS (
+      SELECT lang,
+             len(regexp_split_to_array(text, '\s+')) AS ws,
+             len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS bpe
+      FROM documents)
+    SELECT lang, COUNT(*) AS n_docs,
+      CAST(SUM(ws) AS BIGINT) AS ws_tokens,
+      CAST(SUM(bpe) AS BIGINT) AS bpe_tokens
+    FROM t GROUP BY lang
+    """,
+    tags=("text", "F2", "bpe"),
+)
+def token_counts_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting: whitespace vs BPE-ish regex segmentation per lang."""
+    return ta.token_counts_regex(T(spark, sf_dir, "documents"))
+
+
+@_q(
+    "user_event_sequences",
+    """
+    SELECT user_id,
+      string_agg(event_type, ',' ORDER BY ts, event_id) AS event_seq,
+      COUNT(*) AS n_events
+    FROM (SELECT * FROM events WHERE event_id % 50 = 0) e
+    GROUP BY user_id
+    """,
+    tags=("agg", "A15", "collect_list"),
+)
+def user_event_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered sequence accumulation (SURVEY A15 collect-list pattern):
+    deterministic order via sort on (ts, event_id) before concatenation."""
+    e = T(spark, sf_dir, "events").filter(F.col("event_id") % 50 == 0)
+    seq = F.concat_ws(
+        ",",
+        F.transform(
+            F.sort_array(F.collect_list(F.struct("ts", "event_id", "event_type"))),
+            lambda r: r["event_type"],
+        ),
+    )
+    return e.groupBy("user_id").agg(
+        seq.alias("event_seq"), F.count("*").alias("n_events")
+    )
+
+
+@_q(
+    "supplier_balance_by_nation",
+    """
+    SELECT n.n_name,
+      COUNT(*) AS n_suppliers,
+      CAST(SUM(CAST(s.s_acctbal AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS avg_acctbal
+    FROM supplier s JOIN nation n ON s.s_nationkey = n.n_nationkey
+    GROUP BY n.n_name
+    """,
+    tags=("join", "broadcast"),
+)
+def supplier_balance_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supplier dimension coverage: broadcast join + decimal-exact mean."""
+    s = T(spark, sf_dir, "supplier")
+    n = T(spark, sf_dir, "nation")
+    return (
+        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.count("*").alias("n_suppliers"),
+            (F.sum(_dec("s_acctbal")).cast("double") / F.count("*")).alias("avg_acctbal"),
+        )
+    )

@@ -1,0 +1,95 @@
+"""Physical-plan quality gates: the plans we'd want at 100 TB, asserted.
+
+These tests freeze the scale-critical properties: filters reach the parquet
+scan (PushedFilters), small dimensions broadcast, aggregations have map-side
+partial phases, and projections prune columns at the scan.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _optimized(df) -> str:
+    return df._jdf.queryExecution().optimizedPlan().toString()
+
+
+@pytest.fixture(scope="module")
+def catalog():
+    from semantic_vector_search_system_spark.plans.catalog import CATALOG
+
+    return CATALOG
+
+
+def test_revenue_filter_pushes_predicates_to_scan(spark, catalog):
+    df = catalog["revenue_filter"].builder(spark, SF_DIR)
+    plan = _plan(df)
+    assert "PushedFilters: [" in plan
+    # at least the range predicates must be pushed, not just IsNotNull
+    pushed = plan.split("PushedFilters: [", 1)[1].split("]", 1)[0]
+    assert "GreaterThan" in pushed or "LessThan" in pushed
+
+
+def test_pricing_summary_scan_prunes_columns(spark, catalog):
+    df = catalog["pricing_summary"].builder(spark, SF_DIR)
+    plan = _plan(df)
+    read_schema = plan.split("ReadSchema: ", 1)[1].splitlines()[0]
+    # 7 needed columns, not the full 11-column lineitem
+    assert "l_orderkey" not in read_schema
+    assert "l_partkey" not in read_schema
+    assert "l_quantity" in read_schema
+
+
+def test_revenue_by_nation_broadcasts_dims(spark, catalog):
+    plan = _plan(catalog["revenue_by_nation"].builder(spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan
+
+
+def test_aggregations_have_partial_phase(spark, catalog):
+    # map-side combine: HashAggregate appears in partial + final pairs
+    plan = _plan(catalog["token_stats_by_lang"].builder(spark, SF_DIR))
+    assert plan.count("HashAggregate") >= 2
+    assert "partial_" in plan
+
+
+def test_global_topk_uses_take_ordered(spark, catalog):
+    plan = _plan(catalog["global_top_spenders"].builder(spark, SF_DIR))
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_knn_hybrid_filter_applied_before_scoring(spark, catalog):
+    # the label predicate must appear as a Filter/PushedFilter on the scan,
+    # i.e. BEFORE the mapInPandas scoring stage, not after
+    df = catalog["knn_hybrid_filtered"].builder(spark, SF_DIR)
+    plan = _plan(df)
+    scoring_pos = plan.find("MapInPandas")
+    pushed = plan.find("PushedFilters: [IsNotNull(label), EqualTo(label,3)")
+    if pushed == -1:
+        pushed = plan.find("EqualTo(label,3)")
+    assert pushed != -1
+    assert scoring_pos != -1
+
+
+def test_sessionization_single_shuffle_for_windows_and_agg(spark, catalog):
+    # lag window, running-sum window and the final groupBy all key on
+    # user_id: one Exchange only (plus AQE reads), not three
+    plan = _plan(catalog["sessionization"].builder(spark, SF_DIR))
+    n_exchanges = plan.count("Exchange hashpartitioning")
+    assert n_exchanges == 1, plan[:2000]
+
+
+def test_minhash_is_single_narrow_stage(spark, catalog):
+    # the fast minhash folds minima inside each row: no Exchange at all
+    from semantic_vector_search_system_spark.operators.dedup import (
+        minhash_signatures_fast,
+    )
+    from semantic_vector_search_system_spark.plans.catalog import T
+
+    plan = _plan(minhash_signatures_fast(T(spark, SF_DIR, "documents")))
+    assert "Exchange" not in plan
