@@ -110,6 +110,86 @@ def random_projection_signs(
     return emb.select(F.col(id_col), bucket.cast("long").alias("bucket"))
 
 
+def ivf_assign(
+    emb: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cent_id_col: str = "cent_id",
+    cent_vec_col: str = "cvec",
+    nprobe: int = 1,
+) -> DataFrame:
+    """IVF list assignment: each vector's ``nprobe`` nearest centroids by
+    cosine — ``(id, cent_id, cent_rank)`` rows.
+
+    Centroids are a tiny broadcast relation; assignment is a broadcast
+    cross join + per-id window argmax — a narrow map + one small shuffle
+    keyed by id, O(n * n_centroids) work, no O(n^2).
+    """
+    from pyspark.sql import Window
+
+    from ..functions.vectors import cosine_similarity
+
+    scored = (
+        emb.select(id_col, vec_col)
+        .crossJoin(F.broadcast(centroids.select(cent_id_col, cent_vec_col)))
+        .withColumn("sim", cosine_similarity(vec_col, cent_vec_col))
+    )
+    w = Window.partitionBy(id_col).orderBy(F.desc("sim"), F.asc(cent_id_col))
+    return (
+        scored.withColumn("cent_rank", F.row_number().over(w))
+        .filter(F.col("cent_rank") <= nprobe)
+        .select(id_col, cent_id_col, "cent_rank")
+    )
+
+
+def ivf_topk(
+    queries: DataFrame,
+    emb: DataFrame,
+    centroids: DataFrame,
+    k: int = 5,
+    nprobe: int = 2,
+    qid_col: str = "qid",
+    qvec_col: str = "qvec",
+    id_col: str = "docid",
+    vec_col: str = "vec",
+) -> DataFrame:
+    """IVF approximate top-k: probe the query's ``nprobe`` nearest inverted
+    lists, exact cosine only within them.
+
+    The scale path for ANN when the corpus exceeds brute-force budget:
+    candidate volume drops to ~``nprobe/n_centroids`` of the corpus, the
+    doc-side join is an equi-join on ``cent_id`` (shuffle-partitioned, never
+    a cross join). Deterministic given deterministic centroids.
+    """
+    from pyspark.sql import Window
+
+    from ..functions.vectors import cosine_similarity
+
+    doc_lists = ivf_assign(
+        emb, centroids, id_col=id_col, vec_col=vec_col, nprobe=1
+    ).select(id_col, "cent_id")
+    q_lists = ivf_assign(
+        queries, centroids, id_col=qid_col, vec_col=qvec_col, nprobe=nprobe
+    ).select(qid_col, "cent_id")
+
+    docs_with_list = emb.select(id_col, vec_col).join(doc_lists, id_col)
+    cands = (
+        queries.select(qid_col, qvec_col)
+        .join(q_lists, qid_col)
+        .join(docs_with_list, "cent_id")
+    )
+    scored = cands.withColumn("score", cosine_similarity(qvec_col, vec_col))
+    w = Window.partitionBy(qid_col).orderBy(F.desc("score"), F.asc(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(qid_col, id_col, "rank", "score")
+        # a doc can enter via multiple probed lists only if it tied across
+        # centroids (impossible with nprobe=1 doc assignment) — no dedup path
+    )
+
+
 def lsh_bucket_candidates(
     emb: DataFrame,
     id_col: str = "vec_id",

@@ -302,11 +302,11 @@ def event_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     "user_event_pivot",
     """
     SELECT user_id,
-      SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS n_click,
-      SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS n_view,
-      SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS n_purchase,
-      SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS n_signup,
-      SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS n_error,
+      CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS n_click,
+      CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS n_view,
+      CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchase,
+      CAST(SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS n_signup,
+      CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_error,
       CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
     FROM events GROUP BY user_id
     """,
@@ -1180,3 +1180,72 @@ def supplier_balance_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.sum(_dec("s_acctbal")).cast("double") / F.count("*")).alias("avg_acctbal"),
         )
     )
+
+
+@_q(
+    "ann_ivf_topk",
+    """
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    cents AS (SELECT vec_id AS cent_id, v AS cvec FROM e WHERE vec_id < 8),
+    dassign AS (
+      SELECT vec_id, cent_id FROM (
+        SELECT e.vec_id, c.cent_id,
+          ROW_NUMBER() OVER (PARTITION BY e.vec_id
+            ORDER BY list_cosine_similarity(e.v, c.cvec) DESC, c.cent_id) AS rk
+        FROM e CROSS JOIN cents c) t
+      WHERE rk = 1),
+    q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id >= 100 AND vec_id < 110),
+    qassign AS (
+      SELECT qid, cent_id FROM (
+        SELECT q.qid, c.cent_id,
+          ROW_NUMBER() OVER (PARTITION BY q.qid
+            ORDER BY list_cosine_similarity(q.qv, c.cvec) DESC, c.cent_id) AS rk
+        FROM q CROSS JOIN cents c) t
+      WHERE rk <= 2),
+    cand AS (
+      SELECT q.qid, e.vec_id AS docid, list_cosine_similarity(q.qv, e.v) AS score
+      FROM qassign qa
+      JOIN q ON qa.qid = q.qid
+      JOIN dassign da ON qa.cent_id = da.cent_id
+      JOIN e ON da.vec_id = e.vec_id)
+    SELECT qid, docid, rank, ROUND(score, 4) AS score FROM (
+      SELECT qid, docid, score,
+        CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY score DESC, docid) AS INTEGER) AS rank
+      FROM cand) t
+    WHERE rank <= 5
+    """,
+    tags=("vector-search", "ann", "ivf"),
+)
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate top-k (the ANN scale path alongside LSH): docs
+    assigned to their nearest of 8 deterministic centroids; queries probe
+    their 2 nearest lists; exact cosine only inside the probed lists —
+    candidate volume ~nprobe/n_centroids of the corpus, equi-join shaped."""
+    emb = T(spark, sf_dir, "embeddings")
+    cents = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("cent_id"), F.col("embedding").alias("cvec")
+    )
+    q = emb.filter((F.col("vec_id") >= 100) & (F.col("vec_id") < 110)).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    d = emb.select(F.col("vec_id").alias("docid"), F.col("embedding").alias("vec"))
+    top = sim.ivf_topk(q, d, cents, k=5, nprobe=2)
+    return top.withColumn("score", F.round("score", 4))
+
+
+@_q(
+    "stream_user_totals_stateful",
+    """
+    SELECT user_id, COUNT(*) AS n_events,
+      ROUND(CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE), 4) AS total_value
+    FROM events GROUP BY user_id
+    """,
+    tags=("streaming", "applyInPandasWithState", "stateful"),
+)
+def stream_user_totals_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arbitrary stateful streaming aggregation (applyInPandasWithState):
+    per-user running totals; availableNow single batch == batch group-by."""
+    from ..streaming.events import stream_events, user_totals_stateful
+
+    ev = stream_events(spark, f"{sf_dir}/events.parquet")
+    return _run_stream(user_totals_stateful(ev), output_mode="update")

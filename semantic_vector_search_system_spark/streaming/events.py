@@ -138,3 +138,40 @@ def streaming_ingest_foreach_batch(
         .start()
     )
     q.awaitTermination()
+
+
+def user_totals_stateful(events: DataFrame) -> DataFrame:
+    """Custom stateful streaming operator via ``applyInPandasWithState``:
+    per-user running totals (event count + value sum) emitted each
+    micro-batch.
+
+    This is the escape hatch for stateful logic ``session_window`` can't
+    express (arbitrary per-key accumulators). State is one tiny tuple per
+    user, partitioned by the grouping key across the cluster and managed by
+    the state store (checkpointable, watermark-evictable with a timeout
+    conf). Under an availableNow single batch the emission equals the batch
+    group-by — which is how the oracle checks it.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def fn(key, pdfs, state: GroupState):
+        if state.exists:
+            n, total = state.get
+        else:
+            n, total = 0, 0.0
+        for pdf in pdfs:
+            n += len(pdf)
+            total += float(pdf["value"].sum())
+        state.update((n, total))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "total_value": [round(total, 4)]}
+        )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        fn,
+        outputStructType="user_id long, n_events long, total_value double",
+        stateStructType="n long, total double",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

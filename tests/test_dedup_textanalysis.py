@@ -102,3 +102,25 @@ def test_lsh_bucket_candidates_find_near_dup(spark):
     pairs = {(r["id_a"], r["id_b"]) for r in
              sim.lsh_bucket_candidates(emb, num_planes=8).collect()}
     assert (1, 2) in pairs
+
+
+def test_ivf_topk_recall_vs_bruteforce(spark):
+    """IVF with nprobe=2/8 centroids should recover most of the exact top-5."""
+    import pyspark.sql.functions as F
+    from semantic_vector_search_system_spark.operators.search import topk_bruteforce
+    from semantic_vector_search_system_spark.operators.similarity import ivf_topk
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    cents = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("cent_id"), F.col("embedding").alias("cvec")
+    )
+    q = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    d = emb.select(F.col("vec_id").alias("docid"), F.col("embedding").alias("vec"))
+    exact = {(r["qid"], r["docid"]) for r in topk_bruteforce(q, d, k=5, metric="cosine").collect()}
+    approx = {(r["qid"], r["docid"]) for r in ivf_topk(q, d, cents, k=5, nprobe=2).collect()}
+    # self-match always recovered; overall recall is data-dependent but must
+    # be well above the random ~nprobe/n_centroids floor
+    assert len(exact & approx) / len(exact) > 0.3
+    assert all((i, i) in approx for i in range(10))

@@ -87,3 +87,29 @@ def test_media_stats_prunes_payload(spark):
     # payload must not appear in the optimized plan's scan-side projection
     plan = stats._jdf.queryExecution().optimizedPlan().toString()
     assert "payload" not in plan
+
+
+def test_stateful_user_totals_matches_batch(spark):
+    from semantic_vector_search_system_spark.plans.catalog import T
+    from semantic_vector_search_system_spark.streaming.events import (
+        run_stream_to_memory,
+        stream_events,
+        user_totals_stateful,
+    )
+    import pyspark.sql.functions as F
+
+    ev = stream_events(spark, f"{SF_DIR}/events.parquet")
+    run_stream_to_memory(user_totals_stateful(ev), "t_stateful_totals", output_mode="update")
+    got = {r["user_id"]: (r["n_events"], r["total_value"])
+           for r in spark.table("t_stateful_totals").collect()}
+    want = {
+        r["user_id"]: (r["n"], round(r["s"], 4))
+        for r in T(spark, SF_DIR, "events")
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n"), F.sum("value").alias("s"))
+        .collect()
+    }
+    assert set(got) == set(want)
+    for u in want:
+        assert got[u][0] == want[u][0]
+        assert abs(got[u][1] - want[u][1]) < 1e-3
