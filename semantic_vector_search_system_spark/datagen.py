@@ -102,12 +102,14 @@ def generate_queries_and_qrels(
     for each query is exactly the source doc id. The sample is a deterministic
     hash-ordered top-q (not ``rand()`` — identical across partitionings).
     """
+    from pyspark.sql import Window
+
     sampled = (
         docs.select("id", "text")
         .withColumn("__h", stable_hash64(F.concat(F.lit(f"{seed}:qsample:"), F.col("id"))))
         .orderBy("__h")
         .limit(q_count)
-        .withColumn("__i", F.row_number().over(__import__("pyspark").sql.Window.orderBy("__h")))
+        .withColumn("__i", F.row_number().over(Window.orderBy("__h")))
     )
     queries = sampled.select(
         F.concat(F.lit("q"), F.col("__i")).alias("id"),

@@ -189,6 +189,25 @@ def lsh_candidate_pairs(
     )
 
 
+def incremental_new_docs(
+    new_docs: DataFrame,
+    index: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Incremental-ingest dedup: rows of ``new_docs`` whose content hash is
+    absent from the existing ``index`` (which must carry a ``text_hash``
+    column, e.g. produced by :func:`exact_dedup` or stored alongside the
+    vector index).
+
+    Left-anti join on the 60-bit content hash — the P7 memoization shape
+    applied to corpus growth; at 100 TB the index side is a hash-bucketed
+    table so the anti-join is shuffle-free on matching bucketing.
+    """
+    hashed = new_docs.withColumn("text_hash", F.md5(F.col(text_col)))
+    return hashed.join(index.select("text_hash"), "text_hash", "left_anti").drop("text_hash")
+
+
 def ngram_jaccard_pairs(
     docs: DataFrame,
     id_col: str = "doc_id",

@@ -54,5 +54,9 @@ def measure_query_latencies(run_one, queries: list, n_samples: int | None = 100)
     for q in sample:
         t0 = time.time()
         run_one(q)
-        out.append(Row(qid=str(q), latency_s=time.time() - t0))
+        try:
+            label = str(q[0])
+        except (TypeError, IndexError, KeyError):
+            label = str(q)
+        out.append(Row(qid=label, latency_s=time.time() - t0))
     return out

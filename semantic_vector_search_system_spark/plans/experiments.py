@@ -142,6 +142,27 @@ def run_config(
             "map": ev["map"],
             "mrr": ev["mrr"],
         }
+        # query_latency block (reference `auto_run_tests.py:491,514`): timed
+        # top-1 single-query runs over a sample, summarized exactly like
+        # `measure_offline_query_latency` -> latency_stats
+        from ..operators.latency import latency_stats, measure_query_latencies
+
+        dvec_cached = dvec.cache()
+        dvec_cached.count()
+        q_sample = qvec.limit(min(20, cfg.sample_queries)).collect()
+
+        def run_one(qrow):
+            one = spark.createDataFrame([qrow], qvec.schema)
+            topk_bruteforce(one, dvec_cached, k=1, predicate=predicate).collect()
+
+        lat_rows = measure_query_latencies(run_one, q_sample, n_samples=None)
+        lat_df = spark.createDataFrame(
+            [(r["qid"], r["latency_s"]) for r in lat_rows], "qid string, latency_s double"
+        )
+        record["metrics"]["query_latency"] = {
+            k: v for k, v in latency_stats(lat_df).collect()[0].asDict().items()
+        }
+        dvec_cached.unpersist()
     record["total_wall_s"] = round(time.time() - t_start, 6)
     return record
 

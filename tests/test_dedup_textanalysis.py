@@ -124,3 +124,21 @@ def test_ivf_topk_recall_vs_bruteforce(spark):
     # be well above the random ~nprobe/n_centroids floor
     assert len(exact & approx) / len(exact) > 0.3
     assert all((i, i) in approx for i in range(10))
+
+
+def test_incremental_new_docs(spark, corpus):
+    from semantic_vector_search_system_spark.operators.dedup import (
+        exact_dedup,
+        incremental_new_docs,
+    )
+
+    index = exact_dedup(corpus)
+    new = spark.createDataFrame(
+        [
+            (10, "the quick brown fox jumps over the lazy dog"),  # dup of doc 1
+            (11, "a genuinely new document body"),
+        ],
+        "doc_id bigint, text string",
+    )
+    out = incremental_new_docs(new, index)
+    assert [r["doc_id"] for r in out.collect()] == [11]

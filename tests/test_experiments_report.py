@@ -121,3 +121,46 @@ def test_bonferroni_and_paired():
     assert bonferroni([0.01, 0.4, 0.9]) == [0.03, 1.0, 1.0]
     out = paired_tests([1.0, 2.0, 3.0, 4.0], [1.1, 2.3, 3.1, 4.4])
     assert out["paired_t"] != 0
+
+
+def test_h3_record_includes_query_latency(spark, tmp_path):
+    rec = run_config(
+        spark, RunConfig("H3", 120, "local", None, "hashing", 32, 5), str(tmp_path)
+    )
+    ql = rec["metrics"]["query_latency"]
+    assert ql["mean_s"] > 0 and ql["p99_s"] >= ql["p50_s"]
+    assert ql["qps"] > 0
+
+
+def test_runner_to_report_roundtrip(spark, tmp_path):
+    """Grid -> result records -> JSON sink -> glob read -> summary (the full
+    §3.2 -> §3.3 lifecycle)."""
+    import json
+
+    from semantic_vector_search_system_spark.plans.report import (
+        summary_by_size,
+        valid_runs,
+    )
+
+    results_dir = tmp_path / "results"
+    results_dir.mkdir()
+    for i, n in enumerate([100, 100, 200]):
+        rec = run_config(
+            spark, RunConfig("H3", n, "local", None, "hashing", 32, 4, "vector", i), str(tmp_path)
+        )
+        flat = {
+            "hypothesis": rec["config"]["hypothesis"],
+            "n_docs": rec["n_docs"],
+            "model_name": rec["config"]["model_name"],
+            "p_at_5": rec["metrics"]["p_at_5"],
+            "map": rec["metrics"]["map"],
+        }
+        (results_dir / f"auto_test_h3_{n}_{i}.json").write_text(json.dumps(flat))
+
+    from semantic_vector_search_system_spark.sources.jsonl import read_result_records
+
+    res = read_result_records(spark, str(results_dir))
+    ok = valid_runs(res, ["p_at_5", "map"])
+    assert ok.count() == 3
+    summ = summary_by_size(ok, ["p_at_5", "map"]).collect()
+    assert [r["n_docs"] for r in summ] == [100, 200]
