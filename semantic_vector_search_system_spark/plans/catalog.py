@@ -1249,3 +1249,27 @@ def stream_user_totals_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = stream_events(spark, f"{sf_dir}/events.parquet")
     return _run_stream(user_totals_stateful(ev), output_mode="update")
+
+
+@_q(
+    "tfidf_self_retrieval",
+    None,  # Spark-ML pipeline (CountVectorizer vocab tie order is
+           # engine-internal) — no SQL oracle; driver records rows-only
+    tags=("encode", "tfidf", "§2.8"),
+)
+def tfidf_self_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The TF-IDF encoder path end-to-end (reference DummyEncoder TF-IDF
+    mode): fit on documents, transform docs + snippet queries under the SAME
+    fitted vocabulary (resolving the reference's fit-on-first-call trap),
+    exact top-5 self-retrieval."""
+    from ..functions.text import query_snippet
+    from ..operators.encode import TfIdfEncoder
+
+    docs = T(spark, sf_dir, "documents")
+    enc = TfIdfEncoder(dim=256).fit(docs)
+    dvec = enc.encode(docs).select(F.col("doc_id").alias("docid"), "vec")
+    queries = docs.filter(F.col("doc_id") < 10).select(
+        F.col("doc_id").alias("qid"), query_snippet("text").alias("text")
+    )
+    qvec = enc.encode(queries).select("qid", F.col("vec").alias("qvec"))
+    return topk_bruteforce(qvec, dvec, k=5, metric="dot")

@@ -93,3 +93,29 @@ def test_minhash_is_single_narrow_stage(spark, catalog):
 
     plan = _plan(minhash_signatures_fast(T(spark, SF_DIR, "documents")))
     assert "Exchange" not in plan
+
+
+def test_salted_aggregate_matches_plain(spark):
+    import pyspark.sql.functions as F
+
+    from semantic_vector_search_system_spark.functions.skew import salted_aggregate
+    from semantic_vector_search_system_spark.plans.catalog import T
+
+    e = T(spark, SF_DIR, "events")
+    plain = {
+        r["event_type"]: (r["n"], round(r["s"], 4), r["mx"])
+        for r in e.groupBy("event_type")
+        .agg(F.count("value").alias("n"), F.sum("value").alias("s"), F.max("value").alias("mx"))
+        .collect()
+    }
+    salted = {
+        r["event_type"]: (r["n"], round(r["s"], 4), r["mx"])
+        for r in salted_aggregate(
+            e,
+            key_cols=["event_type"],
+            salt_from="event_id",
+            aggs={"n": ("value", "count"), "s": ("value", "sum"), "mx": ("value", "max")},
+            buckets=8,
+        ).collect()
+    }
+    assert plain == salted
