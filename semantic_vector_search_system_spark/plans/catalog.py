@@ -1273,3 +1273,30 @@ def tfidf_self_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     qvec = enc.encode(queries).select("qid", F.col("vec").alias("qvec"))
     return topk_bruteforce(qvec, dvec, k=5, metric="dot")
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every testdata table as a temp view for the SQL interface."""
+    for t in TABLES:
+        T(spark, sf_dir, t).createOrReplaceTempView(t)
+
+
+@_q(
+    "sql_interface_pricing",
+    """
+    SELECT l_returnflag, l_linestatus,
+      CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+      CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_base_price,
+      COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+    tags=("sql", "interface"),
+)
+def sql_interface_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The engine's SQL entry point: the exact oracle text runs unchanged
+    through spark.sql over registered views (ANSI-portable subset) — a user
+    of the reference can bring plain SQL instead of the DataFrame API."""
+    register_views(spark, sf_dir)
+    return spark.sql(CATALOG["sql_interface_pricing"].oracle)

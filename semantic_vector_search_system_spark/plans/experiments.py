@@ -173,6 +173,15 @@ def run_configs_and_collect(
     work_dir: str,
     results: DataFrame | None = None,
 ) -> list[dict]:
-    """The reference's run_configs_and_collect loop with memoization."""
+    """The reference's run_configs_and_collect loop with memoization and
+    error sentinels (`auto_run_tests.py:540-552`): a failing config yields an
+    ``{"error": ..., "config": ...}`` record instead of aborting the grid —
+    the reporting layer's valid-run filter (P6) excludes them."""
     todo = filter_unrun_configs(spark, configs, results)
-    return [run_config(spark, cfg, work_dir) for cfg in todo]
+    out: list[dict] = []
+    for cfg in todo:
+        try:
+            out.append(run_config(spark, cfg, work_dir))
+        except Exception as exc:  # sentinel record, grid continues
+            out.append({"config": asdict(cfg), "error": f"{type(exc).__name__}: {exc}"})
+    return out

@@ -102,6 +102,35 @@ def bonferroni(p_values: list[float]) -> list[float]:
     return [min(1.0, p * m) for p in p_values]
 
 
+def plot_summary_by_size(
+    summary_rows: list, metric: str, out_path: str, logx: bool = True
+) -> bool:
+    """Log-x line plot of a per-size metric (reference
+    `produce_h3_summary_and_plots.py:104-153`). Gated on matplotlib being
+    installed (it is not in this container): returns False when unavailable
+    instead of raising, so reporting still completes headless.
+    """
+    try:
+        import matplotlib
+
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+    except ImportError:
+        return False
+    xs = [r["n_docs"] for r in summary_rows]
+    ys = [r[metric] for r in summary_rows]
+    fig, ax = plt.subplots(figsize=(6, 4))
+    ax.plot(xs, ys, marker="o")
+    if logx:
+        ax.set_xscale("log")
+    ax.set_xlabel("n_docs")
+    ax.set_ylabel(metric)
+    fig.tight_layout()
+    fig.savefig(out_path)
+    plt.close(fig)
+    return True
+
+
 def paired_tests(before: list[float], after: list[float]) -> dict:
     """A13: paired t + Wilcoxon signed-rank over small aggregated arrays
     (driver-side scipy, as the reference does in `experiments/stats.py`)."""

@@ -164,3 +164,27 @@ def test_runner_to_report_roundtrip(spark, tmp_path):
     assert ok.count() == 3
     summ = summary_by_size(ok, ["p_at_5", "map"]).collect()
     assert [r["n_docs"] for r in summ] == [100, 200]
+
+
+def test_error_sentinel_records(spark, tmp_path):
+    from semantic_vector_search_system_spark.plans.experiments import (
+        run_configs_and_collect,
+    )
+
+    good = RunConfig("H1", 50, "local", 10, "hashing", 16, 5)
+    bad = RunConfig("H1", 50, "local", 10, "no_such_model", 16, 5)
+    out = run_configs_and_collect(spark, [good, bad], str(tmp_path))
+    assert len(out) == 2
+    assert "error" not in out[0]
+    assert "error" in out[1] and "no_such_model" in out[1]["error"]
+
+
+def test_plot_gated_without_matplotlib(tmp_path):
+    from semantic_vector_search_system_spark.plans.report import plot_summary_by_size
+
+    rows = [{"n_docs": 10, "m": 0.5}, {"n_docs": 100, "m": 0.4}]
+    ok = plot_summary_by_size(rows, "m", str(tmp_path / "p.png"))
+    # matplotlib absent in this container -> graceful False; if present, file
+    assert ok in (True, False)
+    if ok:
+        assert (tmp_path / "p.png").exists()

@@ -131,3 +131,21 @@ def test_latency_stats(spark):
     assert row["qps"] == pytest.approx(100 / sum(0.01 * (i + 1) for i in range(100)))
     ms = latency_stats_ms(lat).collect()[0]
     assert ms["mean_ms"] == pytest.approx(505.0)
+
+
+def test_summary_csv_sink_roundtrip(spark, tmp_path):
+    from semantic_vector_search_system_spark.sources.jsonl import write_summary_csv
+
+    df = spark.createDataFrame([(10, 0.5), (100, 0.4)], "n_docs long, p double")
+    out = str(tmp_path / "summary_csv")
+    write_summary_csv(df, out)
+    back = spark.read.option("header", "true").csv(out)
+    assert back.count() == 2 and set(back.columns) == {"n_docs", "p"}
+
+
+def test_results_union_by_name(spark, tmp_path):
+    # SO2: two result globs concatenated even with differing column order
+    a = spark.createDataFrame([(10, 0.5)], "n_docs long, p double")
+    b = spark.createDataFrame([(0.4, 100)], "p double, n_docs long")
+    u = a.unionByName(b)
+    assert u.count() == 2 and {r["n_docs"] for r in u.collect()} == {10, 100}
