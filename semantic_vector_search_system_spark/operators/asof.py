@@ -1,0 +1,87 @@
+"""As-of (most-recent-event) join — a custom operator Spark lacks natively.
+
+Not in the reference's surface (SURVEY §2.3: no theta/range/as-of joins);
+added for the training-data-pipeline toolkit: enriching an event stream with
+the latest earlier fact per key (latest order before an interaction, latest
+model version before a sample, ...).
+
+Spark-first composition (no per-row subqueries, no cross join, exactly ONE
+shuffle keyed by the join key):
+
+1. union the two relations into one time-ordered stream per key, tagging
+   right-side rows;
+2. a running ``last(payload, ignorenulls)`` window carries the most recent
+   right-side payload forward;
+3. keep left rows, now annotated with the as-of match.
+
+Ties (left.time == right.time): the right row sorts first (``is_left`` in
+the ordering), i.e. a fact at exactly t is visible to an event at t —
+inclusive as-of, pinned deterministically.
+
+At 100 TB this is the shape you want: one hash partition by key, one sort
+within partitions (both sides usually arrive time-ordered, so the sort is
+cheap), state = one row per key during the merge.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_time: str,
+    right_time: str,
+    payload_cols: list[str],
+    direction: str = "backward",
+    right_tiebreak: str | None = None,
+) -> DataFrame:
+    """Enrich each ``left`` row with the payload of the latest ``right`` row
+    whose time <= the left row's time (``backward``; inclusive).
+
+    Returns all left columns plus ``payload_cols`` (null when no earlier
+    right row exists). ``right_tiebreak`` pins which right row wins when two
+    share the same timestamp for a key (max tiebreak wins) — without it that
+    choice is partition-order-dependent.
+    """
+    if direction != "backward":
+        raise ValueError("only direction='backward' is implemented")
+
+    tb_right = (
+        F.col(right_tiebreak).cast("long") if right_tiebreak else F.lit(0).cast("long")
+    )
+    l_tagged = left.select(
+        F.col(on).alias("__key"),
+        F.col(left_time).alias("__t"),
+        F.lit(1).alias("__is_left"),
+        F.lit(0).cast("long").alias("__tb"),
+        F.struct(*[F.col(c) for c in left.columns]).alias("__left_row"),
+        *[F.lit(None).cast(dict(right.dtypes)[c]).alias(c) for c in payload_cols],
+    )
+    r_tagged = right.select(
+        F.col(on).alias("__key"),
+        F.col(right_time).alias("__t"),
+        F.lit(0).alias("__is_left"),
+        tb_right.alias("__tb"),
+        F.lit(None).cast(l_tagged.schema["__left_row"].dataType).alias("__left_row"),
+        *[F.col(c) for c in payload_cols],
+    )
+    unioned = l_tagged.unionByName(r_tagged)
+    w = (
+        Window.partitionBy("__key")
+        .orderBy("__t", "__is_left", "__tb")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = unioned.select(
+        "__is_left",
+        "__left_row",
+        *[F.last(c, ignorenulls=True).over(w).alias(c) for c in payload_cols],
+    )
+    out = carried.filter(F.col("__is_left") == 1)
+    return out.select(
+        *[F.col("__left_row")[c].alias(c) for c in left.columns],
+        *payload_cols,
+    )

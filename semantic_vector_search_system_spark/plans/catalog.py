@@ -1300,3 +1300,59 @@ def sql_interface_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
     of the reference can bring plain SQL instead of the DataFrame API."""
     register_views(spark, sf_dir)
     return spark.sql(CATALOG["sql_interface_pricing"].oracle)
+
+
+@_q(
+    "asof_latest_order",
+    """
+    WITH l AS (SELECT event_id, user_id, epoch_us(ts) AS t
+               FROM events WHERE event_id % 100 = 0),
+    r AS (SELECT o_custkey AS user_id, epoch_us(o_orderdate) AS t,
+                 o_orderkey, o_totalprice
+          FROM orders),
+    u AS (
+      SELECT user_id, t, 1 AS is_left, CAST(0 AS BIGINT) AS tb, event_id,
+             CAST(NULL AS BIGINT) AS o_orderkey, CAST(NULL AS DOUBLE) AS o_totalprice
+      FROM l
+      UNION ALL
+      SELECT user_id, t, 0 AS is_left, o_orderkey AS tb, NULL AS event_id,
+             o_orderkey, o_totalprice
+      FROM r),
+    c AS (
+      SELECT *,
+        last_value(o_orderkey IGNORE NULLS) OVER win AS lk,
+        last_value(o_totalprice IGNORE NULLS) OVER win AS lp
+      FROM u
+      WINDOW win AS (PARTITION BY user_id ORDER BY t, is_left, tb
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+    SELECT event_id, user_id, lk AS o_orderkey, lp AS o_totalprice
+    FROM c WHERE is_left = 1
+    """,
+    tags=("join", "asof", "custom-operator"),
+)
+def asof_latest_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (custom operator, operators/asof.py): each sampled event
+    enriched with the latest order at-or-before its event time for the same
+    key — union + running last-non-null window, one shuffle."""
+    from ..operators.asof import asof_join
+
+    ev = T(spark, sf_dir, "events").filter(F.col("event_id") % 100 == 0).select(
+        "event_id", "user_id", F.unix_micros("ts").alias("t")
+    )
+    orders = T(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("user_id"),
+        # parquet file is TIMESTAMP_NTZ; cast to session-UTC instant first
+        F.unix_micros(F.col("o_orderdate").cast("timestamp")).alias("t"),
+        "o_orderkey",
+        "o_totalprice",
+    )
+    out = asof_join(
+        ev.select("event_id", "user_id", "t"),
+        orders,
+        on="user_id",
+        left_time="t",
+        right_time="t",
+        payload_cols=["o_orderkey", "o_totalprice"],
+        right_tiebreak="o_orderkey",
+    )
+    return out.select("event_id", "user_id", "o_orderkey", "o_totalprice")

@@ -142,3 +142,27 @@ def test_incremental_new_docs(spark, corpus):
     )
     out = incremental_new_docs(new, index)
     assert [r["doc_id"] for r in out.collect()] == [11]
+
+
+def test_asof_join_semantics(spark):
+    from semantic_vector_search_system_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        [("k1", 10, "e1"), ("k1", 20, "e2"), ("k1", 5, "e0"), ("k2", 10, "e3")],
+        "k string, t long, eid string",
+    )
+    right = spark.createDataFrame(
+        [("k1", 7, 100), ("k1", 10, 200), ("k1", 15, 300), ("k3", 1, 400)],
+        "k string, t long, fact long",
+    )
+    out = {
+        r["eid"]: r["fact"]
+        for r in asof_join(
+            left, right, on="k", left_time="t", right_time="t",
+            payload_cols=["fact"], right_tiebreak="fact",
+        ).collect()
+    }
+    assert out["e0"] is None          # no fact at or before t=5
+    assert out["e1"] == 200           # inclusive: fact at exactly t=10 visible
+    assert out["e2"] == 300           # latest earlier fact
+    assert out["e3"] is None          # key with no facts
