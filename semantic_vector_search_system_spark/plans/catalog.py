@@ -40,6 +40,10 @@ TABLES = [
 
 
 def T(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    # Timestamp determinism does not survive an arbitrary session timezone:
+    # NTZ->instant casts and date_trunc boundaries must match DuckDB's
+    # naive-as-UTC semantics whatever session the driver hands us.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     if name == "events":
         # The events table stores TIMESTAMP(NANOS) which Spark's parquet
         # reader rejects; read nanos as long and convert exactly (integer
@@ -1356,3 +1360,25 @@ def asof_latest_order(spark: SparkSession, sf_dir: str) -> DataFrame:
         right_tiebreak="o_orderkey",
     )
     return out.select("event_id", "user_id", "o_orderkey", "o_totalprice")
+
+
+@_q(
+    "rollup_pricing",
+    """
+    SELECT l_returnflag, l_linestatus,
+      CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+      COUNT(*) AS n_items
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+    tags=("agg", "rollup", "grouping-sets"),
+)
+def rollup_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical subtotals via ROLLUP (grouping sets) — beyond the
+    reference's surface (SURVEY §2.4 notes it lacks these); free in Spark
+    SQL and part of this engine's relational completeness."""
+    li = T(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.sum(_dec("l_quantity")).cast("double").alias("sum_qty"),
+        F.count("*").alias("n_items"),
+    )

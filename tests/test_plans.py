@@ -119,3 +119,35 @@ def test_salted_aggregate_matches_plain(spark):
         ).collect()
     }
     assert plain == salted
+
+
+def test_bucketed_join_avoids_shuffle(spark, tmp_path):
+    """Bucketing both join sides on the key pre-co-locates them: the join
+    runs with zero Exchange — the 100 TB co-located-join strategy, proven
+    on local tables."""
+    import pyspark.sql.functions as F
+    from semantic_vector_search_system_spark.plans.catalog import T
+
+    spark.sql(f"CREATE DATABASE IF NOT EXISTS bktest LOCATION '{tmp_path}/wh'")
+    orders = T(spark, SF_DIR, "orders")
+    lineitem = T(spark, SF_DIR, "lineitem")
+    (orders.write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+        .mode("overwrite").saveAsTable("bktest.orders_b"))
+    (lineitem.withColumnRenamed("l_orderkey", "o_orderkey")
+        .write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+        .mode("overwrite").saveAsTable("bktest.lineitem_b"))
+    # force sort-merge (at real scale neither side broadcasts anyway)
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = spark.table("bktest.orders_b").join(
+            spark.table("bktest.lineitem_b"), "o_orderkey"
+        ).groupBy("o_orderstatus").agg(F.count("*").alias("n"))
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan
+        assert "SelectedBucketsCount: 8 out of 8" in plan
+        # no shuffle between the bucketed scans and the join
+        pre_join = plan[plan.find("SortMergeJoin"):]
+        assert "Exchange hashpartitioning" not in pre_join
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
