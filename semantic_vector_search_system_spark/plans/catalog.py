@@ -26,7 +26,7 @@ from typing import Callable
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..functions.hashing import stable_hash64, stable_hash64_sql
+from ..functions.hashing import stable_hash64_sql
 from ..operators import dedup as dd
 from ..operators import similarity as sim
 from ..operators import textanalysis as ta
@@ -193,14 +193,27 @@ def revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     l = T(spark, sf_dir, "lineitem")
     n = T(spark, sf_dir, "nation")
+    # Pre-aggregate lineitem revenue per order BEFORE the join: decimal sums
+    # are associative-exact so results are identical, the orderkey shuffle
+    # carries one row per order instead of one per lineitem, and the
+    # countDistinct Expand goes away (each surviving row IS one distinct
+    # order). At 100 TB this is the difference between shuffling the fact
+    # table and shuffling its per-order rollup.
+    lrev = l.groupBy("l_orderkey").agg(
+        F.sum(_dec("l_extendedprice") * (_one() - _dec("l_discount"))).alias("rev_dec")
+    )
+    cn = c.select("c_custkey", "c_nationkey").join(
+        F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey")
+    )
+    # nation is always broadcast; customer-side strategy is left to
+    # Catalyst/AQE (broadcast at bench scale, shuffle at 100 TB).
     return (
-        c.join(o, c.c_custkey == o.o_custkey)
-        .join(l, o.o_orderkey == l.l_orderkey)
-        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        lrev.join(o, lrev.l_orderkey == o.o_orderkey)
+        .join(cn, F.col("o_custkey") == F.col("c_custkey"))
         .groupBy("n_name")
         .agg(
-            F.sum(_dec("l_extendedprice") * (_one() - _dec("l_discount"))).cast("double").alias("revenue"),
-            F.countDistinct("o_orderkey").alias("n_orders"),
+            F.sum("rev_dec").cast("double").alias("revenue"),
+            F.count("*").alias("n_orders"),
         )
     )
 
@@ -1381,4 +1394,50 @@ def rollup_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
     return li.rollup("l_returnflag", "l_linestatus").agg(
         F.sum(_dec("l_quantity")).cast("double").alias("sum_qty"),
         F.count("*").alias("n_items"),
+    )
+
+
+@_q(
+    "label_centroids",
+    """
+    WITH x AS (
+      SELECT label,
+             CAST(unnest(embedding) AS DOUBLE) AS val,
+             CAST(generate_subscripts(embedding, 1) - 1 AS INTEGER) AS idx
+      FROM embeddings)
+    SELECT label, idx, ROUND(AVG(val), 4) AS centroid_val, COUNT(*) AS n_vectors
+    FROM x GROUP BY label, idx
+    """,
+    tags=("udaf", "applyInPandas", "embedding"),
+)
+def label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-map UDAF (applyInPandas): per-label embedding centroid,
+    emitted long-format (label, idx, centroid_val, n_vectors).
+
+    The pandas kernel is one np.mean(axis=0) per label group — the UDAF
+    pattern for vector-typed aggregations (Spark has no native array-mean).
+    Shuffle = one hash partition by label; group state = one matrix.
+    """
+    import numpy as np
+    import pandas as pd
+
+    emb = T(spark, sf_dir, "embeddings")
+    dim = len(emb.select("embedding").first()[0])
+
+    def centroid(pdf: pd.DataFrame) -> pd.DataFrame:
+        M = np.array(pdf["embedding"].tolist(), dtype=np.float64)
+        c = np.round(M.mean(axis=0), 4)
+        return pd.DataFrame(
+            {
+                "label": pdf["label"].iloc[0],
+                "idx": np.arange(dim, dtype=np.int32),
+                "centroid_val": c,
+                "n_vectors": len(pdf),
+            }
+        )
+
+    return (
+        emb.select("label", "embedding")
+        .groupBy("label")
+        .applyInPandas(centroid, schema="label int, idx int, centroid_val double, n_vectors long")
     )
