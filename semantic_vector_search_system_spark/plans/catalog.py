@@ -1441,3 +1441,49 @@ def label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("label")
         .applyInPandas(centroid, schema="label int, idx int, centroid_val double, n_vectors long")
     )
+
+
+@_q(
+    "quantized_topk_rerank",
+    """
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    s AS (SELECT MAX(list_max(list_transform(v, x -> abs(x)))) AS scale FROM e),
+    qz AS (SELECT vec_id,
+                  list_transform(v, x -> CAST(round(x * 127.0 / s.scale) AS INTEGER)) AS qcode,
+                  v
+           FROM e CROSS JOIN s),
+    q AS (SELECT vec_id AS qid, qcode AS qq, v AS qv FROM qz WHERE vec_id < 10),
+    d AS (SELECT vec_id AS docid, qcode AS dq, v AS dv FROM qz),
+    coarse AS (
+      SELECT q.qid, d.docid,
+             CAST(list_dot_product(CAST(q.qq AS DOUBLE[]), CAST(d.dq AS DOUBLE[])) AS BIGINT) AS idot,
+             q.qv, d.dv
+      FROM q CROSS JOIN d),
+    cand AS (
+      SELECT * FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY idot DESC, docid) AS crank
+        FROM coarse) t
+      WHERE crank <= 20),
+    rer AS (SELECT qid, docid, list_cosine_similarity(qv, dv) AS score FROM cand)
+    SELECT qid, docid, rank, ROUND(score, 4) AS score FROM (
+      SELECT qid, docid, score,
+             CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY score DESC, docid) AS INTEGER) AS rank
+      FROM rer) t
+    WHERE rank <= 5
+    """,
+    tags=("vector-search", "quantization", "two-stage"),
+)
+def quantized_topk_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8-quantized two-stage retrieval (operators/quantize.py): global
+    max-abs scale, int-dot top-20 candidates, exact cosine top-5 rerank —
+    the 4x-smaller-index scale path for the vector store."""
+    from ..operators.quantize import global_max_abs, quantized_topk_rerank as qtr
+
+    emb = T(spark, sf_dir, "embeddings")
+    scale = global_max_abs(emb)
+    q = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    d = emb.select(F.col("vec_id").alias("docid"), F.col("embedding").alias("vec"))
+    out = qtr(q, d, scale, k=5, candidates=20)
+    return out.withColumn("score", F.round("score", 4))

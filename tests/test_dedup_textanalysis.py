@@ -166,3 +166,25 @@ def test_asof_join_semantics(spark):
     assert out["e1"] == 200           # inclusive: fact at exactly t=10 visible
     assert out["e2"] == 300           # latest earlier fact
     assert out["e3"] is None          # key with no facts
+
+
+def test_quantized_rerank_close_to_exact(spark):
+    """Two-stage int8 retrieval must recover (almost all of) the exact top-5."""
+    import pyspark.sql.functions as F
+    from semantic_vector_search_system_spark.operators.quantize import (
+        global_max_abs,
+        quantized_topk_rerank,
+    )
+    from semantic_vector_search_system_spark.operators.search import topk_bruteforce
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    scale = global_max_abs(emb)
+    assert scale > 0
+    q = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    d = emb.select(F.col("vec_id").alias("docid"), F.col("embedding").alias("vec"))
+    exact = {(r["qid"], r["docid"]) for r in topk_bruteforce(q, d, k=5, metric="cosine").collect()}
+    two_stage = {(r["qid"], r["docid"]) for r in
+                 quantized_topk_rerank(q, d, scale, k=5, candidates=20).collect()}
+    assert len(exact & two_stage) / len(exact) >= 0.8
