@@ -1487,3 +1487,51 @@ def quantized_topk_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = emb.select(F.col("vec_id").alias("docid"), F.col("embedding").alias("vec"))
     out = qtr(q, d, scale, k=5, candidates=20)
     return out.withColumn("score", F.round("score", 4))
+
+
+@_q(
+    "index_upsert_counts",
+    """
+    WITH updates AS (
+      SELECT vec_id, embedding, label + 100 AS label
+      FROM embeddings WHERE vec_id < 50),
+    merged AS (
+      SELECT * FROM updates
+      UNION ALL
+      SELECT * FROM embeddings e
+      WHERE NOT EXISTS (SELECT 1 FROM updates u WHERE u.vec_id = e.vec_id))
+    SELECT label, COUNT(*) AS n_vectors FROM merged GROUP BY label
+    """,
+    tags=("upsert", "merge", "maintenance"),
+)
+def index_upsert_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE-emulation upsert (operators/upsert.py): relabeled updates for
+    vec_id<50 replace current index rows, verified via per-label counts."""
+    from ..operators.upsert import upsert_by_key
+
+    emb = T(spark, sf_dir, "embeddings")
+    updates = emb.filter(F.col("vec_id") < 50).withColumn("label", F.col("label") + 100)
+    merged = upsert_by_key(emb, updates, key="vec_id")
+    return merged.groupBy("label").agg(F.count("*").alias("n_vectors"))
+
+
+@_q(
+    "user_event_unpivot",
+    """
+    WITH u AS (SELECT DISTINCT user_id FROM events),
+    t AS (SELECT unnest(['click','view','purchase','signup','error']) AS event_type),
+    c AS (SELECT user_id, event_type, COUNT(*) AS n FROM events GROUP BY user_id, event_type)
+    SELECT u.user_id, t.event_type, CAST(COALESCE(c.n, 0) AS BIGINT) AS n
+    FROM u CROSS JOIN t
+    LEFT JOIN c ON u.user_id = c.user_id AND t.event_type = c.event_type
+    """,
+    tags=("unpivot", "stack"),
+)
+def user_event_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot (stack) of the per-user pivot back to long form — wide<->long
+    round-trip, zero-filled for absent combinations."""
+    wide = CATALOG["user_event_pivot"].builder(spark, sf_dir)
+    stack_expr = "stack(5, " + ", ".join(
+        f"'{t}', n_{t}" for t in ["click", "view", "purchase", "signup", "error"]
+    ) + ") as (event_type, n)"
+    return wide.selectExpr("user_id", stack_expr)
