@@ -1535,3 +1535,83 @@ def user_event_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"'{t}', n_{t}" for t in ["click", "view", "purchase", "signup", "error"]
     ) + ") as (event_type, n)"
     return wide.selectExpr("user_id", stack_expr)
+
+
+# ---------------------------------------------------------------------------
+# Multimodal columns (binary payload + typed metadata), oracle-checked
+# ---------------------------------------------------------------------------
+
+def _media_from_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic media table derived from documents: payload = utf-8
+    bytes of the text (stand-in blob), kind from doc_id, duration from
+    n_chars — the binary-column plumbing with a reproducible fixture."""
+    d = T(spark, sf_dir, "documents")
+    kinds = F.array(F.lit("image"), F.lit("audio"), F.lit("video"))
+    return d.select(
+        F.col("doc_id").alias("media_id"),
+        F.element_at(kinds, (F.pmod("doc_id", F.lit(3)) + 1).cast("int")).alias("kind"),
+        F.col("n_chars").alias("n_bytes"),
+        (F.col("n_chars") * 10).alias("duration_ms"),
+        F.encode(F.col("text"), "utf-8").alias("payload"),
+    )
+
+
+@_q(
+    "media_kind_stats",
+    """
+    SELECT CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+      COUNT(*) AS n_items,
+      CAST(SUM(n_chars) AS BIGINT) AS total_bytes,
+      CAST(SUM(n_chars) * 10 AS DOUBLE) / COUNT(*) AS avg_duration_ms
+    FROM documents
+    GROUP BY 1
+    """,
+    tags=("multimodal", "metadata", "pruning"),
+)
+def media_kind_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Media metadata aggregation that never touches the binary payload
+    (column pruning asserted in tests) — operators/multimodal.py::media_stats
+    over the derived media table."""
+    from ..operators.multimodal import media_stats
+
+    return media_stats(_media_from_documents(spark, sf_dir))
+
+
+@_q(
+    "media_features",
+    """
+    WITH m AS (
+      SELECT doc_id AS media_id,
+             CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+             text, length(text) AS n
+      FROM documents WHERE doc_id < 100),
+    b AS (
+      SELECT media_id, kind, n,
+             list_sum(list_transform(range(1, n + 1),
+                      i -> ord(substr(text, CAST(i AS INTEGER), 1)))) AS total,
+             list_transform(range(0, 4),
+                      j -> ord(substr(text, CAST((j % n) + 1 AS INTEGER), 1))) AS bj
+      FROM m)
+    SELECT media_id, kind,
+      CAST((total + 0 * bj[1]) % 997 AS DOUBLE) / 997.0 AS f0,
+      CAST((total + 1 * bj[2]) % 997 AS DOUBLE) / 997.0 AS f1,
+      CAST((total + 2 * bj[3]) % 997 AS DOUBLE) / 997.0 AS f2,
+      CAST((total + 3 * bj[4]) % 997 AS DOUBLE) / 997.0 AS f3
+    FROM b
+    """,
+    tags=("multimodal", "decode", "mapInPandas"),
+)
+def media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-batched media decode/feature-extract (multimodal.extract_features
+    with the deterministic stand-in kernel — a real codec plugs into the same
+    mapInPandas slot); the oracle reproduces the byte arithmetic relationally
+    (texts are ASCII so ord(char) == payload byte)."""
+    from ..operators.multimodal import deterministic_fake_decoder, extract_features
+
+    media = _media_from_documents(spark, sf_dir).filter(F.col("media_id") < 100)
+    feats = extract_features(media, decode_fn=deterministic_fake_decoder(dim=4))
+    return feats.select(
+        "media_id",
+        "kind",
+        *[F.col("features")[j].alias(f"f{j}") for j in range(4)],
+    )
