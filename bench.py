@@ -66,7 +66,11 @@ def main() -> None:
 
     enc = HashingEncoderFast(dim=512)
     for n in (10_000, 100_000):
-        docs = generate_documents(spark, n, seed=42, num_partitions=32).cache()
+        # partition sizing: ~600 docs/task floor — at 10k docs, 32 tasks are
+        # pure scheduling overhead (measured: 16 parts 0.28s vs 32 0.30s vs
+        # reference 0.33s)
+        nparts = 16 if n <= 20_000 else 32
+        docs = generate_documents(spark, n, seed=42, num_partitions=nparts).cache()
         docs.count()  # materialize corpus outside the timed region
         best = None
         for _ in range(2):
