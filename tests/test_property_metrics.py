@@ -61,3 +61,43 @@ def test_spark_metrics_match_python_reference(spark, case):
     assert row[f"r_at_{k}"] == pytest.approx(r)
     assert row["ap"] == pytest.approx(ap)
     assert row["rr"] == pytest.approx(rr)
+
+
+@st.composite
+def vector_corpus(draw):
+    dim = draw(st.integers(min_value=2, max_value=6))
+    n_docs = draw(st.integers(min_value=2, max_value=10))
+    n_q = draw(st.integers(min_value=1, max_value=3))
+    elems = st.floats(min_value=-5, max_value=5, allow_nan=False, width=32)
+    docs = [
+        (i, draw(st.lists(elems, min_size=dim, max_size=dim))) for i in range(n_docs)
+    ]
+    qs = [
+        (100 + i, draw(st.lists(elems, min_size=dim, max_size=dim)))
+        for i in range(n_q)
+    ]
+    k = draw(st.integers(min_value=1, max_value=n_docs))
+    return docs, qs, k
+
+
+@pytest.mark.usefixtures("spark")
+@settings(max_examples=15, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(case=vector_corpus())
+def test_topk_matches_numpy_oracle_random_vectors(spark, case):
+    import numpy as np
+
+    from semantic_vector_search_system_spark.operators.search import topk_bruteforce
+
+    docs, qs, k = case
+    d = spark.createDataFrame(docs, "docid long, vec array<float>")
+    q = spark.createDataFrame(qs, "qid long, qvec array<float>")
+    got = {}
+    for r in topk_bruteforce(q, d, k=k, metric="dot").collect():
+        got.setdefault(r["qid"], []).append((r["rank"], r["docid"]))
+    D = np.array([np.array(v, dtype=np.float32) for _, v in docs], dtype=np.float64)
+    ids = [i for i, _ in docs]
+    for qid, qv in qs:
+        scores = D @ np.array(np.array(qv, dtype=np.float32), dtype=np.float64)
+        order = sorted(range(len(ids)), key=lambda i: (-scores[i], ids[i]))[:k]
+        want = [(rk + 1, ids[i]) for rk, i in enumerate(order)]
+        assert sorted(got[qid]) == want, (qid, scores)

@@ -113,3 +113,31 @@ def test_stateful_user_totals_matches_batch(spark):
     for u in want:
         assert got[u][0] == want[u][0]
         assert abs(got[u][1] - want[u][1]) < 1e-3
+
+
+def test_streaming_ingest_checkpoint_recovery(spark, tmp_path):
+    """Exactly-once file-source semantics: re-running with the same
+    checkpoint after new files arrive processes ONLY the new files."""
+    import pyspark.sql.functions as F
+
+    src = str(tmp_path / "src")
+    idx = str(tmp_path / "idx")
+    batch1 = spark.createDataFrame(
+        [(f"a{i}", "alpha beta") for i in range(10)], "id string, text string"
+    )
+    batch1.coalesce(1).write.mode("append").parquet(src)
+
+    def run_once():
+        stream = spark.readStream.schema(batch1.schema).parquet(src)
+        streaming_ingest_foreach_batch(spark, stream, HashingEncoder(dim=8), idx)
+
+    run_once()
+    assert spark.read.parquet(idx).count() == 10
+    batch2 = spark.createDataFrame(
+        [(f"b{i}", "gamma delta") for i in range(5)], "id string, text string"
+    )
+    batch2.coalesce(1).write.mode("append").parquet(src)
+    run_once()
+    out = spark.read.parquet(idx)
+    assert out.count() == 15  # 10 + 5, no reprocessing duplicates
+    assert out.filter(F.col("id").startswith("b")).count() == 5
