@@ -102,7 +102,11 @@ def topk_bruteforce(
     qrows = queries.select(qid_col, qvec_col).collect()
     if not qrows:
         spark = queries.sparkSession
-        return spark.createDataFrame([], f"{qid_col} string, {id_col} string, rank int, score double")
+        qid_t = dict(queries.dtypes)[qid_col]
+        id_t = dict(doc_side.dtypes)[id_col]
+        return spark.createDataFrame(
+            [], f"`{qid_col}` {qid_t}, `{id_col}` {id_t}, rank int, score double"
+        )
     qids = [r[0] for r in qrows]
     qmat = np.array([r[1] for r in qrows], dtype=np.float64)
     if metric == "cosine":

@@ -43,6 +43,11 @@ def cosine_self_join(
     import pandas as pd
 
     rows = emb.select(id_col, vec_col).collect()
+    if not rows:
+        id_t = dict(emb.dtypes)[id_col]
+        return emb.sparkSession.createDataFrame(
+            [], f"id_a {id_t}, id_b {id_t}, cosine double"
+        )
     ids = np.array([r[0] for r in rows])
     M = np.array([r[1] for r in rows], dtype=np.float64)
     nrm = np.linalg.norm(M, axis=1, keepdims=True)

@@ -103,3 +103,34 @@ def test_hashing_encoder_matches_python_reference(spark):
                 v[stable_hash64_py(tok) % DIM] += 1.0
             v = v / np.linalg.norm(v)
             assert np.allclose(got[did], v, atol=1e-6), did
+
+
+def test_empty_queries_returns_typed_empty(spark):
+    d = spark.createDataFrame([(1, [1.0, 0.0])], "docid long, vec array<float>")
+    q = spark.createDataFrame([], "qid long, qvec array<float>")
+    out = topk_bruteforce(q, d, k=3)
+    assert out.count() == 0
+    assert dict(out.dtypes)["qid"] == "bigint"  # not hardcoded string
+
+
+def test_k_larger_than_corpus(spark):
+    d = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.0, 1.0])], "docid long, vec array<float>"
+    )
+    q = spark.createDataFrame([(9, [1.0, 1.0])], "qid long, qvec array<float>")
+    rows = topk_bruteforce(q, d, k=10).collect()
+    assert len(rows) == 2  # all docs returned, ranks 1..2
+    assert sorted(r["rank"] for r in rows) == [1, 2]
+
+
+def test_empty_docs_empty_result(spark):
+    d = spark.createDataFrame([], "docid long, vec array<float>")
+    q = spark.createDataFrame([(9, [1.0, 1.0])], "qid long, qvec array<float>")
+    assert topk_bruteforce(q, d, k=3).count() == 0
+
+
+def test_cosine_self_join_empty_relation(spark):
+    from semantic_vector_search_system_spark.operators.similarity import cosine_self_join
+
+    emb = spark.createDataFrame([], "vec_id long, embedding array<float>")
+    assert cosine_self_join(emb, threshold=0.5).count() == 0
