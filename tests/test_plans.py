@@ -151,3 +151,40 @@ def test_bucketed_join_avoids_shuffle(spark, tmp_path):
         assert "Exchange hashpartitioning" not in pre_join
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_aqe_splits_skewed_join(spark):
+    """A pathologically hot key is split by AQE skew-join at runtime —
+    the no-manual-salting path for skewed joins at scale."""
+    import pyspark.sql.functions as F
+
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "100KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "100KB",
+        "spark.sql.adaptive.coalescePartitions.minPartitionSize": "16KB",
+    }
+    old = {}
+    for k, v in confs.items():
+        old[k] = spark.conf.get(k)
+        spark.conf.set(k, v)
+    try:
+        left = spark.range(0, 120_000).select(
+            F.when(F.col("id") < 100_000, 1).otherwise(F.col("id") % 50).alias("key"),
+            F.md5(F.col("id").cast("string")).alias("val"),  # incompressible payload
+        )
+        right = spark.range(0, 50).select(
+            F.col("id").alias("key"), (F.col("id") * 2).alias("rval")
+        )
+        # NOTE: no groupBy on the join key afterwards — AQE declines to split
+        # skew when the join output must stay hash-distributed for a
+        # downstream stage (unless forceOptimizeSkewedJoin adds a shuffle).
+        joined = left.join(right, "key")
+        joined.collect()  # same QueryExecution -> finalized adaptive plan
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "isFinalPlan=true" in plan
+        assert "skew=true" in plan, plan[:3000]
+    finally:
+        for k, v in old.items():
+            spark.conf.set(k, v)
