@@ -84,7 +84,13 @@ def filter_unrun_configs(
         "hypothesis", "n_docs", "target_db", "batch_size",
         "model_name", "search_mode", "repeat",
     ]
-    cfg_df = spark.createDataFrame([asdict(c) for c in configs])
+    # explicit schema: batch_size may be None for every config (H2/H3-only
+    # grids), which defeats schema inference
+    cfg_schema = (
+        "hypothesis string, n_docs long, target_db string, batch_size long, "
+        "model_name string, dim int, sample_queries long, search_mode string, repeat long"
+    )
+    cfg_df = spark.createDataFrame([asdict(c) for c in configs], schema=cfg_schema)
     done = results.select(*[F.col(c) for c in key_cols if c in results.columns]).distinct()
     remaining = cfg_df.join(done, [c for c in key_cols if c in done.columns], "left_anti")
     keep = {

@@ -188,3 +188,18 @@ def test_plot_gated_without_matplotlib(tmp_path):
     assert ok in (True, False)
     if ok:
         assert (tmp_path / "p.png").exists()
+
+
+def test_memoization_all_none_batch_size(spark):
+    # H2/H3-only grids have batch_size=None everywhere; schema inference
+    # would fail without the pinned schema
+    cfgs = build_configs(local_only=True, h1_sizes=(), h2_sizes=(100,), h3_sizes=(),
+                         models=("hashing",))
+    assert len(filter_unrun_configs(spark, cfgs, None)) == 2
+    done = spark.createDataFrame(
+        [("H2", 100, "local", "hashing", "vector", 0)],
+        "hypothesis string, n_docs long, target_db string, model_name string, "
+        "search_mode string, repeat long",
+    )
+    remaining = filter_unrun_configs(spark, cfgs, done)
+    assert len(remaining) == 1 and remaining[0].search_mode == "hybrid"
