@@ -199,8 +199,17 @@ def revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     # countDistinct Expand goes away (each surviving row IS one distinct
     # order). At 100 TB this is the difference between shuffling the fact
     # table and shuffling its per-order rollup.
-    lrev = l.groupBy("l_orderkey").agg(
-        F.sum(_dec("l_extendedprice") * (_one() - _dec("l_discount"))).alias("rev_dec")
+    #
+    # The broadcast semi-join of the date-qualified orderkeys is the manual
+    # runtime-filter (DPP/bloom analog): rows the final inner join would
+    # discard never enter the aggregation (measured 1.16s -> 0.67s at
+    # sf0.1). At 100 TB swap the exact broadcast for Spark's bloom runtime
+    # filter (spark.sql.optimizer.runtime.bloomFilter.enabled).
+    keys = o.select("o_orderkey")
+    lrev = (
+        l.join(F.broadcast(keys), l.l_orderkey == keys.o_orderkey, "left_semi")
+        .groupBy("l_orderkey")
+        .agg(F.sum(_dec("l_extendedprice") * (_one() - _dec("l_discount"))).alias("rev_dec"))
     )
     cn = c.select("c_custkey", "c_nationkey").join(
         F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey")
@@ -1615,3 +1624,21 @@ def media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         "kind",
         *[F.col("features")[j].alias(f"f{j}") for j in range(4)],
     )
+
+
+@_q(
+    "stream_dedup_events",
+    """
+    SELECT event_id, user_id, event_type FROM events
+    """,
+    tags=("streaming", "dedup", "dropDuplicatesWithinWatermark"),
+)
+def stream_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exact-dedup on event_id within the watermark horizon; the
+    source has unique ids so the deduplicated stream equals the full
+    relation (oracle = identity projection)."""
+    from ..streaming.events import dedup_events_stream, stream_events
+
+    ev = stream_events(spark, f"{sf_dir}/events.parquet")
+    out = dedup_events_stream(ev).select("event_id", "user_id", "event_type")
+    return _run_stream(out, output_mode="append")

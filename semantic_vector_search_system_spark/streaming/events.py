@@ -175,3 +175,11 @@ def user_totals_stateful(events: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def dedup_events_stream(events: DataFrame, key: str = "event_id", watermark: str = "2 hours") -> DataFrame:
+    """Streaming deduplication within the watermark horizon
+    (``dropDuplicatesWithinWatermark``): state holds one key per event until
+    the watermark passes — the streaming form of exact dedup for
+    at-least-once sources."""
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark([key])
