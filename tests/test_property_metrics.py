@@ -101,3 +101,96 @@ def test_topk_matches_numpy_oracle_random_vectors(spark, case):
         order = sorted(range(len(ids)), key=lambda i: (-scores[i], ids[i]))[:k]
         want = [(rk + 1, ids[i]) for rk, i in enumerate(order)]
         assert sorted(got[qid]) == want, (qid, scores)
+
+
+@st.composite
+def event_stream(draw):
+    n_users = draw(st.integers(min_value=1, max_value=3))
+    events = []
+    eid = 0
+    for u in range(n_users):
+        n_ev = draw(st.integers(min_value=1, max_value=12))
+        t = 0
+        for _ in range(n_ev):
+            t += draw(st.integers(min_value=1, max_value=4000))  # seconds gap
+            events.append((u, eid, t * 1_000_000))
+            eid += 1
+    return events
+
+
+@pytest.mark.usefixtures("spark")
+@settings(max_examples=20, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(events=event_stream())
+def test_sessionization_matches_python_oracle(spark, events):
+    """Random event streams: the catalog sessionization logic (lag + cumsum
+    on 30-min gaps) must equal a direct python scan."""
+    from pyspark.sql import Window
+    import pyspark.sql.functions as F
+
+    df = spark.createDataFrame(events, "user_id long, event_id long, ts_us long")
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    wrun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    flagged = df.withColumn(
+        "new_sess",
+        F.when(F.col("ts_us") - F.lag("ts_us").over(w) > 1_800_000_000, 1).otherwise(0),
+    )
+    got = {
+        (r["user_id"], r["sess_idx"]): (r["n"], r["start"], r["end"])
+        for r in flagged.withColumn("sess_idx", F.sum("new_sess").over(wrun))
+        .groupBy("user_id", "sess_idx")
+        .agg(F.count("*").alias("n"), F.min("ts_us").alias("start"), F.max("ts_us").alias("end"))
+        .collect()
+    }
+    # python oracle
+    want = {}
+    by_user: dict = {}
+    for u, e, t in sorted(events, key=lambda x: (x[0], x[2], x[1])):
+        by_user.setdefault(u, []).append(t)
+    for u, ts in by_user.items():
+        idx, start, prev, n = 0, ts[0], ts[0], 0
+        for t in ts:
+            if t - prev > 1_800_000_000:
+                want[(u, idx)] = (n, start, prev)
+                idx, start, n = idx + 1, t, 0
+            n += 1
+            prev = t
+        want[(u, idx)] = (n, start, prev)
+    assert got == want
+
+
+@st.composite
+def doc_pairs(draw):
+    vocab = ["a", "b", "c", "d", "e"]
+    docs = []
+    for i in range(draw(st.integers(min_value=2, max_value=5))):
+        toks = draw(st.lists(st.sampled_from(vocab), min_size=1, max_size=12))
+        docs.append((i, " ".join(toks)))
+    return docs
+
+
+@pytest.mark.usefixtures("spark")
+@settings(max_examples=20, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(docs=doc_pairs())
+def test_jaccard_matches_python_oracle(spark, docs):
+    from semantic_vector_search_system_spark.operators.dedup import ngram_jaccard_pairs
+
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(df, shingle_n=2, threshold=0.0).collect()
+    }
+
+    def shingles(text):
+        toks = text.split()
+        n = max(len(toks) - 1, 1)
+        return {" ".join(toks[i : i + 2]) for i in range(n)}
+
+    for i, (ida, ta) in enumerate(docs):
+        for idb, tb in docs[i + 1 :]:
+            sa, sb = shingles(ta), shingles(tb)
+            inter = len(sa & sb)
+            if inter == 0:
+                assert (ida, idb) not in got
+            else:
+                expect = round(inter / len(sa | sb), 4)
+                assert got[(ida, idb)] == pytest.approx(expect, abs=1e-4)
