@@ -17,3 +17,40 @@ Layout:
 """
 
 __version__ = "0.1.0"
+
+
+def __getattr__(name):
+    """Lazy top-level API: the operators users reach for, importable as
+    ``from semantic_vector_search_system_spark import topk_bruteforce`` —
+    lazy so importing the package never requires an active SparkContext."""
+    _API = {
+        "get_spark": ("session", "get_spark"),
+        "generate_documents": ("datagen", "generate_documents"),
+        "generate_queries_and_qrels": ("datagen", "generate_queries_and_qrels"),
+        "HashingEncoder": ("operators.encode", "HashingEncoder"),
+        "HashingEncoderFast": ("operators.encode", "HashingEncoderFast"),
+        "TfIdfEncoder": ("operators.encode", "TfIdfEncoder"),
+        "get_encoder": ("operators.encode", "get_encoder"),
+        "topk_bruteforce": ("operators.search", "topk_bruteforce"),
+        "topk_bruteforce_expr": ("operators.search", "topk_bruteforce_expr"),
+        "evaluate_all": ("operators.metrics", "evaluate_all"),
+        "per_query_metrics": ("operators.metrics", "per_query_metrics"),
+        "exact_dedup": ("operators.dedup", "exact_dedup"),
+        "minhash_signatures": ("operators.dedup", "minhash_signatures_fast"),
+        "lsh_candidate_pairs": ("operators.dedup", "lsh_candidate_pairs"),
+        "ngram_jaccard_pairs": ("operators.dedup", "ngram_jaccard_pairs"),
+        "simhash": ("operators.textanalysis", "simhash"),
+        "doc_quality": ("operators.textanalysis", "doc_quality"),
+        "langid_confusion": ("operators.textanalysis", "langid_confusion"),
+        "cosine_self_join": ("operators.similarity", "cosine_self_join"),
+        "ivf_topk": ("operators.similarity", "ivf_topk"),
+        "asof_join": ("operators.asof", "asof_join"),
+        "upsert_by_key": ("operators.upsert", "upsert_by_key"),
+        "latency_stats": ("operators.latency", "latency_stats"),
+    }
+    if name in _API:
+        import importlib
+
+        mod, attr = _API[name]
+        return getattr(importlib.import_module(f".{mod}", __name__), attr)
+    raise AttributeError(f"module {__name__!r} has no attribute {name!r}")

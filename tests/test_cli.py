@@ -61,3 +61,15 @@ def test_cli_hybrid_filter_restricts(spark, tmp_path, capsys):
     sports = {r["id"] for r in docs.filter("category = 'sports'").collect()}
     got = {r["docid"] for r in spark.read.parquet(ret).collect()}
     assert got <= sports and got
+
+
+def test_public_api_surface():
+    import semantic_vector_search_system_spark as pkg
+
+    for name in ["topk_bruteforce", "evaluate_all", "exact_dedup", "asof_join",
+                 "HashingEncoderFast", "cosine_self_join", "get_spark"]:
+        assert callable(getattr(pkg, name))
+    import pytest
+
+    with pytest.raises(AttributeError):
+        pkg.not_a_real_api
