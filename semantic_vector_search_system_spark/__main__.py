@@ -108,6 +108,7 @@ def _dispatch(spark, args) -> int:
         enc = get_encoder(args.model, args.dim)
         if hasattr(enc, "fit"):
             enc.fit(docs)
+            enc.save(f"{args.out}_model")  # fitted vocabulary for query encoding
         vec = enc.encode(docs)
         summary = ingest_to_index(
             vec, args.out, db_name="parquet_index", partition_by=args.partition_by
@@ -121,9 +122,12 @@ def _dispatch(spark, args) -> int:
 
         index = spark.read.parquet(args.index)
         queries = spark.read.parquet(args.queries)
-        enc = get_encoder(args.model, args.dim)
-        if hasattr(enc, "fit"):
-            raise SystemExit("tfidf search requires the fitted corpus; use the API")
+        if args.model == "tfidf":
+            from .operators.encode import TfIdfEncoder
+
+            enc = TfIdfEncoder.load(f"{args.index}_model", dim=args.dim)
+        else:
+            enc = get_encoder(args.model, args.dim)
         qvec = enc.encode(queries, text_col="query").select(
             F.col("id").alias("qid"), F.col("vec").alias("qvec")
         )

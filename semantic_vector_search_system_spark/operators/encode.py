@@ -158,8 +158,10 @@ class TfIdfEncoder:
         self.dim = dim
         self.model_name = "tfidf"
         self._model = None
+        self._fit_text_col = "text"
 
     def fit(self, docs: DataFrame, text_col: str = "text") -> "TfIdfEncoder":
+        self._fit_text_col = text_col
         from pyspark.ml import Pipeline
         from pyspark.ml.feature import IDF, CountVectorizer, RegexTokenizer
 
@@ -176,9 +178,32 @@ class TfIdfEncoder:
             raise RuntimeError("TfIdfEncoder.fit(docs) must run before encode()")
         from pyspark.ml.functions import vector_to_array
 
+        added = None
+        if text_col != self._fit_text_col:
+            # transform under the fitted input column regardless of the
+            # caller's text column name (e.g. queries use "query")
+            df = df.withColumn(self._fit_text_col, F.col(text_col))
+            added = self._fit_text_col
         out = self._model.transform(df)
         out = out.withColumn(out_col, l2_normalize(vector_to_array("__tfidf")))
-        return out.drop("__tokens", "__tf", "__tfidf")
+        out = out.drop("__tokens", "__tf", "__tfidf")
+        return out.drop(added) if added else out
+
+    def save(self, path: str) -> None:
+        """Persist the fitted vocabulary+IDF pipeline (Spark ML persistence)
+        so queries can be encoded later under the SAME fitted vocabulary —
+        the durable resolution of the reference's fit-on-first-call trap."""
+        if self._model is None:
+            raise RuntimeError("fit before save")
+        self._model.write().overwrite().save(path)
+
+    @classmethod
+    def load(cls, path: str, dim: int = 512) -> "TfIdfEncoder":
+        from pyspark.ml import PipelineModel
+
+        enc = cls(dim)
+        enc._model = PipelineModel.load(path)
+        return enc
 
 
 def transformer_encode_udf(

@@ -1642,3 +1642,47 @@ def stream_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = stream_events(spark, f"{sf_dir}/events.parquet")
     out = dedup_events_stream(ev).select("event_id", "user_id", "event_type")
     return _run_stream(out, output_mode="append")
+
+
+@_q(
+    "part_type_revenue",
+    """
+    SELECT p.p_type,
+      CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(12,2)) - CAST(l.l_discount AS DECIMAL(12,2)))) AS DOUBLE) AS revenue,
+      COUNT(*) AS n_lineitems
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    GROUP BY p.p_type
+    """,
+    tags=("join", "broadcast", "dimension"),
+)
+def part_type_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact x part-dimension join (broadcast): revenue by part type."""
+    l = T(spark, sf_dir, "lineitem")
+    p = T(spark, sf_dir, "part")
+    return (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .groupBy("p_type")
+        .agg(
+            F.sum(_dec("l_extendedprice") * (_one() - _dec("l_discount"))).cast("double").alias("revenue"),
+            F.count("*").alias("n_lineitems"),
+        )
+    )
+
+
+@_q(
+    "cube_order_stats",
+    """
+    SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n_orders,
+      CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total_value
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+    tags=("agg", "cube", "grouping-sets"),
+)
+def cube_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full CUBE over (status, priority) — all 2^2 grouping sets."""
+    o = T(spark, sf_dir, "orders")
+    return o.cube("o_orderstatus", "o_orderpriority").agg(
+        F.count("*").alias("n_orders"),
+        F.sum(_dec("o_totalprice")).cast("double").alias("total_value"),
+    )

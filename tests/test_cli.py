@@ -73,3 +73,26 @@ def test_public_api_surface():
 
     with pytest.raises(AttributeError):
         pkg.not_a_real_api
+
+
+def test_cli_tfidf_end_to_end(spark, tmp_path, capsys):
+    from semantic_vector_search_system_spark.__main__ import _dispatch
+
+    corpus = str(tmp_path / "c3")
+    _dispatch(spark, _ns(action="generate", n_docs=150, queries=8, seed=5,
+                         start=0, out=corpus))
+    index = str(tmp_path / "i3")
+    _dispatch(spark, _ns(action="encode", docs=f"{corpus}/documents.parquet",
+                         out=index, model="tfidf", dim=64, partition_by=None))
+    ret = str(tmp_path / "r3")
+    _dispatch(spark, _ns(action="search", index=index,
+                         queries=f"{corpus}/queries.parquet", k=5,
+                         model="tfidf", dim=64, filter=None, out=ret))
+    _dispatch(spark, _ns(action="evaluate", retrievals=ret,
+                         qrels=f"{corpus}/qrels.parquet", k="5"))
+    import json
+
+    ev = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert ev["n_queries"] == 8
+    # TF-IDF prefix-snippet self-retrieval should work well at 150 docs
+    assert ev["r_at_5"] >= 0.5

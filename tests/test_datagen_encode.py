@@ -72,3 +72,23 @@ def test_transformer_udf_plumbing_with_fake_model(spark):
     df = spark.createDataFrame([("ab",), ("abcd",)], "text string")
     out = df.withColumn("vec", udf("text")).collect()
     assert [r["vec"][0] for r in out] == [2.0, 4.0]
+
+
+def test_tfidf_save_load_roundtrip(spark, tmp_path):
+    docs = spark.createDataFrame(
+        [("d1", "apple banana apple"), ("d2", "banana cherry"), ("d3", "apple date")],
+        "id string, text string",
+    )
+    enc = TfIdfEncoder(dim=8).fit(docs)
+    path = str(tmp_path / "tfidf_model")
+    enc.save(path)
+    enc2 = TfIdfEncoder.load(path, dim=8)
+    a = {r["id"]: r["vec"] for r in enc.encode(docs).select("id", "vec").collect()}
+    b = {r["id"]: r["vec"] for r in enc2.encode(docs).select("id", "vec").collect()}
+    assert a.keys() == b.keys()
+    for k in a:
+        assert a[k] == pytest.approx(b[k])
+    # queries with a different text column encode under the same vocabulary
+    q = spark.createDataFrame([("q1", "apple")], "id string, query string")
+    qv = enc2.encode(q, text_col="query").collect()[0]["vec"]
+    assert sum(abs(x) for x in qv) > 0
