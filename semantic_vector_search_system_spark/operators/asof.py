@@ -85,3 +85,67 @@ def asof_join(
         *[F.col("__left_row")[c].alias(c) for c in left.columns],
         *payload_cols,
     )
+
+
+def asof_join_grouped(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_time: str,
+    right_time: str,
+    payload_cols: list[str],
+    right_tiebreak: str | None = None,
+) -> DataFrame:
+    """Alternative physical strategy: cogrouped ``pd.merge_asof`` per key.
+
+    Same semantics as :func:`asof_join` (backward inclusive, max-tiebreak
+    wins on equal timestamps). Choose this form when per-key histories are
+    long and sorted pandas merging beats the window (the union form sorts
+    left+right together; this one merges two pre-sorted sides per group).
+    Shuffle: one hash partition of each side by the key (cogroup).
+    """
+    import pandas as pd
+
+    left_cols = list(left.columns)
+    out_fields = [f"`{f.name}` {f.dataType.simpleString()}" for f in left.schema.fields]
+    rtypes = dict(right.dtypes)
+    out_fields += [f"`{c}` {rtypes[c]}" for c in payload_cols]
+    schema = ", ".join(out_fields)
+
+    def merge(key, lpdf: pd.DataFrame, rpdf: pd.DataFrame) -> pd.DataFrame:
+        if lpdf.empty:
+            return pd.DataFrame(columns=left_cols + payload_cols)
+        lsort = lpdf.sort_values(left_time, kind="mergesort")
+        if rpdf.empty:
+            out = lsort.copy()
+            for c in payload_cols:
+                out[c] = None
+            return out[left_cols + payload_cols]
+        sort_keys = [right_time] + ([right_tiebreak] if right_tiebreak else [])
+        rsort = rpdf.sort_values(sort_keys, kind="mergesort")[
+            [right_time] + [c for c in payload_cols if c != right_time]
+        ]
+        merged = pd.merge_asof(
+            lsort,
+            rsort,
+            left_on=left_time,
+            right_on=right_time,
+            direction="backward",
+            allow_exact_matches=True,
+            suffixes=("", "__r"),
+        )
+        rt_out = right_time + ("__r" if right_time in lsort.columns else "")
+        cols = {}
+        for c in payload_cols:
+            src = c if c in merged.columns else c + "__r"
+            cols[c] = merged[src] if c != right_time else merged[rt_out]
+        out = merged[left_cols].copy()
+        for c in payload_cols:
+            out[c] = cols[c]
+        return out
+
+    return (
+        left.groupBy(on)
+        .cogroup(right.groupBy(on))
+        .applyInPandas(merge, schema=schema)
+    )

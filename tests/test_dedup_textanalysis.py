@@ -188,3 +188,29 @@ def test_quantized_rerank_close_to_exact(spark):
     two_stage = {(r["qid"], r["docid"]) for r in
                  quantized_topk_rerank(q, d, scale, k=5, candidates=20).collect()}
     assert len(exact & two_stage) / len(exact) >= 0.8
+
+
+def test_asof_grouped_matches_window_form(spark):
+    """Both as-of physical strategies agree on the driver events/orders data."""
+    import pyspark.sql.functions as F
+    from semantic_vector_search_system_spark.operators.asof import (
+        asof_join,
+        asof_join_grouped,
+    )
+    from semantic_vector_search_system_spark.plans.catalog import T
+
+    sf = "/root/testdata/sf0.001"
+    ev = T(spark, sf, "events").filter(F.col("event_id") % 20 == 0).select(
+        "event_id", "user_id", F.unix_micros("ts").alias("t")
+    )
+    orders = T(spark, sf, "orders").select(
+        F.col("o_custkey").alias("user_id"),
+        F.unix_micros(F.col("o_orderdate").cast("timestamp")).alias("t"),
+        "o_orderkey",
+        "o_totalprice",
+    )
+    kw = dict(on="user_id", left_time="t", right_time="t",
+              payload_cols=["o_orderkey", "o_totalprice"], right_tiebreak="o_orderkey")
+    a = {(r["event_id"], r["o_orderkey"]) for r in asof_join(ev, orders, **kw).collect()}
+    b = {(r["event_id"], r["o_orderkey"]) for r in asof_join_grouped(ev, orders, **kw).collect()}
+    assert a == b and a

@@ -194,3 +194,43 @@ def test_jaccard_matches_python_oracle(spark, docs):
             else:
                 expect = round(inter / len(sa | sb), 4)
                 assert got[(ida, idb)] == pytest.approx(expect, abs=1e-4)
+
+
+@st.composite
+def asof_case(draw):
+    n_keys = draw(st.integers(min_value=1, max_value=2))
+    lefts, rights = [], []
+    lid = 0
+    for k in range(n_keys):
+        for _ in range(draw(st.integers(min_value=0, max_value=6))):
+            lefts.append((k, draw(st.integers(min_value=0, max_value=20)), lid))
+            lid += 1
+        for j in range(draw(st.integers(min_value=0, max_value=6))):
+            rights.append((k, draw(st.integers(min_value=0, max_value=20)), 1000 + lid + j))
+        lid += 10
+    return lefts, rights
+
+
+@pytest.mark.usefixtures("spark")
+@settings(max_examples=20, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(case=asof_case())
+def test_asof_strategies_agree_random(spark, case):
+    """Window-form and merge_asof-form as-of joins agree on random streams,
+    including exact-tie timestamps (small int times force collisions)."""
+    from semantic_vector_search_system_spark.operators.asof import (
+        asof_join,
+        asof_join_grouped,
+    )
+
+    lefts, rights = case
+    if not lefts:
+        return
+    left = spark.createDataFrame(lefts, "k long, t long, eid long")
+    right = spark.createDataFrame(
+        rights or [(999, 0, 0)], "k long, t long, fact long"
+    )
+    kw = dict(on="k", left_time="t", right_time="t",
+              payload_cols=["fact"], right_tiebreak="fact")
+    a = sorted((r["eid"], r["fact"]) for r in asof_join(left, right, **kw).collect())
+    b = sorted((r["eid"], r["fact"]) for r in asof_join_grouped(left, right, **kw).collect())
+    assert a == b
