@@ -1686,3 +1686,87 @@ def cube_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_orders"),
         F.sum(_dec("o_totalprice")).cast("double").alias("total_value"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Interval / range join: view -> purchase attribution within 5 minutes
+# ---------------------------------------------------------------------------
+
+_FUNNEL_ORACLE = """
+    WITH v AS (SELECT user_id, event_id AS view_id, epoch_us(ts) AS t
+               FROM events WHERE event_type = 'view'),
+    p AS (SELECT user_id, event_id AS purchase_id, epoch_us(ts) AS t
+          FROM events WHERE event_type = 'purchase')
+    SELECT v.user_id, COUNT(*) AS n_conversions,
+      CAST(SUM(p.t - v.t) AS BIGINT) AS total_delay_us,
+      MIN(p.t - v.t) AS min_delay_us
+    FROM v JOIN p
+      ON v.user_id = p.user_id
+     AND p.t > v.t AND p.t <= v.t + 300000000
+    GROUP BY v.user_id
+    """
+
+
+@_q("view_purchase_funnel", _FUNNEL_ORACLE, tags=("range-join", "interval", "funnel"))
+def view_purchase_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval (range) join: purchases within 5 minutes after a view by the
+    same user — equi-join on user + time-range predicate; per-user conversion
+    counts and exact integer delay sums."""
+    e = T(spark, sf_dir, "events").select(
+        "user_id", "event_id", "event_type", F.unix_micros("ts").alias("t")
+    )
+    v = e.filter(F.col("event_type") == "view").select(
+        "user_id", F.col("event_id").alias("view_id"), F.col("t").alias("vt")
+    )
+    p = e.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"), F.col("event_id").alias("purchase_id"),
+        F.col("t").alias("pt"),
+    )
+    joined = v.join(
+        p,
+        (v.user_id == p.p_user) & (p.pt > v.vt) & (p.pt <= v.vt + 300_000_000),
+    )
+    return joined.groupBy("user_id").agg(
+        F.count("*").alias("n_conversions"),
+        F.sum(F.col("pt") - F.col("vt")).alias("total_delay_us"),
+        F.min(F.col("pt") - F.col("vt")).alias("min_delay_us"),
+    )
+
+
+@_q("stream_view_purchase_join", _FUNNEL_ORACLE, tags=("streaming", "stream-stream-join"))
+def stream_view_purchase_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream inner join with event-time range condition and
+    watermarks on both sides (state eviction at scale); under availableNow
+    the result equals the batch interval join."""
+    from ..streaming.events import stream_events
+
+    ev = stream_events(spark, f"{sf_dir}/events.parquet")
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .withWatermark("ts", "10 minutes")
+        .select("user_id", F.col("event_id").alias("view_id"), F.col("ts").alias("vts"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .withWatermark("ts", "10 minutes")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("pts"),
+        )
+    )
+    joined = v.join(
+        p,
+        (F.col("user_id") == F.col("p_user"))
+        & (F.col("pts") > F.col("vts"))
+        & (F.col("pts") <= F.col("vts") + F.expr("INTERVAL 5 MINUTES")),
+    ).select(
+        "user_id",
+        (F.unix_micros("pts") - F.unix_micros("vts")).alias("delay_us"),
+    )
+    out = _run_stream(joined, output_mode="append")
+    return out.groupBy("user_id").agg(
+        F.count("*").alias("n_conversions"),
+        F.sum("delay_us").alias("total_delay_us"),
+        F.min("delay_us").alias("min_delay_us"),
+    )
