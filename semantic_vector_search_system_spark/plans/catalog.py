@@ -1770,3 +1770,22 @@ def stream_view_purchase_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("delay_us").alias("total_delay_us"),
         F.min("delay_us").alias("min_delay_us"),
     )
+
+
+@_q(
+    "sketch_stats",
+    None,  # approximate sketches (HLL / KLL) are engine-specific by design —
+           # rows-only check; the EXACT twins of both stats are oracle-checked
+           # elsewhere (user_event_pivot counts, event_percentiles)
+    tags=("sketch", "approx", "scale"),
+)
+def sketch_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-based aggregates for 100TB-scale profiling: HyperLogLog++
+    distinct counts and approximate percentiles — single-pass, mergeable,
+    bounded memory (vs exact distinct/percentile shuffles)."""
+    e = T(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
+        F.percentile_approx("value", 0.5, 10000).alias("approx_p50"),
+        F.count("*").alias("n_events"),
+    )

@@ -38,6 +38,7 @@ def stream_events(
     import os
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")  # match batch T()
     batch = spark.read.parquet(events_dir)
     if os.path.isfile(events_dir):
         # streaming file sources need a directory; point at the parent and
