@@ -1789,3 +1789,67 @@ def sketch_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.percentile_approx("value", 0.5, 10000).alias("approx_p50"),
         F.count("*").alias("n_events"),
     )
+
+
+@_q(
+    "training_corpus_selection",
+    f"""
+    WITH toks AS (SELECT doc_id, {_SPLIT} AS t FROM documents),
+    shl AS (SELECT doc_id,
+                   list_transform(range(1, greatest(len(t) - 2, 1) + 1),
+                                  i -> array_to_string(t[i:i+2], ' ')) AS shingles
+            FROM toks),
+    sh AS (SELECT DISTINCT doc_id, shingle
+           FROM (SELECT doc_id, unnest(shingles) AS shingle FROM shl) u),
+    hh AS (SELECT doc_id,
+                  CAST(CAST(CONCAT('0x', substr(md5(shingle), 1, 15)) AS UBIGINT) AS BIGINT) AS h1,
+                  CAST(CAST(CONCAT('0x', substr(md5(shingle), 16, 10)) AS UBIGINT) AS BIGINT) AS h2
+           FROM sh),
+    seeds AS (SELECT unnest(range(8)) AS seed),
+    mh AS (SELECT doc_id, seed, MIN((h1 + seed * h2) % {1 << 60}) AS minhash
+           FROM hh CROSS JOIN seeds GROUP BY doc_id, seed),
+    bands AS (SELECT doc_id, seed // 2 AS band,
+                     md5(string_agg(CAST(minhash AS VARCHAR), ',' ORDER BY seed)) AS band_sig
+              FROM mh GROUP BY doc_id, seed // 2),
+    dup_losers AS (
+      SELECT DISTINCT b.doc_id
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.band_sig = b.band_sig AND a.doc_id < b.doc_id),
+    quality AS (
+      SELECT d.doc_id, d.lang, len(t.t) AS n_tokens,
+        LEAST(1.0, CAST(len(t.t) AS DOUBLE) / 100.0)
+          * (1.0 - CAST(list_sum(list_transform(t.t, x -> CASE WHEN x IN ('the','a') THEN 1 ELSE 0 END)) AS DOUBLE) / len(t.t)) AS q
+      FROM documents d JOIN toks t ON d.doc_id = t.doc_id),
+    selected AS (
+      SELECT * FROM quality
+      WHERE q >= 0.3 AND lang IN ('en', 'de', 'fr', 'es')
+        AND NOT EXISTS (SELECT 1 FROM dup_losers x WHERE x.doc_id = quality.doc_id))
+    SELECT lang, COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+           ROUND(CAST(SUM(q) AS DOUBLE) / COUNT(*), 4) AS mean_quality
+    FROM selected GROUP BY lang
+    """,
+    bench=True,
+    tags=("pipeline", "dedup", "quality", "langid", "selection"),
+)
+def training_corpus_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The training-data pipeline end-to-end as ONE lazy DAG: MinHash-LSH
+    near-dup removal (keep the smallest doc_id of each colliding pair) +
+    quality-score floor + language allowlist -> per-language doc/token
+    budget. Composes operators/dedup.py and operators/textanalysis.py;
+    every stage reuses the oracle-checked building blocks."""
+    docs = T(spark, sf_dir, "documents")
+    sigs = dd.minhash_signatures_fast(docs, num_hashes=8, shingle_n=3)
+    losers = dd.lsh_candidate_pairs(sigs, rows_per_band=2).select(
+        F.col("id_b").alias("doc_id")
+    ).distinct()
+    st = ta.with_token_stats(docs.select("doc_id", "lang", "text"))
+    q = st.withColumn("q", ta.quality_score_expr())
+    selected = (
+        q.filter((F.col("q") >= 0.3) & F.col("lang").isin("en", "de", "fr", "es"))
+        .join(losers, "doc_id", "left_anti")
+    )
+    return selected.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+        F.round(F.sum("q") / F.count("*"), 4).alias("mean_quality"),
+    )
