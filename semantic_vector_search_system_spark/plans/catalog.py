@@ -1853,3 +1853,108 @@ def training_corpus_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_tokens").alias("total_tokens"),
         F.round(F.sum("q") / F.count("*"), 4).alias("mean_quality"),
     )
+
+
+@_q(
+    "hybrid_rrf_fusion",
+    f"""
+    WITH dtok AS (SELECT doc_id, unnest(regexp_split_to_array(text, '\\s+')) AS tok FROM documents),
+    dbuck AS (SELECT doc_id, {_E2E_HASH_BUCKET} AS b, COUNT(*) AS c FROM dtok GROUP BY 1, 2),
+    q AS (SELECT doc_id AS qid, substr(text, 1, 200) AS qtext FROM documents WHERE doc_id < 10),
+    qtok AS (SELECT qid, unnest(regexp_split_to_array(qtext, '\\s+')) AS tok FROM q),
+    qbuck AS (SELECT qid, {_E2E_HASH_BUCKET} AS b, COUNT(*) AS c FROM qtok GROUP BY 1, 2),
+    lexdots AS (
+      SELECT qb.qid, db.doc_id AS docid, SUM(CAST(qb.c AS DOUBLE) * db.c) AS dot
+      FROM qbuck qb JOIN dbuck db ON qb.b = db.b
+      GROUP BY qb.qid, db.doc_id),
+    lexrank AS (
+      SELECT qid, docid,
+             ROW_NUMBER() OVER (PARTITION BY qid ORDER BY dot DESC, docid) AS rl
+      FROM lexdots),
+    e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    denserank AS (
+      SELECT q.qid, d.vec_id AS docid,
+             ROW_NUMBER() OVER (PARTITION BY q.qid
+               ORDER BY list_cosine_similarity(qe.v, d.v) DESC, d.vec_id) AS rd
+      FROM q JOIN e qe ON q.qid = qe.vec_id
+      CROSS JOIN e d),
+    fused AS (
+      SELECT COALESCE(l.qid, dn.qid) AS qid, COALESCE(l.docid, dn.docid) AS docid,
+             COALESCE(1.0 / (60 + l.rl), 0.0) + COALESCE(1.0 / (60 + dn.rd), 0.0) AS rrf
+      FROM lexrank l FULL OUTER JOIN denserank dn
+        ON l.qid = dn.qid AND l.docid = dn.docid)
+    SELECT qid, docid, rank, ROUND(rrf, 8) AS rrf FROM (
+      SELECT qid, docid, rrf,
+             CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY rrf DESC, docid) AS INTEGER) AS rank
+      FROM fused) t
+    WHERE rank <= 5
+    """,
+    tags=("vector-search", "hybrid", "rrf", "fusion"),
+)
+def hybrid_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval by Reciprocal Rank Fusion: lexical ranking (hashing
+    encoder dot product on text) fused with dense ranking (embedding cosine)
+    as ``sum 1/(60+rank)``; top-5 per query. The lexical side keeps only
+    bucket-overlapping (dot>0) pairs — identical row sets to the relational
+    oracle — and docs missing from one ranking contribute only the other
+    term (full outer fusion)."""
+    from pyspark.sql import Window
+
+    from ..functions.text import query_snippet
+    from ..functions.vectors import cosine_similarity
+
+    docs = T(spark, sf_dir, "documents")
+    emb = T(spark, sf_dir, "embeddings")
+    queries = docs.filter(F.col("doc_id") < 10).select(
+        F.col("doc_id").alias("qid"), query_snippet("text").alias("text")
+    )
+    # lexical ranking uses RAW bucket-count dot products (not normalized
+    # vectors): the sparse bucket equi-join keeps exactly the dot>0 pairs,
+    # mirroring the oracle's relational form row-for-row
+    from ..functions.hashing import stable_hash64
+    from ..functions.text import tokenize
+
+    def bucket_counts(df, id_col, text_col):
+        return (
+            df.select(F.col(id_col), F.explode(tokenize(text_col)).alias("tok"))
+            .select(id_col, F.pmod(stable_hash64("tok"), F.lit(_E2E_DIM)).alias("b"))
+            .groupBy(id_col, "b")
+            .agg(F.count("*").alias("c"))
+        )
+    db = bucket_counts(docs, "doc_id", "text").withColumnRenamed("doc_id", "docid")
+    qb = bucket_counts(queries.withColumnRenamed("text", "qtext"), "qid", "qtext")
+    lexdots = (
+        qb.join(db, "b")
+        .groupBy("qid", "docid")
+        .agg(F.sum(qb.c.cast("double") * db.c).alias("dot"))
+    )
+    wl = Window.partitionBy("qid").orderBy(F.desc("dot"), F.asc("docid"))
+    lexrank = lexdots.withColumn("rl", F.row_number().over(wl)).select("qid", "docid", "rl")
+
+    qe = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qv")
+    )
+    de = emb.select(F.col("vec_id").alias("docid"), F.col("embedding").alias("dv"))
+    wd = Window.partitionBy("qid").orderBy(F.desc("cos"), F.asc("docid"))
+    densepairs = (
+        F.broadcast(qe).crossJoin(de).withColumn("cos", cosine_similarity("qv", "dv"))
+    )
+    denserank = densepairs.withColumn("rd", F.row_number().over(wd)).select("qid", "docid", "rd")
+
+    fused = (
+        lexrank.join(denserank, ["qid", "docid"], "full_outer")
+        .select(
+            "qid",
+            "docid",
+            (
+                F.coalesce(F.lit(1.0) / (F.lit(60) + F.col("rl")), F.lit(0.0))
+                + F.coalesce(F.lit(1.0) / (F.lit(60) + F.col("rd")), F.lit(0.0))
+            ).alias("rrf"),
+        )
+    )
+    wf = Window.partitionBy("qid").orderBy(F.desc("rrf"), F.asc("docid"))
+    return (
+        fused.withColumn("rank", F.row_number().over(wf))
+        .filter(F.col("rank") <= 5)
+        .select("qid", "docid", "rank", F.round("rrf", 8).alias("rrf"))
+    )
