@@ -14,8 +14,19 @@ Cross-engine determinism rules used throughout (so value hashes match):
 * means of ratios (IR metrics): ROUND(..., 4) absorbs summation-order noise;
 * hashing: pinned md5-based 60-bit hash (functions/hashing.py) — identical
   in Spark, DuckDB and Python;
-* no transcendental functions (exp/ln/pow) whose libm rounding may differ;
-* ranking ties broken by explicit unique keys, never left to chance.
+* no transcendental functions (exp/ln/pow) whose libm rounding may differ
+  (sqrt and division are IEEE-exact and safe);
+* ranking ties broken by explicit unique keys, never left to chance;
+* timestamps: session timezone pinned to UTC at query build (T()), NTZ
+  parquet columns cast to instants before epoch arithmetic, comparisons in
+  integer micros (unix_micros / epoch_us) — immune to caller sessions with
+  any timezone (validated under +5:30);
+* integer sums in DuckDB cast to BIGINT (SUM(int) yields HUGEINT there);
+* candidate sets defined so both engines enumerate IDENTICAL row sets
+  (e.g. lexical rankings keep only bucket-overlapping dot>0 pairs — the
+  sparse equi-join's natural rows — rather than dense cross joins);
+* engine-specific tie orders (Spark ML vocab selection, HLL/KLL sketches)
+  stay rows-only by design rather than pretending to a false oracle.
 """
 
 from __future__ import annotations
