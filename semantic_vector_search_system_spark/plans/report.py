@@ -77,17 +77,23 @@ def welch_t_test(results: DataFrame, group_col: str, metric: str, g1, g2) -> dic
 
 
 def mann_whitney_u(results: DataFrame, group_col: str, metric: str, g1, g2) -> dict:
-    """A12 fallback test (`stats_tests.py:75-80`): rank-sum computed
-    DISTRIBUTED via a global rank window (ties -> average rank), so it scales
-    past driver memory; only the U statistic normalization is local."""
+    """A12 fallback test (`stats_tests.py:75-80`): rank-sums computed
+    DISTRIBUTED with tie-averaged ranks — no global single-partition sort.
+
+    Average rank of a value v = (#rows < v) + (#rows == v + 1) / 2, so only
+    the per-distinct-value counts need a (distinct-cardinality-sized) window
+    for the running total; the raw rows never leave their partitions except
+    for the count aggregation. Scales to arbitrarily many rows.
+    """
     from pyspark.sql import Window
 
     two = results.filter(F.col(group_col).isin([g1, g2])).select(group_col, metric)
-    w = Window.orderBy(metric)
-    # average rank for ties: avg of row_number within equal values
-    ranked = two.withColumn("rn", F.row_number().over(w))
-    avg_rank = ranked.groupBy(metric).agg(F.avg("rn").alias("avg_rank"))
-    rr = ranked.join(avg_rank, metric)
+    counts = two.groupBy(metric).agg(F.count("*").alias("cnt"))
+    w = Window.orderBy(metric).rowsBetween(Window.unboundedPreceding, -1)
+    ranked_vals = counts.withColumn(
+        "cum_before", F.coalesce(F.sum("cnt").over(w), F.lit(0))
+    ).withColumn("avg_rank", F.col("cum_before") + (F.col("cnt") + 1) / 2.0)
+    rr = two.join(ranked_vals.select(metric, "avg_rank"), metric)
     sums = rr.groupBy(group_col).agg(F.sum("avg_rank").alias("rank_sum"), F.count("*").alias("n"))
     d = {r[group_col]: r for r in sums.collect()}
     n1, n2 = d[g1]["n"], d[g2]["n"]

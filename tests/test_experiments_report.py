@@ -203,3 +203,12 @@ def test_memoization_all_none_batch_size(spark):
     )
     remaining = filter_unrun_configs(spark, cfgs, done)
     assert len(remaining) == 1 and remaining[0].search_mode == "hybrid"
+
+
+def test_mann_whitney_hand_computed_with_ties(spark):
+    # a=[1,2,2], b=[2,3]: sorted [1,2,2,2,3]; tie-averaged rank of 2 is 3
+    # rank_sum(a)=1+3+3=7 -> U1 = 7 - 3*4/2 = 1; U = min(1, 6-1) = 1
+    rows = [("a", 1.0), ("a", 2.0), ("a", 2.0), ("b", 2.0), ("b", 3.0)]
+    df = spark.createDataFrame(rows, "grp string, metric double")
+    u = mann_whitney_u(df, "grp", "metric", "a", "b")
+    assert u["u"] == 1.0 and u["n1"] == 3 and u["n2"] == 2
