@@ -109,6 +109,8 @@ def generate_queries_and_qrels(
         .withColumn("__h", stable_hash64(F.concat(F.lit(f"{seed}:qsample:"), F.col("id"))))
         .orderBy("__h")
         .limit(q_count)
+        # global window is fine HERE: it runs on the post-limit relation
+        # (q_count rows, <= a few hundred by construction), never the corpus
         .withColumn("__i", F.row_number().over(Window.orderBy("__h")))
     )
     queries = sampled.select(

@@ -89,6 +89,8 @@ def mann_whitney_u(results: DataFrame, group_col: str, metric: str, g1, g2) -> d
 
     two = results.filter(F.col(group_col).isin([g1, g2])).select(group_col, metric)
     counts = two.groupBy(metric).agg(F.count("*").alias("cnt"))
+    # global window over the DISTINCT metric values only (bounded
+    # cardinality), not over raw rows
     w = Window.orderBy(metric).rowsBetween(Window.unboundedPreceding, -1)
     ranked_vals = counts.withColumn(
         "cum_before", F.coalesce(F.sum("cnt").over(w), F.lit(0))
