@@ -1969,3 +1969,31 @@ def hybrid_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= 5)
         .select("qid", "docid", "rank", F.round("rrf", 8).alias("rrf"))
     )
+
+
+@_q(
+    "dataset_splits",
+    f"""
+    WITH b AS (
+      SELECT lang,
+             CAST(CAST(CONCAT('0x', substr(md5(CONCAT('7:', CAST(doc_id AS VARCHAR))), 1, 15)) AS UBIGINT) AS BIGINT) % 10 AS bucket
+      FROM documents)
+    SELECT lang,
+      CASE WHEN bucket < 8 THEN 'train' WHEN bucket < 9 THEN 'val' ELSE 'test' END AS split,
+      COUNT(*) AS n_docs
+    FROM b GROUP BY 1, 2
+    """,
+    tags=("sampling", "splits", "curation"),
+)
+def dataset_splits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 80/10/10 train/val/test assignment from the content
+    hash (functions/sampling.py) — reproducible under retries, re-runs and
+    incremental growth; per-(lang, split) counts."""
+    from ..functions.sampling import split_assign
+
+    d = T(spark, sf_dir, "documents")
+    return (
+        d.withColumn("split", split_assign("doc_id", {"train": 8, "val": 1, "test": 1}, seed=7))
+        .groupBy("lang", "split")
+        .agg(F.count("*").alias("n_docs"))
+    )

@@ -214,3 +214,28 @@ def test_asof_grouped_matches_window_form(spark):
     a = {(r["event_id"], r["o_orderkey"]) for r in asof_join(ev, orders, **kw).collect()}
     b = {(r["event_id"], r["o_orderkey"]) for r in asof_join_grouped(ev, orders, **kw).collect()}
     assert a == b and a
+
+
+def test_deterministic_splits_stable_and_partitioned(spark):
+    from semantic_vector_search_system_spark.functions.sampling import (
+        deterministic_sample,
+        split_assign,
+    )
+    import pyspark.sql.functions as F
+
+    df = spark.range(0, 2000).select(F.col("id").alias("doc_id"))
+    w = {"train": 8, "val": 1, "test": 1}
+    a = {r["doc_id"]: r["split"] for r in
+         df.withColumn("split", split_assign("doc_id", w, seed=7)).collect()}
+    b = {r["doc_id"]: r["split"] for r in
+         df.repartition(13).withColumn("split", split_assign("doc_id", w, seed=7)).collect()}
+    assert a == b  # partitioning-invariant
+    from collections import Counter
+
+    c = Counter(a.values())
+    assert 0.75 < c["train"] / 2000 < 0.85
+    assert 0.05 < c["val"] / 2000 < 0.15
+    # sample: subset property + reproducibility
+    s1 = {r["doc_id"] for r in deterministic_sample(df, "doc_id", 10, seed=3).collect()}
+    s2 = {r["doc_id"] for r in deterministic_sample(df, "doc_id", 10, seed=3).collect()}
+    assert s1 == s2 and 100 < len(s1) < 300
