@@ -91,6 +91,21 @@ def main() -> None:
             topk_bruteforce(qvec, dvec, k=1).write.format("noop").mode("overwrite").save()
             best = min(best or 1e9, time.time() - t0)
         timings[f"search_100q_{n}_docs"] = round(best, 3)
+
+        if n == 100_000:
+            # H1 ingest-throughput comparable (BASELINE: 29-61k vectors/s
+            # into the mock DB): encode + write the parquet index
+            import shutil
+            import tempfile
+
+            idx_dir = tempfile.mkdtemp(prefix="bench_ingest_")
+            best = None
+            for _ in range(2):
+                t0 = time.time()
+                enc.encode(docs).write.mode("overwrite").parquet(f"{idx_dir}/index")
+                best = min(best or 1e9, time.time() - t0)
+            timings[f"ingest_{n}_docs"] = round(best, 3)
+            shutil.rmtree(idx_dir, ignore_errors=True)
         dvec.unpersist()
         docs.unpersist()
 

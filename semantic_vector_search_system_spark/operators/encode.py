@@ -238,6 +238,41 @@ def transformer_encode_udf(
     return encode_udf
 
 
+def transformer_predict_batch_udf(
+    model_name: str,
+    dim: int,
+    model_loader: Callable[[str], object] | None = None,
+    batch_size: int = 64,
+):
+    """Spark ML ``predict_batch_udf`` form of the transformer encoder
+    (SURVEY §2.8 maps SentenceTransformerEncoder to exactly this API):
+    the model loads once per python worker via make_predict_fn, batches are
+    handed over as numpy arrays sized ``batch_size``. Same injectable-loader
+    stubbing as :func:`transformer_encode_udf`.
+    """
+    from pyspark.ml.functions import predict_batch_udf
+    from pyspark.sql.types import ArrayType, FloatType
+
+    def make_predict_fn():
+        if model_loader is None:
+            raise NotImplementedError(
+                f"transformer encoder '{model_name}' requires torch/transformers; "
+                "inject model_loader= to enable"
+            )
+        model = model_loader(model_name)
+
+        def predict(texts):
+            return model.encode([str(t) for t in texts])  # (n, dim) float32
+
+        return predict
+
+    return predict_batch_udf(
+        make_predict_fn,
+        return_type=ArrayType(FloatType()),
+        batch_size=batch_size,
+    )
+
+
 def get_encoder(name: str, dim: int = 512):
     """Encoder registry mirroring the reference's model selection
     (`auto_run_tests.py:272-288`)."""

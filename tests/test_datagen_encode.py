@@ -92,3 +92,22 @@ def test_tfidf_save_load_roundtrip(spark, tmp_path):
     q = spark.createDataFrame([("q1", "apple")], "id string, query string")
     qv = enc2.encode(q, text_col="query").collect()[0]["vec"]
     assert sum(abs(x) for x in qv) > 0
+
+
+def test_predict_batch_udf_plumbing_with_fake_model(spark):
+    from semantic_vector_search_system_spark.operators.encode import (
+        transformer_predict_batch_udf,
+    )
+
+    class FakeModel:
+        def encode(self, texts):
+            import numpy as np
+
+            return np.stack([np.full(4, float(len(t)), dtype="float32") for t in texts])
+
+    udf = transformer_predict_batch_udf(
+        "fake", dim=4, model_loader=lambda name: FakeModel(), batch_size=8
+    )
+    df = spark.createDataFrame([("ab",), ("abcd",)], "text string")
+    out = {r["text"]: r["vec"] for r in df.withColumn("vec", udf("text")).collect()}
+    assert out["ab"][0] == 2.0 and out["abcd"][0] == 4.0
