@@ -1,0 +1,123 @@
+"""Partitioning-fuzz determinism: catalog results must be bit-identical under
+perturbed physical configs (TODO: "fuzz the oracle-determinism rules").
+
+The oracle gate hashes values order-insensitively, so any result that depends
+on partition count, scan split size, or AQE coalescing would pass one run and
+fail the next. This test re-runs a representative slice of the catalog under
+several perturbed runtime configs (shuffle partition count, scan split bytes,
+AQE coalescing, input repartitioning) and asserts the canonicalized output is
+identical to the default-config run.
+
+Query slice covers every determinism-sensitive shape: decimal aggregation
+(pricing_summary), broadcast+runtime-filter join (revenue_by_nation), window
+top-k with tie-break (top_orders_per_customer, knn_topk), exact percentiles
+(event_percentiles), stable-hash sketches (doc_fingerprint, minhash), session
+windows (sessionization), and the metrics pipeline (retrieval_quality).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+
+SF_DIR = "/root/testdata/sf0.001"
+
+QUERIES = [
+    "pricing_summary",
+    "revenue_by_nation",
+    "top_orders_per_customer",
+    "event_percentiles",
+    "knn_topk",
+    "retrieval_quality",
+    "doc_fingerprint",
+    "minhash_signatures",
+    "sessionization",
+    "hourly_event_counts",
+]
+
+# Perturbations of runtime-settable physical knobs. Each tuple is applied on
+# top of the session defaults (32 shuffle partitions, 128 MiB splits, AQE on).
+PERTURBATIONS = [
+    {
+        "spark.sql.shuffle.partitions": "3",
+        "spark.sql.files.maxPartitionBytes": str(64 * 1024),  # many tiny splits
+    },
+    {
+        "spark.sql.shuffle.partitions": "61",
+        "spark.sql.adaptive.coalescePartitions.enabled": "false",
+    },
+]
+
+
+def _canonical(df) -> pd.DataFrame:
+    """Order-insensitive, float-tolerant canonical form (mirrors the driver's
+    sort-columns-then-hash compare, with 1e-9-scale float rounding)."""
+    pdf = df.toPandas()
+    pdf = pdf[sorted(pdf.columns)]
+    for c in pdf.columns:
+        if pdf[c].dtype == object:
+            pdf[c] = pdf[c].map(
+                lambda v: tuple(v) if isinstance(v, (list, tuple)) else v
+            )
+        elif pdf[c].dtype.kind == "f":
+            pdf[c] = pdf[c].round(9)
+    pdf = pdf.sort_values(by=list(pdf.columns), ignore_index=True)
+    return pdf
+
+
+@pytest.fixture(scope="module")
+def baselines(spark):
+    from semantic_vector_search_system_spark.plans.catalog import CATALOG
+
+    out = {}
+    for name in QUERIES:
+        out[name] = _canonical(CATALOG[name].builder(spark, SF_DIR))
+    return out
+
+
+@pytest.mark.parametrize("pidx", range(len(PERTURBATIONS)))
+def test_catalog_results_invariant_under_partitioning(spark, baselines, pidx):
+    from semantic_vector_search_system_spark.plans.catalog import CATALOG
+
+    perturb = PERTURBATIONS[pidx]
+    saved = {k: spark.conf.get(k, None) for k in perturb}
+    try:
+        for k, v in perturb.items():
+            spark.conf.set(k, v)
+        for name in QUERIES:
+            got = _canonical(CATALOG[name].builder(spark, SF_DIR))
+            pd.testing.assert_frame_equal(
+                got, baselines[name], check_exact=False, rtol=0, atol=1e-9,
+                obj=f"{name} under {perturb}",
+            )
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+
+
+def test_repartitioned_input_invariant(spark, baselines):
+    """Shuffling the input rows arbitrarily (round-robin repartition before
+    the query's own plan) must not change results — catches any reliance on
+    parquet row order beyond the documented tie-break rules."""
+    from pyspark.sql import DataFrame
+
+    from semantic_vector_search_system_spark.plans import catalog as cat
+
+    orig_T = cat.T
+
+    def scrambled_T(spark_, sf_dir, name) -> DataFrame:
+        return orig_T(spark_, sf_dir, name).repartition(7)
+
+    cat.T = scrambled_T
+    try:
+        for name in QUERIES:
+            got = _canonical(cat.CATALOG[name].builder(spark, SF_DIR))
+            pd.testing.assert_frame_equal(
+                got, baselines[name], check_exact=False, rtol=0, atol=1e-9,
+                obj=f"{name} with repartitioned inputs",
+            )
+    finally:
+        cat.T = orig_T
