@@ -1,0 +1,197 @@
+"""Training-corpus quality filtering, PII scanning, and decontamination.
+
+Standard large-scale pretraining-data operators beyond the reference's own
+surface (the reference evaluates retrieval over a synthetic corpus; a real
+100 TB pipeline must also *select* the corpus). Three families:
+
+* **Repetition / heuristic quality rules** (C4/Gopher-style): per-document
+  duplicate n-gram fractions, top-token dominance, mean token length,
+  stopword ratio -> boolean rule flags -> keep/drop. Pure Catalyst
+  higher-order-function expressions: a narrow map over the corpus scan, no
+  shuffle, linear to 100 TB.
+
+* **PII scan / redaction**: regex detection counts (email, phone, IPv4) and
+  redaction via ``regexp_replace``. Patterns stay in the RE2-compatible
+  subset (no lookaround/backrefs) so Java regex (Spark) and RE2 (DuckDB)
+  agree — the oracle checks the counts bit-for-bit.
+
+* **Decontamination**: flag training documents sharing any ``n``-token
+  shingle with an evaluation set (the standard benchmark-leakage guard).
+  Join-shaped: eval shingle hashes (tiny) broadcast against the exploded doc
+  shingle stream; at 100 TB this is one corpus scan + a broadcast hash join,
+  aggregated back to one row per contaminated document.
+
+Determinism: md5-based ``stable_hash64`` shingle keys, arithmetic-only
+scores (module rules in plans/catalog.py docstring).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.hashing import stable_hash64
+from ..functions.text import token_shingles, tokenize
+from .textanalysis import STOPWORDS
+
+# RE2-safe patterns (work identically under Java regex and DuckDB's RE2).
+PII_PATTERNS: dict[str, str] = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "phone": r"\+?[0-9][0-9()\- ]{6,}[0-9]",
+    "ipv4": r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b",
+}
+
+
+def _dup_fraction(tokens: Column, n: int) -> Column:
+    """Fraction of n-gram occurrences that are repeats of an earlier one:
+    ``1 - distinct/total`` (0 for docs with < n tokens -> single shingle)."""
+    sh = token_shingles(tokens, n=n)
+    total = F.size(sh)
+    return F.lit(1.0) - F.size(F.array_distinct(sh)).cast("double") / total
+
+
+def repetition_stats(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    extra_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """Per-document repetition profile.
+
+    Columns: n_tokens, dup_2gram_frac, dup_3gram_frac, top_token_frac (count
+    of the most frequent token / n_tokens), mean_token_len, stopword_ratio.
+
+    top_token_frac scans distinct×all tokens per row (O(u*n) inside codegen)
+    — bounded by document length, still a narrow map; for million-token
+    documents switch to the explode+groupBy formulation.
+    """
+    toks = tokenize(text_col)
+    d = docs.select(id_col, *extra_cols, toks.alias("__toks"))
+    n = F.size("__toks")
+    top_cnt = F.array_max(
+        F.transform(
+            F.array_distinct("__toks"),
+            lambda t: F.size(F.filter("__toks", lambda x: x == t)),
+        )
+    )
+    return d.select(
+        id_col,
+        *extra_cols,
+        n.cast("long").alias("n_tokens"),
+        F.round(_dup_fraction(F.col("__toks"), 2), 6).alias("dup_2gram_frac"),
+        F.round(_dup_fraction(F.col("__toks"), 3), 6).alias("dup_3gram_frac"),
+        F.round(top_cnt.cast("double") / n, 6).alias("top_token_frac"),
+        F.round(
+            F.aggregate("__toks", F.lit(0).cast("long"), lambda a, t: a + F.length(t)).cast(
+                "double"
+            )
+            / n,
+            6,
+        ).alias("mean_token_len"),
+        F.round(
+            F.size(F.filter("__toks", lambda t: t.isin(*STOPWORDS))).cast("double") / n, 6
+        ).alias("stopword_ratio"),
+    )
+
+
+# Gopher-style rule thresholds, tuned to the synthetic corpus's word-soup
+# profile so both outcomes occur (a rule nothing trips is untested).
+GOPHER_RULES: dict[str, str] = {
+    "too_short": "n_tokens < 20",
+    "too_long": "n_tokens > 100000",
+    "token_len_out_of_range": "mean_token_len < 4.0 OR mean_token_len > 10.0",
+    "high_repetition": "dup_2gram_frac > 0.1",
+    "top_token_dominant": "top_token_frac > 0.2",
+    "stopword_heavy": "stopword_ratio > 0.12",
+}
+
+
+def gopher_quality_flags(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    extra_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """Repetition stats + one boolean column per rule + ``keep`` (no rule
+    tripped). Rules are SQL predicate strings shared verbatim with the
+    DuckDB oracle."""
+    st = repetition_stats(docs, id_col, text_col, extra_cols=extra_cols)
+    for rule, pred in GOPHER_RULES.items():
+        st = st.withColumn(rule, F.expr(pred))
+    keep = None
+    for rule in GOPHER_RULES:
+        trip = F.col(rule)
+        keep = trip if keep is None else (keep | trip)
+    return st.withColumn("keep", ~keep)
+
+
+def pii_scan(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    extra_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """Per-document PII match counts, one column per pattern + total."""
+    out = docs.select(
+        id_col,
+        *extra_cols,
+        *[
+            F.regexp_count(F.col(text_col), F.lit(p)).cast("long").alias(f"n_{name}")
+            for name, p in PII_PATTERNS.items()
+        ],
+    )
+    total = None
+    for name in PII_PATTERNS:
+        c = F.col(f"n_{name}")
+        total = c if total is None else (total + c)
+    return out.withColumn("n_pii", total)
+
+
+def pii_redact(
+    docs: DataFrame, text_col: str = "text", replacement: str = "[PII]"
+) -> DataFrame:
+    """Replace every PII match with ``replacement`` (order: email, phone,
+    ipv4 — email first so its local part isn't half-eaten by the phone
+    pattern's digit runs)."""
+    c = F.col(text_col)
+    for p in PII_PATTERNS.values():
+        c = F.regexp_replace(c, p, replacement)
+    return docs.withColumn(text_col, c)
+
+
+def decontaminate(
+    docs: DataFrame,
+    eval_texts: DataFrame,
+    n: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    eval_id_col: str = "eval_id",
+    eval_text_col: str = "text",
+) -> DataFrame:
+    """Training docs sharing >= 1 ``n``-token shingle with the eval set.
+
+    Returns ``(doc_id, n_overlap_shingles, n_eval_hits)`` — distinct
+    overlapping shingle hashes and distinct eval items hit. Physical shape:
+    eval shingles (benchmarks are ~1e3-1e6 rows) hashed + exploded +
+    broadcast; corpus shingles exploded and inner-joined on the hash; one
+    aggregation keyed by doc id. The corpus is scanned once; the only
+    shuffle is the final per-doc aggregation, keyed by the same doc_id the
+    explode preserved (AQE coalesces the tail).
+    """
+    doc_sh = docs.select(
+        F.col(id_col),
+        F.explode(
+            F.array_distinct(token_shingles(tokenize(text_col), n=n))
+        ).alias("__sh"),
+    ).select(id_col, stable_hash64("__sh").alias("h"))
+    eval_sh = eval_texts.select(
+        F.col(eval_id_col),
+        F.explode(
+            F.array_distinct(token_shingles(tokenize(eval_text_col), n=n))
+        ).alias("__sh"),
+    ).select(eval_id_col, stable_hash64("__sh").alias("h"))
+    hits = doc_sh.join(F.broadcast(eval_sh), "h")
+    return hits.groupBy(id_col).agg(
+        F.count_distinct("h").alias("n_overlap_shingles"),
+        F.count_distinct(eval_id_col).alias("n_eval_hits"),
+    )

@@ -1997,3 +1997,213 @@ def dataset_splits(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("lang", "split")
         .agg(F.count("*").alias("n_docs"))
     )
+
+
+# 2-token shingle list in DuckDB (matches functions/text.token_shingles n=2).
+_SH2 = (
+    "list_transform(range(1, greatest(len(t) - 1, 1) + 1), "
+    "i -> array_to_string(t[i:i+1], ' '))"
+)
+_SH3 = (
+    "list_transform(range(1, greatest(len(t) - 2, 1) + 1), "
+    "i -> array_to_string(t[i:i+2], ' '))"
+)
+
+
+@_q(
+    "gopher_quality_report",
+    f"""
+    WITH t AS (SELECT doc_id, lang, {_SPLIT} AS t FROM documents),
+    st AS (SELECT doc_id, lang,
+             len(t) AS n_tokens,
+             ROUND(1.0 - CAST(len(list_distinct({_SH2})) AS DOUBLE) / len({_SH2}), 6) AS dup_2gram_frac,
+             ROUND(1.0 - CAST(len(list_distinct({_SH3})) AS DOUBLE) / len({_SH3}), 6) AS dup_3gram_frac,
+             ROUND(CAST(list_max(list_transform(list_distinct(t),
+                     d -> len(list_filter(t, x -> x = d)))) AS DOUBLE) / len(t), 6) AS top_token_frac,
+             ROUND(CAST(list_sum(list_transform(t, x -> len(x))) AS DOUBLE) / len(t), 6) AS mean_token_len,
+             ROUND(CAST(len(list_filter(t, x -> x = 'the' OR x = 'a')) AS DOUBLE) / len(t), 6) AS stopword_ratio
+           FROM t),
+    fl AS (SELECT lang,
+             (n_tokens < 20) AS too_short,
+             (n_tokens > 100000) AS too_long,
+             (mean_token_len < 4.0 OR mean_token_len > 10.0) AS token_len_out_of_range,
+             (dup_2gram_frac > 0.1) AS high_repetition,
+             (top_token_frac > 0.2) AS top_token_dominant,
+             (stopword_ratio > 0.12) AS stopword_heavy
+           FROM st)
+    SELECT lang, COUNT(*) AS n_docs,
+      CAST(SUM(CASE WHEN NOT (too_short OR too_long OR token_len_out_of_range
+                OR high_repetition OR top_token_dominant OR stopword_heavy)
+               THEN 1 ELSE 0 END) AS BIGINT) AS n_keep,
+      CAST(SUM(CASE WHEN too_short THEN 1 ELSE 0 END) AS BIGINT) AS n_too_short,
+      CAST(SUM(CASE WHEN token_len_out_of_range THEN 1 ELSE 0 END) AS BIGINT) AS n_token_len_out,
+      CAST(SUM(CASE WHEN high_repetition THEN 1 ELSE 0 END) AS BIGINT) AS n_high_repetition,
+      CAST(SUM(CASE WHEN top_token_dominant THEN 1 ELSE 0 END) AS BIGINT) AS n_top_token_dominant,
+      CAST(SUM(CASE WHEN stopword_heavy THEN 1 ELSE 0 END) AS BIGINT) AS n_stopword_heavy
+    FROM fl GROUP BY lang
+    """,
+    tags=("curation", "quality-filter", "gopher"),
+)
+def gopher_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4/Gopher-style heuristic quality filtering
+    (operators/quality_filters.py): per-document repetition + token-shape
+    rules, reported as per-language keep/drop counts. One narrow map over
+    the corpus scan + one aggregation — linear to 100 TB."""
+    from ..operators import quality_filters as qf
+
+    flags = qf.gopher_quality_flags(
+        T(spark, sf_dir, "documents"), extra_cols=("lang",)
+    )
+    agg = [
+        F.sum(F.when(F.col(r), 1).otherwise(0)).cast("long").alias(f"n_{a}")
+        for r, a in [
+            ("too_short", "too_short"),
+            ("token_len_out_of_range", "token_len_out"),
+            ("high_repetition", "high_repetition"),
+            ("top_token_dominant", "top_token_dominant"),
+            ("stopword_heavy", "stopword_heavy"),
+        ]
+    ]
+    return flags.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.when(F.col("keep"), 1).otherwise(0)).cast("long").alias("n_keep"),
+        *agg,
+    )
+
+
+# Deterministic synthetic-PII injection (the corpus itself is PII-free):
+# every 7th doc gets an email, every 11th a phone, every 13th an IPv4 — so
+# the scan, the redaction, and their DuckDB twins all see real matches.
+_PII_TEXT_SQL = """
+    CONCAT(text,
+      CASE WHEN doc_id % 7 = 0
+           THEN CONCAT(' contact user', CAST(doc_id AS VARCHAR), '@example.com now')
+           ELSE '' END,
+      CASE WHEN doc_id % 11 = 0
+           THEN CONCAT(' call +1 555 01', lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0'), ' 2345')
+           ELSE '' END,
+      CASE WHEN doc_id % 13 = 0 THEN ' from 192.168.1.42' ELSE '' END)
+"""
+
+
+def _pii_text_col() -> F.Column:
+    return F.concat(
+        F.col("text"),
+        F.when(
+            F.col("doc_id") % 7 == 0,
+            F.concat(
+                F.lit(" contact user"),
+                F.col("doc_id").cast("string"),
+                F.lit("@example.com now"),
+            ),
+        ).otherwise(F.lit("")),
+        F.when(
+            F.col("doc_id") % 11 == 0,
+            F.concat(
+                F.lit(" call +1 555 01"),
+                F.lpad((F.col("doc_id") % 100).cast("string"), 2, "0"),
+                F.lit(" 2345"),
+            ),
+        ).otherwise(F.lit("")),
+        F.when(F.col("doc_id") % 13 == 0, F.lit(" from 192.168.1.42")).otherwise(
+            F.lit("")
+        ),
+    )
+
+
+@_q(
+    "pii_scan_report",
+    f"""
+    WITH d AS (SELECT doc_id, lang, {_PII_TEXT_SQL} AS text FROM documents),
+    c AS (SELECT doc_id, lang,
+            len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{{2,}}')) AS n_email,
+            len(regexp_extract_all(text, '\\+?[0-9][0-9()\\- ]{{6,}}[0-9]')) AS n_phone,
+            len(regexp_extract_all(text, '\\b[0-9]{{1,3}}\\.[0-9]{{1,3}}\\.[0-9]{{1,3}}\\.[0-9]{{1,3}}\\b')) AS n_ipv4,
+            len(regexp_extract_all(
+              regexp_replace(regexp_replace(regexp_replace(text,
+                '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{{2,}}', '[PII]', 'g'),
+                '\\+?[0-9][0-9()\\- ]{{6,}}[0-9]', '[PII]', 'g'),
+                '\\b[0-9]{{1,3}}\\.[0-9]{{1,3}}\\.[0-9]{{1,3}}\\.[0-9]{{1,3}}\\b', '[PII]', 'g'),
+              '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{{2,}}|\\+?[0-9][0-9()\\- ]{{6,}}[0-9]')) AS n_after_redact
+          FROM d)
+    SELECT lang,
+      CAST(SUM(n_email) AS BIGINT) AS n_email,
+      CAST(SUM(n_phone) AS BIGINT) AS n_phone,
+      CAST(SUM(n_ipv4) AS BIGINT) AS n_ipv4,
+      CAST(SUM(CASE WHEN n_email + n_phone + n_ipv4 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_docs_with_pii,
+      CAST(SUM(n_after_redact) AS BIGINT) AS n_after_redact
+    FROM c GROUP BY lang
+    """,
+    tags=("curation", "pii", "redaction"),
+)
+def pii_scan_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII detection + redaction (operators/quality_filters.py) over a
+    deterministically PII-injected corpus: per-language match counts and the
+    post-redaction residual (must be 0 for the scanned patterns). Regexes
+    stay in the Java/RE2-common subset so the DuckDB oracle is exact."""
+    from ..operators import quality_filters as qf
+
+    d = (
+        T(spark, sf_dir, "documents")
+        .select("doc_id", "lang", _pii_text_col().alias("text"))
+    )
+    scanned = qf.pii_scan(d, extra_cols=("lang",))
+    redacted = qf.pii_redact(d)
+    residual = qf.pii_scan(redacted).select(
+        "doc_id",
+        (F.col("n_email") + F.col("n_phone")).alias("n_after_redact"),
+    )
+    return (
+        scanned.join(residual, "doc_id")
+        .groupBy("lang")
+        .agg(
+            F.sum("n_email").cast("long").alias("n_email"),
+            F.sum("n_phone").cast("long").alias("n_phone"),
+            F.sum("n_ipv4").cast("long").alias("n_ipv4"),
+            F.sum(F.when(F.col("n_pii") > 0, 1).otherwise(0))
+            .cast("long")
+            .alias("n_docs_with_pii"),
+            F.sum("n_after_redact").cast("long").alias("n_after_redact"),
+        )
+    )
+
+
+_SH8 = (
+    "list_transform(range(1, greatest(len(t) - 7, 1) + 1), "
+    "i -> array_to_string(t[i:i+7], ' '))"
+)
+
+
+@_q(
+    "decontamination",
+    f"""
+    WITH ev AS (SELECT doc_id AS eval_id, substr(text, 1, 200) AS text
+                FROM documents WHERE doc_id < 10),
+    evt AS (SELECT eval_id, {_SPLIT} AS t FROM ev),
+    evsh AS (SELECT DISTINCT eval_id, {stable_hash64_sql('sh')} AS h
+             FROM (SELECT eval_id, unnest({_SH8}) AS sh FROM evt) u),
+    dt AS (SELECT doc_id, {_SPLIT} AS t FROM documents),
+    dsh AS (SELECT DISTINCT doc_id, {stable_hash64_sql('sh')} AS h
+            FROM (SELECT doc_id, unnest({_SH8}) AS sh FROM dt) u)
+    SELECT d.doc_id,
+           COUNT(DISTINCT d.h) AS n_overlap_shingles,
+           COUNT(DISTINCT e.eval_id) AS n_eval_hits
+    FROM dsh d JOIN evsh e ON d.h = e.h
+    GROUP BY d.doc_id
+    """,
+    tags=("curation", "decontamination", "J3"),
+)
+def decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark-leakage guard (operators/quality_filters.decontaminate):
+    training docs sharing any 8-token shingle with the eval set (snippet
+    queries of docs 0-9). Eval shingle hashes broadcast against the exploded
+    corpus shingle stream — one corpus scan, one broadcast join, one keyed
+    aggregation at any scale."""
+    from ..functions.text import query_snippet
+    from ..operators.quality_filters import decontaminate
+
+    docs = T(spark, sf_dir, "documents")
+    evals = docs.filter(F.col("doc_id") < 10).select(
+        F.col("doc_id").alias("eval_id"), query_snippet("text").alias("text")
+    )
+    return decontaminate(docs, evals, n=8)

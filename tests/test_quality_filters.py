@@ -1,0 +1,92 @@
+"""Unit tests for operators/quality_filters.py against hand-computed and
+Python-oracle values (catalog oracles cover the DuckDB twins)."""
+
+from __future__ import annotations
+
+import pytest
+
+from semantic_vector_search_system_spark.operators import quality_filters as qf
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_repetition_stats_hand_computed(spark):
+    # "a b a b a" -> tokens=5; 2-grams: [a b, b a, a b, b a] -> 2/4 dup;
+    # 3-grams: [a b a, b a b, a b a] -> 1/3 dup; top token a: 3/5;
+    # mean token len 1.0; stopwords: 'a' x3 -> 3/5.
+    out = {
+        r.doc_id: r
+        for r in qf.repetition_stats(_docs(spark, [(1, "a b a b a")])).collect()
+    }
+    r = out[1]
+    assert r.n_tokens == 5
+    assert r.dup_2gram_frac == pytest.approx(0.5)
+    assert r.dup_3gram_frac == pytest.approx(1 / 3, abs=1e-6)
+    assert r.top_token_frac == pytest.approx(0.6)
+    assert r.mean_token_len == pytest.approx(1.0)
+    assert r.stopword_ratio == pytest.approx(0.6)
+
+
+def test_repetition_stats_short_doc_single_shingle(spark):
+    # 1 token: single whole-text shingle for every n -> dup fraction 0
+    r = qf.repetition_stats(_docs(spark, [(1, "hello")])).collect()[0]
+    assert r.n_tokens == 1
+    assert r.dup_2gram_frac == 0.0 and r.dup_3gram_frac == 0.0
+    assert r.top_token_frac == 1.0
+
+
+def test_gopher_flags_keep_logic(spark):
+    rows = [
+        (1, " ".join(f"tok{i:02d}word" for i in range(60))),  # clean: keep
+        (2, "spam " * 50),  # top_token_dominant + high_repetition + short toks
+        (3, "one two"),  # too_short
+    ]
+    out = {r.doc_id: r for r in qf.gopher_quality_flags(_docs(spark, rows)).collect()}
+    assert out[1].keep
+    assert not out[2].keep and out[2].top_token_dominant and out[2].high_repetition
+    assert not out[3].keep and out[3].too_short
+
+
+def test_pii_scan_and_redact(spark):
+    rows = [
+        (1, "mail me at jane.doe+x@sub.example.org or call +1 (415) 555-0100 ok"),
+        (2, "server at 10.0.0.1 and 256.1.2.3 online"),  # both match the naive ipv4 shape
+        (3, "no pii here at all"),
+    ]
+    d = _docs(spark, rows)
+    s = {r.doc_id: r for r in qf.pii_scan(d).collect()}
+    assert s[1].n_email == 1 and s[1].n_phone == 1 and s[1].n_ipv4 == 0
+    assert s[2].n_ipv4 == 2 and s[2].n_email == 0
+    assert s[3].n_pii == 0
+    red = {r.doc_id: r.text for r in qf.pii_redact(d).collect()}
+    assert "[PII]" in red[1] and "jane" not in red[1] and "555" not in red[1]
+    assert red[1].startswith("mail me at ") and red[1].endswith(" ok")
+    assert red[3] == "no pii here at all"
+    # scanning redacted text finds nothing
+    resc = qf.pii_scan(qf.pii_redact(d)).collect()
+    assert all(r.n_pii == 0 for r in resc)
+
+
+def test_decontaminate_exact_overlap(spark):
+    # doc 1 contains the eval 8-gram verbatim; doc 2 shares no 8-gram
+    shared = "w1 w2 w3 w4 w5 w6 w7 w8"
+    docs = _docs(
+        spark,
+        [(1, f"prefix {shared} suffix"), (2, "x1 x2 x3 x4 x5 x6 x7 x8 x9")],
+    )
+    evals = spark.createDataFrame([(100, shared)], "eval_id long, text string")
+    out = {r.doc_id: r for r in qf.decontaminate(docs, evals, n=8).collect()}
+    assert set(out) == {1}
+    assert out[1].n_overlap_shingles == 1 and out[1].n_eval_hits == 1
+
+
+def test_decontaminate_counts_distinct_eval_hits(spark):
+    shared = "w1 w2 w3 w4 w5 w6 w7 w8"
+    docs = _docs(spark, [(1, f"{shared} tail1 tail2")])
+    evals = spark.createDataFrame(
+        [(100, shared), (200, f"head {shared}")], "eval_id long, text string"
+    )
+    out = qf.decontaminate(docs, evals, n=8).collect()[0]
+    assert out.n_eval_hits == 2 and out.n_overlap_shingles == 1
