@@ -273,6 +273,69 @@ def transformer_predict_batch_udf(
     )
 
 
+def default_model_loader(model_name: str):
+    """Real transformer loader, used when the model libraries exist on the
+    executors (reference `real_encoder.py:11-72`: SentenceTransformer first,
+    HF transformers mean-pooling fallback). Raises ImportError in images
+    without torch — callers inject a fake loader for tests there.
+
+    Runs INSIDE the pandas UDF on the executor: imports happen per python
+    worker, once, at first batch."""
+    try:
+        from sentence_transformers import SentenceTransformer
+
+        return SentenceTransformer(model_name)
+    except ImportError:
+        pass
+    try:
+        import numpy as np
+        import torch
+        from transformers import AutoModel, AutoTokenizer
+
+        class _MeanPoolModel:
+            """BERT-style mean pooling over the last hidden state with the
+            attention mask (reference `encoder.py:43-49`)."""
+
+            def __init__(self, name: str):
+                self.tok = AutoTokenizer.from_pretrained(name)
+                self.model = AutoModel.from_pretrained(name)
+                self.model.eval()
+
+            def encode(self, texts):
+                with torch.no_grad():
+                    enc = self.tok(
+                        list(texts), padding=True, truncation=True, return_tensors="pt"
+                    )
+                    out = self.model(**enc).last_hidden_state  # (n, L, d)
+                    mask = enc["attention_mask"].unsqueeze(-1).float()
+                    summed = (out * mask).sum(dim=1)
+                    counts = mask.sum(dim=1).clamp(min=1e-9)
+                    return (summed / counts).numpy().astype(np.float32)
+
+        return _MeanPoolModel(model_name)
+    except ImportError as e:
+        raise ImportError(
+            "transformer encoders need sentence_transformers or "
+            "transformers+torch on the executors"
+        ) from e
+
+
+class TransformerEncoder:
+    """Model-inference encoder (reference SentenceTransformer/BertEncoder,
+    `encoder.py:15-68`): iterator pandas UDF, model loaded once per python
+    worker, Arrow-batched transfer. Uses :func:`default_model_loader` unless
+    a loader is injected (tests use a deterministic fake)."""
+
+    def __init__(self, model_name: str = "all-MiniLM-L6-v2", dim: int = 384, model_loader=None):
+        self.model_name = model_name
+        self.dim = dim
+        self.model_loader = model_loader if model_loader is not None else default_model_loader
+
+    def encode(self, df: DataFrame, text_col: str = "text", out_col: str = "vec") -> DataFrame:
+        udf = transformer_encode_udf(self.model_name, self.dim, self.model_loader)
+        return df.withColumn(out_col, udf(text_col))
+
+
 def get_encoder(name: str, dim: int = 512):
     """Encoder registry mirroring the reference's model selection
     (`auto_run_tests.py:272-288`)."""
@@ -282,4 +345,7 @@ def get_encoder(name: str, dim: int = 512):
         return HashingEncoderFast(dim)
     if name == "tfidf":
         return TfIdfEncoder(dim)
-    raise ValueError(f"unknown encoder: {name!r} (transformer encoders need transformer_encode_udf)")
+    if name in ("sentence_transformer", "bert"):
+        model = "all-MiniLM-L6-v2" if name == "sentence_transformer" else "bert-base-uncased"
+        return TransformerEncoder(model, dim)
+    raise ValueError(f"unknown encoder: {name!r}")

@@ -74,6 +74,28 @@ def topk_bruteforce_expr(
     return _rank_topk(scored, k, qid_col, id_col).select(qid_col, id_col, "rank", "score")
 
 
+def collect_query_matrix(
+    queries: DataFrame,
+    metric: str = "dot",
+    qid_col: str = "qid",
+    qvec_col: str = "qvec",
+):
+    """Collect the (small) query side to ``(qids, Q)`` once, for reuse across
+    search stages (coarse + rerank, or repeated timed runs): each
+    :func:`topk_bruteforce` call otherwise pays its own collect job. For
+    ``metric='cosine'`` rows are pre-normalized — pass the result only to
+    calls with the same metric."""
+    import numpy as np
+
+    qrows = queries.select(qid_col, qvec_col).collect()
+    qids = [r[0] for r in qrows]
+    qmat = np.array([r[1] for r in qrows], dtype=np.float64)
+    if metric == "cosine" and len(qrows):
+        qn = np.linalg.norm(qmat, axis=1, keepdims=True)
+        qmat = np.divide(qmat, qn, out=np.zeros_like(qmat), where=qn > 0)
+    return qids, qmat
+
+
 def topk_bruteforce(
     queries: DataFrame,
     docs: DataFrame,
@@ -84,6 +106,7 @@ def topk_bruteforce(
     id_col: str = "docid",
     vec_col: str = "vec",
     predicate: Column | None = None,
+    precollected: tuple | None = None,
 ) -> DataFrame:
     """BLAS-speed exact top-k: one matmul per Arrow batch + partial top-k.
 
@@ -91,6 +114,7 @@ def topk_bruteforce(
     `auto_run_tests.py:123-138` — distributed across executors):
 
     1. collect query matrix Q (n_q <= a few thousand) -> spark broadcast
+       (or reuse ``precollected`` from :func:`collect_query_matrix`)
     2. scan docs; per Arrow batch: ``S = D @ Q.T`` (float64), per-query
        partial top-k via ``np.argpartition``
     3. global window merge of the ``n_partitions * n_q * k`` survivors.
@@ -99,19 +123,18 @@ def topk_bruteforce(
     import pandas as pd
 
     doc_side = docs.filter(predicate) if predicate is not None else docs
-    qrows = queries.select(qid_col, qvec_col).collect()
-    if not qrows:
+    qids, qmat = (
+        precollected
+        if precollected is not None
+        else collect_query_matrix(queries, metric, qid_col, qvec_col)
+    )
+    if not qids:
         spark = queries.sparkSession
         qid_t = dict(queries.dtypes)[qid_col]
         id_t = dict(doc_side.dtypes)[id_col]
         return spark.createDataFrame(
             [], f"`{qid_col}` {qid_t}, `{id_col}` {id_t}, rank int, score double"
         )
-    qids = [r[0] for r in qrows]
-    qmat = np.array([r[1] for r in qrows], dtype=np.float64)
-    if metric == "cosine":
-        qn = np.linalg.norm(qmat, axis=1, keepdims=True)
-        qmat = np.divide(qmat, qn, out=np.zeros_like(qmat), where=qn > 0)
     sc = docs.sparkSession.sparkContext
     bq = sc.broadcast((qids, qmat))
 

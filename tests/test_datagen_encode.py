@@ -111,3 +111,48 @@ def test_predict_batch_udf_plumbing_with_fake_model(spark):
     df = spark.createDataFrame([("ab",), ("abcd",)], "text string")
     out = {r["text"]: r["vec"] for r in df.withColumn("vec", udf("text")).collect()}
     assert out["ab"][0] == 2.0 and out["abcd"][0] == 4.0
+
+
+def test_transformer_encoder_class_with_fake_loader(spark):
+    from semantic_vector_search_system_spark.operators.encode import (
+        TransformerEncoder,
+        get_encoder,
+    )
+
+    class FakeModel:
+        def encode(self, texts):
+            import numpy as np
+
+            return np.stack(
+                [np.full(3, float(len(t)), dtype="float32") for t in texts]
+            )
+
+    enc = TransformerEncoder("fake", dim=3, model_loader=lambda name: FakeModel())
+    df = spark.createDataFrame([("xyz",)], "text string")
+    assert enc.encode(df).collect()[0]["vec"] == [3.0, 3.0, 3.0]
+    # registry returns the real-loader form for the reference's model names
+    for name in ("sentence_transformer", "bert"):
+        assert isinstance(get_encoder(name, dim=8), TransformerEncoder)
+
+
+def test_transformer_default_loader_gated_without_libs(spark):
+    pytest.importorskip  # noqa: B018 — availability branch below
+    try:
+        import sentence_transformers  # noqa: F401
+
+        pytest.skip("model libs present; gating path not applicable")
+    except ImportError:
+        pass
+    try:
+        import torch  # noqa: F401
+        import transformers  # noqa: F401
+
+        pytest.skip("model libs present; gating path not applicable")
+    except ImportError:
+        pass
+    from semantic_vector_search_system_spark.operators.encode import get_encoder
+
+    enc = get_encoder("sentence_transformer", dim=8)
+    df = spark.createDataFrame([("hello",)], "text string")
+    with pytest.raises(Exception, match="sentence_transformers|transformers"):
+        enc.encode(df).collect()
