@@ -188,3 +188,59 @@ def test_aqe_splits_skewed_join(spark):
     finally:
         for k, v in old.items():
             spark.conf.set(k, v)
+
+
+def test_force_optimize_skewed_join_with_same_key_agg(spark):
+    """The skew + same-key-aggregation case the previous test's NOTE
+    documents: plain AQE declines to split the skewed partition because the
+    join output's hash distribution feeds the downstream groupBy on the same
+    key. ``forceOptimizeSkewedJoin=true`` overrides that — the hot key is
+    split and the groupBy pays one extra re-shuffle — with identical
+    results. The right knob at 100 TB whenever one straggler task costs more
+    than re-shuffling the join output."""
+    import pyspark.sql.functions as F
+
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "100KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "100KB",
+        "spark.sql.adaptive.coalescePartitions.minPartitionSize": "16KB",
+    }
+    old = {}
+    for k, v in confs.items():
+        old[k] = spark.conf.get(k)
+        spark.conf.set(k, v)
+
+    def run():
+        left = spark.range(0, 120_000).select(
+            F.when(F.col("id") < 100_000, 1).otherwise(F.col("id") % 50).alias("key"),
+            F.md5(F.col("id").cast("string")).alias("val"),
+        )
+        right = spark.range(0, 50).select(
+            F.col("id").alias("key"), (F.col("id") * 2).alias("rval")
+        )
+        # min(val) keeps the md5 payload alive through the shuffle — without
+        # it column pruning shrinks the hot partition below the skew threshold
+        agg = (
+            left.join(right, "key")
+            .groupBy("key")
+            .agg(F.count("*").alias("n"), F.min("val").alias("v"))
+        )
+        rows = {r.key: (r.n, r.v) for r in agg.collect()}
+        plan = agg._jdf.queryExecution().executedPlan().toString()
+        return rows, plan
+
+    try:
+        plain_rows, plain_plan = run()
+        assert "skew=true" not in plain_plan  # declined: distribution reused
+        spark.conf.set("spark.sql.adaptive.forceOptimizeSkewedJoin", "true")
+        old["spark.sql.adaptive.forceOptimizeSkewedJoin"] = "false"
+        forced_rows, forced_plan = run()
+        assert "skew=true" in forced_plan, forced_plan[:3000]
+        assert forced_rows == plain_rows  # split changes scheduling, not results
+        # 100k hot rows + 400 tail rows (ids >= 100k with id % 50 == 1)
+        assert forced_rows[1][0] == 100_400
+    finally:
+        for k, v in old.items():
+            spark.conf.set(k, v)
