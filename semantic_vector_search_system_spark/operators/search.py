@@ -28,12 +28,17 @@ tie-unspecified; we pin it — FIXTURES.md golden expectation #3).
 
 from __future__ import annotations
 
+from pathlib import Path
 from typing import Iterator
 
-from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.vectors import cosine_similarity, dot_product
+
+#: The Scala bounded-heap top-k Aggregator (source: jvm/src/TopKAggregator.scala,
+#: rebuild with scripts/build_topk_jar.sh).
+TOPK_JAR = Path(__file__).resolve().parents[2] / "jvm" / "sivbp-topk.jar"
 
 
 def _rank_topk(scored: DataFrame, k: int, qid_col: str, id_col: str) -> DataFrame:
@@ -41,6 +46,88 @@ def _rank_topk(scored: DataFrame, k: int, qid_col: str, id_col: str) -> DataFram
     return (
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
+    )
+
+
+def register_topk_heap(
+    spark: SparkSession, k: int, id_kind: str = "string", name: str | None = None
+) -> str:
+    """Register the JVM bounded-heap top-k UDAF and return its SQL name.
+
+    Tries direct py4j access first (jar already on the driver classpath); falls
+    back to ``ADD JAR`` + reflective invocation through the session's jar
+    classloader, which works on a SparkSession launched without any knowledge
+    of this package. ``id_kind`` selects the tie-break comparison for the doc
+    id argument: ``'string'`` (lexicographic) or ``'long'`` (numeric) —
+    matching ``_rank_topk``'s ``F.asc(id_col)`` on the native column type.
+    """
+    if id_kind not in ("string", "long"):
+        raise ValueError(f"id_kind must be 'string' or 'long', got {id_kind!r}")
+    method = "register" if id_kind == "string" else "registerLong"
+    name = name or f"sivbp_topk_heap_{id_kind}_{k}"
+    try:
+        getattr(spark._jvm.sivbp.spark.topk.TopK, method)(
+            spark._jsparkSession, name, k
+        )
+        return name
+    except Exception:
+        pass  # class not on the driver classpath — ship the jar at runtime
+    if not TOPK_JAR.exists():
+        raise RuntimeError(
+            f"{TOPK_JAR} missing — run scripts/build_topk_jar.sh first"
+        )
+    spark.sql(f"ADD JAR '{TOPK_JAR}'")
+    jvm = spark._jvm
+    gw = spark.sparkContext._gateway
+    cls = spark._jsparkSession.sharedState().jarClassLoader().loadClass(
+        "sivbp.spark.topk.TopK$"
+    )
+    module = cls.getField("MODULE$").get(None)
+    ptypes = gw.new_array(jvm.java.lang.Class, 3)
+    ptypes[0] = jvm.java.lang.Class.forName("org.apache.spark.sql.SparkSession")
+    ptypes[1] = jvm.java.lang.Class.forName("java.lang.String")
+    ptypes[2] = jvm.java.lang.Integer.TYPE
+    m = cls.getMethod(method, ptypes)
+    pargs = gw.new_array(jvm.java.lang.Object, 3)
+    pargs[0] = spark._jsparkSession
+    pargs[1] = name
+    pargs[2] = jvm.java.lang.Integer(k)
+    m.invoke(module, pargs)
+    return name
+
+
+def topk_heap_available(spark: SparkSession) -> bool:
+    """True when the JVM bounded-heap aggregator can be registered."""
+    try:
+        register_topk_heap(spark, 1, name="sivbp_topk_heap_probe")
+        return True
+    except Exception:
+        return False
+
+
+def rank_topk_heap(
+    scored: DataFrame, k: int, qid_col: str = "qid", id_col: str = "docid"
+) -> DataFrame:
+    """ObjectHashAggregate bounded-heap alternative to the window ranker.
+
+    Same output as :func:`_rank_topk` (``qid, id, rank, score`` semantics) but
+    physically a two-phase aggregate: per-partition partial top-k heaps before
+    the exchange, so only ``k`` rows per (partition, group) cross the shuffle
+    instead of every candidate row sorting inside the window operator. The
+    win grows with candidate-rows-per-group — at 100 TB the window ranker
+    shuffles the whole scored relation; this shuffles ``O(groups * k)``.
+    """
+    id_type = dict(scored.dtypes)[id_col]
+    id_kind = "long" if id_type in ("bigint", "int", "smallint", "tinyint") else "string"
+    fn = register_topk_heap(scored.sparkSession, k, id_kind=id_kind)
+    hits = scored.groupBy(qid_col).agg(
+        F.expr(f"{fn}(score, `{id_col}`)").alias("hits")
+    )
+    return hits.select(qid_col, F.posexplode("hits").alias("pos", "hit")).select(
+        qid_col,
+        F.col("hit.docid").cast(id_type).alias(id_col),
+        (F.col("pos") + 1).cast("int").alias("rank"),
+        F.col("hit.score").alias("score"),
     )
 
 
@@ -107,6 +194,7 @@ def topk_bruteforce(
     vec_col: str = "vec",
     predicate: Column | None = None,
     precollected: tuple | None = None,
+    ranker: str = "window",
 ) -> DataFrame:
     """BLAS-speed exact top-k: one matmul per Arrow batch + partial top-k.
 
@@ -117,7 +205,9 @@ def topk_bruteforce(
        (or reuse ``precollected`` from :func:`collect_query_matrix`)
     2. scan docs; per Arrow batch: ``S = D @ Q.T`` (float64), per-query
        partial top-k via ``np.argpartition``
-    3. global window merge of the ``n_partitions * n_q * k`` survivors.
+    3. global merge of the ``n_partitions * n_q * k`` survivors —
+       ``ranker='window'`` (row_number) or ``ranker='heap'`` (the JVM
+       bounded-heap Aggregator, :func:`rank_topk_heap`).
     """
     import numpy as np
     import pandas as pd
@@ -175,4 +265,5 @@ def topk_bruteforce(
             )
 
     partial = doc_side.select(id_col, vec_col).mapInPandas(score_batches, schema=out_schema)
-    return _rank_topk(partial, k, qid_col, id_col).select(qid_col, id_col, "rank", "score")
+    rank = rank_topk_heap if ranker == "heap" else _rank_topk
+    return rank(partial, k, qid_col, id_col).select(qid_col, id_col, "rank", "score")

@@ -491,14 +491,21 @@ def _knn_sql(max_qid: int, k: int, label_filter: int | None = None) -> str:
     """
 
 
-def _knn(spark: SparkSession, sf_dir: str, max_qid: int, k: int, label_filter: int | None):
+def _knn(
+    spark: SparkSession,
+    sf_dir: str,
+    max_qid: int,
+    k: int,
+    label_filter: int | None,
+    ranker: str = "window",
+):
     emb = T(spark, sf_dir, "embeddings")
     q = emb.filter(F.col("vec_id") < max_qid).select(
         F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
     )
     d = emb.select(F.col("vec_id").alias("docid"), F.col("embedding").alias("vec"), "label")
     pred = (F.col("label") == label_filter) if label_filter is not None else None
-    top = topk_bruteforce(q, d, k=k, metric="cosine", predicate=pred)
+    top = topk_bruteforce(q, d, k=k, metric="cosine", predicate=pred, ranker=ranker)
     return top.withColumn("score", F.round("score", 4))
 
 
@@ -508,6 +515,16 @@ def knn_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     `auto_run_tests.py:119-145`): BLAS matmul per Arrow batch + partial
     top-k + window merge."""
     return _knn(spark, sf_dir, max_qid=10, k=5, label_filter=None)
+
+
+@_q("knn_topk_heap", _knn_sql(10, 5), bench=True, tags=("vector-search", "J1", "W1", "udaf"))
+def knn_topk_heap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same logical query as ``knn_topk`` but the global merge runs through
+    the JVM bounded-heap Aggregator (jvm/src/TopKAggregator.scala) instead of
+    a window: partial per-partition heaps before the exchange, so only k rows
+    per (partition, qid) shuffle. Identical oracle — results must match the
+    window ranker bit-for-bit."""
+    return _knn(spark, sf_dir, max_qid=10, k=5, label_filter=None, ranker="heap")
 
 
 @_q("knn_hybrid_filtered", _knn_sql(10, 5, label_filter=3), tags=("vector-search", "P3", "hybrid"))

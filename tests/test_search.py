@@ -134,3 +134,95 @@ def test_cosine_self_join_empty_relation(spark):
 
     emb = spark.createDataFrame([], "vec_id long, embedding array<float>")
     assert cosine_self_join(emb, threshold=0.5).count() == 0
+
+
+# ---------------------------------------------------------------------------
+# JVM bounded-heap top-k Aggregator (jvm/src/TopKAggregator.scala)
+# ---------------------------------------------------------------------------
+
+
+def _heap_spark(spark):
+    from semantic_vector_search_system_spark.operators.search import (
+        topk_heap_available,
+    )
+
+    if not topk_heap_available(spark):
+        pytest.skip("sivbp-topk.jar not available in this session")
+    return spark
+
+
+def test_heap_ranker_matches_window_string_ids(spark):
+    from semantic_vector_search_system_spark.operators.search import (
+        _rank_topk,
+        rank_topk_heap,
+    )
+
+    _heap_spark(spark)
+    scored = spark.range(0, 5000).select(
+        (F.col("id") % 13).alias("qid"),
+        (F.pmod(F.hash(F.col("id").cast("string")), F.lit(997)) / 10.0).alias("score"),
+        F.concat(F.lit("d"), F.col("id")).alias("docid"),
+    )
+    want = sorted(
+        (r["qid"], r["rank"], r["docid"], round(r["score"], 9))
+        for r in _rank_topk(scored, 7, "qid", "docid").collect()
+    )
+    got = sorted(
+        (r["qid"], r["rank"], r["docid"], round(r["score"], 9))
+        for r in rank_topk_heap(scored, 7, "qid", "docid").collect()
+    )
+    assert got == want
+
+
+def test_heap_ranker_matches_window_long_ids_with_score_ties(spark):
+    """Numeric tie-break: scores collide (id % 5) so ordering must fall back
+    to NUMERIC docid asc — a lexicographic compare would rank 10 before 9."""
+    from semantic_vector_search_system_spark.operators.search import (
+        _rank_topk,
+        rank_topk_heap,
+    )
+
+    _heap_spark(spark)
+    scored = spark.range(0, 300).select(
+        (F.col("id") % 3).alias("qid"),
+        (F.col("id") % 5).cast("double").alias("score"),
+        F.col("id").alias("docid"),
+    )
+    want = sorted(
+        (r["qid"], r["rank"], r["docid"]) for r in _rank_topk(scored, 9, "qid", "docid").collect()
+    )
+    got = sorted(
+        (r["qid"], r["rank"], r["docid"])
+        for r in rank_topk_heap(scored, 9, "qid", "docid").collect()
+    )
+    assert got == want
+    assert dict(rank_topk_heap(scored, 9, "qid", "docid").dtypes)["docid"] == "bigint"
+
+
+def test_heap_ranker_partial_aggregate_before_shuffle(spark):
+    """The point of the Aggregator: plan shows a partial ObjectHashAggregate
+    on the map side, so only k rows per (partition, group) cross the
+    exchange — the window ranker shuffles every candidate row."""
+    from semantic_vector_search_system_spark.operators.search import rank_topk_heap
+
+    _heap_spark(spark)
+    scored = spark.range(0, 1000).select(
+        (F.col("id") % 7).alias("qid"),
+        F.col("id").cast("double").alias("score"),
+        F.col("id").alias("docid"),
+    )
+    out = rank_topk_heap(scored, 5, "qid", "docid")
+    out.collect()
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "partial_sivbp_topk_heap" in plan, plan[:3000]
+    assert plan.index("partial_sivbp_topk_heap") > plan.index("Exchange")
+
+
+def test_topk_bruteforce_heap_ranker_agrees(spark, fixture_vecs):
+    _heap_spark(spark)
+    qvec, dvec = fixture_vecs
+    a = topk_bruteforce(qvec, dvec, k=4)
+    b = topk_bruteforce(qvec, dvec, k=4, ranker="heap")
+    ra = sorted((r["qid"], r["docid"], r["rank"], round(r["score"], 9)) for r in a.collect())
+    rb = sorted((r["qid"], r["docid"], r["rank"], round(r["score"], 9)) for r in b.collect())
+    assert ra == rb
