@@ -113,9 +113,15 @@ def rank_topk_heap(
     Same output as :func:`_rank_topk` (``qid, id, rank, score`` semantics) but
     physically a two-phase aggregate: per-partition partial top-k heaps before
     the exchange, so only ``k`` rows per (partition, group) cross the shuffle
-    instead of every candidate row sorting inside the window operator. The
-    win grows with candidate-rows-per-group — at 100 TB the window ranker
-    shuffles the whole scored relation; this shuffles ``O(groups * k)``.
+    instead of every candidate row sorting inside the window operator.
+
+    Trade-off (measured, BENCH_NOTES.md): the typed Aggregator deserializes
+    every input row to a case class, so its per-row CPU cost is ~3x the
+    codegen'd window sort's — on in-memory shuffle (one machine) the window
+    ranker wins despite shuffling everything. Choose ``heap`` only when
+    shuffle volume is the bottleneck (network-bound cluster, groups that
+    spill); the better fix is usually a partial top-k (mapInPandas
+    argpartition, as in :func:`topk_bruteforce`) ahead of either ranker.
     """
     id_type = dict(scored.dtypes)[id_col]
     id_kind = "long" if id_type in ("bigint", "int", "smallint", "tinyint") else "string"
