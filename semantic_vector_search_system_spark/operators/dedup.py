@@ -189,6 +189,96 @@ def lsh_candidate_pairs(
     )
 
 
+def connected_components(
+    pairs: DataFrame,
+    src_col: str = "id_a",
+    dst_col: str = "id_b",
+    max_iterations: int = 25,
+) -> DataFrame:
+    """Connected components of an undirected pair graph (the step that turns
+    near-dup *pairs* into dedup *clusters*): min-label propagation with
+    pointer jumping. Returns ``(node, component)`` where ``component`` is the
+    smallest node id in the component — deterministic under any partitioning.
+
+    Mirrors the reference's implicit "a pair means the docs are duplicates"
+    semantics (it never clusters because it only ever evaluates pairwise);
+    clustering is what a keep-one-copy training pipeline actually needs.
+
+    Scale shape: each round is (a) one equi-join of the edge list with the
+    current labels + a min-aggregation keyed by node, then (b) one self-join
+    that replaces every label by its label's label (pointer jumping). (a)
+    alone converges in graph-diameter rounds; (b) collapses chains
+    exponentially, so rounds ~ O(log diameter) — near-dup components are
+    almost always tiny (dup clusters), so 3-4 rounds in practice. Lineage is
+    truncated per round with ``localCheckpoint`` (on a cluster, prefer a
+    reliable checkpoint dir); the edge list is cached once and reused.
+    Early-exits via one tiny limit(1) probe per round.
+    """
+    edges = (
+        pairs.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+        .union(pairs.select(F.col(dst_col).alias("src"), F.col(src_col).alias("dst")))
+        .distinct()
+        .cache()
+    )
+    labels = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("comp", F.col("node"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iterations):
+        # (a) propagate: comp(n) <- min(comp(n), min over neighbours m comp(m))
+        neigh = (
+            edges.join(labels.withColumnRenamed("node", "src"), "src")
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.min("comp").alias("ncomp"))
+        )
+        prop = labels.join(neigh, "node", "left").select(
+            "node", F.least("comp", F.coalesce("ncomp", "comp")).alias("comp")
+        )
+        # (b) pointer jump: comp(n) <- comp(comp(n)) (labels only decrease,
+        # and every label is itself a node id, so the lookup always hits)
+        mapping = prop.select(F.col("node").alias("m_node"), F.col("comp").alias("m_comp"))
+        jumped = (
+            prop.join(mapping, prop["comp"] == mapping["m_node"], "left")
+            .select("node", F.coalesce("m_comp", "comp").alias("comp"))
+            .localCheckpoint()
+        )
+        changed = (
+            jumped.join(labels.withColumnRenamed("comp", "old"), "node")
+            .filter(F.col("comp") != F.col("old"))
+            .limit(1)
+            .count()
+        )
+        labels = jumped
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels.select("node", F.col("comp").alias("component"))
+
+
+def neardup_clusters(
+    pairs: DataFrame,
+    src_col: str = "id_a",
+    dst_col: str = "id_b",
+) -> DataFrame:
+    """Cluster near-duplicate candidate pairs and pick a canonical doc per
+    cluster. Returns ``(doc_id, cluster_id, n_members, is_canonical)`` —
+    ``cluster_id`` = min doc id in the component, ``is_canonical`` marks the
+    one row per cluster a keep-one-copy dedup retains."""
+    comp = connected_components(pairs, src_col=src_col, dst_col=dst_col)
+    sizes = comp.groupBy("component").agg(F.count("*").alias("n_members"))
+    return (
+        comp.join(F.broadcast(sizes), "component")
+        .select(
+            F.col("node").alias("doc_id"),
+            F.col("component").alias("cluster_id"),
+            "n_members",
+            (F.col("node") == F.col("component")).alias("is_canonical"),
+        )
+    )
+
+
 def incremental_new_docs(
     new_docs: DataFrame,
     index: DataFrame,
