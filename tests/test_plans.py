@@ -244,3 +244,35 @@ def test_force_optimize_skewed_join_with_same_key_agg(spark):
     finally:
         for k, v in old.items():
             spark.conf.set(k, v)
+
+
+def test_driver_window_covers_every_operator_family():
+    """The driver's correctness gate checks only the first 50 queries().
+    Every demoted (tail) query must be a redundant variant of an in-window
+    one, and every flagship must sit inside the window."""
+    from semantic_vector_search_system_spark.plans.catalog import (
+        CATALOG,
+        DEMOTED,
+        catalog_queries,
+        catalog_oracles,
+    )
+
+    names = list(catalog_queries())
+    assert len(names) == len(CATALOG)
+    assert set(names) == set(CATALOG)
+    window = set(names[:50])
+    # every non-demoted query is inside the driver's window
+    assert window == set(CATALOG) - set(DEMOTED)
+    flagships = {
+        "training_corpus_selection", "hybrid_rrf_fusion", "dataset_splits",
+        "gopher_quality_report", "pii_scan_report", "decontamination",
+        "media_features", "stream_dedup_events", "view_purchase_funnel",
+        "stream_view_purchase_join", "sketch_stats", "tfidf_self_retrieval",
+        "embedding_neardup_pairs", "knn_topk", "minhash_signatures",
+        "lsh_candidate_pairs", "ann_ivf_topk", "quantized_topk_rerank",
+        "self_retrieval_e2e", "asof_latest_order",
+    }
+    assert flagships <= window
+    # oracle ordering mirrors query ordering
+    onames = [n for n in names if n in catalog_oracles()]
+    assert list(catalog_oracles()) == onames
