@@ -31,17 +31,27 @@ def cosine_self_join(
     vec_col: str = "embedding",
     threshold: float = 0.45,
     round_to: int = 4,
+    max_broadcast_rows: int = 2_000_000,
 ) -> DataFrame:
     """All-pairs ``(id_a, id_b, cosine)`` with id_a < id_b, cosine >= threshold.
 
-    The full relation is broadcast as a numpy matrix (fine up to ~1M x dim
-    floats ≈ GBs); each Arrow batch of rows scores against it with one
-    matmul. For corpora beyond broadcast size, run per-block over an LSH
-    bucket join (:func:`lsh_bucket_candidates`) instead of all-pairs.
+    EXPLICITLY-BOUNDED relations only: the full relation is collected and
+    broadcast as a numpy matrix (fine up to ~1M x dim floats ≈ GBs); each
+    Arrow batch of rows scores against it with one matmul.  Guarded by
+    ``max_broadcast_rows`` — beyond it this raises rather than OOM-ing the
+    driver.  The scale default is :func:`cosine_neardup_bucketed` (banded
+    sign-LSH candidates → exact verify, no driver collect).
     """
     import numpy as np
     import pandas as pd
 
+    n = emb.count()
+    if n > max_broadcast_rows:
+        raise ValueError(
+            f"cosine_self_join is the bounded-relation kernel: {n} rows exceeds "
+            f"max_broadcast_rows={max_broadcast_rows}; use cosine_neardup_bucketed "
+            "(LSH candidates + exact verify, fully distributed) instead"
+        )
     rows = emb.select(id_col, vec_col).collect()
     if not rows:
         id_t = dict(emb.dtypes)[id_col]
@@ -192,6 +202,104 @@ def ivf_topk(
         .select(qid_col, id_col, "rank", "score")
         # a doc can enter via multiple probed lists only if it tied across
         # centroids (impossible with nprobe=1 doc assignment) — no dedup path
+    )
+
+
+def lsh_plane(seed_key: str, dim: int) -> list[float]:
+    """Deterministic hyperplane: component j is a pseudo-random double in
+    [-0.5, 0.5) derived from stable_hash64(seed_key:j) — identical in Spark,
+    DuckDB-generated SQL and Python, so sign-LSH buckets are engine-portable.
+    """
+    from ..functions.hashing import stable_hash64_py
+
+    denom = float(1 << 60)
+    return [stable_hash64_py(f"{seed_key}:{j}") / denom - 0.5 for j in range(dim)]
+
+
+def banded_sign_buckets(
+    emb: DataFrame,
+    id_col: str,
+    vec_col: str,
+    dim: int,
+    planes_per_table: int = 4,
+    num_tables: int = 8,
+    seed: int = 7,
+) -> DataFrame:
+    """``(id, tbl, bucket)`` — one sign-LSH bucket per (row, hash table).
+
+    Banding for recall, exactly like MinHash-LSH: a pair is a candidate if
+    its full ``planes_per_table``-bit signature matches in ANY of the
+    ``num_tables`` independent tables. At cosine 0.9 (true near-dups) the
+    default 8x4 config catches ~99.8% of pairs; at cosine 0.45 ~79%.
+    All buckets are computed in ONE narrow projection (array of structs +
+    explode) — a single pass over the data, no per-table jobs.
+    """
+    entries = []
+    for t in range(num_tables):
+        bucket = None
+        for p in range(planes_per_table):
+            plane = lsh_plane(f"{seed}:{t}:{p}", dim)
+            arr = F.array(*[F.lit(float(x)) for x in plane])
+            bit = F.when(dot_product(F.col(vec_col), arr) > 0, F.lit(1 << p)).otherwise(
+                F.lit(0)
+            )
+            bucket = bit if bucket is None else bucket + bit
+        entries.append(
+            F.struct(F.lit(t).alias("tbl"), bucket.cast("long").alias("bucket"))
+        )
+    return emb.select(F.col(id_col), F.explode(F.array(*entries)).alias("tb")).select(
+        id_col, F.col("tb.tbl").alias("tbl"), F.col("tb.bucket").alias("bucket")
+    )
+
+
+def cosine_neardup_bucketed(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.45,
+    round_to: int = 4,
+    planes_per_table: int = 4,
+    num_tables: int = 8,
+    seed: int = 7,
+    dim: int | None = None,
+) -> DataFrame:
+    """Scale-default embedding near-dup: banded sign-LSH candidate pairs →
+    exact cosine verification on the candidates only.
+
+    ``(id_a, id_b, cosine)`` with id_a < id_b, cosine >= threshold, cosine
+    rounded to ``round_to``.  Fully distributed: the candidate step is an
+    equi-join on (tbl, bucket) — O(n · num_tables) shuffle — and the verify
+    step joins vectors back by id; no driver collect anywhere, unlike the
+    bounded-relation :func:`cosine_self_join` kernel.  Approximate by
+    design: recall is the banding probability (see
+    :func:`banded_sign_buckets`), precision is exact (every emitted pair is
+    verified).  Reference parity: dedup_embeddings threshold semantics
+    (reference embeddings/search.py brute-force loop), re-expressed as the
+    LSH plan that survives 100 TB.
+    """
+    if dim is None:
+        dim = len(emb.select(vec_col).first()[0])
+    tb = banded_sign_buckets(
+        emb, id_col, vec_col, dim, planes_per_table, num_tables, seed
+    )
+    a = tb.select(F.col(id_col).alias("id_a"), "tbl", "bucket")
+    b = tb.select(F.col(id_col).alias("id_b"), "tbl", "bucket")
+    cand = (
+        a.join(b, ["tbl", "bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    from ..functions.vectors import cosine_similarity
+
+    ea = emb.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va"))
+    eb = emb.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb"))
+    return (
+        cand.join(ea, "id_a")
+        .join(eb, "id_b")
+        .withColumn("_cos", cosine_similarity("_va", "_vb"))
+        .filter(F.col("_cos") >= threshold)
+        .select("id_a", "id_b", F.round("_cos", round_to).alias("cosine"))
     )
 
 

@@ -104,6 +104,33 @@ def test_lsh_bucket_candidates_find_near_dup(spark):
     assert (1, 2) in pairs
 
 
+def test_cosine_neardup_bucketed_precision_and_recall(spark):
+    """Every emitted pair must appear in the exact all-pairs result with the
+    same rounded cosine (precision exact); true near-dups (cos>=0.99) must
+    be recovered (banding recall ~1 at that similarity)."""
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    exact = {(r["id_a"], r["id_b"]): r["cosine"] for r in
+             sim.cosine_self_join(emb, threshold=0.45).collect()}
+    lsh = {(r["id_a"], r["id_b"]): r["cosine"] for r in
+           sim.cosine_neardup_bucketed(emb, threshold=0.45, dim=64).collect()}
+    assert set(lsh) <= set(exact)
+    for pair, cos in lsh.items():
+        assert abs(cos - exact[pair]) < 1e-9
+    high = {p for p, c in exact.items() if c >= 0.99}
+    assert high <= set(lsh)
+
+
+def test_cosine_self_join_guard_raises_beyond_broadcast_bound(spark):
+    emb = spark.createDataFrame(
+        [(i, [float(i), 1.0]) for i in range(10)],
+        "vec_id bigint, embedding array<float>",
+    )
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="cosine_neardup_bucketed"):
+        sim.cosine_self_join(emb, max_broadcast_rows=5)
+
+
 def test_ivf_topk_recall_vs_bruteforce(spark):
     """IVF with nprobe=2/8 centroids should recover most of the exact top-5."""
     import pyspark.sql.functions as F
