@@ -206,6 +206,111 @@ class TfIdfEncoder:
         return enc
 
 
+def pinned_vocabulary(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id", dim: int = 256
+) -> DataFrame:
+    """``(tok, idf)`` — deterministic top-``dim`` vocabulary by
+    (document-frequency DESC, term ASC).
+
+    Reference parity: sklearn ``TfidfVectorizer(max_features=dim)`` selects
+    the top terms by corpus frequency (`embeddings/encoder.py:78-89`);
+    Spark ML's CountVectorizer breaks frequency ties in engine-internal
+    order, which is why the Spark-ML path can never be oracle-checked.  This
+    pinned selection is a ``TakeOrderedAndProject`` (orderBy + limit — a
+    distributed partial top-k, no global-sort window), so it scales.
+
+    idf is the rational form ``(1 + N) / (1 + df)`` — strictly
+    monotone-decreasing in df like the sklearn log idf, but free of
+    transcendentals (the cross-engine determinism rules ban ln/exp/pow;
+    division is IEEE-exact in every engine).
+    """
+    dtok = docs.select(
+        F.col(id_col), F.explode(F.split(F.col(text_col), r"\s+")).alias("tok")
+    )
+    dfreq = dtok.distinct().groupBy("tok").agg(F.count("*").alias("df"))
+    n1 = docs.select((F.count("*") + F.lit(1)).cast("double").alias("_n1"))
+    return (
+        dfreq.orderBy(F.desc("df"), F.asc("tok"))
+        .limit(dim)
+        .crossJoin(F.broadcast(n1))
+        .select(
+            "tok",
+            (F.col("_n1") / (F.lit(1.0) + F.col("df").cast("double"))).alias("idf"),
+        )
+    )
+
+
+def tfidf_weight_rows(
+    df_in: DataFrame, vocab: DataFrame, text_col: str, id_col: str
+) -> DataFrame:
+    """Sparse TF-IDF rows ``(id, tok, w)`` with ``w = tf * idf`` for vocabulary
+    terms only — the broadcast-joined sparse representation (never a dense
+    dim-wide array), so weighting N docs is a narrow map + one small
+    broadcast, no shuffle beyond the per-(id, tok) count."""
+    tok = df_in.select(
+        F.col(id_col), F.explode(F.split(F.col(text_col), r"\s+")).alias("tok")
+    )
+    tf = tok.groupBy(id_col, "tok").agg(F.count("*").cast("double").alias("c"))
+    return tf.join(F.broadcast(vocab), "tok").select(
+        id_col, "tok", (F.col("c") * F.col("idf")).alias("w")
+    )
+
+
+def _exact_sum_sq(col: str) -> Column:
+    # DECIMAL summation is exact and order-insensitive (the catalog's
+    # cross-engine determinism rule) — double summation order differs
+    # between engines and would break the value hash.
+    return (
+        F.sum((F.col(col) * F.col(col)).cast("decimal(38,12)"))
+        .cast("double")
+    )
+
+
+def pinned_tfidf_topk(
+    docs: DataFrame,
+    queries: DataFrame,
+    vocab: DataFrame,
+    k: int = 5,
+    doc_text: str = "text",
+    doc_id: str = "doc_id",
+    q_text: str = "text",
+    q_id: str = "qid",
+) -> DataFrame:
+    """Exact cosine top-k retrieval under a pinned TF-IDF vocabulary:
+    ``(qid, docid, rank, score)``.
+
+    Fully sparse plan: weights are (id, tok, w) rows, the query-document
+    dot product is an equi-join on tok (only vocabulary terms survive, so
+    candidates are pairs sharing >= 1 vocab term — identical row sets in
+    any engine), and dots/norms are exact DECIMAL sums so the value hash is
+    engine-portable. One shuffle keyed by tok, one by (qid, docid)."""
+    from pyspark.sql import Window
+
+    dw = tfidf_weight_rows(docs, vocab, doc_text, doc_id).withColumnRenamed(
+        doc_id, "docid"
+    )
+    qw = tfidf_weight_rows(queries, vocab, q_text, q_id)
+    dnorm = dw.groupBy("docid").agg(F.sqrt(_exact_sum_sq("w")).alias("_dn"))
+    qnorm = qw.groupBy(q_id).agg(F.sqrt(_exact_sum_sq("w")).alias("_qn"))
+    dots = (
+        qw.select(q_id, "tok", F.col("w").alias("_wq"))
+        .join(dw.select("docid", "tok", F.col("w").alias("_wd")), "tok")
+        .groupBy(q_id, "docid")
+        .agg(F.sum((F.col("_wq") * F.col("_wd")).cast("decimal(38,12)")).cast("double").alias("_dot"))
+    )
+    scored = (
+        dots.join(qnorm, q_id)
+        .join(dnorm, "docid")
+        .withColumn("score", F.col("_dot") / (F.col("_qn") * F.col("_dn")))
+    )
+    w = Window.partitionBy(q_id).orderBy(F.desc("score"), F.asc("docid"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(q_id, "docid", "rank", F.round("score", 4).alias("score"))
+    )
+
+
 def transformer_encode_udf(
     model_name: str,
     dim: int,

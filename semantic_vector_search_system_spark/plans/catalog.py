@@ -1379,26 +1379,58 @@ def stream_user_totals_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @_q(
     "tfidf_self_retrieval",
-    None,  # Spark-ML pipeline (CountVectorizer vocab tie order is
-           # engine-internal) — no SQL oracle; driver records rows-only
+    """
+    WITH dtok AS (SELECT doc_id, unnest(regexp_split_to_array(text, '\\s+')) AS tok FROM documents),
+    dfreq AS (SELECT tok, COUNT(*) AS df
+              FROM (SELECT DISTINCT doc_id, tok FROM dtok) u GROUP BY tok),
+    n AS (SELECT CAST(COUNT(*) + 1 AS DOUBLE) AS n1 FROM documents),
+    vocab AS (SELECT tok, n1 / (1.0 + CAST(df AS DOUBLE)) AS idf
+              FROM dfreq, n ORDER BY df DESC, tok ASC LIMIT 256),
+    dtf AS (SELECT doc_id, tok, CAST(COUNT(*) AS DOUBLE) AS c FROM dtok GROUP BY doc_id, tok),
+    dw AS (SELECT doc_id AS docid, dtf.tok, c * idf AS w
+           FROM dtf JOIN vocab ON dtf.tok = vocab.tok),
+    dnorm AS (SELECT docid, sqrt(CAST(SUM(CAST(w*w AS DECIMAL(38,12))) AS DOUBLE)) AS dn
+              FROM dw GROUP BY docid),
+    q AS (SELECT doc_id AS qid, substr(text, 1, 200) AS qtext FROM documents WHERE doc_id < 10),
+    qtok AS (SELECT qid, unnest(regexp_split_to_array(qtext, '\\s+')) AS tok FROM q),
+    qtf AS (SELECT qid, tok, CAST(COUNT(*) AS DOUBLE) AS c FROM qtok GROUP BY qid, tok),
+    qw AS (SELECT qid, qtf.tok, c * idf AS w
+           FROM qtf JOIN vocab ON qtf.tok = vocab.tok),
+    qnorm AS (SELECT qid, sqrt(CAST(SUM(CAST(w*w AS DECIMAL(38,12))) AS DOUBLE)) AS qn
+              FROM qw GROUP BY qid),
+    dots AS (SELECT qw.qid, dw.docid,
+                    CAST(SUM(CAST(qw.w * dw.w AS DECIMAL(38,12))) AS DOUBLE) AS dot
+             FROM qw JOIN dw ON qw.tok = dw.tok GROUP BY qw.qid, dw.docid),
+    scored AS (SELECT d.qid, d.docid, d.dot / (qn.qn * dn.dn) AS score
+               FROM dots d
+               JOIN qnorm qn ON d.qid = qn.qid
+               JOIN dnorm dn ON d.docid = dn.docid),
+    ranked AS (SELECT qid, docid, score,
+                 CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY score DESC, docid) AS INTEGER) AS rank
+               FROM scored)
+    SELECT qid, docid, rank, ROUND(score, 4) AS score FROM ranked WHERE rank <= 5
+    """,
     tags=("encode", "tfidf", "§2.8"),
 )
 def tfidf_self_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The TF-IDF encoder path end-to-end (reference DummyEncoder TF-IDF
-    mode): fit on documents, transform docs + snippet queries under the SAME
-    fitted vocabulary (resolving the reference's fit-on-first-call trap),
-    exact top-5 self-retrieval."""
+    mode, `embeddings/encoder.py:78-89`): fit a PINNED vocabulary on
+    documents — top-256 terms by (document frequency desc, term asc), the
+    sklearn TfidfVectorizer(max_features) selection order — then retrieve
+    snippet queries under that same vocabulary, exact cosine top-5.  The
+    deterministic vocabulary (unlike CountVectorizer's internal tie order)
+    plus exact DECIMAL dot/norm summation makes this fully hash-checkable
+    against the DuckDB oracle.  The Spark-ML TfIdfEncoder remains the E2
+    operator for users who want ML-pipeline persistence (tests + CLI)."""
     from ..functions.text import query_snippet
-    from ..operators.encode import TfIdfEncoder
+    from ..operators.encode import pinned_tfidf_topk, pinned_vocabulary
 
     docs = T(spark, sf_dir, "documents")
-    enc = TfIdfEncoder(dim=256).fit(docs)
-    dvec = enc.encode(docs).select(F.col("doc_id").alias("docid"), "vec")
+    vocab = pinned_vocabulary(docs, dim=256)
     queries = docs.filter(F.col("doc_id") < 10).select(
         F.col("doc_id").alias("qid"), query_snippet("text").alias("text")
     )
-    qvec = enc.encode(queries).select("qid", F.col("vec").alias("qvec"))
-    return topk_bruteforce(qvec, dvec, k=5, metric="dot")
+    return pinned_tfidf_topk(docs, queries, vocab, k=5)
 
 
 def register_views(spark: SparkSession, sf_dir: str) -> None:
