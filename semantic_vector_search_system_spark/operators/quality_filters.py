@@ -74,22 +74,25 @@ def repetition_stats(
             lambda t: F.size(F.filter("__toks", lambda x: x == t)),
         )
     )
+    def _per_token(num: Column) -> Column:
+        # Empty/whitespace-only documents have n == 0: under Spark 4's
+        # default ANSI mode a bare division is a DIVIDE_BY_ZERO job failure,
+        # but garbage input must flag as too_short, not kill the corpus
+        # scan. Ratios default to 0.0 (too_short trips on n_tokens alone).
+        return F.when(n > 0, F.round(num.cast("double") / n, 6)).otherwise(F.lit(0.0))
+
     return d.select(
         id_col,
         *extra_cols,
         n.cast("long").alias("n_tokens"),
         F.round(_dup_fraction(F.col("__toks"), 2), 6).alias("dup_2gram_frac"),
         F.round(_dup_fraction(F.col("__toks"), 3), 6).alias("dup_3gram_frac"),
-        F.round(top_cnt.cast("double") / n, 6).alias("top_token_frac"),
-        F.round(
-            F.aggregate("__toks", F.lit(0).cast("long"), lambda a, t: a + F.length(t)).cast(
-                "double"
-            )
-            / n,
-            6,
+        _per_token(top_cnt).alias("top_token_frac"),
+        _per_token(
+            F.aggregate("__toks", F.lit(0).cast("long"), lambda a, t: a + F.length(t))
         ).alias("mean_token_len"),
-        F.round(
-            F.size(F.filter("__toks", lambda t: t.isin(*STOPWORDS))).cast("double") / n, 6
+        _per_token(
+            F.size(F.filter("__toks", lambda t: t.isin(*STOPWORDS)))
         ).alias("stopword_ratio"),
     )
 

@@ -70,8 +70,18 @@ def register_topk_heap(
             spark._jsparkSession, name, k
         )
         return name
-    except Exception:
-        pass  # class not on the driver classpath — ship the jar at runtime
+    except Exception as exc:
+        # Only a missing class means "jar not on the driver classpath, ship
+        # it at runtime below"; anything else (broken jar, Spark-version
+        # incompatibility) must surface, not degrade into a silent skip.
+        msg = str(exc)
+        if not (
+            isinstance(exc, (TypeError, AttributeError))
+            or "ClassNotFoundException" in msg
+            or "NoClassDefFoundError" in msg
+            or "does not exist in the JVM" in msg
+        ):
+            raise
     if not TOPK_JAR.exists():
         raise RuntimeError(
             f"{TOPK_JAR} missing — run scripts/build_topk_jar.sh first"
@@ -97,11 +107,21 @@ def register_topk_heap(
 
 
 def topk_heap_available(spark: SparkSession) -> bool:
-    """True when the JVM bounded-heap aggregator can be registered."""
+    """True when the JVM bounded-heap aggregator can be registered.
+
+    A failed probe is reported (stderr) with the underlying cause so a
+    broken jar or Spark-version incompatibility is diagnosable rather than
+    surfacing only as silently-skipped tests."""
+    import sys
+
     try:
         register_topk_heap(spark, 1, name="sivbp_topk_heap_probe")
         return True
-    except Exception:
+    except Exception as exc:
+        print(
+            f"topk_heap_available: registration failed: {type(exc).__name__}: {exc}",
+            file=sys.stderr,
+        )
         return False
 
 
@@ -124,7 +144,19 @@ def rank_topk_heap(
     argpartition, as in :func:`topk_bruteforce`) ahead of either ranker.
     """
     id_type = dict(scored.dtypes)[id_col]
-    id_kind = "long" if id_type in ("bigint", "int", "smallint", "tinyint") else "string"
+    if id_type in ("bigint", "int", "smallint", "tinyint"):
+        id_kind = "long"
+    elif id_type == "string":
+        id_kind = "string"
+    else:
+        # A double/decimal/date id would be silently cast into the string
+        # aggregator, where score ties break lexicographically ('10' < '9')
+        # and diverge from _rank_topk's native F.asc ordering.
+        raise TypeError(
+            f"rank_topk_heap supports integral or string id columns; "
+            f"{id_col!r} is {id_type} — cast it explicitly or use the "
+            "window ranker"
+        )
     fn = register_topk_heap(scored.sparkSession, k, id_kind=id_kind)
     hits = scored.groupBy(qid_col).agg(
         F.expr(f"{fn}(score, `{id_col}`)").alias("hits")

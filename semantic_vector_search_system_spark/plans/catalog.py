@@ -2139,10 +2139,10 @@ _SH3 = (
              len(t) AS n_tokens,
              ROUND(1.0 - CAST(len(list_distinct({_SH2})) AS DOUBLE) / len({_SH2}), 6) AS dup_2gram_frac,
              ROUND(1.0 - CAST(len(list_distinct({_SH3})) AS DOUBLE) / len({_SH3}), 6) AS dup_3gram_frac,
-             ROUND(CAST(list_max(list_transform(list_distinct(t),
-                     d -> len(list_filter(t, x -> x = d)))) AS DOUBLE) / len(t), 6) AS top_token_frac,
-             ROUND(CAST(list_sum(list_transform(t, x -> len(x))) AS DOUBLE) / len(t), 6) AS mean_token_len,
-             ROUND(CAST(len(list_filter(t, x -> x = 'the' OR x = 'a')) AS DOUBLE) / len(t), 6) AS stopword_ratio
+             CASE WHEN len(t) > 0 THEN ROUND(CAST(list_max(list_transform(list_distinct(t),
+                     d -> len(list_filter(t, x -> x = d)))) AS DOUBLE) / len(t), 6) ELSE 0.0 END AS top_token_frac,
+             CASE WHEN len(t) > 0 THEN ROUND(CAST(list_sum(list_transform(t, x -> len(x))) AS DOUBLE) / len(t), 6) ELSE 0.0 END AS mean_token_len,
+             CASE WHEN len(t) > 0 THEN ROUND(CAST(len(list_filter(t, x -> x = 'the' OR x = 'a')) AS DOUBLE) / len(t), 6) ELSE 0.0 END AS stopword_ratio
            FROM t),
     fl AS (SELECT lang,
              (n_tokens < 20) AS too_short,
@@ -2245,7 +2245,7 @@ def _pii_text_col() -> F.Column:
                 '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{{2,}}', '[PII]', 'g'),
                 '\\+?[0-9][0-9()\\- ]{{6,}}[0-9]', '[PII]', 'g'),
                 '\\b[0-9]{{1,3}}\\.[0-9]{{1,3}}\\.[0-9]{{1,3}}\\.[0-9]{{1,3}}\\b', '[PII]', 'g'),
-              '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{{2,}}|\\+?[0-9][0-9()\\- ]{{6,}}[0-9]')) AS n_after_redact
+              '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{{2,}}|\\+?[0-9][0-9()\\- ]{{6,}}[0-9]|\\b[0-9]{{1,3}}\\.[0-9]{{1,3}}\\.[0-9]{{1,3}}\\.[0-9]{{1,3}}\\b')) AS n_after_redact
           FROM d)
     SELECT lang,
       CAST(SUM(n_email) AS BIGINT) AS n_email,
@@ -2272,7 +2272,9 @@ def pii_scan_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     redacted = qf.pii_redact(d)
     residual = qf.pii_scan(redacted).select(
         "doc_id",
-        (F.col("n_email") + F.col("n_phone")).alias("n_after_redact"),
+        (F.col("n_email") + F.col("n_phone") + F.col("n_ipv4")).alias(
+            "n_after_redact"
+        ),
     )
     return (
         scanned.join(residual, "doc_id")

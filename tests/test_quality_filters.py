@@ -37,6 +37,24 @@ def test_repetition_stats_short_doc_single_shingle(spark):
     assert r.top_token_frac == 1.0
 
 
+def test_repetition_stats_empty_and_whitespace_docs(spark):
+    """Empty/whitespace-only docs must not DIVIDE_BY_ZERO under ANSI mode;
+    ratios default to 0.0 and too_short still trips."""
+    flags = {
+        r.doc_id: r
+        for r in qf.gopher_quality_flags(
+            _docs(spark, [(1, ""), (2, "   \t \n "), (3, "a b")])
+        ).collect()
+    }
+    for doc_id in (1, 2):
+        r = flags[doc_id]
+        assert r.n_tokens == 0
+        assert r.top_token_frac == 0.0
+        assert r.mean_token_len == 0.0
+        assert r.stopword_ratio == 0.0
+        assert r.too_short and not r.keep
+
+
 def test_gopher_flags_keep_logic(spark):
     rows = [
         (1, " ".join(f"tok{i:02d}word" for i in range(60))),  # clean: keep

@@ -151,6 +151,20 @@ def _heap_spark(spark):
     return spark
 
 
+def test_heap_ranker_rejects_non_integral_non_string_ids(spark):
+    """A double id would silently fall into the string aggregator where ties
+    break lexicographically — must raise instead."""
+    from semantic_vector_search_system_spark.operators.search import rank_topk_heap
+
+    scored = spark.range(0, 10).select(
+        F.lit(0).alias("qid"),
+        F.col("id").cast("double").alias("score"),
+        (F.col("id").cast("double") / 2).alias("docid"),
+    )
+    with pytest.raises(TypeError, match="integral or string"):
+        rank_topk_heap(scored, 3, "qid", "docid")
+
+
 def test_heap_ranker_matches_window_string_ids(spark):
     from semantic_vector_search_system_spark.operators.search import (
         _rank_topk,
