@@ -82,7 +82,7 @@ def main() -> None:
         docs = generate_documents(spark, n, seed=42, num_partitions=nparts).cache()
         docs.count()  # materialize corpus outside the timed region
         best = None
-        for _ in range(2):
+        for _ in range(3):
             t0 = time.time()
             enc.encode(docs).write.format("noop").mode("overwrite").save()
             best = min(best or 1e9, time.time() - t0)
@@ -98,12 +98,16 @@ def main() -> None:
         # the reference also times search over pre-encoded in-memory query
         # vectors (auto_run_tests.py encodes queries before the search loop)
         qm = collect_query_matrix(qvec)
+        # fused single-task fast path at small N (one narrow stage, no
+        # shuffle/window — the reference's single-process regime); the
+        # distributed plan beyond that, where scan/score parallelism wins
+        search_mode = "fused" if n <= 20_000 else "distributed"
         best = None
-        for _ in range(2):
+        for _ in range(3):
             t0 = time.time()
-            topk_bruteforce(qvec, dvec, k=1, precollected=qm).write.format(
-                "noop"
-            ).mode("overwrite").save()
+            topk_bruteforce(
+                qvec, dvec, k=1, precollected=qm, mode=search_mode
+            ).write.format("noop").mode("overwrite").save()
             best = min(best or 1e9, time.time() - t0)
         timings[f"search_100q_{n}_docs"] = round(best, 3)
 

@@ -233,6 +233,7 @@ def topk_bruteforce(
     predicate: Column | None = None,
     precollected: tuple | None = None,
     ranker: str = "window",
+    mode: str = "distributed",
 ) -> DataFrame:
     """BLAS-speed exact top-k: one matmul per Arrow batch + partial top-k.
 
@@ -242,10 +243,20 @@ def topk_bruteforce(
     1. collect query matrix Q (n_q <= a few thousand) -> spark broadcast
        (or reuse ``precollected`` from :func:`collect_query_matrix`)
     2. scan docs; per Arrow batch: ``S = D @ Q.T`` (float64), per-query
-       partial top-k via ``np.argpartition``
+       partial top-k via ``np.argpartition`` (extended with every row tying
+       the k-th score, so the later merge ranks EXACTLY like the window's
+       (score desc, id asc) order even at tie boundaries)
     3. global merge of the ``n_partitions * n_q * k`` survivors —
        ``ranker='window'`` (row_number) or ``ranker='heap'`` (the JVM
        bounded-heap Aggregator, :func:`rank_topk_heap`).
+
+    ``mode='fused'`` is the small-corpus fast path: the doc side is
+    coalesced into ONE task that scores every batch, merges, and emits
+    final ``(qid, id, rank, score)`` rows directly — one narrow stage, no
+    shuffle, no window. Single-node latency for corpora that fit one
+    worker's memory (the reference's own regime: its memmap search is a
+    single process); keep the default distributed mode beyond ~100k docs
+    or the lost scan/score parallelism outweighs the saved stage.
     """
     import numpy as np
     import pandas as pd
@@ -272,27 +283,39 @@ def topk_bruteforce(
 
     use_cosine = metric == "cosine"
 
+    def _score_matrix(pdf: pd.DataFrame):
+        D = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+        if use_cosine:
+            dn = np.linalg.norm(D, axis=1, keepdims=True)
+            D = np.divide(D, dn, out=np.zeros_like(D), where=dn > 0)
+        return D @ bq.value[1].T  # (n_docs_batch, n_q)
+
+    def _partial_sel(col: "np.ndarray", kk: int) -> "np.ndarray":
+        """Indices of the top-kk scores PLUS every row tying the kk-th score
+        — without the tie extension, an equal-score row with a smaller id
+        could be dropped here and the merge would diverge from the window's
+        (score desc, id asc) order at the boundary."""
+        n = len(col)
+        if n <= kk:
+            return np.arange(n)
+        sel = np.argpartition(-col, kk - 1)[:kk]
+        ties = np.nonzero(col == col[sel].min())[0]
+        return np.unique(np.concatenate([sel, ties]))
+
     def score_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        q_ids, Q = bq.value
+        q_ids, _ = bq.value
         nq = len(q_ids)
         for pdf in batches:
             if pdf.empty:
                 continue
-            D = np.array(pdf[vec_col].tolist(), dtype=np.float64)
-            if use_cosine:
-                dn = np.linalg.norm(D, axis=1, keepdims=True)
-                D = np.divide(D, dn, out=np.zeros_like(D), where=dn > 0)
-            S = D @ Q.T  # (n_docs_batch, n_q)
-            n = S.shape[0]
-            kk = min(k, n)
-            # per-query partial top-k within the batch (argpartition: O(n))
-            idx = np.argpartition(-S, kk - 1, axis=0)[:kk, :]  # (kk, n_q)
+            S = _score_matrix(pdf)
+            kk = min(k, S.shape[0])
             rows_id, rows_qid, rows_score = [], [], []
             ids = pdf[id_col].to_numpy()
             for j in range(nq):
-                sel = idx[:, j]
+                sel = _partial_sel(S[:, j], kk)
                 rows_id.append(ids[sel])
-                rows_qid.append(np.repeat(q_ids[j], kk))
+                rows_qid.append(np.repeat(q_ids[j], len(sel)))
                 rows_score.append(S[sel, j])
             yield pd.DataFrame(
                 {
@@ -301,6 +324,87 @@ def topk_bruteforce(
                     "score": np.concatenate(rows_score),
                 }
             )
+
+    if mode == "fused":
+        ranked_schema = (
+            f"`{qid_col}` {qid_type}, `{id_col}` {id_type}, rank int, score double"
+        )
+
+        def _batch_matrix(col) -> "np.ndarray":
+            """Zero-copy (n, dim) float64 view of an Arrow list<float> column
+            when the layout allows, else the stacking fallback."""
+            import pyarrow as pa
+
+            if isinstance(col, (pa.ListArray, pa.LargeListArray)) and col.null_count == 0:
+                flat = col.flatten()
+                vals = flat.to_numpy(zero_copy_only=False)
+                n = len(col)
+                if n and len(vals) % n == 0:
+                    return vals.reshape(n, -1).astype(np.float64)
+            return np.array(col.to_pylist(), dtype=np.float64)
+
+        def _threaded_scores(D: "np.ndarray", Q: "np.ndarray") -> "np.ndarray":
+            """Chunked D @ Q.T across a thread pool — BLAS is pinned to one
+            thread per call (session.py), so the fused single task
+            re-parallelizes the one big matmul explicitly. GIL is released
+            inside dgemm; chunking rows does not change each row's dot."""
+            import os as _os
+            from concurrent.futures import ThreadPoolExecutor
+
+            nthreads = min(8, _os.cpu_count() or 1)
+            if len(D) < 4096 or nthreads == 1:
+                return D @ Q.T
+            chunks = np.array_split(np.arange(len(D)), nthreads)
+            with ThreadPoolExecutor(nthreads) as ex:
+                outs = list(ex.map(lambda ix: D[ix] @ Q.T, chunks))
+            return np.vstack(outs)
+
+        def rank_single_pass(batches) -> Iterator["pa.RecordBatch"]:
+            import pyarrow as pa
+
+            q_ids, Q = bq.value
+            nq = len(q_ids)
+            cand_ids: list[list] = [[] for _ in range(nq)]
+            cand_sc: list[list] = [[] for _ in range(nq)]
+            for rb in batches:
+                if rb.num_rows == 0:
+                    continue
+                D = _batch_matrix(rb.column(1))
+                if use_cosine:
+                    dn = np.linalg.norm(D, axis=1, keepdims=True)
+                    D = np.divide(D, dn, out=np.zeros_like(D), where=dn > 0)
+                S = _threaded_scores(D, Q)
+                kk = min(k, S.shape[0])
+                ids = rb.column(0).to_numpy(zero_copy_only=False)
+                for j in range(nq):
+                    sel = _partial_sel(S[:, j], kk)
+                    cand_ids[j].append(ids[sel])
+                    cand_sc[j].append(S[sel, j])
+            out = {qid_col: [], id_col: [], "rank": [], "score": []}
+            for j in range(nq):
+                if not cand_ids[j]:
+                    continue
+                ids_j = np.concatenate(cand_ids[j])
+                sc_j = np.concatenate(cand_sc[j])
+                # (score desc, id asc): stable argsort by id, then stable
+                # argsort by -score — works for numeric AND object (string)
+                # id arrays, unlike lexsort
+                sec = np.argsort(ids_j, kind="stable")
+                order = sec[np.argsort(-sc_j[sec], kind="stable")][: min(k, len(ids_j))]
+                out[qid_col].append(np.repeat(q_ids[j], len(order)))
+                out[id_col].append(ids_j[order])
+                out["rank"].append(np.arange(1, len(order) + 1, dtype=np.int32))
+                out["score"].append(sc_j[order])
+            if out[qid_col]:
+                yield pa.RecordBatch.from_pandas(
+                    pd.DataFrame({c: np.concatenate(v) for c, v in out.items()})
+                )
+
+        return (
+            doc_side.select(id_col, vec_col)
+            .coalesce(1)
+            .mapInArrow(rank_single_pass, schema=ranked_schema)
+        )
 
     partial = doc_side.select(id_col, vec_col).mapInPandas(score_batches, schema=out_schema)
     rank = rank_topk_heap if ranker == "heap" else _rank_topk

@@ -221,35 +221,66 @@ def banded_sign_buckets(
     id_col: str,
     vec_col: str,
     dim: int,
-    planes_per_table: int = 4,
-    num_tables: int = 8,
+    planes_per_table: int = 8,
+    num_tables: int = 4,
     seed: int = 7,
 ) -> DataFrame:
     """``(id, tbl, bucket)`` — one sign-LSH bucket per (row, hash table).
 
     Banding for recall, exactly like MinHash-LSH: a pair is a candidate if
     its full ``planes_per_table``-bit signature matches in ANY of the
-    ``num_tables`` independent tables. At cosine 0.9 (true near-dups) the
-    default 8x4 config catches ~99.8% of pairs; at cosine 0.45 ~79%.
-    All buckets are computed in ONE narrow projection (array of structs +
-    explode) — a single pass over the data, no per-table jobs.
+    ``num_tables`` independent tables. Default 8 planes x 4 tables = 256
+    buckets per table: recall ~0.89 at cosine 0.95, ~0.75 at 0.9, while
+    keeping candidate volume ~n^2/256 per table even on worst-case
+    uniformly-random vectors (raise ``planes_per_table`` with log2(n) to
+    bound expected bucket size at larger corpora).
+
+    One narrow ``mapInPandas`` pass: the per-plane dot products are
+    computed with an explicit per-dimension loop — the same left-to-right
+    float64 fold as the SQL oracle's literal sum chain (and Catalyst's
+    ``aggregate``), so bucket bits are BIT-IDENTICAL across engines, unlike
+    a BLAS matmul whose association order is implementation-defined.
     """
-    entries = []
-    for t in range(num_tables):
-        bucket = None
-        for p in range(planes_per_table):
-            plane = lsh_plane(f"{seed}:{t}:{p}", dim)
-            arr = F.array(*[F.lit(float(x)) for x in plane])
-            bit = F.when(dot_product(F.col(vec_col), arr) > 0, F.lit(1 << p)).otherwise(
-                F.lit(0)
+    import numpy as np
+    import pandas as pd
+
+    planes = np.array(
+        [
+            [lsh_plane(f"{seed}:{t}:{p}", dim) for p in range(planes_per_table)]
+            for t in range(num_tables)
+        ]
+    )  # (num_tables, planes_per_table, dim)
+    id_type = dict(emb.dtypes)[id_col]
+    schema = f"`{id_col}` {id_type}, tbl int, bucket long"
+
+    def assign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            D = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+            n = len(D)
+            ids = pdf[id_col].to_numpy()
+            out_id, out_tbl, out_bucket = [], [], []
+            for t in range(num_tables):
+                bucket = np.zeros(n, dtype=np.int64)
+                for p in range(planes_per_table):
+                    acc = np.zeros(n)
+                    pl = planes[t, p]
+                    for j in range(dim):
+                        acc += D[:, j] * pl[j]  # exact left-to-right fold
+                    bucket += (acc > 0).astype(np.int64) << p
+                out_id.append(ids)
+                out_tbl.append(np.full(n, t, dtype=np.int32))
+                out_bucket.append(bucket)
+            yield pd.DataFrame(
+                {
+                    id_col: np.concatenate(out_id),
+                    "tbl": np.concatenate(out_tbl),
+                    "bucket": np.concatenate(out_bucket),
+                }
             )
-            bucket = bit if bucket is None else bucket + bit
-        entries.append(
-            F.struct(F.lit(t).alias("tbl"), bucket.cast("long").alias("bucket"))
-        )
-    return emb.select(F.col(id_col), F.explode(F.array(*entries)).alias("tb")).select(
-        id_col, F.col("tb.tbl").alias("tbl"), F.col("tb.bucket").alias("bucket")
-    )
+
+    return emb.select(id_col, vec_col).mapInPandas(assign, schema=schema)
 
 
 def cosine_neardup_bucketed(
@@ -258,8 +289,8 @@ def cosine_neardup_bucketed(
     vec_col: str = "embedding",
     threshold: float = 0.45,
     round_to: int = 4,
-    planes_per_table: int = 4,
-    num_tables: int = 8,
+    planes_per_table: int = 8,
+    num_tables: int = 4,
     seed: int = 7,
     dim: int | None = None,
 ) -> DataFrame:
@@ -277,6 +308,9 @@ def cosine_neardup_bucketed(
     (reference embeddings/search.py brute-force loop), re-expressed as the
     LSH plan that survives 100 TB.
     """
+    import numpy as np
+    import pandas as pd
+
     if dim is None:
         dim = len(emb.select(vec_col).first()[0])
     tb = banded_sign_buckets(
@@ -290,17 +324,38 @@ def cosine_neardup_bucketed(
         .select("id_a", "id_b")
         .distinct()
     )
-    from ..functions.vectors import cosine_similarity
-
     ea = emb.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va"))
     eb = emb.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb"))
-    return (
-        cand.join(ea, "id_a")
-        .join(eb, "id_b")
-        .withColumn("_cos", cosine_similarity("_va", "_vb"))
-        .filter(F.col("_cos") >= threshold)
-        .select("id_a", "id_b", F.round("_cos", round_to).alias("cosine"))
-    )
+    joined = cand.join(ea, "id_a").join(eb, "id_b")
+
+    id_type = dict(emb.dtypes)[id_col]
+    schema = f"id_a {id_type}, id_b {id_type}, cosine double"
+
+    def verify(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # Vectorized exact-cosine verification (float64 BLAS row-dots).
+        # Rounding to `round_to` absorbs association-order noise vs the
+        # oracle's list_cosine_similarity — the same contract the knn
+        # queries rely on.
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            A = np.array(pdf["_va"].tolist(), dtype=np.float64)
+            B = np.array(pdf["_vb"].tolist(), dtype=np.float64)
+            dots = np.einsum("ij,ij->i", A, B)
+            den = np.linalg.norm(A, axis=1) * np.linalg.norm(B, axis=1)
+            cos = np.where(den > 0, dots / np.where(den > 0, den, 1.0), 0.0)
+            m = cos >= threshold
+            if not m.any():
+                continue
+            yield pd.DataFrame(
+                {
+                    "id_a": pdf["id_a"].to_numpy()[m],
+                    "id_b": pdf["id_b"].to_numpy()[m],
+                    "cosine": np.round(cos[m], round_to),
+                }
+            )
+
+    return joined.mapInPandas(verify, schema=schema)
 
 
 def lsh_bucket_candidates(

@@ -777,8 +777,8 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _neardup_lsh_oracle(
     dim: int = 64,
-    planes_per_table: int = 4,
-    num_tables: int = 8,
+    planes_per_table: int = 8,
+    num_tables: int = 4,
     seed: int = 7,
     threshold: float = 0.45,
 ) -> str:

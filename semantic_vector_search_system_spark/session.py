@@ -26,6 +26,16 @@ def get_spark(
     not running under a cluster manager; on a real cluster pass ``None`` and
     submit with ``--master``.
     """
+    # One BLAS thread per task: Spark is the parallelism layer (N concurrent
+    # tasks each calling numpy); letting OpenBLAS spin its own pool on top
+    # oversubscribes cores and measurably SLOWS the single-call case too
+    # (0.137s vs 0.079s for the 10k x 512 x 100 scoring dgemm here). Set
+    # before any JVM/worker spawns so python workers inherit it. Operators
+    # that own a whole machine (the fused search path) parallelize
+    # explicitly with a thread pool over row chunks instead.
+    os.environ.setdefault("OPENBLAS_NUM_THREADS", "1")
+    os.environ.setdefault("OMP_NUM_THREADS", "1")
+
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
     if master is None and "SPARK_MASTER" not in os.environ:
         master = f"local[{cpus}]"

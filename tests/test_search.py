@@ -58,6 +58,40 @@ def test_physical_strategies_agree(spark, fixture_vecs):
     assert ra == rb
 
 
+def test_fused_mode_matches_distributed(spark, fixture_vecs):
+    """The single-task fused path (one stage, no window) must produce the
+    exact distributed result — string ids, tie-heavy hashing scores."""
+    qvec, dvec = fixture_vecs
+    a = topk_bruteforce(qvec, dvec, k=4)
+    b = topk_bruteforce(qvec, dvec, k=4, mode="fused")
+    ra = sorted((r["qid"], r["docid"], r["rank"], round(r["score"], 9)) for r in a.collect())
+    rb = sorted((r["qid"], r["docid"], r["rank"], round(r["score"], 9)) for r in b.collect())
+    assert ra == rb
+    # plan shape: no shuffle exchange anywhere in the fused plan
+    plan = b._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+
+
+def test_fused_mode_matches_distributed_long_ids_multibatch(spark):
+    """Fused merge across multiple Arrow batches with numeric ids and
+    forced score ties at the k boundary."""
+    n = 5000
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    d = emb.select(F.col("vec_id").alias("docid"), F.col("embedding").alias("vec"))
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "100")
+    try:
+        a = topk_bruteforce(q, d, k=7, metric="cosine")
+        b = topk_bruteforce(q, d, k=7, metric="cosine", mode="fused")
+        ra = sorted((r["qid"], r["docid"], r["rank"]) for r in a.collect())
+        rb = sorted((r["qid"], r["docid"], r["rank"]) for r in b.collect())
+    finally:
+        spark.conf.unset("spark.sql.execution.arrow.maxRecordsPerBatch")
+    assert ra == rb
+
+
 def test_against_numpy_oracle(spark, fixture_vecs):
     """Exact agreement with a numpy re-implementation of the reference's
     offline_search (`auto_run_tests.py:119-145`)."""
