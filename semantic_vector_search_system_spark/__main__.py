@@ -68,6 +68,11 @@ def main(argv: list[str] | None = None) -> int:
     rp = sub.add_parser("report", help="summaries + stats over result records")
     rp.add_argument("--results-dir", required=True)
     rp.add_argument("--metrics", default="metrics.p_at_5,metrics.map")
+    rp.add_argument(
+        "--artifact-dir", default=None,
+        help="also assemble the report artifact (EXPERIMENTS_REPORT.txt + "
+        "Bonferroni table; PDF/plots when matplotlib is installed)",
+    )
 
     args = p.parse_args(argv)
 
@@ -183,7 +188,12 @@ def _dispatch(spark, args) -> int:
         metric_cols = [m for m in args.metrics.split(",") if m]
         ok = valid_runs(res, metric_cols)
         rows = [r.asDict() for r in summary_by_size(ok, metric_cols).collect()]
-        print(json.dumps({"n_valid": ok.count(), "summary": rows}))
+        out = {"n_valid": ok.count(), "summary": rows}
+        if args.artifact_dir:
+            from .plans.report_artifact import assemble_report
+
+            out["artifact"] = assemble_report(spark, args.results_dir, args.artifact_dir)
+        print(json.dumps(out))
         return 0
 
     return 2
