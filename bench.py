@@ -128,6 +128,52 @@ def main() -> None:
         dvec.unpersist()
         docs.unpersist()
 
+    if os.environ.get("SPARK_GRAFT_BENCH_1M") == "1":
+        # North-star dedup pipeline at the reference's largest published
+        # size: minhash -> LSH bucket star-edges -> connected components ->
+        # keep-one, over 1M docs with a deliberately skewed duplicate
+        # population: one 8,192-copy boilerplate cluster (the hot LSH
+        # bucket) + 10,000 spread pair-duplicates. Star edges keep the hot
+        # bucket O(b) instead of O(b^2) pairs — the 100 TB shape.
+        from semantic_vector_search_system_spark.operators.dedup import (
+            lsh_bucket_edges,
+            minhash_signatures_fast,
+            neardup_clusters,
+        )
+
+        n = 1_000_000
+        idnum = F.substring("id", 2, 18).cast("long")
+        hot = "terms of service boilerplate text repeated verbatim across the scraped mirror sites"
+        pair_text = F.concat_ws(
+            " ",
+            F.lit("duplicated article body shared by syndication partner number"),
+            (idnum / 2).cast("long").cast("string"),
+            F.lit("with identical wording and layout"),
+        )
+        docs = (
+            generate_documents(spark, n, seed=42, num_partitions=32)
+            .withColumn(
+                "text",
+                F.when(idnum < 8192, F.lit(hot))
+                .when((idnum >= 100_000) & (idnum < 120_000), pair_text)
+                .otherwise(F.col("text")),
+            )
+            .cache()
+        )
+        docs.count()  # materialize the corpus outside the timed region
+        t0 = time.time()
+        sigs = minhash_signatures_fast(docs, id_col="id", text_col="text")
+        clusters = neardup_clusters(lsh_bucket_edges(sigs, id_col="id"))
+        # the keep-one drop list is the pipeline's product
+        clusters.filter(~F.col("is_canonical")).write.format("noop").mode(
+            "overwrite"
+        ).save()
+        # single timed run: connected components is iterative (eager
+        # actions + localCheckpoint), so a warm second run would reuse
+        # cached state and under-report
+        timings["dedup_1000000_docs"] = round(time.time() - t0, 3)
+        docs.unpersist()
+
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(

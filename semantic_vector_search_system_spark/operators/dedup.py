@@ -22,7 +22,7 @@ Scale design (the point of each formulation):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.hashing import stable_hash64
@@ -153,18 +153,15 @@ def minhash_signatures_fast(
     return docs.select(id_col, text_col).mapInPandas(run, schema)
 
 
-def lsh_candidate_pairs(
+def band_signatures(
     signatures: DataFrame,
     id_col: str = "doc_id",
     rows_per_band: int = 2,
 ) -> DataFrame:
-    """LSH banding over MinHash signature rows -> candidate pairs ``(id_a, id_b)``.
-
-    Docs collide if any band (group of ``rows_per_band`` consecutive seeds)
-    has an identical signature. Pairs are distinct with ``id_a < id_b``.
-    """
+    """Per-(doc, band) signature digests ``(id, band, band_sig)``: docs
+    sharing any ``band_sig`` within a band are LSH candidates."""
     banded = signatures.withColumn("band", (F.col("seed") / rows_per_band).cast("long"))
-    band_sigs = (
+    return (
         banded.groupBy(id_col, "band")
         .agg(F.sort_array(F.collect_list(F.struct("seed", "minhash"))).alias("sig_rows"))
         .select(
@@ -175,6 +172,24 @@ def lsh_candidate_pairs(
             ).alias("band_sig"),
         )
     )
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame,
+    id_col: str = "doc_id",
+    rows_per_band: int = 2,
+) -> DataFrame:
+    """LSH banding over MinHash signature rows -> candidate pairs ``(id_a, id_b)``.
+
+    Docs collide if any band (group of ``rows_per_band`` consecutive seeds)
+    has an identical signature. Pairs are distinct with ``id_a < id_b``.
+
+    Emits the full per-bucket clique — O(bucket²) pairs — which is what a
+    verify stage (ngram_jaccard_pairs on candidates) needs. For pipelines
+    that go straight to clustering, :func:`lsh_bucket_edges` produces an
+    equivalent-connectivity edge set at O(bucket) cost instead.
+    """
+    band_sigs = band_signatures(signatures, id_col, rows_per_band)
     a = band_sigs.select(
         F.col(id_col).alias("id_a"), F.col("band"), F.col("band_sig")
     )
@@ -187,6 +202,37 @@ def lsh_candidate_pairs(
         .select("id_a", "id_b")
         .distinct()
     )
+
+
+def lsh_bucket_edges(
+    signatures: DataFrame,
+    id_col: str = "doc_id",
+    rows_per_band: int = 2,
+) -> DataFrame:
+    """Star edges per LSH bucket: ``(id_a=bucket_min_id, id_b=member)``.
+
+    The 100 TB dedup path. A bucket of b near-identical docs yields b-1
+    edges instead of b(b-2)/2 pairs — a 10k-copy boilerplate cluster
+    becomes 9,999 edges, not ~50M — while :func:`connected_components`
+    over star edges produces EXACTLY the same components as over the full
+    clique (every member connects to the bucket minimum, and shared
+    members chain buckets together transitively, as in the clique form).
+    This is the standard production MinHash-dedup shape (bucket -> union-
+    find on members, no pairwise materialization).
+
+    Physical plan: one window min over (band, band_sig) — a single hash
+    shuffle of the band-signature rows, no join at all. Trade-off vs
+    :func:`lsh_candidate_pairs`: no per-pair similarity is available, so
+    use this when bucket collision IS the dedup criterion (tuned
+    num_hashes/rows_per_band), and the clique form when a Jaccard-verify
+    stage filters candidates first.
+    """
+    band_sigs = band_signatures(signatures, id_col, rows_per_band)
+    w = Window.partitionBy("band", "band_sig")
+    starred = band_sigs.select(
+        F.min(id_col).over(w).alias("id_a"), F.col(id_col).alias("id_b")
+    )
+    return starred.filter(F.col("id_a") != F.col("id_b")).distinct()
 
 
 def connected_components(

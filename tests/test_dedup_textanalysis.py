@@ -266,3 +266,105 @@ def test_deterministic_splits_stable_and_partitioned(spark):
     s1 = {r["doc_id"] for r in deterministic_sample(df, "doc_id", 10, seed=3).collect()}
     s2 = {r["doc_id"] for r in deterministic_sample(df, "doc_id", 10, seed=3).collect()}
     assert s1 == s2 and 100 < len(s1) < 300
+
+
+def test_lsh_bucket_edges_same_clusters_as_clique_pairs(spark):
+    """Star edges per LSH bucket must yield EXACTLY the components the full
+    candidate-pair clique yields — including chained buckets (doc in two
+    buckets merging them transitively)."""
+    import pyspark.sql.functions as F
+    from semantic_vector_search_system_spark.operators.dedup import (
+        lsh_bucket_edges,
+        lsh_candidate_pairs,
+        minhash_signatures,
+        neardup_clusters,
+    )
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    rows = (
+        # identical 6-copy cluster
+        [(f"a{i}", base) for i in range(6)]
+        # near-dup chain: b0~b1 share most shingles, b1~b2 likewise
+        + [("b0", base + " extra one"), ("b1", base + " extra two"),
+           ("b2", "beta gamma delta epsilon zeta eta theta iota kappa lamda")]
+        # unique singletons
+        + [("u0", "totally different words entirely here now then always"),
+           ("u1", "other disjoint vocabulary with nothing shared at all ok")]
+    )
+    docs = spark.createDataFrame(rows, "doc_id string, text string").repartition(5)
+    sigs = minhash_signatures(docs).cache()
+
+    def comp_sets(edge_df):
+        cl = neardup_clusters(edge_df).collect()
+        comps = {}
+        for r in cl:
+            comps.setdefault(r["cluster_id"], set()).add(r["doc_id"])
+        return {frozenset(v) for v in comps.values()}
+
+    clique = comp_sets(lsh_candidate_pairs(sigs))
+    star = comp_sets(lsh_bucket_edges(sigs))
+    assert star == clique
+    # the identical 6-copy cluster ends up in ONE component (possibly merged
+    # with the near-dup b-chain, depending on banding collisions)
+    assert len({c for c in star if "a0" in c}) == 1
+    a_comp = next(c for c in star if "a0" in c)
+    assert {f"a{i}" for i in range(6)} <= a_comp
+    # unique singletons never join anything (no edges -> absent from output)
+    assert not any("u0" in c or "u1" in c for c in star)
+    sigs.unpersist()
+
+
+def test_aqe_skew_split_on_band_join(spark):
+    """A skewed duplicate cluster makes one (band, band_sig) bucket hot; the
+    candidate-pair band join must be split by AQE skew-join at runtime (the
+    no-manual-salting 100 TB path for the dedup pipeline's only join)."""
+    import pyspark.sql.functions as F
+    from semantic_vector_search_system_spark.operators.dedup import (
+        lsh_candidate_pairs,
+        minhash_signatures_fast,
+    )
+
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.shuffle.partitions": "8",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "8KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "8KB",
+        "spark.sql.adaptive.coalescePartitions.minPartitionSize": "1KB",
+    }
+    old = {k: spark.conf.get(k) for k in confs}
+    for k, v in confs.items():
+        spark.conf.set(k, v)
+    try:
+        idnum = F.col("id").cast("long")
+        hot = "terms of service boilerplate repeated verbatim across mirrors"
+        # md5 doc ids: incompressible shuffle payload, so the hot bucket's
+        # byte size is visible to the size-based skew detector (short
+        # sequential ids + identical band_sigs compress away)
+        docs = spark.range(0, 900, 1, 8).select(
+            F.md5(F.col("id").cast("string")).alias("doc_id"),
+            F.when(idnum < 500, F.lit(hot))
+            .otherwise(
+                F.concat_ws(
+                    " ",
+                    F.lit("unique document body number"),
+                    F.col("id").cast("string"),
+                    F.lit("with distinct trailing content words"),
+                )
+            )
+            .alias("text"),
+        )
+        # one band (rows_per_band = num_hashes): a single hot bucket key, so
+        # the hot partition towers over the median (with 4 bands the 4 hot
+        # keys spread across partitions and lift the median instead)
+        pairs = lsh_candidate_pairs(minhash_signatures_fast(docs), rows_per_band=8)
+        # collect() executes THIS Dataset's QueryExecution (count() would
+        # build a different plan and leave this one unfinalized)
+        rows = pairs.collect()
+        assert len(rows) >= 500 * 499 // 2  # the hot clique is present
+        plan = pairs._jdf.queryExecution().executedPlan().toString()
+        assert "isFinalPlan=true" in plan
+        assert "skew=true" in plan, plan[:3000]
+    finally:
+        for k, v in old.items():
+            spark.conf.set(k, v)
