@@ -139,16 +139,20 @@ def main() -> None:
             lsh_bucket_edges,
             minhash_signatures_fast,
             neardup_clusters,
+            verify_candidate_edges,
         )
 
         n = 1_000_000
         idnum = F.substring("id", 2, 18).cast("long")
         hot = "terms of service boilerplate text repeated verbatim across the scraped mirror sites"
+        # every token carries the pair-group id, so every 3-shingle is
+        # group-unique: cross-group Jaccard is exactly 0 (a shared template
+        # with only the number differing would leave cross-group J ~ 0.7 and
+        # merge all 10k pairs into one giant component)
+        gid = (idnum / 2).cast("long").cast("string")
+        pair_words = "duplicated article body shared by syndication partner".split()
         pair_text = F.concat_ws(
-            " ",
-            F.lit("duplicated article body shared by syndication partner number"),
-            (idnum / 2).cast("long").cast("string"),
-            F.lit("with identical wording and layout"),
+            " ", *[F.concat(F.lit(w + "_"), gid) for w in pair_words]
         )
         docs = (
             generate_documents(spark, n, seed=42, num_partitions=32)
@@ -162,8 +166,31 @@ def main() -> None:
         )
         docs.count()  # materialize the corpus outside the timed region
         t0 = time.time()
-        sigs = minhash_signatures_fast(docs, id_col="id", text_col="text")
-        clusters = neardup_clusters(lsh_bucket_edges(sigs, id_col="id"))
+        # "fast" family: vectorized token-hash kernel (no per-shingle
+        # Python) — the throughput family for corpora that are the product;
+        # the md5 family remains the oracle-replayable default.
+        # LSH tuning for 1M docs: 16 hashes in 4 bands of 4 -> collision
+        # threshold (1/4)^(1/4) ~ 0.71. Bands of 2 (threshold 0.5) admit
+        # random-pair collisions at P ~ J^2: with background J ~ 1.5e-3
+        # (33-word generator vocab) and C(1M,2) pairs that is millions of
+        # spurious edges chaining the corpus into giant components; bands
+        # of 4 push it to J^4, leaving only a few hundred spurious edges
+        # corpus-wide (measured ~500 at 1M) — which the exact-Jaccard
+        # verify stage then kills, so the drop list is exactly the planted
+        # duplicates. candidates -> verify -> cluster is the production
+        # dedup shape; verification prices at O(edges · doc_len).
+        sigs = minhash_signatures_fast(
+            docs, id_col="id", text_col="text", hash_family="fast",
+            num_hashes=16,
+        )
+        # the edge list is tiny (O(dups)) but its lineage is the whole
+        # minhash+banding DAG, and downstream consumes it three times
+        # (verify reads it twice, clustering once): checkpoint it so the
+        # signature pass runs exactly once
+        edges = lsh_bucket_edges(sigs, id_col="id", rows_per_band=4).localCheckpoint()
+        clusters = neardup_clusters(
+            verify_candidate_edges(docs, edges, id_col="id", threshold=0.7)
+        )
         # the keep-one drop list is the pipeline's product
         clusters.filter(~F.col("is_canonical")).write.format("noop").mode(
             "overwrite"

@@ -102,18 +102,34 @@ def minhash_signatures_fast(
     text_col: str = "text",
     num_hashes: int = 8,
     shingle_n: int = 3,
+    hash_family: str = "md5",
 ) -> DataFrame:
-    """Arrow-batched MinHash: identical output to :func:`minhash_signatures`,
-    computed per batch in numpy.
+    """Arrow-batched MinHash, computed per batch in numpy.
 
-    Why it exists: Catalyst higher-order functions (transform/slice/
-    array_join) are interpreted per element — measured ~77k shingles/s,
-    vs ~1M/s for the python/numpy kernel with a shingle-digest memo. This is
-    the SURVEY §4 situation (BLAS-vs-expression) applied to text: keep the
-    declarative form as the spec, run the vectorized form in the hot path.
-    Still a single narrow map stage + no shuffle at all (minima fold inside
-    each doc's row).
+    ``hash_family="md5"`` (default) produces output identical to
+    :func:`minhash_signatures` — the portable, DuckDB-reproducible family
+    the oracle checks. ``hash_family="fast"`` dispatches to
+    :func:`minhash_signatures_vectorized` — a different (equally valid)
+    hash family whose kernel has NO per-shingle Python: use it when the
+    corpus is the product and no cross-engine oracle replays the exact
+    signature values (measured ~5-10x the md5 kernel; the dedup CLUSTERS
+    it finds are the same up to ordinary MinHash randomness).
+
+    Why the md5 kernel exists at all: Catalyst higher-order functions
+    (transform/slice/array_join) are interpreted per element — measured
+    ~77k shingles/s, vs ~1M/s for the python/numpy kernel with a
+    shingle-digest memo. This is the SURVEY §4 situation (BLAS-vs-
+    expression) applied to text: keep the declarative form as the spec,
+    run the vectorized form in the hot path. Still a single narrow map
+    stage + no shuffle at all (minima fold inside each doc's row).
     """
+    if hash_family == "fast":
+        return minhash_signatures_vectorized(
+            docs, id_col=id_col, text_col=text_col,
+            num_hashes=num_hashes, shingle_n=shingle_n,
+        )
+    if hash_family != "md5":
+        raise ValueError(f"unknown hash_family: {hash_family!r} (md5|fast)")
     import hashlib
 
     import numpy as np
@@ -149,6 +165,144 @@ def minhash_signatures_fast(
                 seed_out.extend(range(num_hashes))
                 mh_out.extend(int(x) for x in mins)
             yield pd.DataFrame({id_col: ids, "seed": seed_out, "minhash": mh_out})
+
+    return docs.select(id_col, text_col).mapInPandas(run, schema)
+
+
+def minhash_signatures_vectorized(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 8,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """MinHash with a fully vectorized token-hash family — the 100 TB
+    throughput kernel (`hash_family="fast"`).
+
+    Design: instead of hashing every shingle STRING (per-shingle Python
+    call + md5 ≈ 3 µs each — the md5 kernel's entire cost), hash each
+    distinct TOKEN once and combine ``shingle_n`` consecutive token hashes
+    arithmetically into a shingle hash:
+
+    * tokenization and flattening: ``pyarrow.compute.utf8_split_whitespace``
+      (C, matches ``str.split()`` semantics);
+    * token hashing: ``dictionary_encode`` then ``pandas.util.hash_array``
+      over the DICTIONARY only — Zipf-distributed corpora have few distinct
+      tokens per batch, so the only per-string work left is O(vocabulary);
+    * shingle hash: one odd-constant positional linear combine of the
+      window's token hashes in wrapping uint64 (position-sensitive, so
+      permuted windows differ);
+    * per-seed value: splitmix64 finalizer over ``H + (seed+1)*GAMMA`` —
+      a NON-LINEAR mix per seed. Kirsch–Mitzenmacher ``h1 + seed*h2`` is
+      linear in the seed, so the globally-minimal shingle at seed s tends
+      to stay minimal at s+1..s+r-1: on a small-vocabulary corpus every
+      popular shingle sits in thousands of docs, and one persistently-
+      minimal shingle put ~750 UNRELATED docs into the same 4-seed band
+      bucket (measured at 1M docs). The finalizer makes seeds
+      independent, restoring the J^r band-collision probability;
+    * per-doc minima: one ``np.minimum.reduceat`` per seed over the flat
+      window array — no per-doc numpy calls.
+
+    Determinism: ``hash_array`` uses a pinned key and depends only on token
+    bytes, so signatures are stable across runs, partitionings and batch
+    boundaries (windows never cross documents — neighbor positions from
+    other docs are masked). NOT portable to other engines by design; use
+    the md5 family when an external oracle must replay signatures.
+
+    Output schema matches :func:`minhash_signatures`: ``(id, seed,
+    minhash)`` with minhash in [0, 2^60) (values differ — different
+    family). Same LSH banding / clustering applies downstream.
+    """
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    id_type = dict(docs.dtypes)[id_col]
+    schema = f"`{id_col}` {id_type}, seed long, minhash long"
+    # distinct odd 64-bit constants (golden-ratio / xxHash-style primes)
+    P = np.array([0x9E3779B185EBCA87, 0xC2B2AE3D27D4EB4F, 0x165667B19E3779F9,
+                  0x27D4EB2F165667C5, 0x9E3779B97F4A7C15], dtype=np.uint64)
+    if shingle_n > len(P):
+        raise ValueError(f"shingle_n up to {len(P)} supported in the fast family")
+    M60 = np.uint64((1 << 60) - 1)
+    SENTINEL = np.uint64(0xFFFFFFFFFFFFFFFF)
+    GAMMA = np.uint64(0x9E3779B97F4A7C15)  # splitmix64 stream increment
+    with np.errstate(over="ignore"):  # wrapping uint64 intended
+        SEED_OFF = np.arange(1, num_hashes + 1, dtype=np.uint64) * GAMMA
+
+    def mix64(x):
+        # splitmix64 finalizer (vectorized, wrapping uint64)
+        x = (x ^ (x >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+        x = (x ^ (x >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+        return x ^ (x >> np.uint64(31))
+
+    def run(batches):
+        for pdf in batches:
+            texts = pa.array(pdf[text_col].fillna("").astype(str))
+            toks = pc.utf8_split_whitespace(texts)
+            if isinstance(toks, pa.ChunkedArray):
+                toks = toks.combine_chunks()
+            offsets = np.asarray(toks.offsets, dtype=np.int64)
+            lens0 = offsets[1:] - offsets[:-1]
+            n_docs = len(lens0)
+            enc = pc.dictionary_encode(toks.values)
+            codes0 = np.asarray(enc.indices, dtype=np.int64)
+            vocab = enc.dictionary.to_pandas().to_numpy(dtype=object)
+            # arrow's split emits empty tokens at edges/runs (str.split()
+            # does not): drop them and rebuild per-doc boundaries
+            did0 = np.repeat(np.arange(n_docs, dtype=np.int64), lens0)
+            keep = np.asarray(pc.utf8_length(toks.values), dtype=np.int64) > 0
+            codes = codes0[keep]
+            did = did0[keep]
+            lens = np.bincount(did, minlength=n_docs).astype(np.int64)
+            starts = np.concatenate(([0], np.cumsum(lens)[:-1]))
+            th = pd.util.hash_array(vocab).astype(np.uint64)[codes]
+
+            n = len(th)
+            h = np.zeros(n, dtype=np.uint64)
+            valid = np.ones(n, dtype=bool)
+            pos = np.arange(n, dtype=np.int64)
+            for j in range(shingle_n):
+                tj = np.empty(n, dtype=np.uint64)
+                tj[: n - j] = th[j:]
+                tj[n - j :] = 0
+                inside = np.empty(n, dtype=bool)
+                inside[: n - j] = did[j:] == did[: n - j]
+                inside[n - j :] = False
+                # tokens outside the doc contribute 0 (short docs still get
+                # a content-only hash, mirroring the md5 kernel's
+                # max(len - shingle_n + 1, 1) single short shingle)
+                h = h + np.where(inside, tj, np.uint64(0)) * P[j]
+                if j > 0:
+                    # a window START is valid while the previous start was,
+                    # OR it is the doc's first (short-doc) window
+                    valid &= inside | (pos == starts[did])
+
+            mins = np.empty((n_docs, num_hashes), dtype=np.uint64)
+            if n == 0:
+                mins[:] = 0
+            else:
+                # reduceat quirk: an empty segment returns the element AT
+                # the start index; zero-token docs are fixed below
+                red_starts = np.minimum(starts, n - 1)
+                for s in range(num_hashes):
+                    v = np.where(
+                        valid, mix64(h + SEED_OFF[s]) & M60, SENTINEL
+                    )
+                    mins[:, s] = np.minimum.reduceat(v, red_starts)
+            # zero-token docs: the H=0 empty window (what the loop above
+            # yields when every position is outside the doc — the fast
+            # family's analog of the md5 kernel's single "" shingle)
+            if n_docs and (lens == 0).any():
+                mins[lens == 0, :] = mix64(SEED_OFF) & M60
+
+            ids = np.repeat(pdf[id_col].to_numpy(), num_hashes)
+            seeds_out = np.tile(np.arange(num_hashes, dtype=np.int64), n_docs)
+            yield pd.DataFrame(
+                {id_col: ids, "seed": seeds_out,
+                 "minhash": mins.reshape(-1).astype(np.int64)}
+            )
 
     return docs.select(id_col, text_col).mapInPandas(run, schema)
 
@@ -233,6 +387,69 @@ def lsh_bucket_edges(
         F.min(id_col).over(w).alias("id_a"), F.col(id_col).alias("id_b")
     )
     return starred.filter(F.col("id_a") != F.col("id_b")).distinct()
+
+
+def verify_candidate_edges(
+    docs: DataFrame,
+    edges: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 3,
+    threshold: float = 0.7,
+) -> DataFrame:
+    """Exact n-gram Jaccard verification of LSH candidate edges — the
+    verify stage between banding and clustering. Returns the surviving
+    edges ``(id_a, id_b, jaccard)`` with ``jaccard >= threshold``.
+
+    Why not :func:`ngram_jaccard_pairs` here: its shingle equi-join
+    recomputes ALL pairs sharing a shingle — a b-member bucket of
+    near-identical docs costs O(b²) join rows per shingle. This verifier
+    instead scores exactly the edges it is given: per-doc shingle-hash
+    sets are built only for docs appearing in an edge (semi-join
+    pushdown), then each edge costs one ``array_intersect`` over two
+    doc-length-bounded arrays. Verifying a b-member bucket's star edges
+    is O(b · doc_len) — immune to the bucket-size blowup.
+
+    Scale shape: two equi-joins of the edge list against the shingle-array
+    relation (shuffle on doc id; each row carries one bounded array), one
+    narrow projection. False-positive bucket collisions — which grow with
+    C(n,2) even when per-pair probability is J^r — die here instead of
+    chaining unrelated docs into one component.
+
+    Caller note: ``edges`` is consumed twice (id semi-join + the edge
+    join); if it carries an expensive lineage (an LSH banding DAG),
+    cache/checkpoint it first or the signature pass re-executes.
+    """
+    ids = (
+        edges.select(F.col("id_a").alias(id_col))
+        .union(edges.select(F.col("id_b").alias(id_col)))
+        .distinct()
+    )
+    sub = docs.join(ids, id_col, "left_semi")
+    arrs = (
+        shingle_sets(sub, id_col, text_col, n=shingle_n)
+        .select(F.col(id_col), F.xxhash64("shingle").alias("sh"))
+        .groupBy(id_col)
+        .agg(F.collect_set("sh").alias("shs"))
+    )
+    ea = arrs.select(F.col(id_col).alias("id_a"), F.col("shs").alias("shs_a"))
+    eb = arrs.select(F.col(id_col).alias("id_b"), F.col("shs").alias("shs_b"))
+    n_inter = F.size(F.array_intersect("shs_a", "shs_b"))
+    return (
+        edges.select("id_a", "id_b")
+        .join(ea, "id_a")
+        .join(eb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(
+                n_inter.cast("double")
+                / (F.size("shs_a") + F.size("shs_b") - n_inter),
+                4,
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
 
 
 def connected_components(

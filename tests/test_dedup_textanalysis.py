@@ -368,3 +368,163 @@ def test_aqe_skew_split_on_band_join(spark):
     finally:
         for k, v in old.items():
             spark.conf.set(k, v)
+
+
+# --- vectorized "fast" MinHash family (hash_family="fast") ---------------
+
+
+def _sig_map(rows, id_key="doc_id"):
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r[id_key], {})[r["seed"]] = r["minhash"]
+    return by_doc
+
+
+def test_fast_family_shape_and_identical_docs(corpus):
+    sigs = dd.minhash_signatures_fast(corpus, hash_family="fast", num_hashes=8)
+    assert sigs.columns == ["doc_id", "seed", "minhash"]
+    by_doc = _sig_map(sigs.collect())
+    assert set(by_doc) == {1, 2, 3, 4, 5}
+    for seeds in by_doc.values():
+        assert set(seeds) == set(range(8))
+        assert all(0 <= v < (1 << 60) for v in seeds.values())
+    assert by_doc[1] == by_doc[2]          # exact dups: identical signatures
+    assert by_doc[1] != by_doc[5]          # disjoint vocab: different
+
+
+def test_fast_family_partitioning_and_batch_invariance(spark, corpus):
+    """Signatures must not depend on partitioning or Arrow batch boundaries
+    (windows never cross documents; token hashing depends on bytes only)."""
+    base = _sig_map(dd.minhash_signatures_fast(
+        corpus.repartition(1), hash_family="fast").collect())
+    repart = _sig_map(dd.minhash_signatures_fast(
+        corpus.repartition(7), hash_family="fast").collect())
+    assert base == repart
+    old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch")
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "2")
+    try:
+        tiny = _sig_map(dd.minhash_signatures_fast(
+            corpus.repartition(1), hash_family="fast").collect())
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
+    assert base == tiny
+
+
+def test_fast_family_whitespace_and_short_docs(spark):
+    rows = [
+        (1, "alpha beta gamma delta"),
+        (2, "alpha  beta   gamma\tdelta"),   # whitespace runs == single spaces
+        (3, ""),                              # empty doc
+        (4, "   "),                           # whitespace-only == empty
+        (5, "solo"),                          # shorter than shingle_n
+        (6, "solo"),                          # identical short doc
+        (7, "solo extra"),                    # short doc, different content
+    ]
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+    by_doc = _sig_map(dd.minhash_signatures_fast(
+        docs, hash_family="fast").collect())
+    assert set(by_doc) == {1, 2, 3, 4, 5, 6, 7}
+    assert by_doc[1] == by_doc[2]
+    assert by_doc[3] == by_doc[4]
+    assert by_doc[5] == by_doc[6]
+    assert by_doc[5] != by_doc[7]
+    assert by_doc[5] != by_doc[3]
+
+
+def test_fast_family_position_sensitive(spark):
+    """Permuted token order must change the signature (the linear combine is
+    position-weighted, not a bag-of-tokens sum)."""
+    rows = [(1, "alpha beta gamma delta epsilon"),
+            (2, "beta alpha gamma epsilon delta")]
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+    by_doc = _sig_map(dd.minhash_signatures_fast(
+        docs, hash_family="fast").collect())
+    assert by_doc[1] != by_doc[2]
+
+
+def test_fast_family_same_clusters_as_md5_family(spark):
+    """On a corpus of exact-dup clusters + disjoint singletons both hash
+    families must produce the same dedup components (near-dup boundary cases
+    may legitimately differ — different hash family, same MinHash math)."""
+    rows = (
+        [(f"a{i}", "alpha beta gamma delta epsilon zeta eta theta") for i in range(5)]
+        + [(f"b{i}", "one two three four five six seven eight nine") for i in range(3)]
+        + [("u0", "totally different words entirely here now then always"),
+           ("u1", "other disjoint vocabulary with nothing shared at all")]
+    )
+    docs = spark.createDataFrame(rows, "doc_id string, text string").repartition(4)
+
+    def comps(family):
+        sigs = dd.minhash_signatures_fast(docs, hash_family=family)
+        cl = dd.neardup_clusters(dd.lsh_bucket_edges(sigs)).collect()
+        out = {}
+        for r in cl:
+            out.setdefault(r["cluster_id"], set()).add(r["doc_id"])
+        return {frozenset(v) for v in out.values()}
+
+    expected = {frozenset(f"a{i}" for i in range(5)),
+                frozenset(f"b{i}" for i in range(3))}
+    assert comps("fast") == expected
+    assert comps("md5") == expected
+
+
+def test_fast_family_rejects_unknown_family(corpus):
+    with pytest.raises(ValueError, match="hash_family"):
+        dd.minhash_signatures_fast(corpus, hash_family="sha9000")
+
+
+# --- verify_candidate_edges (the candidates -> verify -> cluster stage) --
+
+
+def test_verify_edges_matches_ngram_jaccard(spark, corpus):
+    """Per-edge verification must agree with the all-pairs oracle on the
+    same pairs."""
+    oracle = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in dd.ngram_jaccard_pairs(corpus, threshold=0.0).collect()
+    }
+    edges = spark.createDataFrame(
+        [(1, 2), (1, 3), (1, 4)], "id_a bigint, id_b bigint"
+    )
+    out = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in dd.verify_candidate_edges(
+            corpus, edges, threshold=0.0
+        ).collect()
+    }
+    assert out[(1, 2)] == oracle[(1, 2)] == 1.0
+    assert out[(1, 3)] == oracle[(1, 3)]
+    # (1, 4) shares no shingle: jaccard 0.0 survives threshold=0.0's >=,
+    # but is killed by any positive threshold
+    assert out[(1, 4)] == 0.0
+
+
+def test_verify_edges_threshold_kills_false_positives(spark, corpus):
+    """A spurious LSH edge between unrelated docs must not survive."""
+    edges = spark.createDataFrame(
+        [(1, 2), (4, 5)], "id_a bigint, id_b bigint"
+    )
+    out = dd.verify_candidate_edges(corpus, edges, threshold=0.7).collect()
+    assert {(r["id_a"], r["id_b"]) for r in out} == {(1, 2)}
+
+
+def test_verify_edges_star_bucket_splits_cluster(spark):
+    """Star edges from one LSH bucket: the center is similar to some
+    members but not others — verification keeps only the true dups, so
+    clustering splits the bucket instead of merging it whole."""
+    rows = [
+        (1, "alpha beta gamma delta epsilon zeta"),
+        (2, "alpha beta gamma delta epsilon zeta"),   # true dup of 1
+        (3, "alpha beta gamma delta epsilon eta"),    # near dup of 1
+        (4, "one two three four five six seven"),     # false bucket-mate
+    ]
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+    edges = spark.createDataFrame(
+        [(1, 2), (1, 3), (1, 4)], "id_a bigint, id_b bigint"
+    )
+    kept = dd.verify_candidate_edges(docs, edges, threshold=0.5)
+    clusters = {
+        r["doc_id"]: r["cluster_id"] for r in dd.neardup_clusters(kept).collect()
+    }
+    assert clusters[1] == clusters[2] == clusters[3] == 1
+    assert 4 not in clusters  # its only edge died in verification
