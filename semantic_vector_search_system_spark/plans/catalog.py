@@ -38,6 +38,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.hashing import stable_hash64_sql
+from ..functions.timeutil import read_events
 from ..operators import dedup as dd
 from ..operators import similarity as sim
 from ..operators import textanalysis as ta
@@ -56,12 +57,11 @@ def T(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # naive-as-UTC semantics whatever session the driver hands us.
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     if name == "events":
-        # The events table stores TIMESTAMP(NANOS) which Spark's parquet
-        # reader rejects; read nanos as long and convert exactly (integer
-        # division) to microsecond timestamps.
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        # events.ts has shipped as both TIMESTAMP(NANOS) and timestamp[us]
+        # across testdata regenerations; read_events branches on the scanned
+        # dtype (functions/timeutil.py) so either format yields the same
+        # canonical TIMESTAMP column.
+        return read_events(spark, f"{sf_dir}/{name}.parquet")
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 

@@ -32,26 +32,36 @@ def stream_events(
     """readStream over the events parquet directory.
 
     Streaming sources require a pinned schema; we take it from a batch read
-    of the same path (footer only, no data scan). The nanosecond-timestamp
-    workaround mirrors plans/catalog.py::T.
+    of the same path (footer only, no data scan). The ts-encoding
+    normalization (nanos-as-long vs timestamp[us]/NTZ) mirrors batch T():
+    both funnel through functions/timeutil.py so a testdata format flip
+    cannot break one path but not the other.
     """
     import os
 
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    from ..functions.timeutil import normalize_event_ts
+
     spark.conf.set("spark.sql.session.timeZone", "UTC")  # match batch T()
-    batch = spark.read.parquet(events_dir)
+    # The stream must scan with the file's physical schema, then normalize;
+    # the legacy NANOS encoding makes the footer read itself raise, and only
+    # then do we flip the legacy scan flag (mirrors timeutil.read_events).
+    try:
+        scan_schema = spark.read.parquet(events_dir).schema
+    except Exception:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        scan_schema = spark.read.parquet(events_dir).schema
     if os.path.isfile(events_dir):
         # streaming file sources need a directory; point at the parent and
         # glob-filter down to the one file
         parent, fname = os.path.split(events_dir)
         raw = (
-            spark.readStream.schema(batch.schema)
+            spark.readStream.schema(scan_schema)
             .option("pathGlobFilter", fname)
             .parquet(parent)
         )
     else:
-        raw = spark.readStream.schema(batch.schema).parquet(events_dir)
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        raw = spark.readStream.schema(scan_schema).parquet(events_dir)
+    return normalize_event_ts(raw)
 
 
 def windowed_event_counts(
