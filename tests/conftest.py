@@ -1,11 +1,114 @@
 from __future__ import annotations
 
+import os
 import sys
 from pathlib import Path
 
 import pytest
 
 sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+# ---------------------------------------------------------------------------
+# Testdata schema snapshot. The driver regenerates /root/testdata between
+# rounds and has already flipped a physical encoding once (events.ts:
+# TIMESTAMP(NANOS) -> timestamp[us]), silently breaking a third of the
+# correctness gate. This snapshot makes any future reshape fail loudly at
+# collection time with a message naming the table/column instead of as an
+# AnalysisException deep inside 13 different queries.
+#
+# Each column maps to the set of physical arrow types the engine is known to
+# absorb (functions/timeutil.py normalizes the events.ts alternatives).
+EXPECTED_SCHEMAS: dict[str, dict[str, set[str]]] = {
+    "region": {"r_regionkey": {"int32"}, "r_name": {"string"}},
+    "nation": {
+        "n_nationkey": {"int32"}, "n_name": {"string"}, "n_regionkey": {"int32"},
+    },
+    "customer": {
+        "c_custkey": {"int64"}, "c_name": {"string"}, "c_nationkey": {"int32"},
+        "c_acctbal": {"double"}, "c_mktsegment": {"string"},
+    },
+    "supplier": {
+        "s_suppkey": {"int64"}, "s_name": {"string"},
+        "s_nationkey": {"int32"}, "s_acctbal": {"double"},
+    },
+    "part": {
+        "p_partkey": {"int64"}, "p_name": {"string"}, "p_brand": {"string"},
+        "p_type": {"string"}, "p_size": {"int32"}, "p_retailprice": {"double"},
+    },
+    "orders": {
+        "o_orderkey": {"int64"}, "o_custkey": {"int64"},
+        "o_orderstatus": {"string"}, "o_totalprice": {"double"},
+        "o_orderdate": {"timestamp[us]", "timestamp[ns]"},
+        "o_orderpriority": {"string"},
+    },
+    "lineitem": {
+        "l_orderkey": {"int64"}, "l_partkey": {"int64"}, "l_suppkey": {"int64"},
+        "l_linenumber": {"int32"}, "l_quantity": {"double"},
+        "l_extendedprice": {"double"}, "l_discount": {"double"},
+        "l_tax": {"double"}, "l_returnflag": {"string"},
+        "l_linestatus": {"string"},
+        "l_shipdate": {"timestamp[us]", "timestamp[ns]"},
+    },
+    "events": {
+        "event_id": {"int64"},
+        "ts": {"timestamp[us]", "timestamp[ns]"},  # both absorbed by timeutil
+        "user_id": {"int64"}, "event_type": {"string"},
+        "value": {"double"}, "props": {"string"},
+    },
+    "documents": {
+        "doc_id": {"int64"}, "text": {"string"}, "lang": {"string"},
+        "source": {"string"}, "n_chars": {"int64"},
+    },
+    "embeddings": {
+        "vec_id": {"int64"},
+        "embedding": {"list<element: float>"},
+        "label": {"int32"},
+    },
+}
+
+
+def check_testdata_schemas(sf_dir: str) -> list[str]:
+    """Return a list of human-readable schema deviations for ``sf_dir``
+    (empty list == shape matches the snapshot the engine was built against)."""
+    import pyarrow.parquet as pq
+
+    problems: list[str] = []
+    for table, cols in EXPECTED_SCHEMAS.items():
+        path = f"{sf_dir}/{table}.parquet"
+        if not os.path.exists(path):
+            problems.append(f"{table}: file missing at {path}")
+            continue
+        schema = pq.read_schema(path)
+        got = {f.name: str(f.type) for f in schema}
+        for name, allowed in cols.items():
+            if name not in got:
+                problems.append(f"{table}.{name}: column missing (has {sorted(got)})")
+            elif got[name] not in allowed:
+                problems.append(
+                    f"{table}.{name}: dtype {got[name]!r} not in the absorbed "
+                    f"set {sorted(allowed)} — the driver regenerated testdata "
+                    "in a new shape; extend functions/timeutil.py (events.ts) "
+                    "or the affected readers, then update this snapshot"
+                )
+        extra = set(got) - set(cols)
+        if extra:
+            problems.append(f"{table}: unexpected new columns {sorted(extra)}")
+    return problems
+
+
+@pytest.fixture(scope="session", autouse=True)
+def _testdata_shape_guard():
+    problems = []
+    for sf in ("sf0.001", "sf0.01", "sf0.1"):
+        sf_dir = f"/root/testdata/{sf}"
+        if os.path.isdir(sf_dir):
+            problems += [f"[{sf}] {p}" for p in check_testdata_schemas(sf_dir)]
+    if problems:
+        pytest.fail(
+            "driver testdata no longer matches the engine's schema snapshot:\n  "
+            + "\n  ".join(problems),
+            pytrace=False,
+        )
 
 
 @pytest.fixture(scope="session")
