@@ -17,10 +17,12 @@ Cross-engine determinism rules used throughout (so value hashes match):
 * no transcendental functions (exp/ln/pow) whose libm rounding may differ
   (sqrt and division are IEEE-exact and safe);
 * ranking ties broken by explicit unique keys, never left to chance;
-* timestamps: session timezone pinned to UTC at query build (T()), NTZ
-  parquet columns cast to instants before epoch arithmetic, comparisons in
-  integer micros (unix_micros / epoch_us) — immune to caller sessions with
-  any timezone (validated under +5:30);
+* timestamps: kept TIMESTAMP_NTZ end-to-end (DuckDB's naive semantics);
+  epoch extraction and literals use wall-clock arithmetic against an NTZ
+  epoch anchor (functions/timeutil.py), never session-timezone casts, so
+  builders are pure and results are identical under any caller session
+  timezone (fuzz-validated at +05:30); streaming watermarks, which demand
+  an instant type, get one manufactured from epoch micros (as_instant);
 * integer sums in DuckDB cast to BIGINT (SUM(int) yields HUGEINT there);
 * candidate sets defined so both engines enumerate IDENTICAL row sets
   (e.g. lexical rankings keep only bucket-overlapping dot>0 pairs — the
@@ -38,6 +40,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.hashing import stable_hash64_sql
+from ..functions import timeutil as tu
 from ..functions.timeutil import read_events
 from ..operators import dedup as dd
 from ..operators import similarity as sim
@@ -52,10 +55,10 @@ TABLES = [
 
 
 def T(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    # Timestamp determinism does not survive an arbitrary session timezone:
-    # NTZ->instant casts and date_trunc boundaries must match DuckDB's
-    # naive-as-UTC semantics whatever session the driver hands us.
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    # Pure reader: no session-conf mutation. Timestamp determinism comes from
+    # keeping every temporal column TIMESTAMP_NTZ and doing wall-clock
+    # arithmetic (functions/timeutil.py), which matches DuckDB's naive
+    # semantics under ANY caller session timezone (fuzz-validated at +05:30).
     if name == "events":
         # events.ts has shipped as both TIMESTAMP(NANOS) and timestamp[us]
         # across testdata regenerations; read_events branches on the scanned
@@ -127,7 +130,7 @@ def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H-Q1-shaped scan+agg: filter pushdown, map-side partial agg
     (SURVEY A8/A11-style group-by summary)."""
     li = T(spark, sf_dir, "lineitem").filter(
-        F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp")
+        F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp_ntz")
     )
     return li.groupBy("l_returnflag", "l_linestatus").agg(
         F.sum(_dec("l_quantity")).cast("double").alias("sum_qty"),
@@ -162,8 +165,8 @@ def revenue_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = T(spark, sf_dir, "lineitem")
     return (
         li.filter(
-            (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
-            & (F.col("l_shipdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
+            (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp_ntz"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01 00:00:00").cast("timestamp_ntz"))
             & (F.col("l_discount").between(0.03, 0.07))
             & (F.col("l_quantity") < 24)
         )
@@ -199,8 +202,8 @@ def revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     c = T(spark, sf_dir, "customer")
     o = T(spark, sf_dir, "orders").filter(
-        (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
-        & (F.col("o_orderdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
+        (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01 00:00:00").cast("timestamp_ntz"))
     )
     l = T(spark, sf_dir, "lineitem")
     n = T(spark, sf_dir, "nation")
@@ -442,7 +445,7 @@ def hourly_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = T(spark, sf_dir, "events")
     return (
         e.groupBy(
-            F.unix_timestamp(F.date_trunc("hour", F.col("ts"))).alias("hour_unix"),
+            tu.hour_epoch_s("ts").alias("hour_unix"),
             "event_type",
         )
         .agg(
@@ -1118,7 +1121,7 @@ def sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
     flag -> running session index -> per-session aggregates. One shuffle
     keyed by user_id serves all three windows."""
     e = T(spark, sf_dir, "events").select(
-        "user_id", "event_id", F.unix_micros("ts").alias("ts_us"), "value"
+        "user_id", "event_id", tu.epoch_us("ts").alias("ts_us"), "value"
     )
     w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
     wrun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -1565,12 +1568,12 @@ def asof_latest_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.asof import asof_join
 
     ev = T(spark, sf_dir, "events").filter(F.col("event_id") % 100 == 0).select(
-        "event_id", "user_id", F.unix_micros("ts").alias("t")
+        "event_id", "user_id", tu.epoch_us("ts").alias("t")
     )
     orders = T(spark, sf_dir, "orders").select(
         F.col("o_custkey").alias("user_id"),
         # parquet file is TIMESTAMP_NTZ; cast to session-UTC instant first
-        F.unix_micros(F.col("o_orderdate").cast("timestamp")).alias("t"),
+        tu.epoch_us("o_orderdate").alias("t"),
         "o_orderkey",
         "o_totalprice",
     )
@@ -1915,7 +1918,7 @@ def view_purchase_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     same user — equi-join on user + time-range predicate; per-user conversion
     counts and exact integer delay sums."""
     e = T(spark, sf_dir, "events").select(
-        "user_id", "event_id", "event_type", F.unix_micros("ts").alias("t")
+        "user_id", "event_id", "event_type", tu.epoch_us("ts").alias("t")
     )
     v = e.filter(F.col("event_type") == "view").select(
         "user_id", F.col("event_id").alias("view_id"), F.col("t").alias("vt")

@@ -36,12 +36,16 @@ def stream_events(
     normalization (nanos-as-long vs timestamp[us]/NTZ) mirrors batch T():
     both funnel through functions/timeutil.py so a testdata format flip
     cannot break one path but not the other.
+
+    Watermarks reject TIMESTAMP_NTZ event time, so unlike the batch path
+    (canonical NTZ) the stream's ``ts`` is an instant — manufactured from
+    epoch micros (timeutil.as_instant), never a session-timezone cast, so
+    its value (wall clock read as UTC) is caller-session-independent.
     """
     import os
 
-    from ..functions.timeutil import normalize_event_ts
+    from ..functions.timeutil import as_instant, normalize_event_ts
 
-    spark.conf.set("spark.sql.session.timeZone", "UTC")  # match batch T()
     # The stream must scan with the file's physical schema, then normalize;
     # the legacy NANOS encoding makes the footer read itself raise, and only
     # then do we flip the legacy scan flag (mirrors timeutil.read_events).
@@ -61,7 +65,7 @@ def stream_events(
         )
     else:
         raw = spark.readStream.schema(scan_schema).parquet(events_dir)
-    return normalize_event_ts(raw)
+    return normalize_event_ts(raw).withColumn("ts", as_instant("ts"))
 
 
 def windowed_event_counts(

@@ -52,7 +52,13 @@ def parse_event_payload(raw: DataFrame) -> DataFrame:
     ``raw`` has Kafka's wire schema (key binary, value binary, topic,
     partition, offset, timestamp, ...). Pure column expressions — reused
     verbatim by the unit test with a batch stand-in DataFrame.
+
+    The ISO wall-clock string parses to TIMESTAMP_NTZ (session-independent),
+    then becomes the watermark-compatible instant the same way the parquet
+    stream does (timeutil.as_instant) — wall clock read as UTC.
     """
+    from ..functions.timeutil import as_instant
+
     return (
         raw.select(F.col("value").cast("string").alias("json"))
         .select(F.from_json("json", EVENT_JSON_SCHEMA).alias("e"))
@@ -61,8 +67,9 @@ def parse_event_payload(raw: DataFrame) -> DataFrame:
             F.col("e.user_id").alias("user_id"),
             F.col("e.event_type").alias("event_type"),
             F.col("e.value").alias("value"),
-            F.to_timestamp("e.ts").alias("ts"),
+            F.to_timestamp_ntz(F.col("e.ts")).alias("ts"),
         )
+        .withColumn("ts", as_instant("ts"))
     )
 
 

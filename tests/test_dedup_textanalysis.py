@@ -224,15 +224,16 @@ def test_asof_grouped_matches_window_form(spark):
         asof_join,
         asof_join_grouped,
     )
+    from semantic_vector_search_system_spark.functions import timeutil as tu
     from semantic_vector_search_system_spark.plans.catalog import T
 
     sf = "/root/testdata/sf0.001"
     ev = T(spark, sf, "events").filter(F.col("event_id") % 20 == 0).select(
-        "event_id", "user_id", F.unix_micros("ts").alias("t")
+        "event_id", "user_id", tu.epoch_us("ts").alias("t")
     )
     orders = T(spark, sf, "orders").select(
         F.col("o_custkey").alias("user_id"),
-        F.unix_micros(F.col("o_orderdate").cast("timestamp")).alias("t"),
+        tu.epoch_us("o_orderdate").alias("t"),
         "o_orderkey",
         "o_totalprice",
     )

@@ -46,6 +46,11 @@ PERTURBATIONS = [
         "spark.sql.shuffle.partitions": "61",
         "spark.sql.adaptive.coalescePartitions.enabled": "false",
     },
+    # Non-UTC caller session (half-hour offset is the nastiest case): query
+    # builders are pure — no per-call session.timeZone pinning — so results
+    # must still match because all temporal logic is NTZ wall-clock
+    # arithmetic (functions/timeutil.py), never session-timezone casts.
+    {"spark.sql.session.timeZone": "Asia/Kolkata"},
 ]
 
 
