@@ -199,6 +199,31 @@ def topk_bruteforce_expr(
     return _rank_topk(scored, k, qid_col, id_col).select(qid_col, id_col, "rank", "score")
 
 
+def collect_doc_matrix(
+    docs: DataFrame,
+    id_col: str = "docid",
+    vec_col: str = "vec",
+    max_rows: int = 2_000_000,
+):
+    """Collect a (small) doc-vector relation to ``(ids, D_float32)`` for
+    :func:`topk_bruteforce` ``mode='broadcast_index'`` — the in-memory index
+    the reference's search loop runs against (its memmap is float32,
+    `auto_run_tests.py:119-127`). Guarded: this is ONLY for corpora that fit
+    one machine; the distributed scan path is the default beyond that."""
+    import numpy as np
+
+    n = docs.count()
+    if n > max_rows:
+        raise ValueError(
+            f"collect_doc_matrix: {n} rows > max_rows={max_rows}; "
+            "use the distributed topk_bruteforce path for large corpora"
+        )
+    rows = docs.select(id_col, vec_col).collect()
+    ids = np.array([r[0] for r in rows])
+    D = np.array([r[1] for r in rows], dtype=np.float32)
+    return ids, D
+
+
 def collect_query_matrix(
     queries: DataFrame,
     metric: str = "dot",
@@ -234,6 +259,8 @@ def topk_bruteforce(
     precollected: tuple | None = None,
     ranker: str = "window",
     mode: str = "distributed",
+    score_dtype: str = "float64",
+    predocs: tuple | None = None,
 ) -> DataFrame:
     """BLAS-speed exact top-k: one matmul per Arrow batch + partial top-k.
 
@@ -257,16 +284,37 @@ def topk_bruteforce(
     worker's memory (the reference's own regime: its memmap search is a
     single process); keep the default distributed mode beyond ~100k docs
     or the lost scan/score parallelism outweighs the saved stage.
+
+    ``score_dtype='float32'`` scores in single precision — exact parity
+    with the reference, whose memmap index is float32 and whose
+    ``mat.dot(q)`` therefore runs in float32 (`auto_run_tests.py:123-138`).
+    The stored ``array<float>`` column then reshapes zero-copy into the
+    scoring matrix (no 2x-width convert-and-copy) and the matmul itself is
+    ~2x cheaper. The float64 default is kept for every oracle-checked path
+    so scores stay bit-comparable with DuckDB's double arithmetic.
+
+    ``mode='broadcast_index'`` is the serving shape for indexes that fit in
+    executor memory: the doc matrix is collected ONCE
+    (:func:`collect_doc_matrix` — the analog of the reference loading its
+    memmap index before the query loop, `auto_run_tests.py:119-127`),
+    broadcast, and each search call is a single no-input-scan task scoring
+    against the in-memory index. Per-call cost is pure search — no doc
+    Arrow transfer — matching how the reference (and any vector-serving
+    system) amortizes index load across queries. Guarded by
+    ``collect_doc_matrix``'s row cap; large corpora use the distributed
+    scan modes.
     """
     import numpy as np
     import pandas as pd
 
+    np_dt = {"float64": np.float64, "float32": np.float32}[score_dtype]
     doc_side = docs.filter(predicate) if predicate is not None else docs
     qids, qmat = (
         precollected
         if precollected is not None
         else collect_query_matrix(queries, metric, qid_col, qvec_col)
     )
+    qmat = qmat.astype(np_dt, copy=False)
     if not qids:
         spark = queries.sparkSession
         qid_t = dict(queries.dtypes)[qid_col]
@@ -284,7 +332,7 @@ def topk_bruteforce(
     use_cosine = metric == "cosine"
 
     def _score_matrix(pdf: pd.DataFrame):
-        D = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+        D = np.array(pdf[vec_col].tolist(), dtype=np_dt)
         if use_cosine:
             dn = np.linalg.norm(D, axis=1, keepdims=True)
             D = np.divide(D, dn, out=np.zeros_like(D), where=dn > 0)
@@ -321,9 +369,54 @@ def topk_bruteforce(
                 {
                     qid_col: np.concatenate(rows_qid),
                     id_col: np.concatenate(rows_id),
-                    "score": np.concatenate(rows_score),
+                    "score": np.concatenate(rows_score).astype(np.float64, copy=False),
                 }
             )
+
+    if mode == "broadcast_index":
+        if predocs is None:
+            raise ValueError(
+                "mode='broadcast_index' requires predocs=collect_doc_matrix(...)"
+            )
+        bd = sc.broadcast(predocs)
+        ranked_schema = (
+            f"`{qid_col}` {qid_type}, `{id_col}` {id_type}, rank int, score double"
+        )
+        spark = docs.sparkSession
+
+        def search_broadcast(batches) -> Iterator["pa.RecordBatch"]:
+            import pyarrow as pa
+
+            q_ids, Q = bq.value
+            ids_a, D = bd.value
+            D = D.astype(np_dt, copy=False)
+            if use_cosine:
+                dn = np.linalg.norm(D, axis=1, keepdims=True)
+                D = np.divide(D, dn, out=np.zeros_like(D), where=dn > 0)
+            for _ in batches:  # consume the one dummy input row
+                pass
+            if D.shape[0] == 0:
+                return
+            S = D @ Q.T
+            kk = min(k, S.shape[0])
+            out = {qid_col: [], id_col: [], "rank": [], "score": []}
+            for j in range(len(q_ids)):
+                col = S[:, j]
+                sel = _partial_sel(col, kk)
+                # (score desc, id asc) exactly like the window ranker
+                sec = np.argsort(ids_a[sel], kind="stable")
+                order = sel[sec][np.argsort(-col[sel][sec], kind="stable")][:kk]
+                out[qid_col].append(np.repeat(q_ids[j], len(order)))
+                out[id_col].append(ids_a[order])
+                out["rank"].append(np.arange(1, len(order) + 1, dtype=np.int32))
+                out["score"].append(col[order].astype(np.float64, copy=False))
+            yield pa.RecordBatch.from_pandas(
+                pd.DataFrame({c: np.concatenate(v) for c, v in out.items()})
+            )
+
+        return spark.range(0, 1, 1, 1).mapInArrow(
+            search_broadcast, schema=ranked_schema
+        )
 
     if mode == "fused":
         ranked_schema = (
@@ -331,8 +424,10 @@ def topk_bruteforce(
         )
 
         def _batch_matrix(col) -> "np.ndarray":
-            """Zero-copy (n, dim) float64 view of an Arrow list<float> column
-            when the layout allows, else the stacking fallback."""
+            """(n, dim) scoring matrix from an Arrow list<float> column —
+            zero-copy reshape when the layout allows (and, for float32
+            scoring of a float32 column, no convert-and-copy at all), else
+            the stacking fallback."""
             import pyarrow as pa
 
             if isinstance(col, (pa.ListArray, pa.LargeListArray)) and col.null_count == 0:
@@ -340,8 +435,8 @@ def topk_bruteforce(
                 vals = flat.to_numpy(zero_copy_only=False)
                 n = len(col)
                 if n and len(vals) % n == 0:
-                    return vals.reshape(n, -1).astype(np.float64)
-            return np.array(col.to_pylist(), dtype=np.float64)
+                    return vals.reshape(n, -1).astype(np_dt, copy=False)
+            return np.array(col.to_pylist(), dtype=np_dt)
 
         def _threaded_scores(D: "np.ndarray", Q: "np.ndarray") -> "np.ndarray":
             """Chunked D @ Q.T across a thread pool — BLAS is pinned to one
@@ -394,7 +489,7 @@ def topk_bruteforce(
                 out[qid_col].append(np.repeat(q_ids[j], len(order)))
                 out[id_col].append(ids_j[order])
                 out["rank"].append(np.arange(1, len(order) + 1, dtype=np.int32))
-                out["score"].append(sc_j[order])
+                out["score"].append(sc_j[order].astype(np.float64, copy=False))
             if out[qid_col]:
                 yield pa.RecordBatch.from_pandas(
                     pd.DataFrame({c: np.concatenate(v) for c, v in out.items()})

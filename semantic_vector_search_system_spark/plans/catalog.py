@@ -911,6 +911,8 @@ DEMOTED: tuple[str, ...] = (
     "lsh_candidate_pairs",       # intermediate stage of neardup_keep_one
                                  #   (same banding SQL inside its oracle)
     "knn_topk_heap",             # ≡ knn_topk (same J1/W1 logic, UDAF ranker)
+    "asof_grouped_orders",       # ≡ asof_latest_order (cogroup merge_asof
+                                 #   strategy; bench-tagged, equivalence-tested)
     "sql_interface_pricing",     # ≡ pricing_summary (same plan via spark.sql)
     "user_event_unpivot",        # inverse of user_event_pivot (J6)
     "stream_sessionize",         # ≡ sessionization result; ST covered by
@@ -1559,6 +1561,7 @@ def sql_interface_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT event_id, user_id, lk AS o_orderkey, lp AS o_totalprice
     FROM c WHERE is_left = 1
     """,
+    bench=True,
     tags=("join", "asof", "custom-operator"),
 )
 def asof_latest_order(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1572,13 +1575,71 @@ def asof_latest_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     orders = T(spark, sf_dir, "orders").select(
         F.col("o_custkey").alias("user_id"),
-        # parquet file is TIMESTAMP_NTZ; cast to session-UTC instant first
         tu.epoch_us("o_orderdate").alias("t"),
         "o_orderkey",
         "o_totalprice",
     )
     out = asof_join(
         ev.select("event_id", "user_id", "t"),
+        orders,
+        on="user_id",
+        left_time="t",
+        right_time="t",
+        payload_cols=["o_orderkey", "o_totalprice"],
+        right_tiebreak="o_orderkey",
+    )
+    return out.select("event_id", "user_id", "o_orderkey", "o_totalprice")
+
+
+@_q(
+    "asof_grouped_orders",
+    """
+    WITH l AS (SELECT event_id, user_id, epoch_us(ts) AS t
+               FROM events WHERE event_id % 10 = 0),
+    r AS (SELECT o_custkey AS user_id, epoch_us(o_orderdate) AS t,
+                 o_orderkey, o_totalprice
+          FROM orders),
+    u AS (
+      SELECT user_id, t, 1 AS is_left, CAST(0 AS BIGINT) AS tb, event_id,
+             CAST(NULL AS BIGINT) AS o_orderkey, CAST(NULL AS DOUBLE) AS o_totalprice
+      FROM l
+      UNION ALL
+      SELECT user_id, t, 0 AS is_left, o_orderkey AS tb, NULL AS event_id,
+             o_orderkey, o_totalprice
+      FROM r),
+    c AS (
+      SELECT *,
+        last_value(o_orderkey IGNORE NULLS) OVER win AS lk,
+        last_value(o_totalprice IGNORE NULLS) OVER win AS lp
+      FROM u
+      WINDOW win AS (PARTITION BY user_id ORDER BY t, is_left, tb
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+    SELECT event_id, user_id, lk AS o_orderkey, lp AS o_totalprice
+    FROM c WHERE is_left = 1
+    """,
+    bench=True,
+    tags=("join", "asof", "custom-operator", "cogroup"),
+)
+def asof_grouped_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The cogrouped pd.merge_asof physical strategy (operators/asof.py:90)
+    on a 10x denser event sample than asof_latest_order: each side hash-
+    partitions by key once (cogroup), then two pre-sorted sides merge per
+    key in pandas — the plan has no cartesian expansion, no broadcast of the
+    big side, and no global sort. Same backward-inclusive max-tiebreak
+    semantics as the window form (randomized-equivalence tested)."""
+    from ..operators.asof import asof_join_grouped
+
+    ev = T(spark, sf_dir, "events").filter(F.col("event_id") % 10 == 0).select(
+        "event_id", "user_id", tu.epoch_us("ts").alias("t")
+    )
+    orders = T(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("user_id"),
+        tu.epoch_us("o_orderdate").alias("t"),
+        "o_orderkey",
+        "o_totalprice",
+    )
+    out = asof_join_grouped(
+        ev,
         orders,
         on="user_id",
         left_time="t",
@@ -1912,7 +1973,12 @@ _FUNNEL_ORACLE = """
     """
 
 
-@_q("view_purchase_funnel", _FUNNEL_ORACLE, tags=("range-join", "interval", "funnel"))
+@_q(
+    "view_purchase_funnel",
+    _FUNNEL_ORACLE,
+    bench=True,
+    tags=("range-join", "interval", "funnel"),
+)
 def view_purchase_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Interval (range) join: purchases within 5 minutes after a view by the
     same user — equi-join on user + time-range predicate; per-user conversion

@@ -72,6 +72,48 @@ def test_fused_mode_matches_distributed(spark, fixture_vecs):
     assert "Exchange" not in plan
 
 
+def test_broadcast_index_mode_matches_distributed(spark, fixture_vecs):
+    """The serving-shape path (index collected+broadcast once, each search a
+    no-input-scan task) must produce the exact distributed result, in both
+    score dtypes, and must refuse to run without a collected index."""
+    import pytest
+
+    from semantic_vector_search_system_spark.operators.search import (
+        collect_doc_matrix,
+        collect_query_matrix,
+    )
+
+    qvec, dvec = fixture_vecs
+    qm = collect_query_matrix(qvec)
+    dm = collect_doc_matrix(dvec)
+    a = topk_bruteforce(qvec, dvec, k=4)
+    ra = sorted((r["qid"], r["docid"], r["rank"]) for r in a.collect())
+    for dt in ("float64", "float32"):
+        b = topk_bruteforce(
+            qvec, dvec, k=4, precollected=qm, mode="broadcast_index",
+            predocs=dm, score_dtype=dt,
+        )
+        rb = sorted((r["qid"], r["docid"], r["rank"]) for r in b.collect())
+        assert ra == rb, dt
+    with pytest.raises(ValueError, match="predocs"):
+        topk_bruteforce(qvec, dvec, k=4, precollected=qm, mode="broadcast_index")
+    with pytest.raises(ValueError, match="max_rows"):
+        collect_doc_matrix(dvec, max_rows=2)
+
+
+def test_float32_scoring_matches_float64_topk(spark, fixture_vecs):
+    """float32 scoring (reference-parity arithmetic) must rank the same
+    docs in fused and distributed modes on the fixture corpus."""
+    qvec, dvec = fixture_vecs
+    a = topk_bruteforce(qvec, dvec, k=4)
+    b = topk_bruteforce(qvec, dvec, k=4, mode="fused", score_dtype="float32")
+    c = topk_bruteforce(qvec, dvec, k=4, score_dtype="float32")
+    ra = sorted((r["qid"], r["docid"], r["rank"]) for r in a.collect())
+    rb = sorted((r["qid"], r["docid"], r["rank"]) for r in b.collect())
+    rc = sorted((r["qid"], r["docid"], r["rank"]) for r in c.collect())
+    assert ra == rb == rc
+
+
 def test_fused_mode_matches_distributed_long_ids_multibatch(spark):
     """Fused merge across multiple Arrow batches with numeric ids and
     forced score ties at the k boundary."""
