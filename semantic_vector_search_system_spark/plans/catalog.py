@@ -921,6 +921,9 @@ DEMOTED: tuple[str, ...] = (
     "user_running_value",        # W5 ≡ sessionization + user_event_sequences
     "token_stats_by_lang",       # F1–F6 ≡ token_counts_regex + snippet_queries
     "brand_price_stats",         # A11 ≡ welch_components_by_type components
+    "nations_with_both",         # SO1 set intersection ≡ ngram_jaccard_pairs
+                                 #   (same intersect/semi-join family), freeing
+                                 #   a window slot for mannwhitney_components
     "region_customer_rollup",    # join-agg ≡ revenue_by_nation
     "supplier_balance_by_nation",  # join-agg ≡ revenue_by_nation
     "part_type_revenue",         # join-agg ≡ revenue_by_nation
@@ -1070,6 +1073,36 @@ def welch_components_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.avg("value"), 4).alias("mean_value"),
         F.round(F.var_samp("value"), 4).alias("var_value"),
     )
+
+
+@_q(
+    "mannwhitney_components",
+    """
+    WITH two AS (SELECT event_type AS grp, value AS m FROM events
+                 WHERE event_type IN ('view', 'purchase')),
+    counts AS (SELECT m, COUNT(*) AS cnt FROM two GROUP BY m),
+    ranked AS (SELECT m, cnt,
+        COALESCE(SUM(cnt) OVER (ORDER BY m
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+      FROM counts),
+    rv AS (SELECT m, cum_before + (cnt + 1) / 2.0 AS avg_rank FROM ranked)
+    SELECT grp, COUNT(*) AS n, CAST(SUM(avg_rank) AS DOUBLE) AS rank_sum
+    FROM two JOIN rv ON two.m = rv.m GROUP BY grp
+    """,
+    tags=("stats", "A12", "rank-sum"),
+)
+def mannwhitney_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann–Whitney U distributed rank-sum components (plans/report.py::
+    mann_whitney_components): tie-averaged ranks via per-distinct-value
+    counts + a bounded-cardinality running window — no global row sort.
+    Hash-exact across engines because every avg_rank is a multiple of 0.5
+    (see the function docstring); U itself is driver arithmetic."""
+    from .report import mann_whitney_components
+
+    e = T(spark, sf_dir, "events").select(
+        F.col("event_type").alias("grp"), F.col("value").alias("m")
+    )
+    return mann_whitney_components(e, "grp", "m", ["view", "purchase"])
 
 
 @_q(

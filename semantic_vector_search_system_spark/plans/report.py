@@ -76,18 +76,24 @@ def welch_t_test(results: DataFrame, group_col: str, metric: str, g1, g2) -> dic
     return out
 
 
-def mann_whitney_u(results: DataFrame, group_col: str, metric: str, g1, g2) -> dict:
-    """A12 fallback test (`stats_tests.py:75-80`): rank-sums computed
-    DISTRIBUTED with tie-averaged ranks — no global single-partition sort.
+def mann_whitney_components(
+    results: DataFrame, group_col: str, metric: str, groups: list
+) -> DataFrame:
+    """A12 distributed part of the rank-sum test: per-group ``(n,
+    rank_sum)`` with tie-averaged ranks — no global single-partition sort.
 
     Average rank of a value v = (#rows < v) + (#rows == v + 1) / 2, so only
     the per-distinct-value counts need a (distinct-cardinality-sized) window
     for the running total; the raw rows never leave their partitions except
     for the count aggregation. Scales to arbitrarily many rows.
+
+    Determinism note (oracle-checked): every avg_rank is a multiple of 0.5
+    well below 2^52, so the double rank_sum is exact under any summation
+    order — hash-comparable across engines.
     """
     from pyspark.sql import Window
 
-    two = results.filter(F.col(group_col).isin([g1, g2])).select(group_col, metric)
+    two = results.filter(F.col(group_col).isin(groups)).select(group_col, metric)
     counts = two.groupBy(metric).agg(F.count("*").alias("cnt"))
     # global window over the DISTINCT metric values only (bounded
     # cardinality), not over raw rows
@@ -96,8 +102,18 @@ def mann_whitney_u(results: DataFrame, group_col: str, metric: str, g1, g2) -> d
         "cum_before", F.coalesce(F.sum("cnt").over(w), F.lit(0))
     ).withColumn("avg_rank", F.col("cum_before") + (F.col("cnt") + 1) / 2.0)
     rr = two.join(ranked_vals.select(metric, "avg_rank"), metric)
-    sums = rr.groupBy(group_col).agg(F.sum("avg_rank").alias("rank_sum"), F.count("*").alias("n"))
-    d = {r[group_col]: r for r in sums.collect()}
+    return rr.groupBy(group_col).agg(
+        F.count("*").alias("n"), F.sum("avg_rank").alias("rank_sum")
+    )
+
+
+def mann_whitney_u(results: DataFrame, group_col: str, metric: str, g1, g2) -> dict:
+    """A12 fallback test (`stats_tests.py:75-80`): U statistic from the
+    distributed rank-sum components."""
+    d = {
+        r[group_col]: r
+        for r in mann_whitney_components(results, group_col, metric, [g1, g2]).collect()
+    }
     n1, n2 = d[g1]["n"], d[g2]["n"]
     u1 = d[g1]["rank_sum"] - n1 * (n1 + 1) / 2
     u = min(u1, n1 * n2 - u1)
