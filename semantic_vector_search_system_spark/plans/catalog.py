@@ -837,8 +837,19 @@ def neardup_keep_one(spark: SparkSession, sf_dir: str) -> DataFrame:
     training pipeline needs the keep-one *clusters* (SURVEY §2 dedup family).
     Scale shape: every stage is an equi-join or keyed aggregation; the edge
     list entering the clustering loop is O(duplicates), not O(corpus)."""
-    docs = T(spark, sf_dir, "documents")
-    sigs = dd.minhash_signatures_fast(docs, id_col="doc_id", num_hashes=8, shingle_n=3)
+    # repartition: the documents file is far below one scan-split locally,
+    # so without it the CPU-heavy minhash stage runs as a single task; at
+    # cluster scale the scan has many splits and this exchange is a cheap
+    # rebalance of raw text.
+    docs = T(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    # localCheckpoint: the banding self-join consumes the signature relation
+    # twice; without truncation the whole minhash Arrow stage executes twice.
+    # The relation is tiny — one (id, seed, minhash) row per doc per seed.
+    sigs = dd.minhash_signatures_fast(
+        docs, id_col="doc_id", num_hashes=8, shingle_n=3
+    ).localCheckpoint()
     cand = dd.lsh_candidate_pairs(sigs, id_col="doc_id", rows_per_band=2).localCheckpoint()
     kept = dd.verify_candidate_edges(
         docs, cand, id_col="doc_id", threshold=0.6

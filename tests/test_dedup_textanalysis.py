@@ -529,3 +529,40 @@ def test_verify_edges_star_bucket_splits_cluster(spark):
     }
     assert clusters[1] == clusters[2] == clusters[3] == 1
     assert 4 not in clusters  # its only edge died in verification
+
+
+def test_connected_components_driver_and_iterative_agree(spark):
+    """The small-graph driver union-find and the distributed min-label
+    propagation must produce identical (node, component) labelings —
+    including chain, star, singleton-pair and cross-partition shapes."""
+    import random
+
+    from semantic_vector_search_system_spark.operators.dedup import (
+        connected_components,
+    )
+
+    rng = random.Random(7)
+    edges = []
+    # chain 0-1-2-...-9 (worst diameter for propagation)
+    edges += [(i, i + 1) for i in range(9)]
+    # star hub 100
+    edges += [(100, 100 + i) for i in range(1, 8)]
+    # random pairs in a disjoint id range
+    edges += [(1000 + rng.randrange(50), 1000 + rng.randrange(50)) for _ in range(30)]
+    pairs = spark.createDataFrame(
+        [(a, b) for a, b in edges], "id_a long, id_b long"
+    ).repartition(7)
+    fast = {
+        (r.node, r.component)
+        for r in connected_components(pairs).collect()
+    }
+    slow = {
+        (r.node, r.component)
+        for r in connected_components(pairs, small_edge_threshold=0).collect()
+    }
+    assert fast == slow
+    # labels are component minima
+    comps = {}
+    for n, c in fast:
+        comps.setdefault(c, []).append(n)
+    assert all(min(v) == c for c, v in comps.items())
