@@ -1,0 +1,117 @@
+"""Corpus-composition operators for training-data pipelines.
+
+Beyond the reference's surface (it evaluates retrieval, not corpus
+construction): the standard stages a 100 TB pretraining pipeline runs
+between filtering/dedup and tokenization —
+
+* per-source caps (`source_cap_sample`): bound any one domain/source's
+  contribution by keeping only its top-k docs by quality — the "per-host
+  cap" every crawl pipeline applies so boilerplate-heavy hosts don't
+  dominate;
+* mixture weights (`source_mixture_weights`): per-source token counts and
+  the sampling fraction that hits a per-source token budget — the
+  domain-reweighting step (uniform target here; any target vector is the
+  same shape);
+* vocabulary extraction (`corpus_vocabulary`): corpus-wide token document
+  frequencies — the input to stopword lists, tokenizer training and
+  df-based quality heuristics.
+
+Scale shapes: one window keyed by source (cap), one groupBy(source)
+(weights), one explode + two-level aggregation (vocabulary). No Python
+UDFs anywhere.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from .textanalysis import doc_quality, tokenize
+
+
+def source_cap_sample(
+    docs: DataFrame,
+    cap: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    source_col: str = "source",
+) -> DataFrame:
+    """Keep each source's ``cap`` best documents by quality score.
+
+    Deterministic: rank by (quality_score desc, doc id asc) — the id
+    tiebreak pins equal-score orderings under any partitioning. Returns
+    ``(source, doc_id, rank, quality_score)``. One hash shuffle keyed by
+    source; at scale the per-source groups are bounded by the cap before
+    anything downstream materializes.
+    """
+    q = doc_quality(docs.select(id_col, text_col), id_col=id_col, text_col=text_col)
+    scored = docs.select(source_col, id_col).join(q.select(id_col, "quality_score"), id_col)
+    w = Window.partitionBy(source_col).orderBy(
+        F.desc("quality_score"), F.asc(id_col)
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= cap)
+        .select(source_col, id_col, "rank", "quality_score")
+    )
+
+
+def source_mixture_weights(
+    docs: DataFrame,
+    token_budget_per_source: int = 1_000,
+    text_col: str = "text",
+    source_col: str = "source",
+) -> DataFrame:
+    """Per-source corpus composition + the sampling fraction that caps each
+    source at ``token_budget_per_source`` whitespace tokens.
+
+    ``sample_frac = min(1, budget / source_tokens)`` — multiplying each
+    source's docs by its fraction yields the target mixture. Pure
+    groupBy(source) aggregation; exact integer token sums.
+    """
+    toks = docs.select(source_col, F.size(tokenize(text_col)).cast("long").alias("n_tokens"))
+    agg = toks.groupBy(source_col).agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+    )
+    return agg.select(
+        source_col,
+        "n_docs",
+        "total_tokens",
+        F.round(
+            F.least(
+                F.lit(1.0),
+                F.lit(float(token_budget_per_source)) / F.col("total_tokens"),
+            ),
+            6,
+        ).alias("sample_frac"),
+    )
+
+
+def corpus_vocabulary(
+    docs: DataFrame,
+    top_n: int = 50,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Top-``top_n`` corpus tokens by document frequency.
+
+    Returns ``(token, df, total_occurrences)`` ordered-deterministically by
+    (df desc, token asc). Physical shape: explode tokens once, then one
+    aggregation keyed by token computing both the occurrence count and the
+    exact distinct-document count; the global top-n compiles to
+    TakeOrderedAndProject (per-partition partial top-n + driver merge), so
+    nothing vocabulary-sized ever sits on one node.
+    """
+    tok = docs.select(
+        F.col(id_col), F.explode(tokenize(text_col)).alias("token")
+    )
+    agg = tok.groupBy("token").agg(
+        F.count("*").alias("total_occurrences"),
+        F.countDistinct(id_col).alias("df"),
+    )
+    return (
+        agg.select("token", "df", "total_occurrences")
+        .orderBy(F.desc("df"), F.asc("token"))
+        .limit(top_n)
+    )
