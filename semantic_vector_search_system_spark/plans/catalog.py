@@ -68,6 +68,15 @@ def T(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def TP(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """T() + round-robin repartition to the session's default parallelism —
+    for CPU-heavy builders (encode / minhash / shingle hashing): a small
+    parquet scans as ONE split locally (single row-group under the 4 MiB
+    open cost), which would serialize the whole Arrow/HOF stage onto one
+    core. At cluster scale the exchange is a cheap rebalance of raw rows."""
+    return T(spark, sf_dir, name).repartition(spark.sparkContext.defaultParallelism)
+
+
 def _dec(c: str | F.Column) -> F.Column:
     col = F.col(c) if isinstance(c, str) else c
     return col.cast("decimal(12,2)")
@@ -714,7 +723,7 @@ def simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash signatures (8 hashes over 3-token shingles)."""
-    return dd.minhash_signatures_fast(T(spark, sf_dir, "documents"), num_hashes=8, shingle_n=3)
+    return dd.minhash_signatures_fast(TP(spark, sf_dir, "documents"), num_hashes=8, shingle_n=3)
 
 
 @_q(
@@ -745,7 +754,7 @@ def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def lsh_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH banding candidate pairs (4 bands x 2 rows)."""
-    sigs = dd.minhash_signatures_fast(T(spark, sf_dir, "documents"), num_hashes=8, shingle_n=3)
+    sigs = dd.minhash_signatures_fast(TP(spark, sf_dir, "documents"), num_hashes=8, shingle_n=3)
     return dd.lsh_candidate_pairs(sigs, rows_per_band=2)
 
 
@@ -1370,7 +1379,11 @@ def self_retrieval_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id").alias("qid"), query_snippet("text").alias("text")
     )
     enc = HashingEncoderFast(dim=_E2E_DIM, out_dtype="double")
-    dvec = enc.encode(docs).select(F.col("doc_id").alias("docid"), "vec")
+    # TP-style repartition on the encode side only: the Arrow encode stage
+    # must not inherit the scan's single local split (see TP docstring).
+    dvec = enc.encode(
+        docs.repartition(spark.sparkContext.defaultParallelism)
+    ).select(F.col("doc_id").alias("docid"), "vec")
     qvec = enc.encode(queries).select("qid", F.col("vec").alias("qvec"))
     top = topk_bruteforce(qvec, dvec, k=10, metric="dot")
     qrels = queries.select(F.col("qid"), F.col("qid").alias("docid"))
@@ -1614,6 +1627,11 @@ def tfidf_self_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = docs.filter(F.col("doc_id") < 10).select(
         F.col("doc_id").alias("qid"), query_snippet("text").alias("text")
     )
+    # (measured: repartitioning docs here LOSES — the TF-IDF path is
+    # explode/join-shaped with its own exchanges, so an extra up-front
+    # shuffle only adds a stage; unlike the Arrow encode stages in
+    # self_retrieval_e2e / minhash_signatures, which are narrow and
+    # serialize on a single local scan split.)
     return pinned_tfidf_topk(docs, queries, vocab, k=5)
 
 
