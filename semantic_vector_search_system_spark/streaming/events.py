@@ -192,6 +192,70 @@ def user_totals_stateful(events: DataFrame) -> DataFrame:
     )
 
 
+def user_totals_tws(events: DataFrame) -> DataFrame:
+    """Per-user running totals on the ``transformWithStateInPandas`` API —
+    Spark 4's successor to ``applyInPandasWithState`` (same operator as
+    :func:`user_totals_stateful`, re-expressed on the new state API).
+
+    What the new API buys at scale: typed state handles (value/list/map
+    states instead of one tuple), per-state TTL so abandoned keys expire
+    without a watermark column, timers for event-/processing-time
+    callbacks, and initial-state bootstrap from a batch DataFrame. State
+    remains one tiny record per user, hash-partitioned by the grouping key
+    and managed by the state store. Under an availableNow single batch the
+    emission equals the batch group-by — which is how the oracle checks it.
+
+    Runtime requirements (verified in-image): the operator needs the
+    RocksDB state store provider
+    (``spark.sql.streaming.stateStore.providerClass = ...RocksDBStateStoreProvider``)
+    AND the ``protobuf`` python package for the transformWithState driver
+    worker — absent in this container (``ImportError: cannot import name
+    'descriptor' from 'google.protobuf'``), so execution is
+    environment-bound here; the plan builds and the execution test gates
+    on protobuf availability (tests/test_streaming_multimodal.py). The
+    ``applyInPandasWithState`` twin (:func:`user_totals_stateful`) is the
+    in-image executable form and stays the catalog default.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class UserTotals(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._totals = handle.getValueState(
+                "totals", "n long, total double"
+            )
+
+        def handleInputRows(self, key, rows, timerValues):
+            if self._totals.exists():
+                n, total = self._totals.get()
+            else:
+                n, total = 0, 0.0
+            for pdf in rows:
+                n += len(pdf)
+                total += float(pdf["value"].sum())
+            self._totals.update((n, total))
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "n_events": [n],
+                    "total_value": [round(total, 4)],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    return events.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=UserTotals(),
+        outputStructType="user_id long, n_events long, total_value double",
+        outputMode="Update",
+        timeMode="None",
+    )
+
+
 def dedup_events_stream(events: DataFrame, key: str = "event_id", watermark: str = "2 hours") -> DataFrame:
     """Streaming deduplication within the watermark horizon
     (``dropDuplicatesWithinWatermark``): state holds one key per event until

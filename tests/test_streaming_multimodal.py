@@ -141,3 +141,67 @@ def test_streaming_ingest_checkpoint_recovery(spark, tmp_path):
     out = spark.read.parquet(idx)
     assert out.count() == 15  # 10 + 5, no reprocessing duplicates
     assert out.filter(F.col("id").startswith("b")).count() == 5
+
+
+def _tws_runtime_available() -> bool:
+    """transformWithState's python driver worker imports protobuf; this
+    container ships a broken/absent google.protobuf (verified: execution
+    fails with STREAMING_PYTHON_RUNNER_INITIALIZATION_FAILURE)."""
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+def test_user_totals_tws_plan_builds(spark):
+    """The transformWithStateInPandas operator's PLAN must always build
+    (API wiring, schemas, output mode) even where the runtime is gated."""
+    from semantic_vector_search_system_spark.streaming.events import (
+        stream_events,
+        user_totals_tws,
+    )
+
+    ev = stream_events(spark, f"{SF_DIR}/events.parquet")
+    out = user_totals_tws(ev)
+    assert [f.name for f in out.schema.fields] == ["user_id", "n_events", "total_value"]
+    assert out.isStreaming
+
+
+@pytest.mark.skipif(
+    not _tws_runtime_available(),
+    reason="transformWithState driver worker needs google.protobuf (absent in image)",
+)
+def test_user_totals_tws_matches_batch(spark):
+    from pyspark.sql import functions as F
+
+    from semantic_vector_search_system_spark.streaming.events import (
+        run_stream_to_memory,
+        stream_events,
+        user_totals_tws,
+    )
+
+    old = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        ev = stream_events(spark, f"{SF_DIR}/events.parquet")
+        run_stream_to_memory(user_totals_tws(ev), "tws_totals", output_mode="update")
+        got = {
+            (r.user_id, r.n_events, r.total_value)
+            for r in spark.table("tws_totals").collect()
+        }
+        batch = spark.read.parquet(f"{SF_DIR}/events.parquet").groupBy("user_id").agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 4).alias("total_value"),
+        )
+        want = {(r.user_id, r.n_events, r.total_value) for r in batch.collect()}
+        assert got == want
+    finally:
+        if old is None:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else:
+            spark.conf.set("spark.sql.streaming.stateStore.providerClass", old)
