@@ -1278,6 +1278,9 @@ def _run_stream(stream_df, output_mode: str = "complete"):
       CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
     FROM events GROUP BY 1, 2
     """,
+    bench=True,  # the one streaming key in bench: availableNow micro-batch
+    # pipeline (scan -> watermark -> windowed agg -> memory sink) timed
+    # end-to-end, tracked round-over-round like the batch keys.
     tags=("streaming", "ST1", "watermark"),
 )
 def stream_hourly_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1379,11 +1382,12 @@ def self_retrieval_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id").alias("qid"), query_snippet("text").alias("text")
     )
     enc = HashingEncoderFast(dim=_E2E_DIM, out_dtype="double")
-    # TP-style repartition on the encode side only: the Arrow encode stage
-    # must not inherit the scan's single local split (see TP docstring).
-    dvec = enc.encode(
-        docs.repartition(spark.sparkContext.defaultParallelism)
-    ).select(F.col("doc_id").alias("docid"), "vec")
+    # (measured: a TP-style repartition before the encode LOSES here with
+    # warm python workers — 1.13 s plain vs 1.49 s repartitioned — because
+    # the hashing encode of one small split is cheaper than the exchange +
+    # 32-task scheduling it buys; contrast minhash_signatures, whose
+    # per-row cost is high enough that the repartition wins.)
+    dvec = enc.encode(docs).select(F.col("doc_id").alias("docid"), "vec")
     qvec = enc.encode(queries).select("qid", F.col("vec").alias("qvec"))
     top = topk_bruteforce(qvec, dvec, k=10, metric="dot")
     qrels = queries.select(F.col("qid"), F.col("qid").alias("docid"))

@@ -51,6 +51,13 @@ PERTURBATIONS = [
     # must still match because all temporal logic is NTZ wall-clock
     # arithmetic (functions/timeutil.py), never session-timezone casts.
     {"spark.sql.session.timeZone": "Asia/Kolkata"},
+    # Physical-strategy flips: no broadcast joins at all (every join becomes
+    # shuffle hash/sort-merge — catches results depending on the
+    # broadcast-vs-exchange choice; explicit F.broadcast hints still apply,
+    # which is what this perturbs *around*), and AQE fully off (static
+    # plans; catches reliance on runtime coalescing/skew handling).
+    {"spark.sql.autoBroadcastJoinThreshold": "-1"},
+    {"spark.sql.adaptive.enabled": "false"},
 ]
 
 
