@@ -313,9 +313,13 @@ def cosine_neardup_bucketed(
 
     if dim is None:
         dim = len(emb.select(vec_col).first()[0])
+    # localCheckpoint: the bucket relation is consumed by BOTH sides of the
+    # candidate self-join; without truncation the expensive hyperplane-dot
+    # HOF stage (num_tables x planes x dim multiply-adds per row) executes
+    # twice. The relation is tiny — (id, tbl, bucket) x num_tables rows.
     tb = banded_sign_buckets(
         emb, id_col, vec_col, dim, planes_per_table, num_tables, seed
-    )
+    ).localCheckpoint()
     a = tb.select(F.col(id_col).alias("id_a"), "tbl", "bucket")
     b = tb.select(F.col(id_col).alias("id_b"), "tbl", "bucket")
     cand = (

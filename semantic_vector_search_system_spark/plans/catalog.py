@@ -2240,7 +2240,9 @@ def training_corpus_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
     budget. Composes operators/dedup.py and operators/textanalysis.py;
     every stage reuses the oracle-checked building blocks."""
     docs = T(spark, sf_dir, "documents")
-    sigs = dd.minhash_signatures_fast(docs, num_hashes=8, shingle_n=3)
+    # localCheckpoint for the same reason as neardup_keep_one: the banding
+    # self-join would otherwise run the minhash Arrow stage twice.
+    sigs = dd.minhash_signatures_fast(docs, num_hashes=8, shingle_n=3).localCheckpoint()
     losers = dd.lsh_candidate_pairs(sigs, rows_per_band=2).select(
         F.col("id_b").alias("doc_id")
     ).distinct()
