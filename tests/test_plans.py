@@ -95,6 +95,57 @@ def test_minhash_is_single_narrow_stage(spark, catalog):
     assert "Exchange" not in plan
 
 
+def test_verify_edges_no_exchange_of_doc_data(spark):
+    """verify_candidate_edges (broadcast_edges default): the doc-sized side
+    must never hit an Exchange hashpartitioning — the edge list broadcasts
+    and the shingle-hash projection stays narrow (the only exchange is the
+    explicit round-robin rebalance of the pruned subset)."""
+    from pyspark.sql import functions as F
+
+    from semantic_vector_search_system_spark.operators.dedup import (
+        verify_candidate_edges,
+    )
+    from semantic_vector_search_system_spark.plans.catalog import T
+
+    docs = T(spark, SF_DIR, "documents")
+    edges = spark.createDataFrame(
+        [(0, 25), (25, 50), (1, 26)], "id_a long, id_b long"
+    )
+    plan = _plan(verify_candidate_edges(docs, edges, id_col="doc_id", threshold=0.0))
+    assert "BroadcastHashJoin" in plan
+    # exactly ONE hash exchange — the distinct over the edge-id relation
+    # (edge-sized); the doc scan feeds only broadcast joins + the explicit
+    # round-robin rebalance, never a hashpartitioning shuffle
+    assert plan.count("Exchange hashpartitioning") == 1, plan[:3000]
+    assert "RoundRobinPartitioning" in plan
+
+
+def test_asof_grouped_two_bucket_exchanges_no_cartesian(spark, catalog):
+    """The bucketed cogroup as-of: exactly one hash exchange per side (on
+    __bucket), a FlatMapCoGroupsInPandas, and no nested-loop/cartesian
+    operator anywhere."""
+    plan = _plan(catalog["asof_grouped_orders"].builder(spark, SF_DIR))
+    assert "FlatMapCoGroupsInPandas" in plan
+    assert plan.count("Exchange hashpartitioning") == 2, plan[:3000]
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_interval_join_is_equi_key_not_cartesian(spark, catalog):
+    """view_purchase_funnel: the time-range predicate must ride on a
+    user_id equi-join (broadcast or shuffle hash/sort-merge), never a
+    cartesian/nested-loop expansion."""
+    plan = _plan(catalog["view_purchase_funnel"].builder(spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert any(j in plan for j in ("BroadcastHashJoin", "SortMergeJoin", "ShuffledHashJoin"))
+
+
+def test_corpus_vocabulary_partial_topn(spark, catalog):
+    plan = _plan(catalog["corpus_vocabulary"].builder(spark, SF_DIR))
+    assert "TakeOrderedAndProject" in plan
+
+
 def test_salted_aggregate_matches_plain(spark):
     import pyspark.sql.functions as F
 
