@@ -113,10 +113,18 @@ def test_verify_edges_no_exchange_of_doc_data(spark):
     )
     plan = _plan(verify_candidate_edges(docs, edges, id_col="doc_id", threshold=0.0))
     assert "BroadcastHashJoin" in plan
-    # exactly ONE hash exchange — the distinct over the edge-id relation
-    # (edge-sized); the doc scan feeds only broadcast joins + the explicit
-    # round-robin rebalance, never a hashpartitioning shuffle
-    assert plan.count("Exchange hashpartitioning") == 1, plan[:3000]
+    # the only hash exchanges are the distinct over the EDGE-id relation
+    # (edge-sized; it recurs once per shingle-array side, so <= 2); the doc
+    # scan feeds only broadcast joins + the explicit round-robin rebalance,
+    # never a hashpartitioning shuffle. Every hashpartitioning exchange in
+    # the plan must sit above a scan of the edge RDD, not the parquet scan.
+    n_hash = plan.count("Exchange hashpartitioning")
+    assert 1 <= n_hash <= 2, plan[:3000]
+    for seg in plan.split("Exchange hashpartitioning")[1:]:
+        # the subtree below each hash exchange (up to the next join) reads
+        # the edge relation (ExistingRDD), not documents.parquet
+        below = seg.split("BroadcastExchange")[0]
+        assert "documents.parquet" not in below, below[:1500]
     assert "RoundRobinPartitioning" in plan
 
 
