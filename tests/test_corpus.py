@@ -62,3 +62,26 @@ def test_corpus_vocabulary_df_and_order(spark):
         ("a", 3, 3),
         ("b", 2, 3),
     ]
+
+
+def test_empty_inputs_yield_typed_empty_results(spark):
+    """Every round-3 operator degrades to a 0-row typed result on empty
+    input — no crashes from the driver union-find, the broadcast verify,
+    or the corpus aggregations."""
+    from semantic_vector_search_system_spark.operators.dedup import (
+        connected_components,
+        neardup_clusters,
+        verify_candidate_edges,
+    )
+
+    empty_pairs = spark.createDataFrame([], "id_a long, id_b long")
+    assert connected_components(empty_pairs).count() == 0
+    assert neardup_clusters(empty_pairs).count() == 0
+    one_doc = spark.createDataFrame(
+        [(1, "a", "x y z")], "doc_id long, source string, text string"
+    )
+    assert verify_candidate_edges(one_doc, empty_pairs, id_col="doc_id").count() == 0
+    empty_docs = spark.createDataFrame([], "doc_id long, source string, text string")
+    assert source_cap_sample(empty_docs).count() == 0
+    assert source_mixture_weights(empty_docs).count() == 0
+    assert corpus_vocabulary(empty_docs).count() == 0
