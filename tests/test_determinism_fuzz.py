@@ -33,6 +33,15 @@ QUERIES = [
     "minhash_signatures",
     "sessionization",
     "hourly_event_counts",
+    # temporal-arithmetic coverage beyond the original slice: ordered
+    # sequences, both as-of strategies, the interval join, and the
+    # rank-sum components — every remaining events-family shape that
+    # could silently depend on session timezone or join strategy.
+    "user_event_sequences",
+    "asof_latest_order",
+    "asof_grouped_orders",
+    "view_purchase_funnel",
+    "mannwhitney_components",
 ]
 
 # Perturbations of runtime-settable physical knobs. Each tuple is applied on
