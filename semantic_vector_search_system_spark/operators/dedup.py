@@ -169,6 +169,89 @@ def minhash_signatures_fast(
     return docs.select(id_col, text_col).mapInPandas(run, schema)
 
 
+def minhash_band_signatures_fast(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 8,
+    shingle_n: int = 3,
+    rows_per_band: int = 2,
+) -> DataFrame:
+    """MinHash + LSH banding fused into ONE narrow Arrow stage:
+    ``(id, band, band_sig)`` with values identical to
+    ``band_signatures(minhash_signatures_fast(docs))`` (md5 family; the
+    band digest is ``md5(','.join(minhash in seed order))`` exactly as the
+    declarative form computes it — parity pinned by a test).
+
+    Why fuse: the two-step form needs the signature relation twice (the
+    banding self-join), forcing a checkpoint of the (id, seed, minhash)
+    rows AND paying the groupBy(id, band) shuffle. This kernel emits the
+    banded digests directly — zero shuffles, and the output is
+    ``rows_per_band``× smaller than the signature relation, so pipelines
+    checkpoint a strictly smaller artifact. At 100 TB this is the
+    difference between one corpus-sized shuffle and none.
+    """
+    import hashlib
+
+    import numpy as np
+    import pandas as pd
+
+    mod = 1 << 60
+    num_bands = num_hashes // rows_per_band
+    id_type = dict(docs.dtypes)[id_col]
+    schema = f"`{id_col}` {id_type}, band long, band_sig string"
+
+    def run(batches):
+        memo: dict[str, tuple[int, int]] = {}
+
+        def h12(sh: str) -> tuple[int, int]:
+            v = memo.get(sh)
+            if v is None:
+                d = hashlib.md5(sh.encode("utf-8")).hexdigest()
+                v = (int(d[:15], 16), int(d[15:25], 16))
+                if len(memo) < 2_000_000:
+                    memo[sh] = v
+            return v
+
+        seeds = np.arange(num_hashes, dtype=np.int64)
+        for pdf in batches:
+            ids, band_out, sig_out = [], [], []
+            for did, txt in zip(pdf[id_col], pdf[text_col]):
+                toks = str(txt).split()
+                n = max(len(toks) - shingle_n + 1, 1)
+                shs = {" ".join(toks[i : i + shingle_n]) for i in range(n)}
+                pairs = np.array([h12(s) for s in shs], dtype=np.int64)
+                hmat = (pairs[:, 0][:, None] + seeds[None, :] * pairs[:, 1][:, None]) % mod
+                mins = hmat.min(axis=0)
+                for b in range(num_bands):
+                    chunk = mins[b * rows_per_band : (b + 1) * rows_per_band]
+                    digest = hashlib.md5(
+                        ",".join(str(int(m)) for m in chunk).encode("utf-8")
+                    ).hexdigest()
+                    ids.append(did)
+                    band_out.append(b)
+                    sig_out.append(digest)
+            yield pd.DataFrame({id_col: ids, "band": band_out, "band_sig": sig_out})
+
+    return docs.select(id_col, text_col).mapInPandas(run, schema)
+
+
+def lsh_candidate_pairs_from_bands(
+    band_sigs: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """Clique candidate pairs from a precomputed ``(id, band, band_sig)``
+    relation (see :func:`minhash_band_signatures_fast`) — the join half of
+    :func:`lsh_candidate_pairs` without re-deriving the band digests."""
+    a = band_sigs.select(F.col(id_col).alias("id_a"), "band", "band_sig")
+    b = band_sigs.select(F.col(id_col).alias("id_b"), "band", "band_sig")
+    return (
+        a.join(b, ["band", "band_sig"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
 def minhash_signatures_vectorized(
     docs: DataFrame,
     id_col: str = "doc_id",
@@ -389,6 +472,45 @@ def lsh_bucket_edges(
     return starred.filter(F.col("id_a") != F.col("id_b")).distinct()
 
 
+def _shingle_hash_sets_arrow(
+    sub: DataFrame, id_col: str, text_col: str, shingle_n: int
+) -> DataFrame:
+    """Per-doc distinct shingle-hash sets ``(id, shs array<long>)`` as an
+    Arrow batch kernel — the hot-path twin of the declarative HOF
+    projection in :func:`verify_candidate_edges` (kernel="expr"). Uses the
+    same md5-prefix hash family and digest memo as
+    :func:`minhash_signatures_fast`."""
+    import hashlib
+
+    import pandas as pd
+
+    id_type = dict(sub.dtypes)[id_col]
+    schema = f"`{id_col}` {id_type}, shs array<long>"
+
+    def run(batches):
+        memo: dict[str, int] = {}
+
+        def h(sh: str) -> int:
+            v = memo.get(sh)
+            if v is None:
+                v = int(hashlib.md5(sh.encode("utf-8")).hexdigest()[:15], 16)
+                if len(memo) < 2_000_000:
+                    memo[sh] = v
+            return v
+
+        for pdf in batches:
+            ids, arrs = [], []
+            for did, txt in zip(pdf[id_col], pdf[text_col]):
+                toks = str(txt).split()
+                n = max(len(toks) - shingle_n + 1, 1)
+                shs = {" ".join(toks[i : i + shingle_n]) for i in range(n)}
+                ids.append(did)
+                arrs.append([h(s) for s in shs])
+            yield pd.DataFrame({id_col: ids, "shs": arrs})
+
+    return sub.select(id_col, text_col).mapInPandas(run, schema)
+
+
 def verify_candidate_edges(
     docs: DataFrame,
     edges: DataFrame,
@@ -397,6 +519,7 @@ def verify_candidate_edges(
     shingle_n: int = 3,
     threshold: float = 0.7,
     broadcast_edges: bool = True,
+    kernel: str = "expr",
 ) -> DataFrame:
     """Exact n-gram Jaccard verification of LSH candidate edges — the
     verify stage between banding and clustering. Returns the surviving
@@ -420,6 +543,19 @@ def verify_candidate_edges(
     Caller note: ``edges`` is consumed twice (id semi-join + the edge
     join); if it carries an expensive lineage (an LSH banding DAG),
     cache/checkpoint it first or the signature pass re-executes.
+
+    ``kernel`` selects the shingle-hash projection implementation:
+    ``"expr"`` (default) is the declarative HOF + xxhash64 form — at
+    small-to-medium edge counts it wins because the pruned subset stays
+    JVM-side and both verify joins remain broadcast probes. ``"arrow"``
+    computes per-doc shingle-hash sets in a mapInPandas batch kernel
+    (md5-prefix hashes with a digest memo, the same family as
+    :func:`minhash_signatures_fast`) — measured SLOWER at sf0.1 (python
+    worker spin-up + lost size estimates demote the probe joins), kept for
+    corpora where per-element HOF interpretation dominates. Both are
+    exact: Jaccard over distinct hashed shingles equals Jaccard over
+    distinct shingles absent a 60/64-bit collision, and the kernels are
+    cross-checked in tests.
     """
     # Default plan (broadcast_edges=True): the edge list is small by
     # construction (O(duplicate pairs) after banding), so broadcast it —
@@ -444,19 +580,25 @@ def verify_candidate_edges(
     # possibly-skewed edge-incident subset across executors.
     nparts = docs.sparkSession.sparkContext.defaultParallelism
     sub = docs.join(maybe_b(ids), id_col, "left_semi").repartition(nparts)
-    # Shingle-hash set per doc as ONE narrow projection (HOF transform +
-    # array_distinct) — no explode, no (id, shingle) shuffle, no collect_set
-    # aggregation. Hash-then-distinct equals the former distinct-then-hash-
-    # then-collect_set: any xxhash64 collision merged in the set either way.
-    arrs = sub.select(
-        F.col(id_col),
-        F.array_distinct(
-            F.transform(
-                token_shingles(tokenize(text_col), n=shingle_n),
-                lambda s: F.xxhash64(s),
-            )
-        ).alias("shs"),
-    )
+    if kernel == "arrow":
+        arrs = _shingle_hash_sets_arrow(sub, id_col, text_col, shingle_n)
+    elif kernel == "expr":
+        # Shingle-hash set per doc as ONE narrow projection (HOF transform +
+        # array_distinct) — no explode, no (id, shingle) shuffle, no
+        # collect_set aggregation. Hash-then-distinct equals the former
+        # distinct-then-hash-then-collect_set: any xxhash64 collision merged
+        # in the set either way.
+        arrs = sub.select(
+            F.col(id_col),
+            F.array_distinct(
+                F.transform(
+                    token_shingles(tokenize(text_col), n=shingle_n),
+                    lambda s: F.xxhash64(s),
+                )
+            ).alias("shs"),
+        )
+    else:
+        raise ValueError(f"unknown kernel: {kernel!r} (arrow|expr)")
     ea = arrs.select(F.col(id_col).alias("id_a"), F.col("shs").alias("shs_a"))
     eb = arrs.select(F.col(id_col).alias("id_b"), F.col("shs").alias("shs_b"))
     n_inter = F.size(F.array_intersect("shs_a", "shs_b"))

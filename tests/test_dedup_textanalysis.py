@@ -531,6 +531,63 @@ def test_verify_edges_star_bucket_splits_cluster(spark):
     assert 4 not in clusters  # its only edge died in verification
 
 
+def test_verify_edges_arrow_kernel_matches_expr(spark, corpus):
+    """The mapInPandas shingle-hash kernel and the declarative HOF form
+    must produce identical jaccard values on the same edges."""
+    edges = spark.createDataFrame(
+        [(1, 2), (1, 3), (1, 4), (4, 5)], "id_a bigint, id_b bigint"
+    )
+    by_kernel = {}
+    for kernel in ("expr", "arrow"):
+        by_kernel[kernel] = {
+            (r["id_a"], r["id_b"]): r["jaccard"]
+            for r in dd.verify_candidate_edges(
+                corpus, edges, threshold=0.0, kernel=kernel
+            ).collect()
+        }
+    assert by_kernel["expr"] == by_kernel["arrow"]
+    with pytest.raises(ValueError, match="unknown kernel"):
+        dd.verify_candidate_edges(corpus, edges, kernel="simd").collect()
+
+
+def test_fused_band_signatures_match_two_step_form(spark, corpus):
+    """minhash_band_signatures_fast must equal
+    band_signatures(minhash_signatures_fast(...)) value-for-value, and the
+    derived candidate pairs must match lsh_candidate_pairs — across
+    partitionings (the fused kernel is a narrow map, so the output cannot
+    depend on batch boundaries)."""
+    two_step = {
+        (r["doc_id"], r["band"]): r["band_sig"]
+        for r in dd.band_signatures(
+            dd.minhash_signatures_fast(corpus, num_hashes=8, shingle_n=3),
+            rows_per_band=2,
+        ).collect()
+    }
+    for docs in (corpus, corpus.repartition(7)):
+        fused = {
+            (r["doc_id"], r["band"]): r["band_sig"]
+            for r in dd.minhash_band_signatures_fast(
+                docs, num_hashes=8, shingle_n=3, rows_per_band=2
+            ).collect()
+        }
+        assert fused == two_step
+    bands = dd.minhash_band_signatures_fast(
+        corpus, num_hashes=8, shingle_n=3, rows_per_band=2
+    )
+    from_bands = {
+        (r["id_a"], r["id_b"])
+        for r in dd.lsh_candidate_pairs_from_bands(bands).collect()
+    }
+    classic = {
+        (r["id_a"], r["id_b"])
+        for r in dd.lsh_candidate_pairs(
+            dd.minhash_signatures_fast(corpus, num_hashes=8, shingle_n=3),
+            rows_per_band=2,
+        ).collect()
+    }
+    assert from_bands == classic and (1, 2) in from_bands
+
+
 def test_connected_components_driver_and_iterative_agree(spark):
     """The small-graph driver union-find and the distributed min-label
     propagation must produce identical (node, component) labelings —
