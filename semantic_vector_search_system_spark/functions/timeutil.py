@@ -88,16 +88,32 @@ def normalize_event_ts(df: DataFrame, col: str = "ts") -> DataFrame:
     )
 
 
-def read_events(spark: SparkSession, path: str) -> DataFrame:
-    """Batch-read an events parquet file/dir, absorbing the NANOS encoding.
+def scan_events_raw(spark: SparkSession, path: str) -> DataFrame:
+    """``spark.read.parquet`` with the narrow NANOS-encoding retry, schema
+    un-normalized (streaming needs the physical scan schema).
 
-    The legacy ``TIMESTAMP(NANOS)`` encoding makes ``spark.read.parquet``
-    itself raise; only then do we flip the legacy scan flag and retry, so
-    the common (current-format) path performs no session mutation.
+    The legacy ``TIMESTAMP(NANOS)`` encoding makes the parquet scan raise
+    ``AnalysisException [PARQUET_TYPE_ILLEGAL]``; ONLY that failure flips
+    the legacy scan flag and retries — any other error (missing path,
+    corrupt file) surfaces as-is, unretried. The flag stays set for the
+    session once flipped: the returned DataFrame is lazy and every task
+    re-reads the conf when converting the parquet footer, so restoring it
+    here would make later actions on the result fail. The common
+    (current-format) path performs no session mutation.
     """
+    from pyspark.errors import AnalysisException
+
     try:
-        df = spark.read.parquet(path)
-    except Exception:
+        return spark.read.parquet(path)
+    except AnalysisException as exc:
+        cond = exc.getCondition() if hasattr(exc, "getCondition") else None
+        if cond != "PARQUET_TYPE_ILLEGAL" and "TIMESTAMP(NANOS" not in str(exc):
+            raise
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        df = spark.read.parquet(path)
-    return normalize_event_ts(df)
+        return spark.read.parquet(path)
+
+
+def read_events(spark: SparkSession, path: str) -> DataFrame:
+    """Batch-read an events parquet file/dir, absorbing the NANOS encoding
+    (see :func:`scan_events_raw`) and normalizing ``ts`` to TIMESTAMP_NTZ."""
+    return normalize_event_ts(scan_events_raw(spark, path))

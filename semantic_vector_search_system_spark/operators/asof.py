@@ -130,41 +130,69 @@ def asof_join_grouped(
     l_b = left.select("*", bucket)
     r_b = right.select("*", bucket)
 
-    def merge(key, lpdf: pd.DataFrame, rpdf: pd.DataFrame) -> pd.DataFrame:
-        if lpdf.empty:
-            return pd.DataFrame(columns=left_cols + payload_cols)
+    def _merge_group(
+        lg: pd.DataFrame, rg: pd.DataFrame, null_key: bool
+    ) -> pd.DataFrame:
         # merge_asof(by=...) wants both sides globally time-sorted; the
         # (time, tiebreak) right-side sort makes the max tiebreak win on
         # equal timestamps (merge_asof takes the positionally-last match).
-        lsort = lpdf.sort_values(left_time, kind="mergesort")
-        if rpdf.empty:
+        lsort = lg.sort_values(left_time, kind="mergesort")
+        if rg.empty:
             out = lsort.copy()
             for c in payload_cols:
                 out[c] = None
             return out[left_cols + payload_cols]
         sort_keys = [right_time] + ([right_tiebreak] if right_tiebreak else [])
-        rsort = rpdf.sort_values(sort_keys, kind="mergesort")[
+        rsort = rg.sort_values(sort_keys, kind="mergesort")[
             [on, right_time] + [c for c in payload_cols if c not in (right_time, on)]
         ]
+        if null_key:
+            # pd.merge_asof(by=...) rejects null keys; the null-key rows form
+            # one ordinary group (matching the window strategy, where
+            # partitionBy groups nulls together), so merge them without `by`.
+            rsort = rsort.drop(columns=[on])
         merged = pd.merge_asof(
             lsort,
             rsort,
             left_on=left_time,
             right_on=right_time,
-            by=on,
+            by=None if null_key else on,
             direction="backward",
             allow_exact_matches=True,
             suffixes=("", "__r"),
         )
-        rt_out = right_time + ("__r" if right_time in lsort.columns else "")
-        cols = {}
-        for c in payload_cols:
-            src = c if c in merged.columns else c + "__r"
-            cols[c] = merged[src] if c != right_time else merged[rt_out]
         out = merged[left_cols].copy()
         for c in payload_cols:
-            out[c] = cols[c]
+            # on name collision pandas suffixes the RIGHT side — prefer it
+            src = c + "__r" if (c + "__r") in merged.columns else c
+            out[c] = merged[src]
         return out
+
+    def merge(key, lpdf: pd.DataFrame, rpdf: pd.DataFrame) -> pd.DataFrame:
+        if lpdf.empty:
+            return pd.DataFrame(columns=left_cols + payload_cols)
+        lnull = lpdf[on].isna()
+        rnull = rpdf[on].isna() if not rpdf.empty else None
+        if not lnull.any() and (rnull is None or not rnull.any()):
+            return _merge_group(lpdf, rpdf, null_key=False)
+        outs = []
+        if (~lnull).any():
+            outs.append(
+                _merge_group(
+                    lpdf[~lnull],
+                    rpdf if rpdf.empty else rpdf[~rnull],
+                    null_key=False,
+                )
+            )
+        if lnull.any():
+            outs.append(
+                _merge_group(
+                    lpdf[lnull],
+                    rpdf if rpdf.empty else rpdf[rnull],
+                    null_key=True,
+                )
+            )
+        return outs[0] if len(outs) == 1 else pd.concat(outs, ignore_index=True)
 
     return (
         l_b.groupBy("__bucket")

@@ -643,6 +643,13 @@ def connected_components(
       the iterative path pays ~5 scheduled jobs per round, which dominates
       wall-clock for small graphs. Union-by-min-root makes every tree root
       the component minimum, so labels match the distributed path exactly.
+
+      Driver-memory note: deciding the strategy materializes up to
+      ``small_edge_threshold + 1`` edges on the driver — as an Arrow table
+      (two id columns, ~16 B/edge for int64 ids, so ~16 MB at the 1 M
+      default), NOT per-row ``Row`` objects. On a driver-memory-constrained
+      deployment lower the threshold, or pass ``small_edge_threshold=0``
+      to skip the probe entirely and always run the distributed path.
     * **large graphs**: min-label propagation with pointer jumping. Each
       round is (a) one equi-join of the edge list with the current labels +
       a min-aggregation keyed by node, then (b) one self-join that replaces
@@ -655,10 +662,15 @@ def connected_components(
     """
     spark = pairs.sparkSession
     if small_edge_threshold > 0:
-        # limit(threshold+1) + collect instead of a separate count(): one
-        # pass decides the strategy AND delivers the small-graph edges.
-        probe = pairs.select(src_col, dst_col).limit(small_edge_threshold + 1).collect()
-        if len(probe) <= small_edge_threshold:
+        # limit(threshold+1) + Arrow collect instead of a separate count():
+        # one pass decides the strategy AND delivers the small-graph edges,
+        # in columnar buffers (~16 B/edge) rather than driver Row objects.
+        probe_tbl = (
+            pairs.select(src_col, dst_col).limit(small_edge_threshold + 1).toArrow()
+        )
+        if probe_tbl.num_rows <= small_edge_threshold:
+            srcs = probe_tbl.column(0).to_pylist()
+            dsts = probe_tbl.column(1).to_pylist()
             parent: dict = {}
 
             def find(x):
@@ -669,13 +681,14 @@ def connected_components(
                     parent[x], x = root, parent[x]
                 return root
 
-            for r in probe:
-                ra, rb = find(r[0]), find(r[1])
+            for a, b in zip(srcs, dsts):
+                ra, rb = find(a), find(b)
                 if ra != rb:
                     if rb < ra:
                         ra, rb = rb, ra
                     parent[rb] = ra  # root := min ⇒ root IS the component min
-            nodes = {n for r in probe for n in (r[0], r[1])}
+            nodes = set(srcs)
+            nodes.update(dsts)
             node_t = dict(pairs.dtypes)[src_col]
             return spark.createDataFrame(
                 [(n, find(n)) for n in sorted(nodes)],

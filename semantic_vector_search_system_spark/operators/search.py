@@ -246,6 +246,25 @@ def collect_query_matrix(
     return qids, qmat
 
 
+def _threaded_matmul(D, Q):
+    """Chunked ``D @ Q.T`` across a thread pool — BLAS is pinned to one
+    thread per task (session.py), so single-task search modes (fused,
+    broadcast_index) re-parallelize the one big matmul explicitly. GIL is
+    released inside dgemm; chunking rows does not change each row's dot."""
+    import os as _os
+    from concurrent.futures import ThreadPoolExecutor
+
+    import numpy as np
+
+    nthreads = min(8, _os.cpu_count() or 1)
+    if len(D) < 4096 or nthreads == 1:
+        return D @ Q.T
+    chunks = np.array_split(np.arange(len(D)), nthreads)
+    with ThreadPoolExecutor(nthreads) as ex:
+        outs = list(ex.map(lambda ix: D[ix] @ Q.T, chunks))
+    return np.vstack(outs)
+
+
 def topk_bruteforce(
     queries: DataFrame,
     docs: DataFrame,
@@ -378,6 +397,15 @@ def topk_bruteforce(
             raise ValueError(
                 "mode='broadcast_index' requires predocs=collect_doc_matrix(...)"
             )
+        if predicate is not None:
+            # The collected index IS the doc side in this mode; a predicate
+            # would be silently ignored. Pre-filter the docs relation BEFORE
+            # collect_doc_matrix instead.
+            raise ValueError(
+                "mode='broadcast_index' ignores the docs relation at search "
+                "time; apply `predicate` before collect_doc_matrix(...) "
+                "instead of passing it here"
+            )
         bd = sc.broadcast(predocs)
         ranked_schema = (
             f"`{qid_col}` {qid_type}, `{id_col}` {id_type}, rank int, score double"
@@ -397,7 +425,7 @@ def topk_bruteforce(
                 pass
             if D.shape[0] == 0:
                 return
-            S = D @ Q.T
+            S = _threaded_matmul(D, Q)
             kk = min(k, S.shape[0])
             out = {qid_col: [], id_col: [], "rank": [], "score": []}
             for j in range(len(q_ids)):
@@ -438,22 +466,6 @@ def topk_bruteforce(
                     return vals.reshape(n, -1).astype(np_dt, copy=False)
             return np.array(col.to_pylist(), dtype=np_dt)
 
-        def _threaded_scores(D: "np.ndarray", Q: "np.ndarray") -> "np.ndarray":
-            """Chunked D @ Q.T across a thread pool — BLAS is pinned to one
-            thread per call (session.py), so the fused single task
-            re-parallelizes the one big matmul explicitly. GIL is released
-            inside dgemm; chunking rows does not change each row's dot."""
-            import os as _os
-            from concurrent.futures import ThreadPoolExecutor
-
-            nthreads = min(8, _os.cpu_count() or 1)
-            if len(D) < 4096 or nthreads == 1:
-                return D @ Q.T
-            chunks = np.array_split(np.arange(len(D)), nthreads)
-            with ThreadPoolExecutor(nthreads) as ex:
-                outs = list(ex.map(lambda ix: D[ix] @ Q.T, chunks))
-            return np.vstack(outs)
-
         def rank_single_pass(batches) -> Iterator["pa.RecordBatch"]:
             import pyarrow as pa
 
@@ -468,7 +480,7 @@ def topk_bruteforce(
                 if use_cosine:
                     dn = np.linalg.norm(D, axis=1, keepdims=True)
                     D = np.divide(D, dn, out=np.zeros_like(D), where=dn > 0)
-                S = _threaded_scores(D, Q)
+                S = _threaded_matmul(D, Q)
                 kk = min(k, S.shape[0])
                 ids = rb.column(0).to_numpy(zero_copy_only=False)
                 for j in range(nq):

@@ -2182,22 +2182,94 @@ def stream_view_purchase_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: KMV sketch size (bottom-k distinct hashes kept per group).
+_KMV_K = 64
+#: 1-in-_SAMPLE_MOD deterministic row sample for the percentile estimate.
+_SKETCH_SAMPLE_MOD = 20
+
 @_q(
     "sketch_stats",
-    None,  # approximate sketches (HLL / KLL) are engine-specific by design —
-           # rows-only check; the EXACT twins of both stats are oracle-checked
-           # elsewhere (user_event_pivot counts, event_percentiles)
+    f"""
+    WITH dh AS (SELECT DISTINCT event_type,
+                       {stable_hash64_sql("CAST(user_id AS VARCHAR)")} AS h
+                FROM events),
+    bk AS (SELECT event_type, h,
+                  ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY h) AS rn
+           FROM dh),
+    kmv AS (SELECT event_type, MAX(h) AS kth, COUNT(*) AS n_seen
+            FROM bk WHERE rn <= {_KMV_K} GROUP BY event_type),
+    base AS (SELECT event_type,
+                    ROUND(quantile_cont(value, 0.5) FILTER (
+                      WHERE {stable_hash64_sql("CAST(event_id AS VARCHAR)")}
+                            % {_SKETCH_SAMPLE_MOD} = 0), 6) AS sample_p50,
+                    COUNT(*) AS n_events
+             FROM events GROUP BY event_type)
+    SELECT base.event_type,
+           CAST(CASE WHEN kmv.n_seen < {_KMV_K} THEN CAST(kmv.n_seen AS DOUBLE)
+                     ELSE FLOOR({float(_KMV_K - 1)} * {float(1 << 60)}
+                                / CAST(kmv.kth AS DOUBLE)) END AS BIGINT)
+             AS approx_users,
+           base.sample_p50, base.n_events
+    FROM base JOIN kmv USING (event_type)
+    """,
     tags=("sketch", "approx", "scale"),
 )
 def sketch_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Sketch-based aggregates for 100TB-scale profiling: HyperLogLog++
-    distinct counts and approximate percentiles — single-pass, mergeable,
-    bounded memory (vs exact distinct/percentile shuffles)."""
+    """Sketch-based profiling stats, DETERMINISTIC so the DuckDB oracle can
+    replay them bit-for-bit (HLL/KLL register layouts are engine-specific;
+    these estimators are pure arithmetic over ``stable_hash64``):
+
+    * ``approx_users`` — KMV (k-minimum-values) distinct-count estimate
+      [Bar-Yossef et al. 2002]: keep the ``k`` smallest distinct 60-bit
+      hashes per group; if fewer than ``k`` exist the count is exact, else
+      ``floor((k-1) * 2^60 / h_(k))``. The bottom-k here is a map-side-
+      combined distinct + per-group rank (tiny groups); at 100 TB swap the
+      rank for a bounded-heap partial aggregate (jvm TopKAggregator shape)
+      — the sketch itself is mergeable (union the bottom-k sets, re-take
+      the k smallest).
+    * ``sample_p50`` — exact median over a deterministic 1-in-20
+      hash-threshold row sample (``stable_hash64(event_id) % 20 = 0``) —
+      the mergeable Bernoulli-sample percentile; both engines interpolate
+      identically on the identical sample set.
+    * ``n_events`` — exact single-pass count.
+    """
+    from pyspark.sql import Window
+
+    from ..functions.hashing import stable_hash64
+
     e = T(spark, sf_dir, "events")
-    return e.groupBy("event_type").agg(
-        F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
-        F.percentile_approx("value", 0.5, 10000).alias("approx_p50"),
-        F.count("*").alias("n_events"),
+    uh = stable_hash64(F.col("user_id").cast("string"))
+    eh = stable_hash64(F.col("event_id").cast("string"))
+    dh = e.select("event_type", uh.alias("h")).distinct()
+    w = Window.partitionBy("event_type").orderBy("h")
+    kmv = (
+        dh.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _KMV_K)
+        .groupBy("event_type")
+        .agg(F.max("h").alias("kth"), F.count("*").alias("n_seen"))
+    )
+    est = F.when(
+        F.col("n_seen") < _KMV_K, F.col("n_seen").cast("double")
+    ).otherwise(
+        F.floor(
+            F.lit(float(_KMV_K - 1)) * F.lit(float(1 << 60))
+            / F.col("kth").cast("double")
+        )
+    )
+    kmv = kmv.select("event_type", est.cast("bigint").alias("approx_users"))
+    base = (
+        e.withColumn(
+            "samp",
+            F.when(F.pmod(eh, F.lit(_SKETCH_SAMPLE_MOD)) == 0, F.col("value")),
+        )
+        .groupBy("event_type")
+        .agg(
+            F.round(F.expr("percentile(samp, 0.5D)"), 6).alias("sample_p50"),
+            F.count("*").alias("n_events"),
+        )
+    )
+    return base.join(kmv, "event_type").select(
+        "event_type", "approx_users", "sample_p50", "n_events"
     )
 
 

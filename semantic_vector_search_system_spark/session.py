@@ -42,6 +42,24 @@ def get_spark(
     if shuffle_partitions is None:
         shuffle_partitions = int(os.environ.get("SPARK_GRAFT_SHUFFLE", "32"))
 
+    # Preload numpy/pandas/pyarrow in the python-worker DAEMON so forked
+    # workers inherit them copy-on-write: Spark 4 does not reuse python
+    # workers across jobs (measured: new worker pid per job even with
+    # spark.python.worker.reuse=true), so without this every Arrow-UDF task
+    # pays ~0.2 s of imports — the dominant cost of small python jobs.
+    # PYTHONPATH must carry the package parent before the JVM starts so the
+    # daemon interpreter can import the module. Opt out (e.g. executors
+    # without the package installed) with SPARK_GRAFT_DAEMON_PRELOAD=0.
+    daemon_module = None
+    if os.environ.get("SPARK_GRAFT_DAEMON_PRELOAD", "1") != "0":
+        pkg_parent = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        pp = os.environ.get("PYTHONPATH", "")
+        if pkg_parent not in pp.split(os.pathsep):
+            os.environ["PYTHONPATH"] = (
+                pkg_parent + (os.pathsep + pp if pp else "")
+            )
+        daemon_module = __package__ + ".worker_daemon"
+
     builder = (
         SparkSession.builder.appName(app_name)
         # -- Adaptive execution: coalesce post-shuffle partitions, split skewed
@@ -67,6 +85,8 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
     )
+    if daemon_module:
+        builder = builder.config("spark.python.daemon.module", daemon_module)
     if master:
         builder = builder.master(master)
     for k, v in (extra_conf or {}).items():

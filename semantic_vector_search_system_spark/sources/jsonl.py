@@ -44,12 +44,30 @@ def read_qrels(spark: SparkSession, path: str) -> DataFrame:
     return stacked.select("qid", F.explode("docids").alias("docid"))
 
 
-def write_qrels_rows_as_map_json(qrels: DataFrame, path: str) -> None:
-    """Inverse of :func:`read_qrels` for reference-format interchange."""
+def write_qrels_rows_as_map_json(
+    qrels: DataFrame, path: str, max_qids: int = 1_000_000
+) -> None:
+    """Inverse of :func:`read_qrels` for reference-format interchange.
+
+    The single-JSON-object format is inherently driver-assembled, so the
+    grouped rows are streamed with ``toLocalIterator`` (one partition in
+    driver memory at a time, never the whole relation) and the qid count is
+    capped: the reference's qrels are one-map-per-experiment small
+    (``run_experiments.py:44``), and anything beyond ``max_qids`` doesn't
+    belong in this interchange format — write the (qid, docid) rows as
+    parquet/JSONL instead."""
     import json
 
-    rows = qrels.groupBy("qid").agg(F.collect_list("docid").alias("docids")).collect()
-    obj = {r["qid"]: sorted(r["docids"]) for r in rows}
+    grouped = qrels.groupBy("qid").agg(F.collect_list("docid").alias("docids"))
+    obj = {}
+    for r in grouped.toLocalIterator():
+        if len(obj) >= max_qids:
+            raise ValueError(
+                f"write_qrels_rows_as_map_json: more than {max_qids} qids — "
+                "this driver-assembled JSON map format is for small qrels; "
+                "write the row form (parquet/JSONL) for large relations"
+            )
+        obj[r["qid"]] = sorted(r["docids"])
     with open(path, "w", encoding="utf-8") as f:
         json.dump(obj, f)
 

@@ -44,16 +44,12 @@ def stream_events(
     """
     import os
 
-    from ..functions.timeutil import as_instant, normalize_event_ts
+    from ..functions.timeutil import as_instant, normalize_event_ts, scan_events_raw
 
     # The stream must scan with the file's physical schema, then normalize;
-    # the legacy NANOS encoding makes the footer read itself raise, and only
-    # then do we flip the legacy scan flag (mirrors timeutil.read_events).
-    try:
-        scan_schema = spark.read.parquet(events_dir).schema
-    except Exception:
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        scan_schema = spark.read.parquet(events_dir).schema
+    # the NANOS-encoding retry is shared with batch (timeutil.scan_events_raw)
+    # and narrowed to the PARQUET_TYPE_ILLEGAL failure only.
+    scan_schema = scan_events_raw(spark, events_dir).schema
     if os.path.isfile(events_dir):
         # streaming file sources need a directory; point at the parent and
         # glob-filter down to the one file

@@ -82,3 +82,30 @@ def test_asof_strategies_match_each_other_and_python_oracle(spark, case):
     }
     assert window_form == expected
     assert grouped_form == expected
+
+
+def test_asof_null_keys_form_one_ordinary_group(spark):
+    """Null join keys behave as ONE ordinary group in BOTH strategies
+    (Window.partitionBy groups nulls together; the bucketed merge_asof
+    form must not raise pandas MergeError nor silently drop matches).
+    ADVICE r3: the null-key edge of asof_join_grouped."""
+    left = spark.createDataFrame(
+        [(0, None, 5), (1, None, 1), (2, 7, 5), (3, 8, 5)],
+        "event_id int, k int, t int",
+    )
+    right = spark.createDataFrame(
+        [(None, 2, 10), (None, 4, 11), (7, 3, 12), (9, 0, 13)],
+        "k int, rt int, rid int",
+    )
+    kw = dict(
+        on="k", left_time="t", right_time="rt",
+        payload_cols=["rt", "rid"], right_tiebreak="rid",
+    )
+    # null-key left rows match only null-key right facts; key 8 has no
+    # facts at all; key 7 matches its own group
+    expected = {0: (4, 11), 1: (None, None), 2: (3, 12), 3: (None, None)}
+    for form in (asof_join, asof_join_grouped):
+        got = {
+            r["event_id"]: (r["rt"], r["rid"]) for r in form(left, right, **kw).collect()
+        }
+        assert got == expected, form.__name__
