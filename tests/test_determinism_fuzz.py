@@ -42,6 +42,10 @@ QUERIES = [
     "asof_grouped_orders",
     "view_purchase_funnel",
     "mannwhitney_components",
+    # r4: the deterministic sketch query — KMV bottom-k rank + a float
+    # division estimate + a hash-threshold-sampled exact percentile, all of
+    # which must be invariant to partitioning and session timezone.
+    "sketch_stats",
 ]
 
 # Perturbations of runtime-settable physical knobs. Each tuple is applied on
