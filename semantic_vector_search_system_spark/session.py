@@ -87,6 +87,13 @@ def get_spark(
     )
     if daemon_module:
         builder = builder.config("spark.python.daemon.module", daemon_module)
+    # Unix-domain sockets for the JVM<->python-worker channel: skips the
+    # TCP + auth-secret handshake each freshly-forked worker pays (workers
+    # are always executor-local, so UDS is valid on any deployment).
+    # Measured: empty python-job floor 0.175 -> 0.157 s. Opt out with
+    # SPARK_GRAFT_UDS=0 if a platform lacks AF_UNIX support.
+    if os.environ.get("SPARK_GRAFT_UDS", "1") != "0":
+        builder = builder.config("spark.python.unix.domain.socket.enabled", "true")
     if master:
         builder = builder.master(master)
     for k, v in (extra_conf or {}).items():
