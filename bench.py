@@ -158,6 +158,56 @@ def main() -> None:
                 best = min(best or 1e9, time.time() - t0)
             timings[f"ingest_{n}_docs"] = round(best, 3)
             shutil.rmtree(idx_dir, ignore_errors=True)
+
+        if n == 1_000_000:
+            # ANN serving latency at the reference's largest size: IVF over
+            # a cent_id-PARTITIONED parquet index — single-query latency is
+            # where IVF beats the batched brute matmul (a 100-query batch
+            # probes essentially every one of the 64 lists, so brute's
+            # one-matmul-for-all-queries is already optimal there; see
+            # similarity.ivf_search_partitioned docstring). Index build
+            # (assignment + partitioned write — the analog of the reference
+            # building its memmap) runs ONCE outside the timed region; the
+            # timed runs are one query: assign -> prune partitions -> score.
+            import shutil
+            import tempfile
+
+            from semantic_vector_search_system_spark.operators.similarity import (
+                ivf_assign_fast,
+                ivf_search_partitioned,
+            )
+            from semantic_vector_search_system_spark.sources.parquet_index import (
+                write_vector_index,
+            )
+
+            cents = dvec.filter(
+                F.substring("docid", 2, 18).cast("long") < 64
+            ).select(F.col("docid").alias("cent_id"), F.col("vec").alias("cvec"))
+            dl = ivf_assign_fast(
+                dvec, cents, id_col="docid", vec_col="vec", nprobe=1
+            ).select("docid", "cent_id")
+            ivf_dir = tempfile.mkdtemp(prefix="bench_ivf_")
+            write_vector_index(
+                dvec.join(dl, "docid"), f"{ivf_dir}/index",
+                partition_by="cent_id",
+            )
+            one_q = qvec.limit(1).cache()
+            one_q.count()
+            ivf_plan = ivf_search_partitioned(
+                spark, f"{ivf_dir}/index", cents, one_q, k=1, nprobe=4
+            )
+            best = None
+            for _ in range(3):
+                t0 = time.time()
+                ivf_plan.write.format("noop").mode("overwrite").save()
+                best = min(best or 1e9, time.time() - t0)
+            timings[f"ann_ivf_1q_{n}_docs"] = round(best, 3)
+            query_meta[f"ann_ivf_1q_{n}_docs"] = {
+                "n_lists": 64, "nprobe": 4, "repeats": 3, "since_round": 4,
+                "index": "parquet partitionBy(cent_id), zstd",
+            }
+            one_q.unpersist()
+            shutil.rmtree(ivf_dir, ignore_errors=True)
         dvec.unpersist()
         docs.unpersist()
 

@@ -205,6 +205,218 @@ def ivf_topk(
     )
 
 
+def ivf_assign_fast(
+    emb: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cent_id_col: str = "cent_id",
+    cent_vec_col: str = "cvec",
+    nprobe: int = 1,
+) -> DataFrame:
+    """BLAS twin of :func:`ivf_assign` for corpora where the HOF cosine is
+    interpretation-bound (~1M+ rows x hundreds of dims): the tiny centroid
+    relation is collected once and broadcast as a normalized matrix; each
+    Arrow batch scores with ONE matmul and takes its ``nprobe`` best lists
+    (ties broken ascending cent_id like the window form). Same logical
+    output ``(id, cent_id, cent_rank)``; float64 arithmetic, so any
+    divergence from :func:`ivf_assign` is confined to near-exact ties."""
+    import numpy as np
+    import pandas as pd
+
+    crows = centroids.select(cent_id_col, cent_vec_col).collect()
+    cids = np.array([r[0] for r in crows])
+    C = np.array([r[1] for r in crows], dtype=np.float64)
+    cn = np.linalg.norm(C, axis=1, keepdims=True)
+    Cn = np.divide(C, cn, out=np.zeros_like(C), where=cn > 0)
+    bc = emb.sparkSession.sparkContext.broadcast((cids, Cn))
+
+    id_t = dict(emb.dtypes)[id_col]
+    cent_t = dict(centroids.dtypes)[cent_id_col]
+    schema = f"`{id_col}` {id_t}, `{cent_id_col}` {cent_t}, cent_rank int"
+    np_ = min(nprobe, len(crows))
+
+    def assign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        all_cids, Cm = bc.value
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            D = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+            dn = np.linalg.norm(D, axis=1, keepdims=True)
+            Dn = np.divide(D, dn, out=np.zeros_like(D), where=dn > 0)
+            S = Dn @ Cm.T  # (batch, n_centroids)
+            ids = pdf[id_col].to_numpy()
+            # per-row top-nprobe, (sim desc, cent_id asc): stable argsort by
+            # cent_id then stable argsort by -sim — exact window parity
+            out_id, out_cent, out_rank = [], [], []
+            cent_order = np.argsort(all_cids, kind="stable")
+            for i in range(S.shape[0]):
+                row = S[i, cent_order]
+                sel = cent_order[np.argsort(-row, kind="stable")[:np_]]
+                out_id.append(np.repeat(ids[i], len(sel)))
+                out_cent.append(all_cids[sel])
+                out_rank.append(np.arange(1, len(sel) + 1, dtype=np.int32))
+            yield pd.DataFrame(
+                {
+                    id_col: np.concatenate(out_id),
+                    cent_id_col: np.concatenate(out_cent),
+                    "cent_rank": np.concatenate(out_rank),
+                }
+            )
+
+    return emb.select(id_col, vec_col).mapInPandas(assign, schema=schema)
+
+
+def ivf_topk_fast(
+    queries: DataFrame,
+    emb: DataFrame,
+    centroids: DataFrame,
+    k: int = 5,
+    nprobe: int = 2,
+    qid_col: str = "qid",
+    qvec_col: str = "qvec",
+    id_col: str = "docid",
+    vec_col: str = "vec",
+    doc_lists: DataFrame | None = None,
+) -> DataFrame:
+    """BLAS IVF top-k — the large-corpus physical strategy behind
+    :func:`ivf_topk`'s logical plan.
+
+    ``doc_lists`` (``(id, cent_id)``) lets a caller reuse a prebuilt
+    index assignment — the IVF analog of loading a built index before the
+    query loop; serving-path benchmarks time search without re-assigning
+    the corpus every call.
+
+    Shape: assignment is a narrow matmul stage per side
+    (:func:`ivf_assign_fast`); then docs and queries are COGROUPED by
+    inverted list (``cent_id``) and each list scores with one
+    ``Q_list @ D_list.T`` matmul inside ``applyInPandas`` — per-list
+    partial top-k rows only (``O(n_lists * queries_probing * k)``) reach
+    the final per-query window merge. Candidate volume is
+    ``~nprobe/n_lists`` of the corpus; every join is an equi-join on
+    ``cent_id``; the hot shuffle moves each doc vector exactly once.
+    At 100 TB: pre-partition/bucket the corpus by ``cent_id`` at index
+    build time and the per-query cost is a handful of list-local matmuls.
+    """
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql import Window
+
+    if doc_lists is None:
+        doc_lists = ivf_assign_fast(
+            emb, centroids, id_col=id_col, vec_col=vec_col, nprobe=1
+        ).select(id_col, "cent_id")
+    q_lists = ivf_assign_fast(
+        queries, centroids, id_col=qid_col, vec_col=qvec_col, nprobe=nprobe
+    ).select(qid_col, "cent_id")
+
+    d_side = emb.select(id_col, vec_col).join(doc_lists, id_col)
+    q_side = queries.select(qid_col, qvec_col).join(q_lists, qid_col)
+
+    qid_t = dict(queries.dtypes)[qid_col]
+    id_t = dict(emb.dtypes)[id_col]
+    schema = f"`{qid_col}` {qid_t}, `{id_col}` {id_t}, score double"
+
+    def score_list(key, qpdf: pd.DataFrame, dpdf: pd.DataFrame) -> pd.DataFrame:
+        if qpdf.empty or dpdf.empty:
+            return pd.DataFrame({qid_col: [], id_col: [], "score": []})
+        Q = np.array(qpdf[qvec_col].tolist(), dtype=np.float64)
+        D = np.array(dpdf[vec_col].tolist(), dtype=np.float64)
+        qn = np.linalg.norm(Q, axis=1, keepdims=True)
+        dn = np.linalg.norm(D, axis=1, keepdims=True)
+        Qn = np.divide(Q, qn, out=np.zeros_like(Q), where=qn > 0)
+        Dn = np.divide(D, dn, out=np.zeros_like(D), where=dn > 0)
+        S = Qn @ Dn.T  # (n_q_probing, n_docs_in_list)
+        kk = min(k, S.shape[1])
+        qids = qpdf[qid_col].to_numpy()
+        dids = dpdf[id_col].to_numpy()
+        did_order = np.argsort(dids, kind="stable")
+        out_q, out_d, out_s = [], [], []
+        for i in range(S.shape[0]):
+            row = S[i, did_order]
+            sel = did_order[np.argsort(-row, kind="stable")[:kk]]
+            out_q.append(np.repeat(qids[i], len(sel)))
+            out_d.append(dids[sel])
+            out_s.append(S[i, sel])
+        return pd.DataFrame(
+            {
+                qid_col: np.concatenate(out_q),
+                id_col: np.concatenate(out_d),
+                "score": np.concatenate(out_s),
+            }
+        )
+
+    partial = (
+        q_side.groupBy("cent_id")
+        .cogroup(d_side.groupBy("cent_id"))
+        .applyInPandas(score_list, schema=schema)
+    )
+    w = Window.partitionBy(qid_col).orderBy(F.desc("score"), F.asc(id_col))
+    return (
+        partial.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(qid_col, id_col, "rank", "score")
+    )
+
+
+def ivf_search_partitioned(
+    spark,
+    index_path: str,
+    centroids: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    nprobe: int = 2,
+    qid_col: str = "qid",
+    qvec_col: str = "qvec",
+    id_col: str = "docid",
+    vec_col: str = "vec",
+    max_probed_lists: int = 100_000,
+):
+    """IVF serving against a ``partitionBy(cent_id)`` parquet index — the
+    storage-pruned path for LOW-QUERY-COUNT latency.
+
+    Why a separate entry point: with a large query batch, almost every
+    inverted list is probed by someone and one batched brute-force matmul
+    over the corpus is already optimal (it reads each doc vector once for
+    ALL queries). IVF pays off when few queries probe few lists — then
+    filtering ``cent_id IN (probed)`` against a cent_id-partitioned index
+    becomes PARTITION PRUNING: only ``~nprobe/n_lists`` of the files are
+    ever read. Build the index once with
+    ``write_vector_index(assigned, partition_by="cent_id")``.
+
+    The probed-list collect is bounded by ``queries x nprobe`` (and
+    guarded by ``max_probed_lists``) — it is the partition-pruning
+    predicate, not data movement.
+    """
+    from .search import topk_bruteforce
+
+    q_lists = ivf_assign_fast(
+        queries, centroids, id_col=qid_col, vec_col=qvec_col, nprobe=nprobe
+    )
+    probed_rows = (
+        q_lists.select("cent_id").distinct().limit(max_probed_lists + 1).collect()
+    )
+    if len(probed_rows) > max_probed_lists:
+        raise ValueError(
+            f"ivf_search_partitioned: more than {max_probed_lists} probed "
+            "lists — at that fan-out use the batched brute-force or cogroup "
+            "path instead of a pruning predicate"
+        )
+    probed = [r["cent_id"] for r in probed_rows]
+    docs = spark.read.parquet(index_path).filter(F.col("cent_id").isin(probed))
+    return topk_bruteforce(
+        queries.select(qid_col, qvec_col),
+        docs,
+        k=k,
+        metric="cosine",
+        qid_col=qid_col,
+        qvec_col=qvec_col,
+        id_col=id_col,
+        vec_col=vec_col,
+    )
+
+
 def lsh_plane(seed_key: str, dim: int) -> list[float]:
     """Deterministic hyperplane: component j is a pseudo-random double in
     [-0.5, 0.5) derived from stable_hash64(seed_key:j) — identical in Spark,

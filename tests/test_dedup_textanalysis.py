@@ -623,3 +623,78 @@ def test_connected_components_driver_and_iterative_agree(spark):
     for n, c in fast:
         comps.setdefault(c, []).append(n)
     assert all(min(v) == c for c, v in comps.items())
+
+
+def test_ivf_topk_fast_matches_hof_form(spark):
+    """The BLAS cogroup IVF (ivf_topk_fast) must return the same ranked
+    lists as the declarative HOF form on identical centroids/nprobe — same
+    logical plan, different physical strategy (r4 scale path)."""
+    import pyspark.sql.functions as F
+    from semantic_vector_search_system_spark.operators.similarity import (
+        ivf_topk,
+        ivf_topk_fast,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    cents = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("cent_id"), F.col("embedding").alias("cvec")
+    )
+    q = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    d = emb.select(F.col("vec_id").alias("docid"), F.col("embedding").alias("vec"))
+    hof = {
+        (r["qid"], r["rank"]): (r["docid"], round(r["score"], 6))
+        for r in ivf_topk(q, d, cents, k=5, nprobe=2).collect()
+    }
+    blas = {
+        (r["qid"], r["rank"]): (r["docid"], round(r["score"], 6))
+        for r in ivf_topk_fast(q, d, cents, k=5, nprobe=2).collect()
+    }
+    assert hof == blas
+
+
+def test_ivf_search_partitioned_prunes_and_matches(spark, tmp_path):
+    """IVF serving against a cent_id-partitioned parquet index: results
+    equal the declarative ivf_topk (same lists probed, exact cosine within
+    them) and the scan's partition filters prune to the probed lists."""
+    import pyspark.sql.functions as F
+    from semantic_vector_search_system_spark.operators.similarity import (
+        ivf_assign_fast,
+        ivf_search_partitioned,
+        ivf_topk,
+    )
+    from semantic_vector_search_system_spark.sources.parquet_index import (
+        write_vector_index,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    cents = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("cent_id"), F.col("embedding").alias("cvec")
+    )
+    d = emb.select(F.col("vec_id").alias("docid"), F.col("embedding").alias("vec"))
+    dl = ivf_assign_fast(d, cents, id_col="docid", vec_col="vec", nprobe=1).select(
+        "docid", "cent_id"
+    )
+    idx = str(tmp_path / "ivf_index")
+    write_vector_index(d.join(dl, "docid"), idx, partition_by="cent_id")
+
+    q = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    served = ivf_search_partitioned(spark, idx, cents, q, k=5, nprobe=2)
+    expected = {
+        (r["qid"], r["rank"]): (r["docid"], round(r["score"], 6))
+        for r in ivf_topk(q, d, cents, k=5, nprobe=2).collect()
+    }
+    got = {
+        (r["qid"], r["rank"]): (r["docid"], round(r["score"], 6))
+        for r in served.collect()
+    }
+    assert got == expected
+    # the scan must carry partition filters on cent_id (pruning, not a
+    # post-scan filter over every file)
+    plan = served._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [cent_id" in plan.replace("#", " ").replace(
+        "cent_id ", "cent_id"
+    ) or "cent_id IN" in plan
