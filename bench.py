@@ -89,7 +89,7 @@ def main() -> None:
         docs = generate_documents(spark, n, seed=42, num_partitions=nparts).cache()
         docs.count()  # materialize corpus outside the timed region
         best = None
-        for _ in range(2 if n >= 1_000_000 else 3):
+        for _ in range(3):
             t0 = time.time()
             enc.encode(docs).write.format("noop").mode("overwrite").save()
             best = min(best or 1e9, time.time() - t0)
@@ -127,7 +127,7 @@ def main() -> None:
                 qvec, dvec, k=1, precollected=qm, score_dtype="float32"
             )
             mode = "distributed"
-        repeats = 5 if n <= 20_000 else (2 if n >= 1_000_000 else 3)
+        repeats = 5 if n <= 20_000 else 3
         best = None
         for _ in range(repeats):
             t0 = time.time()
