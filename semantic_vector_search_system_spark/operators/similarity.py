@@ -225,6 +225,10 @@ def ivf_assign_fast(
     import pandas as pd
 
     crows = centroids.select(cent_id_col, cent_vec_col).collect()
+    if not crows:
+        # an IVF with zero lists has no meaningful assignment — name the
+        # failure instead of surfacing a numpy shape error from the kernel
+        raise ValueError("ivf_assign_fast: centroids relation is empty")
     cids = np.array([r[0] for r in crows])
     C = np.array([r[1] for r in crows], dtype=np.float64)
     cn = np.linalg.norm(C, axis=1, keepdims=True)

@@ -698,3 +698,42 @@ def test_ivf_search_partitioned_prunes_and_matches(spark, tmp_path):
     assert "PartitionFilters: [cent_id" in plan.replace("#", " ").replace(
         "cent_id ", "cent_id"
     ) or "cent_id IN" in plan
+
+
+def test_ivf_fast_empty_edges(spark, tmp_path):
+    """Empty-input behavior of the r4 IVF strategies is pinned: empty
+    centroids raise by name; empty queries serve an empty typed result
+    (reading zero partitions of the index)."""
+    import pyspark.sql.functions as F
+    import pytest as _pytest
+    from semantic_vector_search_system_spark.operators.similarity import (
+        ivf_assign_fast,
+        ivf_search_partitioned,
+        ivf_topk_fast,
+    )
+    from semantic_vector_search_system_spark.sources.parquet_index import (
+        write_vector_index,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    d = emb.select(F.col("vec_id").alias("docid"), F.col("embedding").alias("vec"))
+    cents = emb.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("cent_id"), F.col("embedding").alias("cvec")
+    )
+    no_cents = cents.filter(F.lit(False))
+    with _pytest.raises(ValueError, match="centroids relation is empty"):
+        ivf_assign_fast(d, no_cents, id_col="docid", vec_col="vec")
+
+    no_q = emb.filter(F.lit(False)).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    assert ivf_topk_fast(no_q, d, cents, k=3, nprobe=2).count() == 0
+
+    dl = ivf_assign_fast(d, cents, id_col="docid", vec_col="vec", nprobe=1).select(
+        "docid", "cent_id"
+    )
+    idx = str(tmp_path / "ivf_empty_q")
+    write_vector_index(d.join(dl, "docid"), idx, partition_by="cent_id")
+    served = ivf_search_partitioned(spark, idx, cents, no_q, k=3, nprobe=2)
+    assert served.count() == 0
+    assert [f.name for f in served.schema.fields] == ["qid", "docid", "rank", "score"]
