@@ -737,3 +737,43 @@ def test_ivf_fast_empty_edges(spark, tmp_path):
     served = ivf_search_partitioned(spark, idx, cents, no_q, k=3, nprobe=2)
     assert served.count() == 0
     assert [f.name for f in served.schema.fields] == ["qid", "docid", "rank", "score"]
+
+
+def test_ivf_fast_parity_fuzz_shapes(spark):
+    """Randomized-shape parity: the BLAS cogroup IVF equals the HOF form
+    across dim / list-count / nprobe combinations (seeded numpy vectors,
+    well-spread so near-exact centroid ties don't flip assignments)."""
+    import numpy as np
+    from semantic_vector_search_system_spark.operators.similarity import (
+        ivf_topk,
+        ivf_topk_fast,
+    )
+
+    rng = np.random.default_rng(7)
+    for dim, n_docs, n_cents, nprobe, k in [
+        (8, 120, 4, 1, 3),
+        (16, 200, 6, 3, 5),
+        (32, 150, 8, 8, 4),  # nprobe == n_lists: candidates = full corpus
+    ]:
+        M = rng.standard_normal((n_docs, dim)).round(3)  # coarse grid: no ties
+        d = spark.createDataFrame(
+            [(i, [float(x) for x in M[i]]) for i in range(n_docs)],
+            "docid bigint, vec array<double>",
+        )
+        cents = spark.createDataFrame(
+            [(i, [float(x) for x in M[i]]) for i in range(n_cents)],
+            "cent_id bigint, cvec array<double>",
+        )
+        q = spark.createDataFrame(
+            [(i, [float(x) for x in M[i]]) for i in range(0, n_docs, 17)],
+            "qid bigint, qvec array<double>",
+        )
+        hof = {
+            (r["qid"], r["rank"]): (r["docid"], round(r["score"], 6))
+            for r in ivf_topk(q, d, cents, k=k, nprobe=nprobe).collect()
+        }
+        blas = {
+            (r["qid"], r["rank"]): (r["docid"], round(r["score"], 6))
+            for r in ivf_topk_fast(q, d, cents, k=k, nprobe=nprobe).collect()
+        }
+        assert hof == blas, (dim, n_cents, nprobe)
