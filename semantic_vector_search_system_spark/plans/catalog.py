@@ -853,13 +853,15 @@ def neardup_keep_one(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = T(spark, sf_dir, "documents").repartition(
         spark.sparkContext.defaultParallelism
     )
-    # localCheckpoint: the banding self-join consumes the signature relation
-    # twice; without truncation the whole minhash Arrow stage executes twice.
-    # The relation is tiny — one (id, seed, minhash) row per doc per seed.
-    sigs = dd.minhash_signatures_fast(
-        docs, id_col="doc_id", num_hashes=8, shingle_n=3
+    # Fused minhash+banding kernel (same as training_corpus_selection): ONE
+    # narrow Arrow stage emits (id, band, band_sig) with zero shuffles —
+    # replaces the former minhash stage + groupBy-band exchange. One
+    # checkpoint for the band relation (the banding self-join consumes it
+    # twice), one for the candidate edges (verify consumes them twice).
+    bands = dd.minhash_band_signatures_fast(
+        docs, id_col="doc_id", num_hashes=8, shingle_n=3, rows_per_band=2
     ).localCheckpoint()
-    cand = dd.lsh_candidate_pairs(sigs, id_col="doc_id", rows_per_band=2).localCheckpoint()
+    cand = dd.lsh_candidate_pairs_from_bands(bands).localCheckpoint()
     kept = dd.verify_candidate_edges(
         docs, cand, id_col="doc_id", threshold=0.6
     ).select("id_a", "id_b")
