@@ -1,10 +1,16 @@
 """Benchmark runner: times the engine's headline queries at a scale-factor
-directory and prints one JSON line for the driver.
+directory and prints JSON metric lines for the driver.
 
     SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 SPARK_GRAFT_CPUS=32 python bench.py
 
 Queries are materialized with a noop write (full computation, no collect
 cost, no column pruning of the final projection).
+
+Output protocol: after EVERY completed key the full cumulative metric JSON
+is re-printed (and mirrored to bench_out.json), so a run killed mid-flight
+still leaves a parseable line with all completed keys; the final
+authoritative line (without "partial") is printed AFTER spark.stop() so no
+shutdown output can follow it.
 """
 
 from __future__ import annotations
@@ -18,6 +24,40 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 
+OUT_PATH = os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_out.json")
+
+
+def emit(timings: dict, query_meta: dict, sf, *, partial: bool) -> str:
+    """Serialize the cumulative metric line; print it AND write it to
+    bench_out.json.
+
+    Called after EVERY completed key (r4 lesson, VERDICT item 8): the driver
+    keeps a finite output tail and parses the last JSON line it finds, so a
+    run killed mid-flight — or one whose shutdown produces stderr spam —
+    still leaves a parseable record of every key completed so far.  The
+    final authoritative line is re-printed after spark.stop() so nothing
+    can follow it.
+    """
+    line = json.dumps(
+        {
+            "metric": "headline_queries_total_runtime",
+            "value": round(sum(timings.values()), 3),
+            "unit": "sec",
+            "queries": timings,
+            "query_meta": query_meta,
+            "sf": sf,
+            **({"partial": True} if partial else {}),
+        }
+    )
+    try:
+        with open(OUT_PATH, "w") as f:
+            f.write(line + "\n")
+    except OSError:
+        pass
+    print(line, flush=True)
+    return line
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
@@ -26,7 +66,12 @@ def main() -> None:
     from semantic_vector_search_system_spark.plans.catalog import bench_queries
     from semantic_vector_search_system_spark.session import get_spark
 
-    spark = get_spark("sivbp-bench")
+    # Console progress bars write \r-spam to stderr; with the finite tail
+    # capture they can displace the metric lines. Off for bench runs.
+    spark = get_spark(
+        "sivbp-bench",
+        extra_conf={"spark.ui.showConsoleProgress": "false"},
+    )
     spark.sparkContext.setLogLevel("ERROR")
 
     # warm the JVM + parquet footers so per-query numbers measure the query
@@ -39,12 +84,35 @@ def main() -> None:
         lambda it: (pdf for pdf in it), schema="id long"
     ).write.format("noop").mode("overwrite").save()
 
+    timings: dict[str, float] = {}
+    query_meta: dict[str, dict] = {}
+
+    # Floor cost of ANY python-stage job: an empty 32-partition mapInPandas
+    # round-trip.  This prices the r4 session-layer changes (UDS worker
+    # channel + daemon preload, session.py:53-96) as a tracked driver-side
+    # number instead of a builder-side claim (VERDICT r4 item 5): without
+    # preload each task pays ~0.2 s of numpy/pandas/pyarrow imports; without
+    # UDS each worker pays a TCP+auth handshake.
+    floor_plan = spark.range(0, 32, 1, 32).mapInPandas(
+        lambda it: (pdf for pdf in it), schema="id long"
+    )
+    best = None
+    for _ in range(5):
+        t0 = time.time()
+        floor_plan.write.format("noop").mode("overwrite").save()
+        best = min(best or 1e9, time.time() - t0)
+    timings["python_job_floor"] = round(best, 3)
+    query_meta["python_job_floor"] = {
+        "shape": "empty mapInPandas, 32 partitions", "repeats": 5,
+        "since_round": 5,
+    }
+    emit(timings, query_meta, sf, partial=True)
+
     # Three timed runs per query, report the min: run 1 pays whole-stage
     # codegen compilation + JIT (measured 12.7 s -> 4.6 s -> 3.3 s for the
     # dedup pipeline's long DAG — two runs were not enough to reach steady
     # state); the reference's numbers are means over repeats of an
     # already-warm process, so steady state is the fair compare.
-    timings: dict[str, float] = {}
     for name, builder in bench_queries().items():
         best = None
         for _ in range(3):
@@ -53,6 +121,7 @@ def main() -> None:
             dt = time.time() - t0
             best = dt if best is None else min(best, dt)
         timings[name] = round(best, 3)
+        emit(timings, query_meta, sf, partial=True)
 
     # Reference-workload numbers, directly comparable to BASELINE.md:
     # encode throughput (dummy/hashing dim=512) and exact top-1 search
@@ -72,9 +141,8 @@ def main() -> None:
 
     enc = HashingEncoderFast(dim=512)
     # Mode/dtype provenance for keys whose measured work changed across
-    # rounds (r3 moved small-N search to broadcast_index + float32): recorded
-    # alongside the timings so historical comparisons stay honest.
-    query_meta: dict[str, dict] = {}
+    # rounds (r3 moved small-N search to broadcast_index + float32) is
+    # recorded in query_meta so historical comparisons stay honest.
     # The 1M workload (the reference's largest published size) is ON by
     # default since r4 — its 0.1-0.2x-of-baseline numbers are the headline
     # scale story; repeats are trimmed to keep total bench wall-time bounded.
@@ -94,6 +162,7 @@ def main() -> None:
             enc.encode(docs).write.format("noop").mode("overwrite").save()
             best = min(best or 1e9, time.time() - t0)
         timings[f"encode_{n}_docs"] = round(best, 3)
+        emit(timings, query_meta, sf, partial=True)
 
         queries, _ = generate_queries_and_qrels(docs, 100, seed=42)
         dvec = enc.encode(docs).select(F.col("id").alias("docid"), "vec").cache()
@@ -138,6 +207,7 @@ def main() -> None:
             "mode": mode, "score_dtype": "float32", "repeats": repeats,
             "since_round": 3,
         }
+        emit(timings, query_meta, sf, partial=True)
 
         if n == 100_000:
             # H1 ingest-throughput comparable (BASELINE: 29-61k vectors/s
@@ -157,6 +227,7 @@ def main() -> None:
                 write_vector_index(enc.encode(docs), f"{idx_dir}/index")
                 best = min(best or 1e9, time.time() - t0)
             timings[f"ingest_{n}_docs"] = round(best, 3)
+            emit(timings, query_meta, sf, partial=True)
             shutil.rmtree(idx_dir, ignore_errors=True)
 
         if n == 1_000_000:
@@ -193,19 +264,27 @@ def main() -> None:
             )
             one_q = qvec.limit(1).cache()
             one_q.count()
-            ivf_plan = ivf_search_partitioned(
-                spark, f"{ivf_dir}/index", cents, one_q, k=1, nprobe=4
-            )
+            # The WHOLE serving path is inside the timed region (r4 ADVICE:
+            # plan construction runs the query-assignment job + probed-list
+            # collect + query-matrix collect, which the old code did once
+            # outside the loop, under-reporting latency): each repeat
+            # rebuilds the plan — assign query to lists, prune partitions,
+            # scan + score — exactly what a serving process pays per query.
             best = None
             for _ in range(3):
                 t0 = time.time()
-                ivf_plan.write.format("noop").mode("overwrite").save()
+                ivf_search_partitioned(
+                    spark, f"{ivf_dir}/index", cents, one_q, k=1, nprobe=4
+                ).write.format("noop").mode("overwrite").save()
                 best = min(best or 1e9, time.time() - t0)
             timings[f"ann_ivf_1q_{n}_docs"] = round(best, 3)
             query_meta[f"ann_ivf_1q_{n}_docs"] = {
                 "n_lists": 64, "nprobe": 4, "repeats": 3, "since_round": 4,
                 "index": "parquet partitionBy(cent_id), zstd",
+                "timed_region": "full serving path incl. query assignment"
+                " + plan build (since r5)",
             }
+            emit(timings, query_meta, sf, partial=True)
             one_q.unpersist()
             shutil.rmtree(ivf_dir, ignore_errors=True)
         dvec.unpersist()
@@ -290,22 +369,18 @@ def main() -> None:
         # while a lone cold run of this long DAG measured up to 56 s under
         # codegen + co-tenant variance.
         timings["dedup_1000000_docs"] = round(min(run_dedup_1m(), run_dedup_1m()), 3)
+        emit(timings, query_meta, sf, partial=True)
         docs.unpersist()
 
-    total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_runtime",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "query_meta": query_meta,
-                "sf": sf,
-            }
-        )
-    )
+    # Stop FIRST, then print the authoritative final line (r4 lesson,
+    # VERDICT item 1): shutdown is when worker/daemon teardown noise hits
+    # stderr, and the driver keeps only a finite output tail — printing
+    # before stop() let the noise bury the metric line (BENCH_r04
+    # parsed:null).  The daemon-side EPIPE spam itself is also fixed at the
+    # source (worker_daemon.py quiet-shutdown wrapper), so this ordering is
+    # a second line of defense, not the fix.
     spark.stop()
+    emit(timings, query_meta, sf, partial=False)
 
 
 if __name__ == "__main__":

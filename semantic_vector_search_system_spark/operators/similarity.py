@@ -317,9 +317,40 @@ def ivf_topk_fast(
 
     d_side = emb.select(id_col, vec_col).join(doc_lists, id_col)
     q_side = queries.select(qid_col, qvec_col).join(q_lists, qid_col)
-
     qid_t = dict(queries.dtypes)[qid_col]
     id_t = dict(emb.dtypes)[id_col]
+    return _cogroup_list_topk(
+        q_side, d_side, k, qid_col, qvec_col, id_col, vec_col, qid_t, id_t
+    )
+
+
+def _cogroup_list_topk(
+    q_side: DataFrame,
+    d_side: DataFrame,
+    k: int,
+    qid_col: str,
+    qvec_col: str,
+    id_col: str,
+    vec_col: str,
+    qid_t: str,
+    id_t: str,
+) -> DataFrame:
+    """Score queries against docs WITHIN each inverted list and merge.
+
+    ``q_side`` is ``(qid, qvec, cent_id)`` — one row per (query, probed
+    list); ``d_side`` is ``(docid, vec, cent_id)``.  Cogrouped by
+    ``cent_id``, each list runs one ``Q_list @ D_list.T`` BLAS matmul and
+    emits only its per-query partial top-k; a final per-query window merges
+    the partials.  Because the cogroup key IS the probed-list id, a query
+    only ever scores docs from lists it probed — exact :func:`ivf_topk`
+    candidate semantics by construction (shared by :func:`ivf_topk_fast`
+    and :func:`ivf_search_partitioned`; extracted after r4 ADVICE flagged
+    the latter's union-of-lists divergence)."""
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql import Window
+
     schema = f"`{qid_col}` {qid_t}, `{id_col}` {id_t}, score double"
 
     def score_list(key, qpdf: pd.DataFrame, dpdf: pd.DataFrame) -> pd.DataFrame:
@@ -392,12 +423,17 @@ def ivf_search_partitioned(
     The probed-list collect is bounded by ``queries x nprobe`` (and
     guarded by ``max_probed_lists``) — it is the partition-pruning
     predicate, not data movement.
-    """
-    from .search import topk_bruteforce
 
+    Candidate semantics are EXACT :func:`ivf_topk` parity: the pruned scan
+    bounds the IO to the union of probed lists, and the per-query
+    restriction (cogroup on ``cent_id`` via :func:`_cogroup_list_topk`)
+    then guarantees each query scores only docs from ITS OWN probed lists.
+    (Until r5 this ranked every query over the whole union — with >1 query
+    a query could retrieve a doc from a list it never probed; r4 ADVICE.)
+    """
     q_lists = ivf_assign_fast(
         queries, centroids, id_col=qid_col, vec_col=qvec_col, nprobe=nprobe
-    )
+    ).select(qid_col, "cent_id")
     probed_rows = (
         q_lists.select("cent_id").distinct().limit(max_probed_lists + 1).collect()
     )
@@ -408,16 +444,23 @@ def ivf_search_partitioned(
             "path instead of a pruning predicate"
         )
     probed = [r["cent_id"] for r in probed_rows]
-    docs = spark.read.parquet(index_path).filter(F.col("cent_id").isin(probed))
-    return topk_bruteforce(
-        queries.select(qid_col, qvec_col),
-        docs,
-        k=k,
-        metric="cosine",
-        qid_col=qid_col,
-        qvec_col=qvec_col,
-        id_col=id_col,
-        vec_col=vec_col,
+    cent_t = dict(q_lists.dtypes)["cent_id"]
+    # Prune FIRST on the raw partition column (the isin must reach the scan
+    # as a partition filter), THEN cast: partitionBy writes the key as a
+    # directory name and re-reading infers its type from the path string,
+    # so the cogroup join key needs a cast back to the assignment key's
+    # type (e.g. numeric-looking string ids -> int).
+    docs = (
+        spark.read.parquet(index_path)
+        .filter(F.col("cent_id").isin(probed))
+        .withColumn("cent_id", F.col("cent_id").cast(cent_t))
+        .select(id_col, vec_col, "cent_id")
+    )
+    q_side = queries.select(qid_col, qvec_col).join(q_lists, qid_col)
+    qid_t = dict(queries.dtypes)[qid_col]
+    id_t = dict(docs.dtypes)[id_col]
+    return _cogroup_list_topk(
+        q_side, docs, k, qid_col, qvec_col, id_col, vec_col, qid_t, id_t
     )
 
 

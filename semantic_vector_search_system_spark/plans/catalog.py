@@ -1000,6 +1000,12 @@ def corpus_vocabulary(spark: SparkSession, sf_dir: str) -> DataFrame:
 #   customers_without_orders, top_orders_per_customer, nation_customer_rank,
 #   json_kpi, user_event_pivot (driver-green in r01 AND r03; rotate back
 #   in r5).
+# r5 rotation: IN  — the seven r4-parked return per policy (revenue_filter,
+#   revenue_by_nation, customers_without_orders, top_orders_per_customer,
+#   nation_customer_rank, json_kpi, user_event_pivot).
+#              OUT — seven r4 stalwarts, each driver-green in r4 AND >=2
+#   earlier rounds, each with its operator family still in-window (noted
+#   per entry below); all rotate back in r6.
 DEMOTED: tuple[str, ...] = (
     "lsh_candidate_pairs",       # intermediate stage of neardup_keep_one
                                  #   (same banding SQL inside its oracle)
@@ -1017,14 +1023,18 @@ DEMOTED: tuple[str, ...] = (
     "region_customer_rollup",    # join-agg ≡ part_type_revenue (in-window r4)
     "supplier_balance_by_nation",  # join-agg ≡ part_type_revenue
     "global_top_spenders",       # global top-k ≡ corpus_vocabulary (r4)
-    # -- r4 rotation: multi-round-green stalwarts parked for one round --
-    "revenue_filter",            # P4 compound filter ≡ urgent_orders_by_year
-    "revenue_by_nation",         # join-agg ≡ part_type_revenue (in-window r4)
-    "customers_without_orders",  # anti-join ≡ decontamination (left-anti)
-    "top_orders_per_customer",   # window top-k ≡ source_cap_sample (r4)
-    "nation_customer_rank",      # rank ≡ source_cap_sample row_number family
-    "json_kpi",                  # JSONL scan family; driver-green r01+r03
-    "user_event_pivot",          # J6 pivot; driver-green r01+r03
+    # -- r5 rotation: multi-round-green stalwarts parked for one round --
+    "asof_latest_order",         # as-of ≡ asof_grouped_orders +
+                                 #   view_purchase_funnel (in-window)
+    "doc_fingerprint",           # fingerprint ≡ simhash (in-window)
+    "doc_quality",               # quality scoring ≡ gopher_quality_report
+    "exact_dedup",               # dedup keep-one ≡ neardup_keep_one +
+                                 #   training_corpus_selection
+    "langid_confusion",          # langid ≡ training_corpus_selection (langid
+                                 #   stage) + token_counts_regex text family
+    "snippet_queries",           # substring/codegen F-family ≡
+                                 #   token_counts_regex
+    "welch_components_by_type",  # A12 stats ≡ mannwhitney_components
 )
 
 

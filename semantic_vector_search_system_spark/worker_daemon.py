@@ -15,6 +15,8 @@ argv exactly like the stock daemon, then ``manager()`` runs the normal
 accept/fork loop — no behavioral change beyond the warm imports.
 """
 
+import os
+
 # Heavy imports FIRST — these are what each forked worker inherits.
 import numpy  # noqa: F401
 import pandas  # noqa: F401
@@ -27,7 +29,52 @@ import pyspark.worker  # noqa: F401
 
 # pyspark.daemon reads sys.argv at import time to pick the worker module
 # (defaults to pyspark.worker), identically to being launched directly.
+import pyspark.daemon as _daemon
 from pyspark.daemon import manager
+
+# -- Quiet shutdown ----------------------------------------------------------
+# When the JVM tears down (spark.stop()), workers mid-handshake or mid-batch
+# see their socket close and raise BrokenPipeError.  Two amplifiers make this
+# LOUD in Spark 4.1: (a) daemon.py:89 reads
+# PYTHON_DAEMON_KILL_WORKER_ON_FLUSH_FAILURE with `os.environ.get(..., False)`
+# and the JVM sets it to the STRING "false", which is truthy, so the guarded
+# `raise` re-raises the flush EPIPE instead of printing one line; (b) the
+# re-raised exception escapes worker() into the forked child of manager(),
+# printing a full traceback per worker — with 32+ workers this flooded the
+# driver's finite stderr tail and buried bench.py's metric line (BENCH_r04
+# parsed:null).  Fix both: drop the mis-parsed env var, and wrap worker() so
+# a connection-teardown error is a normal exit, not a traceback.  Real task
+# errors are unaffected — they are serialized back to the JVM by
+# pyspark.worker long before this wrapper sees anything.
+os.environ.pop("PYTHON_DAEMON_KILL_WORKER_ON_FLUSH_FAILURE", None)
+
+_stock_worker = _daemon.worker
+
+
+def _quiet_worker(sock, authenticated):
+    try:
+        return _stock_worker(sock, authenticated)
+    except (BrokenPipeError, ConnectionResetError, EOFError):
+        return 0  # peer (JVM) closed the channel — shutdown, not a failure
+
+
+_daemon.worker = _quiet_worker  # manager() resolves the global at call time
+
+# With the env var gone, daemon.py's finally-flush handler takes its benign
+# branch — but that branch still PRINTS a "failed to flush the output"
+# traceback block per worker (32 blocks per spark.stop() at local[32]).
+# Shadow `print` in the daemon module's namespace with a filter that drops
+# exactly that message; all other daemon prints pass through untouched.
+_stock_print = print
+
+
+def _daemon_print(*args, **kwargs):
+    if args and isinstance(args[0], str) and "failed to flush the output" in args[0]:
+        return  # expected EPIPE when the JVM tears the channel down first
+    _stock_print(*args, **kwargs)
+
+
+_daemon.print = _daemon_print
 
 if __name__ == "__main__":
     manager()

@@ -700,6 +700,57 @@ def test_ivf_search_partitioned_prunes_and_matches(spark, tmp_path):
     ) or "cent_id IN" in plan
 
 
+def test_ivf_search_partitioned_per_query_lists(spark, tmp_path):
+    """A query must NOT retrieve docs from lists it never probed (r4 ADVICE:
+    the pre-r5 implementation ranked each query over the UNION of all
+    queries' probed lists, so this engineered case diverged from ivf_topk).
+
+    qa probes only list c0 (nprobe=1) but doc db — which lives in list c1,
+    probed only by qb — has cosine ~0.70 to qa; union semantics would emit
+    (qa, db) at rank 2, per-query semantics must emit exactly one row for
+    qa."""
+    from semantic_vector_search_system_spark.operators.similarity import (
+        ivf_assign_fast,
+        ivf_search_partitioned,
+        ivf_topk,
+    )
+    from semantic_vector_search_system_spark.sources.parquet_index import (
+        write_vector_index,
+    )
+
+    cents = spark.createDataFrame(
+        [("c0", [1.0, 0.0]), ("c1", [0.0, 1.0])], "cent_id string, cvec array<double>"
+    )
+    d = spark.createDataFrame(
+        [("da", [1.0, 0.1]), ("db", [0.8, 0.9]), ("dc", [0.1, 1.0])],
+        "docid string, vec array<double>",
+    )
+    q = spark.createDataFrame(
+        [("qa", [1.0, 0.05]), ("qb", [0.1, 1.0])], "qid string, qvec array<double>"
+    )
+    dl = ivf_assign_fast(d, cents, id_col="docid", vec_col="vec", nprobe=1).select(
+        "docid", "cent_id"
+    )
+    assert {(r["docid"], r["cent_id"]) for r in dl.collect()} == {
+        ("da", "c0"), ("db", "c1"), ("dc", "c1")
+    }
+    idx = str(tmp_path / "ivf_perq")
+    write_vector_index(d.join(dl, "docid"), idx, partition_by="cent_id")
+
+    rows = ivf_search_partitioned(spark, idx, cents, q, k=2, nprobe=1).collect()
+    got = {(r["qid"], r["docid"]) for r in rows}
+    assert got == {("qa", "da"), ("qb", "dc"), ("qb", "db")}
+    # and exact parity with the declarative form on the same inputs
+    expected = {
+        (r["qid"], r["rank"]): (r["docid"], round(r["score"], 6))
+        for r in ivf_topk(q, d, cents, k=2, nprobe=1).collect()
+    }
+    served = {
+        (r["qid"], r["rank"]): (r["docid"], round(r["score"], 6)) for r in rows
+    }
+    assert served == expected
+
+
 def test_ivf_fast_empty_edges(spark, tmp_path):
     """Empty-input behavior of the r4 IVF strategies is pinned: empty
     centroids raise by name; empty queries serve an empty typed result

@@ -332,7 +332,12 @@ def test_driver_window_covers_every_operator_family():
         # banding SQL (see DEMOTED rationale in plans/catalog.py).
         "embedding_neardup_pairs", "knn_topk", "minhash_signatures",
         "neardup_keep_one", "ann_ivf_topk", "quantized_topk_rerank",
-        "self_retrieval_e2e", "asof_latest_order",
+        "self_retrieval_e2e",
+        # asof_latest_order is parked for r5 (multi-round-green stalwart);
+        # the as-of family stays flagship-covered in-window by
+        # asof_grouped_orders (the harder grouped/bucketed strategy) and
+        # view_purchase_funnel (interval-join composition).
+        "asof_grouped_orders",
     }
     assert flagships <= window
     # oracle ordering mirrors query ordering
