@@ -6,76 +6,84 @@ materialization, or a reference-parity driver loop. This test greps the
 package and fails on any NEW collect site, forcing an audit entry here
 (with its justification) before it ships. ``toArrow``/``toPandas``
 full-relation materializations are held to the same bar.
+
+Keying (r4 ADVICE): entries are ``(file, snippet) -> expected count``, and
+the comparison is EXACT in both directions — a new site whose line text
+happens to equal an already-allowed snippet (e.g. the generic
+``).collect()[0]`` continuation line) changes that snippet's count and
+fails the audit; it can no longer hide behind an existing entry.
 """
 
 from __future__ import annotations
 
 import pathlib
 import re
+from collections import Counter
 
 PKG = pathlib.Path(__file__).resolve().parents[1] / "semantic_vector_search_system_spark"
 
-# file -> set of justified collect-site line snippets (stripped). A snippet
-# change (refactor) must re-justify the site by updating this table.
-ALLOWED = {
+# file -> {justified collect-site line snippet (stripped): expected count}.
+# A snippet change (refactor) OR a new site with identical text must
+# re-justify by updating this table.
+ALLOWED: dict[str, dict[str, int]] = {
     "__main__.py": {
         # single-row metrics summary / grouped report aggregates (CLI output)
-        "row = evaluate_all(ret, qrels, k_values=_ints(args.k)).collect()[0]",
-        "rows = [r.asDict() for r in summary_by_size(ok, metric_cols).collect()]",
+        "row = evaluate_all(ret, qrels, k_values=_ints(args.k)).collect()[0]": 1,
+        "rows = [r.asDict() for r in summary_by_size(ok, metric_cols).collect()]": 1,
     },
     "sources/vectorstores.py": {
         # single aggregate row (count/dim probe before upsert)
-        ").collect()[0]",
+        ").collect()[0]": 1,
     },
     "operators/similarity.py": {
         # raise-guarded by max_rows count immediately above (bounded matmul)
-        "rows = emb.select(id_col, vec_col).collect()",
+        "rows = emb.select(id_col, vec_col).collect()": 1,
         # tiny centroid relation (n_lists rows) for the BLAS IVF kernels
-        "crows = centroids.select(cent_id_col, cent_vec_col).collect()",
+        "crows = centroids.select(cent_id_col, cent_vec_col).collect()": 1,
         # partition-pruning predicate: bounded by queries x nprobe and the
         # max_probed_lists limit+raise guard
-        'q_lists.select("cent_id").distinct().limit(max_probed_lists + 1).collect()',
+        'q_lists.select("cent_id").distinct().limit(max_probed_lists + 1).collect()': 1,
     },
     "operators/quantize.py": {
         # single aggregate row (global min/max for the quantization range)
-        ").collect()[0]",
+        ").collect()[0]": 1,
     },
     "operators/search.py": {
         # collect_doc_matrix: raise-guarded by max_rows count above
-        "rows = docs.select(id_col, vec_col).collect()",
+        "rows = docs.select(id_col, vec_col).collect()": 1,
         # collect_query_matrix: query side is small by construction (<=
         # thousands; the reference samples <=200 queries)
-        "qrows = queries.select(qid_col, qvec_col).collect()",
+        "qrows = queries.select(qid_col, qvec_col).collect()": 1,
     },
     "plans/experiments.py": {
         # config-memoization anti-join result: O(configs), tiny
-        "for r in remaining.collect()",
+        "for r in remaining.collect()": 1,
         # single metrics row per experiment
-        'ev = evaluate_all(top.select("qid", "docid", "rank"), qrels, k_values=(5, 10, 20)).collect()[0]',
+        'ev = evaluate_all(top.select("qid", "docid", "rank"), qrels, k_values=(5, 10, 20)).collect()[0]': 1,
         # explicitly limit()-bounded query sample (reference parity)
-        "q_sample = qvec.limit(min(20, cfg.sample_queries)).collect()",
+        "q_sample = qvec.limit(min(20, cfg.sample_queries)).collect()": 1,
         # per-query latency loop over the bounded sample (reference's own
         # serial timing loop, run_experiments.py)
-        "topk_bruteforce(one, dvec_cached, k=1, predicate=predicate).collect()",
-        "k: v for k, v in latency_stats(lat_df).collect()[0].asDict().items()",
+        "topk_bruteforce(one, dvec_cached, k=1, predicate=predicate).collect()": 1,
+        "k: v for k, v in latency_stats(lat_df).collect()[0].asDict().items()": 1,
     },
     "plans/report_artifact.py": {
-        "comp_rows = [r.asDict() for r in grouped_components(flat, metrics).collect()]",
+        "comp_rows = [r.asDict() for r in grouped_components(flat, metrics).collect()]": 1,
     },
     "plans/report.py": {
         # grouped t-test / rank-sum component rows: O(groups), tiny
-        "comp = {r[group_col]: r for r in welch_t_components(results, group_col, metric).collect()}",
-        "for r in mann_whitney_components(results, group_col, metric, [g1, g2]).collect()",
+        "comp = {r[group_col]: r for r in welch_t_components(results, group_col, metric).collect()}": 1,
+        "for r in mann_whitney_components(results, group_col, metric, [g1, g2]).collect()": 1,
     },
     "operators/dedup.py": {
         # strategy probe: limit(threshold+1) + columnar Arrow materialization
-        "pairs.select(src_col, dst_col).limit(small_edge_threshold + 1).toArrow()",
+        "pairs.select(src_col, dst_col).limit(small_edge_threshold + 1).toArrow()": 1,
     },
 }
 
 
-def _collect_sites() -> dict[str, set[str]]:
-    found: dict[str, set[str]] = {}
+def _collect_sites() -> dict[str, Counter]:
+    found: dict[str, Counter] = {}
     pat = re.compile(r"\.(collect|toArrow|toPandas)\(\)")
     for py in sorted(PKG.rglob("*.py")):
         rel = str(py.relative_to(PKG))
@@ -84,24 +92,25 @@ def _collect_sites() -> dict[str, set[str]]:
             if s.startswith("#"):
                 continue
             if pat.search(s):
-                found.setdefault(rel, set()).add(s)
+                found.setdefault(rel, Counter())[s] += 1
     return found
 
 
 def test_no_unaudited_driver_collects():
-    found = _collect_sites()
-    unaudited = {
-        f: sorted(snips - ALLOWED.get(f, set()))
-        for f, snips in found.items()
-        if snips - ALLOWED.get(f, set())
-    }
-    assert not unaudited, (
-        "new driver-side .collect()/.toArrow()/.toPandas() sites need an "
-        f"audit entry in {__file__}: {unaudited}"
+    found = {f: dict(c) for f, c in _collect_sites().items()}
+    allowed = {f: dict(c) for f, c in ALLOWED.items()}
+    # exact two-way equality: extra sites (even text-identical duplicates of
+    # an allowed snippet) AND stale entries both fail, with a precise diff
+    diffs = []
+    for f in sorted(set(found) | set(allowed)):
+        got, want = found.get(f, {}), allowed.get(f, {})
+        if got != want:
+            for snip in sorted(set(got) | set(want)):
+                g, w = got.get(snip, 0), want.get(snip, 0)
+                if g != w:
+                    diffs.append(f"{f}: {snip!r} found x{g}, audited x{w}")
+    assert not diffs, (
+        "driver-side .collect()/.toArrow()/.toPandas() audit mismatch — new "
+        f"sites need a justified entry in {__file__}; removed sites need "
+        "their entry dropped:\n" + "\n".join(diffs)
     )
-    stale = {
-        f: sorted(set(snips) - found.get(f, set()))
-        for f, snips in ALLOWED.items()
-        if set(snips) - found.get(f, set())
-    }
-    assert not stale, f"stale audit entries (code moved/removed): {stale}"

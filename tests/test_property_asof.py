@@ -109,3 +109,61 @@ def test_asof_null_keys_form_one_ordinary_group(spark):
             r["event_id"]: (r["rt"], r["rid"]) for r in form(left, right, **kw).collect()
         }
         assert got == expected, form.__name__
+
+
+def test_asof_grouped_1m_bucket_invariance_with_nulls(spark):
+    """VERDICT r4 item 7: the bucketed merge_asof strategy at the bench's
+    1M-row scale — with null keys on both sides, exact left==right
+    timestamp ties, and keys with no facts — must produce IDENTICAL
+    results for different bucket counts (bucket boundaries move, matches
+    must not) and agree with the window-carry strategy.
+
+    Full-result equality is checked distributively via an order-insensitive
+    checksum (sum of a row hash) + count + payload aggregates — no 1M-row
+    collect."""
+    from pyspark.sql import functions as F
+
+    n_left, n_right, n_keys = 1_000_000, 100_000, 50_000
+    # key: null every 97th row; time: pseudo-random in a domain narrow
+    # enough to force left==right ties; everything deterministic from id
+    left = spark.range(n_left).select(
+        F.col("id").alias("event_id"),
+        F.when(F.col("id") % 97 == 0, F.lit(None))
+        .otherwise(F.pmod(F.col("id") * 2654435761, F.lit(n_keys)))
+        .cast("long")
+        .alias("k"),
+        F.pmod(F.col("id") * 40503, F.lit(10_000)).cast("long").alias("t"),
+    )
+    right = spark.range(n_right).select(
+        F.when(F.col("id") % 89 == 0, F.lit(None))
+        # ~half the key domain has facts -> many left rows have no match
+        .otherwise(F.pmod(F.col("id") * 69069, F.lit(n_keys // 2)))
+        .cast("long")
+        .alias("k"),
+        F.pmod(F.col("id") * 48271, F.lit(10_000)).cast("long").alias("rt"),
+        F.col("id").alias("rid"),
+    )
+    kw = dict(
+        on="k", left_time="t", right_time="rt",
+        payload_cols=["rt", "rid"], right_tiebreak="rid",
+    )
+
+    def checksum(df):
+        row = df.agg(
+            F.count("*").alias("n"),
+            # decimal(38) sum: 1M signed-64 hashes overflow a long under ANSI
+            F.sum(F.xxhash64("event_id", "rt", "rid").cast("decimal(38,0)")).alias("h"),
+            F.sum("rt").alias("s_rt"),
+            F.sum("rid").alias("s_rid"),
+            F.count("rid").alias("n_matched"),
+        ).collect()[0]
+        return tuple(row)
+
+    want = checksum(asof_join(left, right, **kw))
+    assert want[0] == n_left
+    assert 0 < want[4] < n_left  # some matched, some not — the case is real
+    # bucket-count sweep: 7 (prime, uneven), 32 (bench default), 256 (many
+    # near-empty buckets) — bucket boundaries shift, results must not
+    for nb in (7, 32, 256):
+        got = checksum(asof_join_grouped(left, right, num_buckets=nb, **kw))
+        assert got == want, f"num_buckets={nb}: {got} != {want}"
