@@ -250,13 +250,8 @@ def ivf_assign_fast(
             Dn = np.divide(D, dn, out=np.zeros_like(D), where=dn > 0)
             S = Dn @ Cm.T  # (batch, n_centroids)
             ids = pdf[id_col].to_numpy()
-            # per-row top-nprobe, (sim desc, cent_id asc): stable argsort by
-            # cent_id then stable argsort by -sim — exact window parity
             out_id, out_cent, out_rank = [], [], []
-            cent_order = np.argsort(all_cids, kind="stable")
-            for i in range(S.shape[0]):
-                row = S[i, cent_order]
-                sel = cent_order[np.argsort(-row, kind="stable")[:np_]]
+            for i, sel in enumerate(_topn_list_sel(S, all_cids, np_)):
                 out_id.append(np.repeat(ids[i], len(sel)))
                 out_cent.append(all_cids[sel])
                 out_rank.append(np.arange(1, len(sel) + 1, dtype=np.int32))
@@ -269,6 +264,23 @@ def ivf_assign_fast(
             )
 
     return emb.select(id_col, vec_col).mapInPandas(assign, schema=schema)
+
+
+def _topn_list_sel(S, all_cids, n: int):
+    """Per-row indices of the ``n`` best lists by (sim desc, cent_id asc) —
+    stable argsort by cent_id then stable argsort by -sim, exact parity
+    with :func:`ivf_assign`'s window ordering.  Shared by the distributed
+    assignment kernel and the driver-side assignment of
+    :func:`ivf_search_partitioned`'s broadcast strategy, so the two can
+    never drift."""
+    import numpy as np
+
+    cent_order = np.argsort(all_cids, kind="stable")
+    out = []
+    for i in range(S.shape[0]):
+        row = S[i, cent_order]
+        out.append(cent_order[np.argsort(-row, kind="stable")[:n]])
+    return out
 
 
 def ivf_topk_fast(
@@ -407,6 +419,9 @@ def ivf_search_partitioned(
     id_col: str = "docid",
     vec_col: str = "vec",
     max_probed_lists: int = 100_000,
+    strategy: str = "auto",
+    max_broadcast_queries: int = 4096,
+    precollected_centroids: list | None = None,
 ):
     """IVF serving against a ``partitionBy(cent_id)`` parquet index — the
     storage-pruned path for LOW-QUERY-COUNT latency.
@@ -426,41 +441,182 @@ def ivf_search_partitioned(
 
     Candidate semantics are EXACT :func:`ivf_topk` parity: the pruned scan
     bounds the IO to the union of probed lists, and the per-query
-    restriction (cogroup on ``cent_id`` via :func:`_cogroup_list_topk`)
-    then guarantees each query scores only docs from ITS OWN probed lists.
-    (Until r5 this ranked every query over the whole union — with >1 query
-    a query could retrieve a doc from a list it never probed; r4 ADVICE.)
+    restriction then guarantees each query scores only docs from ITS OWN
+    probed lists.  (Until r5 this ranked every query over the whole union
+    — with >1 query a query could retrieve a doc from a list it never
+    probed; r4 ADVICE.)
+
+    Two physical strategies enforce that restriction:
+
+    * ``broadcast`` (the serving shape, taken by ``auto`` when the query
+      relation has <= ``max_broadcast_queries`` rows): queries and
+      centroids are collected once, assignment happens DRIVER-SIDE (same
+      selection helper as the distributed kernel), and the pruned scan
+      streams through ONE narrow ``mapInPandas`` pass that scores each
+      list's batch against only the queries probing that list.  Zero
+      doc-vector shuffle; the only shuffled rows are the
+      ``O(files x queries x k)`` partial top-k survivors into the final
+      window merge.  This is the per-query-latency path the
+      ``ann_ivf_1q`` bench key times end-to-end.
+    * ``cogroup`` (taken by ``auto`` beyond the threshold): distributed
+      assignment + the shared :func:`_cogroup_list_topk` kernel — one
+      shuffle of the pruned docs by ``cent_id``, right when the query
+      batch is too large to broadcast.
     """
-    q_lists = ivf_assign_fast(
-        queries, centroids, id_col=qid_col, vec_col=qvec_col, nprobe=nprobe
-    ).select(qid_col, "cent_id")
-    probed_rows = (
-        q_lists.select("cent_id").distinct().limit(max_probed_lists + 1).collect()
-    )
-    if len(probed_rows) > max_probed_lists:
-        raise ValueError(
-            f"ivf_search_partitioned: more than {max_probed_lists} probed "
-            "lists — at that fan-out use the batched brute-force or cogroup "
-            "path instead of a pruning predicate"
+    import numpy as np
+    import pandas as pd
+
+    qid_t = dict(queries.dtypes)[qid_col]
+    if strategy == "auto":
+        qrows = (
+            queries.select(qid_col, qvec_col)
+            .limit(max_broadcast_queries + 1)
+            .collect()
         )
-    probed = [r["cent_id"] for r in probed_rows]
-    cent_t = dict(q_lists.dtypes)["cent_id"]
-    # Prune FIRST on the raw partition column (the isin must reach the scan
-    # as a partition filter), THEN cast: partitionBy writes the key as a
-    # directory name and re-reading infers its type from the path string,
-    # so the cogroup join key needs a cast back to the assignment key's
-    # type (e.g. numeric-looking string ids -> int).
+        strategy = "broadcast" if len(qrows) <= max_broadcast_queries else "cogroup"
+    elif strategy == "broadcast":
+        qrows = (
+            queries.select(qid_col, qvec_col)
+            .limit(max_broadcast_queries + 1)
+            .collect()
+        )
+        if len(qrows) > max_broadcast_queries:
+            raise ValueError(
+                "ivf_search_partitioned: strategy='broadcast' with more than "
+                f"{max_broadcast_queries} queries — use strategy='cogroup'"
+            )
+    elif strategy != "cogroup":
+        raise ValueError(f"unknown strategy {strategy!r} (auto|broadcast|cogroup)")
+
+    if strategy == "cogroup":
+        q_lists = ivf_assign_fast(
+            queries, centroids, id_col=qid_col, vec_col=qvec_col, nprobe=nprobe
+        ).select(qid_col, "cent_id")
+        probed_rows = (
+            q_lists.select("cent_id").distinct().limit(max_probed_lists + 1).collect()
+        )
+        if len(probed_rows) > max_probed_lists:
+            raise ValueError(
+                f"ivf_search_partitioned: more than {max_probed_lists} probed "
+                "lists — at that fan-out use the batched brute-force or cogroup "
+                "path instead of a pruning predicate"
+            )
+        probed = [r["cent_id"] for r in probed_rows]
+        cent_t = dict(q_lists.dtypes)["cent_id"]
+        # Prune FIRST on the raw partition column (the isin must reach the
+        # scan as a partition filter), THEN cast: partitionBy writes the key
+        # as a directory name and re-reading infers its type from the path
+        # string, so the cogroup join key needs a cast back to the
+        # assignment key's type (e.g. numeric-looking string ids -> int).
+        docs = (
+            spark.read.parquet(index_path)
+            .filter(F.col("cent_id").isin(probed))
+            .withColumn("cent_id", F.col("cent_id").cast(cent_t))
+            .select(id_col, vec_col, "cent_id")
+        )
+        q_side = queries.select(qid_col, qvec_col).join(q_lists, qid_col)
+        id_t = dict(docs.dtypes)[id_col]
+        return _cogroup_list_topk(
+            q_side, docs, k, qid_col, qvec_col, id_col, vec_col, qid_t, id_t
+        )
+
+    # -- broadcast strategy ------------------------------------------------
+    # ``precollected_centroids`` (rows of (cent_id, cvec)) lets a serving
+    # process hold the centroid table in memory across calls — centroids
+    # are part of the BUILT index, the analog of the reference keeping its
+    # list metadata loaded; per-call work is then query collect + driver
+    # assignment + pruned scan only.
+    crows = (
+        precollected_centroids
+        if precollected_centroids is not None
+        else centroids.select("cent_id", "cvec").collect()
+    )
+    if not crows:
+        raise ValueError("ivf_search_partitioned: centroids relation is empty")
+    if not qrows:
+        id_t = dict(spark.read.parquet(index_path).dtypes)[id_col]
+        return spark.createDataFrame(
+            [], f"`{qid_col}` {qid_t}, `{id_col}` {id_t}, rank int, score double"
+        )
+    cids = np.array([r[0] for r in crows])
+    C = np.array([r[1] for r in crows], dtype=np.float64)
+    cn = np.linalg.norm(C, axis=1, keepdims=True)
+    Cn = np.divide(C, cn, out=np.zeros_like(C), where=cn > 0)
+    qids = np.array([r[0] for r in qrows])
+    Q = np.array([r[1] for r in qrows], dtype=np.float64)
+    qn = np.linalg.norm(Q, axis=1, keepdims=True)
+    Qn = np.divide(Q, qn, out=np.zeros_like(Q), where=qn > 0)
+
+    # driver-side assignment — same arithmetic and tie-break as the
+    # distributed kernel (shared _topn_list_sel), on a queries x centroids
+    # matrix that is tiny by the max_broadcast_queries bound
+    sels = _topn_list_sel(Qn @ Cn.T, cids, min(nprobe, len(cids)))
+    cent_to_qidx: dict = {}
+    for qi, sel in enumerate(sels):
+        for cval in cids[sel]:
+            cent_to_qidx.setdefault(cval.item() if hasattr(cval, "item") else cval, []).append(qi)
+    if len(cent_to_qidx) > max_probed_lists:
+        raise ValueError(
+            f"ivf_search_partitioned: more than {max_probed_lists} probed lists"
+        )
+    probed = list(cent_to_qidx)
+    cent_t = dict(centroids.dtypes)["cent_id"]
     docs = (
         spark.read.parquet(index_path)
         .filter(F.col("cent_id").isin(probed))
         .withColumn("cent_id", F.col("cent_id").cast(cent_t))
         .select(id_col, vec_col, "cent_id")
     )
-    q_side = queries.select(qid_col, qvec_col).join(q_lists, qid_col)
-    qid_t = dict(queries.dtypes)[qid_col]
     id_t = dict(docs.dtypes)[id_col]
-    return _cogroup_list_topk(
-        q_side, docs, k, qid_col, qvec_col, id_col, vec_col, qid_t, id_t
+    bq = spark.sparkContext.broadcast((qids, Qn, cent_to_qidx))
+    schema = f"`{qid_col}` {qid_t}, `{id_col}` {id_t}, score double"
+
+    def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        q_ids, Qm, cmap = bq.value
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            out_q, out_d, out_s = [], [], []
+            for cval, grp in pdf.groupby("cent_id", sort=False):
+                key = cval.item() if hasattr(cval, "item") else cval
+                qidx = cmap.get(key)
+                if not qidx:
+                    continue
+                D = np.array(grp[vec_col].tolist(), dtype=np.float64)
+                dn = np.linalg.norm(D, axis=1, keepdims=True)
+                Dn = np.divide(D, dn, out=np.zeros_like(D), where=dn > 0)
+                S = Qm[qidx] @ Dn.T  # (n_q_probing_this_list, n_docs_batch)
+                dids = grp[id_col].to_numpy()
+                kk = min(k, S.shape[1])
+                # per-(query, batch) partial top-k by the TOTAL composite
+                # order (score desc, docid asc) — same selection as the
+                # cogroup kernel, and total ordering means no tie extension
+                # is needed for the window merge to agree
+                did_order = np.argsort(dids, kind="stable")
+                for row_i, qi in enumerate(qidx):
+                    row = S[row_i, did_order]
+                    sel = did_order[np.argsort(-row, kind="stable")[:kk]]
+                    out_q.append(np.repeat(q_ids[qi], len(sel)))
+                    out_d.append(dids[sel])
+                    out_s.append(S[row_i, sel])
+            if not out_q:
+                continue
+            yield pd.DataFrame(
+                {
+                    qid_col: np.concatenate(out_q),
+                    id_col: np.concatenate(out_d),
+                    "score": np.concatenate(out_s),
+                }
+            )
+
+    from pyspark.sql import Window
+
+    partial = docs.mapInPandas(score, schema=schema)
+    w = Window.partitionBy(qid_col).orderBy(F.desc("score"), F.asc(id_col))
+    return (
+        partial.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(qid_col, id_col, "rank", "score")
     )
 
 

@@ -43,6 +43,13 @@ ALLOWED: dict[str, dict[str, int]] = {
         # partition-pruning predicate: bounded by queries x nprobe and the
         # max_probed_lists limit+raise guard
         'q_lists.select("cent_id").distinct().limit(max_probed_lists + 1).collect()': 1,
+        # ivf_search_partitioned broadcast strategy: the query relation,
+        # limit(max_broadcast_queries + 1)-bounded on the line above each
+        # site (auto-detection + explicit-broadcast branches)
+        ".collect()": 2,
+        # tiny centroid relation for driver-side assignment (n_lists rows;
+        # fallback when no precollected_centroids passed)
+        'else centroids.select("cent_id", "cvec").collect()': 1,
     },
     "operators/quantize.py": {
         # single aggregate row (global min/max for the quantization range)

@@ -790,14 +790,22 @@ def test_ivf_fast_empty_edges(spark, tmp_path):
     assert [f.name for f in served.schema.fields] == ["qid", "docid", "rank", "score"]
 
 
-def test_ivf_fast_parity_fuzz_shapes(spark):
-    """Randomized-shape parity: the BLAS cogroup IVF equals the HOF form
-    across dim / list-count / nprobe combinations (seeded numpy vectors,
-    well-spread so near-exact centroid ties don't flip assignments)."""
+def test_ivf_fast_parity_fuzz_shapes(spark, tmp_path):
+    """Randomized-shape parity: the BLAS cogroup IVF AND the
+    partition-pruned serving path equal the HOF form across dim /
+    list-count / nprobe combinations (seeded numpy vectors, well-spread so
+    near-exact centroid ties don't flip assignments).  Multi-query cases
+    make this the structural guard for the r5 per-query-lists fix — under
+    the old union-of-lists serving semantics these shapes diverge."""
     import numpy as np
     from semantic_vector_search_system_spark.operators.similarity import (
+        ivf_assign_fast,
+        ivf_search_partitioned,
         ivf_topk,
         ivf_topk_fast,
+    )
+    from semantic_vector_search_system_spark.sources.parquet_index import (
+        write_vector_index,
     )
 
     rng = np.random.default_rng(7)
@@ -828,3 +836,17 @@ def test_ivf_fast_parity_fuzz_shapes(spark):
             for r in ivf_topk_fast(q, d, cents, k=k, nprobe=nprobe).collect()
         }
         assert hof == blas, (dim, n_cents, nprobe)
+
+        dl = ivf_assign_fast(
+            d, cents, id_col="docid", vec_col="vec", nprobe=1
+        ).select("docid", "cent_id")
+        idx = str(tmp_path / f"ivf_fuzz_{dim}_{n_cents}_{nprobe}")
+        write_vector_index(d.join(dl, "docid"), idx, partition_by="cent_id")
+        for strat in ("broadcast", "cogroup"):
+            served = {
+                (r["qid"], r["rank"]): (r["docid"], round(r["score"], 6))
+                for r in ivf_search_partitioned(
+                    spark, idx, cents, q, k=k, nprobe=nprobe, strategy=strat
+                ).collect()
+            }
+            assert served == hof, (dim, n_cents, nprobe, strat)
