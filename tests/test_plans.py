@@ -343,3 +343,48 @@ def test_driver_window_covers_every_operator_family():
     # oracle ordering mirrors query ordering
     onames = [n for n in names if n in catalog_oracles()]
     assert list(catalog_oracles()) == onames
+
+
+def test_ivf_broadcast_serving_plan_no_doc_shuffle(spark, tmp_path):
+    """The r5 broadcast serving strategy's 100 TB property, frozen: the
+    pruned index scan feeds the scoring mapInPandas with NO Exchange in
+    between (doc vectors never shuffle); the only hashpartitioning
+    Exchange in the whole plan is the O(files x queries x k) partial-
+    top-k window merge; and the scan carries partition filters on
+    cent_id."""
+    import pyspark.sql.functions as F
+    from semantic_vector_search_system_spark.operators.similarity import (
+        ivf_assign_fast,
+        ivf_search_partitioned,
+    )
+    from semantic_vector_search_system_spark.sources.parquet_index import (
+        write_vector_index,
+    )
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    d = emb.select(F.col("vec_id").alias("docid"), F.col("embedding").alias("vec"))
+    cents = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("cent_id"), F.col("embedding").alias("cvec")
+    )
+    dl = ivf_assign_fast(d, cents, id_col="docid", vec_col="vec", nprobe=1).select(
+        "docid", "cent_id"
+    )
+    idx = str(tmp_path / "ivf_plan_gate")
+    write_vector_index(d.join(dl, "docid"), idx, partition_by="cent_id")
+    q = emb.filter(F.col("vec_id") < 2).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    served = ivf_search_partitioned(
+        spark, idx, cents, q, k=3, nprobe=2, strategy="broadcast"
+    )
+    plan = _plan(served)
+    # partition pruning reaches the scan
+    assert "PartitionFilters" in plan and "cent_id" in plan.split("PartitionFilters")[1][:200]
+    # exactly ONE hashpartitioning exchange: the window merge of partials.
+    # The scan -> mapInPandas edge is narrow (no doc-vector shuffle).
+    assert plan.count("Exchange hashpartitioning") == 1, plan[:3000]
+    # and the scoring stage consumes the scan directly: between the scan
+    # and the python MapInPandas there is no Exchange
+    before_window = plan.split("Window")[-1]  # physical plan prints top-down;
+    # the subtree after the last "Window" line contains sort+exchange+python
+    assert "MapInPandas" in before_window
