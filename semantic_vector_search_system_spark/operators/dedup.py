@@ -778,6 +778,92 @@ def incremental_new_docs(
     return hashed.join(index.select("text_hash"), "text_hash", "left_anti").drop("text_hash")
 
 
+def incremental_neardup(
+    new_docs: DataFrame,
+    corpus_sigs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 8,
+    rows_per_band: int = 2,
+    threshold: float = 0.5,
+    shingle_n: int = 3,
+    hash_family: str = "md5",
+) -> DataFrame:
+    """Incremental NEAR-dup: dedup a NEW batch against an EXISTING corpus
+    using only the corpus' STORED MinHash signatures — the daily-crawl-
+    versus-100TB-corpus shape, where re-reading (or even re-shingling) the
+    corpus text per batch is off the table.
+
+    Returns one row per new doc: ``(id, is_dup, matched_id, est_jaccard)``
+    — ``matched_id`` is the corpus doc with the highest signature-agreement
+    estimate (ties broken by ascending id), ``est_jaccard`` = fraction of
+    the ``num_hashes`` seeds whose minima agree (the standard unbiased
+    MinHash Jaccard estimator), ``is_dup`` iff that estimate reaches
+    ``threshold``.  Non-duplicate rows keep null match columns.
+
+    Scale shape (everything the batch pipeline's LSH already proved):
+
+    * the corpus contributes ``num_hashes`` signature rows per doc — the
+      stored index produced once by :func:`minhash_signatures_fast` at
+      ingest (and appended to as batches are accepted);
+    * candidates come from a band equi-join (new bands x corpus bands),
+      never any-to-all; at 100 TB bucket/partition the signature table by
+      ``(band, band_sig)`` and the join is co-located;
+    * the agreement estimate joins signatures only for candidate edges —
+      ``O(edges x num_hashes)`` — followed by a per-new-doc argmax window
+      over the (tiny) qualifying-edge relation.
+
+    The estimator is relational end-to-end, so the catalog oracle replays
+    it exactly in DuckDB (``hash_family='md5'``); use ``'fast'`` only when
+    no cross-engine replay of signature values is needed.
+    """
+    new_sigs = minhash_signatures_fast(
+        new_docs, id_col=id_col, text_col=text_col, num_hashes=num_hashes,
+        shingle_n=shingle_n, hash_family=hash_family,
+    )
+    nb = band_signatures(new_sigs, id_col, rows_per_band).select(
+        F.col(id_col).alias("__new_id"), "band", "band_sig"
+    )
+    cb = band_signatures(corpus_sigs, id_col, rows_per_band).select(
+        F.col(id_col).alias("__old_id"), "band", "band_sig"
+    )
+    cands = nb.join(cb, ["band", "band_sig"]).select("__new_id", "__old_id").distinct()
+
+    ns = new_sigs.select(
+        F.col(id_col).alias("__new_id"), "seed", F.col("minhash").alias("__mh_new")
+    )
+    cs = corpus_sigs.select(
+        F.col(id_col).alias("__old_id"), "seed", F.col("minhash").alias("__mh_old")
+    )
+    qualifying = (
+        cands.join(ns, "__new_id")
+        .join(cs, ["__old_id", "seed"])
+        .groupBy("__new_id", "__old_id")
+        .agg(
+            (
+                F.sum(F.when(F.col("__mh_new") == F.col("__mh_old"), 1).otherwise(0))
+                / F.lit(float(num_hashes))
+            ).alias("est_jaccard")
+        )
+        .filter(F.col("est_jaccard") >= threshold)
+    )
+    w = Window.partitionBy("__new_id").orderBy(
+        F.desc("est_jaccard"), F.asc("__old_id")
+    )
+    best = (
+        qualifying.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+    ids = new_docs.select(F.col(id_col).alias("__new_id"))
+    return ids.join(best, "__new_id", "left").select(
+        F.col("__new_id").alias(id_col),
+        F.col("est_jaccard").isNotNull().alias("is_dup"),
+        F.col("__old_id").alias("matched_id"),
+        F.col("est_jaccard"),
+    )
+
+
 def ngram_jaccard_pairs(
     docs: DataFrame,
     id_col: str = "doc_id",

@@ -850,3 +850,47 @@ def test_ivf_fast_parity_fuzz_shapes(spark, tmp_path):
                 ).collect()
             }
             assert served == hof, (dim, n_cents, nprobe, strat)
+
+
+def test_incremental_neardup_planted(spark):
+    """Incremental near-dup against STORED corpus signatures only: an
+    exact copy matches at est_jaccard 1.0, a near-copy (one token changed)
+    matches above threshold, an unrelated doc stays is_dup=false — and the
+    operator never sees the corpus text, only its signature rows."""
+    from semantic_vector_search_system_spark.operators.dedup import (
+        incremental_neardup,
+        minhash_signatures_fast,
+    )
+
+    base = (
+        "the quick brown fox jumps over the lazy dog while the patient "
+        "crawler fetches mirrored pages from the syndicated archive nightly"
+    )
+    corpus = spark.createDataFrame(
+        [
+            (1, base),
+            (2, "completely different corpus content about spark shuffles"),
+            (3, "a third unrelated document mentioning parquet row groups"),
+        ],
+        "doc_id long, text string",
+    )
+    corpus_sigs = minhash_signatures_fast(corpus, num_hashes=8, shingle_n=3)
+    new = spark.createDataFrame(
+        [
+            (10, base),                     # exact copy
+            (11, base + " postscript"),     # near copy: shingle J = 18/19
+            (12, "totally novel text with no overlap whatsoever in shingles"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: (r["is_dup"], r["matched_id"], r["est_jaccard"])
+        for r in incremental_neardup(new, corpus_sigs, threshold=0.5).collect()
+    }
+    assert set(got) == {10, 11, 12}           # every new doc gets a row
+    assert got[10] == (True, 1, 1.0)          # exact copy: all 8 minima agree
+    assert got[12] == (False, None, None)     # unrelated: no candidate at all
+    is_dup, matched, est = got[11]
+    # near-copy: deterministic under the fixed md5 family; one appended
+    # token leaves >=7 of 8 minima intact for this text
+    assert is_dup and matched == 1 and 0.5 <= est <= 1.0

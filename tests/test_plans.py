@@ -330,7 +330,11 @@ def test_driver_window_covers_every_operator_family():
         # lsh_candidate_pairs is deliberately DEMOTED: it is the intermediate
         # stage of in-window neardup_keep_one, whose oracle embeds the same
         # banding SQL (see DEMOTED rationale in plans/catalog.py).
-        "embedding_neardup_pairs", "knn_topk", "minhash_signatures",
+        # minhash_signatures is parked since r5: its stage is embedded
+        # verbatim in the in-window neardup_keep_one AND incremental_dedup
+        # oracles, and it stays a bench key; incremental_dedup (new r5
+        # flagship) takes its window slot.
+        "embedding_neardup_pairs", "knn_topk", "incremental_dedup",
         "neardup_keep_one", "ann_ivf_topk", "quantized_topk_rerank",
         "self_retrieval_e2e",
         # asof_latest_order is parked for r5 (multi-round-green stalwart);
