@@ -115,3 +115,66 @@ def corpus_vocabulary(
         .orderBy(F.desc("df"), F.asc("token"))
         .limit(top_n)
     )
+
+
+def pack_sequences(
+    docs: DataFrame,
+    budget: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_shards: int = 8,
+) -> DataFrame:
+    """Training-sample packing: assign docs to fixed-token-budget bins —
+    the step that turns a filtered corpus into dense context-window-sized
+    training samples (beyond the reference's surface; standard LLM-data
+    practice).
+
+    Greedy sequential packing is inherently serial GLOBALLY, so the scale
+    form shards first: ``shard = id % n_shards`` (dense ids; substitute a
+    hash for arbitrary keys), then packs greedily WITHIN each shard in
+    ascending id order — one ``applyInPandas`` per shard, embarrassingly
+    parallel, same asymptotic utilization as a single global pass (this is
+    how per-worker packing runs in production pipelines).  A doc longer
+    than the budget gets a bin of its own (never split, never dropped —
+    truncation policy belongs to tokenization, upstream).
+
+    Returns ``(id, shard, bin_in_shard, n_tokens)``; ``(shard,
+    bin_in_shard)`` is the global bin key.  Deterministic: shard and order
+    derive only from ids, token counts only from whitespace tokenization
+    (`functions/text.py::tokenize` — ``str.split()`` semantics), so the
+    DuckDB oracle replays the greedy recursion exactly (WITH RECURSIVE
+    over per-shard row numbers).
+    """
+    import pandas as pd
+
+    sized = docs.select(
+        F.col(id_col),
+        F.pmod(F.col(id_col), F.lit(n_shards)).cast("long").alias("shard"),
+        F.size(tokenize(text_col)).cast("long").alias("n_tokens"),
+    )
+    id_type = dict(docs.dtypes)[id_col]
+    schema = f"`{id_col}` {id_type}, shard long, bin_in_shard long, n_tokens long"
+
+    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(id_col, kind="mergesort", ignore_index=True)
+        bins = []
+        cur_bin, cum = 0, 0
+        for i, t in enumerate(pdf["n_tokens"]):
+            if i == 0:
+                cum = int(t)
+            elif cum + int(t) > budget:
+                cur_bin += 1
+                cum = int(t)
+            else:
+                cum += int(t)
+            bins.append(cur_bin)
+        return pd.DataFrame(
+            {
+                id_col: pdf[id_col],
+                "shard": pdf["shard"],
+                "bin_in_shard": bins,
+                "n_tokens": pdf["n_tokens"],
+            }
+        )
+
+    return sized.groupBy("shard").applyInPandas(pack, schema=schema)

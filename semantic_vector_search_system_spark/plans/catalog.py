@@ -1040,6 +1040,41 @@ def corpus_vocabulary(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _vocab(T(spark, sf_dir, "documents"), top_n=50)
 
 
+@_q(
+    "sequence_packing",
+    f"""
+    WITH RECURSIVE toks AS (
+      SELECT doc_id, doc_id % 8 AS shard,
+             CAST(len({_SPLIT}) AS BIGINT) AS n_tokens
+      FROM documents),
+    ord AS (SELECT doc_id, shard, n_tokens,
+                   ROW_NUMBER() OVER (PARTITION BY shard ORDER BY doc_id) AS rn
+            FROM toks),
+    rec AS (
+      SELECT shard, rn, doc_id, n_tokens,
+             CAST(0 AS BIGINT) AS bin_in_shard, n_tokens AS cum
+      FROM ord WHERE rn = 1
+      UNION ALL
+      SELECT o.shard, o.rn, o.doc_id, o.n_tokens,
+             CASE WHEN r.cum + o.n_tokens > 256
+                  THEN r.bin_in_shard + 1 ELSE r.bin_in_shard END,
+             CASE WHEN r.cum + o.n_tokens > 256
+                  THEN o.n_tokens ELSE r.cum + o.n_tokens END
+      FROM rec r JOIN ord o ON o.shard = r.shard AND o.rn = r.rn + 1)
+    SELECT doc_id, shard, bin_in_shard, n_tokens FROM rec
+    """,
+    tags=("corpus", "packing"),
+)
+def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-sample packing: greedy fixed-budget (256-token) binning of
+    the corpus, sharded for parallelism (operators/corpus.py::
+    pack_sequences); the oracle replays the per-shard greedy recursion
+    with WITH RECURSIVE."""
+    from ..operators.corpus import pack_sequences
+
+    return pack_sequences(TP(spark, sf_dir, "documents"), budget=256, n_shards=8)
+
+
 # The driver's correctness gate checks the FIRST 50 entries of queries().
 # The catalog has 70, so 20 sit outside the window each round.  ROTATION
 # POLICY (since r4): every catalog query must get a driver-checked row at
@@ -1097,6 +1132,9 @@ DEMOTED: tuple[str, ...] = (
     "snippet_queries",           # substring/codegen F-family ≡
                                  #   token_counts_regex
     "welch_components_by_type",  # A12 stats ≡ mannwhitney_components
+    "rollup_pricing",            # grouping-sets ≡ cube_order_stats
+                                 #   (in-window; r5: parked so the new
+                                 #   sequence_packing enters the window)
 )
 
 

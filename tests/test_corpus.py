@@ -85,3 +85,64 @@ def test_empty_inputs_yield_typed_empty_results(spark):
     assert source_cap_sample(empty_docs).count() == 0
     assert source_mixture_weights(empty_docs).count() == 0
     assert corpus_vocabulary(empty_docs).count() == 0
+
+
+def test_pack_sequences_greedy_semantics(spark):
+    """Greedy per-shard packing: bins fill to the budget and reset; an
+    over-budget doc gets a bin of its own; ordering is ascending id within
+    shard; every doc appears exactly once."""
+    from semantic_vector_search_system_spark.operators.corpus import pack_sequences
+
+    # single shard (n_shards=1) makes the greedy walk directly checkable
+    rows = [
+        (0, "a " * 100),   # 100 tokens -> bin 0 (cum 100)
+        (1, "b " * 100),   # cum 200 -> bin 0
+        (2, "c " * 100),   # 300 > 256 -> bin 1 (cum 100)
+        (3, "d " * 300),   # 400 > 256 -> bin 2 alone (over budget, kept whole)
+        (4, "e " * 10),    # 310 > 256 -> bin 3
+        (5, "f " * 246),   # 256 fits exactly -> bin 3
+        (6, "g"),          # 257 > 256 -> bin 4
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["shard"], r["bin_in_shard"], r["n_tokens"])
+        for r in pack_sequences(docs, budget=256, n_shards=1).collect()
+    }
+    assert got == {
+        0: (0, 0, 100), 1: (0, 0, 100), 2: (0, 1, 100),
+        3: (0, 2, 300), 4: (0, 3, 10), 5: (0, 3, 246), 6: (0, 4, 1),
+    }
+
+
+def test_pack_sequences_sharding_and_invariance(spark):
+    """Sharded packing: shard = id % n_shards; results identical under
+    arbitrary input repartitioning (per-shard sort pins the walk order);
+    no bin exceeds the budget unless it holds a single over-budget doc."""
+    from semantic_vector_search_system_spark.operators.corpus import pack_sequences
+
+    docs = spark.range(200).select(
+        F.col("id").alias("doc_id"),
+        F.concat_ws(
+            " ", F.array_repeat(F.lit("tok"), (F.pmod(F.col("id") * 37, F.lit(90)) + 10).cast("int"))
+        ).alias("text"),
+    )
+    base = {
+        r["doc_id"]: (r["shard"], r["bin_in_shard"])
+        for r in pack_sequences(docs, budget=128, n_shards=4).collect()
+    }
+    assert len(base) == 200
+    assert all(s == d % 4 for d, (s, _) in base.items())
+    scrambled = {
+        r["doc_id"]: (r["shard"], r["bin_in_shard"])
+        for r in pack_sequences(docs.repartition(13), budget=128, n_shards=4).collect()
+    }
+    assert scrambled == base
+    # bin budget: aggregate token sums per bin
+    sums = (
+        pack_sequences(docs, budget=128, n_shards=4)
+        .groupBy("shard", "bin_in_shard")
+        .agg(F.sum("n_tokens").alias("s"), F.count("*").alias("n"))
+        .collect()
+    )
+    for r in sums:
+        assert r["s"] <= 128 or r["n"] == 1, (r["shard"], r["bin_in_shard"], r["s"], r["n"])

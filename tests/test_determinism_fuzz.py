@@ -46,6 +46,13 @@ QUERIES = [
     # division estimate + a hash-threshold-sampled exact percentile, all of
     # which must be invariant to partitioning and session timezone.
     "sketch_stats",
+    # r5: incremental near-dup — minhash + banding + signature-agreement
+    # estimate + argmax tie-break, all of which must survive partition
+    # scrambling and join-strategy flips.
+    "incremental_dedup",
+    # r5: greedy per-shard packing — a stateful walk whose bin boundaries
+    # must depend only on (shard, id order), never physical partitioning.
+    "sequence_packing",
 ]
 
 # Perturbations of runtime-settable physical knobs. Each tuple is applied on
