@@ -894,3 +894,84 @@ def test_incremental_neardup_planted(spark):
     # near-copy: deterministic under the fixed md5 family; one appended
     # token leaves >=7 of 8 minima intact for this text
     assert is_dup and matched == 1 and 0.5 <= est <= 1.0
+
+
+def test_incremental_neardup_property_vs_python_oracle(spark):
+    """Randomized equivalence: incremental_neardup equals a from-scratch
+    python reimplementation of the whole chain (md5 KM minhash -> 2-row
+    banding -> signature-agreement estimate -> threshold -> argmax with
+    (est desc, id asc) tie-break) on adversarial corpora — shared shingles,
+    exact copies both directions, docs shorter than the shingle width."""
+    import hashlib
+    import itertools
+    import random
+
+    from semantic_vector_search_system_spark.operators.dedup import (
+        incremental_neardup,
+        minhash_signatures_fast,
+    )
+
+    MOD = 1 << 60
+
+    def py_sig(text, num_hashes=8):
+        toks = text.split()
+        n_sh = max(len(toks) - 2, 1)
+        shingles = {" ".join(toks[i : i + 3]) for i in range(n_sh)}
+        sig = []
+        for s in range(num_hashes):
+            best = None
+            for sh in shingles:
+                d = hashlib.md5(sh.encode()).hexdigest()
+                h1, h2 = int(d[:15], 16), int(d[15:25], 16)
+                v = (h1 + s * h2) % MOD
+                best = v if best is None else min(best, v)
+            sig.append(best)
+        return tuple(sig)
+
+    def py_oracle(new_rows, corpus_rows, threshold=0.5):
+        nsig = {i: py_sig(t) for i, t in new_rows}
+        csig = {i: py_sig(t) for i, t in corpus_rows}
+        out = {}
+        for ni, ns in nsig.items():
+            cands = [
+                ci
+                for ci, cs in csig.items()
+                if any(
+                    ns[2 * b : 2 * b + 2] == cs[2 * b : 2 * b + 2]
+                    for b in range(4)
+                )
+            ]
+            best = None
+            for ci in cands:
+                est = sum(a == b for a, b in zip(ns, csig[ci])) / 8.0
+                if est >= threshold and (
+                    best is None or (est, -ci) > (best[1], -best[0])
+                ):
+                    best = (ci, est)
+            out[ni] = (
+                (True, best[0], best[1]) if best else (False, None, None)
+            )
+        return out
+
+    rng = random.Random(11)
+    vocab = ["alpha", "beta", "gamma", "delta", "eps", "zeta", "eta", "theta"]
+    for trial in range(4):
+        corpus_rows = [
+            (i, " ".join(rng.choice(vocab) for _ in range(rng.randint(1, 12))))
+            for i in range(6)
+        ]
+        new_rows = [
+            (100 + i, " ".join(rng.choice(vocab) for _ in range(rng.randint(1, 12))))
+            for i in range(4)
+        ]
+        # plant one exact cross-copy so is_dup=True rows always exist
+        new_rows.append((200, corpus_rows[trial % len(corpus_rows)][1]))
+
+        corpus = spark.createDataFrame(corpus_rows, "doc_id long, text string")
+        new = spark.createDataFrame(new_rows, "doc_id long, text string")
+        sigs = minhash_signatures_fast(corpus, num_hashes=8, shingle_n=3)
+        got = {
+            r["doc_id"]: (r["is_dup"], r["matched_id"], r["est_jaccard"])
+            for r in incremental_neardup(new, sigs, threshold=0.5).collect()
+        }
+        assert got == py_oracle(new_rows, corpus_rows), f"trial {trial}"
