@@ -303,8 +303,8 @@ def main() -> None:
         # bucket) + 10,000 spread pair-duplicates. Star edges keep the hot
         # bucket O(b) instead of O(b^2) pairs — the 100 TB shape.
         from semantic_vector_search_system_spark.operators.dedup import (
-            lsh_bucket_edges,
-            minhash_signatures_fast,
+            lsh_bucket_edges_from_bands,
+            minhash_band_signatures_vectorized,
             neardup_clusters,
             verify_candidate_edges,
         )
@@ -347,17 +347,20 @@ def main() -> None:
         # dedup shape; verification prices at O(edges · doc_len).
         def run_dedup_1m() -> float:
             t0 = time.time()
-            sigs = minhash_signatures_fast(
-                docs, id_col="id", text_col="text", hash_family="fast",
-                num_hashes=16,
+            # r5: the fused fast-family kernel — minhash minima AND band
+            # digests in one narrow Arrow stage (collision-parity-tested
+            # vs the two-step form), skipping both the 16-rows-per-doc
+            # long format and the groupBy(id, band) shuffle that together
+            # dominated the pipeline's first stage
+            bands = minhash_band_signatures_vectorized(
+                docs, id_col="id", text_col="text",
+                num_hashes=16, rows_per_band=4,
             )
             # the edge list is tiny (O(dups)) but its lineage is the whole
             # minhash+banding DAG, and downstream consumes it three times
             # (verify reads it twice, clustering once): checkpoint it so the
             # signature pass runs exactly once
-            edges = lsh_bucket_edges(
-                sigs, id_col="id", rows_per_band=4
-            ).localCheckpoint()
+            edges = lsh_bucket_edges_from_bands(bands, id_col="id").localCheckpoint()
             clusters = neardup_clusters(
                 verify_candidate_edges(docs, edges, id_col="id", threshold=0.7)
             )

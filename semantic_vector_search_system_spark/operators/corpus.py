@@ -138,6 +138,13 @@ def pack_sequences(
     than the budget gets a bin of its own (never split, never dropped —
     truncation policy belongs to tokenization, upstream).
 
+    SIZING ``n_shards`` at scale: each shard is materialized as ONE pandas
+    group inside its task, so choose ``n_shards >= corpus_rows x row_bytes
+    / target_task_memory`` (e.g. 1B docs x ~24 B of (id, shard, n_tokens)
+    -> a few hundred shards for 128 MiB tasks; use thousands — more shards
+    only add scheduling, never skew, since dense ids round-robin).  The
+    default 8 is a test-scale setting, not a cluster one.
+
     Returns ``(id, shard, bin_in_shard, n_tokens)``; ``(shard,
     bin_in_shard)`` is the global bin key.  Deterministic: shard and order
     derive only from ids, token counts only from whitespace tokenization

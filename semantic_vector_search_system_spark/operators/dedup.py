@@ -298,11 +298,36 @@ def minhash_signatures_vectorized(
     """
     import numpy as np
     import pandas as pd
-    import pyarrow as pa
-    import pyarrow.compute as pc
 
     id_type = dict(docs.dtypes)[id_col]
     schema = f"`{id_col}` {id_type}, seed long, minhash long"
+    batch_minima = _fast_minima_kernel(text_col, num_hashes, shingle_n)
+
+    def run(batches):
+        for pdf in batches:
+            mins = batch_minima(pdf)  # (n_docs, num_hashes) uint64
+            n_docs = mins.shape[0]
+            ids = np.repeat(pdf[id_col].to_numpy(), num_hashes)
+            seeds_out = np.tile(np.arange(num_hashes, dtype=np.int64), n_docs)
+            yield pd.DataFrame(
+                {id_col: ids, "seed": seeds_out,
+                 "minhash": mins.reshape(-1).astype(np.int64)}
+            )
+
+    return docs.select(id_col, text_col).mapInPandas(run, schema)
+
+
+def _fast_minima_kernel(text_col: str, num_hashes: int, shingle_n: int):
+    """Batch kernel of the fast MinHash family: returns a function mapping
+    a pandas batch to its ``(n_docs, num_hashes)`` uint64 minima matrix.
+    Shared by :func:`minhash_signatures_vectorized` (long-format output)
+    and :func:`minhash_band_signatures_vectorized` (fused banding), so the
+    two can never diverge on signature values."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
     # distinct odd 64-bit constants (golden-ratio / xxHash-style primes)
     P = np.array([0x9E3779B185EBCA87, 0xC2B2AE3D27D4EB4F, 0x165667B19E3779F9,
                   0x27D4EB2F165667C5, 0x9E3779B97F4A7C15], dtype=np.uint64)
@@ -314,80 +339,158 @@ def minhash_signatures_vectorized(
     with np.errstate(over="ignore"):  # wrapping uint64 intended
         SEED_OFF = np.arange(1, num_hashes + 1, dtype=np.uint64) * GAMMA
 
-    def mix64(x):
-        # splitmix64 finalizer (vectorized, wrapping uint64)
-        x = (x ^ (x >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
-        x = (x ^ (x >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
-        return x ^ (x >> np.uint64(31))
+    def batch_minima(pdf) -> "np.ndarray":
+        texts = pa.array(pdf[text_col].fillna("").astype(str))
+        toks = pc.utf8_split_whitespace(texts)
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        offsets = np.asarray(toks.offsets, dtype=np.int64)
+        lens0 = offsets[1:] - offsets[:-1]
+        n_docs = len(lens0)
+        enc = pc.dictionary_encode(toks.values)
+        codes0 = np.asarray(enc.indices, dtype=np.int64)
+        vocab = enc.dictionary.to_pandas().to_numpy(dtype=object)
+        # arrow's split emits empty tokens at edges/runs (str.split()
+        # does not): drop them and rebuild per-doc boundaries
+        did0 = np.repeat(np.arange(n_docs, dtype=np.int64), lens0)
+        keep = np.asarray(pc.utf8_length(toks.values), dtype=np.int64) > 0
+        codes = codes0[keep]
+        did = did0[keep]
+        lens = np.bincount(did, minlength=n_docs).astype(np.int64)
+        starts = np.concatenate(([0], np.cumsum(lens)[:-1]))
+        th = pd.util.hash_array(vocab).astype(np.uint64)[codes]
+
+        n = len(th)
+        h = np.zeros(n, dtype=np.uint64)
+        valid = np.ones(n, dtype=bool)
+        pos = np.arange(n, dtype=np.int64)
+        for j in range(shingle_n):
+            tj = np.empty(n, dtype=np.uint64)
+            tj[: n - j] = th[j:]
+            tj[n - j :] = 0
+            inside = np.empty(n, dtype=bool)
+            inside[: n - j] = did[j:] == did[: n - j]
+            inside[n - j :] = False
+            # tokens outside the doc contribute 0 (short docs still get
+            # a content-only hash, mirroring the md5 kernel's
+            # max(len - shingle_n + 1, 1) single short shingle)
+            h = h + np.where(inside, tj, np.uint64(0)) * P[j]
+            if j > 0:
+                # a window START is valid while the previous start was,
+                # OR it is the doc's first (short-doc) window
+                valid &= inside | (pos == starts[did])
+
+        mins = np.empty((n_docs, num_hashes), dtype=np.uint64)
+        if n == 0:
+            mins[:] = 0
+        else:
+            # reduceat quirk: an empty segment returns the element AT
+            # the start index; zero-token docs are fixed below
+            red_starts = np.minimum(starts, n - 1)
+            for s in range(num_hashes):
+                v = np.where(
+                    valid, _mix64(h + SEED_OFF[s]) & M60, SENTINEL
+                )
+                mins[:, s] = np.minimum.reduceat(v, red_starts)
+        # zero-token docs: the H=0 empty window (what the loop above
+        # yields when every position is outside the doc — the fast
+        # family's analog of the md5 kernel's single "" shingle)
+        if n_docs and (lens == 0).any():
+            mins[lens == 0, :] = _mix64(SEED_OFF) & M60
+        return mins
+
+    return batch_minima
+
+
+def _mix64(x):
+    """splitmix64 finalizer (vectorized, wrapping uint64)."""
+    import numpy as np
+
+    x = (x ^ (x >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+    x = (x ^ (x >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+    return x ^ (x >> np.uint64(31))
+
+
+def minhash_band_signatures_vectorized(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 16,
+    shingle_n: int = 3,
+    rows_per_band: int = 4,
+) -> DataFrame:
+    """Fast-family MinHash + banding fused into ONE narrow Arrow stage:
+    ``(id, band, band_sig)`` with ``band_sig`` a 64-bit arithmetic digest
+    of the band's minima (positional odd-constant combine + splitmix64 —
+    vectorized, no per-row hashing).
+
+    The fast-family twin of :func:`minhash_band_signatures_fast`: two docs
+    share a ``band_sig`` iff their ``rows_per_band`` minima for that band
+    are all equal (up to a ~2^-64 digest collision — negligible against
+    MinHash's own false-positive rate, and the verify stage kills any
+    stray edge anyway). Minima come from the SAME kernel as
+    :func:`minhash_signatures_vectorized` (`_fast_minima_kernel`), so
+    band collisions here equal band collisions of the two-step form —
+    parity-tested — while skipping BOTH the 16-rows-per-doc long format
+    and the ``groupBy(id, band)`` shuffle it feeds. At 1M docs that is
+    the dominant cost of the dedup pipeline's first stage.
+    """
+    import numpy as np
+    import pandas as pd
+
+    if num_hashes % rows_per_band:
+        raise ValueError("num_hashes must be a multiple of rows_per_band")
+    num_bands = num_hashes // rows_per_band
+    id_type = dict(docs.dtypes)[id_col]
+    schema = f"`{id_col}` {id_type}, band long, band_sig long"
+    batch_minima = _fast_minima_kernel(text_col, num_hashes, shingle_n)
+    # distinct odd multipliers per within-band position, and a per-band
+    # stream offset, so (band, values) -> digest is position- and
+    # band-sensitive
+    GAMMA = np.uint64(0x9E3779B97F4A7C15)
+    with np.errstate(over="ignore"):
+        POS_MULT = (
+            np.arange(1, rows_per_band + 1, dtype=np.uint64)
+            * np.uint64(0xC2B2AE3D27D4EB4F)
+            | np.uint64(1)
+        )
+        BAND_OFF = np.arange(1, num_bands + 1, dtype=np.uint64) * GAMMA
 
     def run(batches):
         for pdf in batches:
-            texts = pa.array(pdf[text_col].fillna("").astype(str))
-            toks = pc.utf8_split_whitespace(texts)
-            if isinstance(toks, pa.ChunkedArray):
-                toks = toks.combine_chunks()
-            offsets = np.asarray(toks.offsets, dtype=np.int64)
-            lens0 = offsets[1:] - offsets[:-1]
-            n_docs = len(lens0)
-            enc = pc.dictionary_encode(toks.values)
-            codes0 = np.asarray(enc.indices, dtype=np.int64)
-            vocab = enc.dictionary.to_pandas().to_numpy(dtype=object)
-            # arrow's split emits empty tokens at edges/runs (str.split()
-            # does not): drop them and rebuild per-doc boundaries
-            did0 = np.repeat(np.arange(n_docs, dtype=np.int64), lens0)
-            keep = np.asarray(pc.utf8_length(toks.values), dtype=np.int64) > 0
-            codes = codes0[keep]
-            did = did0[keep]
-            lens = np.bincount(did, minlength=n_docs).astype(np.int64)
-            starts = np.concatenate(([0], np.cumsum(lens)[:-1]))
-            th = pd.util.hash_array(vocab).astype(np.uint64)[codes]
-
-            n = len(th)
-            h = np.zeros(n, dtype=np.uint64)
-            valid = np.ones(n, dtype=bool)
-            pos = np.arange(n, dtype=np.int64)
-            for j in range(shingle_n):
-                tj = np.empty(n, dtype=np.uint64)
-                tj[: n - j] = th[j:]
-                tj[n - j :] = 0
-                inside = np.empty(n, dtype=bool)
-                inside[: n - j] = did[j:] == did[: n - j]
-                inside[n - j :] = False
-                # tokens outside the doc contribute 0 (short docs still get
-                # a content-only hash, mirroring the md5 kernel's
-                # max(len - shingle_n + 1, 1) single short shingle)
-                h = h + np.where(inside, tj, np.uint64(0)) * P[j]
-                if j > 0:
-                    # a window START is valid while the previous start was,
-                    # OR it is the doc's first (short-doc) window
-                    valid &= inside | (pos == starts[did])
-
-            mins = np.empty((n_docs, num_hashes), dtype=np.uint64)
-            if n == 0:
-                mins[:] = 0
-            else:
-                # reduceat quirk: an empty segment returns the element AT
-                # the start index; zero-token docs are fixed below
-                red_starts = np.minimum(starts, n - 1)
-                for s in range(num_hashes):
-                    v = np.where(
-                        valid, mix64(h + SEED_OFF[s]) & M60, SENTINEL
-                    )
-                    mins[:, s] = np.minimum.reduceat(v, red_starts)
-            # zero-token docs: the H=0 empty window (what the loop above
-            # yields when every position is outside the doc — the fast
-            # family's analog of the md5 kernel's single "" shingle)
-            if n_docs and (lens == 0).any():
-                mins[lens == 0, :] = mix64(SEED_OFF) & M60
-
-            ids = np.repeat(pdf[id_col].to_numpy(), num_hashes)
-            seeds_out = np.tile(np.arange(num_hashes, dtype=np.int64), n_docs)
+            mins = batch_minima(pdf)  # (n_docs, num_hashes)
+            n_docs = mins.shape[0]
+            with np.errstate(over="ignore"):
+                # (n_docs, num_bands, rows_per_band) -> positional combine
+                chunks = mins.reshape(n_docs, num_bands, rows_per_band)
+                acc = (chunks * POS_MULT[None, None, :]).sum(
+                    axis=2, dtype=np.uint64
+                )
+                digs = _mix64(acc + BAND_OFF[None, :])
+            ids = np.repeat(pdf[id_col].to_numpy(), num_bands)
+            bands = np.tile(np.arange(num_bands, dtype=np.int64), n_docs)
             yield pd.DataFrame(
-                {id_col: ids, "seed": seeds_out,
-                 "minhash": mins.reshape(-1).astype(np.int64)}
+                {
+                    id_col: ids,
+                    "band": bands,
+                    "band_sig": digs.reshape(-1).astype(np.int64),
+                }
             )
 
     return docs.select(id_col, text_col).mapInPandas(run, schema)
+
+
+def lsh_bucket_edges_from_bands(
+    band_sigs: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """Star edges from a precomputed ``(id, band, band_sig)`` relation —
+    the window-min half of :func:`lsh_bucket_edges` without re-deriving
+    band digests (pair with either fused banding kernel)."""
+    w = Window.partitionBy("band", "band_sig")
+    starred = band_sigs.select(
+        F.min(id_col).over(w).alias("id_a"), F.col(id_col).alias("id_b")
+    )
+    return starred.filter(F.col("id_a") != F.col("id_b")).distinct()
 
 
 def band_signatures(
@@ -465,11 +568,7 @@ def lsh_bucket_edges(
     stage filters candidates first.
     """
     band_sigs = band_signatures(signatures, id_col, rows_per_band)
-    w = Window.partitionBy("band", "band_sig")
-    starred = band_sigs.select(
-        F.min(id_col).over(w).alias("id_a"), F.col(id_col).alias("id_b")
-    )
-    return starred.filter(F.col("id_a") != F.col("id_b")).distinct()
+    return lsh_bucket_edges_from_bands(band_sigs, id_col)
 
 
 def _shingle_hash_sets_arrow(

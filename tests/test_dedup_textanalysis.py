@@ -975,3 +975,57 @@ def test_incremental_neardup_property_vs_python_oracle(spark):
             for r in incremental_neardup(new, sigs, threshold=0.5).collect()
         }
         assert got == py_oracle(new_rows, corpus_rows), f"trial {trial}"
+
+
+def test_fused_vectorized_banding_same_collisions_as_two_step(spark):
+    """The r5 fused fast-family banding kernel must produce the SAME bucket
+    structure (hence identical star edges and clusters) as the two-step
+    vectorized-signatures -> band_signatures path — the digests differ
+    (arithmetic vs md5-of-concat) but collisions must not."""
+    from semantic_vector_search_system_spark.operators.dedup import (
+        band_signatures,
+        lsh_bucket_edges_from_bands,
+        minhash_band_signatures_vectorized,
+        minhash_signatures_vectorized,
+    )
+
+    rows = []
+    for i in range(60):
+        if i < 10:
+            rows.append((i, "identical boilerplate text repeated across mirror sites"))
+        elif i < 20:
+            g = i // 2
+            rows.append((i, f"pair_{g} duplicated article body shared by partner {g}"))
+        elif i == 20:
+            rows.append((i, ""))          # zero-token doc
+        elif i == 21:
+            rows.append((i, "short"))     # sub-shingle-width doc
+        else:
+            rows.append((i, f"unique document number {i} with its own words {i * 7}"))
+    docs = spark.createDataFrame(rows, "doc_id long, text string").repartition(5)
+
+    fused = minhash_band_signatures_vectorized(
+        docs, num_hashes=16, rows_per_band=4
+    )
+    twostep = band_signatures(
+        minhash_signatures_vectorized(docs, num_hashes=16), rows_per_band=4
+    )
+
+    def buckets(df):
+        # partition structure: for each (band, band_sig) the frozenset of ids
+        from collections import defaultdict
+
+        m = defaultdict(set)
+        for r in df.collect():
+            m[(r["band"], r["band_sig"])].add(r["doc_id"])
+        return sorted(
+            (tuple(sorted(v)) for v in m.values() if len(v) > 1),
+        )
+
+    assert buckets(fused) == buckets(twostep)
+
+    e_fused = {(r["id_a"], r["id_b"]) for r in lsh_bucket_edges_from_bands(fused).collect()}
+    e_two = {(r["id_a"], r["id_b"]) for r in lsh_bucket_edges_from_bands(twostep).collect()}
+    assert e_fused == e_two
+    # the planted 10-copy cluster must be fully edged (star: 9 edges)
+    assert {(0, b) for b in range(1, 10)} <= e_fused
