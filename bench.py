@@ -378,6 +378,48 @@ def main() -> None:
         # codegen + co-tenant variance.
         timings["dedup_1000000_docs"] = round(min(run_dedup_1m(), run_dedup_1m()), 3)
         emit(timings, query_meta, sf, partial=True)
+
+        # Incremental dedup serving (r5): a 100k NEW batch against the 1M
+        # corpus' STORED signature index — the daily-crawl shape. The index
+        # (signature rows for agreement + band digests for candidates, fast
+        # family) is built ONCE outside the region, like any index; the
+        # timed region is the per-batch cost: new-batch fused minhash+
+        # banding, band equi-join, per-edge agreement, per-doc argmax.
+        # ~72% of the batch are true dups (regenerated corpus texts), the
+        # rest novel (the corpus rows whose text the dedup workload
+        # replaced) — a realistic recrawl mix.
+        from semantic_vector_search_system_spark.operators.dedup import (
+            incremental_neardup,
+            minhash_signatures_vectorized,
+        )
+
+        corpus_sigs = minhash_signatures_vectorized(
+            docs, id_col="id", text_col="text", num_hashes=16
+        ).localCheckpoint()
+        corpus_bands = minhash_band_signatures_vectorized(
+            docs, id_col="id", text_col="text", num_hashes=16, rows_per_band=4
+        ).localCheckpoint()
+        new_batch = generate_documents(
+            spark, 100_000, seed=42, num_partitions=32
+        ).cache()
+        new_batch.count()
+        best = None
+        for _ in range(2):
+            t0 = time.time()
+            incremental_neardup(
+                new_batch, corpus_sigs, id_col="id", text_col="text",
+                num_hashes=16, rows_per_band=4, threshold=0.7,
+                hash_family="fast", corpus_bands=corpus_bands,
+            ).write.format("noop").mode("overwrite").save()
+            best = min(best or 1e9, time.time() - t0)
+        timings["incremental_dedup_100k_vs_1m"] = round(best, 3)
+        query_meta["incremental_dedup_100k_vs_1m"] = {
+            "repeats": 2, "since_round": 5,
+            "index": "stored fast-family signatures + band digests "
+            "(localCheckpoint; the built-index analog)",
+        }
+        emit(timings, query_meta, sf, partial=True)
+        new_batch.unpersist()
         docs.unpersist()
 
     # Stop FIRST, then print the authoritative final line (r4 lesson,

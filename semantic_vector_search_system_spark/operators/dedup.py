@@ -887,6 +887,7 @@ def incremental_neardup(
     threshold: float = 0.5,
     shingle_n: int = 3,
     hash_family: str = "md5",
+    corpus_bands: DataFrame | None = None,
 ) -> DataFrame:
     """Incremental NEAR-dup: dedup a NEW batch against an EXISTING corpus
     using only the corpus' STORED MinHash signatures — the daily-crawl-
@@ -914,16 +915,40 @@ def incremental_neardup(
 
     The estimator is relational end-to-end, so the catalog oracle replays
     it exactly in DuckDB (``hash_family='md5'``); use ``'fast'`` only when
-    no cross-engine replay of signature values is needed.
+    no cross-engine replay of signature values is needed.  ``corpus_sigs``
+    must come from the SAME hash family.
+
+    ``corpus_bands`` — a prebuilt ``(id, band, band_sig)`` relation for
+    the corpus — is the stored-index serving shape: at ingest time a
+    pipeline persists BOTH the signature rows (for agreement) and the
+    band digests (for candidates), so per-batch cost never re-bands the
+    corpus (a corpus-sized shuffle otherwise).  When omitted, bands are
+    derived from ``corpus_sigs`` on the fly (fine at test scale).
     """
     new_sigs = minhash_signatures_fast(
         new_docs, id_col=id_col, text_col=text_col, num_hashes=num_hashes,
         shingle_n=shingle_n, hash_family=hash_family,
     )
-    nb = band_signatures(new_sigs, id_col, rows_per_band).select(
-        F.col(id_col).alias("__new_id"), "band", "band_sig"
-    )
-    cb = band_signatures(corpus_sigs, id_col, rows_per_band).select(
+    # band digests must come from the SAME digest function on both sides —
+    # md5(concat-of-minima) strings (band_signatures, any family) or the
+    # fused arithmetic splitmix64 longs (minhash_band_signatures_vectorized)
+    # — or the candidate equi-join compares incomparable values. When
+    # corpus_bands is prebuilt, its band_sig dtype says which kernel built
+    # it; otherwise both sides derive via band_signatures.
+    if corpus_bands is not None and dict(corpus_bands.dtypes)["band_sig"] in (
+        "bigint", "long",
+    ):
+        new_bands = minhash_band_signatures_vectorized(
+            new_docs, id_col=id_col, text_col=text_col,
+            num_hashes=num_hashes, shingle_n=shingle_n,
+            rows_per_band=rows_per_band,
+        )
+    else:
+        new_bands = band_signatures(new_sigs, id_col, rows_per_band)
+        if corpus_bands is None:
+            corpus_bands = band_signatures(corpus_sigs, id_col, rows_per_band)
+    nb = new_bands.select(F.col(id_col).alias("__new_id"), "band", "band_sig")
+    cb = corpus_bands.select(
         F.col(id_col).alias("__old_id"), "band", "band_sig"
     )
     cands = nb.join(cb, ["band", "band_sig"]).select("__new_id", "__old_id").distinct()

@@ -1029,3 +1029,38 @@ def test_fused_vectorized_banding_same_collisions_as_two_step(spark):
     assert e_fused == e_two
     # the planted 10-copy cluster must be fully edged (star: 9 edges)
     assert {(0, b) for b in range(1, 10)} <= e_fused
+
+
+def test_incremental_neardup_stored_bands_fast_family(spark):
+    """The stored-index serving shape: corpus signatures AND band digests
+    prebuilt with the fast-family kernels, per-batch cost only touches the
+    new docs — exact copies still match at est 1.0, novel docs pass."""
+    from semantic_vector_search_system_spark.operators.dedup import (
+        incremental_neardup,
+        minhash_band_signatures_vectorized,
+        minhash_signatures_vectorized,
+    )
+
+    texts = {
+        i: f"corpus document {i} body words {' '.join(str(i * j) for j in range(1, 9))}"
+        for i in range(50)
+    }
+    corpus = spark.createDataFrame(
+        list(texts.items()), "doc_id long, text string"
+    )
+    sigs = minhash_signatures_vectorized(corpus, num_hashes=16)
+    bands = minhash_band_signatures_vectorized(corpus, num_hashes=16, rows_per_band=4)
+    new = spark.createDataFrame(
+        [(100, texts[7]), (101, texts[33]), (102, "entirely novel content never seen")],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: (r["is_dup"], r["matched_id"], r["est_jaccard"])
+        for r in incremental_neardup(
+            new, sigs, num_hashes=16, rows_per_band=4, threshold=0.5,
+            hash_family="fast", corpus_bands=bands,
+        ).collect()
+    }
+    assert got[100] == (True, 7, 1.0)
+    assert got[101] == (True, 33, 1.0)
+    assert got[102] == (False, None, None)
