@@ -911,7 +911,12 @@ def incremental_neardup(
       ``(band, band_sig)`` and the join is co-located;
     * the agreement estimate joins signatures only for candidate edges —
       ``O(edges x num_hashes)`` — followed by a per-new-doc argmax window
-      over the (tiny) qualifying-edge relation.
+      over the (tiny) qualifying-edge relation;
+    * the physical plan (verified): new bands and candidate edges
+      BROADCAST, the corpus signature/band relations are only SCANNED and
+      probed — never shuffled. Per-batch IO is therefore the signature
+      index (``num_hashes x 8`` bytes per corpus doc ≈ 1000x smaller than
+      the text it summarizes), the precise reason signatures are stored.
 
     The estimator is relational end-to-end, so the catalog oracle replays
     it exactly in DuckDB (``hash_family='md5'``); use ``'fast'`` only when
