@@ -392,3 +392,43 @@ def test_ivf_broadcast_serving_plan_no_doc_shuffle(spark, tmp_path):
     before_window = plan.split("Window")[-1]  # physical plan prints top-down;
     # the subtree after the last "Window" line contains sort+exchange+python
     assert "MapInPandas" in before_window
+
+
+def test_incremental_dedup_serving_plan_corpus_never_shuffles(spark):
+    """The r5 incremental-dedup serving claim, frozen: with stored corpus
+    signatures + band digests, the per-batch plan broadcasts the NEW-batch
+    bands and candidate edges while the corpus relations are only scanned
+    and probed — every hashpartitioning Exchange sits over new-batch-sized
+    data, never over a corpus signature/band scan."""
+    from semantic_vector_search_system_spark.datagen import generate_documents
+    from semantic_vector_search_system_spark.operators.dedup import (
+        incremental_neardup,
+        minhash_band_signatures_vectorized,
+        minhash_signatures_vectorized,
+    )
+
+    docs = generate_documents(spark, 5_000, seed=42, num_partitions=4).cache()
+    docs.count()
+    sigs = minhash_signatures_vectorized(
+        docs, id_col="id", text_col="text", num_hashes=16
+    ).localCheckpoint()
+    bands = minhash_band_signatures_vectorized(
+        docs, id_col="id", text_col="text", num_hashes=16, rows_per_band=4
+    ).localCheckpoint()
+    new = generate_documents(spark, 500, seed=42, num_partitions=4)
+    out = incremental_neardup(
+        new, sigs, id_col="id", text_col="text", num_hashes=16,
+        rows_per_band=4, threshold=0.7, hash_family="fast",
+        corpus_bands=bands,
+    )
+    out.write.format("noop").mode("overwrite").save()  # AQE-final plan
+    plan = _plan(out)
+    assert "BroadcastHashJoin" in plan
+    # corpus relations (checkpointed scans) must not feed a hash exchange:
+    # the subtree under every hashpartitioning exchange reads new-batch
+    # derivations, which all flow through the fused banding MapInPandas or
+    # tiny candidate relations — never a checkpointed corpus scan
+    for seg in plan.split("Exchange hashpartitioning")[1:]:
+        below = seg.split("BroadcastExchange")[0]
+        assert "Scan ExistingRDD" not in below or "MapInPandas" in below, below[:1200]
+    docs.unpersist()
