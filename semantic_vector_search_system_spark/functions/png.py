@@ -122,9 +122,12 @@ def decode_png(data: bytes) -> tuple[int, int, int, bytes]:
     while pos + 8 <= n:
         (length,) = struct.unpack_from(">I", data, pos)
         tag = data[pos + 4 : pos + 8]
-        body = data[pos + 8 : pos + 8 + length]
-        if len(body) != length:
+        # the full chunk (len + tag + body + CRC) must fit — a cut inside
+        # the CRC would otherwise surface as struct.error, breaking the
+        # ValueError-by-name contract
+        if pos + 12 + length > n:
             raise ValueError("truncated PNG chunk")
+        body = data[pos + 8 : pos + 8 + length]
         crc_expect = struct.unpack_from(">I", data, pos + 8 + length)[0]
         if zlib.crc32(tag + body) & 0xFFFFFFFF != crc_expect:
             raise ValueError(f"PNG chunk {tag!r} CRC mismatch")
@@ -150,7 +153,10 @@ def decode_png(data: bytes) -> tuple[int, int, int, bytes]:
     if width is None:
         raise ValueError("PNG missing IHDR")
     ch = _CHANNELS[color_type]
-    raw = zlib.decompress(bytes(idat))
+    try:
+        raw = zlib.decompress(bytes(idat))
+    except zlib.error as e:  # cut/corrupt IDAT stream — keep the contract
+        raise ValueError(f"corrupt PNG pixel stream: {e}") from e
     stride = width * ch
     if len(raw) != (stride + 1) * height:
         raise ValueError(

@@ -157,7 +157,10 @@ def pack_sequences(
     sized = docs.select(
         F.col(id_col),
         F.pmod(F.col(id_col), F.lit(n_shards)).cast("long").alias("shard"),
-        F.size(tokenize(text_col)).cast("long").alias("n_tokens"),
+        # null text -> 0 tokens (size(tokenize(null)) is null, which would
+        # reach the pandas walk as NaN and crash int()); a null-text row is
+        # an empty doc, not an error
+        F.coalesce(F.size(tokenize(text_col)), F.lit(0)).cast("long").alias("n_tokens"),
     )
     id_type = dict(docs.dtypes)[id_col]
     schema = f"`{id_col}` {id_type}, shard long, bin_in_shard long, n_tokens long"

@@ -418,6 +418,7 @@ def minhash_band_signatures_vectorized(
     num_hashes: int = 16,
     shingle_n: int = 3,
     rows_per_band: int = 4,
+    with_minima: bool = False,
 ) -> DataFrame:
     """Fast-family MinHash + banding fused into ONE narrow Arrow stage:
     ``(id, band, band_sig)`` with ``band_sig`` a 64-bit arithmetic digest
@@ -434,6 +435,13 @@ def minhash_band_signatures_vectorized(
     parity-tested — while skipping BOTH the 16-rows-per-doc long format
     and the ``groupBy(id, band)`` shuffle it feeds. At 1M docs that is
     the dominant cost of the dedup pipeline's first stage.
+
+    ``with_minima=True`` additionally emits each band's raw minima as an
+    ``array<long>`` column, so a consumer that needs BOTH the band digests
+    (candidates) and the signature values (agreement) — incremental dedup
+    serving — runs the minima kernel ONCE and derives the long-format
+    signature rows with a free ``posexplode`` (seed = band*rows_per_band
+    + pos) instead of a second pass over the text.
     """
     import numpy as np
     import pandas as pd
@@ -443,6 +451,8 @@ def minhash_band_signatures_vectorized(
     num_bands = num_hashes // rows_per_band
     id_type = dict(docs.dtypes)[id_col]
     schema = f"`{id_col}` {id_type}, band long, band_sig long"
+    if with_minima:
+        schema += ", minima array<long>"
     batch_minima = _fast_minima_kernel(text_col, num_hashes, shingle_n)
     # distinct odd multipliers per within-band position, and a per-band
     # stream offset, so (band, values) -> digest is position- and
@@ -469,13 +479,17 @@ def minhash_band_signatures_vectorized(
                 digs = _mix64(acc + BAND_OFF[None, :])
             ids = np.repeat(pdf[id_col].to_numpy(), num_bands)
             bands = np.tile(np.arange(num_bands, dtype=np.int64), n_docs)
-            yield pd.DataFrame(
-                {
-                    id_col: ids,
-                    "band": bands,
-                    "band_sig": digs.reshape(-1).astype(np.int64),
-                }
-            )
+            out = {
+                id_col: ids,
+                "band": bands,
+                "band_sig": digs.reshape(-1).astype(np.int64),
+            }
+            if with_minima:
+                flat = chunks.reshape(n_docs * num_bands, rows_per_band).astype(
+                    np.int64
+                )
+                out["minima"] = list(flat)
+            yield pd.DataFrame(out)
 
     return docs.select(id_col, text_col).mapInPandas(run, schema)
 
@@ -930,25 +944,48 @@ def incremental_neardup(
     corpus (a corpus-sized shuffle otherwise).  When omitted, bands are
     derived from ``corpus_sigs`` on the fly (fine at test scale).
     """
-    new_sigs = minhash_signatures_fast(
-        new_docs, id_col=id_col, text_col=text_col, num_hashes=num_hashes,
-        shingle_n=shingle_n, hash_family=hash_family,
-    )
-    # band digests must come from the SAME digest function on both sides —
+    # Band digests must come from the SAME digest function on both sides —
     # md5(concat-of-minima) strings (band_signatures, any family) or the
     # fused arithmetic splitmix64 longs (minhash_band_signatures_vectorized)
     # — or the candidate equi-join compares incomparable values. When
     # corpus_bands is prebuilt, its band_sig dtype says which kernel built
     # it; otherwise both sides derive via band_signatures.
-    if corpus_bands is not None and dict(corpus_bands.dtypes)["band_sig"] in (
-        "bigint", "long",
-    ):
-        new_bands = minhash_band_signatures_vectorized(
+    fast_bands = corpus_bands is not None and dict(corpus_bands.dtypes)[
+        "band_sig"
+    ] in ("bigint", "long")
+    if fast_bands and hash_family != "fast":
+        # a long-dtype band index was built with the fast-family kernels;
+        # comparing md5-family new minima against it would silently return
+        # est_jaccard 0 for EXACT copies — fail loudly instead
+        raise ValueError(
+            "incremental_neardup: corpus_bands carries fast-family arithmetic "
+            "digests (band_sig long) — pass hash_family='fast' (and "
+            "fast-family corpus_sigs)"
+        )
+    if fast_bands:
+        # ONE minima pass over the new batch serves both relations: band
+        # digests for candidates, posexplode of the per-band minima for
+        # agreement (seed = band*rows_per_band + pos). The tiny combined
+        # relation is checkpointed so the two consumers don't re-run the
+        # kernel.
+        nbm = minhash_band_signatures_vectorized(
             new_docs, id_col=id_col, text_col=text_col,
             num_hashes=num_hashes, shingle_n=shingle_n,
-            rows_per_band=rows_per_band,
+            rows_per_band=rows_per_band, with_minima=True,
+        ).localCheckpoint()
+        new_bands = nbm.select(id_col, "band", "band_sig")
+        new_sigs = nbm.select(
+            F.col(id_col), F.col("band"), F.posexplode("minima")
+        ).select(
+            F.col(id_col),
+            (F.col("band") * rows_per_band + F.col("pos")).cast("long").alias("seed"),
+            F.col("col").alias("minhash"),
         )
     else:
+        new_sigs = minhash_signatures_fast(
+            new_docs, id_col=id_col, text_col=text_col, num_hashes=num_hashes,
+            shingle_n=shingle_n, hash_family=hash_family,
+        )
         new_bands = band_signatures(new_sigs, id_col, rows_per_band)
         if corpus_bands is None:
             corpus_bands = band_signatures(corpus_sigs, id_col, rows_per_band)

@@ -102,7 +102,13 @@ def real_png_decoder(
 
     def decode(kind: str, payload: bytes) -> list:
         if kind == "image" and payload is not None and is_png(bytes(payload)):
-            return png_features(bytes(payload), dim)
+            try:
+                return png_features(bytes(payload), dim)
+            except ValueError:
+                # a PNG signature on a truncated/corrupt payload is a
+                # routine crawl artifact — route it to the fallback like
+                # any other undecodable row instead of failing the job
+                return fb(kind, payload)
         return fb(kind, payload)
 
     return decode

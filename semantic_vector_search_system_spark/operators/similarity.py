@@ -468,6 +468,13 @@ def ivf_search_partitioned(
 
     qid_t = dict(queries.dtypes)[qid_col]
     if strategy == "auto":
+        # one collect serves as BOTH the strategy probe and the broadcast
+        # path's query matrix — the serving hot path (few queries) pays a
+        # single job. The waste case is a >threshold batch (collects
+        # ~threshold vector rows, then falls back to cogroup): bounded at
+        # ~16 MB for 4096 x 512 float64, negligible next to the cogroup
+        # job itself; callers that know their batch is large can pass
+        # strategy="cogroup" and skip the probe entirely.
         qrows = (
             queries.select(qid_col, qvec_col)
             .limit(max_broadcast_queries + 1)

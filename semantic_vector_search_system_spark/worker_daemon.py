@@ -63,14 +63,26 @@ _daemon.worker = _quiet_worker  # manager() resolves the global at call time
 # With the env var gone, daemon.py's finally-flush handler takes its benign
 # branch — but that branch still PRINTS a "failed to flush the output"
 # traceback block per worker (32 blocks per spark.stop() at local[32]).
-# Shadow `print` in the daemon module's namespace with a filter that drops
-# exactly that message; all other daemon prints pass through untouched.
+# Shadow `print` in the daemon module's namespace with a filter that
+# REDIRECTS exactly that message to a side-channel log instead of stderr —
+# shutdown noise stays out of the driver's output tail, but a genuine
+# mid-job flush failure still leaves python-side evidence for debugging
+# (the JVM side reports its half of the broken stream loudly regardless).
+# All other daemon prints pass through untouched.
 _stock_print = print
+_FLUSH_LOG = os.environ.get(
+    "SPARK_GRAFT_DAEMON_FLUSH_LOG", "/tmp/sivbp_daemon_flush_failures.log"
+)
 
 
 def _daemon_print(*args, **kwargs):
     if args and isinstance(args[0], str) and "failed to flush the output" in args[0]:
-        return  # expected EPIPE when the JVM tears the channel down first
+        try:
+            with open(_FLUSH_LOG, "a") as f:
+                f.write(f"[pid {os.getpid()}] {args[0]}\n")
+        except OSError:
+            pass
+        return
     _stock_print(*args, **kwargs)
 
 

@@ -146,3 +146,21 @@ def test_pack_sequences_sharding_and_invariance(spark):
     )
     for r in sums:
         assert r["s"] <= 128 or r["n"] == 1, (r["shard"], r["bin_in_shard"], r["s"], r["n"])
+
+
+def test_pack_sequences_null_and_empty_text(spark):
+    """r5 review finding: null/empty text rows are zero-token docs, not a
+    NaN crash inside the greedy walk."""
+    from semantic_vector_search_system_spark.operators.corpus import pack_sequences
+
+    docs = spark.createDataFrame(
+        [(0, "three tokens here"), (1, None), (2, ""), (3, "more words")],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: (r["bin_in_shard"], r["n_tokens"])
+        for r in pack_sequences(docs, budget=10, n_shards=1).collect()
+    }
+    assert got[1] == (0, 0) and got[2] == (0, 0)
+    assert got[0][1] == 3 and got[3][1] == 2
+    assert len(got) == 4
