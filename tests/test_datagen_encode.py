@@ -222,3 +222,46 @@ def test_numpy_mini_transformer_through_both_udf_forms(spark):
     assert float(np.dot(a, a2)) > 0.999999
     near = model.encode(["the quick brown fox jumps over the lazy cat"])[0]
     assert float(np.dot(a, near)) > float(np.dot(a, b))
+
+
+def test_numpy_mini_transformer_e2e_retrieval(spark):
+    """The reference's H3 pipeline shape end-to-end with the tensor model:
+    transformer-UDF encode docs + snippet queries -> brute-force top-k ->
+    relevance metrics. Even with seeded random weights the representation
+    must carry real signal: p@1 far above the 1/n_docs random floor
+    (measured 0.32 vs floor 0.005 on this corpus)."""
+    from pyspark.sql import functions as F
+
+    from semantic_vector_search_system_spark.datagen import (
+        generate_queries_and_qrels,
+    )
+    from semantic_vector_search_system_spark.operators.encode import (
+        TransformerEncoder,
+        numpy_mini_transformer_loader,
+    )
+    from semantic_vector_search_system_spark.operators.metrics import evaluate_all
+    from semantic_vector_search_system_spark.operators.search import topk_bruteforce
+
+    docs = (
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .select(F.col("doc_id").cast("string").alias("id"), "text")
+        .limit(200)
+        .cache()
+    )
+    queries, qrels = generate_queries_and_qrels(docs, 50, seed=7)
+    enc = TransformerEncoder(
+        "numpy-mini", dim=64,
+        model_loader=lambda n: numpy_mini_transformer_loader(n, dim=64),
+    )
+    dvec = enc.encode(docs).select(F.col("id").alias("docid"), "vec")
+    qvec = enc.encode(queries, text_col="query").select(
+        F.col("id").alias("qid"), F.col("vec").alias("qvec")
+    )
+    top = topk_bruteforce(qvec, dvec, k=5, metric="cosine")
+    row = evaluate_all(
+        top.select("qid", "docid", "rank"), qrels, k_values=(1, 5)
+    ).collect()[0]
+    assert row["n_queries"] == 50
+    assert row["p_at_1"] > 0.1   # 20x the random floor
+    assert row["r_at_5"] >= row["p_at_1"]
+    docs.unpersist()
