@@ -194,9 +194,17 @@ def decode_png(data: bytes) -> tuple[int, int, int, bytes]:
 def png_features(data: bytes, dim: int = 8) -> list[float]:
     """Feature vector from a decoded PNG, the real-codec twin of the
     deterministic stand-in kernel: ``[w/4096, h/4096, mean_px/255,
-    hist_0..hist_{dim-6}, aspect]`` padded/truncated to ``dim``.  Histogram
-    buckets are over the grayscale-collapsed pixel values, so features are
-    invariant to the encoder's filter choice (pure content signal)."""
+    hist_0..hist_{dim-5}, aspect]`` — 3 fixed features, ``dim - 4``
+    histogram buckets, aspect last, exactly ``dim`` entries.  Requires
+    ``dim >= 5`` so every named feature fits (r5 ADVICE: previously a tiny
+    dim silently truncated the aspect feature away).  Histogram buckets are
+    over the grayscale-collapsed pixel values, so features are invariant to
+    the encoder's filter choice (pure content signal)."""
+    if dim < 5:
+        raise ValueError(
+            f"png_features: dim={dim} < 5 cannot hold the fixed "
+            "[w, h, mean, hist..., aspect] layout"
+        )
     width, height, ch, px = decode_png(data)
     npx = width * height
     if ch == 1:

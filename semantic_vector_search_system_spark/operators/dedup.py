@@ -902,6 +902,7 @@ def incremental_neardup(
     shingle_n: int = 3,
     hash_family: str = "md5",
     corpus_bands: DataFrame | None = None,
+    corpus_hash_family: str | None = None,
 ) -> DataFrame:
     """Incremental NEAR-dup: dedup a NEW batch against an EXISTING corpus
     using only the corpus' STORED MinHash signatures — the daily-crawl-
@@ -935,7 +936,10 @@ def incremental_neardup(
     The estimator is relational end-to-end, so the catalog oracle replays
     it exactly in DuckDB (``hash_family='md5'``); use ``'fast'`` only when
     no cross-engine replay of signature values is needed.  ``corpus_sigs``
-    must come from the SAME hash family.
+    must come from the SAME hash family — declare the stored index's family
+    via ``corpus_hash_family`` (read_neardup_index returns it from the
+    index metadata) and a mismatch fails loudly instead of silently
+    estimating jaccard 0.
 
     ``corpus_bands`` — a prebuilt ``(id, band, band_sig)`` relation for
     the corpus — is the stored-index serving shape: at ingest time a
@@ -944,12 +948,25 @@ def incremental_neardup(
     corpus (a corpus-sized shuffle otherwise).  When omitted, bands are
     derived from ``corpus_sigs`` on the fly (fine at test scale).
     """
-    # Band digests must come from the SAME digest function on both sides —
-    # md5(concat-of-minima) strings (band_signatures, any family) or the
-    # fused arithmetic splitmix64 longs (minhash_band_signatures_vectorized)
-    # — or the candidate equi-join compares incomparable values. When
-    # corpus_bands is prebuilt, its band_sig dtype says which kernel built
-    # it; otherwise both sides derive via band_signatures.
+    # Band digests AND minima must come from the SAME hash family on both
+    # sides — md5(concat-of-minima) strings (band_signatures, any family)
+    # or the fused arithmetic splitmix64 longs
+    # (minhash_band_signatures_vectorized) — or the candidate equi-join /
+    # agreement join compares incomparable values and silently estimates
+    # jaccard 0 for exact copies.  The authoritative check is the EXPLICIT
+    # ``corpus_hash_family`` declaration (stored-index metadata carries it —
+    # see write_neardup_index/read_neardup_index); the band_sig dtype sniff
+    # below remains as a backstop for long-dtype fast digests, which are
+    # detectable structurally (md5-vs-sha mismatches are not: both minima
+    # families produce bigint minima, indistinguishable by schema).
+    if corpus_hash_family is not None and corpus_hash_family != hash_family:
+        raise ValueError(
+            "incremental_neardup: corpus index was built with hash_family="
+            f"{corpus_hash_family!r} but the new batch uses "
+            f"hash_family={hash_family!r} — signature minima from different "
+            "families never agree, so every agreement estimate would be 0. "
+            "Re-sign the batch with the corpus' family."
+        )
     fast_bands = corpus_bands is not None and dict(corpus_bands.dtypes)[
         "band_sig"
     ] in ("bigint", "long")

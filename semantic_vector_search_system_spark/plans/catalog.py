@@ -1045,7 +1045,7 @@ def corpus_vocabulary(spark: SparkSession, sf_dir: str) -> DataFrame:
     f"""
     WITH RECURSIVE toks AS (
       SELECT doc_id, doc_id % 8 AS shard,
-             CAST(len({_SPLIT}) AS BIGINT) AS n_tokens
+             COALESCE(CAST(len({_SPLIT}) AS BIGINT), 0) AS n_tokens
       FROM documents),
     ord AS (SELECT doc_id, shard, n_tokens,
                    ROW_NUMBER() OVER (PARTITION BY shard ORDER BY doc_id) AS rn

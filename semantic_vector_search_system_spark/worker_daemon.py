@@ -50,12 +50,40 @@ os.environ.pop("PYTHON_DAEMON_KILL_WORKER_ON_FLUSH_FAILURE", None)
 
 _stock_worker = _daemon.worker
 
+# Both patches below (the worker wrapper and the print shadow) assume the
+# pyspark 4.1 daemon internals: daemon.py's `worker(sock, authenticated)`
+# signature, its finally-flush handler, and the exact message string
+# "failed to flush the output".  tests/test_worker_daemon.py pins the
+# installed pyspark version to the 4.1 line so an upgrade that changes the
+# daemon's wording/flow fails a test instead of silently disabling the
+# patches.
+EXPECTED_PYSPARK_MAJOR_MINOR = (4, 1)
+
+_FLUSH_LOG = os.environ.get(
+    "SPARK_GRAFT_DAEMON_FLUSH_LOG", "/tmp/sivbp_daemon_flush_failures.log"
+)
+
+
+def _log_side_channel(msg: str) -> None:
+    try:
+        with open(_FLUSH_LOG, "a") as f:
+            f.write(f"[pid {os.getpid()}] {msg}\n")
+    except OSError:
+        pass
+
 
 def _quiet_worker(sock, authenticated):
     try:
         return _stock_worker(sock, authenticated)
-    except (BrokenPipeError, ConnectionResetError, EOFError):
-        return 0  # peer (JVM) closed the channel — shutdown, not a failure
+    except (BrokenPipeError, ConnectionResetError, EOFError) as exc:
+        # Peer (JVM) closed the channel.  Almost always spark.stop() teardown,
+        # but this wrapper cannot distinguish that from a genuine mid-job
+        # channel failure — so leave python-side evidence in the side-channel
+        # log before exiting 0.  (Real task errors are serialized back to the
+        # JVM by pyspark.worker long before this wrapper sees anything; the
+        # JVM also reports its half of a genuinely broken stream loudly.)
+        _log_side_channel(f"worker connection error (teardown?): {exc!r}")
+        return 0
 
 
 _daemon.worker = _quiet_worker  # manager() resolves the global at call time
@@ -70,18 +98,11 @@ _daemon.worker = _quiet_worker  # manager() resolves the global at call time
 # (the JVM side reports its half of the broken stream loudly regardless).
 # All other daemon prints pass through untouched.
 _stock_print = print
-_FLUSH_LOG = os.environ.get(
-    "SPARK_GRAFT_DAEMON_FLUSH_LOG", "/tmp/sivbp_daemon_flush_failures.log"
-)
 
 
 def _daemon_print(*args, **kwargs):
     if args and isinstance(args[0], str) and "failed to flush the output" in args[0]:
-        try:
-            with open(_FLUSH_LOG, "a") as f:
-                f.write(f"[pid {os.getpid()}] {args[0]}\n")
-        except OSError:
-            pass
+        _log_side_channel(args[0])
         return
     _stock_print(*args, **kwargs)
 

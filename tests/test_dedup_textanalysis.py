@@ -1064,3 +1064,37 @@ def test_incremental_neardup_stored_bands_fast_family(spark):
     assert got[100] == (True, 7, 1.0)
     assert got[101] == (True, 33, 1.0)
     assert got[102] == (False, None, None)
+
+
+def test_incremental_neardup_family_mismatch_fails_loudly(spark):
+    """Cross-family serving must raise, not silently estimate jaccard 0:
+    (a) the dtype backstop catches fast-family band digests vs an md5
+    batch; (b) the explicit corpus_hash_family declaration catches families
+    the schema cannot distinguish (r5 ADVICE)."""
+    import pytest as _pytest
+
+    from semantic_vector_search_system_spark.operators.dedup import (
+        incremental_neardup,
+        minhash_band_signatures_vectorized,
+        minhash_signatures_fast,
+        minhash_signatures_vectorized,
+    )
+
+    corpus = spark.createDataFrame(
+        [(i, f"doc {i} {' '.join(str(i * j) for j in range(8))}") for i in range(10)],
+        "doc_id long, text string",
+    )
+    new = corpus.limit(2).select(
+        (F.col("doc_id") + 100).alias("doc_id"), "text"
+    )
+    fast_bands = minhash_band_signatures_vectorized(corpus, num_hashes=8)
+    fast_sigs = minhash_signatures_vectorized(corpus, num_hashes=8)
+    with _pytest.raises(ValueError, match="fast-family arithmetic"):
+        incremental_neardup(
+            new, fast_sigs, hash_family="md5", corpus_bands=fast_bands
+        )
+    md5_sigs = minhash_signatures_fast(corpus, num_hashes=8, hash_family="md5")
+    with _pytest.raises(ValueError, match="hash_family='md5'"):
+        incremental_neardup(
+            new, md5_sigs, hash_family="fast", corpus_hash_family="md5"
+        )

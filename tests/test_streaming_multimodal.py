@@ -255,6 +255,14 @@ def test_png_features_filter_invariant_and_shaped():
     assert base[7] == 4.0               # aspect 32/8
     for ft in range(1, 5):
         assert png_features(encode_png(32, 8, px, 2, ft), dim=8) == base
+    # minimum layout: 3 fixed + 1 bucket + aspect = 5 features exactly
+    five = png_features(encode_png(32, 8, px, 2, 0), dim=5)
+    assert len(five) == 5 and five[3] == 1.0 and five[4] == 4.0
+    # dims that cannot hold the layout fail loudly (r5 ADVICE)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="dim=4 < 5"):
+        png_features(encode_png(32, 8, px, 2, 0), dim=4)
 
 
 def test_png_decoder_rejects_malformed_by_name():

@@ -79,6 +79,50 @@ def test_quiet_shutdown_patches_installed():
     assert captured == [("anything else",)]
 
 
+def test_pyspark_version_pinned_for_daemon_patches():
+    """Both daemon patches (the worker() wrapper and the print shadow) key on
+    pyspark 4.1 daemon internals — the worker(sock, authenticated) signature
+    and the literal "failed to flush the output" message.  Pin the installed
+    version so an upgrade fails HERE with a pointer instead of silently
+    disabling the patches (r5 ADVICE)."""
+    import pyspark
+
+    mod = importlib.import_module(
+        "semantic_vector_search_system_spark.worker_daemon"
+    )
+    major, minor = (int(p) for p in pyspark.__version__.split(".")[:2])
+    assert (major, minor) == mod.EXPECTED_PYSPARK_MAJOR_MINOR, (
+        f"pyspark {pyspark.__version__} != pinned "
+        f"{mod.EXPECTED_PYSPARK_MAJOR_MINOR}: re-verify worker_daemon.py's "
+        "daemon patches against the new pyspark.daemon internals, then bump "
+        "EXPECTED_PYSPARK_MAJOR_MINOR."
+    )
+
+
+def test_swallowed_connection_errors_leave_side_channel_evidence(tmp_path):
+    """_quiet_worker must not swallow a connection error silently — it logs
+    to the flush side-channel file before returning 0 (r5 ADVICE)."""
+    mod = importlib.import_module(
+        "semantic_vector_search_system_spark.worker_daemon"
+    )
+    log = tmp_path / "flush.log"
+    orig = mod._FLUSH_LOG
+    mod._FLUSH_LOG = str(log)
+    orig_worker = mod._stock_worker
+
+    def boom(sock, authenticated):
+        raise BrokenPipeError("mid-job channel failure")
+
+    mod._stock_worker = boom
+    try:
+        assert mod._quiet_worker(None, True) == 0
+    finally:
+        mod._stock_worker = orig_worker
+        mod._FLUSH_LOG = orig
+    text = log.read_text()
+    assert "connection error" in text and "mid-job channel failure" in text
+
+
 def test_shutdown_emits_no_worker_spam(tmp_path):
     """End-to-end BENCH_r04 regression: a subprocess that runs a 32-partition
     pandas-UDF job and stops the session must not write BrokenPipeError /
