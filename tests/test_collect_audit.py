@@ -50,6 +50,11 @@ ALLOWED: dict[str, dict[str, int]] = {
         # tiny centroid relation for driver-side assignment (n_lists rows;
         # fallback when no precollected_centroids passed)
         'else centroids.select("cent_id", "cvec").collect()': 1,
+        # merge="driver" partial top-k merge: bounded at
+        # O(scan_batches x queries_probing x k) rows, each batch already
+        # top-k-truncated (broadcast strategy caps queries at
+        # max_broadcast_queries)
+        "prows = partial.collect()": 1,
     },
     "operators/quantize.py": {
         # single aggregate row (global min/max for the quantization range)

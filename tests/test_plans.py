@@ -128,6 +128,37 @@ def test_verify_edges_no_exchange_of_doc_data(spark):
     assert "RoundRobinPartitioning" in plan
 
 
+def test_min_parts_repartitions_only_when_scan_is_narrow(spark):
+    """_min_parts (r5 VERDICT #5): the conditional repartition behind TP()
+    and the dedup pipelines.  A one-split input gets the round-robin
+    rebalance; an input already at >= default parallelism is left
+    UNTOUCHED — so at cluster scale no Exchange precedes the minhash
+    kernel (the r5 plan carried a gratuitous full text shuffle there)."""
+    from pyspark.sql import functions as F
+
+    from semantic_vector_search_system_spark.operators.dedup import (
+        minhash_band_signatures_fast,
+    )
+    from semantic_vector_search_system_spark.plans.catalog import _min_parts
+
+    p = spark.sparkContext.defaultParallelism
+    wide = spark.range(0, 1000, 1, p + 8).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("text body "), F.col("id").cast("string")).alias("text"),
+    )
+    narrow = wide.coalesce(1)
+    # narrow input: rebalanced, and the kernel still has zero hash shuffles
+    plan_n = _plan(minhash_band_signatures_fast(_min_parts(narrow, spark)))
+    assert "RoundRobinPartitioning" in plan_n
+    assert "Exchange hashpartitioning" not in plan_n
+    # wide input (the cluster-scan shape): NO exchange of any kind precedes
+    # the minhash kernel
+    fixed = _min_parts(wide, spark)
+    assert fixed.rdd.getNumPartitions() == p + 8
+    plan_w = _plan(minhash_band_signatures_fast(fixed))
+    assert "Exchange" not in plan_w, plan_w[:2000]
+
+
 def test_asof_grouped_two_bucket_exchanges_no_cartesian(spark, catalog):
     """The bucketed cogroup as-of: exactly one hash exchange per side (on
     __bucket), a FlatMapCoGroupsInPandas, and no nested-loop/cartesian
@@ -322,26 +353,20 @@ def test_driver_window_covers_every_operator_family():
     window = set(names[:50])
     # every non-demoted query is inside the driver's window
     assert window == set(CATALOG) - set(DEMOTED)
+    # r6 flagship set: the pipeline/e2e composites plus every NEW or
+    # <=2-round-green query.  r5 flagships parked by the r6 rotation
+    # (hybrid_rrf_fusion, dataset_splits, gopher_quality_report,
+    # embedding_neardup_pairs, quantized_topk_rerank — each a 4-round-green
+    # stalwart whose operator family stays covered in-window, see the
+    # DEMOTED rationale in plans/catalog.py) rotate back in r7.
     flagships = {
-        "training_corpus_selection", "hybrid_rrf_fusion", "dataset_splits",
-        "gopher_quality_report", "pii_scan_report", "decontamination",
+        "training_corpus_selection", "pii_scan_report", "decontamination",
         "media_features", "stream_dedup_events", "view_purchase_funnel",
         "stream_view_purchase_join", "sketch_stats", "tfidf_self_retrieval",
-        # lsh_candidate_pairs is deliberately DEMOTED: it is the intermediate
-        # stage of in-window neardup_keep_one, whose oracle embeds the same
-        # banding SQL (see DEMOTED rationale in plans/catalog.py).
-        # minhash_signatures is parked since r5: its stage is embedded
-        # verbatim in the in-window neardup_keep_one AND incremental_dedup
-        # oracles, and it stays a bench key; incremental_dedup (new r5
-        # flagship) takes its window slot.
-        "embedding_neardup_pairs", "knn_topk", "incremental_dedup",
-        "neardup_keep_one", "ann_ivf_topk", "quantized_topk_rerank",
-        "self_retrieval_e2e",
-        # asof_latest_order is parked for r5 (multi-round-green stalwart);
-        # the as-of family stays flagship-covered in-window by
-        # asof_grouped_orders (the harder grouped/bucketed strategy) and
-        # view_purchase_funnel (interval-join composition).
-        "asof_grouped_orders",
+        "knn_topk", "incremental_dedup", "neardup_keep_one", "ann_ivf_topk",
+        "self_retrieval_e2e", "asof_grouped_orders",
+        # new in r5/r6 — must be driver-checked while young
+        "sequence_packing", "ann_recall",
     }
     assert flagships <= window
     # oracle ordering mirrors query ordering
