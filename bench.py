@@ -451,26 +451,30 @@ def main() -> None:
         }
         emit(timings, query_meta, sf, partial=True)
 
-        # Incremental dedup serving (r5): a 100k NEW batch against the 1M
-        # corpus' STORED signature index — the daily-crawl shape. The index
-        # (signature rows for agreement + band digests for candidates, fast
-        # family) is built ONCE outside the region, like any index; the
-        # timed region is the per-batch cost: new-batch fused minhash+
-        # banding, band equi-join, per-edge agreement, per-doc argmax.
-        # ~72% of the batch are true dups (regenerated corpus texts), the
-        # rest novel (the corpus rows whose text the dedup workload
-        # replaced) — a realistic recrawl mix.
+        # Incremental dedup serving: a 100k NEW batch against the 1M
+        # corpus' STORED signature index — the daily-crawl shape. Since r6
+        # the index is real STORAGE (r5 VERDICT #7): bucketed parquet
+        # warehouse tables written once by write_neardup_index (signature
+        # rows bucketed by id for the agreement join, band digests bucketed
+        # by band_sig for the candidate join, metadata table declaring the
+        # hash family) — the timed region reads the index from disk like a
+        # serving process would: new-batch fused minhash+banding, band
+        # equi-join probe of the scanned index, per-edge agreement, per-doc
+        # argmax. ~72% of the batch are true dups (regenerated corpus
+        # texts), the rest novel — a realistic recrawl mix.
         from semantic_vector_search_system_spark.operators.dedup import (
             incremental_neardup,
-            minhash_signatures_vectorized,
+            read_neardup_index,
+            write_neardup_index,
         )
 
-        corpus_sigs = minhash_signatures_vectorized(
-            docs, id_col="id", text_col="text", num_hashes=16
-        ).localCheckpoint()
-        corpus_bands = minhash_band_signatures_vectorized(
-            docs, id_col="id", text_col="text", num_hashes=16, rows_per_band=4
-        ).localCheckpoint()
+        write_neardup_index(
+            docs, "bench_nd_idx", id_col="id", text_col="text",
+            num_hashes=16, rows_per_band=4, hash_family="fast", n_buckets=32,
+        )
+        corpus_sigs, corpus_bands, idx_meta = read_neardup_index(
+            spark, "bench_nd_idx"
+        )
         new_batch = generate_documents(
             spark, 100_000, seed=42, num_partitions=32
         ).cache()
@@ -480,14 +484,17 @@ def main() -> None:
                 new_batch, corpus_sigs, id_col="id", text_col="text",
                 num_hashes=16, rows_per_band=4, threshold=0.7,
                 hash_family="fast", corpus_bands=corpus_bands,
+                corpus_hash_family=idx_meta["hash_family"],
             ).write.format("noop").mode("overwrite").save(),
             2,
         )
         query_meta["incremental_dedup_100k_vs_1m"] = {
             "repeats": 2, "spread": spread, "since_round": 5,
-            "index": "stored fast-family signatures + band digests "
-            "(localCheckpoint; the built-index analog)",
+            "index": "bucketed parquet warehouse tables (r6: read from "
+            "storage; write_neardup_index/read_neardup_index)",
         }
+        for t in ("_sigs", "_bands", "_meta"):
+            spark.sql(f"DROP TABLE IF EXISTS bench_nd_idx{t}")
         emit(timings, query_meta, sf, partial=True)
         new_batch.unpersist()
         docs.unpersist()

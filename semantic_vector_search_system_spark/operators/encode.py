@@ -544,9 +544,19 @@ class TransformerEncoder:
 
 def get_encoder(name: str, dim: int = 512):
     """Encoder registry mirroring the reference's model selection
-    (`auto_run_tests.py:272-288`)."""
+    (`auto_run_tests.py:272-288`).
+
+    ``hashing`` dispatches between two value-identical physical forms
+    (same bucket semantics, both pinned to the python reference in
+    tests): the expression tree for small dims — whole-stage codegen,
+    zero python — and the Arrow batch kernel beyond ``dim >= 128``, where
+    Janino compilation of a dim-element array expression dominates
+    (measured: one H3 grid config 15 s at dim=64 vs 46 s at dim=256 vs
+    minutes at 512, almost all of it codegen).  Callers that need one
+    specific form construct it directly (the oracle-checked catalog
+    builders use the expression form explicitly)."""
     if name in ("hashing", "dummy"):
-        return HashingEncoder(dim)
+        return HashingEncoderFast(dim) if dim >= 128 else HashingEncoder(dim)
     if name == "hashing_fast":
         return HashingEncoderFast(dim)
     if name == "tfidf":

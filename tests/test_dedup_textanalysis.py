@@ -964,11 +964,34 @@ def test_ivf_recall_floor_at_bench_geometry(spark):
             approx.setdefault(r["qid"], set()).add(r["docid"])
         recs = [len(exact[q] & approx.get(q, set())) / k for q in exact]
         recalls[nprobe] = sum(recs) / len(recs)
-    for d in (docs, dvec, qvec, dl):
-        d.unpersist()
     assert recalls[1] >= 0.08 and recalls[2] >= 0.2
     assert recalls[4] >= 0.45 and recalls[8] >= 0.6, recalls
     assert recalls[1] < recalls[2] < recalls[4] < recalls[8], recalls
+    # trained k-means centroids (train_ivf_centroids) must beat the
+    # first-64-rows default where assignment precision matters most
+    # (nprobe=1): measured 0.235 vs 0.16 at this geometry; margin covers
+    # treeAggregate summation-order jitter across partitionings
+    from semantic_vector_search_system_spark.operators.similarity import (
+        train_ivf_centroids,
+    )
+
+    kcents = train_ivf_centroids(dvec, 64, vec_col="vec")
+    kdl = (
+        ivf_assign_fast(dvec, kcents, id_col="docid", vec_col="vec", nprobe=1)
+        .select("docid", "cent_id")
+        .cache()
+    )
+    kapprox: dict = {}
+    for r in ivf_topk_fast(
+        qvec, dvec, kcents, k=k, nprobe=1, doc_lists=kdl
+    ).collect():
+        kapprox.setdefault(r["qid"], set()).add(r["docid"])
+    krec = sum(
+        len(exact[q] & kapprox.get(q, set())) / k for q in exact
+    ) / len(exact)
+    for d in (docs, dvec, qvec, dl, kdl):
+        d.unpersist()
+    assert krec >= 0.2 and krec >= recalls[1] + 0.03, (krec, recalls[1])
 
 
 def test_incremental_neardup_planted(spark):
@@ -1183,6 +1206,67 @@ def test_incremental_neardup_stored_bands_fast_family(spark):
     assert got[100] == (True, 7, 1.0)
     assert got[101] == (True, 33, 1.0)
     assert got[102] == (False, None, None)
+
+
+def test_neardup_index_append_daily_crawl_loop(spark):
+    """The full daily-crawl loop over a STORED index: day-1 corpus indexed
+    (write_neardup_index), day-2 batch deduped against it, its NOVEL rows
+    appended (append_neardup_index — params come from the index metadata,
+    never the caller), and a day-3 batch containing copies of day-2's
+    novel rows is flagged as duplicate AGAINST THE APPENDED IDS."""
+    from semantic_vector_search_system_spark.operators.dedup import (
+        append_neardup_index,
+        incremental_neardup,
+        read_neardup_index,
+        write_neardup_index,
+    )
+
+    prefix = "t_nd_append_idx"
+    texts = {
+        i: f"corpus doc {i} body {' '.join(str(i * j) for j in range(1, 9))}"
+        for i in range(30)
+    }
+    corpus = spark.createDataFrame(list(texts.items()), "doc_id long, text string")
+    novel_100 = "fresh crawl content about entirely new subject matter alpha"
+    novel_101 = "another previously unseen page on a different topic beta"
+    try:
+        write_neardup_index(
+            corpus, prefix, num_hashes=16, rows_per_band=4,
+            hash_family="fast", n_buckets=4,
+        )
+
+        def serve(batch):
+            sigs, bands, meta = read_neardup_index(spark, prefix)
+            return {
+                r["doc_id"]: (r["is_dup"], r["matched_id"])
+                for r in incremental_neardup(
+                    batch, sigs, num_hashes=meta["num_hashes"],
+                    rows_per_band=meta["rows_per_band"], threshold=0.5,
+                    shingle_n=meta["shingle_n"], hash_family=meta["hash_family"],
+                    corpus_bands=bands, corpus_hash_family=meta["hash_family"],
+                ).collect()
+            }
+
+        day2 = spark.createDataFrame(
+            [(100, novel_100), (101, novel_101), (102, texts[7])],
+            "doc_id long, text string",
+        )
+        got2 = serve(day2)
+        assert got2[100] == (False, None) and got2[101] == (False, None)
+        assert got2[102] == (True, 7)
+        append_neardup_index(
+            day2.filter(~F.col("doc_id").isin(102)), prefix
+        )
+        day3 = spark.createDataFrame(
+            [(200, novel_100), (201, novel_101), (202, "still never seen gamma")],
+            "doc_id long, text string",
+        )
+        got3 = serve(day3)
+        assert got3[200] == (True, 100) and got3[201] == (True, 101)
+        assert got3[202] == (False, None)
+    finally:
+        for t in ("_sigs", "_bands", "_meta"):
+            spark.sql(f"DROP TABLE IF EXISTS {prefix}{t}")
 
 
 def test_incremental_neardup_family_mismatch_fails_loudly(spark):

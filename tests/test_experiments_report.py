@@ -166,6 +166,82 @@ def test_runner_to_report_roundtrip(spark, tmp_path):
     assert [r["n_docs"] for r in summ] == [100, 200]
 
 
+def test_h3_model_effect_grid_two_real_encoders(spark, tmp_path):
+    """r5 VERDICT #6: the H3 embedding-model-effect experiment end-to-end
+    with TWO real encoders — the hashing expression encoder vs the
+    numpy mini-transformer (real tensor math through the transformer UDF
+    path) — through the REAL grid path: build_configs H3 branch ->
+    run_configs_and_collect -> per-run JSON records -> glob read ->
+    per-(n_docs, model) summary in the BASELINE.md §model-effect table
+    shape -> paired tests across sizes (reference
+    auto_run_tests.py:641-656 + produce_h3_model_comparison.py)."""
+    import json
+
+    from semantic_vector_search_system_spark.plans.experiments import (
+        build_configs,
+        run_configs_and_collect,
+    )
+    from semantic_vector_search_system_spark.plans.report import (
+        paired_tests,
+        summary_by_size_and_model,
+        valid_runs,
+    )
+    from semantic_vector_search_system_spark.sources.jsonl import (
+        read_result_records,
+    )
+
+    sizes = (200, 400, 600)
+    configs = build_configs(
+        local_only=True, h1_sizes=(), h2_sizes=(), h3_sizes=sizes,
+        models=("hashing", "numpy_mini"),
+    )
+    assert len(configs) == 6 and all(c.hypothesis == "H3" for c in configs)
+    # keep the per-config latency sample small: 4 single-query timed jobs
+    configs = [
+        RunConfig(c.hypothesis, c.n_docs, c.target_db, c.batch_size,
+                  c.model_name, c.dim, 4, c.search_mode, c.repeat)
+        for c in configs
+    ]
+    records = run_configs_and_collect(spark, configs, str(tmp_path))
+    assert len(records) == 6 and not any("error" in r for r in records)
+
+    results_dir = tmp_path / "results"
+    results_dir.mkdir()
+    for i, rec in enumerate(records):
+        flat = {
+            "hypothesis": rec["config"]["hypothesis"],
+            "n_docs": rec["n_docs"],
+            "model_name": rec["config"]["model_name"],
+            "p_at_5": rec["metrics"]["p_at_5"],
+            "r_at_5": rec["metrics"]["r_at_5"],
+            "map": rec["metrics"]["map"],
+            "mean_query_s": rec["metrics"]["query_latency"]["mean_s"],
+        }
+        (results_dir / f"auto_test_h3m_{i}.json").write_text(json.dumps(flat))
+
+    res = read_result_records(spark, str(results_dir))
+    ok = valid_runs(res, ["p_at_5", "map"])
+    summ = summary_by_size_and_model(
+        ok, ["p_at_5", "r_at_5", "map", "mean_query_s"]
+    ).collect()
+    # BASELINE.md §model-effect table shape: one row per (n_docs, model),
+    # columns p@5 / r@5 / MAP / mean query s
+    assert [(r["n_docs"], r["model_name"]) for r in summ] == [
+        (n, m) for n in sizes for m in ("hashing", "numpy_mini")
+    ]
+    for r in summ:
+        assert 0.0 <= r["mean_p_at_5"] <= 1.0
+        assert 0.0 <= r["mean_map"] <= 1.0
+        assert r["mean_mean_query_s"] > 0
+    # paired per-size model comparison (A13): hashing vs numpy_mini p@5
+    by_model = {
+        m: [r["mean_p_at_5"] for r in summ if r["model_name"] == m]
+        for m in ("hashing", "numpy_mini")
+    }
+    out = paired_tests(by_model["hashing"], by_model["numpy_mini"])
+    assert set(out) == {"paired_t", "paired_t_p", "wilcoxon", "wilcoxon_p"}
+
+
 def test_error_sentinel_records(spark, tmp_path):
     from semantic_vector_search_system_spark.plans.experiments import (
         run_configs_and_collect,
