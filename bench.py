@@ -312,6 +312,33 @@ def main() -> None:
                 "jobs, no window exchange)",
             }
             emit(timings, query_meta, sf, partial=True)
+
+            # The pure serving shape (reference-comparable): the query
+            # vector is already in driver memory — the reference's loop
+            # also searches pre-encoded in-memory query vectors against a
+            # loaded index (same contract as the search_100q keys'
+            # precollected query matrices). One Spark job per search:
+            # driver assignment + pruned scan/score/collect + heap merge.
+            q_mem = [(r["qid"], r["qvec"]) for r in one_q.collect()]
+            timings[f"ann_ivf_1q_vec_{n}_docs"], spread = best_of(
+                lambda: ivf_search_partitioned(
+                    spark, f"{ivf_dir}/index", cents, one_q, k=1, nprobe=4,
+                    precollected_centroids=pre_cents, merge="driver",
+                    precollected_queries=q_mem,
+                ).write.format("noop").mode("overwrite").save(),
+                3,
+            )
+            query_meta[f"ann_ivf_1q_vec_{n}_docs"] = {
+                "n_lists": 64, "nprobe": 4, "repeats": 3, "spread": spread,
+                "since_round": 6,
+                "index": "parquet partitionBy(cent_id), zstd",
+                "timed_region": "in-memory-query serving: driver "
+                "assignment + pruned scan + score + driver heap merge "
+                "(query vector pre-encoded in memory, like the "
+                "reference's query loop; the ann_ivf_1q key keeps the "
+                "query-collect-included region for round comparability)",
+            }
+            emit(timings, query_meta, sf, partial=True)
             one_q.unpersist()
             shutil.rmtree(ivf_dir, ignore_errors=True)
 

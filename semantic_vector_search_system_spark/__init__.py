@@ -44,6 +44,12 @@ def __getattr__(name):
         "langid_confusion": ("operators.textanalysis", "langid_confusion"),
         "cosine_self_join": ("operators.similarity", "cosine_self_join"),
         "ivf_topk": ("operators.similarity", "ivf_topk"),
+        "ivf_search_partitioned": ("operators.similarity", "ivf_search_partitioned"),
+        "train_ivf_centroids": ("operators.similarity", "train_ivf_centroids"),
+        "incremental_neardup": ("operators.dedup", "incremental_neardup"),
+        "write_neardup_index": ("operators.dedup", "write_neardup_index"),
+        "read_neardup_index": ("operators.dedup", "read_neardup_index"),
+        "append_neardup_index": ("operators.dedup", "append_neardup_index"),
         "asof_join": ("operators.asof", "asof_join"),
         "upsert_by_key": ("operators.upsert", "upsert_by_key"),
         "latency_stats": ("operators.latency", "latency_stats"),

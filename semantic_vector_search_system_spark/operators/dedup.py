@@ -1178,7 +1178,17 @@ def read_neardup_index(
     ``(corpus_sigs, corpus_bands, meta)``.  Pass the relations plus
     ``corpus_hash_family=meta["hash_family"]`` (and the stored signature
     params) straight into :func:`incremental_neardup` — the explicit
-    family declaration makes a cross-family serving call fail loudly."""
+    family declaration makes a cross-family serving call fail loudly.
+
+    Always refreshes the tables first: Spark caches a table's file
+    listing PER SESSION, and :func:`append_neardup_index` may have run in
+    a different session (e.g. the cloned micro-batch session inside
+    ``foreachBatch`` — found live: without the refresh, a serving session
+    that had read the index before an append kept the stale listing and
+    silently missed every appended signature).  A file listing on the
+    index tables is cheap next to any batch it serves."""
+    for t in ("_sigs", "_bands", "_meta"):
+        spark.catalog.refreshTable(f"{table_prefix}{t}")
     meta_row = spark.read.table(f"{table_prefix}_meta").first()
     meta = meta_row.asDict()
     return (

@@ -480,6 +480,7 @@ def ivf_search_partitioned(
     max_broadcast_queries: int = 4096,
     precollected_centroids: list | None = None,
     merge: str = "window",
+    precollected_queries: list | None = None,
 ):
     """IVF serving against a ``partitionBy(cent_id)`` parquet index — the
     storage-pruned path for LOW-QUERY-COUNT latency.
@@ -521,6 +522,14 @@ def ivf_search_partitioned(
       shuffle of the pruned docs by ``cent_id``, right when the query
       batch is too large to broadcast.
 
+    ``precollected_queries`` ((qid, vec) rows already in driver memory)
+    is the pure serving entry: a query-API process holds the incoming
+    vector as data, not as a DataFrame — passing it skips the
+    query-collect job, and with ``merge='driver'`` the whole search is
+    ONE Spark job (the pruned scan/score/collect).  Matches the
+    reference's serving loop, which searches pre-encoded in-memory query
+    vectors against its loaded index.
+
     ``merge`` (broadcast strategy only) picks the final top-k merge:
 
     * ``"window"`` (default): per-query window over the partial top-k
@@ -542,7 +551,26 @@ def ivf_search_partitioned(
     if merge not in ("window", "driver"):
         raise ValueError(f"unknown merge {merge!r} (window|driver)")
     qid_t = dict(queries.dtypes)[qid_col]
-    if strategy == "auto":
+    # ``precollected_queries`` — (qid, vec) rows already in driver memory —
+    # is the pure serving entry: a query-API process holds the incoming
+    # vector as data, not as a DataFrame, exactly like the reference's
+    # search loop over pre-encoded in-memory query vectors.  Skips the
+    # query-collect job entirely; combined with merge='driver' the whole
+    # search is ONE Spark job (the pruned scan/score/collect).
+    if precollected_queries is not None:
+        if len(precollected_queries) > max_broadcast_queries:
+            raise ValueError(
+                "ivf_search_partitioned: precollected_queries exceeds "
+                f"max_broadcast_queries={max_broadcast_queries}"
+            )
+        if strategy == "cogroup":
+            raise ValueError(
+                "ivf_search_partitioned: precollected_queries is a "
+                "broadcast-strategy serving input"
+            )
+        qrows = list(precollected_queries)
+        strategy = "broadcast"
+    elif strategy == "auto":
         # one collect serves as BOTH the strategy probe and the broadcast
         # path's query matrix — the serving hot path (few queries) pays a
         # single job. The waste case is a >threshold batch (collects

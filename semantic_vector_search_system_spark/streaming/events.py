@@ -10,6 +10,9 @@ pattern to real Structured Streaming over the ``events`` table:
 * :func:`streaming_ingest_foreach_batch` — the reference's encode->ingest
   micro-batch pipeline as ``foreachBatch`` (each micro-batch runs the same
   batch encode/ingest operators — ST1);
+* :func:`streaming_neardup_foreach_batch` — streaming crawl dedup against
+  the STORED near-dup index; novel rows append to the output and the index
+  so later micro-batches dedup against them;
 * :func:`sessionize` — stateful sessionization; expressed with
   ``session_window`` (native state store operator) so Spark manages state,
   watermark eviction and recovery — no custom applyInPandasWithState needed
@@ -22,7 +25,7 @@ plans/catalog.py (hourly_event_counts / sessionization queries).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 
@@ -146,6 +149,84 @@ def streaming_ingest_foreach_batch(
         docs_stream.writeStream.foreachBatch(handle)
         .trigger(availableNow=True)
         .option("checkpointLocation", index_path + "_ckpt")
+        .start()
+    )
+    q.awaitTermination()
+
+
+def streaming_neardup_foreach_batch(
+    spark: SparkSession,
+    docs_stream: DataFrame,
+    index_prefix: str,
+    out_path: str,
+    threshold: float = 0.7,
+    checkpoint: str | None = None,
+) -> None:
+    """Streaming crawl dedup: each micro-batch near-dedups against the
+    STORED corpus index (write_neardup_index tables), appends its NOVEL
+    rows to the accepted-output parquet AND to the index — so every later
+    micro-batch (and every later crawl) dedups against everything accepted
+    before it.  The streaming face of the daily-crawl loop, composed
+    entirely from the oracle-checked batch operators inside foreachBatch.
+
+    Per micro-batch: (1) exact intra-batch keep-one on the content hash
+    (a crawler frontier often yields the same page twice in one window);
+    (2) :func:`...operators.dedup.incremental_neardup` against the stored
+    signatures/bands — corpus text never read, corpus relations never
+    shuffled (plan-gated in the batch tests); (3) novel rows append to
+    ``out_path`` and, via :func:`append_neardup_index`, to the bucketed
+    index tables (signature params come from the index's own metadata).
+
+    Semantics note: NEAR-duplicate pairs arriving inside the SAME
+    micro-batch are both admitted (each is novel vs the index at batch
+    start) — the standard streaming-dedup trade; exact intra-batch copies
+    are dropped by step (1), and a smaller ``maxFilesPerTrigger`` tightens
+    the window.  Recovery: the stream checkpoint makes batch replay
+    possible after a mid-batch crash; replaying re-appends that batch's
+    rows (duplicate signature rows estimate the same jaccard, so verdicts
+    stay correct, and the accepted output should be compacted keyed by id
+    downstream — the same at-least-once contract as any foreachBatch
+    parquet append).
+    """
+    from ..operators.dedup import (
+        append_neardup_index,
+        incremental_neardup,
+        read_neardup_index,
+    )
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        # read through the MICRO-BATCH session: foreachBatch hands the
+        # batch to a cloned session, and table file-listing caches are
+        # per-session (read_neardup_index also refreshes defensively)
+        sigs, bands, meta = read_neardup_index(
+            batch_df.sparkSession, index_prefix
+        )
+        id_col = meta["id_col"]
+        w = Window.partitionBy(F.md5("text")).orderBy(id_col)
+        batch_one = (
+            batch_df.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn")
+        )
+        verdicts = incremental_neardup(
+            batch_one, sigs, id_col=id_col, text_col="text",
+            num_hashes=meta["num_hashes"],
+            rows_per_band=meta["rows_per_band"],
+            shingle_n=meta["shingle_n"], threshold=threshold,
+            hash_family=meta["hash_family"], corpus_bands=bands,
+            corpus_hash_family=meta["hash_family"],
+        )
+        novel_ids = verdicts.filter(~F.col("is_dup")).select(id_col)
+        # consumed twice (output append + index append): truncate so the
+        # verdict DAG runs once
+        novel = batch_one.join(novel_ids, id_col, "left_semi").localCheckpoint()
+        novel.write.mode("append").parquet(out_path)
+        append_neardup_index(novel, index_prefix)
+
+    q = (
+        docs_stream.writeStream.foreachBatch(handle)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", checkpoint or out_path + "_ckpt")
         .start()
     )
     q.awaitTermination()

@@ -842,19 +842,25 @@ def test_ivf_fast_parity_fuzz_shapes(spark, tmp_path):
         ).select("docid", "cent_id")
         idx = str(tmp_path / f"ivf_fuzz_{dim}_{n_cents}_{nprobe}")
         write_vector_index(d.join(dl, "docid"), idx, partition_by="cent_id")
-        for strat, merge in (
-            ("broadcast", "window"),
-            ("broadcast", "driver"),  # r6: the <=2-job serving merge
-            ("cogroup", "window"),
+        for strat, merge, pre_q in (
+            ("broadcast", "window", False),
+            ("broadcast", "driver", False),  # r6: the <=2-job serving merge
+            ("broadcast", "driver", True),   # r6: in-memory-query, 1-job
+            ("cogroup", "window", False),
         ):
+            kwargs = (
+                {"precollected_queries": [(r["qid"], r["qvec"]) for r in q.collect()]}
+                if pre_q
+                else {}
+            )
             served = {
                 (r["qid"], r["rank"]): (r["docid"], round(r["score"], 6))
                 for r in ivf_search_partitioned(
                     spark, idx, cents, q, k=k, nprobe=nprobe, strategy=strat,
-                    merge=merge,
+                    merge=merge, **kwargs,
                 ).collect()
             }
-            assert served == hof, (dim, n_cents, nprobe, strat, merge)
+            assert served == hof, (dim, n_cents, nprobe, strat, merge, pre_q)
 
 
 def test_star_candidates_hot_bucket_linear_not_quadratic(spark):

@@ -55,6 +55,65 @@ def test_streaming_ingest_foreach_batch(spark, tmp_path):
     assert "vec" in out.columns
 
 
+def test_streaming_neardup_crawl_loop(spark, tmp_path):
+    """Streaming crawl dedup e2e: micro-batch 1's novel page is appended to
+    the stored index, so micro-batch 2's copy of it is rejected; corpus
+    copies are rejected from the start; exact intra-batch copies keep one."""
+    import time as _time
+
+    from semantic_vector_search_system_spark.operators.dedup import (
+        read_neardup_index,
+        write_neardup_index,
+    )
+    from semantic_vector_search_system_spark.streaming.events import (
+        streaming_neardup_foreach_batch,
+    )
+
+    prefix = "t_nd_stream_idx"
+    texts = {
+        i: f"corpus page {i} content {' '.join(str(i * j) for j in range(1, 9))}"
+        for i in range(20)
+    }
+    corpus = spark.createDataFrame(list(texts.items()), "doc_id long, text string")
+    novel_a = "breaking story about a brand new subject never crawled before"
+    novel_b = "completely different novel page about another fresh topic"
+    try:
+        write_neardup_index(
+            corpus, prefix, num_hashes=16, rows_per_band=4,
+            hash_family="fast", n_buckets=4,
+        )
+        in_dir = str(tmp_path / "crawl_in")
+        batch1 = spark.createDataFrame(
+            [(100, texts[7]), (101, novel_a), (102, novel_a)],
+            "doc_id long, text string",
+        )
+        batch1.coalesce(1).write.mode("append").parquet(in_dir)
+        _time.sleep(1.2)  # distinct mtimes: maxFilesPerTrigger orders by age
+        batch2 = spark.createDataFrame(
+            [(200, novel_a), (201, novel_b)], "doc_id long, text string"
+        )
+        batch2.coalesce(1).write.mode("append").parquet(in_dir)
+
+        stream = (
+            spark.readStream.schema("doc_id long, text string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(in_dir)
+        )
+        out_path = str(tmp_path / "accepted")
+        streaming_neardup_foreach_batch(spark, stream, prefix, out_path)
+
+        accepted = {r["doc_id"] for r in spark.read.parquet(out_path).collect()}
+        # 100 = corpus copy (rejected), 101/102 exact intra-batch pair (one
+        # kept), 200 = copy of batch-1's accepted novel page (rejected
+        # because the index grew), 201 = novel (accepted)
+        assert accepted == {101, 201}, accepted
+        sigs, _, meta = read_neardup_index(spark, prefix)
+        assert sigs.count() == (20 + 2) * meta["num_hashes"]
+    finally:
+        for t in ("_sigs", "_bands", "_meta"):
+            spark.sql(f"DROP TABLE IF EXISTS {prefix}{t}")
+
+
 def test_media_features_deterministic(spark):
     media = fake_media_table(spark, n=12)
     feats = extract_features(media, decode_fn=deterministic_fake_decoder(dim=8))
