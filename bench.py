@@ -6,11 +6,14 @@ directory and prints JSON metric lines for the driver.
 Queries are materialized with a noop write (full computation, no collect
 cost, no column pruning of the final projection).
 
-Output protocol: after EVERY completed key the full cumulative metric JSON
-is re-printed (and mirrored to bench_out.json), so a run killed mid-flight
-still leaves a parseable line with all completed keys; the final
+Output protocol: after EVERY completed key a compact cumulative metric JSON
+line is re-printed (full detail mirrored to bench_out.json), so a run killed
+mid-flight still leaves a parseable line with all completed keys; the final
 authoritative line (without "partial") is printed AFTER spark.stop() so no
-shutdown output can follow it.
+shutdown output can follow it.  Every printed line is kept under TAIL_BUDGET
+chars because the driver parses only the last 2000 characters of stdout
+(r6 lesson: a 4425-char line overflowed the window and the round's bench
+was recorded parsed:null despite rc=0).
 """
 
 from __future__ import annotations
@@ -51,9 +54,20 @@ def best_of(fn, repeats: int) -> tuple[float, float]:
     return round(min(times), 3), round(max(times) - min(times), 3)
 
 
+# The driver captures only the LAST 2000 characters of bench stdout and
+# parses the last complete JSON line inside that window (measured from the
+# BENCH_r{N}.json artifacts: every round's "tail" field is exactly 2000
+# chars).  BENCH_r06 went parsed:null because the r6 final line grew to
+# 4425 chars (query_meta prose + accuracy sweep) — longer than the window,
+# so the tail held no complete line at all.  Every printed line must
+# therefore fit the window with margin; full detail goes to bench_out.json
+# (committed) and BENCH_NOTES.md instead of stdout.
+TAIL_BUDGET = 1800
+
+
 def emit(timings: dict, query_meta: dict, sf, *, partial: bool) -> str:
-    """Serialize the cumulative metric line; print it AND write it to
-    bench_out.json.
+    """Write the full cumulative metric record to bench_out.json and print a
+    compact, tail-safe JSON line for the driver.
 
     Called after EVERY completed key (r4 lesson, VERDICT item 8): the driver
     keeps a finite output tail and parses the last JSON line it finds, so a
@@ -61,25 +75,37 @@ def emit(timings: dict, query_meta: dict, sf, *, partial: bool) -> str:
     still leaves a parseable record of every key completed so far.  The
     final authoritative line is re-printed after spark.stop() so nothing
     can follow it.
+
+    The printed line carries the required fields (metric/value/unit/
+    queries/sf) plus floors/accuracy when they fit; query_meta and any
+    field that would push the line past TAIL_BUDGET live only in
+    bench_out.json (r6 lesson: a 4425-char line overflows the driver's
+    2000-char tail window and the whole bench round is lost).
     """
-    line = json.dumps(
-        {
-            "metric": "headline_queries_total_runtime",
-            "value": round(sum(timings.values()), 3),
-            "unit": "sec",
-            "queries": timings,
-            "query_meta": query_meta,
-            "sf": sf,
-            **({"floors": FLOORS} if FLOORS else {}),
-            **({"accuracy": ACCURACY} if ACCURACY else {}),
-            **({"partial": True} if partial else {}),
-        }
-    )
+    full = {
+        "metric": "headline_queries_total_runtime",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "query_meta": query_meta,
+        "sf": sf,
+        **({"floors": FLOORS} if FLOORS else {}),
+        **({"accuracy": ACCURACY} if ACCURACY else {}),
+        **({"partial": True} if partial else {}),
+    }
     try:
         with open(OUT_PATH, "w") as f:
-            f.write(line + "\n")
+            f.write(json.dumps(full, indent=1) + "\n")
     except OSError:
         pass
+    compact = {k: v for k, v in full.items() if k != "query_meta"}
+    line = json.dumps(compact, separators=(",", ":"))
+    # drop optional payloads (least→most valuable) until the line fits
+    for drop in ("accuracy", "floors"):
+        if len(line) <= TAIL_BUDGET:
+            break
+        compact.pop(drop, None)
+        line = json.dumps(compact, separators=(",", ":"))
     print(line, flush=True)
     return line
 

@@ -1,0 +1,133 @@
+"""Regression tests for the bench metric-line protocol.
+
+The driver captures only the LAST 2000 characters of bench stdout and
+parses the last complete JSON line inside that window.  BENCH_r06 was
+lost (parsed:null) because the final line grew to 4425 chars — the tail
+window then contained no complete line.  These tests pin the fix: every
+printed line fits the window with margin, regardless of how verbose
+query_meta gets, while full detail still lands in bench_out.json.
+"""
+
+import io
+import json
+from contextlib import redirect_stdout
+
+import bench
+
+
+DRIVER_TAIL_CHARS = 2000  # measured from BENCH_r{1..6}.json "tail" fields
+
+
+def _driver_parse(stdout_text: str):
+    """Replay the driver's capture: keep the last 2000 chars, parse the
+    last complete JSON line found inside that window."""
+    tail = stdout_text[-DRIVER_TAIL_CHARS:]
+    parsed = None
+    for ln in tail.split("\n"):
+        ln = ln.strip()
+        if not ln:
+            continue
+        try:
+            parsed = json.loads(ln)
+        except ValueError:
+            continue
+    return parsed
+
+
+def _realistic_state():
+    """Timings/meta at least as large as the real r6 run (33 keys, prose
+    meta, floors, accuracy sweep) — the shape that overflowed the tail."""
+    names = [
+        "pricing_summary", "revenue_filter", "revenue_by_nation",
+        "top_orders_per_customer", "event_percentiles", "user_running_value",
+        "hourly_event_counts", "knn_topk", "knn_topk_heap",
+        "retrieval_quality", "token_stats_by_lang", "minhash_signatures",
+        "neardup_keep_one", "embedding_neardup_pairs", "sessionization",
+        "stream_hourly_counts", "self_retrieval_e2e", "asof_latest_order",
+        "asof_grouped_orders", "view_purchase_funnel",
+        "training_corpus_selection", "encode_10000_docs",
+        "search_100q_10000_docs", "encode_100000_docs",
+        "search_100q_100000_docs", "ingest_100000_docs",
+        "encode_1000000_docs", "search_100q_1000000_docs",
+        "ann_ivf_1q_1000000_docs", "ann_ivf_1q_vec_1000000_docs",
+        "dedup_1000000_docs", "incremental_dedup_100k_vs_1m",
+        "extra_future_key_1", "extra_future_key_2", "extra_future_key_3",
+    ]
+    timings = {n: 1.234 for n in names}
+    prose = (
+        "per-query serving path: query collect + driver assignment + pruned "
+        "scan + score + merge (same honest region as r5; merge='driver' "
+        "heap-merges the bounded per-batch partials driver-side)"
+    )
+    query_meta = {
+        n: {"repeats": 3, "spread": 0.123, "timed_region": prose,
+            "mode": "broadcast_index", "index": "parquet partitionBy, zstd"}
+        for n in names
+    }
+    return timings, query_meta
+
+
+def test_emit_line_fits_driver_tail(tmp_path, monkeypatch):
+    monkeypatch.setattr(bench, "OUT_PATH", str(tmp_path / "bench_out.json"))
+    monkeypatch.setattr(bench, "FLOORS", {"python_job_floor": 0.302})
+    monkeypatch.setattr(
+        bench, "ACCURACY",
+        {"ann_recall_1m": {"metric": "mean recall@10 vs exact brute force",
+                           "n_queries": 20, "n_lists": 64, "k": 10,
+                           "nprobe=1": 0.34, "nprobe=2": 0.485,
+                           "nprobe=4": 0.715, "nprobe=8": 0.88}},
+    )
+    timings, query_meta = _realistic_state()
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        line = bench.emit(timings, query_meta, 0.1, partial=False)
+    assert len(line) <= bench.TAIL_BUDGET <= DRIVER_TAIL_CHARS - 100
+    parsed = json.loads(line)
+    for k in ("metric", "value", "unit", "queries", "sf"):
+        assert k in parsed, k
+    assert parsed["queries"] == {k: round(v, 3) for k, v in timings.items()}
+    # full detail (query_meta) still reaches bench_out.json
+    full = json.load(open(tmp_path / "bench_out.json"))
+    assert full["query_meta"] == query_meta
+    assert full["accuracy"]["ann_recall_1m"]["nprobe=8"] == 0.88
+
+
+def test_driver_tail_replay_parses_final_line(tmp_path, monkeypatch):
+    """End-to-end replay of the driver protocol over a whole run's stdout:
+    many partial emits followed by the authoritative final line — the tail
+    window must yield the final record."""
+    monkeypatch.setattr(bench, "OUT_PATH", str(tmp_path / "bench_out.json"))
+    monkeypatch.setattr(bench, "FLOORS", {"python_job_floor": 0.302})
+    monkeypatch.setattr(bench, "ACCURACY", {})
+    timings, query_meta = _realistic_state()
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        grown = {}
+        for name, t in timings.items():
+            grown[name] = t
+            bench.emit(grown, query_meta, 0.1, partial=True)
+        bench.emit(timings, query_meta, 0.1, partial=False)
+    parsed = _driver_parse(buf.getvalue())
+    assert parsed is not None, "driver tail window held no complete line"
+    assert "partial" not in parsed
+    assert set(parsed["queries"]) == set(timings)
+
+
+def test_emit_drops_optional_payloads_before_overflowing(tmp_path, monkeypatch):
+    """Even with pathologically large floors/accuracy, the printed line
+    stays under budget by shedding optional fields (never queries)."""
+    monkeypatch.setattr(bench, "OUT_PATH", str(tmp_path / "bench_out.json"))
+    monkeypatch.setattr(
+        bench, "FLOORS", {f"floor_{i}": 0.001 for i in range(60)}
+    )
+    monkeypatch.setattr(
+        bench, "ACCURACY",
+        {f"acc_{i}": {"metric": "x" * 50, "v": 0.5} for i in range(20)},
+    )
+    timings, query_meta = _realistic_state()
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        line = bench.emit(timings, query_meta, 0.1, partial=False)
+    assert len(line) <= bench.TAIL_BUDGET
+    parsed = json.loads(line)
+    assert set(parsed["queries"]) == set(timings)
