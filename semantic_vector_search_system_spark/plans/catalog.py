@@ -1132,56 +1132,75 @@ def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
 #   driver rounds, except mannwhitney_components/dataset_splits/
 #   hybrid_rrf_fusion/gopher_quality_report at 3-4); each entry notes the
 #   in-window query covering the same operator family; all rotate back r7.
+# r7 rotation: IN  — ALL 23 r6-parked queries return per policy (each was
+#   driver-green through r5 and parked exactly one round).
+#              OUT — 21 stalwarts green in BOTH r5 and r6 driver rounds,
+#   plus two r6-checked queries whose in-window twin computes the
+#   identical/near-identical result (hourly_event_counts ≡ incoming
+#   stream_hourly_counts; token_stats_by_lang ≡ incoming
+#   token_counts_regex).  Six r5+r6-green stalwarts stay IN-window because
+#   their operator has no family twin: neardup_keep_one (the only
+#   connected-components oracle), sequence_packing (greedy packing),
+#   stream_user_totals_stateful (the only applyInPandasWithState),
+#   media_features (multimodal decode slot), sketch_stats (KMV sketch),
+#   json_kpi (JSON extraction).  All 23 parked rotate back r8.
 DEMOTED: tuple[str, ...] = (
-    "pricing_summary",           # ≡ sql_interface_pricing (same plan via
-                                 #   spark.sql; incoming)
-    "segment_order_stats",       # semi-join-agg ≡ region_customer_rollup /
-                                 #   supplier_balance_by_nation (incoming) +
-                                 #   decontamination's semi-join (in-window)
-    "token_counts_regex",        # F-family ≡ token_stats_by_lang +
-                                 #   snippet_queries (incoming)
-    "simhash",                   # ≡ doc_fingerprint (incoming)
-    "ngram_jaccard_pairs",       # jaccard/SO1 ≡ nations_with_both +
-                                 #   lsh_candidate_pairs (incoming)
-    "urgent_orders_by_year",     # P4/P8 filter ≡ revenue_filter (in-window)
-    "retrieval_quality",         # A1-A4 metrics ≡ self_retrieval_e2e
-                                 #   (in-window, same metric stack E2E)
-    "embedding_neardup_pairs",   # cosine near-dup ≡ knn_topk (in-window
-                                 #   cosine kernel) + lsh_candidate_pairs
-                                 #   (incoming banding)
-    "quantized_topk_rerank",     # two-stage retrieval ≡ knn_topk +
-                                 #   ann_ivf_topk + ann_recall (in-window)
-    "customers_without_orders",  # anti-join ≡ decontamination (in-window
-                                 #   broadcast anti/semi family)
-    "revenue_by_nation",         # multi-way broadcast join ≡
-                                 #   region_customer_rollup +
-                                 #   supplier_balance_by_nation (incoming)
-    "top_orders_per_customer",   # W3 top-k ≡ global_top_spenders +
-                                 #   knn_topk_heap (incoming)
-    "nation_customer_rank",      # W4 rank ≡ user_running_value (incoming
-                                 #   W5 rank/frame family)
-    "user_event_pivot",          # J6 ≡ user_event_unpivot (incoming inverse)
-    "event_percentiles",         # A5 percentiles ≡ brand_price_stats
-                                 #   (incoming A11) + hourly_event_counts
-                                 #   (incoming events agg)
-    "sessionization",            # ≡ stream_sessionize (incoming, same
-                                 #   result) + user_running_value (incoming)
-    "stream_hourly_counts",      # ≡ hourly_event_counts (incoming,
-                                 #   identical result); ST family covered by
-                                 #   stream_user_totals/_dedup/_join (in)
-    "gopher_quality_report",     # ≡ doc_quality (incoming)
-    "mannwhitney_components",    # A12 stats ≡ welch_components_by_type
-                                 #   (incoming)
-    "dataset_splits",            # hash-bucket sampling ≡ source_cap_sample
-                                 #   (in-window, same content-hash buckets)
-    "hybrid_rrf_fusion",         # fusion of knn_topk + tfidf_self_retrieval
-                                 #   (both in-window)
-    "label_centroids",           # grouped-map Arrow UDAF ≡ knn_topk's
-                                 #   mapInPandas kernel (in-window) +
-                                 #   stream_user_totals_stateful's
-                                 #   applyInPandasWithState (in-window)
-    "index_upsert_counts",       # A7 ingest ≡ exact_dedup (incoming keyed
-                                 #   agg) + ingest tests/bench every round
+    "revenue_filter",            # P4 compound filter ≡ urgent_orders_by_year
+                                 #   (incoming P4/P8 filter family)
+    "knn_topk",                  # exact cosine top-k ≡ ann_recall (in-window,
+                                 #   replays the exact brute-force side) +
+                                 #   embedding_neardup_pairs /
+                                 #   quantized_topk_rerank (incoming kernels)
+    "knn_hybrid_filtered",       # metadata pre-filter + knn ≡
+                                 #   quantized_topk_rerank (incoming
+                                 #   two-stage) + urgent_orders_by_year
+    "incremental_dedup",         # stored-index banding ≡ minhash_signatures
+                                 #   + lsh_candidate_pairs + exact_dedup
+                                 #   (all in-window)
+    "source_cap_sample",         # content-hash sampling ≡ dataset_splits
+                                 #   (incoming, same stable-hash buckets)
+    "source_mixture_weights",    # keyed agg ≡ pricing_summary (incoming A8)
+    "corpus_vocabulary",         # token DF counts ≡ token_counts_regex
+                                 #   (incoming) tokenize+agg family
+    "self_retrieval_e2e",        # E2E metric stack ≡ retrieval_quality
+                                 #   (incoming A1-A4, same operators)
+    "user_event_sequences",      # A15 ordered accumulation ≡
+                                 #   user_running_value (in-window W5) +
+                                 #   sessionization (incoming)
+    "ann_ivf_topk",              # IVF ≡ ann_recall (in-window, replays the
+                                 #   IVF side across an nprobe sweep)
+    "tfidf_self_retrieval",      # TF-IDF retrieval ≡ hybrid_rrf_fusion
+                                 #   (incoming, fuses tfidf + knn runs)
+    "asof_grouped_orders",       # as-of ≡ asof_latest_order (in-window)
+    "media_kind_stats",          # multimodal agg ≡ media_features
+                                 #   (in-window, same decode slot + schema)
+    "stream_dedup_events",       # streaming dedup ≡
+                                 #   stream_user_totals_stateful (in-window
+                                 #   stateful) + exact_dedup (in-window)
+    "part_type_revenue",         # join-agg ≡ revenue_by_nation (incoming) +
+                                 #   region_customer_rollup (in-window)
+    "cube_order_stats",          # CUBE ≡ rollup_pricing (in-window
+                                 #   grouping-sets family)
+    "view_purchase_funnel",      # range join ≡ asof_latest_order (in-window
+                                 #   time-conditioned join) + sessionization
+                                 #   (incoming window logic)
+    "stream_view_purchase_join", # stream-stream join ≡ stream_sessionize
+                                 #   (incoming) + stream_user_totals_stateful
+                                 #   (in-window watermark/state family)
+    "training_corpus_selection", # composite of in-window stages:
+                                 #   lsh_candidate_pairs (banding+verify),
+                                 #   doc_quality, langid_confusion,
+                                 #   customers_without_orders (anti-join)
+    "pii_scan_report",           # regex scan/redact ≡ token_counts_regex
+                                 #   (incoming regex family) + doc_quality
+                                 #   (in-window text rules)
+    "decontamination",           # broadcast semi-join ≡ segment_order_stats
+                                 #   + customers_without_orders (incoming)
+    "hourly_event_counts",       # ≡ stream_hourly_counts (incoming,
+                                 #   identical result by construction)
+    "token_stats_by_lang",       # F2 tokenize ≡ token_counts_regex
+                                 #   (incoming) + langid_confusion
+                                 #   (in-window per-lang grouping)
 )
 
 

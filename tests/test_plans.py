@@ -353,20 +353,23 @@ def test_driver_window_covers_every_operator_family():
     window = set(names[:50])
     # every non-demoted query is inside the driver's window
     assert window == set(CATALOG) - set(DEMOTED)
-    # r6 flagship set: the pipeline/e2e composites plus every NEW or
-    # <=2-round-green query.  r5 flagships parked by the r6 rotation
-    # (hybrid_rrf_fusion, dataset_splits, gopher_quality_report,
-    # embedding_neardup_pairs, quantized_topk_rerank — each a 4-round-green
-    # stalwart whose operator family stays covered in-window, see the
-    # DEMOTED rationale in plans/catalog.py) rotate back in r7.
+    # r7 flagship set: the six no-family-twin stalwarts retained across the
+    # r7 rotation (see DEMOTED rationale) plus the young query ann_recall
+    # and the returning composite flagships.  r6 flagships parked by the r7
+    # rotation (training_corpus_selection, knn_topk, incremental_dedup,
+    # ann_ivf_topk, self_retrieval_e2e, ... — each green in r5 AND r6, each
+    # with its operator family covered in-window) rotate back in r8.
     flagships = {
-        "training_corpus_selection", "pii_scan_report", "decontamination",
-        "media_features", "stream_dedup_events", "view_purchase_funnel",
-        "stream_view_purchase_join", "sketch_stats", "tfidf_self_retrieval",
-        "knn_topk", "incremental_dedup", "neardup_keep_one", "ann_ivf_topk",
-        "self_retrieval_e2e", "asof_grouped_orders",
-        # new in r5/r6 — must be driver-checked while young
-        "sequence_packing", "ann_recall",
+        # no family twin — never parked
+        "neardup_keep_one", "sequence_packing",
+        "stream_user_totals_stateful", "media_features", "sketch_stats",
+        "json_kpi",
+        # young — must be driver-checked while young
+        "ann_recall",
+        # returning composites / fusions
+        "hybrid_rrf_fusion", "quantized_topk_rerank",
+        "embedding_neardup_pairs", "retrieval_quality",
+        "gopher_quality_report", "dataset_splits", "label_centroids",
     }
     assert flagships <= window
     # oracle ordering mirrors query ordering
