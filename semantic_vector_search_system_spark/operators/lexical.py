@@ -1,0 +1,208 @@
+"""Lexical (sparse / inverted-index) retrieval and span-level dedup.
+
+BM25 extends the engine's lexical stack (TF-IDF pinned-vocabulary
+retrieval, operators/encode.py:278) with the tf-saturation +
+document-length-normalization ranking function used by every production
+lexical search system; span dedup extends the document-level near-dup
+family (operators/dedup.py) with sub-document granularity — the "exact
+substring dedup" stage of large-scale training-data pipelines
+(Lee et al. 2022, "Deduplicating Training Data Makes Language Models
+Better": repeated spans are removed even when whole documents differ).
+
+Reference parity: the reference's lexical surface is the DummyEncoder
+TF-IDF mode (`embeddings/encoder.py:78-89`); BM25 and span dedup are
+beyond-reference operators from the LLM-pipeline brief.
+
+Cross-engine determinism (catalog rules): no ln/exp — BM25 uses the
+log-free odds idf ``(N - df + 0.5) / (df + 0.5)`` (the argument of the
+classic Robertson–Sparck-Jones log idf; per-term monotone in df, division
+is IEEE-exact); per-pair scores sum in DECIMAL(38,12) so summation order
+cannot change the value hash; candidate sets are the sparse equi-join's
+natural rows (pairs sharing >= 1 surviving term); ties break on docid.
+
+100 TB shape: everything is a keyed shuffle — tf/df/dl are hash
+aggregations, the query-document dot is an equi-join on token (the
+distributed inverted index), and the stopword cut (df > max_df_ratio * N
+dropped) removes exactly the tokens whose postings lists would skew the
+join. Span dedup shuffles once by chunk hash (keep-first window) and once
+by doc_id (reassembly) — both keyed, no driver state.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.hashing import stable_hash64
+
+
+def _dec_sum(col: Column) -> Column:
+    # DECIMAL summation is exact and order-insensitive (catalog rule);
+    # double summation order differs between engines and would break the
+    # value hash.
+    return F.sum(col.cast("decimal(38,12)")).cast("double")
+
+
+def bm25_scores(
+    docs: DataFrame,
+    queries: DataFrame,
+    *,
+    k1: float = 1.2,
+    b: float = 0.75,
+    max_df_ratio: float = 0.5,
+    doc_text: str = "text",
+    doc_id: str = "doc_id",
+    q_text: str = "text",
+    q_id: str = "qid",
+) -> DataFrame:
+    """Sparse BM25 scores ``(qid, docid, score)`` for every query-document
+    pair sharing at least one surviving term.
+
+    Plan: tokenize both sides (narrow), aggregate tf / dl / df (keyed
+    shuffles with map-side partial aggregation), drop stopwords
+    (df > max_df_ratio * N — the skew cut: those postings lists are the
+    only super-linear join keys), then score through the token equi-join.
+    N and avgdl are single-row aggregates (broadcast for free).
+
+    The per-term contribution is computed with a pinned association order
+    so both engines produce bit-identical doubles::
+
+        ((idf * (tf * (k1+1))) / (tf + k1 * ((1-b) + b * dl/avgdl))) * qtf
+    """
+    dtok = docs.select(
+        F.col(doc_id).alias("docid"),
+        F.explode(F.split(F.col(doc_text), r"\s+")).alias("tok"),
+    )
+    # ONE shuffle of the exploded tokens; dl / df / avgdl all derive from
+    # the (docid, tok) aggregate so the raw token stream is scanned and
+    # shuffled exactly once (tf rows are distinct pairs by construction,
+    # so df is a count and dl an integer sum over tf — no distinct() pass).
+    tf = dtok.groupBy("docid", "tok").agg(F.count("*").alias("_c"))
+    dl = tf.groupBy("docid").agg(F.sum("_c").cast("double").alias("dl"))
+    n_df = docs.select(F.count("*").cast("double").alias("n_docs"))
+    # avgdl from an exact integer token count (deterministic division)
+    avg_df = tf.groupBy("docid").agg(F.sum("_c").alias("_dl")).agg(
+        (F.sum("_dl").cast("double")).alias("_tot"),
+        F.count("*").cast("double").alias("_nd"),
+    ).select((F.col("_tot") / F.col("_nd")).alias("avgdl"))
+    df = (
+        tf.groupBy("tok")
+        .agg(F.count("*").cast("double").alias("df"))
+        .crossJoin(F.broadcast(n_df))
+        .filter(F.col("df") <= F.lit(max_df_ratio) * F.col("n_docs"))
+        .select(
+            "tok",
+            (
+                (F.col("n_docs") - F.col("df") + F.lit(0.5))
+                / (F.col("df") + F.lit(0.5))
+            ).alias("idf"),
+        )
+    )
+    tf = tf.select("docid", "tok", F.col("_c").cast("double").alias("tf"))
+    qtok = queries.select(
+        F.col(q_id).alias("qid"),
+        F.explode(F.split(F.col(q_text), r"\s+")).alias("tok"),
+    )
+    qtf = qtok.groupBy("qid", "tok").agg(F.count("*").cast("double").alias("qtf"))
+    postings = (
+        tf.join(df, "tok")
+        .join(dl, "docid")
+        .crossJoin(F.broadcast(avg_df))
+        .select(
+            "tok",
+            "docid",
+            (
+                (
+                    F.col("idf") * (F.col("tf") * F.lit(k1 + 1.0))
+                )
+                / (
+                    F.col("tf")
+                    + F.lit(k1)
+                    * (F.lit(1.0 - b) + F.lit(b) * (F.col("dl") / F.col("avgdl")))
+                )
+            ).alias("w"),
+        )
+    )
+    return (
+        qtf.join(postings, "tok")
+        .groupBy("qid", "docid")
+        .agg(_dec_sum(F.col("w") * F.col("qtf")).alias("score"))
+    )
+
+
+def bm25_topk(
+    docs: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    **kwargs,
+) -> DataFrame:
+    """Top-k BM25 retrieval ``(qid, docid, rank, score)`` with docid
+    tie-break; score rounded to 4 decimals for the engine-portable hash."""
+    scored = bm25_scores(docs, queries, **kwargs)
+    w = Window.partitionBy("qid").orderBy(F.desc("score"), F.asc("docid"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+        .select("qid", "docid", "rank", F.round("score", 4).alias("score"))
+    )
+
+
+def span_dedup(
+    docs: DataFrame,
+    *,
+    span_tokens: int = 20,
+    doc_text: str = "text",
+    doc_id: str = "doc_id",
+) -> DataFrame:
+    """Sub-document exact span dedup: split every document into
+    non-overlapping ``span_tokens``-word chunks, keep the globally FIRST
+    occurrence of each distinct chunk (ordered by doc_id, then position),
+    drop every repeat, and reassemble the surviving text per document.
+
+    Returns ``(doc_id, n_chunks, n_kept, dedup_text)`` — one row per input
+    document (documents whose every chunk was seen earlier keep an empty
+    dedup_text rather than disappearing).
+
+    Scale: chunking is a narrow projection; the keep-first decision is one
+    window over chunk-hash partitions (shuffle keyed by the 60-bit pinned
+    hash — uniform by construction, no hot keys because identical chunks
+    ARE the thing being collapsed and land on one partition at count =
+    duplication factor); reassembly is one keyed aggregation by doc_id.
+    Nothing is driver-side, nothing is all-pairs.
+    """
+    toks = F.split(F.col(doc_text), r"\s+")
+    n_chunks = F.ceil(F.size(toks) / F.lit(span_tokens)).cast("long")
+    chunks = docs.select(
+        F.col(doc_id),
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), n_chunks - 1),
+                lambda i: F.array_join(
+                    F.slice(toks, i * span_tokens + 1, span_tokens), " "
+                ),
+            )
+        ).alias("pos", "chunk"),
+    )
+    w = Window.partitionBy("h").orderBy(F.asc(doc_id), F.asc("pos"))
+    kept = (
+        chunks.withColumn("h", stable_hash64("chunk"))
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+    )
+    per_doc = kept.groupBy(doc_id).agg(
+        F.count("*").alias("n_kept"),
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "chunk"))),
+                lambda s: s["chunk"],
+            ),
+        ).alias("dedup_text"),
+    )
+    base = docs.select(F.col(doc_id), n_chunks.alias("n_chunks"))
+    return base.join(per_doc, doc_id, "left").select(
+        doc_id,
+        "n_chunks",
+        F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+        F.coalesce("dedup_text", F.lit("")).alias("dedup_text"),
+    )

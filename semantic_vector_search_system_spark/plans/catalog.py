@@ -1135,10 +1135,12 @@ def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
 # r7 rotation: IN  — ALL 23 r6-parked queries return per policy (each was
 #   driver-green through r5 and parked exactly one round).
 #              OUT — 21 stalwarts green in BOTH r5 and r6 driver rounds,
-#   plus two r6-checked queries whose in-window twin computes the
-#   identical/near-identical result (hourly_event_counts ≡ incoming
+#   plus four r6-checked queries whose in-window twin covers the same
+#   family with near-identical semantics (hourly_event_counts ≡ incoming
 #   stream_hourly_counts; token_stats_by_lang ≡ incoming
-#   token_counts_regex).  Six r5+r6-green stalwarts stay IN-window because
+#   token_counts_regex; nations_with_both ≡ incoming ngram_jaccard_pairs;
+#   doc_fingerprint ≡ incoming simhash) — the last two parked to make
+#   window room for the NEW r7 queries bm25_topk and span_dedup.  Six r5+r6-green stalwarts stay IN-window because
 #   their operator has no family twin: neardup_keep_one (the only
 #   connected-components oracle), sequence_packing (greedy packing),
 #   stream_user_totals_stateful (the only applyInPandasWithState),
@@ -1201,6 +1203,10 @@ DEMOTED: tuple[str, ...] = (
     "token_stats_by_lang",       # F2 tokenize ≡ token_counts_regex
                                  #   (incoming) + langid_confusion
                                  #   (in-window per-lang grouping)
+    "nations_with_both",         # SO1 INTERSECT ≡ ngram_jaccard_pairs
+                                 #   (incoming set-overlap family)
+    "doc_fingerprint",           # rolling-hash fingerprint ≡ simhash
+                                 #   (incoming fingerprint family)
 )
 
 
@@ -2999,3 +3005,92 @@ def decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id").alias("eval_id"), query_snippet("text").alias("text")
     )
     return decontaminate(docs, evals, n=8)
+
+
+# ---------------------------------------------------------------------------
+# Round 7: BM25 lexical retrieval + sub-document span dedup
+# ---------------------------------------------------------------------------
+
+@_q(
+    "bm25_topk",
+    f"""
+    WITH dtok AS (SELECT doc_id AS docid, unnest({_SPLIT}) AS tok FROM documents),
+    tf AS (SELECT docid, tok, CAST(COUNT(*) AS DOUBLE) AS tf FROM dtok GROUP BY docid, tok),
+    dl AS (SELECT docid, CAST(COUNT(*) AS DOUBLE) AS dl FROM dtok GROUP BY docid),
+    nd AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs FROM documents),
+    ad AS (SELECT CAST(CAST(SUM(c) AS BIGINT) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avgdl
+           FROM (SELECT docid, COUNT(*) AS c FROM dtok GROUP BY docid) pc),
+    idf AS (SELECT tok, (n_docs - df + 0.5) / (df + 0.5) AS idf
+            FROM (SELECT tok, CAST(COUNT(*) AS DOUBLE) AS df
+                  FROM (SELECT DISTINCT docid, tok FROM dtok) u GROUP BY tok) dfq, nd
+            WHERE df <= 1.0 * n_docs),
+    q AS (SELECT doc_id AS qid, substr(text, 1, 200) AS qtext FROM documents WHERE doc_id < 10),
+    qtf AS (SELECT qid, tok, CAST(COUNT(*) AS DOUBLE) AS qtf
+            FROM (SELECT qid, unnest(regexp_split_to_array(qtext, '\\s+')) AS tok FROM q) qt
+            GROUP BY qid, tok),
+    post AS (SELECT tf.tok, tf.docid,
+                    (idf.idf * (tf.tf * 2.2)) / (tf.tf + 1.2 * (0.25 + 0.75 * (dl.dl / ad.avgdl))) AS w
+             FROM tf JOIN idf ON tf.tok = idf.tok JOIN dl ON tf.docid = dl.docid, ad),
+    sc AS (SELECT qid, docid, CAST(SUM(CAST(w * qtf AS DECIMAL(38,12))) AS DOUBLE) AS score
+           FROM qtf JOIN post ON qtf.tok = post.tok GROUP BY qid, docid),
+    ranked AS (SELECT qid, docid, score,
+                 CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY score DESC, docid) AS INTEGER) AS rank
+               FROM sc)
+    SELECT qid, docid, rank, ROUND(score, 4) AS score FROM ranked WHERE rank <= 5
+    """,
+    tags=("lexical", "bm25", "topk"),
+)
+def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-5 retrieval of snippet queries (docs 0-9) over the corpus
+    (operators/lexical.py). Log-free odds idf, DECIMAL per-pair summation
+    and the sparse-equi-join candidate set make it hash-checkable; the
+    df > N/2 stopword cut kills the skewed postings lists at scale. The
+    lexical counterpart of tfidf_self_retrieval (reference DummyEncoder
+    TF-IDF mode, embeddings/encoder.py:78-89) with tf saturation + length
+    normalization.  max_df_ratio is 1.0 here because the synthetic corpus
+    vocabulary is 31 tokens with df ~ 0.8N (the default 0.5 cut would
+    leave one surviving term); the cut itself is pinned by a unit test on
+    a skewed fixture."""
+    from ..functions.text import query_snippet
+    from ..operators.lexical import bm25_topk as _bm25
+
+    docs = T(spark, sf_dir, "documents")
+    queries = docs.filter(F.col("doc_id") < 10).select(
+        F.col("doc_id").alias("qid"), query_snippet("text").alias("text")
+    )
+    return _bm25(docs, queries, k=5, max_df_ratio=1.0)
+
+
+@_q(
+    "span_dedup",
+    f"""
+    WITH sp AS (SELECT doc_id, {_SPLIT} AS toks FROM documents),
+    ch AS (SELECT doc_id, i AS pos,
+                  array_to_string(toks[i*20+1 : i*20+20], ' ') AS chunk
+           FROM sp, UNNEST(generate_series(0,
+                 CAST(ceil(CAST(len(toks) AS DOUBLE) / 20) AS BIGINT) - 1)) AS t(i)),
+    k AS (SELECT doc_id, pos, chunk,
+                 ROW_NUMBER() OVER (PARTITION BY {stable_hash64_sql('chunk')}
+                                    ORDER BY doc_id, pos) AS rn
+          FROM ch),
+    pd AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_kept,
+                  string_agg(chunk, ' ' ORDER BY pos) AS dedup_text
+           FROM k WHERE rn = 1 GROUP BY doc_id)
+    SELECT sp.doc_id,
+           CAST(ceil(CAST(len(toks) AS DOUBLE) / 20) AS BIGINT) AS n_chunks,
+           COALESCE(pd.n_kept, 0) AS n_kept,
+           COALESCE(pd.dedup_text, '') AS dedup_text
+    FROM sp LEFT JOIN pd ON sp.doc_id = pd.doc_id
+    """,
+    tags=("dedup", "span", "curation"),
+)
+def span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sub-document exact span dedup (operators/lexical.span_dedup): the
+    'exact substring dedup' stage of training-data pipelines — 20-token
+    non-overlapping chunks, keep the globally first occurrence of each
+    distinct chunk (by doc_id, pos), reassemble survivors per document.
+    One hash-keyed window + one doc_id-keyed aggregation; complements the
+    document-level family (exact_dedup / neardup_keep_one)."""
+    from ..operators.lexical import span_dedup as _span
+
+    return _span(T(spark, sf_dir, "documents"), span_tokens=20)

@@ -1,0 +1,177 @@
+"""Unit tests for operators/lexical.py: BM25 retrieval and span dedup.
+
+BM25 is checked against a transparent pure-python oracle on a small
+fixture (and its stopword cut on a skewed one); span dedup against
+hand-computable planted-duplicate fixtures plus a partitioning-invariance
+check (the catalog oracle covers the full relational semantics at scale).
+"""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from semantic_vector_search_system_spark.operators.lexical import (
+    bm25_scores,
+    bm25_topk,
+    span_dedup,
+)
+
+
+def _py_bm25(docs, queries, k1=1.2, b=0.75, max_df_ratio=0.5):
+    """Transparent reference implementation (dict-of-floats)."""
+    dtoks = {i: t.split() for i, t in docs.items()}
+    n = len(docs)
+    avgdl = sum(len(t) for t in dtoks.values()) / n
+    df = {}
+    for toks in dtoks.values():
+        for tok in set(toks):
+            df[tok] = df.get(tok, 0) + 1
+    idf = {
+        t: (n - c + 0.5) / (c + 0.5)
+        for t, c in df.items()
+        if c <= max_df_ratio * n
+    }
+    out = {}
+    for qid, qtext in queries.items():
+        qtf = {}
+        for tok in qtext.split():
+            qtf[tok] = qtf.get(tok, 0) + 1
+        for docid, toks in dtoks.items():
+            tf = {}
+            for tok in toks:
+                tf[tok] = tf.get(tok, 0) + 1
+            s = 0.0
+            hit = False
+            for tok, qc in qtf.items():
+                if tok in idf and tok in tf:
+                    hit = True
+                    c = tf[tok]
+                    dl = len(toks)
+                    s += (
+                        (idf[tok] * (c * (k1 + 1)))
+                        / (c + k1 * ((1 - b) + b * (dl / avgdl)))
+                    ) * qc
+            if hit:
+                out[(qid, docid)] = s
+    return out
+
+
+DOCS = {
+    0: "spark join merge sort spark spark",
+    1: "join merge window scan",
+    2: "sort sort sort sort sort sort sort sort sort sort",
+    3: "spark window",
+    4: "scan batch stream filter group agg",
+}
+QUERIES = {100: "spark sort", 101: "window scan scan"}
+
+
+def _mk(spark, data, idc, tc):
+    return spark.createDataFrame(
+        [(i, t) for i, t in data.items()], f"{idc} long, {tc} string"
+    )
+
+
+def test_bm25_matches_python_oracle(spark):
+    got = {
+        (r["qid"], r["docid"]): r["score"]
+        for r in bm25_scores(
+            _mk(spark, DOCS, "doc_id", "text"),
+            _mk(spark, QUERIES, "qid", "text"),
+            max_df_ratio=1.0,
+        ).collect()
+    }
+    want = _py_bm25(DOCS, QUERIES, max_df_ratio=1.0)
+    assert set(got) == set(want)
+    for k in want:
+        assert got[k] == pytest.approx(want[k], abs=1e-9), k
+
+
+def test_bm25_tf_saturation_and_length_norm(spark):
+    rows = bm25_topk(
+        _mk(spark, DOCS, "doc_id", "text"),
+        _mk(spark, QUERIES, "qid", "text"),
+        k=5,
+        max_df_ratio=1.0,
+    ).collect()
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r["qid"], {})[r["docid"]] = (r["rank"], r["score"])
+    # qid 100 ("spark sort"): doc 0 (3x spark + 1x sort, short) must beat
+    # doc 2 (10x sort only — tf saturates AND dl penalizes) and doc 3
+    # (1x spark only).
+    assert by_q[100][0][0] == 1
+    assert by_q[100][0][1] > by_q[100][2][1]
+    assert by_q[100][0][1] > by_q[100][3][1]
+    # qid 101 ("window scan scan"): doc 1 has both terms -> rank 1.
+    assert by_q[101][1][0] == 1
+    # docs with no query term never appear
+    assert 4 not in by_q[100]
+
+
+def test_bm25_stopword_cut_drops_high_df_terms(spark):
+    # "common" appears in every doc; with max_df_ratio=0.5 it must not
+    # contribute — doc 9 (only "common") gets no row at all.
+    docs = {i: f"common word{i}" for i in range(9)}
+    docs[9] = "common common common"
+    queries = {0: "common word3"}
+    got = bm25_scores(
+        _mk(spark, docs, "doc_id", "text"),
+        _mk(spark, queries, "qid", "text"),
+        max_df_ratio=0.5,
+    ).collect()
+    assert {r["docid"] for r in got} == {3}  # only the rare-term match
+
+
+def test_span_dedup_keeps_first_occurrence(spark):
+    k = 3
+    # doc 0 chunks: "a b c" / "d e f"; doc 1 repeats "a b c" then fresh;
+    # doc 2 is doc 0 verbatim (fully deduped away); doc 3 repeats its own
+    # first chunk.
+    docs = {
+        0: "a b c d e f",
+        1: "a b c x y z",
+        2: "a b c d e f",
+        3: "p q r p q r",
+    }
+    out = {
+        r["doc_id"]: r
+        for r in span_dedup(
+            _mk(spark, docs, "doc_id", "text"), span_tokens=k
+        ).collect()
+    }
+    assert len(out) == 4  # every input doc present
+    assert out[0]["dedup_text"] == "a b c d e f"
+    assert (out[0]["n_chunks"], out[0]["n_kept"]) == (2, 2)
+    assert out[1]["dedup_text"] == "x y z"
+    assert (out[1]["n_chunks"], out[1]["n_kept"]) == (2, 1)
+    assert out[2]["dedup_text"] == ""
+    assert (out[2]["n_chunks"], out[2]["n_kept"]) == (2, 0)
+    assert out[3]["dedup_text"] == "p q r"
+    assert (out[3]["n_chunks"], out[3]["n_kept"]) == (2, 1)
+
+
+def test_span_dedup_ragged_tail_chunk(spark):
+    docs = {0: "a b c d", 1: "c d"}  # doc 0 tail chunk "d"; doc 1 = "c d"
+    out = {
+        r["doc_id"]: r
+        for r in span_dedup(
+            _mk(spark, docs, "doc_id", "text"), span_tokens=3
+        ).collect()
+    }
+    assert out[0]["dedup_text"] == "a b c d"
+    assert out[0]["n_chunks"] == 2
+    assert out[1]["dedup_text"] == "c d"  # distinct chunk, survives
+
+
+def test_span_dedup_partitioning_invariant(spark):
+    docs = {i: " ".join(f"w{(i * 7 + j) % 11}" for j in range(25)) for i in range(40)}
+    df = _mk(spark, docs, "doc_id", "text")
+    a = sorted(
+        map(tuple, span_dedup(df.repartition(1), span_tokens=5).collect())
+    )
+    b = sorted(
+        map(tuple, span_dedup(df.repartition(13), span_tokens=5).collect())
+    )
+    assert a == b
