@@ -411,6 +411,67 @@ def main() -> None:
                 "test_ivf_recall_floor_at_bench_geometry",
             }
             emit(timings, query_meta, sf, partial=True)
+
+            # PQ: memory-compressed ANN over the same 1M corpus (r7).
+            # 512-dim float32 vectors (2 KiB) -> m=8 codeword ids (8 B,
+            # 256x); codebooks k-means-trained on a bounded 20k sample;
+            # encode is one narrow Arrow stage (timed); serving is the
+            # ADC LUT scan over the code table with per-partition
+            # top-k + one k-rows-per-partition merge (timed). Recall@10
+            # against the SAME exact sets as ann_recall_1m (vectors are
+            # L2-normalized, so cosine and L2 rank identically).
+            from semantic_vector_search_system_spark.operators.pq import (
+                pq_adc_topk_fast,
+                pq_encode_fast,
+                pq_train_codebooks,
+            )
+
+            books = pq_train_codebooks(
+                dvec, m=8, k_codes=256, vec_col="vec", sample_rows=20_000
+            )
+            codes_plan = pq_encode_fast(dvec, books, vec_col="vec", id_col="docid")
+            timings[f"pq_encode_{n}_docs"], spread = best_of(
+                lambda: codes_plan.write.format("noop").mode("overwrite").save(),
+                2,
+            )
+            query_meta[f"pq_encode_{n}_docs"] = {
+                "m": 8, "k_codes": 256, "repeats": 2, "spread": spread,
+                "since_round": 7, "compression": "2KiB->8B per vector",
+            }
+            emit(timings, query_meta, sf, partial=True)
+            codes_1m = codes_plan.localCheckpoint()  # the built PQ index
+            q_rows = rq.collect()  # 20 in-memory query vectors (bounded)
+            Qv = [r["qvec"] for r in q_rows]
+            Qi = [r["qid"] for r in q_rows]
+            pq_plan = pq_adc_topk_fast(
+                Qv, Qi, codes_1m, books, k=k_rec, id_col="docid"
+            )
+            timings[f"ann_pq_20q_{n}_docs"], spread = best_of(
+                lambda: pq_plan.write.format("noop").mode("overwrite").save(),
+                3,
+            )
+            query_meta[f"ann_pq_20q_{n}_docs"] = {
+                "m": 8, "k_codes": 256, "repeats": 3, "spread": spread,
+                "since_round": 7,
+                "timed_region": "ADC serving over the built code table: "
+                "driver LUTs + code scan + per-partition top-k + merge",
+            }
+            pq_hits: dict = {}
+            for r in pq_plan.collect():
+                pq_hits.setdefault(r["qid"], set()).add(r["docid"])
+            pq_recs = [
+                len(exact[q] & pq_hits.get(q, set())) / k_rec for q in exact
+            ]
+            ACCURACY["ann_pq_1m"] = {
+                "metric": f"mean recall@{k_rec} vs exact brute force",
+                "n_queries": n_rec_q, "m": 8, "k_codes": 256,
+                "recall": round(sum(pq_recs) / len(pq_recs), 4),
+            }
+            query_meta["ann_pq_1m"] = {
+                "since_round": 7, "reported_in": "accuracy",
+                "floor_test": "tests/test_pq.py::test_pq_recall_floor_vs_exact",
+            }
+            emit(timings, query_meta, sf, partial=True)
             rq.unpersist()
             dl.unpersist()
         dvec.unpersist()

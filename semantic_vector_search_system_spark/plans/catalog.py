@@ -1207,6 +1207,9 @@ DEMOTED: tuple[str, ...] = (
                                  #   (incoming set-overlap family)
     "doc_fingerprint",           # rolling-hash fingerprint ≡ simhash
                                  #   (incoming fingerprint family)
+    "user_event_unpivot",        # J6 inverse ≡ user_event_pivot (incoming
+                                 #   — the pivot twin; parked for window
+                                 #   room for the NEW r7 ann_pq_topk)
 )
 
 
@@ -3094,3 +3097,71 @@ def span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.lexical import span_dedup as _span
 
     return _span(T(spark, sf_dir, "documents"), span_tokens=20)
+
+
+# ---------------------------------------------------------------------------
+# Round 7: product-quantization ANN (expression form, full oracle)
+# ---------------------------------------------------------------------------
+
+def _sq16_sql(a: str, b: str, off: str) -> str:
+    """Explicit 16-term left-associative squared-L2 between two DOUBLE[]
+    slices at a (column-expression) offset — mirrors operators/pq.py
+    ``_sq_l2_expr`` term-for-term so both engines produce identical
+    doubles (SQL + is left-associative by grammar, the Spark expression
+    folds with functools.reduce)."""
+    return " + ".join(
+        f"({a}[{off}+{i}] - {b}[{off}+{i}]) * ({a}[{off}+{i}] - {b}[{off}+{i}])"
+        for i in range(1, 17)
+    )
+
+
+@_q(
+    "ann_pq_topk",
+    f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    cw AS (SELECT vec_id, v, ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS code
+           FROM e WHERE vec_id < 16),
+    cb AS (SELECT s.j AS sub, cw.code, cw.v AS fv
+           FROM cw, (SELECT unnest(generate_series(0, 3)) AS j) s),
+    dcb AS (SELECT e.vec_id, cb.sub, cb.code,
+                   {_sq16_sql('e.v', 'cb.fv', 'cb.sub*16')} AS dist
+            FROM e CROSS JOIN cb),
+    codes AS (SELECT vec_id, sub, code FROM (
+        SELECT vec_id, sub, code,
+               ROW_NUMBER() OVER (PARTITION BY vec_id, sub
+                                  ORDER BY dist, code) AS rn
+        FROM dcb) t WHERE rn = 1),
+    q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id >= 100 AND vec_id < 105),
+    lut AS (SELECT q.qid, cb.sub, cb.code,
+                   {_sq16_sql('q.qv', 'cb.fv', 'cb.sub*16')} AS qd
+            FROM q CROSS JOIN cb),
+    sc AS (SELECT l.qid, c.vec_id AS docid,
+                  CAST(SUM(CAST(l.qd AS DECIMAL(38,12))) AS DOUBLE) AS adist
+           FROM codes c JOIN lut l ON c.sub = l.sub AND c.code = l.code
+           GROUP BY l.qid, c.vec_id),
+    ranked AS (SELECT qid, docid, adist,
+                 CAST(ROW_NUMBER() OVER (PARTITION BY qid
+                        ORDER BY adist ASC, docid) AS INTEGER) AS rank
+               FROM sc)
+    SELECT qid, docid, rank, ROUND(adist, 4) AS adist FROM ranked WHERE rank <= 5
+    """,
+    tags=("vector-search", "ann", "pq"),
+)
+def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN end-to-end (operators/pq.py): 64-dim
+    vectors compressed to 4 codeword ids (m=4 sub-spaces, K=16 — 64x
+    memory reduction), queries vec_id 100-104 served by asymmetric
+    distance (per-query LUT against the broadcast codebook, DECIMAL
+    cross-sub-space sum), top-5 ascending. Deterministic first-16-rows
+    codebook so the oracle replays training, encoding AND serving;
+    pq_train_codebooks/pq_encode_fast are the k-means/Arrow quality path
+    (parity- and recall-tested)."""
+    from ..operators.pq import pq_adc_topk, pq_codebook_first_k, pq_encode
+
+    emb = T(spark, sf_dir, "embeddings")
+    cb = pq_codebook_first_k(emb, m=4, k_codes=16)
+    codes = pq_encode(emb, cb)
+    queries = emb.filter((F.col("vec_id") >= 100) & (F.col("vec_id") < 105)).select(
+        F.col("vec_id").alias("qid"), "embedding"
+    )
+    return pq_adc_topk(queries, codes, cb, k=5)

@@ -91,6 +91,16 @@ ALLOWED: dict[str, dict[str, int]] = {
         # strategy probe: limit(threshold+1) + columnar Arrow materialization
         "pairs.select(src_col, dst_col).limit(small_edge_threshold + 1).toArrow()": 1,
     },
+    "operators/pq.py": {
+        # single-row dimension probes (limit(1) aggregates)
+        'd = dim_df.collect()[0]["_dim"] // m  # tiny: one row, schema probe': 1,
+        'return codebook.select(F.size("cvec").alias("d")).limit(1).collect()[0]["d"]': 1,
+        # single-row count aggregate sizing the training sample fraction
+        'n = frac_df.collect()[0]["n"]  # single-row aggregate': 1,
+        # k-means training sample, limit(sample_rows)-bounded on the lines
+        # above (fixed-size sample at any corpus scale)
+        "[r[0] for r in sampled.collect()], dtype=np.float64": 1,
+    },
 }
 
 
