@@ -565,6 +565,26 @@ def main() -> None:
         }
         emit(timings, query_meta, sf, partial=True)
 
+        # Sub-document span dedup over the SAME skewed 1M corpus (r7):
+        # the 8,192-copy boilerplate is chunk-identical, so its spans
+        # collapse to one surviving occurrence — the hash-keyed
+        # keep-first window + doc-keyed reassembly, end to end.
+        from semantic_vector_search_system_spark.operators.lexical import (
+            span_dedup as _span_dedup,
+        )
+
+        timings["span_dedup_1000000_docs"], spread = best_of(
+            lambda: _span_dedup(docs, span_tokens=20, doc_id="id")
+            .write.format("noop")
+            .mode("overwrite")
+            .save(),
+            2,
+        )
+        query_meta["span_dedup_1000000_docs"] = {
+            "repeats": 2, "spread": spread, "since_round": 7,
+        }
+        emit(timings, query_meta, sf, partial=True)
+
         # Incremental dedup serving: a 100k NEW batch against the 1M
         # corpus' STORED signature index — the daily-crawl shape. Since r6
         # the index is real STORAGE (r5 VERDICT #7): bucketed parquet

@@ -54,15 +54,25 @@ def bm25_scores(
     doc_id: str = "doc_id",
     q_text: str = "text",
     q_id: str = "qid",
+    materialize_tf: bool = True,
 ) -> DataFrame:
     """Sparse BM25 scores ``(qid, docid, score)`` for every query-document
     pair sharing at least one surviving term.
 
-    Plan: tokenize both sides (narrow), aggregate tf / dl / df (keyed
-    shuffles with map-side partial aggregation), drop stopwords
-    (df > max_df_ratio * N — the skew cut: those postings lists are the
-    only super-linear join keys), then score through the token equi-join.
-    N and avgdl are single-row aggregates (broadcast for free).
+    Plan: tokenize the corpus (narrow), aggregate the (docid, tok)
+    term-frequency relation — the postings index — then derive dl / df /
+    avgdl FROM it, drop stopwords (df > max_df_ratio * N — the skew cut:
+    those postings lists are the only super-linear join keys), and score
+    through the token equi-join. N and avgdl are single-row aggregates
+    (broadcast for free).
+
+    ``materialize_tf`` (default on) localCheckpoints the postings
+    relation: the three consumers (dl, df, the scoring join) prune
+    different columns, which defeats Catalyst's exchange reuse — measured
+    on the declarative form, the corpus was scanned 6x and the token
+    explode+shuffle ran 3x. Materializing tf is also the production
+    contract: the postings relation IS the index a serving system keeps,
+    orders of magnitude smaller than the raw text it derives from.
 
     The per-term contribution is computed with a pinned association order
     so both engines produce bit-identical doubles::
@@ -73,11 +83,11 @@ def bm25_scores(
         F.col(doc_id).alias("docid"),
         F.explode(F.split(F.col(doc_text), r"\s+")).alias("tok"),
     )
-    # ONE shuffle of the exploded tokens; dl / df / avgdl all derive from
-    # the (docid, tok) aggregate so the raw token stream is scanned and
-    # shuffled exactly once (tf rows are distinct pairs by construction,
-    # so df is a count and dl an integer sum over tf — no distinct() pass).
+    # tf rows are distinct (docid, tok) pairs by construction, so df is a
+    # row count and dl an integer sum over tf — no distinct() pass.
     tf = dtok.groupBy("docid", "tok").agg(F.count("*").alias("_c"))
+    if materialize_tf:
+        tf = tf.localCheckpoint()
     dl = tf.groupBy("docid").agg(F.sum("_c").cast("double").alias("dl"))
     n_df = docs.select(F.count("*").cast("double").alias("n_docs"))
     # avgdl from an exact integer token count (deterministic division)

@@ -175,3 +175,25 @@ def test_span_dedup_partitioning_invariant(spark):
         map(tuple, span_dedup(df.repartition(13), span_tokens=5).collect())
     )
     assert a == b
+
+
+def test_bm25_materialized_postings_single_corpus_token_pass(spark):
+    """The 100 TB contract of bm25_scores(materialize_tf=True): the raw
+    corpus text is tokenized/shuffled ONCE into the checkpointed postings
+    relation; dl/df/scoring consume the materialized postings (measured on
+    the declarative form: column pruning defeats exchange reuse and the
+    corpus was scanned 6x, the explode+shuffle running 3x)."""
+    import re
+
+    docs = _mk(spark, DOCS, "doc_id", "text")
+    queries = _mk(spark, QUERIES, "qid", "text")
+    plan = (
+        bm25_scores(docs, queries, max_df_ratio=1.0)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    # the doc-side explode appears only in the (already-run) checkpoint
+    # lineage, not in the serving plan
+    assert len(re.findall(r"explode", plan, flags=re.I)) <= 1, plan[:2000]
+    assert plan.count("Scan ExistingRDD") >= 2  # postings read from memory
