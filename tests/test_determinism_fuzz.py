@@ -53,6 +53,13 @@ QUERIES = [
     # r5: greedy per-shard packing — a stateful walk whose bin boundaries
     # must depend only on (shard, id order), never physical partitioning.
     "sequence_packing",
+    # r7: BM25 (pinned-association double sums + DECIMAL accumulation +
+    # rank tie-breaks), span dedup (keep-first window over hash
+    # partitions + ordered reassembly), and PQ (argmin code ties +
+    # DECIMAL ADC sums) — each must be invariant to partition scrambling.
+    "bm25_topk",
+    "span_dedup",
+    "ann_pq_topk",
 ]
 
 # Perturbations of runtime-settable physical knobs. Each tuple is applied on
