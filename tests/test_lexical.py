@@ -197,3 +197,24 @@ def test_bm25_materialized_postings_single_corpus_token_pass(spark):
     # lineage, not in the serving plan
     assert len(re.findall(r"explode", plan, flags=re.I)) <= 1, plan[:2000]
     assert plan.count("Scan ExistingRDD") >= 2  # postings read from memory
+
+
+def test_span_dedup_strategy_parity(spark):
+    """Both physical strategies (chunk-text shuffle vs ints-only shuffle
+    + re-slice) produce identical rows on a fixture with cross-doc dups,
+    intra-doc dups, ragged tails and full elimination."""
+    docs = {
+        0: "a b c d e f",
+        1: "a b c x y z",
+        2: "a b c d e f",
+        3: "p q r p q r",
+        4: "lone tail",
+        5: " ".join(f"t{i % 4}" for i in range(17)),
+    }
+    df = _mk(spark, docs, "doc_id", "text")
+    a = sorted(map(tuple, span_dedup(df, span_tokens=3, shuffle="chunks").collect()))
+    b = sorted(map(tuple, span_dedup(df, span_tokens=3, shuffle="keys").collect()))
+    assert a == b
+
+    with pytest.raises(ValueError):
+        span_dedup(df, shuffle="bogus")
