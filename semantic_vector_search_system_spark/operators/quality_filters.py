@@ -198,3 +198,86 @@ def decontaminate(
         F.count_distinct("h").alias("n_overlap_shingles"),
         F.count_distinct(eval_id_col).alias("n_eval_hits"),
     )
+
+
+def hash_feature_weights(tokens: Column, *, salt: str = "qw1") -> Column:
+    """Deterministic per-token linear weights in [-1, 1]: ``w(tok) =
+    (stable_hash64(salt || tok) % 2001 - 1000) / 1000`` — the stand-in for
+    a trained classifier's hashed-feature weight table, bit-identical in
+    Spark / DuckDB / python (pinned md5 hash, integer arithmetic, one
+    exact division). A REAL weight table (fastText/logreg export) plugs
+    into :func:`linear_quality_margin` as a (tok, w) DataFrame instead."""
+    return F.transform(
+        tokens,
+        lambda t: (
+            (
+                F.pmod(stable_hash64(F.concat(F.lit(salt), t)), F.lit(2001))
+                - F.lit(1000)
+            ).cast("double")
+            / F.lit(1000.0)
+        ),
+    )
+
+
+def linear_quality_margin(
+    docs: DataFrame,
+    weights: DataFrame | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    extra_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """Model-based quality filtering, the classifier stage of production
+    training-data pipelines (a fastText/logreg quality model scores every
+    document; GPT-3- and LLaMA-style data prep both gate on one): mean
+    per-token feature weight = the linear margin over hashed
+    bag-of-words features. ``margin > 0`` is the accept decision (margin,
+    not probability — the sigmoid is monotone, so thresholding the margin
+    IS thresholding the probability, and the oracle stays free of
+    transcendentals per the catalog determinism rules).
+
+    Returns ``(id, *extra_cols, n_tokens, margin, accept)``.
+
+    With ``weights=None`` the deterministic :func:`hash_feature_weights`
+    table stands in — the margin is computed per-row as an exact
+    DECIMAL(38,12) fold over the token array: a pure narrow projection, no
+    explode, no shuffle, no Python. With a real ``(tok, w)`` weight table
+    the same margin is an explode + broadcast-join + per-doc aggregation
+    (the weight table is vocabulary-sized — MBs — and broadcasts; the only
+    shuffle is the doc-keyed mean).
+    """
+    toks = tokenize(text_col)
+    if weights is None:
+        w_arr = hash_feature_weights(toks)
+        # each step recast to (38,12): Spark widens decimal addition to
+        # (38,11) for carry headroom, which would break the fold's type;
+        # per-token margins are in [-1, 1], so thousands of terms stay
+        # far from the 26-integer-digit bound and the recast is lossless
+        margin_sum = F.aggregate(
+            w_arr,
+            F.lit(0).cast("decimal(38,12)"),
+            lambda acc, w: (acc + w.cast("decimal(38,12)")).cast(
+                "decimal(38,12)"
+            ),
+        ).cast("double")
+        n_tok = F.size(toks).cast("long")
+        return docs.select(
+            F.col(id_col),
+            *[F.col(c) for c in extra_cols],
+            n_tok.alias("n_tokens"),
+            (margin_sum / n_tok.cast("double")).alias("margin"),
+        ).withColumn("accept", F.col("margin") > 0)
+    tok_rows = docs.select(
+        F.col(id_col), F.explode(toks).alias("tok")
+    )
+    scored = tok_rows.join(F.broadcast(weights), "tok", "left").select(
+        id_col, F.coalesce("w", F.lit(0.0)).alias("w")
+    )
+    agg = scored.groupBy(id_col).agg(
+        F.count("*").alias("n_tokens"),
+        (
+            F.sum(F.col("w").cast("decimal(38,12)")).cast("double")
+            / F.count("*").cast("double")
+        ).alias("margin"),
+    )
+    base = docs.select(F.col(id_col), *[F.col(c) for c in extra_cols])
+    return base.join(agg, id_col).withColumn("accept", F.col("margin") > 0)

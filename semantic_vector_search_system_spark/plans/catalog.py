@@ -1210,6 +1210,10 @@ DEMOTED: tuple[str, ...] = (
     "user_event_unpivot",        # J6 inverse ≡ user_event_pivot (incoming
                                  #   — the pivot twin; parked for window
                                  #   room for the NEW r7 ann_pq_topk)
+    "global_top_spenders",       # W2 global top-k ≡ top_orders_per_customer
+                                 #   (incoming W3 family; TakeOrderedAndProject
+                                 #   stays plan-asserted in tests) — window
+                                 #   room for the NEW r7 quality_classifier_report
 )
 
 
@@ -3165,3 +3169,52 @@ def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("qid"), "embedding"
     )
     return pq_adc_topk(queries, codes, cb, k=5)
+
+
+# ---------------------------------------------------------------------------
+# Round 7: model-based quality filtering (linear classifier margin)
+# ---------------------------------------------------------------------------
+
+@_q(
+    "quality_classifier_report",
+    f"""
+    WITH tok AS (SELECT doc_id, source, unnest({_SPLIT}) AS tok FROM documents),
+    w AS (SELECT doc_id, source,
+                 (CAST({stable_hash64_sql("CONCAT('qw1', tok)")} % 2001 AS DOUBLE) - 1000.0) / 1000.0 AS w
+          FROM tok),
+    perdoc AS (SELECT doc_id, source, COUNT(*) AS n_tokens,
+                      CAST(SUM(CAST(w AS DECIMAL(38,12))) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS margin
+               FROM w GROUP BY doc_id, source)
+    SELECT source, COUNT(*) AS n_docs,
+           CAST(SUM(CASE WHEN margin > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_accepted,
+           ROUND(CAST(SUM(CAST(margin AS DECIMAL(38,12))) AS DOUBLE) / COUNT(*), 6) AS mean_margin
+    FROM perdoc GROUP BY source
+    """,
+    tags=("curation", "quality", "classifier"),
+)
+def quality_classifier_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-based quality filtering (operators/quality_filters.py::
+    linear_quality_margin): the classifier gate of production data
+    pipelines — a linear margin over hashed bag-of-words features, mean
+    per-token weight, accept = margin > 0 (sigmoid is monotone, so the
+    margin threshold IS the probability threshold and the oracle stays
+    transcendental-free). Deterministic hash-derived weights stand in for
+    a trained export (a real (tok, w) table broadcast-joins through the
+    same operator, tested); per-source acceptance report. The no-weights
+    path is a pure narrow projection — no explode, no shuffle before the
+    source-keyed report agg."""
+    from ..operators.quality_filters import linear_quality_margin
+
+    docs = T(spark, sf_dir, "documents")
+    perdoc = linear_quality_margin(docs, extra_cols=("source",))
+    return perdoc.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.when(F.col("margin") > 0, 1).otherwise(0))
+        .cast("long")
+        .alias("n_accepted"),
+        F.round(
+            F.sum(F.col("margin").cast("decimal(38,12)")).cast("double")
+            / F.count("*").cast("double"),
+            6,
+        ).alias("mean_margin"),
+    )

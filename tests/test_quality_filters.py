@@ -108,3 +108,59 @@ def test_decontaminate_counts_distinct_eval_hits(spark):
     )
     out = qf.decontaminate(docs, evals, n=8).collect()[0]
     assert out.n_eval_hits == 2 and out.n_overlap_shingles == 1
+
+
+def test_linear_quality_margin_matches_python(spark):
+    """No-weights (hash stand-in) path vs a transparent python oracle."""
+    import hashlib
+
+    from semantic_vector_search_system_spark.operators.quality_filters import (
+        linear_quality_margin,
+    )
+
+    docs = {0: "alpha beta gamma", 1: "delta", 2: "alpha alpha beta"}
+    df = spark.createDataFrame(
+        [(i, t, f"s{i % 2}") for i, t in docs.items()],
+        "doc_id long, text string, source string",
+    )
+
+    def w(tok):
+        h = int(hashlib.md5(("qw1" + tok).encode()).hexdigest()[:15], 16)
+        return (h % 2001 - 1000) / 1000.0
+
+    got = {
+        r["doc_id"]: r
+        for r in linear_quality_margin(df, extra_cols=("source",)).collect()
+    }
+    for i, text in docs.items():
+        toks = text.split()
+        want = sum(round(w(t), 12) for t in toks) / len(toks)
+        assert got[i]["n_tokens"] == len(toks)
+        assert got[i]["margin"] == pytest.approx(want, abs=1e-9)
+        assert got[i]["accept"] == (got[i]["margin"] > 0)
+        assert got[i]["source"] == f"s{i % 2}"
+
+
+def test_linear_quality_margin_real_weight_table_path(spark):
+    """A real (tok, w) weight table broadcast-joins through the same
+    operator: known weights -> exact margins; unknown tokens weigh 0."""
+    from semantic_vector_search_system_spark.operators.quality_filters import (
+        linear_quality_margin,
+    )
+
+    df = spark.createDataFrame(
+        [(0, "good good bad"), (1, "bad bad unseen"), (2, "unseen")],
+        "doc_id long, text string",
+    )
+    weights = spark.createDataFrame(
+        [("good", 0.9), ("bad", -0.6)], "tok string, w double"
+    )
+    got = {
+        r["doc_id"]: r for r in linear_quality_margin(df, weights).collect()
+    }
+    assert got[0]["margin"] == pytest.approx((0.9 + 0.9 - 0.6) / 3)
+    assert got[0]["accept"] is True
+    assert got[1]["margin"] == pytest.approx((-0.6 - 0.6 + 0.0) / 3)
+    assert got[1]["accept"] is False
+    assert got[2]["margin"] == pytest.approx(0.0)
+    assert got[2]["accept"] is False  # strict > 0
