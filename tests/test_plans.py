@@ -366,6 +366,8 @@ def test_driver_window_covers_every_operator_family():
         "json_kpi",
         # young — must be driver-checked while young
         "ann_recall",
+        "bm25_topk", "span_dedup", "ann_pq_topk",
+        "quality_classifier_report",
         # returning composites / fusions
         "hybrid_rrf_fusion", "quantized_topk_rerank",
         "embedding_neardup_pairs", "retrieval_quality",
