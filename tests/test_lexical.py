@@ -218,3 +218,36 @@ def test_span_dedup_strategy_parity(spark):
 
     with pytest.raises(ValueError):
         span_dedup(df, shuffle="bogus")
+
+
+def test_span_dedup_null_and_empty_text(spark):
+    """Null text: chunking yields no rows, the left join keeps the doc
+    with null n_chunks / 0 kept / empty dedup_text — same contract as the
+    DuckDB oracle (NULL propagates through len/ceil, UNNEST drops)."""
+    df = spark.createDataFrame(
+        [(0, "a b c"), (1, None)], "doc_id long, text string"
+    )
+    for strat in ("chunks", "keys"):
+        out = {
+            r["doc_id"]: r
+            for r in span_dedup(df, span_tokens=2, shuffle=strat).collect()
+        }
+        assert out[0]["dedup_text"] == "a b c"
+        assert out[1]["n_chunks"] is None
+        assert out[1]["n_kept"] == 0
+        assert out[1]["dedup_text"] == ""
+
+
+def test_bm25_null_text_doc_is_ignored(spark):
+    """A null-text doc contributes no postings and no dl row; scoring
+    simply never surfaces it (no crash, no null scores)."""
+    docs = dict(DOCS)
+    df = spark.createDataFrame(
+        [(i, t) for i, t in docs.items()] + [(99, None)],
+        "doc_id long, text string",
+    )
+    rows = bm25_topk(
+        df, _mk(spark, QUERIES, "qid", "text"), k=10, max_df_ratio=1.0
+    ).collect()
+    assert all(r["docid"] != 99 for r in rows)
+    assert all(r["score"] is not None for r in rows)
