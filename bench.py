@@ -585,6 +585,26 @@ def main() -> None:
         }
         emit(timings, query_meta, sf, partial=True)
 
+        # Model-based quality filtering over the same 1M docs (r7): the
+        # linear-classifier margin as a pure narrow DECIMAL fold —
+        # measures the expression engine's per-token throughput (~40M
+        # hashed-feature weights), no explode/shuffle/Python.
+        from semantic_vector_search_system_spark.operators.quality_filters import (
+            linear_quality_margin,
+        )
+
+        timings["quality_classifier_1000000_docs"], spread = best_of(
+            lambda: linear_quality_margin(docs, id_col="id")
+            .write.format("noop")
+            .mode("overwrite")
+            .save(),
+            2,
+        )
+        query_meta["quality_classifier_1000000_docs"] = {
+            "repeats": 2, "spread": spread, "since_round": 7,
+        }
+        emit(timings, query_meta, sf, partial=True)
+
         # Incremental dedup serving: a 100k NEW batch against the 1M
         # corpus' STORED signature index — the daily-crawl shape. Since r6
         # the index is real STORAGE (r5 VERDICT #7): bucketed parquet
