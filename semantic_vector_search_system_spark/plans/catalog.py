@@ -3045,6 +3045,7 @@ def decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
                FROM sc)
     SELECT qid, docid, rank, ROUND(score, 4) AS score FROM ranked WHERE rank <= 5
     """,
+    bench=True,
     tags=("lexical", "bm25", "topk"),
 )
 def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
