@@ -472,6 +472,70 @@ def main() -> None:
                 "floor_test": "tests/test_pq.py::test_pq_recall_floor_vs_exact",
             }
             emit(timings, query_meta, sf, partial=True)
+
+            # IVF+PQ (r7): the standard billion-scale serving composition
+            # (IVFADC) — residual codebooks, codes partitioned by list,
+            # per-query serving = driver probe assignment + partition-
+            # pruned scan of ~nprobe/n_lists of the 256x-compressed code
+            # table + per-(query,list) LUT scoring + bounded merge.
+            import numpy as _np
+
+            from semantic_vector_search_system_spark.operators.pq import (
+                ivfpq_encode,
+                ivfpq_topk,
+                ivfpq_train,
+            )
+
+            C_np = _np.asarray(
+                [r["cvec"] for r in pre_cents], dtype=_np.float64
+            )
+            cid_np = _np.arange(len(pre_cents))
+            books_r = ivfpq_train(
+                dvec, cid_np, C_np, m=8, k_codes=256, vec_col="vec"
+            )
+            ivfpq_dir = tempfile.mkdtemp(prefix="bench_ivfpq_")
+            ivfpq_encode(
+                dvec, cid_np, C_np, books_r, vec_col="vec", id_col="docid"
+            ).write.partitionBy("cent_id").parquet(f"{ivfpq_dir}/codes")
+            coded = spark.read.parquet(f"{ivfpq_dir}/codes")
+            timings[f"ann_ivfpq_1q_{n}_docs"], spread = best_of(
+                lambda: ivfpq_topk(
+                    Qv[:1], Qi[:1], coded, cid_np, C_np, books_r,
+                    k=1, nprobe=4, id_col="docid",
+                ).write.format("noop").mode("overwrite").save(),
+                3,
+            )
+            query_meta[f"ann_ivfpq_1q_{n}_docs"] = {
+                "n_lists": 64, "nprobe": 4, "m": 8, "k_codes": 256,
+                "repeats": 3, "spread": spread, "since_round": 7,
+                "index": "codes parquet partitionBy(cent_id)",
+                "timed_region": "in-memory-query serving: driver probe "
+                "assignment + LUT build + pruned code scan + per-list "
+                "ADC + merge",
+            }
+            ivfpq_hits: dict = {}
+            for r in ivfpq_topk(
+                Qv, Qi, coded, cid_np, C_np, books_r,
+                k=k_rec, nprobe=4, id_col="docid",
+            ).collect():
+                ivfpq_hits.setdefault(r["qid"], set()).add(r["docid"])
+            iv_recs = [
+                len(exact[q] & ivfpq_hits.get(q, set())) / k_rec
+                for q in exact
+            ]
+            ACCURACY["ann_ivfpq_1m"] = {
+                "metric": f"mean recall@{k_rec} vs exact brute force",
+                "n_queries": n_rec_q, "n_lists": 64, "nprobe": 4,
+                "m": 8, "k_codes": 256,
+                "recall": round(sum(iv_recs) / len(iv_recs), 4),
+            }
+            query_meta["ann_ivfpq_1m"] = {
+                "since_round": 7, "reported_in": "accuracy",
+                "floor_test": "tests/test_pq.py::"
+                "test_ivfpq_recall_monotone_and_floor",
+            }
+            emit(timings, query_meta, sf, partial=True)
+            shutil.rmtree(ivfpq_dir, ignore_errors=True)
             rq.unpersist()
             dl.unpersist()
         dvec.unpersist()

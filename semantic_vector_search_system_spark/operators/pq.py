@@ -201,6 +201,13 @@ def pq_train_codebooks(
     X = np.asarray(
         [r[0] for r in sampled.collect()], dtype=np.float64
     )  # bounded: <= sample_rows x dim
+    return _kmeans_codebooks(X, m, k_codes, seed=seed, max_iter=max_iter)
+
+
+def _kmeans_codebooks(
+    X: np.ndarray, m: int, k_codes: int, *, seed: int, max_iter: int
+) -> np.ndarray:
+    """Seeded Lloyd k-means per sub-space over an in-memory sample."""
     dim = X.shape[1]
     assert dim % m == 0, f"dim {dim} not divisible by m={m}"
     d = dim // m
@@ -308,6 +315,193 @@ def pq_adc_topk_fast(
 
     partials = codes.mapInPandas(
         score, schema=f"qid {qid_type}, docid {id_type}, adist double"
+    )
+    w = Window.partitionBy("qid").orderBy(F.asc("adist"), F.asc("docid"))
+    return (
+        partials.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+        .select("qid", "docid", "rank", "adist")
+    )
+
+
+# ---------------------------------------------------------------------------
+# IVF + PQ (residual-encoded) — the standard billion-scale serving index
+# ---------------------------------------------------------------------------
+
+def _normalize_rows(M: np.ndarray) -> np.ndarray:
+    n = np.linalg.norm(M, axis=1, keepdims=True)
+    return np.divide(M, n, out=np.zeros_like(M), where=n > 0)
+
+
+def ivfpq_train(
+    emb: DataFrame,
+    cent_ids: np.ndarray,
+    C: np.ndarray,
+    m: int = 8,
+    k_codes: int = 256,
+    vec_col: str = "embedding",
+    seed: int = 7,
+    max_iter: int = 10,
+    sample_rows: int = 20_000,
+) -> np.ndarray:
+    """Train PQ codebooks on RESIDUALS (vec - assigned centroid) over a
+    bounded corpus sample — classic IVFADC (Jégou et al. 2011 §IV):
+    residuals concentrate around 0 with far less variance than raw
+    vectors, so the same code budget quantizes them much more precisely.
+    Assignment replays ivf_assign_fast's rule (cosine, ties to the
+    smaller cent_id) so trained codebooks match the build-time residuals."""
+    n = emb.select(F.count("*").alias("n")).collect()[0]["n"]
+    sampled = emb.select(vec_col)
+    if n > sample_rows:
+        sampled = sampled.sample(
+            fraction=min(1.0, 1.15 * sample_rows / n), seed=seed
+        ).limit(sample_rows)
+    X = np.asarray([r[0] for r in sampled.collect()], dtype=np.float64)
+    Cn = _normalize_rows(C)
+    S = _normalize_rows(X) @ Cn.T
+    # stable tie-break to the smaller cent_id: argsort by cent_id first
+    order = np.argsort(cent_ids, kind="stable")
+    pick = order[np.argmax(S[:, order], axis=1)]
+    R = X - C[pick]
+    return _kmeans_codebooks(R, m, k_codes, seed=seed, max_iter=max_iter)
+
+
+def ivfpq_encode(
+    emb: DataFrame,
+    cent_ids: np.ndarray,
+    C: np.ndarray,
+    codebooks: np.ndarray,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Build the IVFPQ code table ``(id, cent_id, codes)`` in ONE narrow
+    Arrow stage: per batch — cosine list assignment against the broadcast
+    centroid matrix, residual against the assigned centroid, per-subspace
+    argmin encode. 8 B of codes + a list id per vector; written
+    ``partitionBy(cent_id)`` the table serves with partition pruning."""
+    import pandas as pd
+
+    m, k_codes, d = codebooks.shape
+    books = codebooks
+    cid_arr = np.asarray(cent_ids)
+    Cm = np.asarray(C, dtype=np.float64)
+    Cn = _normalize_rows(Cm)
+    order = np.argsort(cid_arr, kind="stable")
+    id_type = dict(emb.dtypes)[id_col]
+
+    def encode(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            X = np.asarray(list(pdf[vec_col]), dtype=np.float64)
+            S = _normalize_rows(X) @ Cn.T
+            pick = order[np.argmax(S[:, order], axis=1)]
+            R = X - Cm[pick]
+            codes = np.empty((len(X), m), dtype=np.int32)
+            for j in range(m):
+                Rj = R[:, j * d : (j + 1) * d]
+                dots = Rj @ books[j].T
+                c2 = (books[j] ** 2).sum(axis=1)
+                codes[:, j] = (c2[None, :] - 2.0 * dots).argmin(axis=1)
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col].values,
+                    "cent_id": cid_arr[pick],
+                    "codes": list(codes),
+                }
+            )
+
+    return emb.select(id_col, vec_col).mapInPandas(
+        encode, schema=f"{id_col} {id_type}, cent_id long, codes array<int>"
+    )
+
+
+def ivfpq_topk(
+    q_vecs: np.ndarray,
+    q_ids: np.ndarray,
+    coded: DataFrame,
+    cent_ids: np.ndarray,
+    C: np.ndarray,
+    codebooks: np.ndarray,
+    k: int = 10,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """IVFPQ ADC serving: per query, probe the ``nprobe`` nearest lists
+    (driver-side — the centroid matrix is tiny), push ``cent_id IN
+    (probed)`` into the scan (partition pruning on a partitionBy(cent_id)
+    table), then score only the rows of lists the query actually probes
+    with the per-(query, list) residual lookup table. Per-partition
+    top-k with docid tie-break + one bounded window merge.
+
+    Scale: scan cost ~ nprobe/n_lists of the CODE table (which is itself
+    256x smaller than the vectors); shuffled rows are the
+    O(partitions x queries x k) partial-top-k survivors."""
+    import pandas as pd
+
+    m, k_codes, d = codebooks.shape
+    Q = np.asarray(q_vecs, dtype=np.float64)
+    cid_arr = np.asarray(cent_ids)
+    Cm = np.asarray(C, dtype=np.float64)
+    Cn = _normalize_rows(Cm)
+    order = np.argsort(cid_arr, kind="stable")
+    nprobe = min(nprobe, len(cid_arr))
+    S = _normalize_rows(Q) @ Cn.T
+    # per query: nprobe best lists, ties to smaller cent_id
+    probes = {}
+    luts = {}  # (query_index, cent_id) -> (m, k_codes) LUT
+    for qi in range(len(Q)):
+        srt = order[np.argsort(-S[qi, order], kind="stable")[:nprobe]]
+        probes[qi] = cid_arr[srt]
+        for ci in srt:
+            r = Q[qi] - Cm[ci]
+            lut = np.empty((m, k_codes), dtype=np.float64)
+            for j in range(m):
+                diff = r[j * d : (j + 1) * d][None, :] - codebooks[j]
+                lut[j] = (diff ** 2).sum(axis=1)
+            luts[(qi, int(cid_arr[ci]))] = lut
+    probed_union = sorted({int(c) for qi in probes for c in probes[qi]})
+    by_list: dict[int, list[int]] = {}
+    for qi, cl in probes.items():
+        for c in cl:
+            by_list.setdefault(int(c), []).append(qi)
+    qids = np.asarray(q_ids)
+    id_type = dict(coded.dtypes)[id_col]
+    qid_type = "string" if qids.dtype.kind in ("U", "S", "O") else "long"
+
+    def score(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            out_q, out_d, out_a = [], [], []
+            for cent, grp in pdf.groupby("cent_id", sort=False):
+                qlist = by_list.get(int(cent))
+                if not qlist:
+                    continue
+                Cc = np.asarray(list(grp["codes"]), dtype=np.int64)
+                ids = grp[id_col].values
+                for qi in qlist:
+                    lut = luts[(qi, int(cent))]
+                    A = lut[np.arange(Cc.shape[1])[None, :], Cc].sum(axis=1)
+                    top = min(k, len(A))
+                    sel = np.lexsort((ids, A))[:top]
+                    out_q.append(np.repeat(qids[qi], top))
+                    out_d.append(ids[sel])
+                    out_a.append(A[sel])
+            if out_q:
+                yield pd.DataFrame(
+                    {
+                        "qid": np.concatenate(out_q),
+                        "docid": np.concatenate(out_d),
+                        "adist": np.concatenate(out_a),
+                    }
+                )
+
+    partials = (
+        coded.filter(F.col("cent_id").isin(probed_union))
+        .mapInPandas(
+            score, schema=f"qid {qid_type}, docid {id_type}, adist double"
+        )
     )
     w = Window.partitionBy("qid").orderBy(F.asc("adist"), F.asc("docid"))
     return (

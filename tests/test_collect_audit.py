@@ -100,6 +100,10 @@ ALLOWED: dict[str, dict[str, int]] = {
         # k-means training sample, limit(sample_rows)-bounded on the lines
         # above (fixed-size sample at any corpus scale)
         "[r[0] for r in sampled.collect()], dtype=np.float64": 1,
+        # ivfpq_train: single-row count aggregate + the same bounded
+        # residual-training sample
+        'n = emb.select(F.count("*").alias("n")).collect()[0]["n"]': 1,
+        "X = np.asarray([r[0] for r in sampled.collect()], dtype=np.float64)": 1,
     },
 }
 

@@ -149,3 +149,129 @@ def test_adc_expression_rank_consistency(spark, emb):
         ).collect()
     }
     assert expr == fast
+
+
+# ---------------------------------------------------------------------------
+# IVF + PQ (residual ADC)
+# ---------------------------------------------------------------------------
+
+def test_ivfpq_exact_on_lattice(spark):
+    """Vectors constructed EXACTLY as centroid + codeword (zero residual
+    quantization error) must be served back with exact distances: IVFPQ
+    top-k == exact L2 top-k for queries probing the right list."""
+    from semantic_vector_search_system_spark.operators.pq import (
+        ivfpq_encode,
+        ivfpq_topk,
+    )
+
+    rng = np.random.default_rng(3)
+    m, k_codes, d = 2, 4, 4  # dim 8
+    C = np.array([[5.0] * 8, [-5.0] * 8])  # two far-apart lists
+    cent_ids = np.array([0, 1])
+    books = rng.normal(size=(m, k_codes, d)) * 0.1
+    # 32 docs: centroid[l] + (codeword j1, codeword j2)
+    rows = []
+    vecs = []
+    i = 0
+    for l in range(2):
+        for c1 in range(k_codes):
+            for c2 in range(k_codes):
+                v = C[l].copy()
+                v[:4] += books[0][c1]
+                v[4:] += books[1][c2]
+                rows.append((i, [float(x) for x in v]))
+                vecs.append(v)
+                i += 1
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    V = np.array(vecs)
+    coded = ivfpq_encode(emb, cent_ids, C, books)
+    qids = np.array([0, 20])
+    got = {
+        (r["qid"], r["rank"]): (r["docid"], r["adist"])
+        for r in ivfpq_topk(
+            V[qids], qids, coded, cent_ids, C, books, k=5, nprobe=1
+        ).collect()
+    }
+    for qid in qids:
+        # exact L2 within the query's own lattice half (its probed list)
+        half = range(0, 16) if qid < 16 else range(16, 32)
+        d2 = {j: ((V[j] - V[qid]) ** 2).sum() for j in half}
+        order = sorted(d2, key=lambda j: (d2[j], j))[:5]
+        for rank, j in enumerate(order, start=1):
+            gd, ga = got[(qid, rank)]
+            assert gd == j, (qid, rank)
+            assert ga == pytest.approx(d2[j], abs=1e-9)
+
+
+def test_ivfpq_recall_monotone_and_floor(spark, emb, X):
+    """Testdata geometry (500x64, 8 lists): recall@10 vs exact rises with
+    nprobe and clears a loose floor at nprobe=8 (all lists scanned).
+
+    Measured 0.175 (nprobe=1) / 0.21 (nprobe=8) — BELOW raw-vector PQ's
+    0.34 at the same bit budget, and that is the honest property of THIS
+    data: the synthetic embeddings are near-uniform on the sphere, so
+    subtracting a nearly-orthogonal centroid INCREASES residual variance
+    (||v - c||^2 ~ ||v||^2 + ||c||^2) and residuals quantize worse. On
+    clustered real embeddings (the IVFADC operating assumption, Jégou
+    2011 §IV) centroids absorb most of the norm and residual PQ wins;
+    the operator's correctness is pinned exactly by the lattice test
+    above. Floor 0.12 = 6x the broken-ADC level (~k/N = 0.02)."""
+    from semantic_vector_search_system_spark.operators.pq import (
+        ivfpq_encode,
+        ivfpq_topk,
+        ivfpq_train,
+    )
+
+    cent_ids = np.arange(8)
+    C = X[:8].copy()
+    books = ivfpq_train(emb, cent_ids, C, m=8, k_codes=K, seed=7)
+    coded = ivfpq_encode(emb, cent_ids, C, books).localCheckpoint()
+    qids = np.arange(100, 120)
+    recs = {}
+    for nprobe in (1, 8):
+        got = {}
+        for r in ivfpq_topk(
+            X[qids], qids, coded, cent_ids, C, books, k=10, nprobe=nprobe
+        ).collect():
+            got.setdefault(r["qid"], set()).add(r["docid"])
+        vals = []
+        for qi, qid in enumerate(qids):
+            d2 = ((X - X[qid][None, :]) ** 2).sum(axis=1)
+            exact = set(np.lexsort((np.arange(len(X)), d2))[:10])
+            vals.append(len(exact & got.get(qid, set())) / 10.0)
+        recs[nprobe] = sum(vals) / len(vals)
+    assert recs[8] >= recs[1]
+    assert recs[8] >= 0.12, recs
+
+
+def test_ivfpq_serving_scan_is_partition_pruned(spark, emb, X, tmp_path):
+    """The 100 TB property of IVFPQ serving: the code-table scan carries
+    PartitionFilters on cent_id (only probed lists are read) and the doc
+    side never shuffles — the only exchange is the bounded top-k merge."""
+    from semantic_vector_search_system_spark.operators.pq import (
+        ivfpq_encode,
+        ivfpq_topk,
+        ivfpq_train,
+    )
+
+    cent_ids = np.arange(8)
+    C = X[:8].copy()
+    books = ivfpq_train(emb, cent_ids, C, m=8, k_codes=K, seed=7)
+    path = str(tmp_path / "codes")
+    ivfpq_encode(emb, cent_ids, C, books).write.partitionBy(
+        "cent_id"
+    ).parquet(path)
+    coded = spark.read.parquet(path)
+    qids = np.arange(100, 102)
+    plan = (
+        ivfpq_topk(X[qids], qids, coded, cent_ids, C, books, k=5, nprobe=2)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    import re
+
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m and "cent_id" in m.group(1), plan[:1500]
+    # exactly one exchange: the final rank window over bounded partials
+    assert plan.count("Exchange") - plan.count("ReusedExchange") <= 1, plan[:1500]
