@@ -91,6 +91,11 @@ ALLOWED: dict[str, dict[str, int]] = {
         # strategy probe: limit(threshold+1) + columnar Arrow materialization
         "pairs.select(src_col, dst_col).limit(small_edge_threshold + 1).toArrow()": 1,
     },
+    "operators/bpe.py": {
+        # the per-merge argmax pair: limit(1), one row per iteration,
+        # bounded by n_merges
+        ".collect()  # 1 row per merge iteration (bounded by n_merges)": 1,
+    },
     "operators/pq.py": {
         # single-row dimension probes (limit(1) aggregates)
         'd = dim_df.collect()[0]["_dim"] // m  # tiny: one row, schema probe': 1,
