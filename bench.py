@@ -106,6 +106,26 @@ def emit(timings: dict, query_meta: dict, sf, *, partial: bool) -> str:
             break
         compact.pop(drop, None)
         line = json.dumps(compact, separators=(",", ":"))
+    if len(line) > TAIL_BUDGET:
+        # queries alone outgrew the window (~50 keys at 2024 sizes):
+        # shed precision, then the OLDEST keys — newest keys are the ones
+        # a mid-run kill most needs visible, "value" still sums them all,
+        # and bench_out.json always has the full dict. Never print an
+        # over-budget line: that is exactly the r6 parsed:null failure.
+        compact["queries"] = {
+            k: round(v, 2) for k, v in compact["queries"].items()
+        }
+        line = json.dumps(compact, separators=(",", ":"))
+        names = list(compact["queries"])
+        omitted = 0
+        while len(line) > TAIL_BUDGET and len(names) > 1:
+            names.pop(0)
+            omitted += 1
+            compact["queries"] = {
+                k: round(timings[k], 2) for k in names
+            }
+            compact["queries_omitted"] = omitted
+            line = json.dumps(compact, separators=(",", ":"))
     print(line, flush=True)
     return line
 

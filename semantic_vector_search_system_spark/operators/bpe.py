@@ -28,6 +28,7 @@ pure python over the batch (the rule list is tiny and closure-broadcast)
 
 from __future__ import annotations
 
+import re
 from typing import Iterator
 
 from pyspark.sql import Column, DataFrame, Window
@@ -71,15 +72,19 @@ def bpe_train(
     n_merges: int = 50,
     text_col: str = "text",
     min_pair_count: int = 2,
+    checkpoint_every: int = 8,
 ) -> list[tuple[str, str]]:
     """Learn ``n_merges`` BPE merge rules from the corpus. Returns the
     ordered rule list (the tokenizer).
 
     Per iteration the ONLY driver traffic is the argmax pair (one row);
-    the vocabulary relation is localCheckpointed each round so iteration
-    i+1 reads materialized symbols instead of replaying i fold layers
-    (an unbounded expression tree would otherwise blow codegen by ~20
-    merges). Stops early when no pair reaches ``min_pair_count``."""
+    the vocabulary relation is localCheckpointed every
+    ``checkpoint_every`` merges — often enough that the fold-layer
+    expression tree stays bounded (an unbounded tree blows codegen by
+    ~20 merges), rarely enough that materialized copies don't pile up in
+    the block manager before the ContextCleaner frees them (checkpoint
+    blocks are only released on RDD GC). Stops early when no pair
+    reaches ``min_pair_count``."""
     vocab = (
         word_frequency_table(docs, text_col)
         # split-between-every-char; F.split keeps the trailing empty
@@ -120,7 +125,9 @@ def bpe_train(
         merges.append((a, b))
         vocab = vocab.select(
             _merge_fold_expr(F.col("sym"), a, b).alias("sym"), "count"
-        ).localCheckpoint()
+        )
+        if len(merges) % checkpoint_every == 0:
+            vocab = vocab.localCheckpoint()
     return merges
 
 
@@ -162,7 +169,10 @@ def bpe_encode(
             for text in pdf[text_col]:
                 toks: list[str] = []
                 if text:
-                    for w in text.split():
+                    # ASCII \S+ matches the JVM \s+ split the training
+                    # relation uses (python str.split is Unicode-aware and
+                    # would disagree on e.g. non-breaking spaces)
+                    for w in re.findall(r"\S+", text, flags=re.ASCII):
                         toks.extend(_py_apply_merges(list(w), rules))
                 out_tokens.append(toks)
             yield pd.DataFrame(

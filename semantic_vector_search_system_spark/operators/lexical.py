@@ -34,6 +34,7 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.hashing import stable_hash64
+from ..functions.text import tokenize
 
 
 def _dec_sum(col: Column) -> Column:
@@ -81,17 +82,19 @@ def bm25_scores(
     """
     dtok = docs.select(
         F.col(doc_id).alias("docid"),
-        F.explode(F.split(F.col(doc_text), r"\s+")).alias("tok"),
+        F.explode(tokenize(doc_text)).alias("tok"),
     )
     # tf rows are distinct (docid, tok) pairs by construction, so df is a
     # row count and dl an integer sum over tf — no distinct() pass.
     tf = dtok.groupBy("docid", "tok").agg(F.count("*").alias("_c"))
     if materialize_tf:
         tf = tf.localCheckpoint()
-    dl = tf.groupBy("docid").agg(F.sum("_c").cast("double").alias("dl"))
+    # ONE doc-keyed aggregation serves both dl and avgdl (integer sums —
+    # exact, so the avgdl division is deterministic)
+    dl_int = tf.groupBy("docid").agg(F.sum("_c").alias("_dl"))
+    dl = dl_int.select("docid", F.col("_dl").cast("double").alias("dl"))
     n_df = docs.select(F.count("*").cast("double").alias("n_docs"))
-    # avgdl from an exact integer token count (deterministic division)
-    avg_df = tf.groupBy("docid").agg(F.sum("_c").alias("_dl")).agg(
+    avg_df = dl_int.agg(
         (F.sum("_dl").cast("double")).alias("_tot"),
         F.count("*").cast("double").alias("_nd"),
     ).select((F.col("_tot") / F.col("_nd")).alias("avgdl"))
@@ -111,7 +114,7 @@ def bm25_scores(
     tf = tf.select("docid", "tok", F.col("_c").cast("double").alias("tf"))
     qtok = queries.select(
         F.col(q_id).alias("qid"),
-        F.explode(F.split(F.col(q_text), r"\s+")).alias("tok"),
+        F.explode(tokenize(q_text)).alias("tok"),
     )
     qtf = qtok.groupBy("qid", "tok").agg(F.count("*").cast("double").alias("qtf"))
     postings = (
@@ -199,14 +202,19 @@ def span_dedup(
     """
     if shuffle not in ("chunks", "keys"):
         raise ValueError(f"unknown shuffle strategy {shuffle!r}")
-    toks = F.split(F.col(doc_text), r"\s+")
+    toks = tokenize(doc_text)
     n_chunks = F.ceil(F.size(toks) / F.lit(span_tokens)).cast("long")
+    # a whitespace-only doc has 0 tokens -> 0 chunks; guard the sequence
+    # (sequence(0, -1) is an error, not empty)
+    chunk_seq = F.when(
+        n_chunks > 0, F.sequence(F.lit(0), n_chunks - 1)
+    ).otherwise(F.array().cast("array<long>"))
     if shuffle == "chunks":
         chunks = docs.select(
             F.col(doc_id),
             F.posexplode(
                 F.transform(
-                    F.sequence(F.lit(0), n_chunks - 1),
+                    chunk_seq,
                     lambda i: F.array_join(
                         F.slice(toks, i * span_tokens + 1, span_tokens), " "
                     ),
@@ -240,7 +248,7 @@ def span_dedup(
         F.col(doc_id),
         F.posexplode(
             F.transform(
-                F.sequence(F.lit(0), n_chunks - 1),
+                chunk_seq,
                 lambda i: stable_hash64(
                     F.array_join(
                         F.slice(toks, i * span_tokens + 1, span_tokens), " "

@@ -103,7 +103,10 @@ def pq_encode(
     """Expression-form PQ encoding ``(id, sub, code)``: broadcast the
     m*K-row codebook, compute every (row, codeword) squared-L2 with the
     pinned expression, keep the argmin per (row, sub) — ties to the
-    smallest code. Narrow map + broadcast; no shuffle of the corpus."""
+    smallest code. The argmin is a keyed MIN over a (dist, code) struct,
+    so the m*K-times-expanded rows collapse map-side (partial
+    aggregation) before the one (id, sub)-keyed exchange — no per-row
+    window sort, and the expanded relation never shuffles."""
     d = _codebook_dim(codebook)
     dist = _sq_l2_expr(
         F.col("_v"), F.col("cvec"), F.col("sub") * F.lit(d), d
@@ -115,11 +118,10 @@ def pq_encode(
         .crossJoin(F.broadcast(codebook))
         .select(id_col, "sub", "code", dist.alias("_dist"))
     )
-    w = Window.partitionBy(id_col, "sub").orderBy(F.asc("_dist"), F.asc("code"))
     return (
-        scored.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
-        .select(id_col, "sub", "code")
+        scored.groupBy(id_col, "sub")
+        .agg(F.min(F.struct("_dist", "code")).alias("_best"))
+        .select(id_col, "sub", F.col("_best.code").alias("code"))
     )
 
 
@@ -207,9 +209,19 @@ def pq_train_codebooks(
 def _kmeans_codebooks(
     X: np.ndarray, m: int, k_codes: int, *, seed: int, max_iter: int
 ) -> np.ndarray:
-    """Seeded Lloyd k-means per sub-space over an in-memory sample."""
+    """Seeded Lloyd k-means per sub-space over an in-memory sample.
+
+    Assignment uses the ``||s||^2``-free identity ``argmin(c^2 - 2 s·c)``
+    — O(n*k) memory via one GEMM — NOT the broadcast 3-D difference
+    tensor, which at the bench geometry (20k sample, k=256, d=64) would
+    allocate a ~2.6 GB float64 temporary per iteration."""
     dim = X.shape[1]
     assert dim % m == 0, f"dim {dim} not divisible by m={m}"
+    if len(X) < k_codes:
+        raise ValueError(
+            f"k-means needs at least k_codes={k_codes} sample rows, got "
+            f"{len(X)} — lower k_codes or raise sample_rows"
+        )
     d = dim // m
     rng = np.random.default_rng(seed)
     books = np.empty((m, k_codes, d), dtype=np.float64)
@@ -217,8 +229,8 @@ def _kmeans_codebooks(
         S = X[:, j * d : (j + 1) * d]
         cents = S[rng.choice(len(S), size=k_codes, replace=False)].copy()
         for _ in range(max_iter):
-            d2 = ((S[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
-            assign = d2.argmin(axis=1)
+            c2 = (cents ** 2).sum(axis=1)
+            assign = (c2[None, :] - 2.0 * (S @ cents.T)).argmin(axis=1)
             for c in range(k_codes):
                 mask = assign == c
                 if mask.any():

@@ -260,12 +260,21 @@ def linear_quality_margin(
             ),
         ).cast("double")
         n_tok = F.size(toks).cast("long")
-        return docs.select(
-            F.col(id_col),
-            *[F.col(c) for c in extra_cols],
-            n_tok.alias("n_tokens"),
-            (margin_sum / n_tok.cast("double")).alias("margin"),
-        ).withColumn("accept", F.col("margin") > 0)
+        # zero-token docs (empty/whitespace-only text) are DROPPED — the
+        # contract of both physical paths (the weight-table path's inner
+        # join drops them naturally) and of the DuckDB oracle (unnest of
+        # an empty token list yields no rows); without this filter the
+        # no-weights path alone would keep them with a NULL margin
+        return (
+            docs.select(
+                F.col(id_col),
+                *[F.col(c) for c in extra_cols],
+                n_tok.alias("n_tokens"),
+                (margin_sum / n_tok.cast("double")).alias("margin"),
+            )
+            .filter(F.col("n_tokens") > 0)
+            .withColumn("accept", F.col("margin") > 0)
+        )
     tok_rows = docs.select(
         F.col(id_col), F.explode(toks).alias("tok")
     )

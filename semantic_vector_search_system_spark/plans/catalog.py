@@ -99,6 +99,9 @@ def _one() -> F.Column:
 
 # SQL fragment helpers (DuckDB dialect)
 _SPLIT = r"regexp_split_to_array(text, '\s+')"
+# the shared functions/text.py tokenize(): trim + split + drop empty tokens
+# (r7 queries use this so padded/whitespace-only text agrees across engines)
+_SPLIT_CLEAN = r"list_filter(regexp_split_to_array(trim(text), '\s+'), t -> t <> '')"
 
 
 def _sumd_sql(expr: str, alias: str) -> str:
@@ -3021,7 +3024,7 @@ def decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
 @_q(
     "bm25_topk",
     f"""
-    WITH dtok AS (SELECT doc_id AS docid, unnest({_SPLIT}) AS tok FROM documents),
+    WITH dtok AS (SELECT doc_id AS docid, unnest({_SPLIT_CLEAN}) AS tok FROM documents),
     tf AS (SELECT docid, tok, CAST(COUNT(*) AS DOUBLE) AS tf FROM dtok GROUP BY docid, tok),
     dl AS (SELECT docid, CAST(COUNT(*) AS DOUBLE) AS dl FROM dtok GROUP BY docid),
     nd AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs FROM documents),
@@ -3033,7 +3036,7 @@ def decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
             WHERE df <= 1.0 * n_docs),
     q AS (SELECT doc_id AS qid, substr(text, 1, 200) AS qtext FROM documents WHERE doc_id < 10),
     qtf AS (SELECT qid, tok, CAST(COUNT(*) AS DOUBLE) AS qtf
-            FROM (SELECT qid, unnest(regexp_split_to_array(qtext, '\\s+')) AS tok FROM q) qt
+            FROM (SELECT qid, unnest(list_filter(regexp_split_to_array(trim(qtext), '\\s+'), t -> t <> '')) AS tok FROM q) qt
             GROUP BY qid, tok),
     post AS (SELECT tf.tok, tf.docid,
                     (idf.idf * (tf.tf * 2.2)) / (tf.tf + 1.2 * (0.25 + 0.75 * (dl.dl / ad.avgdl))) AS w
@@ -3072,7 +3075,7 @@ def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 @_q(
     "span_dedup",
     f"""
-    WITH sp AS (SELECT doc_id, {_SPLIT} AS toks FROM documents),
+    WITH sp AS (SELECT doc_id, {_SPLIT_CLEAN} AS toks FROM documents),
     ch AS (SELECT doc_id, i AS pos,
                   array_to_string(toks[i*20+1 : i*20+20], ' ') AS chunk
            FROM sp, UNNEST(generate_series(0,
@@ -3179,7 +3182,7 @@ def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 @_q(
     "quality_classifier_report",
     f"""
-    WITH tok AS (SELECT doc_id, source, unnest({_SPLIT}) AS tok FROM documents),
+    WITH tok AS (SELECT doc_id, source, unnest({_SPLIT_CLEAN}) AS tok FROM documents),
     w AS (SELECT doc_id, source,
                  (CAST({stable_hash64_sql("CONCAT('qw1', tok)")} % 2001 AS DOUBLE) - 1000.0) / 1000.0 AS w
           FROM tok),

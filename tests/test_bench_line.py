@@ -131,3 +131,25 @@ def test_emit_drops_optional_payloads_before_overflowing(tmp_path, monkeypatch):
     assert len(line) <= bench.TAIL_BUDGET
     parsed = json.loads(line)
     assert set(parsed["queries"]) == set(timings)
+
+
+def test_emit_never_prints_over_budget_even_with_huge_queries(tmp_path, monkeypatch):
+    """If the queries dict alone outgrows the window (years of key
+    growth), emit sheds precision then the oldest keys — but NEVER
+    prints an over-budget line (the r6 parsed:null failure mode)."""
+    monkeypatch.setattr(bench, "OUT_PATH", str(tmp_path / "bench_out.json"))
+    monkeypatch.setattr(bench, "FLOORS", {})
+    monkeypatch.setattr(bench, "ACCURACY", {})
+    timings = {f"some_long_benchmark_key_name_{i:03d}": 1.23456 for i in range(120)}
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        line = bench.emit(timings, {}, 0.1, partial=False)
+    assert len(line) <= bench.TAIL_BUDGET
+    parsed = json.loads(line)
+    assert parsed["value"] == round(sum(timings.values()), 3)  # all keys summed
+    assert parsed["queries_omitted"] + len(parsed["queries"]) == len(timings)
+    # the NEWEST keys survive
+    assert "some_long_benchmark_key_name_119" in parsed["queries"]
+    # full dict still in bench_out.json
+    full = json.load(open(tmp_path / "bench_out.json"))
+    assert len(full["queries"]) == len(timings)
