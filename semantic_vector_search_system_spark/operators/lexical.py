@@ -80,6 +80,33 @@ def bm25_scores(
 
         ((idf * (tf * (k1+1))) / (tf + k1 * ((1-b) + b * dl/avgdl))) * qtf
     """
+    postings = bm25_postings(
+        docs,
+        k1=k1,
+        b=b,
+        max_df_ratio=max_df_ratio,
+        doc_text=doc_text,
+        doc_id=doc_id,
+        materialize_tf=materialize_tf,
+    )
+    return _bm25_score_postings(postings, queries, q_text=q_text, q_id=q_id)
+
+
+def bm25_postings(
+    docs: DataFrame,
+    *,
+    k1: float = 1.2,
+    b: float = 0.75,
+    max_df_ratio: float = 0.5,
+    doc_text: str = "text",
+    doc_id: str = "doc_id",
+    materialize_tf: bool = True,
+) -> DataFrame:
+    """The weighted postings relation ``(tok, docid, w)`` with the
+    per-posting BM25 weight fully precomputed (idf, tf saturation, length
+    normalization all folded in) — serving is then a pure
+    join-and-DECIMAL-sum. This IS the index: ~one row per distinct
+    (doc, term), orders of magnitude smaller than the text."""
     dtok = docs.select(
         F.col(doc_id).alias("docid"),
         F.explode(tokenize(doc_text)).alias("tok"),
@@ -112,12 +139,7 @@ def bm25_scores(
         )
     )
     tf = tf.select("docid", "tok", F.col("_c").cast("double").alias("tf"))
-    qtok = queries.select(
-        F.col(q_id).alias("qid"),
-        F.explode(tokenize(q_text)).alias("tok"),
-    )
-    qtf = qtok.groupBy("qid", "tok").agg(F.count("*").cast("double").alias("qtf"))
-    postings = (
+    return (
         tf.join(df, "tok")
         .join(dl, "docid")
         .crossJoin(F.broadcast(avg_df))
@@ -136,10 +158,95 @@ def bm25_scores(
             ).alias("w"),
         )
     )
+
+
+def _bm25_score_postings(
+    postings: DataFrame,
+    queries: DataFrame,
+    *,
+    q_text: str = "text",
+    q_id: str = "qid",
+) -> DataFrame:
+    """Score queries against a (tok, docid, w) postings relation: the
+    tiny qtf side broadcasts, so the postings scan streams un-shuffled
+    into the join; only the matched rows shuffle for the per-(qid, docid)
+    DECIMAL sum."""
+    qtok = queries.select(
+        F.col(q_id).alias("qid"),
+        F.explode(tokenize(q_text)).alias("tok"),
+    )
+    qtf = qtok.groupBy("qid", "tok").agg(F.count("*").cast("double").alias("qtf"))
     return (
-        qtf.join(postings, "tok")
+        F.broadcast(qtf).join(postings, "tok")
         .groupBy("qid", "docid")
         .agg(_dec_sum(F.col("w") * F.col("qtf")).alias("score"))
+    )
+
+
+def write_bm25_index(
+    docs: DataFrame,
+    table_prefix: str,
+    *,
+    k1: float = 1.2,
+    b: float = 0.75,
+    max_df_ratio: float = 0.5,
+    doc_text: str = "text",
+    doc_id: str = "doc_id",
+    n_buckets: int = 32,
+) -> dict:
+    """Build and PERSIST the BM25 index as a bucketed warehouse table —
+    the lexical analog of ``write_neardup_index``: a serving process
+    reads the postings from storage and never touches the corpus text.
+
+    Writes ``<prefix>_postings`` (tok, docid, w) ``bucketBy(n_buckets,
+    tok)`` sorted by tok — co-located for large query batches joined on
+    tok (small batches broadcast and don't need it) — and
+    ``<prefix>_meta`` (one row: the scoring parameters, so a serving
+    call can never silently mix parameterizations). Returns the meta
+    dict."""
+    spark = docs.sparkSession
+    postings = bm25_postings(
+        docs, k1=k1, b=b, max_df_ratio=max_df_ratio,
+        doc_text=doc_text, doc_id=doc_id,
+    )
+    (
+        postings.write.mode("overwrite").format("parquet")
+        .bucketBy(n_buckets, "tok").sortBy("tok")
+        .saveAsTable(f"{table_prefix}_postings")
+    )
+    meta = {
+        "k1": k1, "b": b, "max_df_ratio": max_df_ratio,
+        "n_buckets": n_buckets,
+    }
+    spark.createDataFrame(
+        [(k1, b, max_df_ratio, n_buckets)],
+        "k1 double, b double, max_df_ratio double, n_buckets int",
+    ).write.mode("overwrite").format("parquet").saveAsTable(
+        f"{table_prefix}_meta"
+    )
+    return meta
+
+
+def bm25_topk_from_index(
+    spark,
+    table_prefix: str,
+    queries: DataFrame,
+    k: int = 5,
+    q_text: str = "text",
+    q_id: str = "qid",
+) -> DataFrame:
+    """Serve top-k BM25 from a STORED postings index: broadcast the query
+    terms, stream the postings scan through the join (no shuffle on the
+    index side — plan-gated in tests), DECIMAL-sum per pair, rank. The
+    corpus text is never read."""
+    spark.catalog.refreshTable(f"{table_prefix}_postings")
+    postings = spark.read.table(f"{table_prefix}_postings")
+    scored = _bm25_score_postings(postings, queries, q_text=q_text, q_id=q_id)
+    w = Window.partitionBy("qid").orderBy(F.desc("score"), F.asc("docid"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+        .select("qid", "docid", "rank", F.round("score", 4).alias("score"))
     )
 
 

@@ -251,3 +251,53 @@ def test_bm25_null_text_doc_is_ignored(spark):
     ).collect()
     assert all(r["docid"] != 99 for r in rows)
     assert all(r["score"] is not None for r in rows)
+
+
+def test_bm25_index_roundtrip_and_serving_parity(spark, tmp_path):
+    """write_bm25_index -> bm25_topk_from_index serves EXACTLY what the
+    from-scratch bm25_topk computes (same weights, ranks and scores) —
+    and the serving plan never shuffles the postings scan (the query
+    side broadcasts; the only exchanges sit above the join on the
+    bounded matched rows)."""
+    import re
+
+    docs = _mk(spark, DOCS, "doc_id", "text")
+    queries = _mk(spark, QUERIES, "qid", "text")
+    from semantic_vector_search_system_spark.operators.lexical import (
+        bm25_topk_from_index,
+        write_bm25_index,
+    )
+
+    spark.sql("DROP TABLE IF EXISTS t_bm25_postings")
+    spark.sql("DROP TABLE IF EXISTS t_bm25_meta")
+    meta = write_bm25_index(docs, "t_bm25", max_df_ratio=1.0)
+    assert meta["k1"] == 1.2
+    try:
+        served = bm25_topk_from_index(spark, "t_bm25", queries, k=5)
+        scratch = bm25_topk(docs, queries, k=5, max_df_ratio=1.0)
+        assert sorted(map(tuple, served.collect())) == sorted(
+            map(tuple, scratch.collect())
+        )
+        # plan gate: the postings side of the join is the bare table scan
+        # (query terms broadcast; the index never shuffles). In the final
+        # adaptive plan the 3 hashpartitioning exchanges are the tiny
+        # query-side qtf agg, the per-pair sum, and the rank window —
+        # and the probe chain from BroadcastHashJoin down to the postings
+        # FileScan contains no exchange (build-side lines print with ':'
+        # tree pipes; probe-chain lines don't).
+        plan = served._jdf.queryExecution().executedPlan().toString()
+        final = plan.split("== Initial Plan ==")[0]
+        m = re.search(r"Scan parquet[^\n]*t_bm25_postings", final)
+        assert m, final[:1500]
+        assert "Bucketed: true" in final
+        assert final.count("Exchange hashpartitioning") <= 3, final[:2500]
+        join_pos = final.find("BroadcastHashJoin")
+        assert 0 <= join_pos < m.start(), "scan must sit under the join"
+        for ln in final[join_pos : m.start()].split("\n")[1:]:
+            body = ln.lstrip(" +-")
+            if ln.lstrip().startswith(":"):
+                continue  # build (broadcast query) subtree
+            assert "Exchange hashpartitioning" not in body, ln
+    finally:
+        spark.sql("DROP TABLE IF EXISTS t_bm25_postings")
+        spark.sql("DROP TABLE IF EXISTS t_bm25_meta")
