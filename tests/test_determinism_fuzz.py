@@ -60,6 +60,7 @@ QUERIES = [
     "bm25_topk",
     "span_dedup",
     "ann_pq_topk",
+    "quality_classifier_report",
 ]
 
 # Perturbations of runtime-settable physical knobs. Each tuple is applied on
