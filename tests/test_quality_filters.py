@@ -164,3 +164,25 @@ def test_linear_quality_margin_real_weight_table_path(spark):
     assert got[1]["accept"] is False
     assert got[2]["margin"] == pytest.approx(0.0)
     assert got[2]["accept"] is False  # strict > 0
+
+
+def test_linear_quality_margin_no_weights_plan_is_narrow(spark):
+    """The no-weights path's 100 TB contract: the margin is a pure
+    per-row fold — no explode, no shuffle; the only exchange in the
+    catalog report query is the final source-keyed aggregation."""
+    from semantic_vector_search_system_spark.operators.quality_filters import (
+        linear_quality_margin,
+    )
+
+    df = spark.createDataFrame(
+        [(0, "a b c", "s0"), (1, "d e", "s1")],
+        "doc_id long, text string, source string",
+    )
+    plan = (
+        linear_quality_margin(df, extra_cols=("source",))
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan, plan[:1500]
+    assert "Generate" not in plan  # no explode
