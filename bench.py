@@ -99,6 +99,14 @@ def emit(timings: dict, query_meta: dict, sf, *, partial: bool) -> str:
     except OSError:
         pass
     compact = {k: v for k, v in full.items() if k != "query_meta"}
+    if "accuracy" in compact:
+        # the per-entry "metric" prose repeats across entries and lives in
+        # bench_out.json; dropping it from the printed line buys ~50 chars
+        # of tail headroom per accuracy entry
+        compact["accuracy"] = {
+            k: {kk: vv for kk, vv in v.items() if kk != "metric"}
+            for k, v in compact["accuracy"].items()
+        }
     line = json.dumps(compact, separators=(",", ":"))
     # drop optional payloads (least→most valuable) until the line fits
     for drop in ("accuracy", "floors"):

@@ -86,10 +86,15 @@ def test_emit_line_fits_driver_tail(tmp_path, monkeypatch):
     for k in ("metric", "value", "unit", "queries", "sf"):
         assert k in parsed, k
     assert parsed["queries"] == {k: round(v, 3) for k, v in timings.items()}
+    # accuracy values survive on the compact line; the repeated "metric"
+    # prose is stripped (it stays in bench_out.json)
+    assert parsed["accuracy"]["ann_recall_1m"]["nprobe=8"] == 0.88
+    assert "metric" not in parsed["accuracy"]["ann_recall_1m"]
     # full detail (query_meta) still reaches bench_out.json
     full = json.load(open(tmp_path / "bench_out.json"))
     assert full["query_meta"] == query_meta
     assert full["accuracy"]["ann_recall_1m"]["nprobe=8"] == 0.88
+    assert full["accuracy"]["ann_recall_1m"]["metric"].startswith("mean recall")
 
 
 def test_driver_tail_replay_parses_final_line(tmp_path, monkeypatch):
