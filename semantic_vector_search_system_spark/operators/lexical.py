@@ -391,3 +391,133 @@ def span_dedup(
             F.lit(""),
         ).alias("dedup_text"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Incremental span dedup against a STORED chunk-hash index (crawl loop)
+# ---------------------------------------------------------------------------
+
+def _chunk_keys(docs: DataFrame, span_tokens: int, doc_text: str, doc_id: str):
+    toks = tokenize(doc_text)
+    n_chunks = F.ceil(F.size(toks) / F.lit(span_tokens)).cast("long")
+    chunk_seq = F.when(
+        n_chunks > 0, F.sequence(F.lit(0), n_chunks - 1)
+    ).otherwise(F.array().cast("array<long>"))
+    return docs.select(
+        F.col(doc_id),
+        F.posexplode(
+            F.transform(
+                chunk_seq,
+                lambda i: F.struct(
+                    stable_hash64(
+                        F.array_join(
+                            F.slice(toks, i * span_tokens + 1, span_tokens),
+                            " ",
+                        )
+                    ).alias("h"),
+                    F.array_join(
+                        F.slice(toks, i * span_tokens + 1, span_tokens), " "
+                    ).alias("chunk"),
+                ),
+            )
+        ).alias("pos", "pc"),
+    ).select(doc_id, "pos", "pc.h", "pc.chunk")
+
+
+def write_span_index(
+    docs: DataFrame,
+    table_prefix: str,
+    *,
+    span_tokens: int = 20,
+    doc_text: str = "text",
+    doc_id: str = "doc_id",
+    n_buckets: int = 32,
+) -> dict:
+    """Persist the corpus' DISTINCT chunk hashes as a ``bucketBy(h)``
+    warehouse table + a meta table carrying ``span_tokens`` — the stored
+    state of the crawl-loop span dedup (every chunk ever seen has exactly
+    one kept first occurrence, so the seen-hash set IS the dedup state;
+    8 B per distinct chunk, ~1000x smaller than the text)."""
+    spark = docs.sparkSession
+    hashes = (
+        _chunk_keys(docs, span_tokens, doc_text, doc_id)
+        .select("h")
+        .distinct()
+    )
+    (
+        hashes.write.mode("overwrite").format("parquet")
+        .bucketBy(n_buckets, "h").sortBy("h")
+        .saveAsTable(f"{table_prefix}_chunks")
+    )
+    spark.createDataFrame(
+        [(span_tokens, n_buckets)], "span_tokens int, n_buckets int"
+    ).write.mode("overwrite").format("parquet").saveAsTable(
+        f"{table_prefix}_meta"
+    )
+    return {"span_tokens": span_tokens, "n_buckets": n_buckets}
+
+
+def incremental_span_dedup(
+    new_docs: DataFrame,
+    table_prefix: str,
+    *,
+    doc_text: str = "text",
+    doc_id: str = "doc_id",
+    update_index: bool = True,
+) -> DataFrame:
+    """Span-dedup a NEW batch against the stored chunk-hash index — the
+    daily-crawl loop at sub-document granularity (the doc-level analog is
+    ``incremental_neardup``): a chunk survives iff its hash is absent
+    from the index AND it is the batch-first occurrence (by doc_id, pos).
+    Returns the same ``(doc_id, n_chunks, n_kept, dedup_text)`` shape as
+    :func:`span_dedup`; with ``update_index`` the novel hashes are
+    appended (insertInto preserves the bucket spec) so the next batch
+    dedups against everything accepted before it.
+
+    Equivalence contract (tested): processing a corpus as doc_id-ordered
+    batches through this function yields EXACTLY ``span_dedup`` of the
+    whole corpus — the stored set replaces the cross-batch half of the
+    keep-first window. Scale: the index side is scanned and probed only
+    (bucketed by the join key); per batch the only shuffles are keyed on
+    the batch's own chunk hashes and doc ids.
+    """
+    spark = new_docs.sparkSession
+    meta = spark.read.table(f"{table_prefix}_meta").first().asDict()
+    span_tokens = meta["span_tokens"]
+    spark.catalog.refreshTable(f"{table_prefix}_chunks")
+    seen = spark.read.table(f"{table_prefix}_chunks")
+    ck = _chunk_keys(new_docs, span_tokens, doc_text, doc_id)
+    novel = ck.join(seen, "h", "left_anti")
+    w = Window.partitionBy("h").orderBy(F.asc(doc_id), F.asc("pos"))
+    kept = (
+        novel.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .groupBy(doc_id)
+        .agg(
+            F.count("*").alias("n_kept"),
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "chunk"))),
+                    lambda s: s["chunk"],
+                ),
+            ).alias("dedup_text"),
+        )
+    )
+    toks = tokenize(doc_text)
+    base = new_docs.select(
+        F.col(doc_id),
+        F.ceil(F.size(toks) / F.lit(span_tokens)).cast("long").alias("n_chunks"),
+    )
+    out = base.join(kept, doc_id, "left").select(
+        doc_id,
+        "n_chunks",
+        F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+        F.coalesce("dedup_text", F.lit("")).alias("dedup_text"),
+    )
+    if update_index:
+        out = out.localCheckpoint()  # result first: the append consumes ck
+        novel.select("h").distinct().write.insertInto(
+            f"{table_prefix}_chunks"
+        )
+    return out

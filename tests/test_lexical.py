@@ -301,3 +301,80 @@ def test_bm25_index_roundtrip_and_serving_parity(spark, tmp_path):
     finally:
         spark.sql("DROP TABLE IF EXISTS t_bm25_postings")
         spark.sql("DROP TABLE IF EXISTS t_bm25_meta")
+
+
+def test_incremental_span_dedup_equals_full_corpus_run(spark):
+    """The crawl-loop contract: processing a corpus as doc_id-ordered
+    batches through incremental_span_dedup (stored chunk-hash index
+    updated per batch) yields EXACTLY span_dedup of the whole corpus."""
+    from semantic_vector_search_system_spark.operators.lexical import (
+        incremental_span_dedup,
+        write_span_index,
+    )
+
+    docs = {
+        i: " ".join(f"w{(i * 3 + j) % 7}" for j in range(10)) for i in range(30)
+    }
+    docs[5] = docs[2]      # cross-batch full duplicate
+    docs[17] = docs[2]     # duplicate across the batch boundary
+    docs[23] = docs[20] + " unique tail words here"
+    df = _mk(spark, docs, "doc_id", "text")
+    full = {
+        r["doc_id"]: (r["n_chunks"], r["n_kept"], r["dedup_text"])
+        for r in span_dedup(df, span_tokens=4).collect()
+    }
+
+    for t in ("inc_span_chunks", "inc_span_meta"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+    try:
+        # seed the index EMPTY (limit(0)) then feed batches in doc_id order
+        write_span_index(df.limit(0), "inc_span", span_tokens=4)
+        got = {}
+        for lo in range(0, 30, 10):
+            batch = df.filter(
+                (F.col("doc_id") >= lo) & (F.col("doc_id") < lo + 10)
+            )
+            for r in incremental_span_dedup(batch, "inc_span").collect():
+                got[r["doc_id"]] = (
+                    r["n_chunks"], r["n_kept"], r["dedup_text"]
+                )
+        assert got == full
+    finally:
+        for t in ("inc_span_chunks", "inc_span_meta"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_incremental_span_dedup_respects_prebuilt_corpus_index(spark):
+    """A batch against a PREBUILT corpus index: chunks already in the
+    corpus are dropped, novel ones survive; with update_index=False the
+    index is untouched (same batch replays identically)."""
+    from semantic_vector_search_system_spark.operators.lexical import (
+        incremental_span_dedup,
+        write_span_index,
+    )
+
+    corpus = _mk(spark, {0: "a b c d e f", 1: "p q r s t u"}, "doc_id", "text")
+    batch = _mk(
+        spark,
+        {10: "a b c x y z", 11: "a b c d e f", 12: "fresh words only"},
+        "doc_id",
+        "text",
+    )
+    for t in ("pre_span_chunks", "pre_span_meta"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+    try:
+        write_span_index(corpus, "pre_span", span_tokens=3)
+        for _ in range(2):  # replay: update_index=False leaves state alone
+            out = {
+                r["doc_id"]: r
+                for r in incremental_span_dedup(
+                    batch, "pre_span", update_index=False
+                ).collect()
+            }
+            assert out[10]["dedup_text"] == "x y z"
+            assert out[11]["dedup_text"] == ""      # fully known
+            assert out[12]["dedup_text"] == "fresh words only"
+            assert (out[12]["n_chunks"], out[12]["n_kept"]) == (1, 1)
+    finally:
+        for t in ("pre_span_chunks", "pre_span_meta"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
