@@ -339,3 +339,39 @@ def dedup_events_stream(events: DataFrame, key: str = "event_id", watermark: str
     the watermark passes — the streaming form of exact dedup for
     at-least-once sources."""
     return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark([key])
+
+
+def streaming_span_dedup_foreach_batch(
+    spark: SparkSession,
+    docs_stream: DataFrame,
+    index_prefix: str,
+    out_path: str,
+    checkpoint: str | None = None,
+) -> None:
+    """Streaming sub-document span dedup: each micro-batch drops every
+    chunk already in the STORED chunk-hash index (write_span_index
+    tables) or seen earlier in the batch, writes the per-doc surviving
+    text to ``out_path``, and appends its novel chunk hashes to the
+    index — so every later micro-batch (and every later crawl) dedups
+    against everything accepted before it.  The sub-document face of the
+    crawl loop (document-level: streaming_neardup_foreach_batch),
+    composed entirely from the batch operator
+    :func:`...operators.lexical.incremental_span_dedup` inside
+    foreachBatch.  Same at-least-once replay contract as every
+    foreachBatch parquet append.
+    """
+    from ..operators.lexical import incremental_span_dedup
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        out = incremental_span_dedup(
+            batch_df, index_prefix, update_index=True
+        )
+        out.write.mode("append").parquet(out_path)
+
+    q = (
+        docs_stream.writeStream.foreachBatch(handle)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", checkpoint or out_path + "_ckpt")
+        .start()
+    )
+    q.awaitTermination()

@@ -431,3 +431,55 @@ def test_real_png_decoder_contains_corrupt_payloads(spark):
     by_id = {r["media_id"]: r["features"] for r in rows}
     assert by_id[2] == _pytest.approx(fb("image", bytes(good[:-2])))
     assert by_id[3] == _pytest.approx(fb("image", bytes(broken)))
+
+
+def test_streaming_span_dedup_crawl_loop(spark, tmp_path):
+    """Streaming sub-document dedup e2e: a chunk accepted from
+    micro-batch 1 is rejected when micro-batch 2 repeats it; corpus
+    chunks are rejected from the start; novel tails survive."""
+    from semantic_vector_search_system_spark.operators.lexical import (
+        write_span_index,
+    )
+    from semantic_vector_search_system_spark.streaming.events import (
+        streaming_span_dedup_foreach_batch,
+    )
+
+    prefix = "stream_span_idx"
+    for t in ("_chunks", "_meta"):
+        spark.sql(f"DROP TABLE IF EXISTS {prefix}{t}")
+    try:
+        corpus = spark.createDataFrame(
+            [(0, "a b c d e f")], "doc_id long, text string"
+        )
+        write_span_index(corpus, prefix, span_tokens=3)
+
+        in_dir = str(tmp_path / "incoming")
+        b1 = spark.createDataFrame(
+            [(100, "a b c x y z")], "doc_id long, text string"
+        )  # "a b c" known from corpus; "x y z" novel
+        b2 = spark.createDataFrame(
+            [(200, "x y z fresh tail"), (201, "a b c")],
+            "doc_id long, text string",
+        )  # "x y z" was accepted from batch 1 -> rejected now
+        b1.coalesce(1).write.mode("append").parquet(in_dir)
+        b2.coalesce(1).write.mode("append").parquet(in_dir)
+
+        stream = (
+            spark.readStream.schema("doc_id long, text string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(in_dir)
+        )
+        out_path = str(tmp_path / "accepted")
+        streaming_span_dedup_foreach_batch(spark, stream, prefix, out_path)
+
+        out = {
+            r["doc_id"]: r for r in spark.read.parquet(out_path).collect()
+        }
+        assert out[100]["dedup_text"] == "x y z"
+        assert out[200]["dedup_text"] == "fresh tail"
+        assert out[201]["dedup_text"] == ""
+        # index grew to corpus + the two accepted novel chunks
+        assert spark.read.table(f"{prefix}_chunks").count() == 2 + 2
+    finally:
+        for t in ("_chunks", "_meta"):
+            spark.sql(f"DROP TABLE IF EXISTS {prefix}{t}")
