@@ -564,6 +564,35 @@ def main() -> None:
             }
             emit(timings, query_meta, sf, partial=True)
             shutil.rmtree(ivfpq_dir, ignore_errors=True)
+
+            # SemDeDup at 1M (r7b): clustered semantic dedup over the same
+            # 512-dim corpus — k=1024 arbitrary-row centroids (k ~ sqrt(n)
+            # balances assignment n*k*d against per-cluster pruning
+            # n*(n/k)*d, ~1e12 BLAS flops total). Timed region is the whole
+            # pipeline: fused narrow assignment (vector carried through, no
+            # rejoin) -> ONE cent_id shuffle -> tiled triangular-max prune.
+            from semantic_vector_search_system_spark.operators.similarity import (
+                semdedup,
+            )
+
+            sd_cents = dvec.filter(
+                F.substring("docid", 2, 18).cast("long") < 1024
+            ).select(F.col("docid").alias("cent_id"), F.col("vec").alias("cvec"))
+            sd_plan = semdedup(
+                dvec, sd_cents, threshold=0.99, keep="far",
+                id_col="docid", vec_col="vec", assign="fast",
+            )
+            timings[f"semdedup_{n}_docs"], spread = best_of(
+                lambda: sd_plan.write.format("noop").mode("overwrite").save(),
+                2,
+            )
+            query_meta[f"semdedup_{n}_docs"] = {
+                "n_clusters": 1024, "threshold": 0.99, "keep": "far",
+                "repeats": 2, "spread": spread, "since_round": 7,
+                "timed_region": "fused assign+carry (narrow) -> cent_id "
+                "shuffle -> per-cluster tiled triangular-max prune",
+            }
+            emit(timings, query_meta, sf, partial=True)
             rq.unpersist()
             dl.unpersist()
         dvec.unpersist()

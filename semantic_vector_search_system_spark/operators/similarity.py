@@ -925,3 +925,227 @@ def lsh_bucket_candidates(
     return (
         a.join(b, "bucket").filter(F.col("id_a") < F.col("id_b")).select("id_a", "id_b").distinct()
     )
+
+
+# --------------------------------------------------------------------------
+# SemDeDup — semantic deduplication via clustered embedding pruning
+# (Abbas et al. 2023, "SemDeDup: Data-efficient learning at web-scale
+# through semantic deduplication"). Beyond the reference surface: the
+# reference's dedup is pairwise threshold over ALL embeddings
+# (embeddings/search.py brute-force loop shape); SemDeDup is the form that
+# survives web scale — k-means partitions the corpus into k clusters and
+# pruning is pairwise ONLY within a cluster, so total compare cost is
+# n * (n/k) * dim instead of n^2 * dim (minimized at k ~ sqrt(n)).
+# --------------------------------------------------------------------------
+
+
+def semdedup_assign(
+    emb: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cent_id_col: str = "cent_id",
+    cent_vec_col: str = "cvec",
+) -> DataFrame:
+    """Nearest-centroid assignment KEEPING the similarity: ``(id, cent_id,
+    cent_sim)`` — :func:`ivf_assign` (nprobe=1) plus the winning cosine,
+    which SemDeDup's keep-policy orders on.
+
+    Declarative form: broadcast cross join + window argmax (ties broken
+    ascending cent_id, exactly the ivf_assign / DuckDB-oracle ordering).
+    """
+    from pyspark.sql import Window
+
+    from ..functions.vectors import cosine_similarity
+
+    scored = (
+        emb.select(id_col, vec_col)
+        .crossJoin(F.broadcast(centroids.select(cent_id_col, cent_vec_col)))
+        .withColumn("cent_sim", cosine_similarity(vec_col, cent_vec_col))
+    )
+    w = Window.partitionBy(id_col).orderBy(F.desc("cent_sim"), F.asc(cent_id_col))
+    return (
+        scored.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") == 1)
+        .select(id_col, cent_id_col, "cent_sim")
+    )
+
+
+def semdedup_assign_fast(
+    emb: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cent_id_col: str = "cent_id",
+    cent_vec_col: str = "cvec",
+    carry_vec: bool = False,
+) -> DataFrame:
+    """BLAS twin of :func:`semdedup_assign` (same contract as
+    :func:`ivf_assign_fast` vs :func:`ivf_assign`): one narrow Arrow stage,
+    one matmul per batch against the broadcast normalized centroid matrix,
+    argmax ties broken ascending cent_id. float64, so divergence from the
+    window form is confined to near-exact ties.
+
+    ``carry_vec=True`` additionally emits the input vector column — the
+    fused form :func:`semdedup` uses so the whole pipeline has exactly ONE
+    Exchange (the cent_id group shuffle) instead of an id-keyed
+    vector-rejoin. Null vectors are treated as zero vectors (cosine 0 with
+    everything → assigned to the lowest cent_id, always kept)."""
+    import numpy as np
+    import pandas as pd
+
+    crows = centroids.select(cent_id_col, cent_vec_col).collect()
+    if not crows:
+        raise ValueError("semdedup_assign_fast: centroids relation is empty")
+    cids = np.array([r[0] for r in crows])
+    C = np.array([r[1] for r in crows], dtype=np.float64)
+    cn = np.linalg.norm(C, axis=1, keepdims=True)
+    Cn = np.divide(C, cn, out=np.zeros_like(C), where=cn > 0)
+    bc = emb.sparkSession.sparkContext.broadcast((cids, Cn))
+
+    dt = dict(emb.dtypes)
+    id_t, vec_t = dt[id_col], dt[vec_col]
+    cent_t = dict(centroids.dtypes)[cent_id_col]
+    schema = f"`{id_col}` {id_t}, `{cent_id_col}` {cent_t}, cent_sim double"
+    if carry_vec:
+        schema += f", `{vec_col}` {vec_t}"
+
+    def assign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        all_cids, Cm = bc.value
+        order = np.argsort(all_cids, kind="stable")
+        Cm_o, cids_o = Cm[order], all_cids[order]
+        dim = Cm_o.shape[1]
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            D = np.array(
+                [v if v is not None else [0.0] * dim for v in pdf[vec_col]],
+                dtype=np.float64,
+            )
+            dn = np.linalg.norm(D, axis=1, keepdims=True)
+            Dn = np.divide(D, dn, out=np.zeros_like(D), where=dn > 0)
+            S = Dn @ Cm_o.T  # (batch, k); cent_id-ascending columns, so
+            # np.argmax's first-max rule IS the ascending-cent_id tie-break
+            best = np.argmax(S, axis=1)
+            out = {
+                id_col: pdf[id_col].to_numpy(),
+                cent_id_col: cids_o[best],
+                "cent_sim": S[np.arange(len(best)), best],
+            }
+            if carry_vec:
+                out[vec_col] = pdf[vec_col]
+            yield pd.DataFrame(out)
+
+    return emb.select(id_col, vec_col).mapInPandas(assign, schema=schema)
+
+
+def semdedup(
+    emb: DataFrame,
+    centroids: DataFrame,
+    threshold: float = 0.32,
+    keep: str = "far",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cent_id_col: str = "cent_id",
+    cent_vec_col: str = "cvec",
+    assign: str = "expr",
+    block_rows: int = 2048,
+) -> DataFrame:
+    """SemDeDup: per-cluster semantic pruning — ``(id, cent_id, cent_sim,
+    kept)`` with kept=false iff some cluster-mate PRECEDING the row in the
+    keep-order has cosine >= threshold with it.
+
+    Semantics (the released SemDeDup rule): within each cluster, order the
+    members by the keep policy and drop member x iff
+    ``max_{y before x} cosine(x, y) >= threshold`` — the triangular max
+    over ALL earlier members, kept or not (so a dropped member still
+    shields its own near-twins; a chain a~b, b~c with a!~c keeps a and
+    drops BOTH b and c). The first member of every cluster-order is always
+    kept.
+
+    keep policy:
+      * ``"far"`` (paper's best setting): order (cent_sim asc, id asc) —
+        within a duplicate chain the member LEAST similar to its centroid
+        survives, biasing the kept set toward cluster edges.
+      * ``"min_id"``: order (id asc) — deterministic baseline matching the
+        keep-one convention of the MinHash pipelines.
+
+    Physical shape: ``assign="expr"`` (the declarative/oracle form) is
+    broadcast-cross-join + window assignment joined back to the vectors;
+    ``assign="fast"`` (the scale form) fuses assignment and vector
+    transport into one narrow Arrow matmul stage so the ONLY Exchange in
+    the plan is the cent_id group shuffle (plan-gated in tests). The kernel runs the triangular
+    max as tiled BLAS (block_rows x block_rows tiles), so memory is
+    O(block^2 + b*dim) per cluster, never O(b^2). Cluster size is the
+    bounded unit — pick k ~ sqrt(n) (paper: fixed k ~ 11k at web scale) so
+    per-cluster cost stays flat as the corpus grows; the hot path is
+    n*(n/k)*dim BLAS flops spread over one task per cluster.
+    """
+    import numpy as np
+    import pandas as pd
+
+    if keep not in ("far", "min_id"):
+        raise ValueError(f"semdedup: unknown keep policy {keep!r}")
+    if assign == "fast":
+        # fused: the narrow Arrow assigner carries the vector through, so
+        # the ONLY Exchange in the whole plan is the cent_id group shuffle
+        rows = semdedup_assign_fast(
+            emb, centroids, id_col, vec_col, cent_id_col, cent_vec_col,
+            carry_vec=True,
+        )
+    else:
+        asg = semdedup_assign(
+            emb, centroids, id_col, vec_col, cent_id_col, cent_vec_col
+        )
+        rows = emb.select(id_col, vec_col).join(asg, id_col)
+
+    id_t = dict(emb.dtypes)[id_col]
+    cent_t = dict(centroids.dtypes)[cent_id_col]
+    schema = (
+        f"`{id_col}` {id_t}, `{cent_id_col}` {cent_t}, "
+        "cent_sim double, kept boolean"
+    )
+    kp = keep
+
+    def prune(pdf: pd.DataFrame) -> pd.DataFrame:
+        ids = pdf[id_col].to_numpy()
+        cs = pdf["cent_sim"].to_numpy(dtype=np.float64)
+        dim = next((len(v) for v in pdf[vec_col] if v is not None), 0)
+        M = np.array(
+            [v if v is not None else [0.0] * dim for v in pdf[vec_col]],
+            dtype=np.float64,
+        )
+        nrm = np.linalg.norm(M, axis=1, keepdims=True)
+        Mn = np.divide(M, nrm, out=np.zeros_like(M), where=nrm > 0)
+        if kp == "far":
+            order = np.lexsort((ids, cs))  # cent_sim asc, then id asc
+        else:
+            order = np.argsort(ids, kind="stable")
+        Mo = Mn[order]
+        b = len(ids)
+        tri = np.full(b, -np.inf)
+        for s in range(1, b, block_rows):
+            e = min(s + block_rows, b)
+            colmax = np.full(e - s, -np.inf)
+            for rs in range(0, e, block_rows):
+                re_ = min(rs + block_rows, e)
+                S = Mo[rs:re_] @ Mo[s:e].T  # (rows, cols) tile
+                # mask pairs where row j is NOT strictly before column i
+                jj = np.arange(rs, re_)[:, None]
+                ii = np.arange(s, e)[None, :]
+                S[jj >= ii] = -np.inf
+                colmax = np.maximum(colmax, S.max(axis=0))
+            tri[s:e] = colmax
+        kept_o = tri < threshold
+        kept = np.empty(b, dtype=bool)
+        kept[order] = kept_o
+        return pd.DataFrame(
+            {
+                id_col: ids,
+                cent_id_col: pdf[cent_id_col].to_numpy(),
+                "cent_sim": cs,
+                "kept": kept,
+            }
+        )
+
+    return rows.groupBy(cent_id_col).applyInPandas(prune, schema=schema)

@@ -1217,6 +1217,12 @@ DEMOTED: tuple[str, ...] = (
                                  #   (incoming W3 family; TakeOrderedAndProject
                                  #   stays plan-asserted in tests) — window
                                  #   room for the NEW r7 quality_classifier_report
+    "lsh_candidate_pairs",       # r6-driver-green; MinHash-LSH banding ≡
+                                 #   neardup_keep_one (in-window, star-edge
+                                 #   banding + verify) + minhash_signatures
+                                 #   (in-window) — window room for the NEW
+                                 #   r7 semdedup_keep_one (embedding
+                                 #   near-dup + clustering family)
 )
 
 
@@ -3222,3 +3228,56 @@ def quality_classifier_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("mean_margin"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Round 7b: SemDeDup — clustered semantic deduplication
+# ---------------------------------------------------------------------------
+
+@_q(
+    "semdedup_keep_one",
+    """
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    cents AS (SELECT vec_id AS cent_id, v AS cvec FROM e WHERE vec_id < 8),
+    assign AS (
+      SELECT vec_id, cent_id, sim AS cent_sim FROM (
+        SELECT e.vec_id, c.cent_id,
+          list_cosine_similarity(e.v, c.cvec) AS sim,
+          ROW_NUMBER() OVER (PARTITION BY e.vec_id
+            ORDER BY list_cosine_similarity(e.v, c.cvec) DESC, c.cent_id) AS rk
+        FROM e CROSS JOIN cents c) t
+      WHERE rk = 1),
+    m AS (SELECT a.vec_id, a.cent_id, a.cent_sim, e.v
+          FROM assign a JOIN e USING (vec_id)),
+    dropped AS (
+      SELECT DISTINCT x.vec_id
+      FROM m x JOIN m y ON x.cent_id = y.cent_id
+        AND (y.cent_sim < x.cent_sim
+             OR (y.cent_sim = x.cent_sim AND y.vec_id < x.vec_id))
+      WHERE list_cosine_similarity(x.v, y.v) >= 0.32)
+    SELECT m.vec_id, m.cent_id, ROUND(m.cent_sim, 4) AS cent_sim,
+           (d.vec_id IS NULL) AS kept
+    FROM m LEFT JOIN dropped d ON m.vec_id = d.vec_id
+    """,
+    tags=("dedup", "embedding", "semdedup", "clustering"),
+)
+def semdedup_keep_one(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023) over the embeddings table: 8
+    deterministic centroids (vec_id < 8, same convention as ann_ivf_topk
+    so the oracle replays assignment), per-cluster triangular-max pruning
+    at cosine >= 0.32 with the paper's keep="far" policy — within a
+    duplicate chain the member LEAST similar to its centroid survives.
+    One row per vector: (vec_id, cent_id, cent_sim, kept).
+
+    Beyond the reference surface (its embedding dedup is the all-pairs
+    threshold loop, embeddings/search.py): clustering bounds the compare
+    set per task, n*(n/k)*dim total flops — the form that survives web
+    scale. Physical shape: broadcast assignment + ONE cent_id-keyed
+    shuffle into a tiled-BLAS grouped kernel (operators/similarity.py::
+    semdedup)."""
+    emb = T(spark, sf_dir, "embeddings")
+    cents = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("cent_id"), F.col("embedding").alias("cvec")
+    )
+    out = sim.semdedup(emb, cents, threshold=0.32, keep="far")
+    return out.withColumn("cent_sim", F.round("cent_sim", 4))

@@ -1307,3 +1307,158 @@ def test_incremental_neardup_family_mismatch_fails_loudly(spark):
         incremental_neardup(
             new, md5_sigs, hash_family="fast", corpus_hash_family="md5"
         )
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup (clustered semantic dedup, Abbas et al. 2023 semantics)
+# ---------------------------------------------------------------------------
+
+def _angle_vec(theta_deg: float) -> list[float]:
+    import math
+
+    t = math.radians(theta_deg)
+    return [math.cos(t), math.sin(t), 0.0]
+
+
+def test_semdedup_far_policy_triangular_chain(spark):
+    """Chain a~b~c with a!~c: the released-SemDeDup rule (triangular max
+    over ALL earlier members, kept or not) keeps ONLY the first member of
+    the keep-order — a dropped member still shields its own near-twins.
+    keep="far" orders by (cent_sim asc, id asc), so the member FARTHEST
+    from the centroid survives."""
+    from semantic_vector_search_system_spark.operators.similarity import semdedup
+
+    # centroid 0 at angle 0; members at 10/25/40 degrees: adjacent pairs
+    # cos(15deg)=0.966 >= 0.9, far pair cos(30deg)=0.866 < 0.9.
+    # Second centroid (z axis) gets one lone member -> always kept.
+    rows = [
+        (1, _angle_vec(10.0)),
+        (2, _angle_vec(25.0)),
+        (3, _angle_vec(40.0)),
+        (4, [0.0, 0.1, 1.0]),
+    ]
+    emb = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    cents = spark.createDataFrame(
+        [(0, [1.0, 0.0, 0.0]), (1, [0.0, 0.0, 1.0])],
+        "cent_id bigint, cvec array<double>",
+    )
+    for mode in ("expr", "fast"):
+        out = {r["vec_id"]: r for r in
+               semdedup(emb, cents, threshold=0.9, keep="far", assign=mode).collect()}
+        # id 3 (40deg) has the LOWEST cent_sim -> first in order -> kept;
+        # id 2 (25deg) within 15deg of 3 -> dropped; id 1 (10deg) is 30deg
+        # from kept 3 but 15deg from DROPPED 2 -> still dropped.
+        assert {i for i, r in out.items() if r["kept"]} == {3, 4}, mode
+        assert out[1]["cent_id"] == 0 and out[4]["cent_id"] == 1
+
+    # keep="min_id": order by id -> 1 kept, 2 dropped (15deg from 1),
+    # 3 dropped (15deg from dropped 2).
+    out = {r["vec_id"]: r["kept"] for r in
+           semdedup(emb, cents, threshold=0.9, keep="min_id").collect()}
+    assert {i for i, k in out.items() if k} == {1, 4}
+
+
+def test_semdedup_expr_fast_parity(spark):
+    """The declarative (oracle) and fused-Arrow forms agree row-for-row on
+    real data: same assignment, same keep decision, cent_sim within float
+    tolerance."""
+    from semantic_vector_search_system_spark.operators.similarity import semdedup
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    cents = emb.filter("vec_id < 8").selectExpr(
+        "vec_id AS cent_id", "embedding AS cvec"
+    )
+    a = {r["vec_id"]: r for r in
+         semdedup(emb, cents, threshold=0.32, keep="far", assign="expr").collect()}
+    b = {r["vec_id"]: r for r in
+         semdedup(emb, cents, threshold=0.32, keep="far", assign="fast").collect()}
+    assert set(a) == set(b) and len(a) == 500
+    for vid in a:
+        assert a[vid]["cent_id"] == b[vid]["cent_id"]
+        assert a[vid]["kept"] == b[vid]["kept"]
+        assert abs(a[vid]["cent_sim"] - b[vid]["cent_sim"]) < 1e-9
+    # the threshold is inside the similarity mass -> both classes present
+    kept = sum(1 for r in a.values() if r["kept"])
+    assert 0 < kept < 500
+
+
+def test_semdedup_matches_python_oracle(spark):
+    """Seeded random corpus with planted near-duplicates vs a brute-force
+    numpy reference of the full SemDeDup rule (argmax assignment with
+    ascending-cent_id ties, per-cluster keep-order, triangular max)."""
+    import numpy as np
+
+    from semantic_vector_search_system_spark.operators.similarity import semdedup
+
+    rng = np.random.default_rng(7)
+    n, dim, k, tau = 240, 16, 5, 0.985
+    X = rng.normal(size=(n, dim))
+    for i in range(0, 60, 3):  # plant near-dup pairs across the corpus
+        X[i + 1] = X[i] + rng.normal(scale=0.02, size=dim)
+    Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
+    C = Xn[:k].copy()
+
+    def py_semdedup(keep: str) -> dict[int, bool]:
+        S = Xn @ C.T
+        # ascending cent_id columns: argmax first-max = lowest-cent_id tie
+        assign = np.argmax(S, axis=1)
+        cent_sim = S[np.arange(n), assign]
+        kept = {}
+        for c in range(k):
+            ids = np.where(assign == c)[0]
+            if keep == "far":
+                order = ids[np.lexsort((ids, cent_sim[ids]))]
+            else:
+                order = np.sort(ids)
+            for pos, i in enumerate(order):
+                prior = order[:pos]
+                kept[int(i)] = not (
+                    len(prior) and (Xn[prior] @ Xn[i]).max() >= tau
+                )
+        return kept
+
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in Xn[i]]) for i in range(n)],
+        "vec_id bigint, embedding array<double>",
+    )
+    cents = spark.createDataFrame(
+        [(c, [float(x) for x in C[c]]) for c in range(k)],
+        "cent_id bigint, cvec array<double>",
+    )
+    for keep in ("far", "min_id"):
+        expect = py_semdedup(keep)
+        got = {r["vec_id"]: r["kept"] for r in
+               semdedup(emb, cents, threshold=tau, keep=keep,
+                        assign="fast", block_rows=32).collect()}
+        assert got == expect, keep
+        assert sum(1 for v in expect.values() if not v) >= 15  # planted dups fired
+
+
+def test_semdedup_fast_form_single_exchange(spark):
+    """100 TB property of the fused form: assignment+vector transport is
+    one narrow Arrow stage; the ONLY Exchange in the whole plan is the
+    cent_id group shuffle."""
+    from semantic_vector_search_system_spark.operators.similarity import semdedup
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    cents = emb.filter("vec_id < 8").selectExpr(
+        "vec_id AS cent_id", "embedding AS cvec"
+    )
+    plan = semdedup(emb, cents, threshold=0.32, assign="fast")._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 1, plan[:4000]
+
+
+def test_semdedup_null_vector_treated_as_zero(spark):
+    from semantic_vector_search_system_spark.operators.similarity import semdedup
+
+    emb = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [1.0, 0.001]), (3, None)],
+        "vec_id bigint, embedding array<double>",
+    )
+    cents = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.0, 1.0])], "cent_id bigint, cvec array<double>"
+    )
+    out = {r["vec_id"]: r for r in
+           semdedup(emb, cents, threshold=0.9, keep="min_id", assign="fast").collect()}
+    assert out[3]["kept"] and out[3]["cent_id"] == 0 and out[3]["cent_sim"] == 0.0
+    assert out[1]["kept"] and not out[2]["kept"]

@@ -61,6 +61,10 @@ QUERIES = [
     "span_dedup",
     "ann_pq_topk",
     "quality_classifier_report",
+    # r7b: SemDeDup — argmax assignment ties, per-cluster keep-order
+    # (lexsort on float cent_sim) and the tiled triangular max must all be
+    # invariant to partition scrambling and join-strategy flips.
+    "semdedup_keep_one",
 ]
 
 # Perturbations of runtime-settable physical knobs. Each tuple is applied on
