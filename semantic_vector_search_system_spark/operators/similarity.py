@@ -1050,10 +1050,13 @@ def semdedup(
     cent_vec_col: str = "cvec",
     assign: str = "expr",
     block_rows: int = 2048,
+    emit_vec: bool = False,
 ) -> DataFrame:
     """SemDeDup: per-cluster semantic pruning — ``(id, cent_id, cent_sim,
     kept)`` with kept=false iff some cluster-mate PRECEDING the row in the
-    keep-order has cosine >= threshold with it.
+    keep-order has cosine >= threshold with it. ``emit_vec=True`` appends
+    the vector column (the index-build path persists it for incremental
+    serving without a rejoin).
 
     Semantics (the released SemDeDup rule): within each cluster, order the
     members by the keep policy and drop member x iff
@@ -1099,12 +1102,15 @@ def semdedup(
         )
         rows = emb.select(id_col, vec_col).join(asg, id_col)
 
-    id_t = dict(emb.dtypes)[id_col]
+    dt = dict(emb.dtypes)
+    id_t, vec_t = dt[id_col], dt[vec_col]
     cent_t = dict(centroids.dtypes)[cent_id_col]
     schema = (
         f"`{id_col}` {id_t}, `{cent_id_col}` {cent_t}, "
         "cent_sim double, kept boolean"
     )
+    if emit_vec:
+        schema += f", `{vec_col}` {vec_t}"
     kp = keep
 
     def prune(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -1139,13 +1145,183 @@ def semdedup(
         kept_o = tri < threshold
         kept = np.empty(b, dtype=bool)
         kept[order] = kept_o
+        out = {
+            id_col: ids,
+            cent_id_col: pdf[cent_id_col].to_numpy(),
+            "cent_sim": cs,
+            "kept": kept,
+        }
+        if emit_vec:
+            out[vec_col] = pdf[vec_col]
+        return pd.DataFrame(out)
+
+    return rows.groupBy(cent_id_col).applyInPandas(prune, schema=schema)
+
+
+def write_semdedup_index(
+    emb: DataFrame,
+    centroids: DataFrame,
+    table_prefix: str,
+    *,
+    threshold: float = 0.32,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_buckets: int = 32,
+) -> dict:
+    """Build and PERSIST the incremental-SemDeDup corpus state: runs the
+    fused keep="min_id" pipeline over the corpus and stores
+
+    * ``<prefix>_members`` — EVERY corpus row ``(id, cent_id, cent_sim,
+      kept, vec)`` as a ``bucketBy(n_buckets, cent_id)`` warehouse table:
+      the released-SemDeDup rule compares a row against ALL earlier
+      cluster-mates (kept or not — a dropped member still shields its own
+      near-twins), so the dedup state is the full per-cluster member set,
+      not just the keep list. The win at scale is compute + movement, not
+      storage: serving never re-runs the O(n·(n/k)·dim) corpus-internal
+      compare and the member table is probed by cluster without a shuffle.
+    * ``<prefix>_cents`` — the pinned centroid table (assignment must use
+      the SAME centroids forever or cluster membership drifts).
+    * ``<prefix>_meta`` — threshold / n_buckets / keep policy.
+
+    The index is pinned to keep="min_id" (arrival order IS the keep-order
+    of a crawl loop: first seen survives); the global "far" ordering is
+    not incrementally replayable — a later arrival could precede stored
+    members in cent_sim order and change THEIR decisions.
+    """
+    spark = emb.sparkSession
+    res = semdedup(
+        emb, centroids, threshold=threshold, keep="min_id",
+        id_col=id_col, vec_col=vec_col, assign="fast", emit_vec=True,
+    )
+    (
+        res.write.mode("overwrite").format("parquet")
+        .bucketBy(n_buckets, "cent_id").sortBy(id_col)
+        .saveAsTable(f"{table_prefix}_members")
+    )
+    centroids.select("cent_id", "cvec").write.mode("overwrite").format(
+        "parquet"
+    ).saveAsTable(f"{table_prefix}_cents")
+    spark.createDataFrame(
+        [(float(threshold), n_buckets, "min_id", id_col, vec_col)],
+        "threshold double, n_buckets int, keep string, "
+        "id_col string, vec_col string",
+    ).write.mode("overwrite").format("parquet").saveAsTable(
+        f"{table_prefix}_meta"
+    )
+    return {"threshold": threshold, "n_buckets": n_buckets, "keep": "min_id"}
+
+
+def incremental_semdedup(
+    new_emb: DataFrame,
+    table_prefix: str,
+    *,
+    update_index: bool = True,
+    block_rows: int = 2048,
+) -> DataFrame:
+    """SemDeDup a NEW batch against the stored corpus state — the crawl
+    loop at embedding granularity (completing the incremental family:
+    doc-level ``incremental_neardup``, span-level
+    ``incremental_span_dedup``): ``(id, cent_id, cent_sim, kept)`` for the
+    batch, kept=false iff some stored cluster-mate OR an earlier batch
+    member (by id) is cosine-similar above the stored threshold.
+
+    Equivalence contract (tested): processing a corpus as id-ordered
+    batches through this function yields EXACTLY
+    ``semdedup(keep="min_id")`` of the whole corpus — the stored member
+    set replaces the cross-batch half of the triangular max. With
+    ``update_index`` the batch rows (kept AND dropped — both shield
+    future arrivals under the released rule) are appended, bucket spec
+    preserved.
+
+    Physical shape: batch assignment is the fused narrow Arrow stage; the
+    compare is a cent_id cogroup where the stored side streams from the
+    bucketed table (scanned and probed, never re-scored internally); per
+    batch the only new shuffle is the batch's own cent_id grouping.
+    """
+    import numpy as np
+    import pandas as pd
+
+    spark = new_emb.sparkSession
+    meta = spark.read.table(f"{table_prefix}_meta").first().asDict()
+    threshold = meta["threshold"]
+    id_col, vec_col = meta["id_col"], meta["vec_col"]
+    spark.catalog.refreshTable(f"{table_prefix}_members")
+    stored = spark.read.table(f"{table_prefix}_members")
+    cents = spark.read.table(f"{table_prefix}_cents")
+
+    batch = semdedup_assign_fast(
+        new_emb, cents, id_col, vec_col, carry_vec=True
+    )
+
+    dt = dict(new_emb.dtypes)
+    id_t, vec_t = dt[id_col], dt[vec_col]
+    cent_t = dict(cents.dtypes)["cent_id"]
+    schema = (
+        f"`{id_col}` {id_t}, `cent_id` {cent_t}, cent_sim double, "
+        f"kept boolean, `{vec_col}` {vec_t}"
+    )
+
+    def against_stored(key, bpdf: pd.DataFrame, spdf: pd.DataFrame) -> pd.DataFrame:
+        if bpdf.empty:
+            # keep input dtypes (a bare [] column becomes float64, which
+            # Arrow cannot convert to list<double> even with zero rows)
+            empty = bpdf.head(0).copy()
+            empty["kept"] = pd.Series([], dtype=bool)
+            return empty[[id_col, "cent_id", "cent_sim", "kept", vec_col]]
+        ids = bpdf[id_col].to_numpy()
+        dim = next((len(v) for v in bpdf[vec_col] if v is not None), 0)
+        B = np.array(
+            [v if v is not None else [0.0] * dim for v in bpdf[vec_col]],
+            dtype=np.float64,
+        )
+        bn = np.linalg.norm(B, axis=1, keepdims=True)
+        Bn = np.divide(B, bn, out=np.zeros_like(B), where=bn > 0)
+        order = np.argsort(ids, kind="stable")
+        Bo = Bn[order]
+        b = len(ids)
+        # max cosine vs the stored cluster members (all "earlier"), tiled
+        base = np.full(b, -np.inf)
+        if not spdf.empty:
+            S_ = np.array(spdf[vec_col].tolist(), dtype=np.float64)
+            sn = np.linalg.norm(S_, axis=1, keepdims=True)
+            Sn = np.divide(S_, sn, out=np.zeros_like(S_), where=sn > 0)
+            for rs in range(0, len(Sn), block_rows):
+                G = Sn[rs : rs + block_rows] @ Bo.T
+                base = np.maximum(base, G.max(axis=0))
+        # triangular max within the batch (id order)
+        tri = np.full(b, -np.inf)
+        for s in range(1, b, block_rows):
+            e = min(s + block_rows, b)
+            colmax = np.full(e - s, -np.inf)
+            for rs in range(0, e, block_rows):
+                re_ = min(rs + block_rows, e)
+                G = Bo[rs:re_] @ Bo[s:e].T
+                jj = np.arange(rs, re_)[:, None]
+                ii = np.arange(s, e)[None, :]
+                G[jj >= ii] = -np.inf
+                colmax = np.maximum(colmax, G.max(axis=0))
+            tri[s:e] = colmax
+        kept_o = np.maximum(base, tri) < threshold
+        kept = np.empty(b, dtype=bool)
+        kept[order] = kept_o
         return pd.DataFrame(
             {
                 id_col: ids,
-                cent_id_col: pdf[cent_id_col].to_numpy(),
-                "cent_sim": cs,
+                "cent_id": bpdf["cent_id"].to_numpy(),
+                "cent_sim": bpdf["cent_sim"].to_numpy(),
                 "kept": kept,
+                vec_col: bpdf[vec_col],
             }
         )
 
-    return rows.groupBy(cent_id_col).applyInPandas(prune, schema=schema)
+    full = (
+        batch.groupBy("cent_id")
+        .cogroup(stored.select("cent_id", vec_col).groupBy("cent_id"))
+        .applyInPandas(against_stored, schema=schema)
+    )
+    if update_index:
+        # one computation serves both result and append (insertInto
+        # matches by position; `full` emits the members-table column order)
+        full = full.localCheckpoint()
+        full.write.insertInto(f"{table_prefix}_members")
+    return full.select(id_col, "cent_id", "cent_sim", "kept")

@@ -1462,3 +1462,148 @@ def test_semdedup_null_vector_treated_as_zero(spark):
            semdedup(emb, cents, threshold=0.9, keep="min_id", assign="fast").collect()}
     assert out[3]["kept"] and out[3]["cent_id"] == 0 and out[3]["cent_sim"] == 0.0
     assert out[1]["kept"] and not out[2]["kept"]
+
+
+def test_incremental_semdedup_equals_full_corpus_run(spark):
+    """The crawl-loop contract at embedding granularity: processing a
+    corpus as id-ordered batches through incremental_semdedup (stored
+    member state updated per batch) yields EXACTLY semdedup(keep="min_id")
+    of the whole corpus — including the shielding behavior of DROPPED
+    stored members."""
+    import numpy as np
+
+    from semantic_vector_search_system_spark.operators.similarity import (
+        incremental_semdedup,
+        semdedup,
+        write_semdedup_index,
+    )
+
+    rng = np.random.default_rng(11)
+    n, dim, k, tau = 150, 12, 4, 0.985
+    X = rng.normal(size=(n, dim))
+    # plant near-dup pairs that straddle the batch boundaries (batches of
+    # 50): originals in batch 1, twins in batches 2 and 3 — plus a
+    # shielding chain: 7~58 and 58~109 with 7!~109 must drop BOTH 58 and
+    # 109 even though 58 is itself dropped when 109 arrives.
+    for a, b in [(3, 61), (9, 120), (40, 72), (45, 145), (7, 58), (58, 109)]:
+        X[b] = X[a] + rng.normal(scale=0.02, size=dim)
+    Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in Xn[i]]) for i in range(n)],
+        "vec_id bigint, embedding array<double>",
+    )
+    cents = spark.createDataFrame(
+        [(c, [float(x) for x in Xn[c]]) for c in range(k)],
+        "cent_id bigint, cvec array<double>",
+    )
+    full = {r["vec_id"]: (r["cent_id"], r["kept"]) for r in
+            semdedup(emb, cents, threshold=tau, keep="min_id",
+                     assign="fast").collect()}
+    assert sum(1 for _, kk in full.values() if not kk) >= 5
+
+    for t in ("inc_sd_members", "inc_sd_cents", "inc_sd_meta"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+    try:
+        # seed the index EMPTY then feed id-ordered batches
+        write_semdedup_index(emb.limit(0), cents, "inc_sd", threshold=tau)
+        got = {}
+        for lo in range(0, n, 50):
+            batch = emb.filter(
+                (F.col("vec_id") >= lo) & (F.col("vec_id") < lo + 50)
+            )
+            for r in incremental_semdedup(batch, "inc_sd").collect():
+                got[r["vec_id"]] = (r["cent_id"], r["kept"])
+        assert got == full
+    finally:
+        for t in ("inc_sd_members", "inc_sd_cents", "inc_sd_meta"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_incremental_semdedup_prebuilt_index_and_replay(spark):
+    """A batch against a PREBUILT corpus index: near-twins of corpus
+    members drop, novel vectors survive; update_index=False leaves state
+    alone (same batch replays identically), update_index=True makes a
+    batch twin drop on replay."""
+    from semantic_vector_search_system_spark.operators.similarity import (
+        incremental_semdedup,
+        write_semdedup_index,
+    )
+
+    corpus = spark.createDataFrame(
+        [(0, [1.0, 0.0, 0.0]), (1, [0.0, 1.0, 0.0])],
+        "vec_id bigint, embedding array<double>",
+    )
+    cents = spark.createDataFrame(
+        [(0, [1.0, 0.0, 0.0]), (1, [0.0, 1.0, 0.0])],
+        "cent_id bigint, cvec array<double>",
+    )
+    batch = spark.createDataFrame(
+        [(10, [1.0, 0.01, 0.0]),   # twin of corpus 0
+         (11, [0.5, 0.0, 0.9])],   # novel
+        "vec_id bigint, embedding array<double>",
+    )
+    for t in ("pre_sd_members", "pre_sd_cents", "pre_sd_meta"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+    try:
+        write_semdedup_index(corpus, cents, "pre_sd", threshold=0.95)
+        for _ in range(2):
+            out = {r["vec_id"]: r["kept"] for r in incremental_semdedup(
+                batch, "pre_sd", update_index=False).collect()}
+            assert out == {10: False, 11: True}
+        # with the update, a later twin of batch-kept 11 must drop
+        assert {r["vec_id"]: r["kept"] for r in incremental_semdedup(
+            batch, "pre_sd").collect()} == {10: False, 11: True}
+        twin = spark.createDataFrame(
+            [(20, [0.5, 0.001, 0.9])], "vec_id bigint, embedding array<double>"
+        )
+        assert [r["kept"] for r in
+                incremental_semdedup(twin, "pre_sd").collect()] == [False]
+    finally:
+        for t in ("pre_sd_members", "pre_sd_cents", "pre_sd_meta"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_incremental_semdedup_stored_side_never_shuffles(spark):
+    """100 TB property from STORAGE: the members table (bucketBy cent_id)
+    feeds the cogroup straight from its FileScan — the corpus state is
+    scanned and probed, never re-shuffled; the plan's ONLY Exchange is the
+    batch's own cent_id grouping."""
+    import numpy as np
+
+    from semantic_vector_search_system_spark.operators.similarity import (
+        incremental_semdedup,
+        write_semdedup_index,
+    )
+
+    rng = np.random.default_rng(3)
+    X = rng.normal(size=(200, 8))
+    Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in Xn[i]]) for i in range(200)],
+        "vec_id bigint, embedding array<double>",
+    )
+    cents = spark.createDataFrame(
+        [(c, [float(x) for x in Xn[c]]) for c in range(4)],
+        "cent_id bigint, cvec array<double>",
+    )
+    for t in ("gate_sd_members", "gate_sd_cents", "gate_sd_meta"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+    try:
+        write_semdedup_index(emb, cents, "gate_sd", threshold=0.99)
+        batch = spark.createDataFrame(
+            [(1000, [float(x) for x in Xn[5]])],
+            "vec_id bigint, embedding array<double>",
+        )
+        out = incremental_semdedup(batch, "gate_sd", update_index=False)
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        final = plan.split("== Initial Plan ==")[0]
+        assert "Bucketed: true" in final, final[:2500]
+        assert final.count("Exchange") == 1, final[:2500]
+        # the one Exchange keys the BATCH side (under the assign kernel),
+        # not the stored FileScan
+        ex = final.find("Exchange hashpartitioning")
+        scan = final.find("FileScan parquet")
+        assert 0 <= ex < scan, final[:2500]
+    finally:
+        for t in ("gate_sd_members", "gate_sd_cents", "gate_sd_meta"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
