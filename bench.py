@@ -580,7 +580,8 @@ def main() -> None:
             ).select(F.col("docid").alias("cent_id"), F.col("vec").alias("cvec"))
             sd_plan = semdedup(
                 dvec, sd_cents, threshold=0.99, keep="far",
-                id_col="docid", vec_col="vec", assign="fast",
+                id_col="docid", vec_col="vec", assign="fast_join",
+                score_dtype="float32",
             )
             timings[f"semdedup_{n}_docs"], spread = best_of(
                 lambda: sd_plan.write.format("noop").mode("overwrite").save(),
@@ -588,9 +589,10 @@ def main() -> None:
             )
             query_meta[f"semdedup_{n}_docs"] = {
                 "n_clusters": 1024, "threshold": 0.99, "keep": "far",
+                "score_dtype": "float32", "assign": "fast_join",
                 "repeats": 2, "spread": spread, "since_round": 7,
-                "timed_region": "fused assign+carry (narrow) -> cent_id "
-                "shuffle -> per-cluster tiled triangular-max prune",
+                "timed_region": "skinny Arrow assign -> JVM vec join -> "
+                "cent_id shuffle -> per-cluster tiled triangular-max prune",
             }
             emit(timings, query_meta, sf, partial=True)
             rq.unpersist()

@@ -979,12 +979,16 @@ def semdedup_assign_fast(
     cent_id_col: str = "cent_id",
     cent_vec_col: str = "cvec",
     carry_vec: bool = False,
+    score_dtype: str = "float64",
 ) -> DataFrame:
     """BLAS twin of :func:`semdedup_assign` (same contract as
     :func:`ivf_assign_fast` vs :func:`ivf_assign`): one narrow Arrow stage,
     one matmul per batch against the broadcast normalized centroid matrix,
-    argmax ties broken ascending cent_id. float64, so divergence from the
-    window form is confined to near-exact ties.
+    argmax ties broken ascending cent_id. float64 by default, so
+    divergence from the window form is confined to near-exact ties;
+    ``score_dtype="float32"`` runs the matmul in single precision on the
+    natively-float32 Arrow batch (no upcast pass — measured 2x on the 1M
+    bench assignment, which dominates the fused pipeline).
 
     ``carry_vec=True`` additionally emits the input vector column — the
     fused form :func:`semdedup` uses so the whole pipeline has exactly ONE
@@ -1001,7 +1005,10 @@ def semdedup_assign_fast(
     C = np.array([r[1] for r in crows], dtype=np.float64)
     cn = np.linalg.norm(C, axis=1, keepdims=True)
     Cn = np.divide(C, cn, out=np.zeros_like(C), where=cn > 0)
-    bc = emb.sparkSession.sparkContext.broadcast((cids, Cn))
+    f32 = score_dtype == "float32"
+    bc = emb.sparkSession.sparkContext.broadcast(
+        (cids, Cn.astype(np.float32) if f32 else Cn)
+    )
 
     dt = dict(emb.dtypes)
     id_t, vec_t = dt[id_col], dt[vec_col]
@@ -1015,13 +1022,20 @@ def semdedup_assign_fast(
         order = np.argsort(all_cids, kind="stable")
         Cm_o, cids_o = Cm[order], all_cids[order]
         dim = Cm_o.shape[1]
+        want = np.float32 if f32 else np.float64
         for pdf in batches:
             if pdf.empty:
                 continue
-            D = np.array(
-                [v if v is not None else [0.0] * dim for v in pdf[vec_col]],
-                dtype=np.float64,
-            )
+            col = pdf[vec_col]
+            if col.isna().any():
+                D = np.array(
+                    [v if v is not None else [0.0] * dim for v in col],
+                    dtype=want,
+                )
+            else:
+                # Arrow hands list<float> cells back as float32 ndarrays;
+                # stack is a per-row memcpy, no python-level upcast loop
+                D = np.stack(col.to_numpy()).astype(want, copy=False)
             dn = np.linalg.norm(D, axis=1, keepdims=True)
             Dn = np.divide(D, dn, out=np.zeros_like(D), where=dn > 0)
             S = Dn @ Cm_o.T  # (batch, k); cent_id-ascending columns, so
@@ -1030,10 +1044,10 @@ def semdedup_assign_fast(
             out = {
                 id_col: pdf[id_col].to_numpy(),
                 cent_id_col: cids_o[best],
-                "cent_sim": S[np.arange(len(best)), best],
+                "cent_sim": S[np.arange(len(best)), best].astype(np.float64),
             }
             if carry_vec:
-                out[vec_col] = pdf[vec_col]
+                out[vec_col] = col
             yield pd.DataFrame(out)
 
     return emb.select(id_col, vec_col).mapInPandas(assign, schema=schema)
@@ -1051,12 +1065,17 @@ def semdedup(
     assign: str = "expr",
     block_rows: int = 2048,
     emit_vec: bool = False,
+    score_dtype: str = "float64",
 ) -> DataFrame:
     """SemDeDup: per-cluster semantic pruning — ``(id, cent_id, cent_sim,
     kept)`` with kept=false iff some cluster-mate PRECEDING the row in the
     keep-order has cosine >= threshold with it. ``emit_vec=True`` appends
     the vector column (the index-build path persists it for incremental
-    serving without a rejoin).
+    serving without a rejoin). ``score_dtype="float32"`` runs the
+    triangular-max matmuls in single precision (~2x BLAS throughput —
+    the bench path, same precedent as the search keys' float32 scoring;
+    the keep-ORDER stays float64, and oracle-checked paths keep the
+    float64 default).
 
     Semantics (the released SemDeDup rule): within each cluster, order the
     members by the keep policy and drop member x iff
@@ -1075,9 +1094,13 @@ def semdedup(
 
     Physical shape: ``assign="expr"`` (the declarative/oracle form) is
     broadcast-cross-join + window assignment joined back to the vectors;
-    ``assign="fast"`` (the scale form) fuses assignment and vector
-    transport into one narrow Arrow matmul stage so the ONLY Exchange in
-    the plan is the cent_id group shuffle (plan-gated in tests). The kernel runs the triangular
+    ``assign="fast"`` fuses assignment and vector transport into one
+    narrow Arrow matmul stage so the ONLY Exchange in the plan is the
+    cent_id group shuffle (plan-gated) — vectors cross the network once,
+    the network-bound-cluster choice; ``assign="fast_join"`` emits a
+    skinny assignment and re-attaches vectors with a JVM shuffle join —
+    2x vector shuffle volume but no Arrow re-encode of the vector column
+    out of Python, the measured local/CPU-bound winner (A/B in the code). The kernel runs the triangular
     max as tiled BLAS (block_rows x block_rows tiles), so memory is
     O(block^2 + b*dim) per cluster, never O(b^2). Cluster size is the
     bounded unit — pick k ~ sqrt(n) (paper: fixed k ~ 11k at web scale) so
@@ -1092,10 +1115,25 @@ def semdedup(
     if assign == "fast":
         # fused: the narrow Arrow assigner carries the vector through, so
         # the ONLY Exchange in the whole plan is the cent_id group shuffle
+        # — vectors cross the network ONCE (the network-bound choice)
         rows = semdedup_assign_fast(
             emb, centroids, id_col, vec_col, cent_id_col, cent_vec_col,
-            carry_vec=True,
+            carry_vec=True, score_dtype=score_dtype,
         )
+    elif assign == "fast_join":
+        # skinny assignment (24 B/row out of Python) + JVM shuffle join:
+        # vectors shuffle twice (id join + cent_id group) but NEVER
+        # re-encode through Arrow on the way OUT of the assigner —
+        # interleaved 1M x 512 A/B on local[32]: fused-carry 13.5-20 s,
+        # broadcast-join 8-11 s, shuffle-join 5.7-7 s (the Python Arrow
+        # re-encode of the 2 GiB vec column costs more than an in-memory
+        # JVM shuffle; on a network-bound cluster the trade flips — same
+        # finding as span_dedup's chunks-vs-keys strategies)
+        asg = semdedup_assign_fast(
+            emb, centroids, id_col, vec_col, cent_id_col, cent_vec_col,
+            carry_vec=False, score_dtype=score_dtype,
+        )
+        rows = emb.select(id_col, vec_col).join(asg, id_col)
     else:
         asg = semdedup_assign(
             emb, centroids, id_col, vec_col, cent_id_col, cent_vec_col
@@ -1116,11 +1154,15 @@ def semdedup(
     def prune(pdf: pd.DataFrame) -> pd.DataFrame:
         ids = pdf[id_col].to_numpy()
         cs = pdf["cent_sim"].to_numpy(dtype=np.float64)
-        dim = next((len(v) for v in pdf[vec_col] if v is not None), 0)
-        M = np.array(
-            [v if v is not None else [0.0] * dim for v in pdf[vec_col]],
-            dtype=np.float64,
-        )
+        col = pdf[vec_col]
+        if col.isna().any():
+            dim = next((len(v) for v in col if v is not None), 0)
+            M = np.array(
+                [v if v is not None else [0.0] * dim for v in col],
+                dtype=np.float64,
+            )
+        else:
+            M = np.stack(col.to_numpy()).astype(np.float64, copy=False)
         nrm = np.linalg.norm(M, axis=1, keepdims=True)
         Mn = np.divide(M, nrm, out=np.zeros_like(M), where=nrm > 0)
         if kp == "far":
@@ -1128,6 +1170,8 @@ def semdedup(
         else:
             order = np.argsort(ids, kind="stable")
         Mo = Mn[order]
+        if score_dtype == "float32":
+            Mo = Mo.astype(np.float32)
         b = len(ids)
         tri = np.full(b, -np.inf)
         for s in range(1, b, block_rows):

@@ -1223,6 +1223,12 @@ DEMOTED: tuple[str, ...] = (
                                  #   (in-window) — window room for the NEW
                                  #   r7 semdedup_keep_one (embedding
                                  #   near-dup + clustering family)
+    "doc_quality",               # r6-driver-green; rule-based quality ≡
+                                 #   gopher_quality_report +
+                                 #   quality_classifier_report (both
+                                 #   in-window) — window room for the NEW
+                                 #   r7 bigram_lm_report (statistical LM
+                                 #   fluency gate)
 )
 
 
@@ -3281,3 +3287,48 @@ def semdedup_keep_one(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = sim.semdedup(emb, cents, threshold=0.32, keep="far")
     return out.withColumn("cent_sim", F.round("cent_sim", 4))
+
+
+# ---------------------------------------------------------------------------
+# Round 7b: bigram-LM fluency scoring (statistical LM quality gate)
+# ---------------------------------------------------------------------------
+
+@_q(
+    "bigram_lm_report",
+    f"""
+    WITH toks AS (SELECT doc_id, {_SPLIT_CLEAN} AS t FROM documents),
+    bg AS (SELECT doc_id, t[i] AS w1, t[i+1] AS w2
+           FROM toks, unnest(generate_series(1, len(t)-1)) AS g(i)
+           WHERE len(t) >= 2),
+    cnt2 AS (SELECT w1, w2, COUNT(*) AS c12 FROM bg GROUP BY 1, 2),
+    cnt1 AS (SELECT w1, SUM(c12) AS c1 FROM cnt2 GROUP BY 1),
+    v AS (SELECT COUNT(DISTINCT tok) AS vs
+          FROM (SELECT unnest(t) AS tok FROM toks)),
+    scored AS (
+      SELECT bg.doc_id, ROUND((c12 + 1.0) / (c1 + vs), 12) AS r
+      FROM bg JOIN cnt2 USING (w1, w2) JOIN cnt1 USING (w1) CROSS JOIN v
+      WHERE bg.doc_id % 5 = 0)
+    SELECT doc_id, COUNT(*) AS n_bigrams,
+           ROUND(CAST(SUM(CAST(r AS DECIMAL(38,12))) AS DOUBLE)
+                 / COUNT(*), 6) AS lm_score
+    FROM scored GROUP BY doc_id
+    """,
+    tags=("curation", "quality", "lm"),
+)
+def bigram_lm_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical LM fluency scoring (operators/lm.py) — the CCNet-shape
+    quality gate re-expressed transcendental-free: add-one-smoothed
+    bigram likelihood, trained by counting over the WHOLE documents
+    table, scoring the doc_id % 5 == 0 subset. Each ratio is one IEEE
+    division of exact integers (bit-identical across engines), rounded
+    to 12 decimals and DECIMAL-summed, so the mean survives any
+    partitioning. The oracle replays training AND scoring; the Spark
+    side's left joins always hit because the scored set is a subset of
+    the training corpus (the SQL uses inner joins for the same reason).
+    """
+    from ..operators.lm import bigram_lm_score, train_bigram_lm
+
+    docs = T(spark, sf_dir, "documents")
+    model = train_bigram_lm(docs)
+    subset = docs.filter(F.col("doc_id") % 5 == 0)
+    return bigram_lm_score(subset, model)

@@ -375,3 +375,38 @@ def streaming_span_dedup_foreach_batch(
         .start()
     )
     q.awaitTermination()
+
+
+def streaming_semdedup_foreach_batch(
+    spark: SparkSession,
+    emb_stream: DataFrame,
+    index_prefix: str,
+    out_path: str,
+    checkpoint: str | None = None,
+) -> None:
+    """Streaming SemDeDup: each micro-batch is assigned to the stored
+    centroids, compared against the stored per-cluster member state
+    (write_semdedup_index tables) and against earlier batch members, the
+    per-row keep decision is appended to ``out_path``, and the batch rows
+    join the member state — every later micro-batch (and every later
+    crawl) dedups against everything seen before it.  The embedding-level
+    face of the crawl loop (document-level:
+    streaming_neardup_foreach_batch; span-level:
+    streaming_span_dedup_foreach_batch), composed entirely from the batch
+    operator :func:`...operators.similarity.incremental_semdedup` inside
+    foreachBatch.  Same at-least-once replay contract as every
+    foreachBatch parquet append.
+    """
+    from ..operators.similarity import incremental_semdedup
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        out = incremental_semdedup(batch_df, index_prefix, update_index=True)
+        out.write.mode("append").parquet(out_path)
+
+    q = (
+        emb_stream.writeStream.foreachBatch(handle)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", checkpoint or out_path + "_ckpt")
+        .start()
+    )
+    q.awaitTermination()

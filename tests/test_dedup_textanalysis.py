@@ -1607,3 +1607,45 @@ def test_incremental_semdedup_stored_side_never_shuffles(spark):
     finally:
         for t in ("gate_sd_members", "gate_sd_cents", "gate_sd_meta"):
             spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_semdedup_float32_scoring_parity_on_separated_data(spark):
+    """score_dtype="float32" (the bench path, ~2x BLAS) must agree with
+    the float64 default whenever pair similarities are not borderline —
+    the planted-chain geometry has >=0.06 margins around the threshold."""
+    from semantic_vector_search_system_spark.operators.similarity import semdedup
+
+    rows = [
+        (1, _angle_vec(10.0)),
+        (2, _angle_vec(25.0)),
+        (3, _angle_vec(40.0)),
+        (4, [0.0, 0.1, 1.0]),
+    ]
+    emb = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    cents = spark.createDataFrame(
+        [(0, [1.0, 0.0, 0.0]), (1, [0.0, 0.0, 1.0])],
+        "cent_id bigint, cvec array<double>",
+    )
+    f64 = {r["vec_id"]: r["kept"] for r in semdedup(
+        emb, cents, threshold=0.9, keep="far", assign="fast").collect()}
+    f32 = {r["vec_id"]: r["kept"] for r in semdedup(
+        emb, cents, threshold=0.9, keep="far", assign="fast",
+        score_dtype="float32").collect()}
+    assert f64 == f32 == {1: False, 2: False, 3: True, 4: True}
+
+
+def test_semdedup_fast_join_strategy_parity(spark):
+    """assign="fast_join" (skinny Python output + JVM vec join — the
+    measured local/CPU-bound winner) is row-identical to the fused
+    carry form on real data."""
+    from semantic_vector_search_system_spark.operators.similarity import semdedup
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    cents = emb.filter("vec_id < 8").selectExpr(
+        "vec_id AS cent_id", "embedding AS cvec"
+    )
+    a = sorted(map(tuple, semdedup(
+        emb, cents, threshold=0.32, keep="far", assign="fast").collect()))
+    b = sorted(map(tuple, semdedup(
+        emb, cents, threshold=0.32, keep="far", assign="fast_join").collect()))
+    assert a == b

@@ -65,6 +65,9 @@ QUERIES = [
     # (lexsort on float cent_sim) and the tiled triangular max must all be
     # invariant to partition scrambling and join-strategy flips.
     "semdedup_keep_one",
+    # r7b: bigram LM — count aggs + round-12 DECIMAL mean must be exact
+    # under partition scrambling (the whole point of the per-ratio round).
+    "bigram_lm_report",
 ]
 
 # Perturbations of runtime-settable physical knobs. Each tuple is applied on

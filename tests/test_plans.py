@@ -368,6 +368,7 @@ def test_driver_window_covers_every_operator_family():
         "ann_recall",
         "bm25_topk", "span_dedup", "ann_pq_topk",
         "quality_classifier_report", "semdedup_keep_one",
+        "bigram_lm_report",
         # returning composites / fusions
         "hybrid_rrf_fusion", "quantized_topk_rerank",
         "embedding_neardup_pairs", "retrieval_quality",

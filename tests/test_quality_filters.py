@@ -186,3 +186,90 @@ def test_linear_quality_margin_no_weights_plan_is_narrow(spark):
     )
     assert "Exchange" not in plan, plan[:1500]
     assert "Generate" not in plan  # no explode
+
+
+# ---------------------------------------------------------------------------
+# Bigram-LM fluency scoring (operators/lm.py)
+# ---------------------------------------------------------------------------
+
+def test_bigram_lm_hand_computed(spark):
+    """Tiny corpus with hand-computed smoothed likelihoods: cnt2 counts
+    bigram occurrences, cnt1 is the bigram-start sum (NOT raw token
+    count), vocab is distinct tokens, ratio = (c12+1)/(c1+V)."""
+    from semantic_vector_search_system_spark.operators.lm import (
+        bigram_lm_score,
+        train_bigram_lm,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "a b a"), (2, "a b"), (3, "solo"), (4, None), (5, "  ")],
+        "doc_id bigint, text string",
+    )
+    model = train_bigram_lm(docs)
+    cnt2, cnt1, vocab = model
+    assert {(r["w1"], r["w2"]): r["c12"] for r in cnt2.collect()} == {
+        ("a", "b"): 2, ("b", "a"): 1
+    }
+    assert {r["w1"]: r["c1"] for r in cnt1.collect()} == {"a": 2, "b": 1}
+    assert vocab.first()["vs"] == 3  # a, b, solo
+
+    out = {r["doc_id"]: r for r in bigram_lm_score(docs, model).collect()}
+    # docs 3 (one token), 4 (null), 5 (whitespace) have no bigrams
+    assert set(out) == {1, 2}
+    # d1: mean((2+1)/(2+3), (1+1)/(1+3)) = (0.6 + 0.5)/2 = 0.55
+    assert out[1]["n_bigrams"] == 2 and out[1]["lm_score"] == 0.55
+    # d2: (2+1)/(2+3) = 0.6
+    assert out[2]["n_bigrams"] == 1 and out[2]["lm_score"] == 0.6
+
+
+def test_bigram_lm_matches_python_oracle(spark):
+    """Seeded random word corpus vs a python reference replaying count,
+    smooth, round-12, exact-mean semantics."""
+    import random
+    from decimal import Decimal
+
+    from semantic_vector_search_system_spark.operators.lm import (
+        bigram_lm_score,
+        train_bigram_lm,
+    )
+
+    rng = random.Random(13)
+    words = [f"w{i}" for i in range(30)]
+    texts = {
+        i: " ".join(rng.choice(words) for _ in range(rng.randint(0, 12)))
+        for i in range(80)
+    }
+
+    cnt2: dict = {}
+    cnt1: dict = {}
+    vocab = set()
+    for t in texts.values():
+        toks = t.split()
+        vocab.update(toks)
+        for a, b in zip(toks, toks[1:]):
+            cnt2[(a, b)] = cnt2.get((a, b), 0) + 1
+            cnt1[a] = cnt1.get(a, 0) + 1
+    vs = len(vocab)
+
+    def py_score(t):
+        toks = t.split()
+        rs = [
+            Decimal(round((cnt2[(a, b)] + 1) / (cnt1[a] + vs), 12)).quantize(
+                Decimal("1e-12")
+            )
+            for a, b in zip(toks, toks[1:])
+        ]
+        if not rs:
+            return None
+        return (len(rs), round(float(sum(rs)) / len(rs), 6))
+
+    expect = {i: py_score(t) for i, t in texts.items() if py_score(t)}
+
+    docs = spark.createDataFrame(
+        list(texts.items()), "doc_id bigint, text string"
+    )
+    model = train_bigram_lm(docs)
+    got = {r["doc_id"]: (r["n_bigrams"], r["lm_score"])
+           for r in bigram_lm_score(docs, model).collect()}
+    assert got == expect
+    assert len(got) >= 60

@@ -483,3 +483,59 @@ def test_streaming_span_dedup_crawl_loop(spark, tmp_path):
     finally:
         for t in ("_chunks", "_meta"):
             spark.sql(f"DROP TABLE IF EXISTS {prefix}{t}")
+
+
+def test_streaming_semdedup_crawl_loop(spark, tmp_path):
+    """Streaming embedding dedup e2e: a vector accepted from micro-batch 1
+    shields its near-twin in micro-batch 2; corpus near-twins are rejected
+    from the start; novel vectors survive and join the member state."""
+    from semantic_vector_search_system_spark.operators.similarity import (
+        write_semdedup_index,
+    )
+    from semantic_vector_search_system_spark.streaming.events import (
+        streaming_semdedup_foreach_batch,
+    )
+
+    prefix = "stream_sd_idx"
+    for t in ("_members", "_cents", "_meta"):
+        spark.sql(f"DROP TABLE IF EXISTS {prefix}{t}")
+    try:
+        corpus = spark.createDataFrame(
+            [(0, [1.0, 0.0, 0.0])], "vec_id long, embedding array<double>"
+        )
+        cents = spark.createDataFrame(
+            [(0, [1.0, 0.0, 0.0]), (1, [0.0, 0.0, 1.0])],
+            "cent_id long, cvec array<double>",
+        )
+        write_semdedup_index(corpus, cents, prefix, threshold=0.95)
+
+        in_dir = str(tmp_path / "incoming_vec")
+        b1 = spark.createDataFrame(
+            [(100, [0.1, 0.05, 1.0])],  # novel (z cluster) -> kept
+            "vec_id long, embedding array<double>",
+        )
+        b2 = spark.createDataFrame(
+            [(200, [0.1, 0.06, 1.0]),   # near-twin of batch-1 100 -> dropped
+             (201, [1.0, 0.01, 0.0]),   # near-twin of corpus 0 -> dropped
+             (202, [0.0, 1.0, 0.0])],   # novel direction -> kept
+            "vec_id long, embedding array<double>",
+        )
+        b1.coalesce(1).write.mode("append").parquet(in_dir)
+        b2.coalesce(1).write.mode("append").parquet(in_dir)
+
+        stream = (
+            spark.readStream.schema("vec_id long, embedding array<double>")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(in_dir)
+        )
+        out_path = str(tmp_path / "decisions")
+        streaming_semdedup_foreach_batch(spark, stream, prefix, out_path)
+
+        out = {r["vec_id"]: r["kept"]
+               for r in spark.read.parquet(out_path).collect()}
+        assert out == {100: True, 200: False, 201: False, 202: True}
+        # member state grew by every streamed row (kept AND dropped shield)
+        assert spark.read.table(f"{prefix}_members").count() == 1 + 4
+    finally:
+        for t in ("_members", "_cents", "_meta"):
+            spark.sql(f"DROP TABLE IF EXISTS {prefix}{t}")
