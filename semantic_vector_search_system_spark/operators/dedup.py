@@ -1030,13 +1030,28 @@ def incremental_neardup(
         )
         .filter(F.col("est_jaccard") >= threshold)
     )
-    w = Window.partitionBy("__new_id").orderBy(
-        F.desc("est_jaccard"), F.asc("__old_id")
-    )
+    # per-new-doc argmax (est_jaccard desc, old_id asc) as a min-struct
+    # AGGREGATE, not a window: MIN gets map-side partial aggregation, so a
+    # new doc that matches a 1e8-copy stored cluster collapses inside each
+    # scan partition before the exchange instead of shipping every
+    # qualifying pair to one reducer (same de-skew as span_dedup's
+    # keep-first, operators/lexical.py::_first_occurrence). Negating the
+    # double flips desc->asc exactly (IEEE negation is lossless).
     best = (
-        qualifying.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") == 1)
-        .drop("__rn")
+        qualifying.groupBy("__new_id")
+        .agg(
+            F.min(
+                F.struct(
+                    (-F.col("est_jaccard")).alias("_nj"),
+                    F.col("__old_id").alias("_o"),
+                )
+            ).alias("_b")
+        )
+        .select(
+            "__new_id",
+            F.col("_b._o").alias("__old_id"),
+            (-F.col("_b._nj")).alias("est_jaccard"),
+        )
     )
     ids = new_docs.select(F.col(id_col).alias("__new_id"))
     return ids.join(best, "__new_id", "left").select(

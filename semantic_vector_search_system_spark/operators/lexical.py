@@ -24,8 +24,10 @@ natural rows (pairs sharing >= 1 surviving term); ties break on docid.
 aggregations, the query-document dot is an equi-join on token (the
 distributed inverted index), and the stopword cut (df > max_df_ratio * N
 dropped) removes exactly the tokens whose postings lists would skew the
-join. Span dedup shuffles once by chunk hash (keep-first window) and once
-by doc_id (reassembly) — both keyed, no driver state.
+join. Span dedup shuffles once by chunk hash (keep-first min-struct
+aggregation — map-side partials collapse boilerplate-chunk skew before
+the exchange) and once by doc_id (reassembly) — both keyed, no driver
+state.
 """
 
 from __future__ import annotations
@@ -267,6 +269,52 @@ def bm25_topk(
     )
 
 
+def _first_occurrence(
+    rows: DataFrame,
+    doc_id: str,
+    *,
+    with_chunk: bool,
+    keep_first: str = "agg",
+) -> DataFrame:
+    """First occurrence — min ``(doc_id, pos)`` — per chunk hash ``h``
+    over a ``(doc_id, pos, h[, chunk])`` relation.
+
+    * ``keep_first="agg"`` (default): ``groupBy(h).agg(min(struct(doc_id,
+      pos[, chunk])))``. MIN is a declarative aggregate, so Spark runs a
+      PARTIAL aggregation map-side before the exchange: a boilerplate
+      chunk (nav text, license header) repeated 1e8 times across a
+      100 TB corpus collapses to ONE candidate row per input partition
+      before anything shuffles — per-reducer row count is bounded by the
+      partition count, not the duplication factor. The struct comparison
+      is (doc_id, pos)-lexicographic; those pairs are unique per row, so
+      the trailing chunk field never participates in the ordering.
+    * ``keep_first="window"``: the ``row_number() over (partition by h
+      order by doc_id, pos)`` form — retained for parity tests and A/B.
+      Identical output, but every duplicate row ships to the hash key's
+      single reducer BEFORE ranking: row count at the hot key equals the
+      duplication factor, the straggler shape at web scale.
+    """
+    if keep_first not in ("agg", "window"):
+        raise ValueError(f"unknown keep_first strategy {keep_first!r}")
+    if keep_first == "window":
+        w = Window.partitionBy("h").orderBy(F.asc(doc_id), F.asc("pos"))
+        out = rows.withColumn("_rn", F.row_number().over(w)).filter(
+            F.col("_rn") == 1
+        )
+        cols = [doc_id, "pos"] + (["chunk"] if with_chunk else [])
+        return out.select(*cols)
+    fields = [F.col(doc_id).alias("_d"), F.col("pos").alias("_p")]
+    sel = [F.col("_w._d").alias(doc_id), F.col("_w._p").alias("pos")]
+    if with_chunk:
+        fields.append(F.col("chunk").alias("_c"))
+        sel.append(F.col("_w._c").alias("chunk"))
+    return (
+        rows.groupBy("h")
+        .agg(F.min(F.struct(*fields)).alias("_w"))
+        .select(*sel)
+    )
+
+
 def span_dedup(
     docs: DataFrame,
     *,
@@ -274,6 +322,7 @@ def span_dedup(
     doc_text: str = "text",
     doc_id: str = "doc_id",
     shuffle: str = "chunks",
+    keep_first: str = "agg",
 ) -> DataFrame:
     """Sub-document exact span dedup: split every document into
     non-overlapping ``span_tokens``-word chunks, keep the globally FIRST
@@ -301,11 +350,14 @@ def span_dedup(
       form to pick on a network-bound cluster where a 100 TB corpus
       makes 3x shuffle bytes the wall, at the price of tokenizing twice.
 
-    Either way the keep-first decision is one window over chunk-hash
-    partitions (the hash key is uniform by construction; identical chunks
-    landing on one partition ARE the duplication being collapsed, at row
-    count = duplication factor). Nothing is driver-side, nothing is
-    all-pairs.
+    Either way the keep-first decision is one min-struct AGGREGATION
+    keyed on the chunk hash (``keep_first="agg"``, the default — see
+    :func:`_first_occurrence`): map-side partial aggregation collapses a
+    boilerplate chunk's duplicates inside each scan partition before the
+    exchange, so the hot key's reducer sees at most one row per input
+    partition instead of the full duplication factor. The legacy
+    ``keep_first="window"`` row_number form is retained for parity/A-B.
+    Nothing is driver-side, nothing is all-pairs.
     """
     if shuffle not in ("chunks", "keys"):
         raise ValueError(f"unknown shuffle strategy {shuffle!r}")
@@ -328,11 +380,11 @@ def span_dedup(
                 )
             ).alias("pos", "chunk"),
         )
-        w = Window.partitionBy("h").orderBy(F.asc(doc_id), F.asc("pos"))
-        kept = (
-            chunks.withColumn("h", stable_hash64("chunk"))
-            .withColumn("_rn", F.row_number().over(w))
-            .filter(F.col("_rn") == 1)
+        kept = _first_occurrence(
+            chunks.withColumn("h", stable_hash64("chunk")),
+            doc_id,
+            with_chunk=True,
+            keep_first=keep_first,
         )
         per_doc = kept.groupBy(doc_id).agg(
             F.count("*").alias("n_kept"),
@@ -364,10 +416,10 @@ def span_dedup(
             )
         ).alias("pos", "h"),
     )
-    w = Window.partitionBy("h").orderBy(F.asc(doc_id), F.asc("pos"))
     kept = (
-        chunk_keys.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
+        _first_occurrence(
+            chunk_keys, doc_id, with_chunk=False, keep_first=keep_first
+        )
         .groupBy(doc_id)
         .agg(
             F.count("*").alias("n_kept"),
@@ -488,10 +540,8 @@ def incremental_span_dedup(
     seen = spark.read.table(f"{table_prefix}_chunks")
     ck = _chunk_keys(new_docs, span_tokens, doc_text, doc_id)
     novel = ck.join(seen, "h", "left_anti")
-    w = Window.partitionBy("h").orderBy(F.asc(doc_id), F.asc("pos"))
     kept = (
-        novel.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
+        _first_occurrence(novel, doc_id, with_chunk=True, keep_first="agg")
         .groupBy(doc_id)
         .agg(
             F.count("*").alias("n_kept"),

@@ -73,17 +73,35 @@ def bigram_lm_score(
     model: tuple[DataFrame, DataFrame, DataFrame],
     text_col: str = "text",
     doc_id: str = "doc_id",
+    broadcast_counts: str = "cnt1",
 ) -> DataFrame:
     """Per-document add-one-smoothed bigram likelihood: ``(doc_id,
     n_bigrams, lm_score)`` — one row per scored doc with >= 1 bigram
     (docs of 0-1 tokens have no defined bigram likelihood and are
     dropped; gate them with the length rules instead).
 
+    ``broadcast_counts`` pins the join strategy for the count relations
+    (r7 VERDICT #4): natural-language token frequencies are Zipfian, so
+    the exploded bigram side is HEAVILY skewed on w1 ("the" alone is
+    ~5% of English bigram starts) — a shuffle join on w1 sends that 5%
+    of a 100 TB corpus to one reducer if the optimizer misses the size.
+    ``cnt1`` is vocabulary-bounded (one row per distinct w1), so the
+    default broadcasts it; ``"both"`` additionally broadcasts ``cnt2``
+    (one row per distinct bigram — broadcast it when vocab^2 fits,
+    leaving the corpus-sized exploded side with NO pre-aggregation
+    shuffle at all); ``"none"`` leaves both to the optimizer.
+
     Determinism: each ratio is a single IEEE division of exact-integer
     doubles (bit-identical in any engine), rounded to 12 decimals and
     summed in DECIMAL(38,12) — the mean is exact under any partitioning.
     """
+    if broadcast_counts not in ("none", "cnt1", "both"):
+        raise ValueError(f"unknown broadcast_counts {broadcast_counts!r}")
     cnt2, cnt1, vocab = model
+    if broadcast_counts in ("cnt1", "both"):
+        cnt1 = F.broadcast(cnt1)
+    if broadcast_counts == "both":
+        cnt2 = F.broadcast(cnt2)
     bg = docs.select(
         F.col(doc_id), F.explode(_bigram_pairs(text_col)).alias("p")
     ).select(doc_id, "p.w1", "p.w2")

@@ -25,7 +25,7 @@ plans/catalog.py (hourly_event_counts / sessionization queries).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
@@ -202,11 +202,21 @@ def streaming_neardup_foreach_batch(
             batch_df.sparkSession, index_prefix
         )
         id_col = meta["id_col"]
-        w = Window.partitionBy(F.md5("text")).orderBy(id_col)
+        # keep-one-per-exact-text as a min-struct AGGREGATE (id_col leads
+        # the struct, so min == smallest id): map-side partials collapse a
+        # boilerplate-heavy batch inside each partition before the
+        # exchange — the window form ships every copy of the hot text to
+        # one reducer first (same de-skew as span_dedup's keep-first).
+        cols = batch_df.columns
+        others = [c for c in cols if c != id_col]
         batch_one = (
-            batch_df.withColumn("__rn", F.row_number().over(w))
-            .filter(F.col("__rn") == 1)
-            .drop("__rn")
+            batch_df.groupBy(F.md5("text").alias("__th"))
+            .agg(
+                F.min(
+                    F.struct(F.col(id_col), *[F.col(c) for c in others])
+                ).alias("__r")
+            )
+            .select([F.col(f"__r.{c}").alias(c) for c in cols])
         )
         verdicts = incremental_neardup(
             batch_one, sigs, id_col=id_col, text_col="text",

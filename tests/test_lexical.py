@@ -220,6 +220,39 @@ def test_span_dedup_strategy_parity(spark):
         span_dedup(df, shuffle="bogus")
 
 
+def test_span_dedup_keep_first_agg_vs_window_parity_planted_skew(spark):
+    """De-skewed keep-first (r7 VERDICT #1): on a corpus where ONE
+    boilerplate chunk opens a third of the documents, the min-struct
+    AGGREGATE form produces exactly the legacy window form's rows for
+    both shuffle strategies — and its physical plan carries a
+    partial_min BEFORE the chunk-hash exchange (map-side combine: the
+    hot key collapses to one candidate row per scan partition instead
+    of shipping the full duplication factor to a single reducer)."""
+    docs = {}
+    for i in range(300):
+        body = " ".join(f"u{i}w{j}" for j in range(6))
+        # chunk-aligned boilerplate: exactly one span_tokens=3 chunk
+        docs[i] = ("nav header boiler " + body) if i % 3 == 0 else body
+    df = _mk(spark, docs, "doc_id", "text")
+    for strat in ("chunks", "keys"):
+        agg = sorted(map(tuple, span_dedup(
+            df, span_tokens=3, shuffle=strat, keep_first="agg"
+        ).collect()))
+        win = sorted(map(tuple, span_dedup(
+            df, span_tokens=3, shuffle=strat, keep_first="window"
+        ).collect()))
+        assert agg == win
+        plan = (
+            span_dedup(df, span_tokens=3, shuffle=strat)
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        final = plan.split("== Initial Plan ==")[0]
+        assert "partial_min" in final, final[:2000]
+
+    with pytest.raises(ValueError):
+        span_dedup(df, keep_first="bogus")
+
+
 def test_span_dedup_null_and_empty_text(spark):
     """Null text: chunking yields no rows, the left join keeps the doc
     with null n_chunks / 0 kept / empty dedup_text — same contract as the

@@ -273,3 +273,75 @@ def test_bigram_lm_matches_python_oracle(spark):
            for r in bigram_lm_score(docs, model).collect()}
     assert got == expect
     assert len(got) >= 60
+
+
+def test_bigram_lm_broadcasts_counts_and_survives_token_skew(spark):
+    """r7 VERDICT #4: natural-language bigrams are Zipfian on w1, so the
+    count joins must broadcast the vocabulary-bounded relations instead
+    of shuffling the exploded corpus on a skewed key. Asserts (a) the
+    default plan joins cnt1 via BroadcastHashJoin with ZERO shuffle of
+    the exploded bigram side before the per-doc agg when both counts
+    broadcast, (b) a "the"-heavy corpus (one token starting ~half of all
+    bigrams) scores identically under none/cnt1/both strategies and any
+    partitioning."""
+    import pytest as _pytest
+
+    from semantic_vector_search_system_spark.operators.lm import (
+        bigram_lm_score,
+        train_bigram_lm,
+    )
+
+    # skewed corpus: "the" begins ~50% of bigrams
+    docs = spark.createDataFrame(
+        [
+            (i, " ".join(f"the w{(i * 7 + j) % 13}" for j in range(6)))
+            for i in range(120)
+        ],
+        "doc_id bigint, text string",
+    )
+    model = train_bigram_lm(docs)
+
+    def rows(bc, df=docs):
+        return sorted(
+            map(
+                tuple,
+                bigram_lm_score(df, model, broadcast_counts=bc).collect(),
+            )
+        )
+
+    base = rows("cnt1")
+    assert rows("none") == base
+    assert rows("both") == base
+    assert rows("cnt1", docs.repartition(17)) == base
+
+    # plan gates: the skew-exposed joins are BROADCAST hash joins on the
+    # exploded (corpus-sized) probe side — the single-w1 join (the "the"
+    # hot key) under the default, plus the (w1, w2) join under "both".
+    # (Exchange counts are NOT asserted globally: the count relations'
+    # own build subtrees legitimately aggregate with exchanges before
+    # they broadcast.)
+    import re
+
+    final = (
+        bigram_lm_score(docs, model)
+        ._jdf.queryExecution().executedPlan().toString()
+        .split("== Initial Plan ==")[0]
+    )
+    assert re.search(
+        r"BroadcastHashJoin \[w1#\d+\], \[w1#\d+\], LeftOuter", final
+    ), final[:2500]
+    both = (
+        bigram_lm_score(docs, model, broadcast_counts="both")
+        ._jdf.queryExecution().executedPlan().toString()
+        .split("== Initial Plan ==")[0]
+    )
+    assert re.search(
+        r"BroadcastHashJoin \[w1#\d+, w2#\d+\], \[w1#\d+, w2#\d+\], LeftOuter",
+        both,
+    ), both[:2500]
+    assert re.search(
+        r"BroadcastHashJoin \[w1#\d+\], \[w1#\d+\], LeftOuter", both
+    ), both[:2500]
+
+    with _pytest.raises(ValueError):
+        bigram_lm_score(docs, model, broadcast_counts="bogus")
