@@ -73,9 +73,13 @@ def bpe_train(
     text_col: str = "text",
     min_pair_count: int = 2,
     checkpoint_every: int = 8,
-) -> list[tuple[str, str]]:
+    with_counts: bool = False,
+) -> list[tuple[str, str]] | list[tuple[str, str, int]]:
     """Learn ``n_merges`` BPE merge rules from the corpus. Returns the
-    ordered rule list (the tokenizer).
+    ordered rule list (the tokenizer); ``with_counts`` appends each
+    rule's weighted pair count (the argmax value) — the catalog's
+    ``bpe_merges`` relation emits it so the oracle checks the selection
+    statistic, not just the chosen pair.
 
     Per iteration the ONLY driver traffic is the argmax pair (one row);
     the vocabulary relation is localCheckpointed every
@@ -122,7 +126,7 @@ def bpe_train(
         if not best or best[0]["c"] < min_pair_count:
             break
         a, b = best[0]["p"]["a"], best[0]["p"]["b"]
-        merges.append((a, b))
+        merges.append((a, b, int(best[0]["c"])) if with_counts else (a, b))
         vocab = vocab.select(
             _merge_fold_expr(F.col("sym"), a, b).alias("sym"), "count"
         )

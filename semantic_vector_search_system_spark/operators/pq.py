@@ -340,6 +340,119 @@ def pq_adc_topk_fast(
 # IVF + PQ (residual-encoded) — the standard billion-scale serving index
 # ---------------------------------------------------------------------------
 
+def ivfpq_topk_expr(
+    emb: DataFrame,
+    cents: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    nprobe: int = 2,
+    m: int = 4,
+    k_codes: int = 16,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    q_id: str = "qid",
+    cent_id_col: str = "cent_id",
+    cent_vec_col: str = "cvec",
+) -> DataFrame:
+    """Expression-form IVF+PQ residual ADC, end to end — the fully
+    DuckDB-replayable face of :func:`ivfpq_topk` (catalog query
+    ``ann_ivfpq_topk``): given pinned centroids, every stage is a
+    Catalyst expression with deterministic ties, so an oracle can replay
+    assignment, residual codebook construction, encoding AND serving.
+
+    Stages (each mirrors the fast/numpy path's math):
+
+    1. IVF assignment: cosine argmax against the broadcast centroids,
+       ties to the smaller cent_id (the ``ivf_assign`` rule).
+    2. Residuals ``rv = v - cvec(assigned)`` — classic IVFADC (Jégou et
+       al. 2011 §IV): codes quantize the residual, not the raw vector.
+    3. Residual codebook: :func:`pq_codebook_first_k` over the residual
+       relation (first ``k_codes`` rows by id — the deterministic
+       convention of the PQ/IVF catalog geometry; k-means codebooks are
+       the quality path, ``ivfpq_train``).
+    4. :func:`pq_encode` of the residuals (pinned left-assoc squared-L2,
+       keyed min-struct argmin — map-side partials, no window).
+    5. Serving: per (query, probed list) residual LUT (nprobe lists by
+       the same cosine rule), broadcast-joined on (cent_id, sub, code)
+       against the code table, DECIMAL cross-sub-space sum, rank by
+       (adist asc, docid asc).
+
+    Scale: the per-doc work is one broadcast join + an m-row DECIMAL
+    sum; only (query x probed-list x matched-doc) rows flow — docs in
+    unprobed lists are dropped by the equi-join (the partition-pruned
+    scan of the fast path expresses the same restriction physically).
+    """
+    from ..functions.vectors import cosine_similarity
+
+    e = emb.select(
+        F.col(id_col), F.col(vec_col).cast("array<double>").alias("_v")
+    )
+    c2 = cents.select(
+        F.col(cent_id_col),
+        F.col(cent_vec_col).cast("array<double>").alias("_cv"),
+    )
+    w_a = Window.partitionBy(id_col).orderBy(
+        F.desc("sim"), F.asc(cent_id_col)
+    )
+    asg = (
+        e.crossJoin(F.broadcast(c2))
+        .withColumn("sim", cosine_similarity("_v", "_cv"))
+        .withColumn("_rk", F.row_number().over(w_a))
+        .filter(F.col("_rk") == 1)
+    )
+    resid = asg.select(
+        id_col,
+        cent_id_col,
+        F.zip_with("_v", "_cv", lambda x, y: x - y).alias("rv"),
+    )
+    cb = pq_codebook_first_k(resid, m=m, k_codes=k_codes, vec_col="rv", id_col=id_col)
+    d = _codebook_dim(cb)
+    codes = pq_encode(resid, cb, vec_col="rv", id_col=id_col).join(
+        resid.select(id_col, cent_id_col), id_col
+    )
+
+    q = queries.select(
+        F.col(q_id), F.col(vec_col).cast("array<double>").alias("_qv")
+    )
+    w_q = Window.partitionBy(q_id).orderBy(F.desc("sim"), F.asc(cent_id_col))
+    probes = (
+        q.crossJoin(F.broadcast(c2))
+        .withColumn("sim", cosine_similarity("_qv", "_cv"))
+        .withColumn("_rk", F.row_number().over(w_q))
+        .filter(F.col("_rk") <= nprobe)
+        .select(
+            q_id,
+            cent_id_col,
+            F.zip_with("_qv", "_cv", lambda x, y: x - y).alias("qrv"),
+        )
+    )
+    lut = probes.crossJoin(F.broadcast(cb)).select(
+        q_id,
+        cent_id_col,
+        "sub",
+        "code",
+        _sq_l2_expr(
+            F.col("qrv"), F.col("cvec"), F.col("sub") * F.lit(d), d
+        ).alias("_qd"),
+    )
+    scored = (
+        codes.withColumnRenamed(id_col, "docid")
+        .join(F.broadcast(lut), [cent_id_col, "sub", "code"])
+        .groupBy(q_id, "docid")
+        .agg(
+            F.sum(F.col("_qd").cast("decimal(38,12)"))
+            .cast("double")
+            .alias("adist")
+        )
+    )
+    w_r = Window.partitionBy(q_id).orderBy(F.asc("adist"), F.asc("docid"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w_r).cast("int"))
+        .filter(F.col("rank") <= k)
+        .select(q_id, "docid", "rank", F.round("adist", 4).alias("adist"))
+    )
+
+
 def _normalize_rows(M: np.ndarray) -> np.ndarray:
     n = np.linalg.norm(M, axis=1, keepdims=True)
     return np.divide(M, n, out=np.zeros_like(M), where=n > 0)

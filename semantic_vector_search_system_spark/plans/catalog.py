@@ -3332,3 +3332,163 @@ def bigram_lm_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     model = train_bigram_lm(docs)
     subset = docs.filter(F.col("doc_id") % 5 == 0)
     return bigram_lm_score(subset, model)
+
+
+# ---------------------------------------------------------------------------
+# Round 8: IVF+PQ residual ADC (expression form, full oracle) and
+# distributed BPE tokenizer training — the r7 VERDICT's two tests-only
+# operators promoted to oracle-checked catalog rows.
+# ---------------------------------------------------------------------------
+
+@_q(
+    "ann_ivfpq_topk",
+    f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    cents AS (SELECT vec_id AS cent_id, v AS cvec FROM e WHERE vec_id < 8),
+    asg AS (SELECT vec_id, cent_id, cvec FROM (
+        SELECT e.vec_id, c.cent_id, c.cvec,
+          ROW_NUMBER() OVER (PARTITION BY e.vec_id
+            ORDER BY list_cosine_similarity(e.v, c.cvec) DESC, c.cent_id) AS rk
+        FROM e CROSS JOIN cents c) t WHERE rk = 1),
+    r AS (SELECT e.vec_id, a.cent_id,
+            list_transform(generate_series(1, 64), i -> e.v[i] - a.cvec[i]) AS rv
+          FROM e JOIN asg a USING (vec_id)),
+    cw AS (SELECT vec_id, rv, ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS code
+           FROM r WHERE vec_id < 16),
+    cb AS (SELECT s.j AS sub, cw.code, cw.rv AS fv
+           FROM cw, (SELECT unnest(generate_series(0, 3)) AS j) s),
+    dcb AS (SELECT r.vec_id, r.cent_id, cb.sub, cb.code,
+                   {_sq16_sql('r.rv', 'cb.fv', 'cb.sub*16')} AS dist
+            FROM r CROSS JOIN cb),
+    codes AS (SELECT vec_id, cent_id, sub, code FROM (
+        SELECT vec_id, cent_id, sub, code,
+               ROW_NUMBER() OVER (PARTITION BY vec_id, sub
+                                  ORDER BY dist, code) AS rn
+        FROM dcb) t WHERE rn = 1),
+    q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id >= 100 AND vec_id < 105),
+    probes AS (SELECT qid, cent_id, cvec, qv FROM (
+        SELECT q.qid, c.cent_id, c.cvec, q.qv,
+          ROW_NUMBER() OVER (PARTITION BY q.qid
+            ORDER BY list_cosine_similarity(q.qv, c.cvec) DESC, c.cent_id) AS rk
+        FROM q CROSS JOIN cents c) t WHERE rk <= 2),
+    qr AS (SELECT qid, cent_id,
+             list_transform(generate_series(1, 64), i -> qv[i] - cvec[i]) AS qrv
+           FROM probes),
+    lut AS (SELECT qr.qid, qr.cent_id, cb.sub, cb.code,
+                   {_sq16_sql('qr.qrv', 'cb.fv', 'cb.sub*16')} AS qd
+            FROM qr CROSS JOIN cb),
+    sc AS (SELECT l.qid, c.vec_id AS docid,
+                  CAST(SUM(CAST(l.qd AS DECIMAL(38,12))) AS DOUBLE) AS adist
+           FROM codes c
+           JOIN lut l ON c.cent_id = l.cent_id AND c.sub = l.sub AND c.code = l.code
+           GROUP BY l.qid, c.vec_id),
+    ranked AS (SELECT qid, docid, adist,
+                 CAST(ROW_NUMBER() OVER (PARTITION BY qid
+                        ORDER BY adist ASC, docid) AS INTEGER) AS rank
+               FROM sc)
+    SELECT qid, docid, rank, ROUND(adist, 4) AS adist FROM ranked WHERE rank <= 5
+    """,
+    tags=("vector-search", "ann", "ivf", "pq"),
+)
+def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF+PQ residual ADC end-to-end (operators/pq.py::ivfpq_topk_expr)
+    — the billion-scale serving composition as a full oracle row: 8
+    pinned centroids (vec_id < 8, the ann_ivf/semdedup convention),
+    cosine assignment with ties to the smaller cent_id, RESIDUAL vectors
+    quantized by a deterministic first-16-residuals codebook (m=4,
+    K=16), queries vec_id 100-104 probing nprobe=2 lists with
+    per-(query, list) residual LUTs, DECIMAL ADC sums, top-5 ascending
+    with docid tie-break. The oracle replays assignment, residual
+    construction, codebook, encoding AND probed serving; ivfpq_train /
+    ivfpq_encode / ivfpq_topk are the k-means/Arrow/partition-pruned
+    quality path (lattice-exactness + recall tested)."""
+    from ..operators.pq import ivfpq_topk_expr
+
+    emb = T(spark, sf_dir, "embeddings")
+    cents = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("cent_id"), F.col("embedding").alias("cvec")
+    )
+    queries = emb.filter(
+        (F.col("vec_id") >= 100) & (F.col("vec_id") < 105)
+    ).select(F.col("vec_id").alias("qid"), "embedding")
+    return ivfpq_topk_expr(emb, cents, queries, k=5, nprobe=2, m=4, k_codes=16)
+
+
+def _bpe_oracle_sql(n_merges: int) -> str:
+    """Generate the DuckDB replay of ``bpe_train``: the merge loop is
+    UNROLLED into one chained-CTE statement (standard SQL recursion
+    cannot aggregate over the recursive term, which each BPE iteration
+    needs for its pair-count argmax). Per iteration: weighted adjacent
+    pair counts -> 1-row argmax (count desc, a asc, b asc) -> greedy
+    left-to-right non-chaining rewrite of every word's symbol list. The
+    rewrite replays ``_py_apply_merges``/``_merge_fold_expr`` semantics
+    exactly via gaps-and-islands: positions where (sym[i], sym[i+1])
+    matches the rule form islands of CONSECUTIVE matches (only possible
+    for same-symbol runs), and greedy takes every other match from each
+    island's start — "a a a" merges once, "a a a a" twice."""
+    sql = [
+        "WITH w AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS cnt FROM ("
+        "SELECT unnest(list_filter(regexp_split_to_array(trim(text),"
+        " '\\s+'), t -> t <> '')) AS word FROM documents) GROUP BY word),",
+        "v0 AS (SELECT word, cnt, list_transform(generate_series(1,"
+        " length(word)), i -> word[i]) AS sym FROM w)",
+    ]
+    for k in range(n_merges):
+        sql.append(f"""
+    , p{k} AS (SELECT sym[i] AS a, sym[i+1] AS b, cnt
+           FROM v{k}, unnest(generate_series(1, len(sym) - 1)) AS t(i)
+           WHERE len(sym) >= 2)
+    , mr{k} AS (SELECT {k + 1} AS step, a, b, CAST(SUM(cnt) AS BIGINT) AS c
+            FROM p{k} GROUP BY a, b ORDER BY c DESC, a, b LIMIT 1)
+    , e{k} AS (SELECT word, cnt, i, sym[i] AS s
+           FROM v{k}, unnest(generate_series(1, len(sym))) AS t(i))
+    , m{k} AS (SELECT e.word, e.cnt, e.i, e.s,
+            lead(e.s) OVER (PARTITION BY e.word ORDER BY e.i) AS nxt,
+            CASE WHEN e.s = r.a
+                  AND lead(e.s) OVER (PARTITION BY e.word ORDER BY e.i) = r.b
+                 THEN 1 ELSE 0 END AS mt
+            FROM e{k} e CROSS JOIN mr{k} r)
+    , t{k} AS (SELECT *, CASE WHEN mt = 1 AND
+              (i - MIN(i) OVER (PARTITION BY word, isl)) % 2 = 0
+              THEN 1 ELSE 0 END AS tk
+           FROM (SELECT *, CASE WHEN mt = 1 THEN
+                   i - ROW_NUMBER() OVER (PARTITION BY word, mt ORDER BY i)
+                 END AS isl FROM m{k}) x)
+    , v{k + 1} AS (SELECT word, cnt, list(ns ORDER BY i) AS sym FROM (
+            SELECT word, cnt, i,
+              CASE WHEN tk = 1 THEN s || nxt
+                   WHEN lag(tk, 1, 0) OVER (PARTITION BY word ORDER BY i) = 1
+                   THEN NULL ELSE s END AS ns
+            FROM t{k}) y WHERE ns IS NOT NULL GROUP BY word, cnt)""")
+    union = "\n UNION ALL ".join(
+        f"SELECT step, a, b, c AS pair_count FROM mr{k}"
+        for k in range(n_merges)
+    )
+    return "\n".join(sql) + "\n " + union
+
+
+@_q(
+    "bpe_merges",
+    _bpe_oracle_sql(6),
+    tags=("tokenizer", "bpe", "curation"),
+)
+def bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed BPE tokenizer training (operators/bpe.py::bpe_train)
+    as a relation: the first 6 learned merge rules ``(step, a, b,
+    pair_count)`` over the documents corpus. Each Spark iteration is one
+    keyed pair-count aggregation over the vocabulary-compressed (word,
+    count) relation + a 1-row argmax + a narrow Catalyst rewrite fold;
+    the DuckDB oracle unrolls the same 6 iterations as chained CTEs with
+    a gaps-and-islands replay of the greedy non-chaining merge (see
+    :func:`_bpe_oracle_sql`). min_pair_count=1 so both engines emit
+    exactly 6 rows on any corpus with pairs remaining."""
+    from ..operators.bpe import bpe_train
+
+    docs = T(spark, sf_dir, "documents")
+    rules = bpe_train(
+        docs, n_merges=6, min_pair_count=1, with_counts=True
+    )
+    return spark.createDataFrame(
+        [(i + 1, a, b, c) for i, (a, b, c) in enumerate(rules)],
+        "step int, a string, b string, pair_count long",
+    )

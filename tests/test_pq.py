@@ -275,3 +275,74 @@ def test_ivfpq_serving_scan_is_partition_pruned(spark, emb, X, tmp_path):
     assert m and "cent_id" in m.group(1), plan[:1500]
     # exactly one exchange: the final rank window over bounded partials
     assert plan.count("Exchange") - plan.count("ReusedExchange") <= 1, plan[:1500]
+
+
+def test_ivfpq_expr_matches_numpy_replay(spark, emb, X):
+    """The expression-form IVF+PQ pipeline (ivfpq_topk_expr — the
+    ann_ivfpq_topk oracle face) against a transparent numpy replay of
+    every stage: cosine assignment (ties to smaller cent_id), residuals,
+    first-16-residuals codebook, per-subspace argmin encode (ties to
+    smaller code), nprobe=2 probed ADC, (adist asc, docid asc) ranking."""
+    from semantic_vector_search_system_spark.operators.pq import (
+        ivfpq_topk_expr,
+    )
+
+    n_cents, nprobe, k = 8, 2, 5
+    C = X[:n_cents]
+
+    def normalize(M):
+        n = np.linalg.norm(M, axis=1, keepdims=True)
+        return np.divide(M, n, out=np.zeros_like(M), where=n > 0)
+
+    S = normalize(X) @ normalize(C).T
+    # argmax with ties to the smaller cent_id = plain argmax (first max)
+    asg = S.argmax(axis=1)
+    R = X - C[asg]
+    d = DIM // M
+    books = np.stack(
+        [R[:K, j * d : (j + 1) * d] for j in range(M)]
+    )  # first-16 residuals per subspace
+    codes = np.empty((len(X), M), dtype=np.int64)
+    for j in range(M):
+        D2 = ((R[:, None, j * d : (j + 1) * d] - books[j][None]) ** 2).sum(
+            axis=2
+        )
+        codes[:, j] = D2.argmin(axis=1)  # first min = smaller code on tie
+
+    qids = np.arange(100, 105)
+    expect = {}
+    for qi in qids:
+        probe = np.argsort(-S[qi], kind="stable")[:nprobe]
+        cand = [i for i in range(len(X)) if asg[i] in probe]
+        adist = {}
+        for i in cand:
+            r = X[qi] - C[asg[i]]
+            a = 0.0
+            for j in range(M):
+                diff = r[j * d : (j + 1) * d] - books[j][codes[i, j]]
+                a += float((diff**2).sum())
+            adist[i] = round(a, 4)
+        top = sorted(cand, key=lambda i: (adist[i], i))[:k]
+        expect.update(
+            {(int(qi), int(i)): (rk + 1, adist[i]) for rk, i in enumerate(top)}
+        )
+
+    cents = spark.createDataFrame(
+        [(int(i), [float(x) for x in C[i]]) for i in range(n_cents)],
+        "cent_id long, cvec array<double>",
+    )
+    queries = emb.filter(
+        (F.col("vec_id") >= 100) & (F.col("vec_id") < 105)
+    ).select(F.col("vec_id").alias("qid"), "embedding")
+    got = {
+        (r["qid"], r["docid"]): (r["rank"], r["adist"])
+        for r in ivfpq_topk_expr(
+            emb, cents, queries, k=k, nprobe=nprobe, m=M, k_codes=K
+        ).collect()
+    }
+    assert set(got) == set(expect)
+    for key in expect:
+        rk_e, a_e = expect[key]
+        rk_g, a_g = got[key]
+        assert rk_g == rk_e, (key, got[key], expect[key])
+        assert a_g == pytest.approx(a_e, abs=2e-4), key
