@@ -135,10 +135,55 @@ def emit(timings: dict, query_meta: dict, sf, *, partial: bool) -> str:
             compact["queries_omitted"] = omitted
             line = json.dumps(compact, separators=(",", ":"))
     print(line, flush=True)
+    if not partial and _MIRROR_ENABLED:
+        _mirror_to_notes(line)
     return line
 
 
+# Mirroring happens only for real CLI bench runs (main() flips this):
+# tests import emit() directly and must not mutate the committed notes.
+_MIRROR_ENABLED = False
+
+NOTES_PATH = os.path.join(
+    os.path.dirname(os.path.abspath(__file__)), "BENCH_NOTES.md"
+)
+_MIRROR_HEADER = "## Auto-mirrored final bench lines"
+
+
+def _mirror_to_notes(line: str) -> None:
+    """Append the final authoritative metric line to BENCH_NOTES.md (r7
+    VERDICT #8): even if a future driver round's stdout parse fails
+    (r4/r6 both lost a round's numbers that way), the committed notes
+    carry every completed run's final line. Appended under a dedicated
+    trailing section; timestamped so rounds stay distinguishable."""
+    import datetime
+
+    stamp = datetime.datetime.now(datetime.timezone.utc).strftime(
+        "%Y-%m-%d %H:%MZ"
+    )
+    entry = f"- {stamp} :: `{line}`\n"
+    try:
+        text = ""
+        if os.path.exists(NOTES_PATH):
+            with open(NOTES_PATH) as f:
+                text = f.read()
+        with open(NOTES_PATH, "a") as f:
+            if _MIRROR_HEADER not in text:
+                f.write(
+                    f"\n{_MIRROR_HEADER}\n\n"
+                    "Written by bench.py emit(partial=False) — the final\n"
+                    "authoritative line of every completed run, so a\n"
+                    "driver-side parse failure can never lose a round's\n"
+                    "numbers again.\n\n"
+                )
+            f.write(entry)
+    except OSError:
+        pass  # never let notes bookkeeping break the metric line
+
+
 def main() -> None:
+    global _MIRROR_ENABLED
+    _MIRROR_ENABLED = True
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1)) if m else None
@@ -321,14 +366,22 @@ def main() -> None:
             from semantic_vector_search_system_spark.operators.similarity import (
                 ivf_assign_fast,
                 ivf_search_partitioned,
+                train_ivf_centroids,
             )
             from semantic_vector_search_system_spark.sources.parquet_index import (
                 write_vector_index,
             )
 
-            cents = dvec.filter(
-                F.substring("docid", 2, 18).cast("long") < 64
-            ).select(F.col("docid").alias("cent_id"), F.col("vec").alias("cvec"))
+            # r8 (r7 VERDICT #5): TRAINED k-means centroids instead of the
+            # first-64-rows default — build-time only (outside every timed
+            # region; a 20k-row sample bounds the fit at any corpus scale),
+            # lifts the whole recall ladder where assignment precision
+            # matters most (pinned at test geometry: nprobe=1 recall@10
+            # 0.16 -> 0.235). The ladder shift at 1M is reported under
+            # "accuracy" (ann_recall_1m / ann_ivfpq_1m).
+            cents = train_ivf_centroids(
+                dvec, 64, vec_col="vec", seed=7, sample_fraction=0.02
+            )
             dl = ivf_assign_fast(
                 dvec, cents, id_col="docid", vec_col="vec", nprobe=1
             ).select("docid", "cent_id")
@@ -359,6 +412,7 @@ def main() -> None:
                 "n_lists": 64, "nprobe": 4, "repeats": 3, "spread": spread,
                 "since_round": 4,
                 "index": "parquet partitionBy(cent_id), zstd",
+                "centroids": "kmeans (r8; was first-64-rows)",
                 "timed_region": "per-query serving path: query collect + "
                 "driver assignment + pruned scan + score + merge (same "
                 "honest region as r5; r6: merge='driver' heap-merges the "
@@ -386,6 +440,7 @@ def main() -> None:
                 "n_lists": 64, "nprobe": 4, "repeats": 3, "spread": spread,
                 "since_round": 6,
                 "index": "parquet partitionBy(cent_id), zstd",
+                "centroids": "kmeans (r8; was first-64-rows)",
                 "timed_region": "in-memory-query serving: driver "
                 "assignment + pruned scan + score + driver heap merge "
                 "(query vector pre-encoded in memory, like the "
@@ -431,6 +486,7 @@ def main() -> None:
             ACCURACY["ann_recall_1m"] = {
                 "metric": f"mean recall@{k_rec} vs exact brute force",
                 "n_queries": n_rec_q, "n_lists": 64, "k": k_rec,
+                "centroids": "kmeans",
                 **recall_by_nprobe,
             }
             query_meta["ann_recall_1m"] = {
@@ -554,7 +610,7 @@ def main() -> None:
             ACCURACY["ann_ivfpq_1m"] = {
                 "metric": f"mean recall@{k_rec} vs exact brute force",
                 "n_queries": n_rec_q, "n_lists": 64, "nprobe": 4,
-                "m": 8, "k_codes": 256,
+                "m": 8, "k_codes": 256, "centroids": "kmeans",
                 "recall": round(sum(iv_recs) / len(iv_recs), 4),
             }
             query_meta["ann_ivfpq_1m"] = {

@@ -18,7 +18,7 @@ from __future__ import annotations
 
 from typing import Iterator
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.hashing import stable_hash64
@@ -1053,6 +1053,145 @@ def semdedup_assign_fast(
     return emb.select(id_col, vec_col).mapInPandas(assign, schema=schema)
 
 
+def _semdedup_grid(
+    big_rows: DataFrame,
+    threshold: float,
+    keep: str,
+    id_col: str,
+    vec_col: str,
+    cent_id_col: str,
+    cap: int,
+    score_dtype: str,
+    emit_vec: bool,
+    out_schema: str,
+) -> DataFrame:
+    """Exact SemDeDup pruning for OVERSIZE clusters with bounded per-task
+    rows (the r7 VERDICT giant-cluster guard): split each cluster's
+    keep-order into segments of ``cap`` members and evaluate the
+    triangular max as a PAIR GRID — one task per (cluster, segment_i,
+    segment_j<=i) cell, each holding at most 2*cap members. A member of
+    segment s needs max cosine against (a) ALL members of every earlier
+    segment (segments are contiguous rank ranges, so gi < gj needs no
+    masking) and (b) its strict predecessors within its own segment (the
+    diagonal cell masks on rank). Total flops are identical to the
+    single-task kernel; they are just spread over m*(m+1)/2 tasks, so one
+    pathological 1e8-member cluster can no longer straggle a web-scale
+    run. Shuffle amplification is m+1 copies of the oversize cluster's
+    vectors — the price of parallelizing a quadratic unit, paid ONLY by
+    clusters above the cap (callers route normal clusters through the
+    fused single-shuffle kernel).
+
+    The per-cluster rank window moves 24 B/row skinny tuples (id,
+    cent_sim) — the single-task sort of an oversize cluster's ranks is
+    O(n log n) on skinny rows, negligible next to the O(n^2/m) BLAS being
+    distributed.
+    """
+    import numpy as np
+    import pandas as pd
+
+    order_cols = (
+        [F.asc("cent_sim"), F.asc(id_col)]
+        if keep == "far"
+        else [F.asc(id_col)]
+    )
+    wr = Window.partitionBy(cent_id_col).orderBy(*order_cols)
+    ranked = (
+        big_rows.select(id_col, cent_id_col, "cent_sim")
+        .withColumn("_r", F.row_number().over(wr) - 1)
+        .withColumn("_s", (F.col("_r") / F.lit(cap)).cast("long"))
+        .localCheckpoint()  # rank once; reused by grid build + final join
+    )
+    m_per = ranked.groupBy(cent_id_col).agg(F.max("_s").alias("_m"))
+    with_vec = ranked.join(big_rows.select(id_col, vec_col), id_col)
+    # role "r": source rows — appear in every cell (gi=_s, gj in _s.._m)
+    src = (
+        with_vec.join(F.broadcast(m_per), cent_id_col)
+        .select(
+            cent_id_col,
+            F.col("_s").alias("_gi"),
+            F.explode(F.sequence(F.col("_s"), F.col("_m"))).alias("_gj"),
+            F.lit("r").alias("_role"),
+            id_col,
+            "_r",
+            vec_col,
+        )
+    )
+    # role "c": target rows — appear in every cell (gi in 0.._s, gj=_s)
+    tgt = with_vec.select(
+        cent_id_col,
+        F.explode(F.sequence(F.lit(0), F.col("_s"))).alias("_gi"),
+        F.col("_s").alias("_gj"),
+        F.lit("c").alias("_role"),
+        id_col,
+        "_r",
+        vec_col,
+    )
+    grid = src.unionByName(tgt)
+    id_t = dict(big_rows.dtypes)[id_col]
+    want32 = score_dtype == "float32"
+
+    def cell(pdf: pd.DataFrame) -> pd.DataFrame:
+        if len(pdf) > 2 * cap:  # the guard's contract: <=cap per role
+            raise AssertionError(
+                f"semdedup grid cell holds {len(pdf)} rows > 2*cap={2 * cap}"
+            )
+        t_mask = (pdf["_role"] == "c").to_numpy()
+        tg = pdf[t_mask]
+        sr = pdf[~t_mask]
+        if tg.empty:
+            return pd.DataFrame({id_col: [], "_contrib": []}).astype(
+                {"_contrib": "float64"}
+            )
+
+        def mat(col):
+            vals = col.tolist()
+            dim = next((len(v) for v in vals if v is not None), 0)
+            M = np.array(
+                [v if v is not None else [0.0] * dim for v in vals],
+                dtype=np.float64,
+            )
+            n = np.linalg.norm(M, axis=1, keepdims=True)
+            return np.divide(M, n, out=np.zeros_like(M), where=n > 0)
+
+        T = mat(tg[vec_col])
+        contrib = np.full(len(tg), -np.inf)
+        if not sr.empty:
+            S_ = mat(sr[vec_col])
+            if want32:
+                S_, T2 = S_.astype(np.float32), T.astype(np.float32)
+            else:
+                T2 = T
+            G = S_ @ T2.T
+            diag = (tg["_gi"].iat[0] == tg["_gj"].iat[0]) if len(tg) else False
+            if diag:
+                # strict predecessors only: mask rank_src >= rank_tgt
+                rs = sr["_r"].to_numpy()[:, None]
+                rt = tg["_r"].to_numpy()[None, :]
+                G = np.where(rs >= rt, -np.inf, G)
+            contrib = G.max(axis=0)
+        return pd.DataFrame(
+            {id_col: tg[id_col].to_numpy(), "_contrib": contrib}
+        )
+
+    cells = grid.groupBy(cent_id_col, "_gi", "_gj").applyInPandas(
+        cell, schema=f"`{id_col}` {id_t}, _contrib double"
+    )
+    tri = cells.groupBy(id_col).agg(F.max("_contrib").alias("_tri"))
+    out = ranked.join(tri, id_col, "left").select(
+        id_col,
+        cent_id_col,
+        "cent_sim",
+        (
+            F.coalesce(F.col("_tri"), F.lit(float("-inf")))
+            < F.lit(float(threshold))
+        ).alias("kept"),
+    )
+    if emit_vec:
+        out = out.join(big_rows.select(id_col, vec_col), id_col)
+    # column order must match the fused kernel's schema for unionByName
+    return out
+
+
 def semdedup(
     emb: DataFrame,
     centroids: DataFrame,
@@ -1066,6 +1205,7 @@ def semdedup(
     block_rows: int = 2048,
     emit_vec: bool = False,
     score_dtype: str = "float64",
+    max_cluster_rows: int | None = None,
 ) -> DataFrame:
     """SemDeDup: per-cluster semantic pruning — ``(id, cent_id, cent_sim,
     kept)`` with kept=false iff some cluster-mate PRECEDING the row in the
@@ -1106,6 +1246,14 @@ def semdedup(
     bounded unit — pick k ~ sqrt(n) (paper: fixed k ~ 11k at web scale) so
     per-cluster cost stays flat as the corpus grows; the hot path is
     n*(n/k)*dim BLAS flops spread over one task per cluster.
+
+    ``max_cluster_rows`` (the giant-cluster guard): clusters above the
+    cap are routed through :func:`_semdedup_grid` — an exact pair-grid
+    decomposition whose tasks each hold at most ``2 * max_cluster_rows``
+    members (enforced at runtime) — so ONE pathological cluster (a
+    boilerplate embedding sink) cannot serialize a web-scale run into a
+    single quadratic task. Normal clusters keep the fused single-shuffle
+    path; output is identical (parity-tested, chain shielding included).
     """
     import numpy as np
     import pandas as pd
@@ -1199,7 +1347,42 @@ def semdedup(
             out[vec_col] = pdf[vec_col]
         return pd.DataFrame(out)
 
-    return rows.groupBy(cent_id_col).applyInPandas(prune, schema=schema)
+    if max_cluster_rows is None:
+        return rows.groupBy(cent_id_col).applyInPandas(prune, schema=schema)
+
+    # giant-cluster guard (r7 VERDICT #6): route clusters above the cap
+    # through the pair-grid kernel (bounded per-task rows; see
+    # _semdedup_grid), everything else through the fused single-task
+    # kernel. The assignment is checkpointed so the size census and the
+    # two routes consume ONE materialization, not three recomputes.
+    rows = rows.localCheckpoint()
+    sizes = rows.groupBy(cent_id_col).agg(F.count("*").alias("_n"))
+    big_ids = [
+        r[0]
+        for r in sizes.filter(F.col("_n") > max_cluster_rows).collect()
+        # bounded: one row per OVERSIZE cluster — pathological by
+        # definition, a handful at most (collect-audited)
+    ]
+    small_out = (
+        rows.filter(~F.col(cent_id_col).isin(big_ids))
+        if big_ids
+        else rows
+    ).groupBy(cent_id_col).applyInPandas(prune, schema=schema)
+    if not big_ids:
+        return small_out
+    big_out = _semdedup_grid(
+        rows.filter(F.col(cent_id_col).isin(big_ids)),
+        threshold,
+        keep,
+        id_col,
+        vec_col,
+        cent_id_col,
+        max_cluster_rows,
+        score_dtype,
+        emit_vec,
+        schema,
+    )
+    return small_out.unionByName(big_out)
 
 
 def write_semdedup_index(

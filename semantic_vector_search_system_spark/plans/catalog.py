@@ -1149,86 +1149,100 @@ def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
 #   stream_user_totals_stateful (the only applyInPandasWithState),
 #   media_features (multimodal decode slot), sketch_stats (KMV sketch),
 #   json_kpi (JSON extraction).  All 23 parked rotate back r8.
+# Round-8 rotation (policy unchanged): ALL 29 r7-parked queries rotate
+# back IN (each judge-re-verified green in r7 via scripts/verify_local);
+# 31 r7-driver-green stalwarts park so the 50-query window fits the 29
+# returners + the two NEW r8 queries (ann_ivfpq_topk, bpe_merges). Kept
+# in-window besides the returners: the six no-family-twin stalwarts
+# (neardup_keep_one, sequence_packing, stream_user_totals_stateful,
+# media_features, sketch_stats, json_kpi), the six NEW r7 queries (1x
+# driver-green — stay until 2x), and seven keepers whose operator family
+# would otherwise leave the window: pricing_summary (A8 headline
+# decimal agg), knn_topk_heap (the only JVM bounded-heap Aggregator
+# row), event_percentiles (A5/A6 exact percentiles), index_upsert_counts
+# (S10/A7 ingest counting), welch_components_by_type (A12 statistical
+# tests), nation_customer_rank (W4 rank position),
+# urgent_orders_by_year (P8 routing filter). All 31 parked rotate back
+# across r9-r10.
 DEMOTED: tuple[str, ...] = (
-    "revenue_filter",            # P4 compound filter ≡ urgent_orders_by_year
-                                 #   (incoming P4/P8 filter family)
-    "knn_topk",                  # exact cosine top-k ≡ ann_recall (in-window,
-                                 #   replays the exact brute-force side) +
-                                 #   embedding_neardup_pairs /
-                                 #   quantized_topk_rerank (incoming kernels)
-    "knn_hybrid_filtered",       # metadata pre-filter + knn ≡
-                                 #   quantized_topk_rerank (incoming
-                                 #   two-stage) + urgent_orders_by_year
-    "incremental_dedup",         # stored-index banding ≡ minhash_signatures
-                                 #   + lsh_candidate_pairs + exact_dedup
-                                 #   (all in-window)
-    "source_cap_sample",         # content-hash sampling ≡ dataset_splits
-                                 #   (incoming, same stable-hash buckets)
-    "source_mixture_weights",    # keyed agg ≡ pricing_summary (incoming A8)
-    "corpus_vocabulary",         # token DF counts ≡ token_counts_regex
-                                 #   (incoming) tokenize+agg family
-    "self_retrieval_e2e",        # E2E metric stack ≡ retrieval_quality
-                                 #   (incoming A1-A4, same operators)
-    "user_event_sequences",      # A15 ordered accumulation ≡
-                                 #   user_running_value (in-window W5) +
-                                 #   sessionization (incoming)
-    "ann_ivf_topk",              # IVF ≡ ann_recall (in-window, replays the
-                                 #   IVF side across an nprobe sweep)
-    "tfidf_self_retrieval",      # TF-IDF retrieval ≡ hybrid_rrf_fusion
-                                 #   (incoming, fuses tfidf + knn runs)
-    "asof_grouped_orders",       # as-of ≡ asof_latest_order (in-window)
-    "media_kind_stats",          # multimodal agg ≡ media_features
-                                 #   (in-window, same decode slot + schema)
-    "stream_dedup_events",       # streaming dedup ≡
-                                 #   stream_user_totals_stateful (in-window
-                                 #   stateful) + exact_dedup (in-window)
-    "part_type_revenue",         # join-agg ≡ revenue_by_nation (incoming) +
-                                 #   region_customer_rollup (in-window)
-    "cube_order_stats",          # CUBE ≡ rollup_pricing (in-window
+    "revenue_by_nation",         # multi-way broadcast join-agg ≡
+                                 #   part_type_revenue (returning) +
+                                 #   pricing_summary (in-window keeper)
+    "segment_order_stats",       # J3 semi-join ≡ decontamination
+                                 #   (returning broadcast semi-join)
+    "customers_without_orders",  # anti-join ≡ training_corpus_selection
+                                 #   (returning, anti-join stage) +
+                                 #   decontamination (returning)
+    "top_orders_per_customer",   # W3 per-group top-k ≡ global_top_spenders
+                                 #   (returning W2) + knn_topk_heap
+                                 #   (in-window keeper, same ranking shape)
+    "user_event_pivot",          # J6 pivot ≡ user_event_unpivot
+                                 #   (returning — the inverse twin)
+    "user_running_value",        # W5 running frame ≡ user_event_sequences
+                                 #   (returning A15 ordered accumulation)
+    "retrieval_quality",         # A1-A4 IR metrics ≡ self_retrieval_e2e
+                                 #   (returning, same metric operators e2e)
+    "exact_dedup",               # content-hash dedup ≡ incremental_dedup
+                                 #   (returning, hash agg against stored
+                                 #   index) + stream_dedup_events (returning)
+    "simhash",                   # ≡ doc_fingerprint (returning
+                                 #   fingerprint-family twin)
+    "minhash_signatures",        # ≡ lsh_candidate_pairs (returning, same
+                                 #   signature kernel) + incremental_dedup
+                                 #   (returning) + neardup_keep_one (in-window)
+    "ngram_jaccard_pairs",       # shingle set-overlap ≡ nations_with_both
+                                 #   (returning SO1) + neardup_keep_one
+                                 #   (in-window shingle verify)
+    "embedding_neardup_pairs",   # embedding near-dup ≡ semdedup_keep_one
+                                 #   (in-window clustered semantic dedup) +
+                                 #   lsh_candidate_pairs (returning banding)
+    "brand_price_stats",         # A11 count/mean/std/min/max ≡
+                                 #   part_type_revenue + source_mixture_weights
+                                 #   (both returning agg family)
+    "region_customer_rollup",    # ROLLUP ≡ cube_order_stats (returning
                                  #   grouping-sets family)
-    "view_purchase_funnel",      # range join ≡ asof_latest_order (in-window
-                                 #   time-conditioned join) + sessionization
-                                 #   (incoming window logic)
-    "stream_view_purchase_join", # stream-stream join ≡ stream_sessionize
-                                 #   (incoming) + stream_user_totals_stateful
-                                 #   (in-window watermark/state family)
-    "training_corpus_selection", # composite of in-window stages:
-                                 #   lsh_candidate_pairs (banding+verify),
-                                 #   doc_quality, langid_confusion,
-                                 #   customers_without_orders (anti-join)
-    "pii_scan_report",           # regex scan/redact ≡ token_counts_regex
-                                 #   (incoming regex family) + doc_quality
-                                 #   (in-window text rules)
-    "decontamination",           # broadcast semi-join ≡ segment_order_stats
-                                 #   + customers_without_orders (incoming)
-    "hourly_event_counts",       # ≡ stream_hourly_counts (incoming,
+    "mannwhitney_components",    # A12 rank-sum ≡ welch_components_by_type
+                                 #   (in-window keeper, same test builder)
+    "snippet_queries",           # F1/S5 snippet generation ≡ bm25_topk
+                                 #   (in-window, same query_snippet builder)
+    "sessionization",            # session windows ≡ user_event_sequences +
+                                 #   view_purchase_funnel (both returning)
+    "stream_hourly_counts",      # ≡ hourly_event_counts (returning,
                                  #   identical result by construction)
-    "token_stats_by_lang",       # F2 tokenize ≡ token_counts_regex
-                                 #   (incoming) + langid_confusion
-                                 #   (in-window per-lang grouping)
-    "nations_with_both",         # SO1 INTERSECT ≡ ngram_jaccard_pairs
-                                 #   (incoming set-overlap family)
-    "doc_fingerprint",           # rolling-hash fingerprint ≡ simhash
-                                 #   (incoming fingerprint family)
-    "user_event_unpivot",        # J6 inverse ≡ user_event_pivot (incoming
-                                 #   — the pivot twin; parked for window
-                                 #   room for the NEW r7 ann_pq_topk)
-    "global_top_spenders",       # W2 global top-k ≡ top_orders_per_customer
-                                 #   (incoming W3 family; TakeOrderedAndProject
-                                 #   stays plan-asserted in tests) — window
-                                 #   room for the NEW r7 quality_classifier_report
-    "lsh_candidate_pairs",       # r6-driver-green; MinHash-LSH banding ≡
-                                 #   neardup_keep_one (in-window, star-edge
-                                 #   banding + verify) + minhash_signatures
-                                 #   (in-window) — window room for the NEW
-                                 #   r7 semdedup_keep_one (embedding
-                                 #   near-dup + clustering family)
-    "doc_quality",               # r6-driver-green; rule-based quality ≡
-                                 #   gopher_quality_report +
-                                 #   quality_classifier_report (both
-                                 #   in-window) — window room for the NEW
-                                 #   r7 bigram_lm_report (statistical LM
-                                 #   fluency gate)
+    "stream_sessionize",         # streaming windows ≡ stream_view_purchase_join
+                                 #   + stream_dedup_events (both returning) +
+                                 #   stream_user_totals_stateful (in-window)
+    "langid_confusion",          # per-lang n-gram profiles ≡
+                                 #   token_stats_by_lang (returning per-lang
+                                 #   grouping) + doc_quality (returning)
+    "token_counts_regex",        # F2 tokenize+agg ≡ token_stats_by_lang +
+                                 #   corpus_vocabulary (both returning)
+    "supplier_balance_by_nation",# keyed agg ≡ part_type_revenue +
+                                 #   source_mixture_weights (returning A8)
+    "ann_recall",                # IVF + exact recall sweep ≡ ann_ivf_topk
+                                 #   (returning, IVF side) + ann_ivfpq_topk /
+                                 #   ann_pq_topk (in-window NEW ADC rows);
+                                 #   bench ann_recall_1m keeps the measured
+                                 #   recall ladder every round
+    "sql_interface_pricing",     # spark.sql face of pricing_summary
+                                 #   (in-window keeper, same plan)
+    "asof_latest_order",         # as-of ≡ asof_grouped_orders (returning
+                                 #   — the cogroup strategy twin)
+    "rollup_pricing",            # ROLLUP ≡ cube_order_stats (returning
+                                 #   grouping-sets family)
+    "label_centroids",           # grouped-map UDAF ≡ semdedup_keep_one
+                                 #   (in-window applyInPandas kernel family)
+    "quantized_topk_rerank",     # two-stage coarse->rerank ≡
+                                 #   knn_hybrid_filtered (returning
+                                 #   two-stage) + ann_pq_topk (in-window)
+    "hybrid_rrf_fusion",         # RRF fusion ≡ tfidf_self_retrieval +
+                                 #   knn_topk (both returning — the two
+                                 #   runs it fuses)
+    "dataset_splits",            # stable-hash splits ≡ source_cap_sample
+                                 #   (returning, same hash-bucket sampling)
+    "gopher_quality_report",     # rule-based quality ≡ doc_quality
+                                 #   (returning) + quality_classifier_report
+                                 #   (in-window model-based gate)
 )
 
 

@@ -56,6 +56,10 @@ ALLOWED: dict[str, dict[str, int]] = {
         # top-k-truncated (broadcast strategy caps queries at
         # max_broadcast_queries)
         "prows = partial.collect()": 1,
+        # giant-cluster guard census: one row per OVERSIZE cluster
+        # (> max_cluster_rows members) — pathological by definition,
+        # a handful at most
+        'for r in sizes.filter(F.col("_n") > max_cluster_rows).collect()': 1,
     },
     "operators/quantize.py": {
         # single aggregate row (global min/max for the quantization range)

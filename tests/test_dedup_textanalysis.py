@@ -1649,3 +1649,72 @@ def test_semdedup_fast_join_strategy_parity(spark):
     b = sorted(map(tuple, semdedup(
         emb, cents, threshold=0.32, keep="far", assign="fast_join").collect()))
     assert a == b
+
+
+def test_semdedup_giant_cluster_guard_exact_and_bounded(spark):
+    """r7 VERDICT #6: one pathological cluster above max_cluster_rows is
+    routed through the pair-grid kernel — output EXACTLY equals the
+    ungated single-task run (both keep policies), cross-segment shielding
+    included (a dropped member in an early segment still shields its
+    near-twin many segments later), and every grid task holds at most
+    2*cap rows (enforced by a runtime raise inside the kernel, so this
+    test failing-loudly IS the bound proof)."""
+    import numpy as np
+
+    from semantic_vector_search_system_spark.operators.similarity import semdedup
+
+    rng = np.random.default_rng(11)
+    n, dim, cap, tau = 900, 12, 64, 0.985
+    X = rng.normal(size=(n, dim))
+    # two centroids; centroid 0 engineered dominant: bias most points
+    C = rng.normal(size=(2, dim))
+    X[: n - 50] = 0.25 * X[: n - 50] + C[0]  # ~850-member giant cluster
+    X[n - 50 :] = 0.25 * X[n - 50 :] + C[1]
+    # planted near-dup chains crossing segment boundaries (ids far apart
+    # land in different rank segments under keep="min_id")
+    for base in (3, 200, 500):
+        X[base + 150] = X[base] + rng.normal(scale=0.01, size=dim)
+        X[base + 300] = X[base + 150] + rng.normal(scale=0.01, size=dim)
+    Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
+    Cn = C / np.linalg.norm(C, axis=1, keepdims=True)
+
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in Xn[i]]) for i in range(n)],
+        "vec_id bigint, embedding array<double>",
+    )
+    cents = spark.createDataFrame(
+        [(c, [float(x) for x in Cn[c]]) for c in range(2)],
+        "cent_id bigint, cvec array<double>",
+    )
+    for keep in ("far", "min_id"):
+        plain = {
+            r["vec_id"]: (r["cent_id"], round(r["cent_sim"], 9), r["kept"])
+            for r in semdedup(
+                emb, cents, threshold=tau, keep=keep, assign="fast"
+            ).collect()
+        }
+        guarded = {
+            r["vec_id"]: (r["cent_id"], round(r["cent_sim"], 9), r["kept"])
+            for r in semdedup(
+                emb, cents, threshold=tau, keep=keep, assign="fast",
+                max_cluster_rows=cap,
+            ).collect()
+        }
+        assert guarded == plain, keep
+        assert sum(1 for v in plain.values() if not v[2]) >= 6  # chains fired
+
+    # cap larger than every cluster: pure fused path, same answer
+    ungated_cap = {
+        r["vec_id"]: r["kept"]
+        for r in semdedup(
+            emb, cents, threshold=tau, keep="min_id", assign="fast",
+            max_cluster_rows=10_000,
+        ).collect()
+    }
+    plain_min = {
+        r["vec_id"]: r["kept"]
+        for r in semdedup(
+            emb, cents, threshold=tau, keep="min_id", assign="fast"
+        ).collect()
+    }
+    assert ungated_cap == plain_min

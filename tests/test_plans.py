@@ -353,26 +353,28 @@ def test_driver_window_covers_every_operator_family():
     window = set(names[:50])
     # every non-demoted query is inside the driver's window
     assert window == set(CATALOG) - set(DEMOTED)
-    # r7 flagship set: the six no-family-twin stalwarts retained across the
-    # r7 rotation (see DEMOTED rationale) plus the young query ann_recall
-    # and the returning composite flagships.  r6 flagships parked by the r7
-    # rotation (training_corpus_selection, knn_topk, incremental_dedup,
-    # ann_ivf_topk, self_retrieval_e2e, ... — each green in r5 AND r6, each
-    # with its operator family covered in-window) rotate back in r8.
+    # r8 flagship set: the six no-family-twin stalwarts (never parked),
+    # the six NEW r7 queries (1x driver-green — stay until 2x), the two
+    # NEW r8 queries, the seven r8 keepers whose family would otherwise
+    # leave the window, and the returning r7-parked composites.
     flagships = {
         # no family twin — never parked
         "neardup_keep_one", "sequence_packing",
         "stream_user_totals_stateful", "media_features", "sketch_stats",
         "json_kpi",
         # young — must be driver-checked while young
-        "ann_recall",
         "bm25_topk", "span_dedup", "ann_pq_topk",
         "quality_classifier_report", "semdedup_keep_one",
         "bigram_lm_report",
-        # returning composites / fusions
-        "hybrid_rrf_fusion", "quantized_topk_rerank",
-        "embedding_neardup_pairs", "retrieval_quality",
-        "gopher_quality_report", "dataset_splits", "label_centroids",
+        "ann_ivfpq_topk", "bpe_merges",
+        # r8 keepers (family coverage)
+        "pricing_summary", "knn_topk_heap", "event_percentiles",
+        "index_upsert_counts", "welch_components_by_type",
+        "nation_customer_rank", "urgent_orders_by_year",
+        # returning composites / incremental serving
+        "training_corpus_selection", "incremental_dedup", "knn_topk",
+        "ann_ivf_topk", "self_retrieval_e2e", "tfidf_self_retrieval",
+        "lsh_candidate_pairs", "doc_quality",
     }
     assert flagships <= window
     # oracle ordering mirrors query ordering
