@@ -1243,6 +1243,12 @@ DEMOTED: tuple[str, ...] = (
     "gopher_quality_report",     # rule-based quality ≡ doc_quality
                                  #   (returning) + quality_classifier_report
                                  #   (in-window model-based gate)
+    "urgent_orders_by_year",     # P4/P8 routing filter ≡ revenue_filter
+                                 #   (returning P4 compound filter) +
+                                 #   user_event_pivot (returning CASE
+                                 #   routing) — parked late-r8 to make
+                                 #   window room for the NEW
+                                 #   bitext_margin_pairs
 )
 
 
@@ -3506,3 +3512,58 @@ def bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(i + 1, a, b, c) for i, (a, b, c) in enumerate(rules)],
         "step int, a string, b string, pair_count long",
     )
+
+
+# ---------------------------------------------------------------------------
+# Round 8: margin-based bitext candidate mining (CCMatrix/LASER shape)
+# ---------------------------------------------------------------------------
+
+@_q(
+    "bitext_margin_pairs",
+    """
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    x AS (SELECT vec_id AS xid, v AS xv FROM e WHERE vec_id < 200 AND vec_id % 2 = 0),
+    y AS (SELECT vec_id AS yid, v AS yv FROM e WHERE vec_id < 200 AND vec_id % 2 = 1),
+    p AS (SELECT xid, yid, list_cosine_similarity(xv, yv) AS c FROM x CROSS JOIN y),
+    fwd AS (SELECT xid, yid, c FROM (
+        SELECT xid, yid, c,
+               ROW_NUMBER() OVER (PARTITION BY xid ORDER BY c DESC, yid) AS rf
+        FROM p) t WHERE rf <= 4),
+    bwd AS (SELECT xid, yid, c FROM (
+        SELECT xid, yid, c,
+               ROW_NUMBER() OVER (PARTITION BY yid ORDER BY c DESC, xid) AS rb
+        FROM p) t WHERE rb <= 4),
+    fx AS (SELECT xid, CAST(SUM(CAST(ROUND(c, 12) AS DECIMAL(38,12))) AS DOUBLE)
+                       / COUNT(*) AS mx FROM fwd GROUP BY xid),
+    fy AS (SELECT yid, CAST(SUM(CAST(ROUND(c, 12) AS DECIMAL(38,12))) AS DOUBLE)
+                       / COUNT(*) AS my FROM bwd GROUP BY yid),
+    m AS (SELECT fwd.xid, fwd.yid, ROUND(c, 12) / ((mx + my) / 2) AS mg
+          FROM fwd JOIN fx USING (xid) JOIN fy USING (yid)),
+    best AS (SELECT xid, yid, mg,
+               ROW_NUMBER() OVER (PARTITION BY xid ORDER BY mg DESC, yid) AS rm
+             FROM m)
+    SELECT xid, yid, ROUND(mg, 6) AS margin FROM best WHERE rm = 1 AND mg >= 1.0
+    """,
+    tags=("mining", "bitext", "vector-search", "curation"),
+)
+def bitext_margin_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Margin-based bitext candidate mining (operators/mining.py —
+    Artetxe & Schwenk 2019, the CCMatrix/LASER pipeline stage): two
+    disjoint embedding slices stand in for the two monolingual
+    collections (even vs odd vec_id < 200); each x's forward top-4
+    neighbors are scored by the ratio margin cos / mean-neighborhood-cos
+    and the best pair above 1.0 survives. The oracle replays pairwise
+    cosine, both knn rankings, the round-12 DECIMAL neighborhood means
+    and the margin argmax. At 100 TB the knn lists come from the ANN
+    stack instead of the bounded cross join
+    (mining.margin_knn_pairs_from_knn — parity-tested)."""
+    from ..operators.mining import margin_knn_pairs
+
+    emb = T(spark, sf_dir, "embeddings")
+    x = emb.filter((F.col("vec_id") < 200) & (F.col("vec_id") % 2 == 0)).select(
+        F.col("vec_id").alias("xid"), F.col("embedding").alias("xv")
+    )
+    y = emb.filter((F.col("vec_id") < 200) & (F.col("vec_id") % 2 == 1)).select(
+        F.col("vec_id").alias("yid"), F.col("embedding").alias("yv")
+    )
+    return margin_knn_pairs(x, y, k=4, threshold=1.0)

@@ -68,6 +68,18 @@ QUERIES = [
     # r7b: bigram LM — count aggs + round-12 DECIMAL mean must be exact
     # under partition scrambling (the whole point of the per-ratio round).
     "bigram_lm_report",
+    # r8: IVF+PQ expression pipeline — assignment argmax ties, residual
+    # codebook row order, per-(vec, sub) argmin struct-MIN ties and the
+    # DECIMAL ADC sum must survive partition scrambling + join flips.
+    "ann_ivfpq_topk",
+    # r8: BPE training — the per-iteration pair-count argmax (count desc,
+    # pair asc) and the greedy rewrite fold must be bit-stable under any
+    # partitioning (integer counts; no floats anywhere).
+    "bpe_merges",
+    # r8: bitext margin mining — two knn rankings, round-12 DECIMAL
+    # neighborhood means and the margin argmax must survive partition
+    # scrambling and join-strategy flips.
+    "bitext_margin_pairs",
 ]
 
 # Perturbations of runtime-settable physical knobs. Each tuple is applied on
