@@ -188,3 +188,75 @@ def pack_sequences(
         )
 
     return sized.groupBy("shard").applyInPandas(pack, schema=schema)
+
+
+def context_windows(
+    docs: DataFrame,
+    window_tokens: int = 1024,
+    stride: int | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Sliding context-window chunking: split each document's token
+    stream into fixed-size training windows with overlap — the step that
+    turns long documents into model-context-sized samples (GPT-style
+    pipelines stride by window_tokens - overlap so no boundary token
+    loses its left context entirely). Complements :func:`pack_sequences`
+    (which BINS short docs up to a budget; this SPLITS long docs down to
+    one).
+
+    Emits one row per window: ``(id, win_id, win_tokens, window_text)``
+    — ``win_id`` is the 0-based window index, the last window may be
+    short, and a doc with ``n <= window_tokens`` tokens yields exactly
+    one window (the whole doc). Docs with null/whitespace-only text
+    yield no rows (they carry no trainable tokens; gate them upstream).
+    Window count for ``n`` tokens is ``ceil(max(n - window, 0) / stride)
+    + 1`` — every token is covered and the final window starts before
+    ``n``.
+
+    Pure narrow Catalyst expressions (tokenize -> per-row sequence ->
+    posexplode of slices): no shuffle, no Python, fully replayable in
+    SQL — at 100 TB this is a map over the corpus scan whose output
+    feeds tokenization/packing directly.
+    """
+    if stride is None:
+        stride = window_tokens
+    if not (0 < stride <= window_tokens):
+        raise ValueError(
+            f"stride must be in (0, window_tokens]; got stride={stride}, "
+            f"window_tokens={window_tokens}"
+        )
+    toks = tokenize(text_col)
+    n = F.size(toks)
+    n_wins = F.when(
+        n > 0,
+        F.ceil(
+            F.greatest(n - F.lit(window_tokens), F.lit(0))
+            / F.lit(stride)
+        ).cast("long")
+        + 1,
+    ).otherwise(F.lit(0).cast("long"))
+    seq = F.when(
+        n_wins > 0, F.sequence(F.lit(0).cast("long"), n_wins - 1)
+    ).otherwise(F.array().cast("array<long>"))
+    return docs.select(
+        F.col(id_col),
+        n.alias("_n"),
+        F.posexplode(
+            F.transform(
+                seq,
+                lambda i: F.array_join(
+                    F.slice(toks, (i * stride + 1).cast("int"), window_tokens),
+                    " ",
+                ),
+            )
+        ).alias("win_id", "window_text"),
+    ).select(
+        id_col,
+        F.col("win_id").cast("long").alias("win_id"),
+        F.least(
+            F.lit(window_tokens).cast("long"),
+            F.col("_n") - F.col("win_id") * F.lit(stride),
+        ).alias("win_tokens"),
+        "window_text",
+    )

@@ -1249,6 +1249,11 @@ DEMOTED: tuple[str, ...] = (
                                  #   routing) — parked late-r8 to make
                                  #   window room for the NEW
                                  #   bitext_margin_pairs
+    "nation_customer_rank",      # W4 rank position ≡ global_top_spenders
+                                 #   (returning ranking family) +
+                                 #   knn_topk_heap (in-window keeper,
+                                 #   rank/top-k windows) — parked late-r8
+                                 #   for the NEW context_windows
 )
 
 
@@ -3567,3 +3572,41 @@ def bitext_margin_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("yid"), F.col("embedding").alias("yv")
     )
     return margin_knn_pairs(x, y, k=4, threshold=1.0)
+
+
+# ---------------------------------------------------------------------------
+# Round 8: sliding context-window chunking (training-sample construction)
+# ---------------------------------------------------------------------------
+
+@_q(
+    "context_windows",
+    f"""
+    WITH sp AS (SELECT doc_id, {_SPLIT_CLEAN} AS toks FROM documents),
+    w AS (SELECT doc_id, len(toks) AS n,
+            CASE WHEN len(toks) > 0
+                 THEN CAST(ceil(CAST(greatest(len(toks) - 32, 0) AS DOUBLE)
+                                / 24) AS BIGINT) + 1
+                 ELSE 0 END AS nw,
+            toks
+          FROM sp)
+    SELECT doc_id, i AS win_id,
+           least(32, n - i * 24) AS win_tokens,
+           array_to_string(toks[i*24+1 : i*24+32], ' ') AS window_text
+    FROM w, UNNEST(generate_series(0, nw - 1)) AS t(i)
+    """,
+    tags=("curation", "chunking", "training-samples"),
+)
+def context_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding context-window chunking (operators/corpus.py::
+    context_windows): 32-token windows with stride 24 (25% overlap) over
+    every document — the GPT-style step that turns long documents into
+    model-context-sized training samples with boundary continuity. One
+    row per window (doc_id, win_id, win_tokens, window_text); the last
+    window may be short; docs of <= 32 tokens yield one whole-doc
+    window. Pure narrow expressions (no shuffle, no Python); the oracle
+    replays the window-count formula and the slices exactly.
+    Complements sequence_packing (bins short docs; this splits long
+    ones)."""
+    from ..operators.corpus import context_windows as _cw
+
+    return _cw(T(spark, sf_dir, "documents"), window_tokens=32, stride=24)

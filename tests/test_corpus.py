@@ -164,3 +164,70 @@ def test_pack_sequences_null_and_empty_text(spark):
     assert got[1] == (0, 0) and got[2] == (0, 0)
     assert got[0][1] == 3 and got[3][1] == 2
     assert len(got) == 4
+
+
+def test_context_windows_hand_computed(spark):
+    """Window-count formula + slice contents on hand-checkable docs:
+    exact cover, overlap, short-tail, whole-doc and empty cases."""
+    import pytest as _pytest
+
+    from semantic_vector_search_system_spark.operators.corpus import (
+        context_windows,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (0, " ".join(f"t{i}" for i in range(10))),  # 10 toks
+            (1, "a b c"),                               # fits one window
+            (2, None),                                  # no rows
+            (3, "   "),                                 # no rows
+        ],
+        "doc_id long, text string",
+    )
+    rows = {
+        (r["doc_id"], r["win_id"]): (r["win_tokens"], r["window_text"])
+        for r in context_windows(docs, window_tokens=4, stride=3).collect()
+    }
+    # doc 0: n=10, windows = ceil((10-4)/3)+1 = 3 -> starts 0,3,6
+    assert rows[(0, 0)] == (4, "t0 t1 t2 t3")
+    assert rows[(0, 1)] == (4, "t3 t4 t5 t6")
+    assert rows[(0, 2)] == (4, "t6 t7 t8 t9")
+    assert rows[(1, 0)] == (3, "a b c")
+    assert {d for d, _ in rows} == {0, 1}
+    # every token of doc 0 appears in some window (coverage contract)
+    covered = set()
+    for (d, w), (_, txt) in rows.items():
+        if d == 0:
+            covered.update(txt.split())
+    assert covered == {f"t{i}" for i in range(10)}
+
+    with _pytest.raises(ValueError):
+        context_windows(docs, window_tokens=4, stride=5)
+    with _pytest.raises(ValueError):
+        context_windows(docs, window_tokens=4, stride=0)
+
+
+def test_context_windows_narrow_plan_and_invariance(spark):
+    """The 100 TB property: chunking is a pure narrow map — zero
+    Exchange in the plan — and output is partitioning-invariant."""
+    from semantic_vector_search_system_spark.operators.corpus import (
+        context_windows,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, " ".join(f"w{(i * 7 + j) % 13}" for j in range(50))) for i in range(40)],
+        "doc_id long, text string",
+    )
+    df = context_windows(docs, window_tokens=8, stride=6)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan.split("== Initial Plan ==")[0], plan[:1500]
+    a = sorted(map(tuple, df.collect()))
+    b = sorted(
+        map(
+            tuple,
+            context_windows(
+                docs.repartition(13), window_tokens=8, stride=6
+            ).collect(),
+        )
+    )
+    assert a == b and len(a) == 40 * 8  # ceil((50-8)/6)+1 = 8 per doc

@@ -80,6 +80,10 @@ QUERIES = [
     # neighborhood means and the margin argmax must survive partition
     # scrambling and join-strategy flips.
     "bitext_margin_pairs",
+    # r8: sliding context windows — the window-count formula and slices
+    # are pure narrow expressions; invariance here pins that no
+    # partitioning/timezone knob can perturb the emitted samples.
+    "context_windows",
 ]
 
 # Perturbations of runtime-settable physical knobs. Each tuple is applied on

@@ -367,11 +367,12 @@ def test_driver_window_covers_every_operator_family():
         "quality_classifier_report", "semdedup_keep_one",
         "bigram_lm_report",
         "ann_ivfpq_topk", "bpe_merges",
-        # r8 keepers (family coverage; urgent_orders_by_year parked
-        # late-r8 for the NEW bitext_margin_pairs)
+        # r8 keepers (family coverage; urgent_orders_by_year and
+        # nation_customer_rank parked late-r8 for the NEW
+        # bitext_margin_pairs / context_windows)
         "pricing_summary", "knn_topk_heap", "event_percentiles",
         "index_upsert_counts", "welch_components_by_type",
-        "nation_customer_rank", "bitext_margin_pairs",
+        "bitext_margin_pairs", "context_windows",
         # returning composites / incremental serving
         "training_corpus_selection", "incremental_dedup", "knn_topk",
         "ann_ivf_topk", "self_retrieval_e2e", "tfidf_self_retrieval",
