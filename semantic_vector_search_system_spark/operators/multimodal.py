@@ -114,6 +114,54 @@ def real_png_decoder(
     return decode
 
 
+def real_wav_decoder(
+    dim: int = 8,
+    fallback: Callable[[str, bytes], list] | None = None,
+) -> Callable[[str, bytes], list]:
+    """REAL audio decode kernel (r8, the audio sibling of
+    :func:`real_png_decoder`): audio payloads that are RIFF/WAVE PCM are
+    actually parsed (pure-stdlib codec, ``functions/wav.py``) and
+    featurized with :func:`...functions.wav.wav_features` (duration,
+    rms, zero-crossing rate, peak, mean + bucketed energies). Non-WAV /
+    non-audio rows go to ``fallback``; malformed WAV signatures (a
+    routine crawl artifact) route to the fallback instead of failing
+    the job."""
+    from ..functions.wav import is_wav, wav_features
+
+    fb = fallback or deterministic_fake_decoder(dim)
+
+    def decode(kind: str, payload: bytes) -> list:
+        if kind == "audio" and payload is not None and is_wav(bytes(payload)):
+            try:
+                return wav_features(bytes(payload), dim)
+            except ValueError:
+                return fb(kind, payload)
+        return fb(kind, payload)
+
+    return decode
+
+
+def real_media_decoder(
+    dim: int = 8,
+    fallback: Callable[[str, bytes], list] | None = None,
+) -> Callable[[str, bytes], list]:
+    """Combined REAL decode kernel for mixed media tables: PNG images →
+    the png codec, WAV audio → the wav codec, everything else →
+    ``fallback`` — one injectable slot covering both real codecs."""
+    fb = fallback or deterministic_fake_decoder(dim)
+    png = real_png_decoder(dim, fallback=fb)
+    wav = real_wav_decoder(dim, fallback=fb)
+
+    def decode(kind: str, payload: bytes) -> list:
+        if kind == "image":
+            return png(kind, payload)
+        if kind == "audio":
+            return wav(kind, payload)
+        return fb(kind, payload)
+
+    return decode
+
+
 def extract_features(
     media: DataFrame,
     decode_fn: Callable[[str, bytes], list] | None = None,

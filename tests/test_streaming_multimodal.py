@@ -539,3 +539,124 @@ def test_streaming_semdedup_crawl_loop(spark, tmp_path):
     finally:
         for t in ("_members", "_cents", "_meta"):
             spark.sql(f"DROP TABLE IF EXISTS {prefix}{t}")
+
+
+def test_wav_roundtrip_all_depths_and_channels():
+    """encode_wav -> decode_wav is exact for 8/16/32-bit mono and stereo
+    PCM (the formats every uncompressed crawl WAV uses)."""
+    import math
+
+    from semantic_vector_search_system_spark.functions.wav import (
+        decode_wav,
+        encode_wav,
+        is_wav,
+    )
+
+    for bits, channels in [(8, 1), (16, 1), (16, 2), (32, 1), (32, 2)]:
+        n = 240 * channels
+        if bits == 8:
+            samples = [
+                int(128 + 100 * math.sin(i / 7.0)) for i in range(n)
+            ]
+        else:
+            amp = 2 ** (bits - 2)
+            samples = [int(amp * math.sin(i / 7.0)) for i in range(n)]
+        blob = encode_wav(samples, sample_rate=8000, bits=bits, channels=channels)
+        assert is_wav(blob)
+        rate, ch, b, got = decode_wav(blob)
+        assert (rate, ch, b) == (8000, channels, bits)
+        assert got == samples, (bits, channels)
+
+
+def test_wav_decoder_rejects_malformed_by_name():
+    """Every malformation is a ValueError (the fallback-routing
+    contract): bad magic, truncated chunk, missing data chunk, non-PCM
+    tag, out-of-range encode inputs."""
+    import struct
+
+    import pytest as _pytest
+
+    from semantic_vector_search_system_spark.functions.wav import (
+        decode_wav,
+        encode_wav,
+        wav_features,
+    )
+
+    good = encode_wav([0, 1000, -1000, 500], sample_rate=8000, bits=16)
+    with _pytest.raises(ValueError):
+        decode_wav(b"JUNK" + good[4:])
+    with _pytest.raises(ValueError):
+        decode_wav(good[:-3])  # cut inside the data chunk
+    # fmt-only blob (no data chunk)
+    fmt_body = struct.pack("<HHIIHH", 1, 1, 8000, 16000, 2, 16)
+    no_data = (
+        b"RIFF" + struct.pack("<I", 4 + 8 + len(fmt_body)) + b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt_body)) + fmt_body
+    )
+    with _pytest.raises(ValueError):
+        decode_wav(no_data)
+    # non-PCM format tag (3 = IEEE float)
+    float_fmt = struct.pack("<HHIIHH", 3, 1, 8000, 32000, 4, 32)
+    non_pcm = (
+        b"RIFF" + struct.pack("<I", 4 + 8 + len(float_fmt) + 8) + b"WAVE"
+        + b"fmt " + struct.pack("<I", len(float_fmt)) + float_fmt
+        + b"data" + struct.pack("<I", 0)
+    )
+    with _pytest.raises(ValueError):
+        decode_wav(non_pcm)
+    with _pytest.raises(ValueError):
+        encode_wav([70000], bits=16)  # out of range
+    with _pytest.raises(ValueError):
+        encode_wav([1, 2, 3], channels=2)  # ragged interleave
+    with _pytest.raises(ValueError):
+        wav_features(good, dim=5)  # needs >= 6
+
+
+def test_real_wav_decoder_through_spark_slot(spark):
+    """The audio sibling of the r4 PNG gap-closure: REAL WAV payloads
+    decode executor-side through the extract_features slot, features
+    equal driver-side reference values; non-WAV audio and image rows
+    fall back (image rows via the combined real_media_decoder go to the
+    PNG path or its fallback)."""
+    import math
+
+    from semantic_vector_search_system_spark.functions.wav import (
+        encode_wav,
+        wav_features,
+    )
+    from semantic_vector_search_system_spark.operators.multimodal import (
+        real_media_decoder,
+    )
+
+    rows, expect = [], {}
+    fb = deterministic_fake_decoder(dim=8)
+    for i in range(10):
+        samples = [
+            int(6000 * math.sin(j / (3.0 + i))) for j in range(160 + 16 * i)
+        ]
+        payload = encode_wav(samples, sample_rate=4000 + 100 * i, bits=16)
+        rows.append((i, "audio", payload))
+        expect[i] = [round(v, 9) for v in wav_features(payload, dim=8)]
+    rows.append((100, "audio", b"not-riff-data"))
+    expect[100] = [round(v, 9) for v in fb("audio", b"not-riff-data")]
+    rows.append((101, "video", b"whatever"))
+    expect[101] = [round(v, 9) for v in fb("video", b"whatever")]
+    # corrupt WAV signature -> fallback, not failure
+    good = encode_wav([0, 100, -100], bits=16)
+    bad = good[:-2]
+    rows.append((102, "audio", bad))
+    expect[102] = [round(v, 9) for v in fb("audio", bad)]
+
+    media = spark.createDataFrame(
+        rows, "media_id long, kind string, payload binary"
+    ).repartition(3)
+    got = {
+        r["media_id"]: [round(v, 9) for v in r["features"]]
+        for r in extract_features(
+            media, decode_fn=real_media_decoder(dim=8)
+        ).collect()
+    }
+    assert got == expect
+    # sanity on the real features: duration = n/rate, all finite
+    n0 = 160
+    assert expect[0][0] == round(n0 / 4000.0, 9)
