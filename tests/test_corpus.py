@@ -231,3 +231,62 @@ def test_context_windows_narrow_plan_and_invariance(spark):
         )
     )
     assert a == b and len(a) == 40 * 8  # ceil((50-8)/6)+1 = 8 per doc
+
+
+from hypothesis import HealthCheck, given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+
+def _py_context_windows(docs, window, stride):
+    out = {}
+    for i, t in docs.items():
+        toks = t.split() if t else []
+        n = len(toks)
+        if n == 0:
+            continue
+        nw = max(0, -(-(max(n - window, 0)) // stride)) + 1
+        for w in range(nw):
+            seg = toks[w * stride : w * stride + window]
+            out[(i, w)] = (len(seg), " ".join(seg))
+    return out
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    data=st.data(),
+    window=st.integers(min_value=1, max_value=7),
+)
+def test_context_windows_matches_python_oracle(spark, data, window):
+    stride = data.draw(st.integers(min_value=1, max_value=window))
+    n_docs = data.draw(st.integers(min_value=1, max_value=8))
+    docs = {}
+    for i in range(n_docs):
+        n_tok = data.draw(st.integers(min_value=0, max_value=20))
+        docs[i] = " ".join(f"w{data.draw(st.integers(0, 5))}" for _ in range(n_tok))
+    from semantic_vector_search_system_spark.operators.corpus import (
+        context_windows,
+    )
+
+    df = spark.createDataFrame(list(docs.items()), "doc_id long, text string")
+    got = {
+        (r["doc_id"], r["win_id"]): (r["win_tokens"], r["window_text"])
+        for r in context_windows(
+            df, window_tokens=window, stride=stride
+        ).collect()
+    }
+    want = _py_context_windows(docs, window, stride)
+    assert got == want, (docs, window, stride)
+    # coverage invariant: every token index of every doc is inside >= 1 window
+    for i, t in docs.items():
+        n = len(t.split())
+        if n == 0:
+            continue
+        covered = set()
+        for (d, w), (wt, _) in got.items():
+            if d == i:
+                covered.update(range(w * stride, w * stride + wt))
+        assert covered == set(range(n)), (i, docs, window, stride)
