@@ -1254,6 +1254,13 @@ DEMOTED: tuple[str, ...] = (
                                  #   knn_topk_heap (in-window keeper,
                                  #   rank/top-k windows) — parked late-r8
                                  #   for the NEW context_windows
+    "global_top_spenders",       # W2 partial top-k ≡ knn_topk_heap
+                                 #   (in-window keeper: the bounded-heap
+                                 #   partial top-k, same
+                                 #   TakeOrderedAndProject shape) +
+                                 #   top_orders_per_customer (parked W3
+                                 #   twin) — parked late-r8 for the NEW
+                                 #   bpe_encode_tokens
 )
 
 
@@ -3485,16 +3492,35 @@ def _bpe_oracle_sql(n_merges: int) -> str:
                    WHEN lag(tk, 1, 0) OVER (PARTITION BY word ORDER BY i) = 1
                    THEN NULL ELSE s END AS ns
             FROM t{k}) y WHERE ns IS NOT NULL GROUP BY word, cnt)""")
+    return "\n".join(sql)
+
+
+def _bpe_merges_oracle_sql(n_merges: int) -> str:
+    """Final SELECT over the shared CTE chain: the learned rule list."""
     union = "\n UNION ALL ".join(
         f"SELECT step, a, b, c AS pair_count FROM mr{k}"
         for k in range(n_merges)
     )
-    return "\n".join(sql) + "\n " + union
+    return _bpe_oracle_sql(n_merges) + "\n " + union
+
+
+def _bpe_encode_oracle_sql(n_merges: int) -> str:
+    """Final SELECT over the shared CTE chain: corpus token frequencies
+    under the learned rules — ``v{n}`` holds every unique word's merged
+    symbol list, so unnesting it weighted by word count IS the encoded
+    corpus's token histogram."""
+    return (
+        _bpe_oracle_sql(n_merges)
+        + f"""
+ SELECT token, CAST(SUM(cnt) AS BIGINT) AS n_occurrences
+ FROM (SELECT unnest(sym) AS token, cnt FROM v{n_merges}) u
+ GROUP BY token"""
+    )
 
 
 @_q(
     "bpe_merges",
-    _bpe_oracle_sql(6),
+    _bpe_merges_oracle_sql(6),
     tags=("tokenizer", "bpe", "curation"),
 )
 def bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3517,6 +3543,30 @@ def bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(i + 1, a, b, c) for i, (a, b, c) in enumerate(rules)],
         "step int, a string, b string, pair_count long",
     )
+
+
+@_q(
+    "bpe_encode_tokens",
+    _bpe_encode_oracle_sql(6),
+    tags=("tokenizer", "bpe", "encoding", "curation"),
+)
+def bpe_encode_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer SERVING (operators/bpe.py::bpe_token_counts): train 6
+    merge rules, then report the whole corpus's token frequencies under
+    them — the tokens-per-source / vocabulary-audit statistic every
+    training-data pipeline publishes. Encoding for counts runs over the
+    vocabulary-compressed (word, count) relation (O(unique words) Arrow
+    work at ANY corpus scale, corpus scanned once) with final counts
+    weighted by word frequency; the oracle extends the bpe_merges CTE
+    chain — v6 holds each unique word's merged symbol list, so unnesting
+    it weighted by count replays the encoded-corpus histogram exactly.
+    Parity-tested against exploding bpe_encode over the raw corpus (both
+    strategies)."""
+    from ..operators.bpe import bpe_token_counts, bpe_train
+
+    docs = T(spark, sf_dir, "documents")
+    rules = bpe_train(docs, n_merges=6, min_pair_count=1)
+    return bpe_token_counts(docs, rules, strategy="arrow")
 
 
 # ---------------------------------------------------------------------------

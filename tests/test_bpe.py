@@ -12,6 +12,7 @@ from hypothesis import strategies as st
 
 from semantic_vector_search_system_spark.operators.bpe import (
     bpe_encode,
+    bpe_token_counts,
     bpe_train,
     word_frequency_table,
 )
@@ -122,3 +123,43 @@ def test_word_frequency_table(spark):
     df = spark.createDataFrame([("x y x",), ("y",)], "text string")
     got = {r["word"]: r["count"] for r in word_frequency_table(df).collect()}
     assert got == {"x": 2, "y": 2}
+
+
+def test_bpe_token_counts_strategies_match_encode_explode(spark):
+    """Both bpe_token_counts strategies (vocab-compressed arrow / expr)
+    equal the histogram of exploding bpe_encode over the raw corpus, and
+    the python reference."""
+    texts = ["low lower lowest", "low low newer newest", "wider new newer", "aaa aa a"]
+    df = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+    rules = bpe_train(df, n_merges=5, min_pair_count=1)
+
+    want: dict[str, int] = {}
+    for t in texts:
+        for tok in py_bpe_encode(t, rules):
+            want[tok] = want.get(tok, 0) + 1
+
+    from pyspark.sql import functions as F
+
+    exploded = {
+        r["token"]: r["n"]
+        for r in bpe_encode(df, rules)
+        .select(F.explode("tokens").alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    assert exploded == want
+    for strategy in ("arrow", "expr"):
+        got = {
+            r["token"]: r["n_occurrences"]
+            for r in bpe_token_counts(df, rules, strategy=strategy).collect()
+        }
+        assert got == want, strategy
+
+
+def test_bpe_token_counts_rejects_unknown_strategy(spark):
+    df = spark.createDataFrame([("a b",)], "text string")
+    with pytest.raises(ValueError):
+        bpe_token_counts(df, [("a", "b")], strategy="nope")
