@@ -126,3 +126,49 @@ def bigram_lm_score(
             6,
         ).alias("lm_score"),
     )
+
+
+def perplexity_buckets(
+    scored: DataFrame,
+    n_buckets: int = 3,
+    score_col: str = "lm_score",
+    doc_id: str = "doc_id",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """CCNet-style quality bucketing (Wenzek et al. 2020): rank every
+    scored document by LM fluency and cut the ranking into ``n_buckets``
+    equal NTILE buckets — bucket 1 = "head" (most fluent), last =
+    "tail"; pipelines keep head+middle or reweight by bucket. Returns
+    ``(doc_id, n_bigrams, lm_score, bucket)``.
+
+    Scale shape: NTILE over a global order is the textbook
+    single-reducer trap (Spark plans an unpartitioned window as a sort
+    into ONE partition). This rides
+    :func:`...functions.ranking.global_row_number` instead —
+    range-repartitioned parallel sort + per-partition offsets, driver
+    traffic O(partitions) — and converts rank to bucket with
+    :func:`...functions.ranking.ntile_from_rank`, which replicates SQL
+    NTILE semantics exactly (parity-tested against Spark's own ntile).
+    The order is total (score desc, doc_id asc), so bucket assignment is
+    deterministic under any partitioning. The one scalar driver value is
+    the total row count (needed by any NTILE; one tiny aggregate).
+    """
+    from ..functions.ranking import global_row_number, ntile_from_rank
+
+    total = scored.count()
+    if total == 0:
+        return scored.select(
+            doc_id, "n_bigrams", score_col, F.lit(0).cast("long").alias("bucket")
+        ).limit(0)
+    ranked = global_row_number(
+        scored,
+        [F.col(score_col).desc(), F.col(doc_id).asc()],
+        rank_col="__rank",
+        num_partitions=num_partitions,
+    )
+    return ranked.select(
+        doc_id,
+        "n_bigrams",
+        score_col,
+        ntile_from_rank(F.col("__rank"), total, n_buckets).alias("bucket"),
+    )

@@ -1261,6 +1261,13 @@ DEMOTED: tuple[str, ...] = (
                                  #   top_orders_per_customer (parked W3
                                  #   twin) — parked late-r8 for the NEW
                                  #   bpe_encode_tokens
+    "media_kind_stats",          # metadata-only agg over the derived
+                                 #   media table ≡ media_features
+                                 #   (in-window no-twin keeper, same
+                                 #   table through the decode path) +
+                                 #   pricing_summary (agg family) —
+                                 #   parked late-r8 for the NEW
+                                 #   lm_perplexity_buckets
 )
 
 
@@ -3364,6 +3371,63 @@ def bigram_lm_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     model = train_bigram_lm(docs)
     subset = docs.filter(F.col("doc_id") % 5 == 0)
     return bigram_lm_score(subset, model)
+
+
+@_q(
+    "lm_perplexity_buckets",
+    f"""
+    WITH toks AS (SELECT doc_id, {_SPLIT_CLEAN} AS t FROM documents),
+    bg AS (SELECT doc_id, t[i] AS w1, t[i+1] AS w2
+           FROM toks, unnest(generate_series(1, len(t)-1)) AS g(i)
+           WHERE len(t) >= 2),
+    cnt2 AS (SELECT w1, w2, COUNT(*) AS c12 FROM bg GROUP BY 1, 2),
+    cnt1 AS (SELECT w1, SUM(c12) AS c1 FROM cnt2 GROUP BY 1),
+    v AS (SELECT COUNT(DISTINCT tok) AS vs
+          FROM (SELECT unnest(t) AS tok FROM toks)),
+    sc AS (
+      SELECT bg.doc_id, ROUND((c12 + 1.0) / (c1 + vs), 12) AS r
+      FROM bg JOIN cnt2 USING (w1, w2) JOIN cnt1 USING (w1) CROSS JOIN v
+      WHERE bg.doc_id % 5 = 0),
+    rep AS (SELECT doc_id, COUNT(*) AS nb,
+              ROUND(CAST(SUM(CAST(r AS DECIMAL(38,12))) AS DOUBLE)
+                    / COUNT(*), 6) AS s
+            FROM sc GROUP BY doc_id),
+    nt AS (SELECT doc_id, nb, s,
+             NTILE(3) OVER (ORDER BY s DESC, doc_id) AS bucket
+           FROM rep)
+    SELECT bucket, COUNT(*) AS n_docs,
+           MIN(s) AS lo_score, MAX(s) AS hi_score,
+           CAST(SUM(nb) AS DOUBLE) / COUNT(*) AS avg_bigrams
+    FROM nt GROUP BY bucket
+    """,
+    tags=("curation", "quality", "lm", "ranking"),
+)
+def lm_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet head/middle/tail bucketing (operators/lm.py::
+    perplexity_buckets): the scored doc_id % 5 == 0 slice is ranked by
+    LM fluency and NTILE(3)-cut, reported per bucket. The Spark side
+    NEVER plans a single-partition window — bucket assignment rides
+    functions/ranking.py::global_row_number (range-repartitioned
+    parallel sort + O(partitions) driver offsets) with ntile_from_rank
+    replaying SQL NTILE's remainder rule; the oracle uses DuckDB's
+    native NTILE over the identical (score desc, doc_id) total order.
+    Scores are the bigram_lm_report values (rounded IEEE ratios,
+    DECIMAL-summed), so ordering ties are impossible across engines and
+    the cut is bit-deterministic."""
+    from ..operators.lm import bigram_lm_score, perplexity_buckets, train_bigram_lm
+
+    docs = T(spark, sf_dir, "documents")
+    model = train_bigram_lm(docs)
+    scored = bigram_lm_score(docs.filter(F.col("doc_id") % 5 == 0), model)
+    buck = perplexity_buckets(scored, n_buckets=3)
+    return buck.groupBy("bucket").agg(
+        F.count("*").alias("n_docs"),
+        F.min("lm_score").alias("lo_score"),
+        F.max("lm_score").alias("hi_score"),
+        (F.sum("n_bigrams").cast("double") / F.count("*").cast("double")).alias(
+            "avg_bigrams"
+        ),
+    )
 
 
 # ---------------------------------------------------------------------------

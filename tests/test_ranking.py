@@ -1,0 +1,126 @@
+"""Distributed exact global ranking (functions/ranking.py) and the
+CCNet-style perplexity bucketing riding on it (operators/lm.py)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from semantic_vector_search_system_spark.functions.ranking import (
+    global_row_number,
+    ntile_from_rank,
+)
+
+
+def _rows(n, seed=7):
+    # deterministic pseudo-random scores with planted ties
+    vals = [((i * 2654435761 + seed) % 1000) / 10.0 for i in range(n)]
+    return [(i, vals[i % max(n // 3, 1)] if i % 5 == 0 else vals[i]) for i in range(n)]
+
+
+@pytest.mark.parametrize("n,parts", [(1, 1), (7, 3), (200, 8), (64, 64)])
+def test_global_row_number_matches_single_partition_window(spark, n, parts):
+    df = spark.createDataFrame(_rows(n), "id long, score double").repartition(5)
+    order = [F.col("score").desc(), F.col("id").asc()]
+    got = {
+        r["id"]: r["rank"]
+        for r in global_row_number(df, order, num_partitions=parts).collect()
+    }
+    want = {
+        r["id"]: r["rank"]
+        for r in df.withColumn(
+            "rank", F.row_number().over(Window.orderBy(*order))
+        ).collect()
+    }
+    assert got == want
+
+
+def test_global_row_number_plan_has_no_single_partition_exchange(spark):
+    df = spark.createDataFrame(_rows(50), "id long, score double")
+    ranked = global_row_number(
+        df, [F.col("score").desc(), F.col("id").asc()], num_partitions=4
+    )
+    plan = ranked._sc._jvm.PythonSQLUtils.explainString(
+        ranked._jdf.queryExecution(), "formatted"
+    )
+    assert "SinglePartition" not in plan
+    # the classic formulation would show Window over Exchange SinglePartition
+    baseline = df.withColumn(
+        "rank",
+        F.row_number().over(Window.orderBy(F.col("score").desc(), "id")),
+    )
+    bplan = baseline._sc._jvm.PythonSQLUtils.explainString(
+        baseline._jdf.queryExecution(), "formatted"
+    )
+    assert "SinglePartition" in bplan
+
+
+@pytest.mark.parametrize("total,b", [(1, 3), (2, 3), (3, 3), (10, 3), (10, 4), (100, 7), (5, 5), (4, 6)])
+def test_ntile_from_rank_matches_spark_ntile(spark, total, b):
+    df = spark.createDataFrame([(i,) for i in range(total)], "id long")
+    order = [F.col("id").asc()]
+    w = Window.orderBy(*order)
+    both = df.select(
+        "id",
+        F.ntile(b).over(w).alias("want"),
+        ntile_from_rank(F.row_number().over(w), total, b).alias("got"),
+    ).collect()
+    for r in both:
+        assert r["got"] == r["want"], (total, b, r["id"])
+
+
+def test_ntile_from_rank_rejects_bad_buckets():
+    with pytest.raises(ValueError):
+        ntile_from_rank(F.lit(1), 10, 0)
+
+
+def test_perplexity_buckets_matches_plain_ntile_window(spark):
+    from semantic_vector_search_system_spark.operators.lm import (
+        bigram_lm_score,
+        perplexity_buckets,
+        train_bigram_lm,
+    )
+
+    texts = [
+        "the cat sat on the mat",
+        "the dog ran to the cat",
+        "a b c d e",
+        "the the the the",
+        "cat dog cat dog cat",
+        "on the mat the cat sat",
+        "z z y y x x w w",
+    ]
+    docs = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    ).repartition(4)
+    scored = bigram_lm_score(docs, train_bigram_lm(docs))
+    got = {
+        r["doc_id"]: r["bucket"]
+        for r in perplexity_buckets(scored, n_buckets=3).collect()
+    }
+    want = {
+        r["doc_id"]: r["bucket"]
+        for r in scored.withColumn(
+            "bucket",
+            F.ntile(3).over(
+                Window.orderBy(F.col("lm_score").desc(), F.col("doc_id").asc())
+            ),
+        ).collect()
+    }
+    assert got == want
+    assert sorted(set(got.values())) == [1, 2, 3]
+
+
+def test_perplexity_buckets_empty_input(spark):
+    from semantic_vector_search_system_spark.operators.lm import (
+        bigram_lm_score,
+        perplexity_buckets,
+        train_bigram_lm,
+    )
+
+    docs = spark.createDataFrame([], "doc_id long, text string")
+    scored = bigram_lm_score(docs, train_bigram_lm(docs))
+    out = perplexity_buckets(scored)
+    assert out.columns == ["doc_id", "n_bigrams", "lm_score", "bucket"]
+    assert out.count() == 0
