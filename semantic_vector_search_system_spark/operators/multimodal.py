@@ -215,3 +215,171 @@ def media_stats(media: DataFrame) -> DataFrame:
         F.sum("n_bytes").alias("total_bytes"),
         F.avg("duration_ms").alias("avg_duration_ms"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Perceptual hashing (aHash) — multimodal near-dup fingerprints
+# ---------------------------------------------------------------------------
+
+
+def real_pixels_fn(kind: str, payload: bytes) -> "list[int]":
+    """REAL sample extractor for the injectable pixels slot: PNG images
+    decode to per-pixel grayscale sums (``functions/png.py``), WAV audio
+    decodes to PCM samples (``functions/wav.py``); anything else falls
+    back to the raw payload bytes (the oracle-replayable stand-in)."""
+    from ..functions.png import decode_png, is_png
+    from ..functions.wav import decode_wav, is_wav
+
+    data = bytes(payload) if payload is not None else b""
+    try:
+        if kind == "image" and is_png(data):
+            w, h, ch, px = decode_png(data)
+            # grayscale: per-pixel channel sum (exact integers — a /ch
+            # mean would be inexact for ch=3 and the threshold is
+            # scale-invariant anyway)
+            return [
+                sum(px[i * ch : (i + 1) * ch]) for i in range(w * h)
+            ]
+        if kind == "audio" and is_wav(data):
+            return list(decode_wav(data)[3])
+    except ValueError:
+        pass  # corrupt signature: routine crawl artifact -> fallback
+    return list(data)
+
+
+def perceptual_ahash(
+    media: DataFrame,
+    n_bits: int = 32,
+    pixels_fn: Callable[[str, bytes], "list[int]"] | None = None,
+    id_col: str = "media_id",
+) -> DataFrame:
+    """Average-hash (aHash) perceptual fingerprint per media row:
+    ``(media_id, kind, ahash)``, dropping rows whose sample is empty.
+
+    Classic aHash box-resizes the image to 8x8 grayscale and thresholds
+    each cell against the mean. Here the *sample* is injectable
+    (``pixels_fn(kind, payload) -> ints``; default = raw payload bytes,
+    the deterministic stand-in whose arithmetic the catalog oracle
+    replays relationally; :func:`real_pixels_fn` plugs the pure-stdlib
+    PNG/WAV codecs into the same slot) and the resize is a cyclic
+    ``j % len`` sample — deterministic and relationally expressible.
+    The threshold is the exact integer comparison ``sample[j] * n_bits >
+    sum(sample)`` (no float mean), so the hash is bit-identical in any
+    engine. Bit j of the BIGINT hash is that comparison; ``n_bits <= 62``
+    keeps the hash positive in a signed 64-bit column.
+
+    One narrow Arrow stage over (id, kind, payload); O(n_bits) work per
+    row after decode."""
+    if not 1 <= n_bits <= 62:
+        raise ValueError("n_bits must be in [1, 62]")
+    fn = pixels_fn or (lambda kind, payload: list(payload or b""))
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, kinds, hashes = [], [], []
+            for mid, kind, payload in zip(
+                pdf[id_col], pdf["kind"], pdf["payload"]
+            ):
+                s = fn(kind, payload)
+                if not s:
+                    continue
+                n = len(s)
+                samp = [s[j % n] for j in range(n_bits)]
+                total = sum(samp)
+                h = 0
+                for j, v in enumerate(samp):
+                    if v * n_bits > total:
+                        h |= 1 << j
+                hashes.append(h)
+                ids.append(mid)
+                kinds.append(kind)
+            yield pd.DataFrame(
+                {"media_id": ids, "kind": kinds, "ahash": hashes}
+            )
+
+    return media.select(id_col, "kind", "payload").mapInPandas(
+        run, schema="media_id long, kind string, ahash long"
+    )
+
+
+def ahash_dedup(
+    media: DataFrame,
+    n_bits: int = 32,
+    pixels_fn: Callable[[str, bytes], "list[int]"] | None = None,
+    id_col: str = "media_id",
+) -> DataFrame:
+    """Perceptual keep-one dedup: ``(media_id, kind, ahash, keep_id,
+    is_canonical)`` — rows sharing an aHash collapse to the smallest
+    media_id. Keep-first is the r8 de-skew idiom: a ``groupBy(ahash).
+    agg(min(id))`` AGGREGATE (map-side partial combine bounds a viral
+    image repeated 1e8 times at partition count), never a row_number
+    window; the equi-join back is on the hash key."""
+    hashes = perceptual_ahash(media, n_bits, pixels_fn, id_col)
+    keep = hashes.groupBy("ahash").agg(F.min("media_id").alias("keep_id"))
+    return hashes.join(keep, "ahash").select(
+        "media_id",
+        "kind",
+        "ahash",
+        "keep_id",
+        (F.col("media_id") == F.col("keep_id")).alias("is_canonical"),
+    )
+
+
+def ahash_band_pairs(
+    hashes: DataFrame,
+    n_bits: int = 32,
+    n_bands: int = 4,
+    max_hamming: int = 3,
+    id_col: str = "media_id",
+) -> DataFrame:
+    """Perceptual NEAR-dup candidates: ``(id_a, id_b, hamming)`` for
+    hash pairs within ``max_hamming`` bits that share at least one band —
+    the LSH shape (split the n-bit hash into bands, equi-join on (band
+    index, band value), verify with ``bit_count(xor)``), NEVER an
+    all-pairs product. Guarantee: hamming <= max_hamming pairs are found
+    whenever ``max_hamming < n_bands`` (pigeonhole: some band must be
+    untouched); wider radii need more bands, same plan."""
+    if n_bits % n_bands:
+        raise ValueError("n_bands must divide n_bits")
+    width = n_bits // n_bands
+    mask = (1 << width) - 1
+    bands = hashes.select(
+        id_col,
+        "ahash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.shiftright("ahash", b * width)
+                        .bitwiseAND(F.lit(mask))
+                        .alias("sig"),
+                    )
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("bs"),
+    ).select(id_col, "ahash", "bs.band", "bs.sig")
+    a = bands.select(
+        F.col("band"),
+        F.col("sig"),
+        F.col(id_col).alias("id_a"),
+        F.col("ahash").alias("ha"),
+    )
+    b = bands.select(
+        F.col("band"),
+        F.col("sig"),
+        F.col(id_col).alias("id_b"),
+        F.col("ahash").alias("hb"),
+    )
+    return (
+        a.join(b, ["band", "sig"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            F.bit_count(F.col("ha").bitwiseXOR(F.col("hb"))).alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )

@@ -1268,6 +1268,12 @@ DEMOTED: tuple[str, ...] = (
                                  #   pricing_summary (agg family) —
                                  #   parked late-r8 for the NEW
                                  #   lm_perplexity_buckets
+    "doc_fingerprint",           # min-hash fingerprint ≡ media_ahash_dedup
+                                 #   (in-window NEW: perceptual fingerprint
+                                 #   + hash-key keep-one) + simhash (parked
+                                 #   family twin) + lsh_candidate_pairs
+                                 #   (in-window signature kernel) — parked
+                                 #   late-r8 for the NEW media_ahash_dedup
 )
 
 
@@ -2377,6 +2383,48 @@ def media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         "kind",
         *[F.col("features")[j].alias(f"f{j}") for j in range(4)],
     )
+
+
+@_q(
+    "media_ahash_dedup",
+    """
+    WITH m AS (SELECT doc_id AS media_id,
+         CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+         text, length(text) AS n
+       FROM documents WHERE doc_id < 2000 AND length(text) > 0),
+    s AS (SELECT media_id, kind,
+         list_transform(range(0, 32),
+           j -> ord(substr(text, CAST((j % n) + 1 AS INTEGER), 1))) AS smp
+       FROM m),
+    h AS (SELECT media_id, kind,
+         CAST(list_sum(list_transform(range(0, 32), j ->
+           CASE WHEN smp[CAST(j + 1 AS INTEGER)] * 32 > list_sum(smp)
+                THEN (CAST(1 AS BIGINT) << CAST(j AS INTEGER))
+                ELSE CAST(0 AS BIGINT) END)) AS BIGINT) AS ahash
+       FROM s),
+    k AS (SELECT ahash, MIN(media_id) AS keep_id FROM h GROUP BY ahash)
+    SELECT h.media_id, h.kind, h.ahash, k.keep_id,
+           h.media_id = k.keep_id AS is_canonical
+    FROM h JOIN k USING (ahash)
+    """,
+    tags=("multimodal", "dedup", "fingerprint", "ahash"),
+)
+def media_ahash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual-hash media dedup (operators/multimodal.py::
+    ahash_dedup): every media row gets a 32-bit average-hash over its
+    payload sample (cyclic byte sample, exact integer threshold
+    sample*32 > sum — no float mean) and rows sharing a hash collapse to
+    the smallest media_id via a min AGGREGATE (map-side combine; the
+    keep-first de-skew idiom). The sample extractor is the injectable
+    pixels slot — real_pixels_fn runs the pure-stdlib PNG/WAV codecs
+    through the same kernel (tested); the default payload-byte stand-in
+    is what the oracle replays via ord() arithmetic (ASCII texts ==
+    payload bytes). ahash_band_pairs extends the same hash to
+    banded-LSH hamming near-dups at scale."""
+    from ..operators.multimodal import ahash_dedup
+
+    media = _media_from_documents(spark, sf_dir).filter(F.col("media_id") < 2000)
+    return ahash_dedup(media, n_bits=32)
 
 
 @_q(
