@@ -260,3 +260,53 @@ def context_windows(
         ).alias("win_tokens"),
         "window_text",
     )
+
+
+def deterministic_shuffle(
+    docs: DataFrame,
+    n_shards: int = 8,
+    seed: str = "shuffle",
+    id_col: str = "doc_id",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Reproducible global training-data shuffle + sharding: ``(id,
+    shard, pos)`` — every document gets a shard (``stable_hash64(seed:id)
+    % n_shards``) and an exact 1-based position within its shard (hash
+    order, id tie-break). Changing ``seed`` is a fresh epoch permutation;
+    the same seed replays bit-identically on any cluster — the property
+    data-order-ablation and resumable-training pipelines need (a
+    ``df.orderBy(rand())`` shuffle is neither reproducible nor
+    cross-run stable).
+
+    Scale shape: the hash and shard are narrow expressions; positions
+    ride :func:`...functions.ranking.global_row_number` over the total
+    order (shard, hash, id) — a range-repartitioned parallel sort, NO
+    single-partition window — and per-shard offsets come back off a
+    broadcast n_shards-row aggregate. The physical write path is the
+    same sort: ``repartitionByRange(shard, h, id).sortWithinPartitions``
+    then a partitionBy(shard) parquet write streams each shard in final
+    training order.
+    """
+    from ..functions.hashing import stable_hash64
+    from ..functions.ranking import global_row_number
+
+    if n_shards < 1:
+        raise ValueError("n_shards must be >= 1")
+    h = stable_hash64(
+        F.concat(F.lit(f"{seed}:"), F.col(id_col).cast("string"))
+    )
+    d = docs.select(F.col(id_col), h.alias("__h")).withColumn(
+        "shard", F.pmod(F.col("__h"), F.lit(n_shards))
+    )
+    ranked = global_row_number(
+        d,
+        [F.col("shard").asc(), F.col("__h").asc(), F.col(id_col).asc()],
+        rank_col="__g",
+        num_partitions=num_partitions,
+    )
+    offsets = ranked.groupBy("shard").agg(F.min("__g").alias("__o"))
+    return ranked.join(F.broadcast(offsets), "shard").select(
+        id_col,
+        "shard",
+        (F.col("__g") - F.col("__o") + 1).alias("pos"),
+    )

@@ -1274,6 +1274,14 @@ DEMOTED: tuple[str, ...] = (
                                  #   family twin) + lsh_candidate_pairs
                                  #   (in-window signature kernel) — parked
                                  #   late-r8 for the NEW media_ahash_dedup
+    "source_cap_sample",         # stable-hash top-k sampling ≡
+                                 #   training_shuffle_shards (in-window
+                                 #   NEW: same stable-hash ordering
+                                 #   primitive) + source_mixture_weights
+                                 #   (in-window per-source budgeting) +
+                                 #   dataset_splits (parked hash-bucket
+                                 #   twin) — parked late-r8 for the NEW
+                                 #   training_shuffle_shards
 )
 
 
@@ -3772,3 +3780,49 @@ def context_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.corpus import context_windows as _cw
 
     return _cw(T(spark, sf_dir, "documents"), window_tokens=32, stride=24)
+
+
+# ---------------------------------------------------------------------------
+# Round 8: reproducible global training shuffle (epoch data ordering)
+# ---------------------------------------------------------------------------
+
+@_q(
+    "training_shuffle_shards",
+    f"""
+    WITH d AS (SELECT doc_id,
+         {stable_hash64_sql("CONCAT('epoch0:', CAST(doc_id AS VARCHAR))")} AS h
+       FROM documents),
+    s AS (SELECT doc_id, h, h % 8 AS shard FROM d),
+    r AS (SELECT doc_id, shard,
+            ROW_NUMBER() OVER (PARTITION BY shard ORDER BY h, doc_id) AS pos
+          FROM s)
+    SELECT shard, COUNT(*) AS n_docs,
+           MIN(CASE WHEN pos = 1 THEN doc_id END) AS first_doc,
+           CAST(SUM(pos * doc_id) AS BIGINT) AS order_checksum
+    FROM r GROUP BY shard
+    """,
+    tags=("curation", "shuffle", "ranking", "training-order"),
+)
+def training_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reproducible global training shuffle (operators/corpus.py::
+    deterministic_shuffle): every document is dealt to one of 8 shards
+    by stable_hash64('epoch0:'||id) and positioned within its shard in
+    hash order — the bit-reproducible epoch permutation
+    data-order-ablation and resumable training need. The report pins the
+    ENTIRE permutation: per shard, the doc count, the first document in
+    training order, and the position-weighted checksum sum(pos *
+    doc_id) — any transposition anywhere changes it. Spark computes
+    positions with the distributed global-rank primitive (range-
+    repartitioned sort + broadcast shard offsets, no single-partition
+    window); the oracle uses a plain windowed ROW_NUMBER over the same
+    total order."""
+    from ..operators.corpus import deterministic_shuffle
+
+    perm = deterministic_shuffle(
+        T(spark, sf_dir, "documents"), n_shards=8, seed="epoch0"
+    )
+    return perm.groupBy("shard").agg(
+        F.count("*").alias("n_docs"),
+        F.min(F.when(F.col("pos") == 1, F.col("doc_id"))).alias("first_doc"),
+        F.sum(F.col("pos") * F.col("doc_id")).cast("long").alias("order_checksum"),
+    )

@@ -290,3 +290,58 @@ def test_context_windows_matches_python_oracle(spark, data, window):
             if d == i:
                 covered.update(range(w * stride, w * stride + wt))
         assert covered == set(range(n)), (i, docs, window, stride)
+
+
+def test_deterministic_shuffle_is_a_permutation_matching_python(spark):
+    from semantic_vector_search_system_spark.functions.hashing import (
+        stable_hash64_py,
+    )
+    from semantic_vector_search_system_spark.operators.corpus import (
+        deterministic_shuffle,
+    )
+
+    ids = list(range(40))
+    docs = spark.createDataFrame([(i,) for i in ids], "doc_id long").repartition(7)
+    out = deterministic_shuffle(docs, n_shards=4, seed="e1").collect()
+    got = {r["doc_id"]: (r["shard"], r["pos"]) for r in out}
+    # python oracle: shard + rank by (hash, id) within shard
+    hs = {i: stable_hash64_py(f"e1:{i}") for i in ids}
+    by_shard: dict[int, list[int]] = {}
+    for i in ids:
+        by_shard.setdefault(hs[i] % 4, []).append(i)
+    want = {}
+    for sh, members in by_shard.items():
+        for pos, i in enumerate(sorted(members, key=lambda i: (hs[i], i)), 1):
+            want[i] = (sh, pos)
+    assert got == want
+    # per-shard positions are 1..n contiguous
+    for sh, members in by_shard.items():
+        assert sorted(p for i, (s, p) in got.items() if s == sh) == list(
+            range(1, len(members) + 1)
+        )
+
+
+def test_deterministic_shuffle_seed_and_partitioning(spark):
+    from semantic_vector_search_system_spark.operators.corpus import (
+        deterministic_shuffle,
+    )
+
+    docs = spark.createDataFrame([(i,) for i in range(60)], "doc_id long")
+    base = sorted(
+        tuple(r) for r in deterministic_shuffle(docs, 4, seed="a").collect()
+    )
+    again = sorted(
+        tuple(r)
+        for r in deterministic_shuffle(
+            docs.repartition(13), 4, seed="a", num_partitions=3
+        ).collect()
+    )
+    other = sorted(
+        tuple(r) for r in deterministic_shuffle(docs, 4, seed="b").collect()
+    )
+    assert base == again          # same seed: identical under any layout
+    assert base != other          # new seed: new epoch permutation
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        deterministic_shuffle(docs, 0)
