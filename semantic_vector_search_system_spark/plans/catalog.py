@@ -1282,6 +1282,15 @@ DEMOTED: tuple[str, ...] = (
                                  #   dataset_splits (parked hash-bucket
                                  #   twin) — parked late-r8 for the NEW
                                  #   training_shuffle_shards
+    "sketch_stats",              # KMV estimator ≡ sketch_set_ops
+                                 #   (in-window NEW: the same bottom-k
+                                 #   sketch PLUS theta set algebra —
+                                 #   sketch_stats's former no-twin
+                                 #   status is resolved by its
+                                 #   strictly-wider sibling);
+                                 #   sample-median ≡ event_percentiles
+                                 #   (in-window keeper) — parked late-r8
+                                 #   for the NEW sketch_set_ops
 )
 
 
@@ -2675,6 +2684,67 @@ def sketch_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return base.join(kmv, "event_type").select(
         "event_type", "approx_users", "sample_p50", "n_events"
     )
+
+
+@_q(
+    "sketch_set_ops",
+    f"""
+    WITH dh AS (SELECT DISTINCT event_type,
+                       {stable_hash64_sql("CAST(user_id AS VARCHAR)")} AS h
+                FROM events WHERE event_type IN ('view', 'purchase')),
+    bk AS (SELECT event_type, h,
+                  ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY h) AS rn
+           FROM dh),
+    sk AS (SELECT event_type, COUNT(*) AS n_seen, MAX(h) AS kth
+           FROM bk WHERE rn <= {_KMV_K} GROUP BY event_type),
+    th AS (SELECT event_type,
+                  CASE WHEN n_seen < {_KMV_K}
+                       THEN CAST({1 << 60} AS BIGINT) ELSE kth END AS theta
+           FROM sk),
+    ret AS (SELECT bk.event_type, h
+            FROM bk JOIN th USING (event_type)
+            WHERE rn <= {_KMV_K} AND h < theta),
+    tu AS (SELECT MIN(theta) AS theta_u FROM th),
+    ua AS (SELECT h FROM ret, tu WHERE event_type = 'view' AND h < theta_u),
+    ub AS (SELECT h FROM ret, tu WHERE event_type = 'purchase' AND h < theta_u),
+    cu AS (SELECT COUNT(*) AS nu FROM (SELECT h FROM ua UNION SELECT h FROM ub) z),
+    ci AS (SELECT COUNT(*) AS ni
+           FROM (SELECT h FROM ua INTERSECT SELECT h FROM ub) z)
+    SELECT CAST(nu AS INTEGER) AS n_union_retained,
+           CAST(ni AS INTEGER) AS n_intersect_retained,
+           theta_u,
+           CAST(FLOOR(CAST(nu AS DOUBLE)
+                * ({float(1 << 60)!r} / CAST(theta_u AS DOUBLE))) AS BIGINT)
+             AS union_est,
+           CAST(FLOOR(CAST(ni AS DOUBLE)
+                * ({float(1 << 60)!r} / CAST(theta_u AS DOUBLE))) AS BIGINT)
+             AS intersect_est,
+           CASE WHEN nu > 0
+                THEN ROUND(CAST(ni AS DOUBLE) / CAST(nu AS DOUBLE), 6)
+                ELSE 0.0 END AS jaccard_est
+    FROM cu, ci, tu
+    """,
+    tags=("sketch", "approx", "set-ops", "scale"),
+)
+def sketch_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theta-sketch SET ALGEBRA (operators/sketch.py — Dasgupta et al.
+    2016, the mergeable-sketch workhorse of warehouse distinct
+    profiling): KMV sketches of viewer and purchaser user sets combine
+    into union / intersection / Jaccard ESTIMATES without re-touching
+    the data — θ = min(θ_view, θ_purchase), estimate = |retained below
+    θ| · 2^60/θ, collapsing to exact counts while both sides are exact.
+    Estimates are pure integer + pinned-order IEEE arithmetic over
+    stable_hash64 (no engine-specific HLL registers), so the oracle
+    replays them bit-for-bit. kmv_merge folds per-day sketches into a
+    month with O(k) state — profiling at 100 TB keeps sketch rows, not
+    scans."""
+    from ..operators.sketch import kmv_group_sketch, kmv_pair_ops
+
+    ev = T(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("view", "purchase")
+    )
+    sketches = kmv_group_sketch(ev, "event_type", "user_id", k=_KMV_K)
+    return kmv_pair_ops(sketches, "event_type", "view", "purchase")
 
 
 @_q(
