@@ -1291,6 +1291,15 @@ DEMOTED: tuple[str, ...] = (
                                  #   sample-median ≡ event_percentiles
                                  #   (in-window keeper) — parked late-r8
                                  #   for the NEW sketch_set_ops
+    "lsh_candidate_pairs",       # banding candidates ≡ similarity_pagerank
+                                 #   (in-window NEW: its oracle CONTAINS
+                                 #   the full signature->band->pair CTE
+                                 #   chain verbatim, so the pair relation
+                                 #   stays oracle-verified every round) +
+                                 #   incremental_dedup + neardup_keep_one
+                                 #   (both in-window, same banding kernel)
+                                 #   — parked late-r8 for the NEW
+                                 #   similarity_pagerank
 )
 
 
@@ -3896,3 +3905,81 @@ def training_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min(F.when(F.col("pos") == 1, F.col("doc_id"))).alias("first_doc"),
         F.sum(F.col("pos") * F.col("doc_id")).cast("long").alias("order_checksum"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Round 8: similarity-graph PageRank (iterative centrality, unrolled oracle)
+# ---------------------------------------------------------------------------
+
+def _pagerank_oracle_sql(n_iter: int) -> str:
+    """DuckDB replay of ``operators/graph.py::pagerank`` over the
+    MinHash-LSH candidate graph: the shared lsh_candidate_pairs CTE
+    chain builds the edges, then each synchronous iteration UNROLLS as
+    one message CTE (round-12 pr/degree) + one rank CTE (teleport
+    (1.0 - 0.85)/N + 0.85 · DECIMAL-summed messages, round 12) — the
+    bpe_merges pattern for iterative algorithms whose per-step
+    aggregation SQL recursion cannot express."""
+    sql = f"""
+    WITH toks AS (SELECT doc_id, {_SPLIT} AS t FROM documents),
+    shl AS (SELECT doc_id,
+                   list_transform(range(1, greatest(len(t) - 2, 1) + 1),
+                                  i -> array_to_string(t[i:i+2], ' ')) AS shingles
+            FROM toks),
+    sh AS (SELECT DISTINCT doc_id, shingle
+           FROM (SELECT doc_id, unnest(shingles) AS shingle FROM shl) u),
+    hh AS (SELECT doc_id,
+                  CAST(CAST(CONCAT('0x', substr(md5(shingle), 1, 15)) AS UBIGINT) AS BIGINT) AS h1,
+                  CAST(CAST(CONCAT('0x', substr(md5(shingle), 16, 10)) AS UBIGINT) AS BIGINT) AS h2
+           FROM sh),
+    seeds AS (SELECT unnest(range(8)) AS seed),
+    mh AS (SELECT doc_id, seed, MIN((h1 + seed * h2) % {1 << 60}) AS minhash
+           FROM hh CROSS JOIN seeds GROUP BY doc_id, seed),
+    bands AS (SELECT doc_id, seed // 2 AS band,
+                     md5(string_agg(CAST(minhash AS VARCHAR), ',' ORDER BY seed)) AS band_sig
+              FROM mh GROUP BY doc_id, seed // 2),
+    pairs AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+              FROM bands a JOIN bands b
+                ON a.band = b.band AND a.band_sig = b.band_sig
+               AND a.doc_id < b.doc_id),
+    und AS (SELECT id_a AS s, id_b AS d FROM pairs
+            UNION ALL SELECT id_b AS s, id_a AS d FROM pairs),
+    deg AS (SELECT s AS node, COUNT(*) AS degree FROM und GROUP BY s),
+    nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM deg),
+    pr0 AS (SELECT node, degree, ROUND(1.0 / (SELECT n FROM nn), 12) AS pr
+            FROM deg)"""
+    for k in range(n_iter):
+        sql += f"""
+    , m{k + 1} AS (SELECT u.d AS node, ROUND(p.pr / p.degree, 12) AS m
+              FROM und u JOIN pr{k} p ON p.node = u.s)
+    , pr{k + 1} AS (SELECT d.node, d.degree,
+              ROUND((1.0 - 0.85) / (SELECT n FROM nn)
+                    + 0.85 * CAST(SUM(CAST(m AS DECIMAL(38,12))) AS DOUBLE),
+                    12) AS pr
+            FROM m{k + 1} JOIN deg d ON d.node = m{k + 1}.node
+            GROUP BY d.node, d.degree)"""
+    return sql + f"""
+    SELECT node, degree, pr AS pagerank FROM pr{n_iter}"""
+
+
+@_q(
+    "similarity_pagerank",
+    _pagerank_oracle_sql(3),
+    tags=("graph", "pagerank", "iterative", "centrality"),
+)
+def similarity_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iterative graph centrality (operators/graph.py::pagerank) over
+    the MinHash-LSH similarity graph the dedup stack already builds —
+    the CommonCrawl-host-ranking shape, here ranking documents by
+    near-duplicate connectivity (high centrality = boilerplate-hub).
+    3 synchronous rounds; per-iteration arithmetic is round-12 IEEE with
+    DECIMAL message sums, so the trajectory is bit-identical across
+    engines and partitionings; per round = one edges⨝state equi-join +
+    one destination-keyed aggregation whose DECIMAL sum combines
+    map-side (hub fan-in collapses before the exchange)."""
+    from ..operators.graph import pagerank
+
+    sigs = dd.minhash_signatures_fast(
+        TP(spark, sf_dir, "documents"), num_hashes=8, shingle_n=3
+    )
+    pairs = dd.lsh_candidate_pairs(sigs, rows_per_band=2)
+    return pagerank(pairs, damping=0.85, n_iter=3)
