@@ -830,6 +830,26 @@ def main() -> None:
             spark.sql(f"DROP TABLE IF EXISTS bench_nd_idx{t}")
         emit(timings, query_meta, sf, partial=True)
         new_batch.unpersist()
+
+        # Reproducible epoch shuffle over the same 1M docs (r8b): the
+        # distributed global-rank primitive (range-repartitioned parallel
+        # sort + O(partitions) offsets — NO single-partition window)
+        # under its training-data consumer: seeded shard + exact
+        # in-shard position for every doc.
+        from semantic_vector_search_system_spark.operators.corpus import (
+            deterministic_shuffle,
+        )
+
+        timings["epoch_shuffle_1000000_docs"], spread = best_of(
+            lambda: deterministic_shuffle(
+                docs.select("id"), n_shards=8, seed="bench", id_col="id"
+            ).write.format("noop").mode("overwrite").save(),
+            2,
+        )
+        query_meta["epoch_shuffle_1000000_docs"] = {
+            "repeats": 2, "spread": spread, "since_round": 8,
+        }
+        emit(timings, query_meta, sf, partial=True)
         docs.unpersist()
 
     # Stop FIRST, then print the authoritative final line (r4 lesson,

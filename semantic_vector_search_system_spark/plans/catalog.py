@@ -1300,6 +1300,19 @@ DEMOTED: tuple[str, ...] = (
                                  #   (both in-window, same banding kernel)
                                  #   — parked late-r8 for the NEW
                                  #   similarity_pagerank
+    "neardup_keep_one",          # star-edge clustering + keep-one ≡
+                                 #   duplicate_components (in-window NEW:
+                                 #   a STRICTLY STRONGER components
+                                 #   oracle — true recursive-CTE
+                                 #   transitive closure over the same
+                                 #   pair graph, exercising the
+                                 #   DISTRIBUTED min-label path the
+                                 #   driver union-find shortcut hid);
+                                 #   exact-verify ≡ incremental_dedup
+                                 #   (in-window agreement join); keep-one
+                                 #   ≡ media_ahash_dedup + span_dedup
+                                 #   (both in-window) — parked late-r8
+                                 #   for the NEW duplicate_components
 )
 
 
@@ -3959,6 +3972,63 @@ def _pagerank_oracle_sql(n_iter: int) -> str:
             GROUP BY d.node, d.degree)"""
     return sql + f"""
     SELECT node, degree, pr AS pagerank FROM pr{n_iter}"""
+
+
+@_q(
+    "duplicate_components",
+    f"""
+    WITH RECURSIVE toks AS (SELECT doc_id, {_SPLIT} AS t FROM documents),
+    shl AS (SELECT doc_id,
+                   list_transform(range(1, greatest(len(t) - 2, 1) + 1),
+                                  i -> array_to_string(t[i:i+2], ' ')) AS shingles
+            FROM toks),
+    sh AS (SELECT DISTINCT doc_id, shingle
+           FROM (SELECT doc_id, unnest(shingles) AS shingle FROM shl) u),
+    hh AS (SELECT doc_id,
+                  CAST(CAST(CONCAT('0x', substr(md5(shingle), 1, 15)) AS UBIGINT) AS BIGINT) AS h1,
+                  CAST(CAST(CONCAT('0x', substr(md5(shingle), 16, 10)) AS UBIGINT) AS BIGINT) AS h2
+           FROM sh),
+    seeds AS (SELECT unnest(range(8)) AS seed),
+    mh AS (SELECT doc_id, seed, MIN((h1 + seed * h2) % {1 << 60}) AS minhash
+           FROM hh CROSS JOIN seeds GROUP BY doc_id, seed),
+    bands AS (SELECT doc_id, seed // 2 AS band,
+                     md5(string_agg(CAST(minhash AS VARCHAR), ',' ORDER BY seed)) AS band_sig
+              FROM mh GROUP BY doc_id, seed // 2),
+    pairs AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+              FROM bands a JOIN bands b
+                ON a.band = b.band AND a.band_sig = b.band_sig
+               AND a.doc_id < b.doc_id),
+    und AS (SELECT id_a AS s, id_b AS d FROM pairs
+            UNION ALL SELECT id_b AS s, id_a AS d FROM pairs),
+    reach(node, lbl) AS (
+        SELECT DISTINCT s, s FROM und
+        UNION
+        SELECT u.d, r.lbl FROM reach r JOIN und u ON u.s = r.node
+    )
+    SELECT node, MIN(lbl) AS component FROM reach GROUP BY node
+    """,
+    tags=("dedup", "graph", "connected-components", "iterative"),
+)
+def duplicate_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The DISTRIBUTED connected-components path, oracle-verified:
+    ``operators/dedup.py::connected_components`` with
+    ``small_edge_threshold=0`` FORCES the iterative min-label
+    propagation + pointer-jumping strategy (the web-scale path — the
+    driver union-find shortcut, which neardup_keep_one's star-edge
+    composition rides, is bypassed entirely), turning LSH candidate
+    pairs into transitive duplicate clusters labeled by component-min
+    doc_id. The oracle computes true transitive closure with a
+    recursive CTE (min reachable label over the symmetrized edges), so
+    any propagation bug — missed pointer jump, stale label, premature
+    convergence — hash-mismatches. Labels are partitioning-independent
+    (min is order-free; rounds checkpoint-pinned)."""
+    from ..operators.dedup import connected_components
+
+    sigs = dd.minhash_signatures_fast(
+        TP(spark, sf_dir, "documents"), num_hashes=8, shingle_n=3
+    )
+    pairs = dd.lsh_candidate_pairs(sigs, rows_per_band=2)
+    return connected_components(pairs, small_edge_threshold=0)
 
 
 @_q(
