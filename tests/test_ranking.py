@@ -124,3 +124,48 @@ def test_perplexity_buckets_empty_input(spark):
     out = perplexity_buckets(scored)
     assert out.columns == ["doc_id", "n_bigrams", "lm_score", "bucket"]
     assert out.count() == 0
+
+
+from hypothesis import HealthCheck, given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+
+@pytest.mark.usefixtures("spark")
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    scores=st.lists(
+        st.integers(min_value=-50, max_value=50), min_size=1, max_size=60
+    ),
+    parts=st.integers(min_value=1, max_value=9),
+    b=st.integers(min_value=1, max_value=6),
+)
+def test_global_rank_and_ntile_property(spark, scores, parts, b):
+    """Fuzz: ranks equal the single-partition window and bucket cuts
+    equal NTILE for arbitrary data (with ties), partition counts and
+    bucket counts."""
+    rows = [(i, float(s)) for i, s in enumerate(scores)]
+    df = spark.createDataFrame(rows, "id long, score double").repartition(3)
+    order = [F.col("score").desc(), F.col("id").asc()]
+    ranked = global_row_number(df, order, num_partitions=parts)
+    total = len(rows)
+    got = {
+        r["id"]: (r["rank"], b_)
+        for r in ranked.select(
+            "id", "rank", ntile_from_rank(F.col("rank"), total, b).alias("b")
+        ).collect()
+        for b_ in [r["b"]]
+    }
+    w = Window.orderBy(*order)
+    want = {
+        r["id"]: (r["rank"], r["b"])
+        for r in df.select(
+            "id",
+            F.row_number().over(w).alias("rank"),
+            F.ntile(b).over(w).alias("b"),
+        ).collect()
+    }
+    assert got == want
