@@ -115,6 +115,16 @@ ALLOWED: dict[str, dict[str, int]] = {
         'n = emb.select(F.count("*").alias("n")).collect()[0]["n"]': 1,
         "X = np.asarray([r[0] for r in sampled.collect()], dtype=np.float64)": 1,
     },
+    "functions/ranking.py": {
+        # per-physical-partition row counts: O(num_partitions) rows — the
+        # driver traffic that REPLACES a single-partition global sort
+        'for r in parts.groupBy(_PID).agg(F.count("*").alias("n")).collect()': 1,
+    },
+    "operators/sketch.py": {
+        # single scalar aggregate (min theta across sketch rows) deciding
+        # the merged sketch's threshold
+        'tmin = sketches.agg(F.min("theta").alias("t")).collect()[0]["t"]': 1,
+    },
 }
 
 

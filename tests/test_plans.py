@@ -358,15 +358,22 @@ def test_driver_window_covers_every_operator_family():
     # NEW r8 queries, the seven r8 keepers whose family would otherwise
     # leave the window, and the returning r7-parked composites.
     flagships = {
-        # no family twin — never parked
-        "neardup_keep_one", "sequence_packing",
-        "stream_user_totals_stateful", "media_features", "sketch_stats",
+        # no family twin — never parked (late-r8: neardup_keep_one,
+        # sketch_stats and lsh_candidate_pairs graduated to parked —
+        # each now has a STRICTLY WIDER in-window sibling:
+        # duplicate_components / sketch_set_ops / similarity_pagerank,
+        # whose oracles contain or strengthen theirs)
+        "sequence_packing",
+        "stream_user_totals_stateful", "media_features",
         "json_kpi",
         # young — must be driver-checked while young
         "bm25_topk", "span_dedup", "ann_pq_topk",
         "quality_classifier_report", "semdedup_keep_one",
         "bigram_lm_report",
         "ann_ivfpq_topk", "bpe_merges",
+        "bpe_encode_tokens", "lm_perplexity_buckets", "media_ahash_dedup",
+        "training_shuffle_shards", "sketch_set_ops", "similarity_pagerank",
+        "duplicate_components",
         # r8 keepers (family coverage; urgent_orders_by_year and
         # nation_customer_rank parked late-r8 for the NEW
         # bitext_margin_pairs / context_windows)
@@ -376,7 +383,7 @@ def test_driver_window_covers_every_operator_family():
         # returning composites / incremental serving
         "training_corpus_selection", "incremental_dedup", "knn_topk",
         "ann_ivf_topk", "self_retrieval_e2e", "tfidf_self_retrieval",
-        "lsh_candidate_pairs", "doc_quality",
+        "doc_quality",
     }
     assert flagships <= window
     # oracle ordering mirrors query ordering
