@@ -325,6 +325,93 @@ def ahash_dedup(
     )
 
 
+def write_ahash_index(
+    media: DataFrame,
+    table_prefix: str,
+    *,
+    n_bits: int = 32,
+    pixels_fn: Callable[[str, bytes], "list[int]"] | None = None,
+    id_col: str = "media_id",
+    n_buckets: int = 32,
+) -> dict:
+    """Persist the corpus' perceptual-dedup state as warehouse tables:
+    one ``(ahash, keep_id)`` row per DISTINCT hash, ``bucketBy(ahash)``
+    (the join key — serving probes it shuffle-free), plus a meta table
+    pinning ``n_bits``. ~16 B per distinct perceptual hash: the
+    crawl-loop media-dedup state is thousands of times smaller than the
+    blobs it deduplicates."""
+    spark = media.sparkSession
+    hashes = perceptual_ahash(media, n_bits, pixels_fn, id_col)
+    keep = hashes.groupBy("ahash").agg(F.min("media_id").alias("keep_id"))
+    (
+        keep.write.mode("overwrite").format("parquet")
+        .bucketBy(n_buckets, "ahash").sortBy("ahash")
+        .saveAsTable(f"{table_prefix}_hashes")
+    )
+    spark.createDataFrame(
+        [(n_bits, n_buckets)], "n_bits int, n_buckets int"
+    ).write.mode("overwrite").format("parquet").saveAsTable(
+        f"{table_prefix}_meta"
+    )
+    return {"n_bits": n_bits, "n_buckets": n_buckets}
+
+
+def incremental_ahash_dedup(
+    new_media: DataFrame,
+    table_prefix: str,
+    *,
+    pixels_fn: Callable[[str, bytes], "list[int]"] | None = None,
+    id_col: str = "media_id",
+    update_index: bool = True,
+) -> DataFrame:
+    """Perceptually dedup a NEW media batch against the STORED hash
+    index — the daily-crawl loop for images/audio (the media analog of
+    ``incremental_span_dedup``): a row is canonical iff its aHash is
+    absent from the index AND it is the batch-first occurrence (min
+    media_id). ``keep_id`` always points at the surviving copy — the
+    stored one when the hash was seen before, else the batch minimum.
+    With ``update_index`` the novel (ahash, keep_id) rows append
+    (insertInto preserves the bucket spec) so the next batch dedups
+    against everything accepted before it.
+
+    Equivalence contract (tested): id-ordered batches through this
+    function reproduce EXACTLY ``ahash_dedup`` of the whole corpus.
+    Scale: the index side is scanned and probed only (bucketed on the
+    join key); the batch's own shuffles are keyed on its hashes.
+    ``n_bits`` comes from the stored meta — a batch hashed under a
+    different width can never silently probe an incompatible index."""
+    spark = new_media.sparkSession
+    meta = spark.read.table(f"{table_prefix}_meta").first().asDict()
+    spark.catalog.refreshTable(f"{table_prefix}_hashes")
+    seen = spark.read.table(f"{table_prefix}_hashes").withColumnRenamed(
+        "keep_id", "stored_keep"
+    )
+    h = perceptual_ahash(new_media, meta["n_bits"], pixels_fn, id_col)
+    batch_keep = h.groupBy("ahash").agg(F.min("media_id").alias("batch_keep"))
+    out = (
+        h.join(batch_keep, "ahash")
+        .join(seen, "ahash", "left")
+        .select(
+            "media_id",
+            "kind",
+            "ahash",
+            F.coalesce("stored_keep", "batch_keep").alias("keep_id"),
+            (
+                F.col("stored_keep").isNull()
+                & (F.col("media_id") == F.col("batch_keep"))
+            ).alias("is_canonical"),
+        )
+    )
+    if update_index:
+        out = out.localCheckpoint()  # result first: the append consumes h
+        (
+            out.filter(F.col("is_canonical"))
+            .select("ahash", F.col("media_id").alias("keep_id"))
+            .write.insertInto(f"{table_prefix}_hashes")
+        )
+    return out
+
+
 def ahash_band_pairs(
     hashes: DataFrame,
     n_bits: int = 32,

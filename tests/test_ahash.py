@@ -140,3 +140,86 @@ def test_real_pixels_through_ahash_slot(spark):
     assert got[0] == py_ahash(gray)
     assert got[10] == py_ahash(samples)
     assert got[20] == py_ahash(list(b"fallback payload bytes for video rows"))
+
+
+def test_incremental_ahash_equals_full_corpus_run(spark):
+    """Equivalence contract: id-ordered batches through
+    incremental_ahash_dedup (stored bucketed hash index) reproduce the
+    full-corpus ahash_dedup exactly; the index grows only by novel
+    hashes."""
+    from semantic_vector_search_system_spark.operators.multimodal import (
+        incremental_ahash_dedup,
+        write_ahash_index,
+    )
+
+    dup_a = b"identical perceptual payload bytes"
+    dup_b = b"another repeated blob payload with more length"
+    rows = []
+    for i in range(12):
+        payload = dup_a if i % 4 == 0 else (dup_b if i % 4 == 1 else bytes([i + 1]) * (10 + i))
+        rows.append((i, "image" if i % 2 else "audio", payload))
+    media = _media(spark, rows)
+    full = {
+        r["media_id"]: (r["ahash"], r["keep_id"], r["is_canonical"])
+        for r in ahash_dedup(media).collect()
+    }
+    for t in ("inc_ahash_hashes", "inc_ahash_meta"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+    try:
+        write_ahash_index(media.limit(0), "inc_ahash", n_bits=32)
+        got = {}
+        for lo, hi in ((0, 4), (4, 8), (8, 12)):
+            batch = media.filter(
+                (F.col("media_id") >= lo) & (F.col("media_id") < hi)
+            )
+            for r in incremental_ahash_dedup(batch, "inc_ahash").collect():
+                got[r["media_id"]] = (r["ahash"], r["keep_id"], r["is_canonical"])
+        assert got == full
+        # the stored index holds exactly the distinct hashes, one row each
+        idx = spark.read.table("inc_ahash_hashes").collect()
+        assert len(idx) == len({h for h, _, _ in full.values()})
+        assert {r["ahash"]: r["keep_id"] for r in idx} == {
+            h: k for h, k, _ in full.values()
+        }
+    finally:
+        for t in ("inc_ahash_hashes", "inc_ahash_meta"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_incremental_ahash_index_scan_not_shuffled(spark):
+    """100 TB contract: the stored hash table is bucketed on the join
+    key, so the plan carries no Exchange hashpartitioning over ITS scan
+    — only the batch side moves."""
+    from semantic_vector_search_system_spark.operators.multimodal import (
+        incremental_ahash_dedup,
+        write_ahash_index,
+    )
+
+    for t in ("pg_ahash_hashes", "pg_ahash_meta"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+    try:
+        write_ahash_index(
+            _media(spark, [(1, "image", b"stored payload one"),
+                           (2, "image", b"stored payload two")]),
+            "pg_ahash",
+        )
+        out = incremental_ahash_dedup(
+            _media(spark, [(10, "image", b"new payload")]),
+            "pg_ahash",
+            update_index=False,
+        )
+        plan = out._sc._jvm.PythonSQLUtils.explainString(
+            out._jdf.queryExecution(), "formatted"
+        )
+        # the bucketed index IS what the plan scans...
+        assert "pg_ahash_hashes" in plan
+        # ...and no hashpartitioning Exchange sits over that scan — the
+        # same assertion shape as the neardup stored-index gate: every
+        # exchange segment's input (up to any broadcast boundary) must be
+        # batch-side only
+        for seg in plan.split("Exchange hashpartitioning")[1:]:
+            below = seg.split("BroadcastExchange")[0]
+            assert "pg_ahash_hashes" not in below, below[:1200]
+    finally:
+        for t in ("pg_ahash_hashes", "pg_ahash_meta"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
