@@ -1,0 +1,207 @@
+"""Deterministic distributed Lloyd k-means over embedding relations.
+
+Centroid TRAINING is the one stage of the vector stack whose output was
+not oracle-verifiable until now: :func:`similarity.train_ivf_centroids`
+wraps Spark ML's k-means||, whose treeAggregate summation order makes the
+exact centroid floats partitioning-dependent (fine for recall — pinned
+there by measured-recall floors — but unverifiable by a value-hash
+oracle). This module is the verifiable counterpart: classic Lloyd
+iterations whose every float is bit-reproducible across engines AND
+partitionings, so a DuckDB oracle can replay the whole trajectory
+(assignment argmin, mean update, empty-cluster carry) iteration by
+iteration — the vector-space analog of ``operators/graph.py::pagerank``'s
+unrolled-CTE contract.
+
+Determinism (the catalog-oracle house rules):
+
+* squared-L2 distances are explicit LEFT-ASSOCIATIVE per-dimension
+  chains ``(v1-c1)^2 + (v2-c2)^2 + ...`` — SQL ``+`` is left-associative
+  by grammar and the Spark expression folds with ``functools.reduce``,
+  so both engines produce identical doubles (the ``ann_pq_topk``
+  precedent, full-dimension here);
+* assignment ties break on centroid id (min struct / ROW_NUMBER);
+* mean updates sum components in DECIMAL(38,12) (exact under any
+  partitioning/AQE re-plan), cast the exact sum to double, perform ONE
+  IEEE division by the member count, and round to ``round_digits`` —
+  the next iteration's distances start from identical centroid bits;
+* init = the ``k`` rows with smallest id (deterministic, no RNG).
+
+Scale: one iteration = one narrow assignment pass (k*dim flops per row;
+``strategy="fast"`` runs it as an Arrow kernel with a sequential
+per-dimension accumulation that reproduces the expression chain
+BITWISE) + one (cent_id, idx)-keyed aggregation whose DECIMAL sum is
+algebraic — map-side partial aggregation collapses each partition to at
+most k*dim rows before the exchange, so a 10^9-member cluster costs the
+reducer O(partitions), not O(members). Centroids (k*dim doubles) are
+collected per iteration — the same driver-sized state every k-means
+implementation carries (Spark ML treeAggregates it each step); lineage
+is truncated per round with ``localCheckpoint``.
+
+At 100 TB you still fit on a sample (density modes need ~10^6 rows, see
+``train_ivf_centroids``'s sample_fraction) — but when the full pass is
+wanted (e.g. exact cluster populations for SemDeDup budgeting), this is
+the shape that survives it.
+"""
+
+from __future__ import annotations
+
+import functools
+import operator as _op
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _sq_dist_expr(vec_col: str, cvals: list[float]) -> F.Column:
+    """Explicit left-associative squared-L2 chain between an array column
+    and a literal centroid — mirrors the oracle's SQL ``+`` chain
+    term-for-term so both engines produce identical doubles."""
+    terms = []
+    for i, c in enumerate(cvals):
+        d = F.element_at(F.col(vec_col), i + 1) - F.lit(float(c))
+        terms.append(d * d)
+    return functools.reduce(_op.add, terms)
+
+
+def _assign_expr(e: DataFrame, cents: list[tuple[int, list[float]]]) -> DataFrame:
+    """Narrow argmin assignment: min over an array of (dist, cent_id)
+    structs — ties break on the smaller cent_id, matching the oracle's
+    ``ROW_NUMBER() OVER (ORDER BY dist, cent_id)``."""
+    structs = [
+        F.struct(_sq_dist_expr("v", cv).alias("d"), F.lit(int(cid)).alias("cent_id"))
+        for cid, cv in cents
+    ]
+    return e.withColumn("cent_id", F.array_min(F.array(*structs))["cent_id"])
+
+
+def _assign_fast(e: DataFrame, cents: list[tuple[int, list[float]]]) -> DataFrame:
+    """Arrow-kernel assignment, bitwise-identical to :func:`_assign_expr`:
+    distances accumulate SEQUENTIALLY over dimensions (``acc += d*d`` per
+    dim — IEEE ``0.0 + t1 == t1`` for non-negative t1, so the fold equals
+    the expression chain bit-for-bit); ties resolve to the smallest
+    cent_id because the centroid matrix is cid-sorted and ``argmin``
+    returns the first minimum."""
+    import numpy as np
+    import pandas as pd
+
+    cents = sorted(cents, key=lambda t: t[0])
+    cids = np.array([c[0] for c in cents], dtype=np.int64)
+    C = np.array([c[1] for c in cents], dtype=np.float64)  # k x dim
+
+    schema = "vec_id long, v array<double>, cent_id int"
+
+    def fn(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            V = np.array(pdf["v"].tolist(), dtype=np.float64)
+            acc = np.zeros((len(pdf), len(cids)), dtype=np.float64)
+            for j in range(V.shape[1]):
+                d = V[:, j : j + 1] - C[None, :, j][0]
+                acc += d * d
+            best = cids[np.argmin(acc, axis=1)]
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"].to_numpy(),
+                    "v": pdf["v"],
+                    "cent_id": best.astype(np.int32),
+                }
+            )
+
+    return e.mapInPandas(fn, schema=schema)
+
+
+def kmeans_lloyd(
+    emb: DataFrame,
+    k: int,
+    n_iter: int,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    strategy: str = "expr",
+    round_digits: int = 6,
+) -> DataFrame:
+    """Run ``n_iter`` deterministic Lloyd iterations; return the full
+    centroid TRAJECTORY as a relation ``(iter, cent_id, idx,
+    centroid_val, n_members)`` — one row per populated centroid
+    dimension per iteration (``iter`` starts at 1; empty clusters emit
+    no rows for that iteration and carry their previous centroid
+    forward, exactly as the oracle replays it).
+
+    ``strategy``: ``"expr"`` assigns via the Catalyst expression chain
+    (the oracle face); ``"fast"`` via the Arrow kernel (bitwise-parity
+    tested) — prefer it when k*dim is large enough that codegen'd
+    per-row chains dominate.
+    """
+    if strategy not in ("expr", "fast"):
+        raise ValueError(f"unknown strategy {strategy!r}")
+    if k < 1 or n_iter < 1:
+        raise ValueError("k and n_iter must be >= 1")
+    spark = emb.sparkSession
+    e = emb.select(
+        F.col(id_col).cast("long").alias("vec_id"),
+        F.col(vec_col).cast("array<double>").alias("v"),
+    ).localCheckpoint()
+
+    init_rows = (
+        e.orderBy("vec_id").limit(k).collect()
+    )  # k rows, bounded: deterministic smallest-id init (no RNG)
+    if len(init_rows) < k:
+        raise ValueError(f"need at least k={k} rows, got {len(init_rows)}")
+    cents: list[tuple[int, list[float]]] = [
+        (int(r["vec_id"]), [float(x) for x in r["v"]]) for r in init_rows
+    ]
+
+    assign = _assign_expr if strategy == "expr" else _assign_fast
+    outs: list[DataFrame] = []
+    for it in range(1, n_iter + 1):
+        assigned = assign(e, cents)
+        means = (
+            assigned.select("cent_id", F.posexplode("v").alias("idx", "val"))
+            .groupBy("cent_id", "idx")
+            .agg(
+                F.round(
+                    F.sum(F.col("val").cast("decimal(38,12)")).cast("double")
+                    / F.count("*").cast("double"),
+                    round_digits,
+                ).alias("centroid_val"),
+                F.count("*").alias("n_members"),
+            )
+            .localCheckpoint()
+        )
+        mrows = means.collect()  # bounded: k*dim rows (centroid state)
+        by_cid: dict[int, list[tuple[int, float]]] = {}
+        for r in mrows:
+            by_cid.setdefault(int(r["cent_id"]), []).append(
+                (int(r["idx"]), float(r["centroid_val"]))
+            )
+        nxt: list[tuple[int, list[float]]] = []
+        for cid, cv in cents:  # carry empties forward, keep cid order
+            if cid in by_cid:
+                nxt.append((cid, [v for _, v in sorted(by_cid[cid])]))
+            else:
+                nxt.append((cid, cv))
+        cents = nxt
+        outs.append(means.withColumn("iter", F.lit(it)))
+
+    out = functools.reduce(lambda a, b: a.unionByName(b), outs)
+    return out.select(
+        "iter", F.col("cent_id").cast("int"), F.col("idx").cast("int"),
+        "centroid_val", "n_members",
+    )
+
+
+def kmeans_final_centroids(trajectory_or_cents, spark=None) -> DataFrame:
+    """Convenience: reshape the last iteration of a :func:`kmeans_lloyd`
+    trajectory into the ``(cent_id, cvec)`` relation the IVF/SemDeDup
+    operators consume."""
+    traj = trajectory_or_cents
+    last = traj.agg(F.max("iter").alias("m"))
+    return (
+        traj.join(F.broadcast(last), F.col("iter") == F.col("m"))
+        .groupBy("cent_id")
+        .agg(F.array_sort(F.collect_list(F.struct("idx", "centroid_val"))).alias("s"))
+        .select(
+            "cent_id",
+            F.transform("s", lambda x: x["centroid_val"]).alias("cvec"),
+        )
+    )

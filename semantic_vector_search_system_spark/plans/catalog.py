@@ -1313,6 +1313,19 @@ DEMOTED: tuple[str, ...] = (
                                  #   ≡ media_ahash_dedup + span_dedup
                                  #   (both in-window) — parked late-r8
                                  #   for the NEW duplicate_components
+    "nations_with_both",         # SO1 set intersection ≡ sketch_set_ops
+                                 #   (in-window NEW: SQL INTERSECT in its
+                                 #   oracle + the theta intersection
+                                 #   estimate) + ngram_jaccard_pairs
+                                 #   (parked set-overlap twin) — parked
+                                 #   late-r8 for the NEW
+                                 #   media_hamming_pairs
+    "part_type_revenue",         # keyed agg ≡ pricing_summary (in-window
+                                 #   keeper, same decimal-exact agg
+                                 #   family) + supplier_balance_by_nation
+                                 #   / brand_price_stats (parked twins) —
+                                 #   parked late-r8 for the NEW
+                                 #   kmeans_steps
 )
 
 
@@ -2464,6 +2477,49 @@ def media_ahash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     media = _media_from_documents(spark, sf_dir).filter(F.col("media_id") < 2000)
     return ahash_dedup(media, n_bits=32)
+
+
+@_q(
+    "media_hamming_pairs",
+    """
+    WITH m AS (SELECT doc_id AS media_id, text, length(text) AS n
+       FROM documents WHERE doc_id < 2000 AND length(text) > 0),
+    s AS (SELECT media_id,
+         list_transform(range(0, 32),
+           j -> ord(substr(text, CAST((j % n) + 1 AS INTEGER), 1))) AS smp
+       FROM m),
+    h AS (SELECT media_id,
+         CAST(list_sum(list_transform(range(0, 32), j ->
+           CASE WHEN smp[CAST(j + 1 AS INTEGER)] * 32 > list_sum(smp)
+                THEN (CAST(1 AS BIGINT) << CAST(j AS INTEGER))
+                ELSE CAST(0 AS BIGINT) END)) AS BIGINT) AS ahash
+       FROM s),
+    bands AS (SELECT media_id, ahash, b.b AS band,
+                     (ahash >> (b.b * 8)) & 255 AS sig
+              FROM h, (SELECT unnest(range(4)) AS b) b),
+    cand AS (SELECT DISTINCT a.media_id AS id_a, b.media_id AS id_b,
+                    a.ahash AS ha, b.ahash AS hb
+             FROM bands a JOIN bands b
+               ON a.band = b.band AND a.sig = b.sig
+              AND a.media_id < b.media_id)
+    SELECT id_a, id_b, CAST(bit_count(xor(ha, hb)) AS INTEGER) AS hamming
+    FROM cand WHERE bit_count(xor(ha, hb)) <= 3
+    """,
+    tags=("multimodal", "dedup", "lsh", "hamming"),
+)
+def media_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual NEAR-dup candidates (operators/multimodal.py::
+    ahash_band_pairs): the 32-bit aHash splits into 4 eight-bit bands,
+    candidates equi-join on (band, value) — the LSH shape, never
+    all-pairs — and survive at hamming(xor) <= 3 via bit_count
+    (pigeonhole-complete for radius < n_bands). The oracle replays hash
+    construction, band extraction, the banded self-join and the popcount
+    verify relationally."""
+    from ..operators.multimodal import ahash_band_pairs, perceptual_ahash
+
+    media = _media_from_documents(spark, sf_dir).filter(F.col("media_id") < 2000)
+    hashes = perceptual_ahash(media, n_bits=32)
+    return ahash_band_pairs(hashes, n_bits=32, n_bands=4, max_hamming=3)
 
 
 @_q(
@@ -4053,3 +4109,88 @@ def similarity_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     pairs = dd.lsh_candidate_pairs(sigs, rows_per_band=2)
     return pagerank(pairs, damping=0.85, n_iter=3)
+
+
+# ---------------------------------------------------------------------------
+# Round 8: deterministic Lloyd k-means (oracle-verified centroid TRAINING)
+# ---------------------------------------------------------------------------
+
+def _sqdim_sql(a: str, b: str, dim: int) -> str:
+    """Explicit dim-term left-associative squared-L2 between two DOUBLE[]
+    columns — mirrors operators/clustering.py ``_sq_dist_expr``
+    term-for-term (SQL ``+`` is left-associative by grammar, the Spark
+    expression folds with functools.reduce), so both engines produce
+    identical distance doubles."""
+    return " + ".join(
+        f"({a}[{i}] - {b}[{i}]) * ({a}[{i}] - {b}[{i}])" for i in range(1, dim + 1)
+    )
+
+
+def _kmeans_oracle_sql(k: int, n_iter: int, dim: int = 64) -> str:
+    """Unrolled Lloyd iterations as chained CTEs (the similarity_pagerank
+    pattern, vector-space edition): per iteration one cross-join argmin
+    assignment (ties on cent_id), one DECIMAL-exact per-dimension mean
+    rounded to 6, and an empty-cluster carry-forward — replaying
+    operators/clustering.py ``kmeans_lloyd`` stage for stage."""
+    sql = f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    c0 AS (SELECT CAST(vec_id AS INTEGER) AS cent_id, v AS cv
+           FROM e WHERE vec_id < {k})"""
+    for t in range(1, n_iter + 1):
+        p = t - 1
+        sql += f"""
+    , d{t} AS (SELECT e.vec_id, e.v, c.cent_id,
+               {_sqdim_sql('e.v', 'c.cv', dim)} AS dist
+               FROM e CROSS JOIN c{p} c)
+    , a{t} AS (SELECT vec_id, v, cent_id FROM (
+         SELECT vec_id, v, cent_id,
+                ROW_NUMBER() OVER (PARTITION BY vec_id
+                                   ORDER BY dist, cent_id) AS rn
+         FROM d{t}) x WHERE rn = 1)
+    , m{t} AS (SELECT cent_id, CAST(idx AS INTEGER) AS idx,
+                ROUND(CAST(SUM(CAST(val AS DECIMAL(38,12))) AS DOUBLE)
+                      / CAST(COUNT(*) AS DOUBLE), 6) AS centroid_val,
+                COUNT(*) AS n_members
+         FROM (SELECT cent_id, CAST(unnest(v) AS DOUBLE) AS val,
+                      generate_subscripts(v, 1) - 1 AS idx FROM a{t}) u
+         GROUP BY cent_id, idx)
+    , c{t} AS (SELECT cent_id, list(centroid_val ORDER BY idx) AS cv
+               FROM m{t} GROUP BY cent_id
+               UNION ALL
+               SELECT c.cent_id, c.cv FROM c{p} c
+               WHERE c.cent_id NOT IN (SELECT cent_id FROM m{t}))"""
+    selects = "\n    UNION ALL ".join(
+        f"SELECT {t} AS iter, cent_id, idx, centroid_val, n_members FROM m{t}"
+        for t in range(1, n_iter + 1)
+    )
+    return sql + "\n    " + selects
+
+
+@_q(
+    "kmeans_steps",
+    _kmeans_oracle_sql(8, 3),
+    tags=("clustering", "kmeans", "iterative", "vector"),
+)
+def kmeans_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic distributed Lloyd k-means
+    (operators/clustering.py::kmeans_lloyd): k=8 smallest-id init, 3
+    iterations over the embeddings table, output = the full centroid
+    TRAJECTORY (iter, cent_id, idx, centroid_val, n_members). Centroid
+    training was the one vector-stack stage without a value-hash oracle
+    (train_ivf_centroids wraps Spark ML k-means||, whose treeAggregate
+    float order is partitioning-dependent); this row closes it — any
+    assignment argmin slip, mean-update error or empty-cluster handling
+    bug hash-mismatches. Per iteration: narrow left-assoc distance
+    chains (no shuffle), one (cent_id, idx)-keyed DECIMAL mean whose
+    map-side partials bound reducer rows by partition count.
+
+    strategy="fast" (the Arrow kernel): measured 1.5 s vs 14.3 s for
+    the expression face at sf0.001 — Catalyst codegen of the k*dim
+    (512)-term distance chains dominates, re-compiled per iteration.
+    The kernel's sequential per-dimension accumulation is BITWISE
+    identical to the chain (tests/test_clustering.py pins it), so the
+    oracle replays either face."""
+    from ..operators.clustering import kmeans_lloyd
+
+    emb = T(spark, sf_dir, "embeddings")
+    return kmeans_lloyd(emb, k=8, n_iter=3, strategy="fast")

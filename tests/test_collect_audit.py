@@ -120,6 +120,14 @@ ALLOWED: dict[str, dict[str, int]] = {
         # driver traffic that REPLACES a single-partition global sort
         'for r in parts.groupBy(_PID).agg(F.count("*").alias("n")).collect()': 1,
     },
+    "operators/clustering.py": {
+        # smallest-id init rows: limit(k)-bounded (deterministic no-RNG init)
+        "e.orderBy(\"vec_id\").limit(k).collect()": 1,
+        # per-iteration centroid state: k*dim rows — the driver-sized state
+        # every k-means implementation carries (Spark ML treeAggregates the
+        # same matrix to the driver each step)
+        "mrows = means.collect()  # bounded: k*dim rows (centroid state)": 1,
+    },
     "operators/sketch.py": {
         # single scalar aggregate (min theta across sketch rows) deciding
         # the merged sketch's threshold

@@ -84,6 +84,11 @@ QUERIES = [
     # are pure narrow expressions; invariance here pins that no
     # partitioning/timezone knob can perturb the emitted samples.
     "context_windows",
+    # r8: Lloyd k-means trajectory — assignment argmin struct ties and
+    # the DECIMAL-exact mean updates must reproduce the same centroid
+    # bits under partition scrambling (iteration t+1 amplifies any
+    # iteration-t drift, so 3 rounds is a sensitive detector).
+    "kmeans_steps",
 ]
 
 # Perturbations of runtime-settable physical knobs. Each tuple is applied on
