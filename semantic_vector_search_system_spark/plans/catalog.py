@@ -1326,6 +1326,15 @@ DEMOTED: tuple[str, ...] = (
                                  #   / brand_price_stats (parked twins) —
                                  #   parked late-r8 for the NEW
                                  #   kmeans_steps
+    "hourly_event_counts",       # hourly tumbling counts ≡
+                                 #   stream_hourly_counts (parked twin,
+                                 #   identical result by construction);
+                                 #   event-time family stays in-window
+                                 #   via stream_dedup_events /
+                                 #   stream_view_purchase_join /
+                                 #   stream_user_totals_stateful +
+                                 #   event_percentiles (keeper) — parked
+                                 #   late-r8 for the NEW dsir_selection
 )
 
 
@@ -4194,3 +4203,57 @@ def kmeans_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = T(spark, sf_dir, "embeddings")
     return kmeans_lloyd(emb, k=8, n_iter=3, strategy="fast")
+
+
+# ---------------------------------------------------------------------------
+# Round 8: DSIR importance selection (hashed n-gram likelihood ratios)
+# ---------------------------------------------------------------------------
+
+@_q(
+    "dsir_selection",
+    f"""
+    WITH toks AS (SELECT doc_id, {_SPLIT_CLEAN} AS t FROM documents),
+    grams AS (
+      SELECT doc_id, g FROM (SELECT doc_id, unnest(t) AS g FROM toks) u
+      UNION ALL
+      SELECT doc_id, t[i] || ' ' || t[i+1] AS g
+      FROM toks, unnest(generate_series(1, len(t)-1)) AS gg(i)
+      WHERE len(t) >= 2),
+    feats AS (SELECT doc_id, {stable_hash64_sql('g')} % 512 AS feat FROM grams),
+    tfc AS (SELECT feat, COUNT(*) AS ct FROM feats WHERE doc_id % 7 = 0 GROUP BY 1),
+    rfc AS (SELECT feat, COUNT(*) AS cr FROM feats WHERE doc_id % 7 <> 0 GROUP BY 1),
+    tt AS (SELECT COUNT(*) AS tn FROM feats WHERE doc_id % 7 = 0),
+    tr AS (SELECT COUNT(*) AS rn FROM feats WHERE doc_id % 7 <> 0),
+    sc AS (SELECT f.doc_id,
+             ROUND(((COALESCE(ct, 0) + 1.0) / (tn + 512))
+                   / ((COALESCE(cr, 0) + 1.0) / (rn + 512)), 12) AS r
+           FROM feats f LEFT JOIN tfc USING (feat) LEFT JOIN rfc USING (feat)
+           CROSS JOIN tt CROSS JOIN tr
+           WHERE f.doc_id % 7 <> 0),
+    rep AS (SELECT doc_id, COUNT(*) AS n_feats,
+              ROUND(CAST(SUM(CAST(r AS DECIMAL(38,12))) AS DOUBLE)
+                    / COUNT(*), 6) AS dsir_score
+            FROM sc GROUP BY doc_id),
+    ranked AS (SELECT doc_id, n_feats, dsir_score,
+                 CAST(ROW_NUMBER() OVER (ORDER BY dsir_score DESC, doc_id)
+                      AS INTEGER) AS rank
+               FROM rep)
+    SELECT doc_id, n_feats, dsir_score, rank FROM ranked WHERE rank <= 50
+    """,
+    tags=("curation", "selection", "dsir", "importance-sampling"),
+)
+def dsir_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-shaped data selection (operators/dsir.py::dsir_topk, Xie et
+    al. 2023): hashed unigram+bigram models of a "curated" target slice
+    (doc_id % 7 == 0) and the raw pool (the rest), per-doc mean
+    likelihood ratio (transcendental-free: three IEEE divisions of
+    exact integers per feature, round-12, DECIMAL mean), global top-50
+    most-target-like raw docs. Count relations are bucket-bounded
+    (<= 512 rows) and broadcast; selection is TakeOrderedAndProject —
+    the make-CommonCrawl-look-like-Wikipedia stage at any scale."""
+    from ..operators.dsir import dsir_topk
+
+    docs = T(spark, sf_dir, "documents")
+    target = docs.filter(F.col("doc_id") % 7 == 0)
+    raw = docs.filter(F.col("doc_id") % 7 != 0)
+    return dsir_topk(raw, target, k=50, n_buckets=512)

@@ -89,6 +89,10 @@ QUERIES = [
     # bits under partition scrambling (iteration t+1 amplifies any
     # iteration-t drift, so 3 rounds is a sensitive detector).
     "kmeans_steps",
+    # r8: DSIR selection — hashed-feature counts, three-division IEEE
+    # ratios, round-12 DECIMAL means and the global top-k tie-break
+    # must survive partition scrambling and join-strategy flips.
+    "dsir_selection",
 ]
 
 # Perturbations of runtime-settable physical knobs. Each tuple is applied on

@@ -1,0 +1,125 @@
+"""DSIR importance selection (operators/dsir.py): python-oracle parity,
+target-likeness behavior, zero-token contract, and the broadcast plan
+gate for the bucket-bounded count relations."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from semantic_vector_search_system_spark.functions.hashing import stable_hash64_py
+from semantic_vector_search_system_spark.operators.dsir import (
+    dsir_topk,
+    hashed_ngram_features,
+)
+
+
+def _docs(spark, texts, start=0):
+    return spark.createDataFrame(
+        [(start + i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+
+
+def _py_feats(text, n_buckets):
+    toks = text.split()
+    grams = list(toks) + [f"{a} {b}" for a, b in zip(toks, toks[1:])]
+    return [stable_hash64_py(g) % n_buckets for g in grams]
+
+
+def _py_dsir(raw, target, k, n_buckets):
+    """Reference: add-one ratios over hashed unigram+bigram instances,
+    round-12 per ratio, exact mean rounded to 6, top-k by (score desc,
+    doc_id)."""
+    from collections import Counter
+    from decimal import Decimal
+
+    ct, cr = Counter(), Counter()
+    for _, t in target:
+        ct.update(_py_feats(t, n_buckets))
+    for _, t in raw:
+        cr.update(_py_feats(t, n_buckets))
+    tn, rn = sum(ct.values()), sum(cr.values())
+    rep = []
+    for did, t in raw:
+        feats = _py_feats(t, n_buckets)
+        if not feats:
+            continue
+        rs = [
+            round(
+                ((ct.get(f, 0) + 1.0) / (tn + n_buckets))
+                / ((cr.get(f, 0) + 1.0) / (rn + n_buckets)),
+                12,
+            )
+            for f in feats
+        ]
+        s = sum((Decimal(repr(r)) for r in rs), Decimal(0))
+        rep.append((did, len(feats), round(float(s) / len(feats), 6)))
+    rep.sort(key=lambda x: (-x[2], x[0]))
+    return [
+        (did, nf, sc, rank + 1) for rank, (did, nf, sc) in enumerate(rep[:k])
+    ]
+
+
+def test_matches_python_oracle(spark):
+    words = ["alpha", "beta", "gamma", "delta", "epsilon", "zeta", "eta"]
+    import random
+
+    rng = random.Random(42)
+    target = [(i, " ".join(rng.choices(words[:4], k=rng.randint(1, 12)))) for i in range(10)]
+    raw = [
+        (100 + i, " ".join(rng.choices(words, k=rng.randint(0, 15))))
+        for i in range(30)
+    ]
+    got = [
+        (r["doc_id"], r["n_feats"], r["dsir_score"], r["rank"])
+        for r in dsir_topk(
+            _docs(spark, [t for _, t in raw], 100),
+            _docs(spark, [t for _, t in target], 0),
+            k=8,
+            n_buckets=64,
+        )
+        .orderBy("rank")
+        .collect()
+    ]
+    assert got == _py_dsir(raw, target, k=8, n_buckets=64)
+
+
+def test_target_vocab_doc_outranks_alien_vocab_doc(spark):
+    target = _docs(spark, ["the quick brown fox jumps"] * 5)
+    raw = _docs(
+        spark,
+        ["the quick brown fox", "zzz qqq xxx www", "the quick zzz"],
+        100,
+    )
+    rows = {r["doc_id"]: r["rank"] for r in dsir_topk(raw, target, k=3).collect()}
+    assert rows[100] < rows[102] < rows[101]
+
+
+def test_zero_token_docs_never_selected(spark):
+    target = _docs(spark, ["common words here"])
+    raw = _docs(spark, ["", "   ", "common words"], 100)
+    got = dsir_topk(raw, target, k=10).collect()
+    assert [r["doc_id"] for r in got] == [102]
+
+
+def test_feature_instances_weighted_by_occurrence(spark):
+    # "a a a" emits 3 unigram + 2 bigram instances — counts, not a set
+    df = _docs(spark, ["a a a"])
+    n = hashed_ngram_features(df, 16).count()
+    assert n == 5
+
+
+def test_count_relations_broadcast_no_feat_shuffle(spark):
+    """100 TB gate: both count relations join the exploded raw side as
+    BroadcastHashJoin — no Exchange keyed on feat anywhere (the only
+    hashpartitioning exchanges are doc-keyed aggregations)."""
+    target = _docs(spark, ["tok one two"] * 4)
+    raw = _docs(spark, ["tok three four", "five six"], 100)
+    out = dsir_topk(raw, target, k=5)
+    plan = out._sc._jvm.PythonSQLUtils.explainString(
+        out._jdf.queryExecution(), "formatted"
+    )
+    assert plan.count("BroadcastHashJoin") >= 2
+    for seg in plan.split("Exchange hashpartitioning")[1:]:
+        head = seg.split("\n")[0]
+        assert "feat" not in head, head
