@@ -66,12 +66,18 @@ def _sq_dist_expr(vec_col: str, cvals: list[float]) -> F.Column:
 def _assign_expr(e: DataFrame, cents: list[tuple[int, list[float]]]) -> DataFrame:
     """Narrow argmin assignment: min over an array of (dist, cent_id)
     structs — ties break on the smaller cent_id, matching the oracle's
-    ``ROW_NUMBER() OVER (ORDER BY dist, cent_id)``."""
+    ``ROW_NUMBER() OVER (ORDER BY dist, cent_id)``. Emits both the
+    winning ``cent_id`` and its (unrounded) distance ``adist``."""
     structs = [
         F.struct(_sq_dist_expr("v", cv).alias("d"), F.lit(int(cid)).alias("cent_id"))
         for cid, cv in cents
     ]
-    return e.withColumn("cent_id", F.array_min(F.array(*structs))["cent_id"])
+    tmp = e.withColumn("_a", F.array_min(F.array(*structs)))
+    return tmp.select(
+        *e.columns,
+        F.col("_a.cent_id").alias("cent_id"),
+        F.col("_a.d").alias("adist"),
+    )
 
 
 def _assign_fast(e: DataFrame, cents: list[tuple[int, list[float]]]) -> DataFrame:
@@ -88,7 +94,7 @@ def _assign_fast(e: DataFrame, cents: list[tuple[int, list[float]]]) -> DataFram
     cids = np.array([c[0] for c in cents], dtype=np.int64)
     C = np.array([c[1] for c in cents], dtype=np.float64)  # k x dim
 
-    schema = "vec_id long, v array<double>, cent_id int"
+    schema = "vec_id long, v array<double>, cent_id int, adist double"
 
     def fn(batches):
         for pdf in batches:
@@ -99,49 +105,28 @@ def _assign_fast(e: DataFrame, cents: list[tuple[int, list[float]]]) -> DataFram
             for j in range(V.shape[1]):
                 d = V[:, j : j + 1] - C[None, :, j][0]
                 acc += d * d
-            best = cids[np.argmin(acc, axis=1)]
+            pos = np.argmin(acc, axis=1)
             yield pd.DataFrame(
                 {
                     "vec_id": pdf["vec_id"].to_numpy(),
                     "v": pdf["v"],
-                    "cent_id": best.astype(np.int32),
+                    "cent_id": cids[pos].astype(np.int32),
+                    "adist": acc[np.arange(len(pdf)), pos],
                 }
             )
 
     return e.mapInPandas(fn, schema=schema)
 
 
-def kmeans_lloyd(
-    emb: DataFrame,
+def _lloyd(
+    e: DataFrame,
     k: int,
     n_iter: int,
-    vec_col: str = "embedding",
-    id_col: str = "vec_id",
-    strategy: str = "expr",
-    round_digits: int = 6,
-) -> DataFrame:
-    """Run ``n_iter`` deterministic Lloyd iterations; return the full
-    centroid TRAJECTORY as a relation ``(iter, cent_id, idx,
-    centroid_val, n_members)`` — one row per populated centroid
-    dimension per iteration (``iter`` starts at 1; empty clusters emit
-    no rows for that iteration and carry their previous centroid
-    forward, exactly as the oracle replays it).
-
-    ``strategy``: ``"expr"`` assigns via the Catalyst expression chain
-    (the oracle face); ``"fast"`` via the Arrow kernel (bitwise-parity
-    tested) — prefer it when k*dim is large enough that codegen'd
-    per-row chains dominate.
-    """
-    if strategy not in ("expr", "fast"):
-        raise ValueError(f"unknown strategy {strategy!r}")
-    if k < 1 or n_iter < 1:
-        raise ValueError("k and n_iter must be >= 1")
-    spark = emb.sparkSession
-    e = emb.select(
-        F.col(id_col).cast("long").alias("vec_id"),
-        F.col(vec_col).cast("array<double>").alias("v"),
-    ).localCheckpoint()
-
+    strategy: str,
+    round_digits: int,
+) -> tuple[list[DataFrame], list[tuple[int, list[float]]]]:
+    """Run the Lloyd loop over a checkpointed ``(vec_id, v)`` relation;
+    return (per-iteration mean relations, final centroids)."""
     init_rows = (
         e.orderBy("vec_id").limit(k).collect()
     )  # k rows, bounded: deterministic smallest-id init (no RNG)
@@ -150,7 +135,6 @@ def kmeans_lloyd(
     cents: list[tuple[int, list[float]]] = [
         (int(r["vec_id"]), [float(x) for x in r["v"]]) for r in init_rows
     ]
-
     assign = _assign_expr if strategy == "expr" else _assign_fast
     outs: list[DataFrame] = []
     for it in range(1, n_iter + 1):
@@ -182,7 +166,39 @@ def kmeans_lloyd(
                 nxt.append((cid, cv))
         cents = nxt
         outs.append(means.withColumn("iter", F.lit(it)))
+    return outs, cents
 
+
+def kmeans_lloyd(
+    emb: DataFrame,
+    k: int,
+    n_iter: int,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    strategy: str = "expr",
+    round_digits: int = 6,
+) -> DataFrame:
+    """Run ``n_iter`` deterministic Lloyd iterations; return the full
+    centroid TRAJECTORY as a relation ``(iter, cent_id, idx,
+    centroid_val, n_members)`` — one row per populated centroid
+    dimension per iteration (``iter`` starts at 1; empty clusters emit
+    no rows for that iteration and carry their previous centroid
+    forward, exactly as the oracle replays it).
+
+    ``strategy``: ``"expr"`` assigns via the Catalyst expression chain
+    (the oracle face); ``"fast"`` via the Arrow kernel (bitwise-parity
+    tested) — prefer it when k*dim is large enough that codegen'd
+    per-row chains dominate.
+    """
+    if strategy not in ("expr", "fast"):
+        raise ValueError(f"unknown strategy {strategy!r}")
+    if k < 1 or n_iter < 1:
+        raise ValueError("k and n_iter must be >= 1")
+    e = emb.select(
+        F.col(id_col).cast("long").alias("vec_id"),
+        F.col(vec_col).cast("array<double>").alias("v"),
+    ).localCheckpoint()
+    outs, _ = _lloyd(e, k, n_iter, strategy, round_digits)
     out = functools.reduce(lambda a, b: a.unionByName(b), outs)
     return out.select(
         "iter", F.col("cent_id").cast("int"), F.col("idx").cast("int"),
@@ -205,3 +221,53 @@ def kmeans_final_centroids(trajectory_or_cents, spark=None) -> DataFrame:
             F.transform("s", lambda x: x["centroid_val"]).alias("cvec"),
         )
     )
+
+
+def prototype_sample(
+    emb: DataFrame,
+    k: int,
+    n_iter: int,
+    per_cluster: int,
+    keep: str = "central",
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    strategy: str = "fast",
+    round_digits: int = 6,
+) -> DataFrame:
+    """Cluster-balanced prototype/coreset selection (the data-pruning
+    shape of Sorscher et al. 2022, "Beyond neural scaling laws"): fit
+    deterministic Lloyd centroids, assign every vector, keep the
+    ``per_cluster`` members per cluster that are CLOSEST to their
+    centroid (``keep="central"`` — prototypical examples, the
+    data-scarce regime) or FARTHEST (``keep="far"`` — hard examples,
+    the data-rich regime). Returns ``(cent_id, vec_id, rank, dist)``
+    with dist = round-6 squared L2 and rank 1 = most kept-worthy
+    (ties on vec_id).
+
+    Per-cluster selection runs through the JVM bounded-heap Aggregator
+    (``rank_topk_heap``): per-partition partial heaps before the
+    exchange, so only ``per_cluster`` rows per (partition, cluster)
+    shuffle — a boilerplate mega-cluster costs its reducer O(partitions
+    * per_cluster), never O(members). Assignment argmin uses the
+    UNROUNDED left-assoc distance (identical to training); the emitted
+    dist and the selection order use the round-6 value so the oracle
+    replays ranking exactly."""
+    if keep not in ("central", "far"):
+        raise ValueError(f"unknown keep {keep!r}")
+    from .search import rank_topk_heap
+
+    e = emb.select(
+        F.col(id_col).cast("long").alias("vec_id"),
+        F.col(vec_col).cast("array<double>").alias("v"),
+    ).localCheckpoint()
+    _, cents = _lloyd(e, k, n_iter, strategy, round_digits)
+    assign = _assign_expr if strategy == "expr" else _assign_fast
+    r6 = F.round(F.col("adist"), 6)
+    scored = assign(e, cents).select(
+        "cent_id",
+        "vec_id",
+        (r6 if keep == "far" else -r6).alias("score"),
+    )
+    top = rank_topk_heap(scored, per_cluster, qid_col="cent_id", id_col="vec_id")
+    dist = F.col("score") if keep == "far" else -F.col("score")
+    return top.select("cent_id", "vec_id", "rank", dist.alias("dist"))

@@ -1335,6 +1335,12 @@ DEMOTED: tuple[str, ...] = (
                                  #   stream_user_totals_stateful +
                                  #   event_percentiles (keeper) — parked
                                  #   late-r8 for the NEW dsir_selection
+    "token_stats_by_lang",       # per-lang token grouping ≡
+                                 #   corpus_vocabulary (in-window, same
+                                 #   tokenize+group family) +
+                                 #   langid_confusion / token_counts_regex
+                                 #   (parked twins) — parked late-r8 for
+                                 #   the NEW prototype_sample
 )
 
 
@@ -4135,12 +4141,14 @@ def _sqdim_sql(a: str, b: str, dim: int) -> str:
     )
 
 
-def _kmeans_oracle_sql(k: int, n_iter: int, dim: int = 64) -> str:
+def _lloyd_ctes(k: int, n_iter: int, dim: int = 64) -> str:
     """Unrolled Lloyd iterations as chained CTEs (the similarity_pagerank
     pattern, vector-space edition): per iteration one cross-join argmin
     assignment (ties on cent_id), one DECIMAL-exact per-dimension mean
     rounded to 6, and an empty-cluster carry-forward — replaying
-    operators/clustering.py ``kmeans_lloyd`` stage for stage."""
+    operators/clustering.py ``kmeans_lloyd`` stage for stage. Returns
+    the WITH body up to c{n_iter}; callers append their tail (the
+    trajectory selects, or the prototype assignment/rank)."""
     sql = f"""
     WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
     c0 AS (SELECT CAST(vec_id AS INTEGER) AS cent_id, v AS cv
@@ -4168,11 +4176,39 @@ def _kmeans_oracle_sql(k: int, n_iter: int, dim: int = 64) -> str:
                UNION ALL
                SELECT c.cent_id, c.cv FROM c{p} c
                WHERE c.cent_id NOT IN (SELECT cent_id FROM m{t}))"""
+    return sql
+
+
+def _kmeans_oracle_sql(k: int, n_iter: int, dim: int = 64) -> str:
     selects = "\n    UNION ALL ".join(
         f"SELECT {t} AS iter, cent_id, idx, centroid_val, n_members FROM m{t}"
         for t in range(1, n_iter + 1)
     )
-    return sql + "\n    " + selects
+    return _lloyd_ctes(k, n_iter, dim) + "\n    " + selects
+
+
+def _prototype_oracle_sql(
+    k: int, n_iter: int, per_cluster: int, keep: str, dim: int = 64
+) -> str:
+    """Lloyd chain + final assignment (UNROUNDED argmin, exactly as in
+    training) + per-cluster rank over the ROUND-6 distance with vec_id
+    ties — replaying operators/clustering.py ``prototype_sample``."""
+    direction = "DESC" if keep == "far" else "ASC"
+    return _lloyd_ctes(k, n_iter, dim) + f"""
+    , dfin AS (SELECT e.vec_id, c.cent_id,
+               {_sqdim_sql('e.v', 'c.cv', dim)} AS dist
+               FROM e CROSS JOIN c{n_iter} c)
+    , afin AS (SELECT vec_id, cent_id, ROUND(dist, 6) AS dist FROM (
+         SELECT vec_id, cent_id, dist,
+                ROW_NUMBER() OVER (PARTITION BY vec_id
+                                   ORDER BY dist, cent_id) AS rn
+         FROM dfin) x WHERE rn = 1)
+    , ranked AS (SELECT cent_id, vec_id,
+                   CAST(ROW_NUMBER() OVER (PARTITION BY cent_id
+                          ORDER BY dist {direction}, vec_id) AS INTEGER) AS rank,
+                   dist
+                 FROM afin)
+    SELECT cent_id, vec_id, rank, dist FROM ranked WHERE rank <= {per_cluster}"""
 
 
 @_q(
@@ -4257,3 +4293,23 @@ def dsir_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
     target = docs.filter(F.col("doc_id") % 7 == 0)
     raw = docs.filter(F.col("doc_id") % 7 != 0)
     return dsir_topk(raw, target, k=50, n_buckets=512)
+
+
+@_q(
+    "prototype_sample",
+    _prototype_oracle_sql(8, 2, 5, "central"),
+    tags=("clustering", "coreset", "data-pruning", "topk"),
+)
+def prototype_sample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-balanced prototype selection (operators/clustering.py::
+    prototype_sample — the Sorscher 2022 data-pruning shape): 2 Lloyd
+    iterations (k=8), then keep the 5 most CENTRAL members per cluster
+    by round-6 squared L2 (ties on vec_id). Selection runs through the
+    JVM bounded-heap Aggregator, so a boilerplate mega-cluster costs
+    its reducer O(partitions * per_cluster), never O(members); the
+    oracle replays training, the UNROUNDED assignment argmin AND the
+    rounded per-cluster ranking."""
+    from ..operators.clustering import prototype_sample
+
+    emb = T(spark, sf_dir, "embeddings")
+    return prototype_sample(emb, k=8, n_iter=2, per_cluster=5, keep="central")

@@ -130,3 +130,72 @@ def test_validation(spark):
         kmeans_lloyd(df, k=1, n_iter=1, strategy="nope")
     with pytest.raises(ValueError):
         kmeans_lloyd(df, k=5, n_iter=1)  # fewer rows than k
+
+
+def test_prototype_sample_central_and_far(spark):
+    """Two well-separated blobs: central keeps each blob's innermost
+    points, far keeps its outliers; the two selections are disjoint at
+    per_cluster < blob size and union to the blob under equality."""
+    from semantic_vector_search_system_spark.operators.clustering import (
+        prototype_sample,
+    )
+
+    blob_a = [[0.0, 0.0], [0.1, 0.0], [0.0, 0.1], [2.0, 2.0]]   # 3 tight + outlier
+    blob_b = [[10.0, 10.0], [10.1, 10.0], [10.0, 10.1], [8.0, 8.0]]
+    emb = _emb(spark, blob_a + blob_b)
+    central = prototype_sample(emb, k=2, n_iter=2, per_cluster=2, keep="central")
+    far = prototype_sample(emb, k=2, n_iter=2, per_cluster=1, keep="far")
+    c_ids = {r["vec_id"] for r in central.collect()}
+    f_ids = {r["vec_id"] for r in far.collect()}
+    assert f_ids == {3, 7}          # the planted outliers
+    assert c_ids.isdisjoint(f_ids)  # prototypes exclude outliers
+    assert c_ids <= {0, 1, 2, 4, 5, 6}
+    # ranks are 1..per_cluster within each cluster, dist ascending
+    rows = sorted(central.collect(), key=lambda r: (r["cent_id"], r["rank"]))
+    for a, b in zip(rows, rows[1:]):
+        if a["cent_id"] == b["cent_id"]:
+            assert a["rank"] + 1 == b["rank"] and a["dist"] <= b["dist"]
+
+
+def test_prototype_sample_matches_python_reference(spark):
+    """End-to-end vs a python replay: Lloyd fit (shared reference),
+    unrounded argmin assignment, round-6 rank with vec_id ties."""
+    from semantic_vector_search_system_spark.operators.clustering import (
+        prototype_sample,
+    )
+
+    rng = np.random.default_rng(5)
+    vecs = np.round(rng.normal(size=(30, 4)), 3)
+    k, n_iter, m = 3, 2, 4
+    # reference centroids from _py_lloyd's final iteration
+    traj = _py_lloyd(vecs, k, n_iter)
+    cents = {}
+    for it, cid, idx, val, _ in traj:
+        if it == n_iter:
+            cents.setdefault(cid, {})[idx] = val
+    cdict = {cid: [by[i] for i in sorted(by)] for cid, by in cents.items()}
+    for cid in range(k):
+        cdict.setdefault(cid, list(map(float, vecs[cid])))
+    ref = []
+    for i, v in enumerate(vecs):
+        best = None
+        for cid in sorted(cdict):
+            d, first = 0.0, True
+            for x, c in zip(v, cdict[cid]):
+                t = (float(x) - c) * (float(x) - c)
+                d = t if first else d + t
+                first = False
+            if best is None or d < best[0] or (d == best[0] and cid < best[1]):
+                best = (d, cid)
+        ref.append((best[1], i, round(best[0], 6)))
+    out = []
+    for cid in sorted({c for c, _, _ in ref}):
+        members = sorted(
+            [(d, i) for c, i, d in ref if c == cid]
+        )[:m]
+        out += [(cid, i, r + 1, d) for r, (d, i) in enumerate(members)]
+    got = sorted(
+        (r["cent_id"], r["vec_id"], r["rank"], r["dist"])
+        for r in prototype_sample(_emb(spark, vecs), k, n_iter, m).collect()
+    )
+    assert got == sorted(out)

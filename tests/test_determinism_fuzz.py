@@ -93,6 +93,10 @@ QUERIES = [
     # ratios, round-12 DECIMAL means and the global top-k tie-break
     # must survive partition scrambling and join-strategy flips.
     "dsir_selection",
+    # r8: prototype selection — the Lloyd chain's determinism plus the
+    # bounded-heap per-cluster rank (round-6 dist, vec_id ties) must be
+    # invariant to partition scrambling.
+    "prototype_sample",
 ]
 
 # Perturbations of runtime-settable physical knobs. Each tuple is applied on
