@@ -850,6 +850,64 @@ def main() -> None:
             "repeats": 2, "spread": spread, "since_round": 8,
         }
         emit(timings, query_meta, sf, partial=True)
+
+        # DSIR selection over the same 1M docs (r8c): hashed-ngram
+        # importance ratios (111M token instances -> ~220M grams), the
+        # Arrow-kernel face with memoized digests and driver-exact
+        # integer ratios (bitwise-parity-tested vs the oracle's
+        # expression face, which measured >9 min on this corpus —
+        # per-gram md5 expressions + a 10^8-row DECIMAL aggregation).
+        from semantic_vector_search_system_spark.operators.dsir import dsir_topk
+
+        _idn = F.substring("id", 2, 18).cast("long")
+        timings["dsir_select_1000000_docs"], spread = best_of(
+            lambda: dsir_topk(
+                docs.filter(_idn % 97 != 0), docs.filter(_idn % 97 == 0),
+                k=1000, n_buckets=4096, doc_id="id", strategy="fast",
+            ).write.format("noop").mode("overwrite").save(),
+            2,
+        )
+        query_meta["dsir_select_1000000_docs"] = {
+            "repeats": 2, "spread": spread, "since_round": 8,
+            "strategy": "fast (expr face >9min at this scale; "
+            "bitwise-parity-tested)",
+        }
+        emit(timings, query_meta, sf, partial=True)
+
+        # Deterministic Lloyd k-means in its documented at-scale shape
+        # (r8c): fit k=64 on a 200k sample (2 iterations, DECIMAL-exact
+        # updates), then one distributed full-corpus assignment of the
+        # 1M x 64 vectors through the bitwise-parity Arrow kernel. The
+        # full-corpus-fit variant prices at ~16.5 s/iteration (the
+        # oracle-exact 64M-row DECIMAL update); the sample-fit shape is
+        # what the operator docstring prescribes at 100 TB.
+        from semantic_vector_search_system_spark.operators.clustering import (
+            _assign_fast,
+            _lloyd,
+        )
+
+        enc64 = HashingEncoderFast(dim=64)
+        kvec = enc64.encode(docs).select(
+            _idn.alias("vec_id"), F.col("vec").cast("array<double>").alias("v")
+        ).localCheckpoint()
+
+        def run_kmeans_1m() -> float:
+            t0 = time.time()
+            sample = kvec.filter(F.col("vec_id") % 5 == 0).localCheckpoint()
+            _, cents = _lloyd(sample, 64, 2, "fast", 6)
+            _assign_fast(kvec, cents).write.format("noop").mode(
+                "overwrite"
+            ).save()
+            return time.time() - t0
+
+        k1, k2 = run_kmeans_1m(), run_kmeans_1m()
+        timings["kmeans_fit200k_assign_1000000_docs"] = round(min(k1, k2), 3)
+        query_meta["kmeans_fit200k_assign_1000000_docs"] = {
+            "repeats": 2, "spread": round(abs(k1 - k2), 3),
+            "since_round": 8, "k": 64, "iters": 2, "dim": 64,
+            "shape": "sample-fit + distributed full assign",
+        }
+        emit(timings, query_meta, sf, partial=True)
         docs.unpersist()
 
     # Stop FIRST, then print the authoritative final line (r4 lesson,

@@ -86,7 +86,13 @@ def _assign_fast(e: DataFrame, cents: list[tuple[int, list[float]]]) -> DataFram
     dim — IEEE ``0.0 + t1 == t1`` for non-negative t1, so the fold equals
     the expression chain bit-for-bit); ties resolve to the smallest
     cent_id because the centroid matrix is cid-sorted and ``argmin``
-    returns the first minimum."""
+    returns the first minimum.
+
+    Output is SKINNY ``(vec_id, cent_id, adist)`` — the vector column is
+    NOT passed through (the semdedup transport finding: Arrow re-encode
+    of the vec column OUT of Python dominates a fused carry); callers
+    that need the vectors join back on vec_id (the measured "fast_join"
+    winner)."""
     import numpy as np
     import pandas as pd
 
@@ -94,7 +100,7 @@ def _assign_fast(e: DataFrame, cents: list[tuple[int, list[float]]]) -> DataFram
     cids = np.array([c[0] for c in cents], dtype=np.int64)
     C = np.array([c[1] for c in cents], dtype=np.float64)  # k x dim
 
-    schema = "vec_id long, v array<double>, cent_id int, adist double"
+    schema = "vec_id long, cent_id int, adist double"
 
     def fn(batches):
         for pdf in batches:
@@ -109,13 +115,24 @@ def _assign_fast(e: DataFrame, cents: list[tuple[int, list[float]]]) -> DataFram
             yield pd.DataFrame(
                 {
                     "vec_id": pdf["vec_id"].to_numpy(),
-                    "v": pdf["v"],
                     "cent_id": cids[pos].astype(np.int32),
                     "adist": acc[np.arange(len(pdf)), pos],
                 }
             )
 
     return e.mapInPandas(fn, schema=schema)
+
+
+def _require_integral_id(df: DataFrame, id_col: str) -> None:
+    """The smallest-id init and the smaller-id tie rule need a numeric
+    id (a string id would order lexicographically AND fail the long
+    cast row-by-row mid-job) — reject up front with a usable message."""
+    t = dict(df.dtypes)[id_col]
+    if t not in ("bigint", "int", "smallint", "tinyint"):
+        raise TypeError(
+            f"kmeans id column {id_col!r} must be integral, got {t} — "
+            "derive one (e.g. F.substring(id, 2, 18).cast('long')) first"
+        )
 
 
 def _lloyd(
@@ -139,6 +156,8 @@ def _lloyd(
     outs: list[DataFrame] = []
     for it in range(1, n_iter + 1):
         assigned = assign(e, cents)
+        if "v" not in assigned.columns:  # skinny kernel: join vectors back
+            assigned = assigned.join(e, "vec_id")
         means = (
             assigned.select("cent_id", F.posexplode("v").alias("idx", "val"))
             .groupBy("cent_id", "idx")
@@ -194,6 +213,7 @@ def kmeans_lloyd(
         raise ValueError(f"unknown strategy {strategy!r}")
     if k < 1 or n_iter < 1:
         raise ValueError("k and n_iter must be >= 1")
+    _require_integral_id(emb, id_col)
     e = emb.select(
         F.col(id_col).cast("long").alias("vec_id"),
         F.col(vec_col).cast("array<double>").alias("v"),
@@ -254,6 +274,7 @@ def prototype_sample(
     replays ranking exactly."""
     if keep not in ("central", "far"):
         raise ValueError(f"unknown keep {keep!r}")
+    _require_integral_id(emb, id_col)
     from .search import rank_topk_heap
 
     e = emb.select(

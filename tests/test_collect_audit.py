@@ -120,6 +120,11 @@ ALLOWED: dict[str, dict[str, int]] = {
         # driver traffic that REPLACES a single-partition global sort
         'for r in parts.groupBy(_PID).agg(F.count("*").alias("n")).collect()': 1,
     },
+    "operators/dsir.py": {
+        # corpus feature counts: bucket-bounded (<= n_buckets rows) — the
+        # same size as the broadcast the expr face ships the other way
+        'rows = parts.groupBy("feat").agg(F.sum("pc").alias("c")).collect()': 1,
+    },
     "operators/clustering.py": {
         # smallest-id init rows: limit(k)-bounded (deterministic no-RNG init)
         "e.orderBy(\"vec_id\").limit(k).collect()": 1,

@@ -123,3 +123,28 @@ def test_count_relations_broadcast_no_feat_shuffle(spark):
     for seg in plan.split("Exchange hashpartitioning")[1:]:
         head = seg.split("\n")[0]
         assert "feat" not in head, head
+
+
+def test_fast_strategy_bitwise_identical(spark):
+    """The Arrow-kernel face reproduces the expression face exactly:
+    same memoized md5 bucketing, exact integer ratio sums, identical
+    cast/divide/round chain."""
+    import random
+
+    words = ["alpha", "beta", "gamma", "delta", "epsilon", "zeta", "eta",
+             "theta", "iota"]
+    rng = random.Random(9)
+    target = _docs(spark, [" ".join(rng.choices(words[:5], k=rng.randint(1, 20))) for _ in range(15)])
+    raw = _docs(
+        spark,
+        ["", "   "] + [" ".join(rng.choices(words, k=rng.randint(0, 25))) for _ in range(40)],
+        100,
+    )
+    a = sorted(map(tuple, dsir_topk(raw, target, k=12, n_buckets=64).collect()))
+    b = sorted(
+        map(
+            tuple,
+            dsir_topk(raw, target, k=12, n_buckets=64, strategy="fast").collect(),
+        )
+    )
+    assert a == b
