@@ -53,3 +53,15 @@ def sanitize_model_name(col: Column | str) -> Column:
     """``model.replace('/', '_')`` (reference `run_experiments.py:113`)."""
     c = F.col(col) if isinstance(col, str) else col
     return F.regexp_replace(c, "/", "_")
+
+def normalize_text(col: Column | str) -> Column:
+    """C4-style ASCII text normalization for dedup keys: lowercase,
+    punctuation -> space, whitespace runs collapsed, trimmed. Case and
+    punctuation variants of the same content ("Hello, World!" vs
+    "hello world") normalize to one string; [a-z0-9] + whitespace is
+    the identical character class in Java regex (Spark) and RE2
+    (DuckDB), so the key is engine-portable."""
+    c = F.col(col) if isinstance(col, str) else col
+    c = F.lower(c)
+    c = F.regexp_replace(c, r"[^a-z0-9\s]", " ")
+    return F.trim(F.regexp_replace(c, r"\s+", " "))

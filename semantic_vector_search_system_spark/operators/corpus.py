@@ -310,3 +310,45 @@ def deterministic_shuffle(
         "shard",
         (F.col("__g") - F.col("__o") + 1).alias("pos"),
     )
+
+
+def leakage_safe_splits(
+    docs: DataFrame,
+    pairs: DataFrame,
+    weights: dict[str, int],
+    seed: int = 0,
+    id_col: str = "doc_id",
+    src_col: str = "id_a",
+    dst_col: str = "id_b",
+) -> DataFrame:
+    """Train/val/test assignment that near-duplicates can NEVER straddle:
+    hash the near-dup COMPONENT label, not the document id.
+
+    Plain content-hash splits (``dataset_splits``) leak: two near-copies
+    of one page land in train and test independently, and the eval set
+    scores memorization. Here the LSH pair relation (any near-dup edge
+    list) collapses into connected components; every document's split
+    key is its component's min id (its own id when it has no near-dups),
+    so an entire duplicate cluster moves between splits as one unit —
+    the leakage-safe split discipline of careful LM data work, and the
+    split-time complement of dedup (use BOTH: dedup shrinks clusters,
+    this guarantees whatever survives cannot straddle).
+
+    Returns ``(doc_id, group_key, split)``. Scale: components are
+    O(near-duplicate nodes) — a tiny relation vs the corpus — joined
+    once; the split is a pure hash expression (reproducible under
+    retries, engines, incremental growth: new members of an existing
+    cluster inherit its split)."""
+    from ..functions.sampling import split_assign
+    from .dedup import connected_components
+
+    comp = connected_components(pairs, src_col=src_col, dst_col=dst_col)
+    d = docs.join(
+        comp.withColumnRenamed("node", id_col), id_col, "left"
+    ).select(
+        F.col(id_col),
+        F.coalesce(F.col("component"), F.col(id_col)).alias("group_key"),
+    )
+    return d.withColumn(
+        "split", split_assign(F.col("group_key"), weights, seed=seed)
+    )

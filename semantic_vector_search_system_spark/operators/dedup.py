@@ -41,6 +41,37 @@ def exact_dedup(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text")
     )
 
 
+def normalized_exact_dedup(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Exact dedup AFTER C4-style normalization (lowercase, strip
+    punctuation, collapse whitespace): catches the case/punctuation
+    near-copies plain :func:`exact_dedup` misses — the normalize-then-
+    hash stage production pipelines run between exact and fuzzy dedup.
+
+    Returns ``(norm_hash, n_copies, canonical_id, n_raw_variants)`` —
+    canonical = min id; ``n_raw_variants`` counts the DISTINCT raw
+    strings collapsing into the group (1 = plain exact-dup cluster,
+    >1 = the normalization earned its keep). Same scale shape as
+    exact_dedup: one hash-keyed aggregation with map-side partials; the
+    distinct-count is per-group exact (bounded by group size)."""
+    from ..functions.text import normalize_text
+
+    return (
+        docs.select(
+            F.md5(normalize_text(F.col(text_col))).alias("norm_hash"),
+            F.col(id_col),
+            F.col(text_col),
+        )
+        .groupBy("norm_hash")
+        .agg(
+            F.count("*").alias("n_copies"),
+            F.min(id_col).alias("canonical_id"),
+            F.count_distinct(text_col).alias("n_raw_variants"),
+        )
+    )
+
+
 def shingle_sets(
     docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 3
 ) -> DataFrame:

@@ -1341,6 +1341,23 @@ DEMOTED: tuple[str, ...] = (
                                  #   langid_confusion / token_counts_regex
                                  #   (parked twins) — parked late-r8 for
                                  #   the NEW prototype_sample
+    "revenue_filter",            # P4 compound filter ≡ knn_hybrid_filtered
+                                 #   (in-window P3 pre-filter, pushdown
+                                 #   asserted) + urgent_orders_by_year
+                                 #   (parked twin); PushedFilters also
+                                 #   plan-gated in tests/test_plans.py —
+                                 #   parked late-r8 for the NEW
+                                 #   normalized_exact_dedup
+    "stream_dedup_events",       # streaming watermark dedup ≡
+                                 #   stream_user_totals_stateful +
+                                 #   stream_view_purchase_join (in-window
+                                 #   streaming keepers) + exact_dedup
+                                 #   family via normalized_exact_dedup
+                                 #   (in-window NEW); the
+                                 #   dropDuplicatesWithinWatermark path
+                                 #   stays pytest-covered — parked
+                                 #   late-r8 for the NEW
+                                 #   leakage_safe_splits
 )
 
 
@@ -4313,3 +4330,95 @@ def prototype_sample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = T(spark, sf_dir, "embeddings")
     return prototype_sample(emb, k=8, n_iter=2, per_cluster=5, keep="central")
+
+
+# ---------------------------------------------------------------------------
+# Round 8: normalize-then-hash dedup + leakage-safe splits
+# ---------------------------------------------------------------------------
+
+@_q(
+    "normalized_exact_dedup",
+    r"""
+    WITH n AS (SELECT doc_id, text,
+         trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', ' ', 'g'),
+                             '\s+', ' ', 'g')) AS norm
+         FROM documents)
+    SELECT md5(norm) AS norm_hash, COUNT(*) AS n_copies,
+           MIN(doc_id) AS canonical_id,
+           CAST(COUNT(DISTINCT text) AS BIGINT) AS n_raw_variants
+    FROM n GROUP BY md5(norm)
+    """,
+    tags=("dedup", "exact", "normalization", "curation"),
+)
+def normalized_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup after C4-style normalization (operators/dedup.py::
+    normalized_exact_dedup; functions/text.py::normalize_text): catches
+    the case/punctuation near-copies raw content hashing misses —
+    the normalize-then-hash stage between exact and fuzzy dedup.
+    [a-z0-9]+whitespace is the identical character class in Java regex
+    and RE2, so the group key is engine-portable; one hash-keyed
+    aggregation with map-side partials (the exact_dedup scale shape)."""
+    return dd.normalized_exact_dedup(T(spark, sf_dir, "documents"))
+
+
+@_q(
+    "leakage_safe_splits",
+    f"""
+    WITH RECURSIVE toks AS (SELECT doc_id, {_SPLIT} AS t FROM documents),
+    shl AS (SELECT doc_id,
+                   list_transform(range(1, greatest(len(t) - 2, 1) + 1),
+                                  i -> array_to_string(t[i:i+2], ' ')) AS shingles
+            FROM toks),
+    sh AS (SELECT DISTINCT doc_id, shingle
+           FROM (SELECT doc_id, unnest(shingles) AS shingle FROM shl) u),
+    hh AS (SELECT doc_id,
+                  CAST(CAST(CONCAT('0x', substr(md5(shingle), 1, 15)) AS UBIGINT) AS BIGINT) AS h1,
+                  CAST(CAST(CONCAT('0x', substr(md5(shingle), 16, 10)) AS UBIGINT) AS BIGINT) AS h2
+           FROM sh),
+    seeds AS (SELECT unnest(range(8)) AS seed),
+    mh AS (SELECT doc_id, seed, MIN((h1 + seed * h2) % {1 << 60}) AS minhash
+           FROM hh CROSS JOIN seeds GROUP BY doc_id, seed),
+    bands AS (SELECT doc_id, seed // 2 AS band,
+                     md5(string_agg(CAST(minhash AS VARCHAR), ',' ORDER BY seed)) AS band_sig
+              FROM mh GROUP BY doc_id, seed // 2),
+    pairs AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+              FROM bands a JOIN bands b
+                ON a.band = b.band AND a.band_sig = b.band_sig
+               AND a.doc_id < b.doc_id),
+    und AS (SELECT id_a AS s, id_b AS d FROM pairs
+            UNION ALL SELECT id_b AS s, id_a AS d FROM pairs),
+    reach(node, lbl) AS (
+        SELECT DISTINCT s, s FROM und
+        UNION
+        SELECT u.d, r.lbl FROM reach r JOIN und u ON u.s = r.node
+    ),
+    comp AS (SELECT node, MIN(lbl) AS component FROM reach GROUP BY node),
+    g AS (SELECT d.doc_id, COALESCE(c.component, d.doc_id) AS group_key
+          FROM documents d LEFT JOIN comp c ON c.node = d.doc_id),
+    b AS (SELECT doc_id, group_key,
+            {stable_hash64_sql("CONCAT('7:', CAST(group_key AS VARCHAR))")} % 10 AS bucket
+          FROM g)
+    SELECT doc_id, group_key,
+      CASE WHEN bucket < 8 THEN 'train' WHEN bucket < 9 THEN 'val'
+           ELSE 'test' END AS split
+    FROM b
+    """,
+    tags=("sampling", "splits", "dedup", "curation", "graph"),
+)
+def leakage_safe_splits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup-aware train/val/test assignment (operators/corpus.py::
+    leakage_safe_splits): the split key is the near-duplicate
+    COMPONENT's min id (own id for singletons), so a duplicate cluster
+    can never straddle train and eval — the leakage-safe discipline
+    plain content-hash splits (dataset_splits) lack. The oracle replays
+    the full LSH signature->band->pair chain, a recursive-CTE
+    transitive closure AND the hash split, so a wrong component label
+    OR a wrong bucket both hash-mismatch."""
+    from ..operators.corpus import leakage_safe_splits as _lss
+
+    docs = T(spark, sf_dir, "documents")
+    sigs = dd.minhash_signatures_fast(
+        TP(spark, sf_dir, "documents"), num_hashes=8, shingle_n=3
+    )
+    pairs = dd.lsh_candidate_pairs(sigs, rows_per_band=2)
+    return _lss(docs, pairs, {"train": 8, "val": 1, "test": 1}, seed=7)

@@ -97,6 +97,11 @@ QUERIES = [
     # bounded-heap per-cluster rank (round-6 dist, vec_id ties) must be
     # invariant to partition scrambling.
     "prototype_sample",
+    # r8: leakage-safe splits — LSH chain + min-label components + the
+    # hash split must yield identical (doc, group, split) under
+    # partition scrambling and join flips (a wrong component label under
+    # AQE re-plan would silently move docs across splits).
+    "leakage_safe_splits",
 ]
 
 # Perturbations of runtime-settable physical knobs. Each tuple is applied on
