@@ -256,3 +256,110 @@ def _dsir_topk_fast(
     top = rep.orderBy(F.col("dsir_score").desc(), F.col(doc_id)).limit(k)
     w = Window.orderBy(F.col("dsir_score").desc(), F.col(doc_id))
     return top.withColumn("rank", F.row_number().over(w).cast("int"))
+
+
+def write_dsir_model(
+    raw_docs: DataFrame,
+    target_docs: DataFrame,
+    table_prefix: str,
+    *,
+    n_buckets: int = 512,
+    text_col: str = "text",
+) -> dict:
+    """Fit and PERSIST the DSIR importance model as warehouse tables —
+    the selection-family analog of ``write_bm25_index``: a crawl-loop
+    scorer reads the per-feature ratio relation from storage and never
+    re-counts either training corpus.
+
+    Writes ``<prefix>_ratios`` — ONE row per feature bucket ``(feat, r,
+    int_r)`` with ``r`` the round-12 likelihood ratio (the exact value
+    the expr face computes) and ``int_r`` its exact 1e-12-scaled
+    integer (what the fast face sums) — and ``<prefix>_meta`` (one row:
+    n_buckets plus the four count totals, so a batch hashed under a
+    different width can never silently probe an incompatible model).
+    The whole model is <= n_buckets rows: the 100 TB corpora compress
+    to kilobytes of serving state."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    spark = raw_docs.sparkSession
+    ct, tn = _fast_counts(target_docs, n_buckets, text_col)
+    cr, rn = _fast_counts(raw_docs, n_buckets, text_col)
+    q12 = Decimal("1e-12")
+    rows = []
+    for f in range(n_buckets):
+        r = ((ct.get(f, 0) + 1.0) / (tn + n_buckets)) / (
+            (cr.get(f, 0) + 1.0) / (rn + n_buckets)
+        )
+        q = Decimal(r).quantize(q12, rounding=ROUND_HALF_UP)
+        rows.append((f, float(q), int(q / q12)))
+    spark.createDataFrame(
+        rows, "feat long, r double, int_r long"
+    ).write.mode("overwrite").format("parquet").saveAsTable(
+        f"{table_prefix}_ratios"
+    )
+    meta = {"n_buckets": n_buckets, "tn": tn, "rn": rn}
+    spark.createDataFrame(
+        [(n_buckets, tn, rn)], "n_buckets int, tn long, rn long"
+    ).write.mode("overwrite").format("parquet").saveAsTable(
+        f"{table_prefix}_meta"
+    )
+    return meta
+
+
+def dsir_score_batch(
+    batch_docs: DataFrame,
+    table_prefix: str,
+    k: int = 50,
+    text_col: str = "text",
+    doc_id: str = "doc_id",
+) -> DataFrame:
+    """Score a NEW batch against the STORED importance model — the
+    daily-crawl serving loop: the training corpora are never re-read;
+    the model is the <= n_buckets-row ratio relation. Batch-equivalence
+    contract (tested): scoring the training raw pool through this
+    function reproduces ``dsir_topk`` exactly. Same kernel as the fast
+    face (memoized digests, exact integer sums), ratios from storage."""
+    spark = batch_docs.sparkSession
+    meta = spark.read.table(f"{table_prefix}_meta").first().asDict()
+    n_buckets = int(meta["n_buckets"])
+    int_r = {
+        int(r["feat"]): int(r["int_r"])
+        for r in spark.read.table(f"{table_prefix}_ratios").collect()
+    }  # bounded: n_buckets rows (the whole stored model)
+    from decimal import ROUND_HALF_UP, Decimal
+
+    _, feat_of = _count_kernel(n_buckets, text_col)
+
+    def score_fn(batches):
+        import pandas as pd
+        from collections import Counter
+
+        q6 = Decimal("1e-6")
+        for pdf in batches:
+            ids, nfs, scs = [], [], []
+            for did, t in zip(pdf[doc_id], pdf[text_col]):
+                if not t:
+                    continue
+                c: Counter = Counter()
+                for g in _py_grams(t):
+                    c[feat_of(g)] += 1
+                n = sum(c.values())
+                if n == 0:
+                    continue
+                total = sum(cnt * int_r[f] for f, cnt in c.items())
+                mean = float(Decimal(total).scaleb(-12)) / float(n)
+                ids.append(did)
+                nfs.append(n)
+                scs.append(float(Decimal(mean).quantize(q6, rounding=ROUND_HALF_UP)))
+            if ids:
+                yield pd.DataFrame(
+                    {doc_id: ids, "n_feats": nfs, "dsir_score": scs}
+                )
+
+    id_type = dict(batch_docs.dtypes)[doc_id]
+    rep = batch_docs.select(doc_id, text_col).mapInPandas(
+        score_fn, schema=f"{doc_id} {id_type}, n_feats long, dsir_score double"
+    )
+    top = rep.orderBy(F.col("dsir_score").desc(), F.col(doc_id)).limit(k)
+    w = Window.orderBy(F.col("dsir_score").desc(), F.col(doc_id))
+    return top.withColumn("rank", F.row_number().over(w).cast("int"))

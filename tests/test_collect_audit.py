@@ -124,6 +124,8 @@ ALLOWED: dict[str, dict[str, int]] = {
         # corpus feature counts: bucket-bounded (<= n_buckets rows) — the
         # same size as the broadcast the expr face ships the other way
         'rows = parts.groupBy("feat").agg(F.sum("pc").alias("c")).collect()': 1,
+        # the stored serving model IS n_buckets rows by construction
+        'for r in spark.read.table(f"{table_prefix}_ratios").collect()': 1,
     },
     "operators/clustering.py": {
         # smallest-id init rows: limit(k)-bounded (deterministic no-RNG init)

@@ -148,3 +148,39 @@ def test_fast_strategy_bitwise_identical(spark):
         )
     )
     assert a == b
+
+
+def test_stored_model_batch_equivalence(spark):
+    """Serving contract: scoring the training raw pool against the
+    STORED ratio tables reproduces dsir_topk exactly, and a disjoint
+    new batch scores through the same model without re-reading either
+    training corpus."""
+    import random
+
+    from semantic_vector_search_system_spark.operators.dsir import (
+        dsir_score_batch,
+        write_dsir_model,
+    )
+
+    words = ["alpha", "beta", "gamma", "delta", "epsilon", "zeta"]
+    rng = random.Random(21)
+    target = _docs(spark, [" ".join(rng.choices(words[:4], k=rng.randint(2, 15))) for _ in range(12)])
+    raw = _docs(spark, [" ".join(rng.choices(words, k=rng.randint(1, 18))) for _ in range(25)], 100)
+    for t in ("dsirm_ratios", "dsirm_meta"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+    try:
+        meta = write_dsir_model(raw, target, "dsirm", n_buckets=64)
+        assert meta["n_buckets"] == 64
+        a = sorted(map(tuple, dsir_topk(raw, target, k=10, n_buckets=64).collect()))
+        b = sorted(map(tuple, dsir_score_batch(raw, "dsirm", k=10).collect()))
+        assert a == b
+        # the stored model is exactly n_buckets rows
+        assert spark.read.table("dsirm_ratios").count() == 64
+        # a new batch scores through the stored model (no training reads)
+        batch = _docs(spark, ["alpha beta alpha", "zzz yyy"], 500)
+        got = {r["doc_id"]: r["rank"] for r in
+               dsir_score_batch(batch, "dsirm", k=2).collect()}
+        assert got[500] == 1 and got[501] == 2  # target-vocab doc wins
+    finally:
+        for t in ("dsirm_ratios", "dsirm_meta"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
