@@ -1358,6 +1358,14 @@ DEMOTED: tuple[str, ...] = (
                                  #   stays pytest-covered — parked
                                  #   late-r8 for the NEW
                                  #   leakage_safe_splits
+    "cube_order_stats",          # grouping sets ≡ rollup_pricing /
+                                 #   region_customer_rollup (parked
+                                 #   twins; pure-Catalyst CUBE, stable
+                                 #   every round since r4) +
+                                 #   pricing_summary (in-window agg
+                                 #   keeper) — parked late-r8 for the
+                                 #   NEW mmr_diversified_topk; family
+                                 #   returns r9
 )
 
 
@@ -4422,3 +4430,83 @@ def leakage_safe_splits(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     pairs = dd.lsh_candidate_pairs(sigs, rows_per_band=2)
     return _lss(docs, pairs, {"train": 8, "val": 1, "test": 1}, seed=7)
+
+
+# ---------------------------------------------------------------------------
+# Round 8: MMR result diversification (unrolled greedy oracle)
+# ---------------------------------------------------------------------------
+
+def _dot_sql(a: str, b: str, dim: int) -> str:
+    """Left-assoc dot chain (operators/diversify.py ``_dot_expr`` mirror)."""
+    return " + ".join(f"{a}[{i}] * {b}[{i}]" for i in range(1, dim + 1))
+
+
+def _mmr_oracle_sql(k: int, pool: int, n_queries: int = 5, dim: int = 64) -> str:
+    """Greedy MMR unrolled step by step: pool = per-query top-``pool`` by
+    round-12 dot; step 1 = argmax relevance; each later step picks
+    argmax(0.5*rel - 0.5*max round-12 similarity to the selected set),
+    ties on docid — replaying operators/diversify.py ``mmr_rerank``."""
+    sql = f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < {n_queries}),
+    sc AS (SELECT q.qid, e.vec_id AS docid, e.v AS dv,
+                  ROUND({_dot_sql('q.qv', 'e.v', dim)}, 12) AS rel
+           FROM q CROSS JOIN e),
+    cand AS (SELECT qid, docid, dv, rel FROM (
+        SELECT qid, docid, dv, rel,
+               ROW_NUMBER() OVER (PARTITION BY qid
+                                  ORDER BY rel DESC, docid) AS rn
+        FROM sc) x WHERE rn <= {pool}),
+    sel1 AS (SELECT qid, docid, dv, rel, 1 AS step FROM (
+        SELECT qid, docid, dv, rel,
+               ROW_NUMBER() OVER (PARTITION BY qid
+                                  ORDER BY rel DESC, docid) AS rn
+        FROM cand) x WHERE rn = 1)"""
+    for t in range(1, k):
+        sql += f"""
+    , rem{t} AS (SELECT c.* FROM cand c LEFT JOIN sel{t} s
+                 ON s.qid = c.qid AND s.docid = c.docid
+                 WHERE s.docid IS NULL)
+    , ms{t} AS (SELECT r.qid, r.docid,
+                  MAX(ROUND({_dot_sql('r.dv', 's.dv', dim)}, 12)) AS msim
+                FROM rem{t} r JOIN sel{t} s ON s.qid = r.qid
+                GROUP BY r.qid, r.docid)
+    , pick{t} AS (SELECT qid, docid FROM (
+        SELECT m.qid, m.docid,
+               ROW_NUMBER() OVER (PARTITION BY m.qid
+                  ORDER BY 0.5 * r.rel - 0.5 * m.msim DESC, m.docid) AS rn
+        FROM ms{t} m JOIN rem{t} r
+          ON r.qid = m.qid AND r.docid = m.docid) x
+        WHERE rn = 1)
+    , sel{t + 1} AS (SELECT * FROM sel{t}
+        UNION ALL
+        SELECT c.qid, c.docid, c.dv, c.rel, {t + 1} AS step
+        FROM cand c JOIN pick{t} p
+          ON p.qid = c.qid AND p.docid = c.docid)"""
+    return sql + f"""
+    SELECT qid, docid, step, ROUND(rel, 6) AS rel FROM sel{k}"""
+
+
+@_q(
+    "mmr_diversified_topk",
+    _mmr_oracle_sql(5, 10),
+    tags=("vector-search", "diversification", "mmr", "rerank"),
+)
+def mmr_diversified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MMR-diversified top-5 (operators/diversify.py::mmr_rerank,
+    Carbonell & Goldstein 1998): queries vec_id 0-4, per-query pool =
+    top-10 by pinned round-12 dot, greedy picks maximize 0.5*rel -
+    0.5*max-similarity-to-selected with docid ties — result
+    diversification / search-time dedup for near-duplicate-heavy
+    corpora. The oracle unrolls all five greedy steps (pool ranking,
+    marginal maxima, tie rule), so any trajectory divergence
+    hash-mismatches; the applyInPandas kernel works over the BOUNDED
+    pool only (at scale the ANN stack feeds it)."""
+    from ..operators.diversify import mmr_rerank
+
+    emb = T(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    d = emb.select(F.col("vec_id").alias("docid"), F.col("embedding").alias("v"))
+    return mmr_rerank(q, d, k=5, pool_size=10)

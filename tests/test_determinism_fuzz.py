@@ -102,6 +102,9 @@ QUERIES = [
     # partition scrambling and join flips (a wrong component label under
     # AQE re-plan would silently move docs across splits).
     "leakage_safe_splits",
+    # r8: MMR — greedy trajectories amplify any pool-ranking or marginal
+    # drift; round-12 dots + docid ties must hold under scrambling.
+    "mmr_diversified_topk",
 ]
 
 # Perturbations of runtime-settable physical knobs. Each tuple is applied on
