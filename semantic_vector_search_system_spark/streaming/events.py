@@ -420,3 +420,48 @@ def streaming_semdedup_foreach_batch(
         .start()
     )
     q.awaitTermination()
+
+
+def streaming_dsir_score_foreach_batch(
+    spark: SparkSession,
+    docs_stream: DataFrame,
+    model_prefix: str,
+    out_path: str,
+    accept_threshold: float | None = None,
+    checkpoint: str | None = None,
+) -> None:
+    """Streaming DSIR gating: each micro-batch of crawled documents is
+    scored against the STORED importance model (write_dsir_model's
+    <= n_buckets-row ratio tables — the training corpora are never
+    re-read), per-doc ``(doc_id, n_feats, dsir_score[, accepted])``
+    rows append to ``out_path``. With ``accept_threshold`` the output
+    carries the gate decision (score >= threshold), which is how the
+    crawl loop consumes it — DSIR as an online filter rather than an
+    offline top-k. The selection-family face of the crawl loop
+    (document-level: streaming_neardup_foreach_batch; span-level:
+    streaming_span_dedup_foreach_batch; embedding-level:
+    streaming_semdedup_foreach_batch), composed from the batch scorer
+    :func:`...operators.dsir.dsir_score_batch` inside foreachBatch
+    (k bounded to the batch size: the stream wants every row's score,
+    not a global top-k across batches). Same at-least-once replay
+    contract as every foreachBatch parquet append."""
+    from ..operators.dsir import dsir_score_batch
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        n = batch_df.count()
+        if n == 0:
+            return
+        out = dsir_score_batch(batch_df, model_prefix, k=n).drop("rank")
+        if accept_threshold is not None:
+            out = out.withColumn(
+                "accepted", F.col("dsir_score") >= F.lit(float(accept_threshold))
+            )
+        out.write.mode("append").parquet(out_path)
+
+    q = (
+        docs_stream.writeStream.foreachBatch(handle)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", checkpoint or out_path + "_ckpt")
+        .start()
+    )
+    q.awaitTermination()

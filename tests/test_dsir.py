@@ -184,3 +184,48 @@ def test_stored_model_batch_equivalence(spark):
     finally:
         for t in ("dsirm_ratios", "dsirm_meta"):
             spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_streaming_dsir_gate_crawl_loop(spark, tmp_path):
+    """Streaming DSIR e2e: two micro-batches of crawled docs score
+    against the STORED model (fit once, never re-read) and carry the
+    accept gate; target-vocab docs pass, alien-vocab docs fail."""
+    from semantic_vector_search_system_spark.operators.dsir import (
+        write_dsir_model,
+    )
+    from semantic_vector_search_system_spark.streaming.events import (
+        streaming_dsir_score_foreach_batch,
+    )
+
+    prefix = "stream_dsir_model"
+    for t in ("_ratios", "_meta"):
+        spark.sql(f"DROP TABLE IF EXISTS {prefix}{t}")
+    try:
+        target = _docs(spark, ["good clean prose here"] * 6)
+        raw = _docs(spark, ["good clean prose here", "spam junk buy now",
+                            "clean prose", "junk spam"], 100)
+        write_dsir_model(raw, target, prefix, n_buckets=64)
+
+        in_dir = str(tmp_path / "crawl")
+        b1 = _docs(spark, ["good clean prose", "buy now junk"], 500)
+        b2 = _docs(spark, ["clean prose here", ""], 600)
+        b1.coalesce(1).write.mode("append").parquet(in_dir)
+        b2.coalesce(1).write.mode("append").parquet(in_dir)
+
+        stream = (
+            spark.readStream.schema("doc_id long, text string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(in_dir)
+        )
+        out_path = str(tmp_path / "scored")
+        streaming_dsir_score_foreach_batch(
+            spark, stream, prefix, out_path, accept_threshold=1.0
+        )
+        out = {r["doc_id"]: r for r in spark.read.parquet(out_path).collect()}
+        assert set(out) == {500, 501, 600}  # empty doc emits nothing
+        assert out[500]["accepted"] and out[600]["accepted"]
+        assert not out[501]["accepted"]  # alien vocab scores below 1.0
+        assert out[500]["dsir_score"] > out[501]["dsir_score"]
+    finally:
+        for t in ("_ratios", "_meta"):
+            spark.sql(f"DROP TABLE IF EXISTS {prefix}{t}")
