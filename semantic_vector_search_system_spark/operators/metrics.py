@@ -95,3 +95,56 @@ def evaluate_all(
     aggs.append(F.avg("rr").alias("mrr"))
     aggs.append(F.count("*").alias("n_queries"))
     return pq.agg(*aggs)
+
+
+def dcg_discount_literals(k: int) -> tuple[list[str], list[str]]:
+    """The nDCG discount table as LITERAL TEXT: per-rank ``1/log2(r+1)``
+    rounded to 12 decimals, plus its exact prefix sums (ideal DCG per
+    relevant-count). log2 is transcendental — the house oracle rule bans
+    computing it in-engine — but the discounts for rank <= k are a FIXED
+    k-entry table, so both engines consume the same literal text and the
+    metric stays bit-reproducible. Returns (discounts, prefix_sums)."""
+    import math
+    from decimal import Decimal
+
+    disc = [round(1.0 / math.log2(r + 1), 12) for r in range(1, k + 1)]
+    acc, prefix = Decimal(0), []
+    for d in disc:
+        acc += Decimal(repr(d))
+        prefix.append(repr(float(acc)))
+    return [repr(d) for d in disc], prefix
+
+
+def per_query_ndcg(
+    retrievals: DataFrame, qrels: DataFrame, k: int = 10
+) -> DataFrame:
+    """Binary-relevance nDCG@k per query: ``(qid, n_rel, ndcg_at_k)``.
+
+    DCG = sum of the rank-discount literals at hit ranks <= k (DECIMAL
+    sum — order-free); ideal DCG = the prefix-sum literal at
+    min(n_rel, k); ndcg = round-6 of one IEEE division; 0.0 for queries
+    with no relevant docs. Same scale shape as the other IR metrics:
+    one qid-keyed aggregation over the broadcast-labeled retrievals."""
+    disc, prefix = dcg_discount_literals(k)
+    labeled = label_hits(retrievals, qrels)
+    darr = F.array(*[F.lit(float(d)) for d in disc])
+    parr = F.array(*[F.lit(float(p)) for p in prefix])
+    term = F.when(
+        (F.col("is_rel") == 1) & (F.col("rank") <= k),
+        F.element_at(darr, F.col("rank").cast("int")),
+    )
+    out = labeled.groupBy("qid").agg(
+        F.first("n_rel").alias("n_rel"),
+        F.sum(term.cast("decimal(38,12)")).cast("double").alias("_dcg"),
+    )
+    idcg = F.element_at(parr, F.least(F.col("n_rel"), F.lit(k)).cast("int"))
+    return out.select(
+        "qid",
+        "n_rel",
+        F.when(
+            (F.col("n_rel") > 0) & F.col("_dcg").isNotNull(),
+            F.round(F.col("_dcg") / idcg, 6),
+        )
+        .otherwise(F.lit(0.0))
+        .alias(f"ndcg_at_{k}"),
+    )

@@ -1366,6 +1366,14 @@ DEMOTED: tuple[str, ...] = (
                                  #   keeper) — parked late-r8 for the
                                  #   NEW mmr_diversified_topk; family
                                  #   returns r9
+    "source_mixture_weights",    # per-source budget agg ≡
+                                 #   pricing_summary (in-window keyed-agg
+                                 #   keeper) + corpus_vocabulary
+                                 #   (in-window corpus-composition
+                                 #   family) + source_cap_sample /
+                                 #   dataset_splits (parked twins) —
+                                 #   parked late-r8 for the NEW
+                                 #   retrieval_ndcg
 )
 
 
@@ -4510,3 +4518,71 @@ def mmr_diversified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     d = emb.select(F.col("vec_id").alias("docid"), F.col("embedding").alias("v"))
     return mmr_rerank(q, d, k=5, pool_size=10)
+
+
+# ---------------------------------------------------------------------------
+# Round 8: nDCG@k (literal discount table keeps the no-transcendental rule)
+# ---------------------------------------------------------------------------
+
+def _ndcg_oracle_sql(k: int, max_qid: int) -> str:
+    from ..operators.metrics import dcg_discount_literals
+
+    disc, prefix = dcg_discount_literals(k)
+    dl = ", ".join(disc)
+    pl = ", ".join(prefix)
+    return f"""
+    WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+               FROM embeddings),
+    q AS (SELECT vec_id AS qid, label AS qlabel, v AS qv
+          FROM e WHERE vec_id < {max_qid}),
+    r AS (SELECT qid, docid, rank FROM (
+      SELECT q.qid, e.vec_id AS docid,
+             ROW_NUMBER() OVER (PARTITION BY q.qid
+               ORDER BY list_cosine_similarity(q.qv, e.v) DESC,
+                        e.vec_id) AS rank
+      FROM q CROSS JOIN e) t WHERE rank <= {k}),
+    qr AS (SELECT q.qid, e.vec_id AS docid FROM q JOIN e
+           ON e.label = q.qlabel),
+    nrel AS (SELECT qid, COUNT(*) AS n_rel FROM qr GROUP BY qid),
+    hits AS (SELECT r.qid, r.rank,
+                    CASE WHEN qr.docid IS NOT NULL THEN 1 ELSE 0 END AS is_rel
+             FROM r LEFT JOIN qr ON qr.qid = r.qid AND qr.docid = r.docid),
+    d AS (SELECT qid,
+            CAST(SUM(CAST(CASE WHEN is_rel = 1 THEN ([{dl}])[rank] END
+                          AS DECIMAL(38,12))) AS DOUBLE) AS dcg
+          FROM hits GROUP BY qid)
+    SELECT n.qid, n.n_rel,
+           COALESCE(ROUND(d.dcg / ([{pl}])[CAST(LEAST(n.n_rel, {k}) AS INTEGER)], 6),
+                    0.0) AS ndcg_at_{k}
+    FROM nrel n LEFT JOIN d ON d.qid = n.qid"""
+
+
+@_q(
+    "retrieval_ndcg",
+    _ndcg_oracle_sql(10, 10),
+    tags=("metrics", "ir", "ndcg", "vector-search"),
+)
+def retrieval_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-relevance nDCG@10 per query (operators/metrics.py::
+    per_query_ndcg) over the exact cosine top-10 with label-match
+    ground truth — the graded-ranking metric the reference's
+    evaluation (p@k/r@k/MAP) lacks. log2 is transcendental, so the
+    rank-discount table ships as k LITERAL values (identical text in
+    both engines) with Decimal-exact prefix sums as the ideal DCG —
+    the metric stays bit-reproducible under the house oracle rules."""
+    from ..operators.metrics import per_query_ndcg
+
+    emb = T(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec"),
+        F.col("label").alias("qlabel"),
+    )
+    d = emb.select(F.col("vec_id").alias("docid"), F.col("embedding").alias("vec"))
+    retr = topk_bruteforce(
+        q.select("qid", "qvec"), d, k=10, metric="cosine"
+    ).select("qid", "docid", "rank")
+    qrels = q.select("qid", "qlabel").join(
+        emb.select(F.col("vec_id").alias("docid"), F.col("label").alias("qlabel")),
+        "qlabel",
+    ).select("qid", "docid")
+    return per_query_ndcg(retr, qrels, k=10)

@@ -105,6 +105,9 @@ QUERIES = [
     # r8: MMR — greedy trajectories amplify any pool-ranking or marginal
     # drift; round-12 dots + docid ties must hold under scrambling.
     "mmr_diversified_topk",
+    # r8: nDCG — literal discount sums in DECIMAL + the knn rank chain
+    # must be invariant to partition scrambling.
+    "retrieval_ndcg",
 ]
 
 # Perturbations of runtime-settable physical knobs. Each tuple is applied on

@@ -74,3 +74,41 @@ def test_evaluate_all_means_over_queries(spark):
     assert row["map"] == pytest.approx(0.75)
     assert row["mrr"] == pytest.approx(0.75)
     assert row["n_queries"] == 2
+
+
+def test_ndcg_matches_python_reference(spark):
+    """per_query_ndcg vs a direct python replay (binary relevance,
+    literal discount table, decimal DCG, round-6), including the
+    no-relevant and no-hit edge cases."""
+    import math
+    from decimal import Decimal
+
+    from semantic_vector_search_system_spark.operators.metrics import (
+        per_query_ndcg,
+    )
+
+    retr = spark.createDataFrame(
+        # q0: hits at ranks 1 and 3 of 3; q1: no hits; q2: perfect top-2
+        [(0, 10, 1), (0, 11, 2), (0, 12, 3),
+         (1, 20, 1), (1, 21, 2),
+         (2, 30, 1), (2, 31, 2)],
+        "qid long, docid long, rank int",
+    )
+    qrels = spark.createDataFrame(
+        [(0, 10), (0, 12), (0, 99),     # n_rel=3, hits at 1 and 3
+         (2, 30), (2, 31)],             # n_rel=2, perfect
+        "qid long, docid long",
+    )
+    got = {r["qid"]: (r["n_rel"], r["ndcg_at_10"])
+           for r in per_query_ndcg(retr, qrels, k=10).collect()}
+
+    disc = [round(1.0 / math.log2(r + 1), 12) for r in range(1, 11)]
+    def py_ndcg(hit_ranks, n_rel):
+        dcg = sum((Decimal(repr(disc[r - 1])) for r in hit_ranks), Decimal(0))
+        idcg = sum((Decimal(repr(d)) for d in disc[: min(n_rel, 10)]), Decimal(0))
+        return round(float(dcg) / float(idcg), 6)
+
+    assert got[0] == (3, py_ndcg([1, 3], 3))
+    assert got[1] == (0, 0.0)       # no qrels -> n_rel 0, ndcg 0
+    assert got[2] == (2, py_ndcg([1, 2], 2))
+    assert got[2][1] == 1.0          # perfect ranking normalizes to 1
