@@ -352,3 +352,52 @@ def leakage_safe_splits(
     return d.withColumn(
         "split", split_assign(F.col("group_key"), weights, seed=seed)
     )
+
+
+def temperature_mixture_weights(
+    docs: DataFrame,
+    text_col: str = "text",
+    group_col: str = "lang",
+) -> DataFrame:
+    """UniMax/mT5-shape temperature sampling weights per language (or
+    source): sampling probability proportional to ``n_tokens^alpha``
+    with alpha = 0.5 — upweight low-resource groups relative to their
+    raw share so a 100:1 corpus imbalance becomes a 10:1 sampling
+    imbalance (Chung et al. 2023 study exactly this family; alpha=0.5
+    is the classic mT5 operating point).
+
+    alpha is FIXED at 0.5 because ``sqrt`` is IEEE-exact (house oracle
+    rule: no transcendental pow, but sqrt and division are
+    correctly-rounded everywhere) — arbitrary alpha needs ``pow`` and
+    would break cross-engine bit-reproducibility. Returns ``(group,
+    n_docs, total_tokens, raw_share, temp_weight)``, weights summing to
+    ~1 (round-6 of exact-int sqrt ratios). One groupBy(group)
+    aggregation + a broadcast of the (groups)-sized totals — nothing
+    corpus-sized moves twice."""
+    toks = docs.select(
+        group_col, F.size(tokenize(text_col)).cast("long").alias("n_tokens")
+    )
+    agg = toks.groupBy(group_col).agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+    )
+    sq = F.round(F.sqrt(F.col("total_tokens").cast("double")), 12)
+    tot = agg.agg(
+        F.sum("total_tokens").alias("_all"),
+        # per-group sqrt rounded to 12 then DECIMAL-summed: the total is
+        # exact under any partitioning (sqrt itself is correctly-rounded
+        # IEEE in every engine)
+        F.sum(sq.cast("decimal(38,12)")).cast("double").alias("_sq"),
+    )
+    return (
+        agg.crossJoin(F.broadcast(tot))
+        .select(
+            group_col,
+            "n_docs",
+            "total_tokens",
+            F.round(
+                F.col("total_tokens").cast("double") / F.col("_all").cast("double"), 6
+            ).alias("raw_share"),
+            F.round(sq / F.col("_sq"), 6).alias("temp_weight"),
+        )
+    )

@@ -1369,11 +1369,20 @@ DEMOTED: tuple[str, ...] = (
     "source_mixture_weights",    # per-source budget agg ≡
                                  #   pricing_summary (in-window keyed-agg
                                  #   keeper) + corpus_vocabulary
-                                 #   (in-window corpus-composition
-                                 #   family) + source_cap_sample /
-                                 #   dataset_splits (parked twins) —
-                                 #   parked late-r8 for the NEW
-                                 #   retrieval_ndcg
+                                 #   (parked; temperature_mixture is the
+                                 #   in-window composition row) +
+                                 #   source_cap_sample / dataset_splits
+                                 #   (parked twins) — parked late-r8 for
+                                 #   the NEW retrieval_ndcg
+    "corpus_vocabulary",         # tokenize+group vocabulary ≡
+                                 #   bpe_encode_tokens (in-window: the
+                                 #   vocabulary-compressed relation IS
+                                 #   its input) + temperature_mixture
+                                 #   (in-window NEW token-count agg) +
+                                 #   token_counts_regex /
+                                 #   token_stats_by_lang (parked twins)
+                                 #   — parked late-r8 for the NEW
+                                 #   temperature_mixture
 )
 
 
@@ -4586,3 +4595,35 @@ def retrieval_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
         "qlabel",
     ).select("qid", "docid")
     return per_query_ndcg(retr, qrels, k=10)
+
+
+@_q(
+    "temperature_mixture",
+    f"""
+    WITH t AS (SELECT lang, len({_SPLIT}) AS n FROM documents),
+    a AS (SELECT lang, COUNT(*) AS n_docs,
+                 CAST(SUM(n) AS BIGINT) AS total_tokens
+          FROM t GROUP BY lang),
+    s AS (SELECT CAST(SUM(total_tokens) AS BIGINT) AS _all,
+                 CAST(SUM(CAST(ROUND(sqrt(CAST(total_tokens AS DOUBLE)), 12)
+                               AS DECIMAL(38,12))) AS DOUBLE) AS _sq
+          FROM a)
+    SELECT lang, n_docs, total_tokens,
+      ROUND(CAST(total_tokens AS DOUBLE) / CAST(_all AS DOUBLE), 6) AS raw_share,
+      ROUND(ROUND(sqrt(CAST(total_tokens AS DOUBLE)), 12) / _sq, 6) AS temp_weight
+    FROM a CROSS JOIN s
+    """,
+    tags=("corpus", "mixture", "sampling", "unimax"),
+)
+def temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UniMax/mT5-shape temperature sampling weights per language
+    (operators/corpus.py::temperature_mixture_weights): sampling
+    probability proportional to sqrt(tokens) — a 100:1 corpus imbalance
+    samples at 10:1, the low-resource upweighting of multilingual LM
+    data work. alpha is fixed at 0.5 because sqrt is correctly-rounded
+    IEEE in every engine (arbitrary alpha needs transcendental pow);
+    the sqrt total is round-12 + DECIMAL so the normalization is
+    partitioning-invariant."""
+    from ..operators.corpus import temperature_mixture_weights
+
+    return temperature_mixture_weights(T(spark, sf_dir, "documents"))

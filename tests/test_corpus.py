@@ -345,3 +345,25 @@ def test_deterministic_shuffle_seed_and_partitioning(spark):
 
     with _pytest.raises(ValueError):
         deterministic_shuffle(docs, 0)
+
+
+def test_temperature_mixture_upweights_low_resource(spark):
+    """sqrt-temperature: a 100:1 token imbalance samples at 10:1, and
+    weights sum to 1 (round-6)."""
+    from semantic_vector_search_system_spark.operators.corpus import (
+        temperature_mixture_weights,
+    )
+
+    rows = [(i, "tok " * 100, "big") for i in range(100)]          # 10000 tokens
+    rows += [(1000 + i, "tok " * 10, "small") for i in range(10)]  # 100 tokens
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    out = {r["lang"]: r for r in temperature_mixture_weights(docs).collect()}
+    assert out["big"]["total_tokens"] == 10_000
+    assert out["small"]["total_tokens"] == 100
+    # raw share 100:1 -> temperature weight ratio sqrt(100)=10:1
+    ratio = out["big"]["temp_weight"] / out["small"]["temp_weight"]
+    assert abs(ratio - 10.0) < 1e-4  # round-6 weights quantize the ratio
+    assert abs(out["big"]["temp_weight"] + out["small"]["temp_weight"] - 1.0) < 2e-6
+    # low-resource upweighted vs raw share, high-resource downweighted
+    assert out["small"]["temp_weight"] > out["small"]["raw_share"]
+    assert out["big"]["temp_weight"] < out["big"]["raw_share"]
