@@ -226,11 +226,10 @@ def kmeans_lloyd(
     )
 
 
-def kmeans_final_centroids(trajectory_or_cents, spark=None) -> DataFrame:
+def kmeans_final_centroids(traj: DataFrame) -> DataFrame:
     """Convenience: reshape the last iteration of a :func:`kmeans_lloyd`
     trajectory into the ``(cent_id, cvec)`` relation the IVF/SemDeDup
     operators consume."""
-    traj = trajectory_or_cents
     last = traj.agg(F.max("iter").alias("m"))
     return (
         traj.join(F.broadcast(last), F.col("iter") == F.col("m"))
