@@ -108,6 +108,9 @@ QUERIES = [
     # r8: nDCG — literal discount sums in DECIMAL + the knn rank chain
     # must be invariant to partition scrambling.
     "retrieval_ndcg",
+    # r8: temperature mixture — the round-12 + DECIMAL sqrt total is the
+    # partitioning-sensitive normalizer; weights must be bit-stable.
+    "temperature_mixture",
 ]
 
 # Perturbations of runtime-settable physical knobs. Each tuple is applied on
