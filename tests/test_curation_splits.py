@@ -89,3 +89,31 @@ def test_leakage_safe_splits_incremental_stability(spark):
     for i in range(4):
         assert out2[i] == out1[i]
     assert out2[5] == out2[0]  # joined 0's cluster -> inherited its split
+
+
+def test_normalize_text_edge_cases(spark):
+    """normalize_text: idempotent, case/punct-insensitive, whitespace-
+    collapsing; non-ASCII letters fall to the punctuation class (ASCII
+    C4 shape, documented)."""
+    from semantic_vector_search_system_spark.functions.text import normalize_text
+
+    rows = [
+        (0, "  Hello,   WORLD!!  "),
+        (1, "hello world"),
+        (2, "h\te\nl lo?"),
+        (3, "Crème brûlée 42"),
+        (4, ""),
+        (5, None),
+    ]
+    df = spark.createDataFrame(rows, "i long, t string")
+    got = {r["i"]: r["n"] for r in df.select("i", normalize_text("t").alias("n")).collect()}
+    assert got[0] == "hello world" == got[1]
+    assert got[2] == "h e l lo"
+    assert got[3] == "cr me br l e 42"   # accented letters -> space
+    assert got[4] == ""
+    assert got[5] is None
+    # idempotence: normalizing the normalized strings is a fixpoint
+    df2 = spark.createDataFrame([(k, v) for k, v in got.items() if v is not None],
+                                "i long, t string")
+    again = {r["i"]: r["n"] for r in df2.select("i", normalize_text("t").alias("n")).collect()}
+    assert again == {k: v for k, v in got.items() if v is not None}
