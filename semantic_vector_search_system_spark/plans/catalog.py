@@ -1383,6 +1383,14 @@ DEMOTED: tuple[str, ...] = (
                                  #   token_stats_by_lang (parked twins)
                                  #   — parked late-r8 for the NEW
                                  #   temperature_mixture
+    "decontamination",           # n-gram overlap broadcast semi-join ≡
+                                 #   training_corpus_selection
+                                 #   (in-window composed anti-join +
+                                 #   shingle verify) + segment_order_stats
+                                 #   / customers_without_orders (parked
+                                 #   semi/anti twins) — parked late-r8
+                                 #   for the NEW curation_funnel (whose
+                                 #   stages join/filter the same way)
 )
 
 
@@ -4627,3 +4635,90 @@ def temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.corpus import temperature_mixture_weights
 
     return temperature_mixture_weights(T(spark, sf_dir, "documents"))
+
+
+@_q(
+    "curation_funnel",
+    f"""
+    WITH toks AS (SELECT doc_id, {_SPLIT_CLEAN} AS t FROM documents),
+    s1 AS (SELECT doc_id, t FROM toks WHERE len(t) >= 20),
+    tok AS (SELECT doc_id, unnest(t) AS tok FROM s1),
+    wt AS (SELECT doc_id,
+                 (CAST({stable_hash64_sql("CONCAT('qw1', tok)")} % 2001 AS DOUBLE) - 1000.0) / 1000.0 AS w
+          FROM tok),
+    m AS (SELECT doc_id,
+                 CAST(SUM(CAST(w AS DECIMAL(38,12))) AS DOUBLE)
+                   / CAST(COUNT(*) AS DOUBLE) AS margin
+          FROM wt GROUP BY doc_id),
+    s2 AS (SELECT s1.doc_id, s1.t FROM s1 JOIN m USING (doc_id)
+           WHERE m.margin > 0),
+    bg AS (SELECT doc_id, t[i] AS w1, t[i+1] AS w2
+           FROM toks, unnest(generate_series(1, len(t)-1)) AS g(i)
+           WHERE len(t) >= 2),
+    cnt2 AS (SELECT w1, w2, COUNT(*) AS c12 FROM bg GROUP BY 1, 2),
+    cnt1 AS (SELECT w1, SUM(c12) AS c1 FROM cnt2 GROUP BY 1),
+    v AS (SELECT COUNT(DISTINCT tok0) AS vs
+          FROM (SELECT unnest(t) AS tok0 FROM toks)),
+    sc AS (SELECT b.doc_id, ROUND((c12 + 1.0) / (c1 + vs), 12) AS r
+           FROM (SELECT s2.doc_id, bg.w1, bg.w2
+                 FROM bg JOIN s2 ON s2.doc_id = bg.doc_id) b
+           JOIN cnt2 USING (w1, w2) JOIN cnt1 USING (w1) CROSS JOIN v),
+    rep AS (SELECT doc_id,
+              ROUND(CAST(SUM(CAST(r AS DECIMAL(38,12))) AS DOUBLE)
+                    / COUNT(*), 6) AS s
+            FROM sc GROUP BY doc_id),
+    med AS (SELECT quantile_cont(s, 0.5) AS m50 FROM rep),
+    s3 AS (SELECT rep.doc_id FROM rep, med WHERE rep.s >= med.m50),
+    n AS (SELECT d.doc_id,
+            trim(regexp_replace(regexp_replace(lower(d.text), '[^a-z0-9\\s]', ' ', 'g'),
+                                '\\s+', ' ', 'g')) AS norm
+          FROM documents d JOIN s3 ON s3.doc_id = d.doc_id),
+    s4 AS (SELECT md5(norm) AS h, MIN(doc_id) AS keep FROM n GROUP BY md5(norm))
+    SELECT '0_all' AS stage, COUNT(*) AS n_docs FROM documents
+    UNION ALL SELECT '1_length', COUNT(*) FROM s1
+    UNION ALL SELECT '2_classifier', COUNT(*) FROM s2
+    UNION ALL SELECT '3_lm_median', COUNT(*) FROM s3
+    UNION ALL SELECT '4_dedup', COUNT(*) FROM s4
+    """,
+    tags=("curation", "composed", "funnel", "quality", "dedup"),
+)
+def curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The end-to-end curation pipeline as ONE composed relation — the
+    shape a training-data team actually runs, with per-stage survivor
+    counts: length gate (>= 20 tokens) -> classifier margin > 0
+    (quality_filters.linear_quality_margin) -> bigram-LM fluency at or
+    above the surviving population's EXACT median (self-normalizing
+    across scales — never vacuous) -> normalize-then-hash dedup keep-one
+    (dedup.normalized_exact_dedup). Every stage reuses an operator whose
+    own catalog row is oracle-verified; this row pins their COMPOSITION
+    (join plumbing, stage ordering, survivor accounting)."""
+    from ..functions.text import tokenize as _tok
+    from ..operators.dedup import normalized_exact_dedup as _ned
+    from ..operators.lm import bigram_lm_score, train_bigram_lm
+    from ..operators.quality_filters import linear_quality_margin
+
+    docs = T(spark, sf_dir, "documents")
+    s1 = docs.filter(F.size(_tok(F.col("text"))) >= 20)
+    m = linear_quality_margin(s1)
+    s2 = s1.join(m.filter(F.col("accept")).select("doc_id"), "doc_id")
+    rep = bigram_lm_score(s2, train_bigram_lm(docs))
+    med = rep.agg(F.expr("percentile(lm_score, 0.5)").alias("m50"))
+    s3 = (
+        rep.crossJoin(F.broadcast(med))
+        .filter(F.col("lm_score") >= F.col("m50"))
+        .select("doc_id")
+    )
+    s4 = _ned(docs.join(s3, "doc_id"))
+
+    def stage(name: str, df: DataFrame) -> DataFrame:
+        return df.agg(F.count("*").alias("n_docs")).select(
+            F.lit(name).alias("stage"), "n_docs"
+        )
+
+    return (
+        stage("0_all", docs)
+        .unionByName(stage("1_length", s1))
+        .unionByName(stage("2_classifier", s2))
+        .unionByName(stage("3_lm_median", s3))
+        .unionByName(stage("4_dedup", s4))
+    )

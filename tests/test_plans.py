@@ -376,7 +376,7 @@ def test_driver_window_covers_every_operator_family():
         "duplicate_components", "media_hamming_pairs", "kmeans_steps",
         "dsir_selection", "prototype_sample", "normalized_exact_dedup",
         "leakage_safe_splits", "mmr_diversified_topk", "retrieval_ndcg",
-        "temperature_mixture",
+        "temperature_mixture", "curation_funnel",
         # r8 keepers (family coverage; urgent_orders_by_year and
         # nation_customer_rank parked late-r8 for the NEW
         # bitext_margin_pairs / context_windows)
