@@ -111,6 +111,11 @@ QUERIES = [
     # r8: temperature mixture — the round-12 + DECIMAL sqrt total is the
     # partitioning-sensitive normalizer; weights must be bit-stable.
     "temperature_mixture",
+    # r8: the composed curation funnel — four stages chained through
+    # joins, an exact population median threshold, and a hash-group
+    # dedup; any stage's partitioning sensitivity would shift EVERY
+    # downstream survivor count.
+    "curation_funnel",
 ]
 
 # Perturbations of runtime-settable physical knobs. Each tuple is applied on
