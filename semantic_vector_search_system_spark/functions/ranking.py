@@ -21,6 +21,7 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 _PID = "__gr_pid"
+_OFF = "__gr_off"
 
 
 def global_row_number(
@@ -56,15 +57,28 @@ def global_row_number(
         offsets[pid] = acc
         acc += counts[pid]
     # range partitioning orders partitions by key range, so prefix sums
-    # over ascending pid ARE the global offsets
-    off_expr = F.lit(0)
-    for pid, off in offsets.items():
-        if off:
-            off_expr = F.when(F.col(_PID) == pid, F.lit(off)).otherwise(off_expr)
+    # over ascending pid ARE the global offsets.  The lookup is a
+    # BROADCAST JOIN against the tiny (pid, offset) relation, not a
+    # nested CASE WHEN chain: at the partition counts this primitive is
+    # advertised for (thousands+), an O(P)-deep when-chain risks
+    # analyzer/codegen stack overflow and pathological compile time
+    # (r8 ADVICE) — the join stays flat at any partition count.
+    off_df = df.sparkSession.createDataFrame(
+        [(int(pid), int(off)) for pid, off in offsets.items()],
+        f"{_PID} int, {_OFF} long",
+    )
     w = Window.partitionBy(_PID).orderBy(*order_cols)
-    return parts.withColumn(
-        rank_col, (F.row_number().over(w) + off_expr).cast("long")
-    ).drop(_PID)
+    return (
+        parts.join(F.broadcast(off_df), _PID, "left")
+        .withColumn(
+            rank_col,
+            (
+                F.row_number().over(w)
+                + F.coalesce(F.col(_OFF), F.lit(0))
+            ).cast("long"),
+        )
+        .drop(_PID, _OFF)
+    )
 
 
 def ntile_from_rank(rank: Column, total: int, n_buckets: int) -> Column:

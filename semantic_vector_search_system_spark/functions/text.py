@@ -7,18 +7,42 @@ lowercase is NOT applied (the reference doesn't), empty tokens are dropped.
 
 from __future__ import annotations
 
+import re as _re
+
 from pyspark.sql import Column
 from pyspark.sql import functions as F
+
+# Java \s separator class, precompiled for the executor-side kernels
+_WS_ASCII = _re.compile(r"\S+", _re.ASCII)
 
 
 def tokenize(col: Column | str) -> Column:
     """Whitespace tokenization, dropping empty strings.
 
-    Matches Python ``str.split()`` semantics (reference `encoder.py:94`):
-    any run of whitespace separates, leading/trailing runs produce nothing.
+    The separator class is Java regex ``\\s`` = ``[ \\t\\n\\x0b\\f\\r]``
+    (ASCII only — Java \\s does NOT match Unicode whitespace such as NBSP
+    without the UNICODE_CHARACTER_CLASS flag).  Python-side kernels that
+    claim parity with this expression must use :func:`py_tokenize`, NOT
+    ``str.split()`` — ``str.split()`` also splits on \\xa0/\\x85/\\x1c-\\x1f/
+    \\u2028 etc., diverging on real crawled web text (r8 ADVICE).
+    Reference parity: `embeddings/encoder.py:94` ``txt.split()`` (the
+    reference's corpora are ASCII, where the two classes agree).
     """
     c = F.col(col) if isinstance(col, str) else col
     return F.filter(F.split(F.trim(c), r"\s+"), lambda t: t != F.lit(""))
+
+
+def py_tokenize(text: str) -> list[str]:
+    """Executor-side (plain-Python) twin of :func:`tokenize`.
+
+    ``re.findall(r"\\S+", ..., flags=re.ASCII)`` keeps exactly the Java
+    ``\\s`` separator class (``[ \\t\\n\\x0b\\f\\r]``), so Arrow-kernel
+    "fast" faces stay BITWISE-identical to their Catalyst expression faces
+    on any input, including Unicode whitespace (NBSP et al.) that
+    ``str.split()`` would additionally split on.  Shared by the dsir /
+    dedup / encode fast kernels (the pattern bpe.py established).
+    """
+    return _WS_ASCII.findall(text)
 
 
 def query_snippet(text: Column | str, length: int = 200) -> Column:

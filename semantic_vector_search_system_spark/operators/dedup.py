@@ -26,7 +26,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.hashing import stable_hash64
-from ..functions.text import token_shingles, tokenize
+from ..functions.text import py_tokenize, token_shingles, tokenize
 
 
 def exact_dedup(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
@@ -186,7 +186,11 @@ def minhash_signatures_fast(
         for pdf in batches:
             ids, seed_out, mh_out = [], [], []
             for did, txt in zip(pdf[id_col], pdf[text_col]):
-                toks = str(txt).split()
+                # py_tokenize, not str.split(): keeps the Java-\s+
+                # class of the md5/expr family's tokenize() so the
+                # two hash families see the SAME shingles on Unicode
+                # whitespace (r8 ADVICE class of bug)
+                toks = py_tokenize(str(txt))
                 n = max(len(toks) - shingle_n + 1, 1)
                 shs = {" ".join(toks[i : i + shingle_n]) for i in range(n)}
                 pairs = np.array([h12(s) for s in shs], dtype=np.int64)
@@ -248,7 +252,11 @@ def minhash_band_signatures_fast(
         for pdf in batches:
             ids, band_out, sig_out = [], [], []
             for did, txt in zip(pdf[id_col], pdf[text_col]):
-                toks = str(txt).split()
+                # py_tokenize, not str.split(): keeps the Java-\s+
+                # class of the md5/expr family's tokenize() so the
+                # two hash families see the SAME shingles on Unicode
+                # whitespace (r8 ADVICE class of bug)
+                toks = py_tokenize(str(txt))
                 n = max(len(toks) - shingle_n + 1, 1)
                 shs = {" ".join(toks[i : i + shingle_n]) for i in range(n)}
                 pairs = np.array([h12(s) for s in shs], dtype=np.int64)
@@ -298,8 +306,11 @@ def minhash_signatures_vectorized(
     distinct TOKEN once and combine ``shingle_n`` consecutive token hashes
     arithmetically into a shingle hash:
 
-    * tokenization and flattening: ``pyarrow.compute.utf8_split_whitespace``
-      (C, matches ``str.split()`` semantics);
+    * tokenization and flattening: ``pyarrow.compute.ascii_split_whitespace``
+      (C; the ASCII class == Java regex ``\\s`` == ``functions.text.
+      tokenize`` — NOT ``utf8_split_whitespace``/``str.split()``, whose
+      Unicode classes also split on NBSP et al. and would give this family
+      different shingles than the md5/expr family on real web text);
     * token hashing: ``dictionary_encode`` then ``pandas.util.hash_array``
       over the DICTIONARY only — Zipf-distributed corpora have few distinct
       tokens per batch, so the only per-string work left is O(vocabulary);
@@ -372,7 +383,7 @@ def _fast_minima_kernel(text_col: str, num_hashes: int, shingle_n: int):
 
     def batch_minima(pdf) -> "np.ndarray":
         texts = pa.array(pdf[text_col].fillna("").astype(str))
-        toks = pc.utf8_split_whitespace(texts)
+        toks = pc.ascii_split_whitespace(texts)
         if isinstance(toks, pa.ChunkedArray):
             toks = toks.combine_chunks()
         offsets = np.asarray(toks.offsets, dtype=np.int64)
@@ -645,7 +656,11 @@ def _shingle_hash_sets_arrow(
         for pdf in batches:
             ids, arrs = [], []
             for did, txt in zip(pdf[id_col], pdf[text_col]):
-                toks = str(txt).split()
+                # py_tokenize, not str.split(): keeps the Java-\s+
+                # class of the md5/expr family's tokenize() so the
+                # two hash families see the SAME shingles on Unicode
+                # whitespace (r8 ADVICE class of bug)
+                toks = py_tokenize(str(txt))
                 n = max(len(toks) - shingle_n + 1, 1)
                 shs = {" ".join(toks[i : i + shingle_n]) for i in range(n)}
                 ids.append(did)

@@ -69,7 +69,15 @@ def mmr_rerank(
     import pandas as pd
     from decimal import ROUND_HALF_UP, Decimal
 
-    dim = len(docs.select(vec_col).first()[0])
+    first = docs.select(vec_col).first()
+    if first is None or first[0] is None:
+        # r8 ADVICE: an empty docs relation (or a NULL first vector) made
+        # first()[0] raise a bare TypeError; fail with the actual contract
+        raise ValueError(
+            f"mmr_rerank: docs is empty or {vec_col!r} is NULL in the "
+            "first row — cannot infer the vector dimension"
+        )
+    dim = len(first[0])
     d = docs.select(
         F.col(id_col), F.col(vec_col).cast("array<double>").alias("_dv")
     )

@@ -41,7 +41,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.hashing import stable_hash_bucket
-from ..functions.text import tokenize
+from ..functions.text import py_tokenize, tokenize
 
 
 def hashed_ngram_features(
@@ -137,7 +137,12 @@ def dsir_topk(
 
 
 def _py_grams(text: str) -> list[str]:
-    toks = text.split()  # == functions.text.tokenize (str.split semantics)
+    # py_tokenize == functions.text.tokenize's Java-\s+ class (NOT
+    # str.split(): that also splits on NBSP/\x85/  etc., which would
+    # give different features under strategy='fast' / dsir_score_batch /
+    # the streaming gate than under strategy='expr' — r8 ADVICE fix,
+    # parity-pinned by test_dsir unicode-whitespace case)
+    toks = py_tokenize(text)
     return toks + [f"{a} {b}" for a, b in zip(toks, toks[1:])]
 
 
@@ -209,7 +214,6 @@ def _dsir_topk_fast(
 
     import pandas as pd
 
-    spark = raw_docs.sparkSession
     ct, tn = _fast_counts(target_docs, n_buckets, text_col)
     cr, rn = _fast_counts(raw_docs, n_buckets, text_col)
     q12 = Decimal("1e-12")
@@ -275,7 +279,10 @@ def write_dsir_model(
     int_r)`` with ``r`` the round-12 likelihood ratio (the exact value
     the expr face computes) and ``int_r`` its exact 1e-12-scaled
     integer (what the fast face sums) — and ``<prefix>_meta`` (one row:
-    n_buckets plus the four count totals, so a batch hashed under a
+    ``n_buckets`` plus the two gram-instance totals ``tn``/``rn`` that,
+    with the per-feature ratios, fully determine every score; the
+    per-feature count maps ct/cr are folded into the ratios and NOT
+    persisted.  The n_buckets check means a batch hashed under a
     different width can never silently probe an incompatible model).
     The whole model is <= n_buckets rows: the 100 TB corpora compress
     to kilobytes of serving state."""

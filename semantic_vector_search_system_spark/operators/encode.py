@@ -39,7 +39,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from ..functions.hashing import stable_hash64
-from ..functions.text import tokenize
+from ..functions.text import py_tokenize, tokenize
 from ..functions.vectors import l2_normalize
 
 
@@ -135,7 +135,10 @@ class HashingEncoderFast:
             for pdf in batches:
                 vecs = []
                 for txt in pdf[text_col].astype(str):
-                    toks = txt.split()
+                    # py_tokenize == the expression face's tokenize()
+                    # separator class (Java \s+); str.split() would
+                    # diverge on Unicode whitespace (r8 ADVICE)
+                    toks = py_tokenize(txt)
                     if toks:
                         idx = np.fromiter(
                             (bucket(t) for t in toks), dtype=np.int64, count=len(toks)

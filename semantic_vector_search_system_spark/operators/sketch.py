@@ -44,7 +44,14 @@ def kmv_group_sketch(
     k: int = 64,
 ) -> DataFrame:
     """Per-group KMV sketch: ``(group, hashes array<long> — the up-to-k
-    smallest distinct value hashes, theta long, n_seen long)``."""
+    smallest distinct value hashes, theta long, n_seen long)``.
+
+    ``n_seen`` is the RETAINED-ROW count, capped at ``k`` (the bottom-k
+    rows that survived the rank filter) — NOT the total number of
+    distinct values the group contains (r8 ADVICE: the name left that
+    ambiguous).  While the group is exact (``n_seen < k``, θ = 2^60)
+    the two coincide; in estimate mode use ``union_est``/the
+    ``(k-1)/h_k`` estimator for cardinality, never ``n_seen``."""
     if k < 2:
         raise ValueError("k must be >= 2")
     dh = df.select(
@@ -90,13 +97,26 @@ def kmv_pair_ops(
     """Theta set algebra between two groups' sketches: one row
     ``(n_union_retained, n_intersect_retained, theta_u, union_est,
     intersect_est, jaccard_est)``. Runs entirely on the two sketch rows
-    (a broadcast-trivial 1x1 join); the base data is never touched."""
+    (a broadcast-trivial 1x1 join); the base data is never touched.
+
+    Both group labels must resolve to EXACTLY ONE sketch row — a typo'd
+    label previously returned zero rows, indistinguishable from a
+    legitimate empty-set result (r8 ADVICE); now it raises."""
     a = sketches.filter(F.col(group_col) == group_a).select(
         F.col("hashes").alias("ha"), F.col("theta").alias("ta")
     )
     b = sketches.filter(F.col(group_col) == group_b).select(
         F.col("hashes").alias("hb"), F.col("theta").alias("tb")
     )
+    # cheap: sketch relations are O(groups) rows by construction
+    for label, side in ((group_a, a), (group_b, b)):
+        n = side.count()
+        if n != 1:
+            raise ValueError(
+                f"kmv_pair_ops: group {label!r} resolves to {n} sketch "
+                f"rows in {group_col!r} (expected exactly 1) — check the "
+                "label and that kmv_group_sketch grouped on this column"
+            )
     j = a.crossJoin(F.broadcast(b))
     theta_u = F.least("ta", "tb")
     below = lambda c: F.filter(c, lambda x: x < theta_u)  # noqa: E731

@@ -158,3 +158,106 @@ def test_emit_never_prints_over_budget_even_with_huge_queries(tmp_path, monkeypa
     # full dict still in bench_out.json
     full = json.load(open(tmp_path / "bench_out.json"))
     assert len(full["queries"]) == len(timings)
+
+
+# --- r9: noise-folding of the authoritative final line (r8 VERDICT #1) ---
+
+import datetime
+
+_NOW = datetime.datetime(2026, 8, 15, 12, 0, tzinfo=datetime.timezone.utc)
+
+
+def _notes(*entries):
+    lines = ["## Auto-mirrored final bench lines", ""]
+    for stamp, rec in entries:
+        lines.append(f"- {stamp} :: `{json.dumps(rec, separators=(',', ':'))}`")
+    return "\n".join(lines) + "\n"
+
+
+def test_fold_with_mirror_takes_per_key_min_and_flags_noise():
+    notes = _notes(
+        ("2026-08-15 04:25Z", {"sf": 0.1, "queries": {"dedup": 5.982, "encode": 6.2}}),
+        ("2026-08-15 07:29Z", {"sf": 0.1, "queries": {"dedup": 17.226, "encode": 9.135}}),
+    )
+    timings = {"dedup": 16.9, "encode": 6.1, "brand_new_key": 2.0}
+    folded, info, raw = bench.fold_with_mirror(timings, 0.1, notes, _NOW)
+    assert folded == {"dedup": 5.982, "encode": 6.1, "brand_new_key": 2.0}
+    assert info["runs"] == 2
+    # dedup's this-run reading is >1.2x the folded min -> self-identified
+    assert info["noisy"] == {"dedup": 16.9}
+    assert raw == {"dedup": 16.9}
+
+
+def test_fold_with_mirror_ignores_stale_and_wrong_sf_lines():
+    notes = _notes(
+        # stale: prior round, possibly different code
+        ("2026-08-10 04:25Z", {"sf": 0.1, "queries": {"dedup": 1.0}}),
+        # wrong sf
+        ("2026-08-15 08:00Z", {"sf": 0.01, "queries": {"dedup": 0.5}}),
+        # future timestamp (clock skew) — never folds
+        ("2026-08-16 08:00Z", {"sf": 0.1, "queries": {"dedup": 0.1}}),
+    )
+    folded, info, raw = bench.fold_with_mirror({"dedup": 7.0}, 0.1, notes, _NOW)
+    assert folded == {"dedup": 7.0}
+    assert info is None and raw is None
+
+
+def test_fold_with_mirror_survives_malformed_entries():
+    notes = (
+        "- 2026-08-15 04:25Z :: `{broken json`\n"
+        "- not a mirror line at all\n"
+        + _notes(("2026-08-15 05:00Z", {"sf": 0.1, "queries": {"q": 1.5}}))
+    )
+    folded, info, raw = bench.fold_with_mirror({"q": 2.0}, 0.1, notes, _NOW)
+    assert folded == {"q": 1.5}
+    assert info["runs"] == 1
+
+
+def test_final_emit_folds_against_recent_mirror(tmp_path, monkeypatch):
+    """End-to-end: a CLI-mode final emit reads the notes, folds per-key
+    minima into the printed line, and keeps raw readings in bench_out."""
+    notes_path = tmp_path / "BENCH_NOTES.md"
+    notes_path.write_text(_notes(
+        (
+            datetime.datetime.now(datetime.timezone.utc).strftime("%Y-%m-%d %H:%MZ"),
+            {"sf": 0.1, "queries": {"dedup_1000000_docs": 5.982}},
+        )
+    ))
+    monkeypatch.setattr(bench, "OUT_PATH", str(tmp_path / "bench_out.json"))
+    monkeypatch.setattr(bench, "NOTES_PATH", str(notes_path))
+    monkeypatch.setattr(bench, "FLOORS", {})
+    monkeypatch.setattr(bench, "ACCURACY", {})
+    monkeypatch.setattr(bench, "_MIRROR_ENABLED", True)
+    timings = {"dedup_1000000_docs": 17.226, "other": 1.0}
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        line = bench.emit(timings, {}, 0.1, partial=False)
+    parsed = json.loads(line)
+    assert parsed["queries"]["dedup_1000000_docs"] == 5.982
+    assert parsed["queries"]["other"] == 1.0
+    assert parsed["value"] == round(5.982 + 1.0, 3)
+    assert parsed["xrun"]["noisy"] == {"dedup_1000000_docs": 17.23}
+    full = json.load(open(tmp_path / "bench_out.json"))
+    assert full["raw_this_run"] == {"dedup_1000000_docs": 17.226}
+    # the folded line was itself mirrored (idempotent under re-folding)
+    assert "17.226" not in notes_path.read_text().splitlines()[-1]
+
+
+def test_partial_emits_never_fold(tmp_path, monkeypatch):
+    notes_path = tmp_path / "BENCH_NOTES.md"
+    notes_path.write_text(_notes(
+        (
+            datetime.datetime.now(datetime.timezone.utc).strftime("%Y-%m-%d %H:%MZ"),
+            {"sf": 0.1, "queries": {"q": 0.5}},
+        )
+    ))
+    monkeypatch.setattr(bench, "OUT_PATH", str(tmp_path / "bench_out.json"))
+    monkeypatch.setattr(bench, "NOTES_PATH", str(notes_path))
+    monkeypatch.setattr(bench, "FLOORS", {})
+    monkeypatch.setattr(bench, "ACCURACY", {})
+    monkeypatch.setattr(bench, "_MIRROR_ENABLED", True)
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        line = bench.emit({"q": 2.0}, {}, 0.1, partial=True)
+    parsed = json.loads(line)
+    assert parsed["queries"]["q"] == 2.0  # raw mid-run reading, unfolded

@@ -432,6 +432,39 @@ def test_fast_family_whitespace_and_short_docs(spark):
     assert by_doc[5] != by_doc[3]
 
 
+def test_fast_family_unicode_whitespace_matches_java_class(spark):
+    """r8 ADVICE class of bug: the fast family's tokenizers (pyarrow
+    ascii_split_whitespace in the vectorized band kernel, py_tokenize in
+    the per-row kernel) must treat ONLY the Java \\s chars as separators —
+    NBSP/NEL/U+2028 join tokens, exactly like the md5/expr family's
+    tokenize().  An NBSP-joined doc therefore differs from its space-split
+    twin, and the two fast forms agree with each other."""
+    rows = [
+        (1, "alpha beta gamma delta"),   # NBSP: "alpha beta" is ONE token
+        (2, "alpha beta gamma delta"),        # space twin: different shingles
+        (3, "alpha beta gamma delta"),   # identical NBSP doc
+        (4, "neljoin gamma delta"),
+        (5, "ls join gamma delta"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+    by_doc = _sig_map(dd.minhash_signatures_fast(
+        docs, hash_family="fast").collect())
+    assert by_doc[1] == by_doc[3]
+    assert by_doc[1] != by_doc[2]
+    assert by_doc[4] != by_doc[2] and by_doc[5] != by_doc[2]
+    # vectorized fused band kernel sees the same tokens: identical docs
+    # collide on every band, the NBSP doc and its space twin do not
+    bands = dd.minhash_band_signatures_vectorized(
+        docs, id_col="doc_id", text_col="text",
+        num_hashes=8, rows_per_band=2,
+    ).collect()
+    sig_of = {}
+    for r in bands:
+        sig_of.setdefault(r["doc_id"], set()).add((r["band"], r["band_sig"]))
+    assert sig_of[1] == sig_of[3]
+    assert sig_of[1] != sig_of[2]
+
+
 def test_fast_family_position_sensitive(spark):
     """Permuted token order must change the signature (the linear combine is
     position-weighted, not a bag-of-tokens sum)."""

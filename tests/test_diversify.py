@@ -60,3 +60,17 @@ def test_mmr_per_query_independence(spark):
     rows = mmr_rerank(q, d, k=1, pool_size=3).collect()
     first = {r["qid"]: r["docid"] for r in rows if r["step"] == 1}
     assert first == {0: 0, 1: 1}
+
+
+def test_mmr_empty_docs_raises_clear_error(spark):
+    """r8 ADVICE: an empty docs relation used to die with a bare
+    TypeError from first()[0]; the contract error names the problem."""
+    import pytest
+
+    q = spark.createDataFrame([(0, [1.0, 0.0])], "qid long, qvec array<double>")
+    empty = spark.createDataFrame([], "docid long, v array<double>")
+    with pytest.raises(ValueError, match="empty"):
+        mmr_rerank(q, empty, k=2)
+    nullvec = spark.createDataFrame([(1, None)], "docid long, v array<double>")
+    with pytest.raises(ValueError, match="NULL"):
+        mmr_rerank(q, nullvec, k=2)

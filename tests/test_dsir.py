@@ -150,6 +150,60 @@ def test_fast_strategy_bitwise_identical(spark):
     assert a == b
 
 
+def test_fast_expr_parity_on_unicode_whitespace(spark):
+    """r8 ADVICE (medium): Java regex \\s+ (the expr face's tokenize) does
+    NOT split on Unicode whitespace, while python str.split() does.  The
+    fast face must match the EXPR face on documents containing NBSP
+    (\\u00a0), NEL (\\x85), \\u2028 and the \\x1c-\\x1f separators — these
+    occur routinely in crawled web text."""
+    target = _docs(
+        spark,
+        ["alpha beta gamma", "alpha beta", "delta\x85epsilon zeta"],
+    )
+    raw = _docs(
+        spark,
+        [
+            "alpha beta gamma",          # NBSP-joined: ONE token to Java \s
+            "alpha beta gamma",               # space-split twin: different feats
+            "line sep and\x1cfs toks",
+            "plain alpha beta",
+            "nel\x85joined zeta",
+        ],
+        100,
+    )
+    a = sorted(map(tuple, dsir_topk(raw, target, k=5, n_buckets=64).collect()))
+    b = sorted(
+        map(
+            tuple,
+            dsir_topk(raw, target, k=5, n_buckets=64, strategy="fast").collect(),
+        )
+    )
+    assert a == b
+    # and the tokenizer semantics themselves: NBSP does not separate
+    assert (
+        hashed_ngram_features(_docs(spark, ["a b c"]), 16).count() == 3
+    )  # tokens ["a b", "c"] -> 2 unigrams + 1 bigram
+
+
+def test_py_tokenize_matches_jvm_tokenize_char_classes(spark):
+    """Pin functions.text.py_tokenize == tokenize() over every whitespace
+    codepoint class that distinguishes Java \\s from Unicode."""
+    from semantic_vector_search_system_spark.functions.text import (
+        py_tokenize,
+        tokenize,
+    )
+
+    cases = [
+        "a b\tc\nd\x0be\x0cf\rg",          # the six Java \s chars: all split
+        "a b", "x\x85y", "p q",  # Unicode ws: NOT separators
+        "m\x1cn\x1do\x1ep\x1fq",
+        "  lead trail  ", "", "   ", "one",
+    ]
+    df = spark.createDataFrame([(t,) for t in cases], "text string")
+    jvm = [r["t"] for r in df.select(tokenize("text").alias("t")).collect()]
+    assert jvm == [py_tokenize(t) for t in cases]
+
+
 def test_stored_model_batch_equivalence(spark):
     """Serving contract: scoring the training raw pool against the
     STORED ratio tables reproduces dsir_topk exactly, and a disjoint

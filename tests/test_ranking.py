@@ -36,6 +36,27 @@ def test_global_row_number_matches_single_partition_window(spark, n, parts):
     assert got == want
 
 
+def test_global_row_number_survives_thousands_of_partitions(spark):
+    """r8 ADVICE: the per-partition offset lookup must stay FLAT (a
+    broadcast join against the (pid, offset) relation), not an
+    O(partitions)-deep CASE WHEN chain — at the partition counts the
+    primitive is advertised for, a nested chain risks analyzer/codegen
+    stack overflow.  2,000 range partitions must both BUILD (no
+    RecursionError/StackOverflow) and rank correctly."""
+    n = 4000
+    df = spark.createDataFrame(_rows(n), "id long, score double").repartition(8)
+    order = [F.col("score").desc(), F.col("id").asc()]
+    ranked = global_row_number(df, order, num_partitions=2000)
+    got = {r["id"]: r["rank"] for r in ranked.collect()}
+    want = {
+        r["id"]: r["rank"]
+        for r in df.withColumn(
+            "rank", F.row_number().over(Window.orderBy(*order))
+        ).collect()
+    }
+    assert got == want
+
+
 def test_global_row_number_plan_has_no_single_partition_exchange(spark):
     df = spark.createDataFrame(_rows(50), "id long, score double")
     ranked = global_row_number(

@@ -118,6 +118,20 @@ def test_kmv_merge_equals_sketch_of_concatenated_data(spark):
     assert merged["n_seen"] == n_seen
 
 
+def test_kmv_pair_ops_rejects_unresolved_group_labels(spark):
+    """r8 ADVICE: a typo'd group label used to return ZERO rows —
+    indistinguishable from a legitimate empty-set result. Now it raises
+    with the offending label."""
+    sk = kmv_group_sketch(
+        _events(spark, [("view", 1), ("purchase", 2)]),
+        "event_type", "user_id", k=8,
+    )
+    with pytest.raises(ValueError, match="'viwe'"):
+        kmv_pair_ops(sk, "event_type", "viwe", "purchase")
+    with pytest.raises(ValueError, match="'cart'"):
+        kmv_pair_ops(sk, "event_type", "view", "cart")
+
+
 def test_kmv_group_sketch_rejects_bad_k(spark):
     with pytest.raises(ValueError):
         kmv_group_sketch(_events(spark, [("a", 1)]), "event_type", "user_id", k=1)
