@@ -1,0 +1,235 @@
+"""The end-to-end curation funnel as a SERVABLE, incremental pipeline.
+
+The batch catalog row ``curation_funnel`` (r8) pins the COMPOSITION of
+four oracle-verified operators over one static corpus: length gate ->
+classifier margin -> bigram-LM fluency at the population median ->
+normalize-then-hash dedup keep-one.  A production crawl loop runs the
+same funnel INCREMENTALLY (r8 VERDICT #4): the LM model and its
+threshold are FIT ONCE on a reference snapshot and stored; every
+micro-batch then flows through the stored gates, and the dedup stage
+keeps state (the set of accepted content hashes) so later batches drop
+copies of anything accepted earlier — exactly the incremental trilogy
+shape (incremental_neardup / incremental_span_dedup /
+incremental_semdedup), applied to the whole funnel at once.
+
+Batch-equivalence contract (tested, and pinned by the catalog row
+``stream_curation_funnel``): processing a corpus in ascending-id batches
+through :func:`incremental_curation_funnel` with state fit on that same
+corpus accepts EXACTLY the batch funnel's stage-4 survivors — gates 1-3
+are row-local given the stored model/threshold, and ascending-id batch
+order + in-batch min-id keep-first reproduces the global min-id
+keep-one.
+
+Scale: the stored model is vocabulary-bounded (cnt2/cnt1 relations +
+one threshold row); each batch runs one explode + broadcast joins + one
+hash-keyed min-struct aggregate; the hash state table is one row per
+DISTINCT accepted hash, bucketed for a shuffle-free probe of the stored
+side.  No stage touches the reference corpus again after the fit.
+
+Reference: the reference pipeline (`auto_run_tests.py`) has no curation
+stage at all — this family is part of the training-data extension
+surface (SURVEY beyond-§2).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.text import normalize_text, tokenize
+
+
+def _funnel_stages(
+    batch: DataFrame,
+    model: tuple[DataFrame, DataFrame, DataFrame],
+    threshold: float,
+    min_tokens: int,
+    doc_id: str,
+    text_col: str,
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Stages 1-3 over one batch with the STORED model/threshold:
+    returns (s1, s2, s3) survivor relations, each carrying
+    (doc_id, text)."""
+    from .lm import bigram_lm_score
+    from .quality_filters import linear_quality_margin
+
+    s1 = batch.filter(F.size(tokenize(F.col(text_col))) >= min_tokens)
+    m = linear_quality_margin(s1, id_col=doc_id, text_col=text_col)
+    s2 = s1.join(m.filter(F.col("accept")).select(doc_id), doc_id)
+    rep = bigram_lm_score(s2, model, text_col=text_col, doc_id=doc_id)
+    s3 = s2.join(
+        rep.filter(F.col("lm_score") >= F.lit(float(threshold))).select(doc_id),
+        doc_id,
+    )
+    return s1, s2, s3
+
+
+def fit_funnel_state(
+    docs: DataFrame,
+    min_tokens: int = 20,
+    doc_id: str = "doc_id",
+    text_col: str = "text",
+) -> dict:
+    """Fit the funnel's stored gate state on a reference corpus:
+    ``{"model": (cnt2, cnt1, vocab), "threshold": float, "min_tokens"}``.
+
+    The threshold is the EXACT median lm_score of the corpus' stage-2
+    survivors — the same ``percentile(lm_score, 0.5)`` the batch
+    catalog row computes, so serving the fit corpus through the stored
+    gates reproduces the batch funnel bit-for-bit.  The median is a
+    single-row aggregate collect (bounded)."""
+    from .lm import bigram_lm_score, train_bigram_lm
+    from .quality_filters import linear_quality_margin
+
+    cnt2, cnt1, vocab = train_bigram_lm(docs, text_col=text_col)
+    # the count relations are probed once per micro-batch for the life of
+    # the fitted state: pin them so the corpus-sized bigram explode runs
+    # exactly once (on a cluster, persist to reliable storage instead —
+    # that is what write_funnel_state does)
+    model = (cnt2.localCheckpoint(), cnt1.localCheckpoint(), vocab)
+    s1 = docs.filter(F.size(tokenize(F.col(text_col))) >= min_tokens)
+    m = linear_quality_margin(s1, id_col=doc_id, text_col=text_col)
+    s2 = s1.join(m.filter(F.col("accept")).select(doc_id), doc_id)
+    rep = bigram_lm_score(s2, model, text_col=text_col, doc_id=doc_id)
+    thr_row = rep.agg(F.expr("percentile(lm_score, 0.5)").alias("m50")).collect()[0]
+    thr = thr_row["m50"]
+    if thr is None:
+        raise ValueError(
+            "fit_funnel_state: no documents survived the length+classifier "
+            "gates — cannot fit an LM threshold on an empty population"
+        )
+    return {
+        "model": model,
+        "threshold": float(thr),
+        "min_tokens": int(min_tokens),
+    }
+
+
+def incremental_curation_funnel(
+    batch: DataFrame,
+    state: dict,
+    seen_hashes: DataFrame | None = None,
+    doc_id: str = "doc_id",
+    text_col: str = "text",
+) -> tuple[DataFrame, DataFrame]:
+    """One micro-batch through the stored-state funnel.
+
+    Returns ``(accepted, novel_hashes)``:
+
+    * ``accepted`` — ``(doc_id, norm_hash)``: stage-3 survivors that are
+      the FIRST occurrence of their normalized content hash, both
+      within the batch (min-id per hash via a min-struct AGGREGATE —
+      the de-skew keep-first shape, map-side partials collapse
+      boilerplate copies before the exchange) and against
+      ``seen_hashes`` (an anti-join probe of prior state);
+    * ``novel_hashes`` — ``(norm_hash)``: the hashes this batch adds to
+      the state.  The caller appends them (``unionByName`` for the
+      in-memory face, table append for the stored face) so every later
+      batch dedups against everything accepted before it.
+    """
+    s1, s2, s3 = _funnel_stages(
+        batch, state["model"], state["threshold"], state["min_tokens"],
+        doc_id, text_col,
+    )
+    hashed = s3.select(
+        F.md5(normalize_text(F.col(text_col))).alias("norm_hash"),
+        F.col(doc_id),
+    )
+    first = (
+        hashed.groupBy("norm_hash")
+        .agg(F.min(F.struct(doc_id)).alias("_m"))
+        .select("norm_hash", F.col(f"_m.{doc_id}").alias(doc_id))
+    )
+    if seen_hashes is not None:
+        first = first.join(seen_hashes, "norm_hash", "left_anti")
+    accepted = first.select(doc_id, "norm_hash")
+    return accepted, accepted.select("norm_hash")
+
+
+# --- stored-state (warehouse) face -----------------------------------------
+
+def write_funnel_state(
+    docs: DataFrame,
+    table_prefix: str,
+    min_tokens: int = 20,
+    doc_id: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = 8,
+) -> dict:
+    """Fit and PERSIST the funnel gate state as warehouse tables — the
+    funnel analog of ``write_dsir_model``/``write_neardup_index``:
+
+    * ``<prefix>_cnt2`` / ``<prefix>_cnt1`` / ``<prefix>_meta`` — the
+      vocabulary-bounded bigram LM counts plus one meta row
+      ``(vs, threshold, min_tokens)``;
+    * ``<prefix>_hashes`` — the accepted-content-hash state, created
+      EMPTY and bucketed by ``norm_hash`` so each batch's anti-join
+      probes the stored side without shuffling it.
+    """
+    spark = docs.sparkSession
+    state = fit_funnel_state(docs, min_tokens, doc_id, text_col)
+    cnt2, cnt1, vocab = state["model"]
+    cnt2.write.mode("overwrite").format("parquet").saveAsTable(
+        f"{table_prefix}_cnt2"
+    )
+    cnt1.write.mode("overwrite").format("parquet").saveAsTable(
+        f"{table_prefix}_cnt1"
+    )
+    vs = vocab.collect()[0]["vs"]
+    spark.createDataFrame(
+        [(int(vs), float(state["threshold"]), int(min_tokens))],
+        "vs long, threshold double, min_tokens int",
+    ).write.mode("overwrite").format("parquet").saveAsTable(
+        f"{table_prefix}_meta"
+    )
+    empty = spark.createDataFrame([], "norm_hash string")
+    (
+        empty.write.mode("overwrite")
+        .format("parquet")
+        .bucketBy(n_buckets, "norm_hash")
+        .saveAsTable(f"{table_prefix}_hashes")
+    )
+    return {"threshold": state["threshold"], "min_tokens": min_tokens, "vs": int(vs)}
+
+
+def read_funnel_state(spark: SparkSession, table_prefix: str) -> dict:
+    """Load the stored gate state written by :func:`write_funnel_state`."""
+    meta = spark.read.table(f"{table_prefix}_meta").collect()[0]
+    model = (
+        spark.read.table(f"{table_prefix}_cnt2"),
+        spark.read.table(f"{table_prefix}_cnt1"),
+        spark.createDataFrame([(int(meta["vs"]),)], "vs long"),
+    )
+    return {
+        "model": model,
+        "threshold": float(meta["threshold"]),
+        "min_tokens": int(meta["min_tokens"]),
+    }
+
+
+def incremental_curation_funnel_stored(
+    batch: DataFrame,
+    table_prefix: str,
+    update_index: bool = True,
+    doc_id: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """The crawl-loop serving face: one batch through the STORED gate
+    state, deduped against the STORED hash table; with ``update_index``
+    the batch's novel hashes append to the state (bucket-preserving
+    insert), so the next call — today's next micro-batch or next
+    month's crawl — sees them.  Returns the accepted rows
+    ``(doc_id, norm_hash)`` MATERIALIZED (the append must not observe
+    its own output)."""
+    spark = batch.sparkSession
+    state = read_funnel_state(spark, table_prefix)
+    seen = spark.read.table(f"{table_prefix}_hashes")
+    accepted, novel = incremental_curation_funnel(
+        batch, state, seen_hashes=seen, doc_id=doc_id, text_col=text_col
+    )
+    accepted = accepted.localCheckpoint()
+    if update_index:
+        accepted.select("norm_hash").write.mode("append").insertInto(
+            f"{table_prefix}_hashes"
+        )
+    return accepted

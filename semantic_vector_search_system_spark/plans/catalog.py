@@ -1164,6 +1164,26 @@ def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
 # tests), nation_customer_rank (W4 rank position),
 # urgent_orders_by_year (P8 routing filter). All 31 parked rotate back
 # across r9-r10.
+# Round-9 rotation (r8 VERDICT #2 — close the rotation debt): ALL 15 rows
+# absent from both the r7 and r8 driver windows return (corpus_vocabulary,
+# cube_order_stats, decontamination, doc_fingerprint, global_top_spenders,
+# hourly_event_counts, lsh_candidate_pairs, media_kind_stats,
+# nations_with_both, part_type_revenue, revenue_filter, source_cap_sample,
+# source_mixture_weights, stream_dedup_events, token_stats_by_lang) — with
+# the catalog at 102 (+paired_test_components, +stream_curation_funnel,
+# both NEW r9 and in-window), 17 park in exchange: 9 rows driver-green in
+# BOTH r7 and r8 (pricing_summary, event_percentiles, knn_topk_heap,
+# quality_classifier_report, span_dedup, welch_components_by_type,
+# bigram_lm_report, ann_pq_topk, semdedup_keep_one) and 8 rows green in r8
+# plus >=2 earlier rounds (ann_ivf_topk, doc_quality, knn_hybrid_filtered,
+# tfidf_self_retrieval, training_corpus_selection, user_event_sequences,
+# user_event_unpivot, view_purchase_funnel); every park notes its
+# in-window family coverage per entry.  The 21 rows first green in r8
+# stay in-window until 2x driver-green; kept keepers: json_kpi,
+# sequence_packing, stream_user_totals_stateful, index_upsert_counts,
+# bm25_topk, media_features (no family twin), knn_topk,
+# self_retrieval_e2e, incremental_dedup, asof_grouped_orders,
+# stream_view_purchase_join, pii_scan_report (family anchors).
 DEMOTED: tuple[str, ...] = (
     "revenue_by_nation",         # multi-way broadcast join-agg ≡
                                  #   part_type_revenue (returning) +
@@ -1254,34 +1274,6 @@ DEMOTED: tuple[str, ...] = (
                                  #   knn_topk_heap (in-window keeper,
                                  #   rank/top-k windows) — parked late-r8
                                  #   for the NEW context_windows
-    "global_top_spenders",       # W2 partial top-k ≡ knn_topk_heap
-                                 #   (in-window keeper: the bounded-heap
-                                 #   partial top-k, same
-                                 #   TakeOrderedAndProject shape) +
-                                 #   top_orders_per_customer (parked W3
-                                 #   twin) — parked late-r8 for the NEW
-                                 #   bpe_encode_tokens
-    "media_kind_stats",          # metadata-only agg over the derived
-                                 #   media table ≡ media_features
-                                 #   (in-window no-twin keeper, same
-                                 #   table through the decode path) +
-                                 #   pricing_summary (agg family) —
-                                 #   parked late-r8 for the NEW
-                                 #   lm_perplexity_buckets
-    "doc_fingerprint",           # min-hash fingerprint ≡ media_ahash_dedup
-                                 #   (in-window NEW: perceptual fingerprint
-                                 #   + hash-key keep-one) + simhash (parked
-                                 #   family twin) + lsh_candidate_pairs
-                                 #   (in-window signature kernel) — parked
-                                 #   late-r8 for the NEW media_ahash_dedup
-    "source_cap_sample",         # stable-hash top-k sampling ≡
-                                 #   training_shuffle_shards (in-window
-                                 #   NEW: same stable-hash ordering
-                                 #   primitive) + source_mixture_weights
-                                 #   (in-window per-source budgeting) +
-                                 #   dataset_splits (parked hash-bucket
-                                 #   twin) — parked late-r8 for the NEW
-                                 #   training_shuffle_shards
     "sketch_stats",              # KMV estimator ≡ sketch_set_ops
                                  #   (in-window NEW: the same bottom-k
                                  #   sketch PLUS theta set algebra —
@@ -1291,15 +1283,6 @@ DEMOTED: tuple[str, ...] = (
                                  #   sample-median ≡ event_percentiles
                                  #   (in-window keeper) — parked late-r8
                                  #   for the NEW sketch_set_ops
-    "lsh_candidate_pairs",       # banding candidates ≡ similarity_pagerank
-                                 #   (in-window NEW: its oracle CONTAINS
-                                 #   the full signature->band->pair CTE
-                                 #   chain verbatim, so the pair relation
-                                 #   stays oracle-verified every round) +
-                                 #   incremental_dedup + neardup_keep_one
-                                 #   (both in-window, same banding kernel)
-                                 #   — parked late-r8 for the NEW
-                                 #   similarity_pagerank
     "neardup_keep_one",          # star-edge clustering + keep-one ≡
                                  #   duplicate_components (in-window NEW:
                                  #   a STRICTLY STRONGER components
@@ -1313,84 +1296,92 @@ DEMOTED: tuple[str, ...] = (
                                  #   ≡ media_ahash_dedup + span_dedup
                                  #   (both in-window) — parked late-r8
                                  #   for the NEW duplicate_components
-    "nations_with_both",         # SO1 set intersection ≡ sketch_set_ops
-                                 #   (in-window NEW: SQL INTERSECT in its
-                                 #   oracle + the theta intersection
-                                 #   estimate) + ngram_jaccard_pairs
-                                 #   (parked set-overlap twin) — parked
-                                 #   late-r8 for the NEW
-                                 #   media_hamming_pairs
-    "part_type_revenue",         # keyed agg ≡ pricing_summary (in-window
-                                 #   keeper, same decimal-exact agg
-                                 #   family) + supplier_balance_by_nation
-                                 #   / brand_price_stats (parked twins) —
-                                 #   parked late-r8 for the NEW
-                                 #   kmeans_steps
-    "hourly_event_counts",       # hourly tumbling counts ≡
-                                 #   stream_hourly_counts (parked twin,
-                                 #   identical result by construction);
-                                 #   event-time family stays in-window
-                                 #   via stream_dedup_events /
-                                 #   stream_view_purchase_join /
-                                 #   stream_user_totals_stateful +
-                                 #   event_percentiles (keeper) — parked
-                                 #   late-r8 for the NEW dsir_selection
-    "token_stats_by_lang",       # per-lang token grouping ≡
-                                 #   corpus_vocabulary (in-window, same
-                                 #   tokenize+group family) +
-                                 #   langid_confusion / token_counts_regex
-                                 #   (parked twins) — parked late-r8 for
-                                 #   the NEW prototype_sample
-    "revenue_filter",            # P4 compound filter ≡ knn_hybrid_filtered
-                                 #   (in-window P3 pre-filter, pushdown
-                                 #   asserted) + urgent_orders_by_year
-                                 #   (parked twin); PushedFilters also
-                                 #   plan-gated in tests/test_plans.py —
-                                 #   parked late-r8 for the NEW
-                                 #   normalized_exact_dedup
-    "stream_dedup_events",       # streaming watermark dedup ≡
-                                 #   stream_user_totals_stateful +
+    "pricing_summary",           # A8 decimal agg keeper since r8 ≡
+                                 #   part_type_revenue (returning debt row,
+                                 #   same decimal-exact agg) +
+                                 #   temperature_mixture (in-window) —
+                                 #   r7+r8 driver-green, parked r9
+    "event_percentiles",         # A5/A6 exact percentiles ≡
+                                 #   lm_perplexity_buckets (in-window exact
+                                 #   global-rank buckets) +
+                                 #   hourly_event_counts (returning
+                                 #   event-time agg) — r7+r8 green, parked r9
+    "knn_topk_heap",             # JVM bounded-heap Aggregator ≡
+                                 #   prototype_sample (in-window: the same
+                                 #   Aggregator physically) + knn_topk
+                                 #   (in-window, same query semantics) —
+                                 #   r7+r8 green, parked r9
+    "quality_classifier_report", # classifier margin ≡ curation_funnel
+                                 #   (in-window: composes the same margin
+                                 #   gate) + doc_quality family via
+                                 #   gopher (parked twins); bench
+                                 #   quality_classifier_1M every round —
+                                 #   r7+r8 green, parked r9
+    "span_dedup",                # sub-doc dedup ≡ normalized_exact_dedup
+                                 #   (in-window hash-keyed keep-one) +
+                                 #   stream_curation_funnel (in-window
+                                 #   incremental dedup state); bench
+                                 #   span_dedup_1M every round — r7+r8
+                                 #   green, parked r9
+    "welch_components_by_type",  # A12 ≡ paired_test_components (NEW
+                                 #   in-window: same distributed-components
+                                 #   shape, A13) + mannwhitney_components
+                                 #   (parked twin) — r7+r8 green, parked r9
+    "bigram_lm_report",          # bigram LM ≡ lm_perplexity_buckets +
+                                 #   curation_funnel + stream_curation_funnel
+                                 #   (all in-window, same train/score
+                                 #   builders) — r7+r8 green, parked r9
+    "ann_pq_topk",               # PQ ADC ≡ ann_ivfpq_topk (in-window:
+                                 #   strictly wider — residual codebooks +
+                                 #   probed ADC); bench ann_pq_1m recall
+                                 #   every round — r7+r8 green, parked r9
+    "semdedup_keep_one",         # clustered semantic dedup ≡ kmeans_steps
+                                 #   + prototype_sample (in-window, same
+                                 #   assignment kernels) +
+                                 #   mmr_diversified_topk (in-window
+                                 #   embedding-sim greedy); bench
+                                 #   semdedup_1M every round — r7+r8
+                                 #   green, parked r9
+    "ann_ivf_topk",              # IVF probe ≡ ann_ivfpq_topk (in-window,
+                                 #   same probe + partition-pruned scan);
+                                 #   bench ann_recall_1m ladder every
+                                 #   round — green r8 + r1-r6, parked r9
+    "doc_quality",               # C4-ish rules ≡ curation_funnel
+                                 #   (in-window length gate) +
+                                 #   gopher_quality_report (parked twin)
+                                 #   — green r8 + r1-r6, parked r9
+    "knn_hybrid_filtered",       # P3 hybrid pre-filter ≡ knn_topk
+                                 #   (in-window J1 scoring) +
+                                 #   revenue_filter (returning debt row,
+                                 #   pushdown-asserted filter family) —
+                                 #   green r8 + earlier, parked r9
+    "tfidf_self_retrieval",      # TF-IDF e2e ≡ self_retrieval_e2e
+                                 #   (in-window, hashing-encoder e2e twin)
+                                 #   + bm25_topk... (bm25 in-window keeper,
+                                 #   lexical weighting family) — green r8 +
+                                 #   earlier, parked r9
+    "training_corpus_selection", # composed candidates->verify->anti-join ≡
+                                 #   decontamination (returning debt row,
+                                 #   same anti-join gate) + curation_funnel
+                                 #   (in-window composed funnel) +
+                                 #   lsh_candidate_pairs (returning) —
+                                 #   green r8 + earlier, parked r9
+    "user_event_sequences",      # A15 ordered accumulation ≡
+                                 #   context_windows (in-window ordered
+                                 #   sequence assembly) + user_running_value
+                                 #   / sessionization (parked twins) —
+                                 #   green r8 + earlier, parked r9
+    "user_event_unpivot",        # unpivot ≡ user_event_pivot (parked
+                                 #   inverse twin, green r1-r6) +
+                                 #   media_kind_stats (returning derived-
+                                 #   table agg) — green r8 + earlier,
+                                 #   parked r9
+    "view_purchase_funnel",      # interval join ≡ asof_grouped_orders
+                                 #   (in-window keeper, the cogroup
+                                 #   range-join family) +
                                  #   stream_view_purchase_join (in-window
-                                 #   streaming keepers) + exact_dedup
-                                 #   family via normalized_exact_dedup
-                                 #   (in-window NEW); the
-                                 #   dropDuplicatesWithinWatermark path
-                                 #   stays pytest-covered — parked
-                                 #   late-r8 for the NEW
-                                 #   leakage_safe_splits
-    "cube_order_stats",          # grouping sets ≡ rollup_pricing /
-                                 #   region_customer_rollup (parked
-                                 #   twins; pure-Catalyst CUBE, stable
-                                 #   every round since r4) +
-                                 #   pricing_summary (in-window agg
-                                 #   keeper) — parked late-r8 for the
-                                 #   NEW mmr_diversified_topk; family
-                                 #   returns r9
-    "source_mixture_weights",    # per-source budget agg ≡
-                                 #   pricing_summary (in-window keyed-agg
-                                 #   keeper) + corpus_vocabulary
-                                 #   (parked; temperature_mixture is the
-                                 #   in-window composition row) +
-                                 #   source_cap_sample / dataset_splits
-                                 #   (parked twins) — parked late-r8 for
-                                 #   the NEW retrieval_ndcg
-    "corpus_vocabulary",         # tokenize+group vocabulary ≡
-                                 #   bpe_encode_tokens (in-window: the
-                                 #   vocabulary-compressed relation IS
-                                 #   its input) + temperature_mixture
-                                 #   (in-window NEW token-count agg) +
-                                 #   token_counts_regex /
-                                 #   token_stats_by_lang (parked twins)
-                                 #   — parked late-r8 for the NEW
-                                 #   temperature_mixture
-    "decontamination",           # n-gram overlap broadcast semi-join ≡
-                                 #   training_corpus_selection
-                                 #   (in-window composed anti-join +
-                                 #   shingle verify) + segment_order_stats
-                                 #   / customers_without_orders (parked
-                                 #   semi/anti twins) — parked late-r8
-                                 #   for the NEW curation_funnel (whose
-                                 #   stages join/filter the same way)
+                                 #   streaming twin) — green r8 + earlier,
+                                 #   parked r9
 )
 
 
@@ -1564,6 +1555,81 @@ def mannwhitney_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("event_type").alias("grp"), F.col("value").alias("m")
     )
     return mann_whitney_components(e, "grp", "m", ["view", "purchase"])
+
+
+@_q(
+    "paired_test_components",
+    """
+    WITH pairs AS (
+      SELECT user_id,
+        CAST(SUM(CASE WHEN event_type = 'view'
+                      THEN CAST(value AS DECIMAL(12,2)) END) AS DOUBLE) AS before_v,
+        CAST(SUM(CASE WHEN event_type = 'purchase'
+                      THEN CAST(value AS DECIMAL(12,2)) END) AS DOUBLE) AS after_v
+      FROM events WHERE event_type IN ('view', 'purchase')
+      GROUP BY user_id
+    ),
+    d AS (SELECT after_v - before_v AS d FROM pairs
+          WHERE before_v IS NOT NULL AND after_v IS NOT NULL),
+    nz AS (SELECT ABS(d) AS ad, CASE WHEN d > 0 THEN 1 ELSE 0 END AS pos
+           FROM d WHERE d <> 0),
+    counts AS (SELECT ad, COUNT(*) AS cnt, SUM(pos) AS pos_cnt
+               FROM nz GROUP BY ad),
+    ranked AS (SELECT ad, cnt, pos_cnt,
+        COALESCE(SUM(cnt) OVER (ORDER BY ad
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+      FROM counts),
+    rv AS (SELECT cnt, pos_cnt, cum_before + (cnt + 1) / 2.0 AS avg_rank
+           FROM ranked),
+    mom AS (SELECT COUNT(d) AS n, ROUND(AVG(d), 4) AS mean_d,
+                   ROUND(var_samp(d), 4) AS var_d FROM d),
+    wil AS (SELECT COALESCE(SUM(cnt), 0) AS n_nonzero,
+        CAST(COALESCE(SUM(avg_rank * pos_cnt), 0) AS DOUBLE) AS w_plus,
+        CAST(COALESCE(SUM(avg_rank * (cnt - pos_cnt)), 0) AS DOUBLE) AS w_minus,
+        COALESCE(SUM(cnt * cnt * cnt - cnt), 0) AS tie_term FROM rv)
+    SELECT n, mean_d, var_d, n_nonzero, w_plus, w_minus, tie_term
+    FROM mom, wil
+    """,
+    tags=("stats", "A13", "paired"),
+)
+def paired_test_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed paired-test components (plans/report.py::
+    paired_components, r8 VERDICT #7): pairing unit = user with both
+    view and purchase events, before/after = DECIMAL-exact per-type
+    value totals (bitwise-deterministic doubles, so the |d| tie groups
+    match across engines); the one-row relation carries the paired-t
+    moments and the Wilcoxon signed-rank sums + tie correction.  The
+    statistics themselves are driver arithmetic
+    (paired_tests_distributed), as with Welch/Mann-Whitney."""
+    from .report import paired_components
+
+    e = T(spark, sf_dir, "events")
+    dec = F.col("value").cast("decimal(12,2)")
+    pairs = (
+        e.filter(F.col("event_type").isin("view", "purchase"))
+        .groupBy("user_id")
+        .agg(
+            F.sum(F.when(F.col("event_type") == "view", dec))
+            .cast("double")
+            .alias("before_v"),
+            F.sum(F.when(F.col("event_type") == "purchase", dec))
+            .cast("double")
+            .alias("after_v"),
+        )
+        .filter(
+            F.col("before_v").isNotNull() & F.col("after_v").isNotNull()
+        )
+    )
+    comp = paired_components(pairs, "before_v", "after_v")
+    return comp.select(
+        "n",
+        F.round("mean_d", 4).alias("mean_d"),
+        F.round("var_d", 4).alias("var_d"),
+        "n_nonzero",
+        "w_plus",
+        "w_minus",
+        "tie_term",
+    )
 
 
 @_q(
@@ -4722,3 +4788,94 @@ def curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(stage("3_lm_median", s3))
         .unionByName(stage("4_dedup", s4))
     )
+
+
+@_q(
+    "stream_curation_funnel",
+    f"""
+    WITH toks AS (SELECT doc_id, {_SPLIT_CLEAN} AS t FROM documents),
+    s1 AS (SELECT doc_id, t FROM toks WHERE len(t) >= 20),
+    tok AS (SELECT doc_id, unnest(t) AS tok FROM s1),
+    wt AS (SELECT doc_id,
+                 (CAST({stable_hash64_sql("CONCAT('qw1', tok)")} % 2001 AS DOUBLE) - 1000.0) / 1000.0 AS w
+          FROM tok),
+    m AS (SELECT doc_id,
+                 CAST(SUM(CAST(w AS DECIMAL(38,12))) AS DOUBLE)
+                   / CAST(COUNT(*) AS DOUBLE) AS margin
+          FROM wt GROUP BY doc_id),
+    s2 AS (SELECT s1.doc_id, s1.t FROM s1 JOIN m USING (doc_id)
+           WHERE m.margin > 0),
+    bg AS (SELECT doc_id, t[i] AS w1, t[i+1] AS w2
+           FROM toks, unnest(generate_series(1, len(t)-1)) AS g(i)
+           WHERE len(t) >= 2),
+    cnt2 AS (SELECT w1, w2, COUNT(*) AS c12 FROM bg GROUP BY 1, 2),
+    cnt1 AS (SELECT w1, SUM(c12) AS c1 FROM cnt2 GROUP BY 1),
+    v AS (SELECT COUNT(DISTINCT tok0) AS vs
+          FROM (SELECT unnest(t) AS tok0 FROM toks)),
+    sc AS (SELECT b.doc_id, ROUND((c12 + 1.0) / (c1 + vs), 12) AS r
+           FROM (SELECT s2.doc_id, bg.w1, bg.w2
+                 FROM bg JOIN s2 ON s2.doc_id = bg.doc_id) b
+           JOIN cnt2 USING (w1, w2) JOIN cnt1 USING (w1) CROSS JOIN v),
+    rep AS (SELECT doc_id,
+              ROUND(CAST(SUM(CAST(r AS DECIMAL(38,12))) AS DOUBLE)
+                    / COUNT(*), 6) AS s
+            FROM sc GROUP BY doc_id),
+    med AS (SELECT quantile_cont(s, 0.5) AS m50 FROM rep),
+    s3 AS (SELECT rep.doc_id FROM rep, med WHERE rep.s >= med.m50),
+    n AS (SELECT d.doc_id,
+            trim(regexp_replace(regexp_replace(lower(d.text), '[^a-z0-9\\s]', ' ', 'g'),
+                                '\\s+', ' ', 'g')) AS norm
+          FROM documents d JOIN s3 ON s3.doc_id = d.doc_id),
+    s4 AS (SELECT md5(norm) AS norm_hash, MIN(doc_id) AS doc_id
+           FROM n GROUP BY md5(norm)),
+    mx AS (SELECT MAX(doc_id) + 1 AS mtot FROM documents)
+    SELECT s4.doc_id, s4.norm_hash,
+           CAST(FLOOR(CAST(s4.doc_id AS DOUBLE) * 3.0 / mtot) AS INTEGER) AS batch_id
+    FROM s4, mx
+    """,
+    tags=("streaming", "curation", "incremental", "composed", "funnel"),
+)
+def stream_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The curation funnel served INCREMENTALLY over ordered micro-batches
+    (r8 VERDICT #4; operators/curation.py): gate state — the bigram LM and
+    its exact-median threshold — is fit ONCE on the corpus snapshot, then
+    three ascending-doc_id batches flow through the stored gates with the
+    dedup stage carrying accepted-hash state across batches.  The
+    accumulated accepts ``(doc_id, norm_hash, batch_id)`` must equal the
+    batch ``curation_funnel``'s stage-4 survivors exactly (the
+    batch-equivalence contract): gates 1-3 are row-local given the stored
+    state, and ascending-id batch order + in-batch min-id keep-first
+    reproduces the global min-id keep-one — so the oracle is the SAME
+    funnel CTE chain, batch-tagged.  The true Structured Streaming face
+    (foreachBatch + warehouse state tables) is
+    streaming/events.py::streaming_curation_funnel_foreach_batch,
+    e2e-tested in tests/test_streaming_multimodal.py."""
+    from functools import reduce as _reduce
+
+    from ..operators.curation import (
+        fit_funnel_state,
+        incremental_curation_funnel,
+    )
+
+    docs = T(spark, sf_dir, "documents")
+    state = fit_funnel_state(docs)
+    mtot = docs.agg((F.max("doc_id") + 1).alias("m")).collect()[0]["m"]
+    batch_of = F.floor(F.col("doc_id").cast("double") * 3.0 / F.lit(float(mtot)))
+    seen = None
+    outs = []
+    for b in range(3):
+        accepted, novel = incremental_curation_funnel(
+            docs.filter(batch_of == b), state, seen_hashes=seen
+        )
+        accepted = accepted.localCheckpoint()
+        outs.append(
+            accepted.select(
+                "doc_id", "norm_hash", F.lit(b).cast("int").alias("batch_id")
+            )
+        )
+        seen = (
+            accepted.select("norm_hash")
+            if seen is None
+            else seen.unionByName(accepted.select("norm_hash"))
+        )
+    return _reduce(DataFrame.unionByName, outs)

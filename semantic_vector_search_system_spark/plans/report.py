@@ -155,9 +155,121 @@ def plot_summary_by_size(
     return True
 
 
+def paired_components(
+    results: DataFrame, before_col: str, after_col: str
+) -> DataFrame:
+    """A13 distributed part (r8 VERDICT #7 — the Welch treatment for the
+    PAIRED tests): ONE row holding everything paired t and Wilcoxon
+    signed-rank need, computed without ever collecting the sample:
+
+    ``(n, mean_d, var_d, n_nonzero, w_plus, w_minus, tie_term)``
+
+    * paired t: ``n``/``mean_d``/``var_d`` are the moments of the
+      per-row difference ``after - before`` (zeros included — the paired
+      t keeps them);
+    * Wilcoxon: zero differences dropped (``zero_method='wilcox'``),
+      |d| tie-average-ranked via the same bounded-cardinality scheme as
+      :func:`mann_whitney_components` (per-DISTINCT-|d| counts + a
+      running window over distinct values — raw rows never globally
+      sort); ``w_plus``/``w_minus`` are the signed rank sums and
+      ``tie_term = Σ(t³ - t)`` over tie groups feeds the normal
+      approximation's variance correction.
+
+    Determinism: every avg_rank is a multiple of 0.5 far below 2^52, so
+    the double rank sums are exact under any partitioning/summation
+    order — hash-comparable across engines (the mann-whitney contract).
+    """
+    from pyspark.sql import Window
+
+    d = results.select((F.col(after_col) - F.col(before_col)).alias("d"))
+    moments = d.agg(
+        F.count("d").alias("n"),
+        F.avg("d").alias("mean_d"),
+        F.var_samp("d").alias("var_d"),
+    )
+    nz = d.filter(F.col("d") != 0).select(
+        F.abs(F.col("d")).alias("ad"),
+        F.when(F.col("d") > 0, F.lit(1)).otherwise(F.lit(0)).alias("pos"),
+    )
+    counts = nz.groupBy("ad").agg(
+        F.count("*").alias("cnt"), F.sum("pos").alias("pos_cnt")
+    )
+    w = Window.orderBy("ad").rowsBetween(Window.unboundedPreceding, -1)
+    ranked = counts.withColumn(
+        "cum_before", F.coalesce(F.sum("cnt").over(w), F.lit(0))
+    ).withColumn("avg_rank", F.col("cum_before") + (F.col("cnt") + 1) / 2.0)
+    wil = ranked.agg(
+        F.coalesce(F.sum("cnt"), F.lit(0)).alias("n_nonzero"),
+        F.coalesce(
+            F.sum(F.col("avg_rank") * F.col("pos_cnt")), F.lit(0.0)
+        ).alias("w_plus"),
+        F.coalesce(
+            F.sum(F.col("avg_rank") * (F.col("cnt") - F.col("pos_cnt"))),
+            F.lit(0.0),
+        ).alias("w_minus"),
+        F.coalesce(
+            F.sum(
+                F.col("cnt") * F.col("cnt") * F.col("cnt") - F.col("cnt")
+            ),
+            F.lit(0),
+        ).alias("tie_term"),
+    )
+    return moments.crossJoin(wil)
+
+
+def paired_tests_distributed(
+    results: DataFrame, before_col: str, after_col: str
+) -> dict:
+    """A13 cluster-shaped face: paired t + Wilcoxon signed-rank from the
+    one-row :func:`paired_components` relation — the sample itself is
+    never collected.  Statistics are driver arithmetic; p-values are
+    scipy-gated like :func:`welch_t_test` (paired-t p via the t
+    distribution with ``n-1`` dof — identical to ``scipy.ttest_rel`` —
+    and the Wilcoxon p via the tie-corrected normal approximation,
+    matching ``scipy.stats.wilcoxon(zero_method='wilcox',
+    correction=False, method='approx')``; cross-checked in tests)."""
+    row = paired_components(results, before_col, after_col).collect()[0]
+    n = row["n"]
+    out = {
+        "n": n,
+        "n_nonzero": row["n_nonzero"],
+        "paired_t": None,
+        "paired_t_p": None,
+        "wilcoxon": None,
+        "wilcoxon_p": None,
+    }
+    if n and n >= 2 and row["var_d"] and row["var_d"] > 0:
+        t = row["mean_d"] / math.sqrt(row["var_d"] / n)
+        out["paired_t"] = float(t)
+        try:
+            from scipy import stats as sps
+
+            out["paired_t_p"] = float(2 * sps.t.sf(abs(t), n - 1))
+        except ImportError:
+            pass
+    nz = row["n_nonzero"]
+    if nz:
+        w_plus, w_minus = row["w_plus"], row["w_minus"]
+        out["wilcoxon"] = float(min(w_plus, w_minus))
+        mn = nz * (nz + 1) / 4.0
+        var_w = nz * (nz + 1) * (2 * nz + 1) / 24.0 - row["tie_term"] / 48.0
+        if var_w > 0:
+            z = (w_plus - mn) / math.sqrt(var_w)
+            try:
+                from scipy import stats as sps
+
+                out["wilcoxon_p"] = float(2 * sps.norm.sf(abs(z)))
+            except ImportError:
+                pass
+    return out
+
+
 def paired_tests(before: list[float], after: list[float]) -> dict:
     """A13: paired t + Wilcoxon signed-rank over small aggregated arrays
-    (driver-side scipy, as the reference does in `experiments/stats.py`)."""
+    (driver-side scipy, as the reference does in `experiments/stats.py`).
+    For cluster-scale samples use :func:`paired_tests_distributed`, which
+    computes the same statistics from :func:`paired_components` without
+    collecting the sample."""
     try:
         from scipy import stats as sps
 

@@ -465,3 +465,44 @@ def streaming_dsir_score_foreach_batch(
         .start()
     )
     q.awaitTermination()
+
+
+def streaming_curation_funnel_foreach_batch(
+    spark: SparkSession,
+    docs_stream: DataFrame,
+    state_prefix: str,
+    out_path: str,
+    checkpoint: str | None = None,
+) -> None:
+    """Streaming end-to-end curation funnel (r8 VERDICT #4): each
+    micro-batch of crawled documents runs the WHOLE stored-state funnel
+    — length gate -> classifier margin -> bigram-LM >= stored threshold
+    (write_funnel_state's reference-snapshot fit) -> normalize-then-hash
+    dedup against the stored accepted-hash table — and the accepted
+    ``(doc_id, norm_hash)`` rows append to ``out_path`` while the novel
+    hashes join the state, so every later micro-batch (and every later
+    crawl) dedups against everything accepted before it.  The COMPOSED
+    face of the crawl loop: where the other streaming faces run one
+    incremental stage each (neardup / span / semdedup / dsir), this one
+    chains all four funnel stages behind one foreachBatch, composed
+    entirely from the batch operator
+    :func:`...operators.curation.incremental_curation_funnel_stored`.
+    Batch-equivalence: over ascending-id batches the accumulated accepts
+    equal the batch ``curation_funnel``'s stage-4 survivors (tested).
+    Same at-least-once replay contract as every foreachBatch parquet
+    append."""
+    from ..operators.curation import incremental_curation_funnel_stored
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        out = incremental_curation_funnel_stored(
+            batch_df, state_prefix, update_index=True
+        )
+        out.write.mode("append").parquet(out_path)
+
+    q = (
+        docs_stream.writeStream.foreachBatch(handle)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", checkpoint or out_path + "_ckpt")
+        .start()
+    )
+    q.awaitTermination()

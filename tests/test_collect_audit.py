@@ -31,6 +31,17 @@ ALLOWED: dict[str, dict[str, int]] = {
         "row = evaluate_all(ret, qrels, k_values=_ints(args.k)).collect()[0]": 1,
         "rows = [r.asDict() for r in summary_by_size(ok, metric_cols).collect()]": 1,
     },
+    "operators/curation.py": {
+        # single-row aggregates: threshold median fit, vocab size, stored
+        # meta row — all O(1) rows by construction
+        'thr_row = rep.agg(F.expr("percentile(lm_score, 0.5)").alias("m50")).collect()[0]': 1,
+        'vs = vocab.collect()[0]["vs"]': 1,
+        'meta = spark.read.table(f"{table_prefix}_meta").collect()[0]': 1,
+    },
+    "plans/catalog.py": {
+        # stream_curation_funnel batch-boundary probe: single MAX row
+        'mtot = docs.agg((F.max("doc_id") + 1).alias("m")).collect()[0]["m"]': 1,
+    },
     "sources/vectorstores.py": {
         # single aggregate row (count/dim probe before upsert)
         ").collect()[0]": 1,
@@ -91,6 +102,8 @@ ALLOWED: dict[str, dict[str, int]] = {
         # grouped t-test / rank-sum component rows: O(groups), tiny
         "comp = {r[group_col]: r for r in welch_t_components(results, group_col, metric).collect()}": 1,
         "for r in mann_whitney_components(results, group_col, metric, [g1, g2]).collect()": 1,
+        # paired-test components: exactly ONE row by construction
+        'row = paired_components(results, before_col, after_col).collect()[0]': 1,
     },
     "operators/dedup.py": {
         # strategy probe: limit(threshold+1) + columnar Arrow materialization

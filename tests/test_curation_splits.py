@@ -117,3 +117,159 @@ def test_normalize_text_edge_cases(spark):
                                 "i long, t string")
     again = {r["i"]: r["n"] for r in df2.select("i", normalize_text("t").alias("n")).collect()}
     assert again == {k: v for k, v in got.items() if v is not None}
+
+
+# --- incremental / streaming curation funnel (r8 VERDICT #4) ---------------
+
+
+def _salad(i: int, n: int = 25) -> str:
+    """Deterministic >=20-token word salad, distinct per i."""
+    words = ["alpha", "beta", "gamma", "delta", "epsilon", "zeta", "eta",
+             "theta", "iota", "kappa", "lam", "mu"]
+    return " ".join(words[(i * 7 + j * 3) % len(words)] + str((i + j) % 9)
+                    for j in range(n))
+
+
+def _corpus(spark, ids_texts):
+    return spark.createDataFrame(ids_texts, "doc_id long, text string")
+
+
+def test_incremental_funnel_batch_equivalence(spark):
+    """The contract the catalog row stream_curation_funnel pins against
+    DuckDB, in operator form with PLANTED cross-batch duplicates: state
+    fit on the corpus + ascending-id batches through
+    incremental_curation_funnel == the batch funnel's stage-4 survivors
+    (normalize-then-hash keep-one over the gate survivors)."""
+    from semantic_vector_search_system_spark.functions.text import (
+        normalize_text,
+        tokenize,
+    )
+    from semantic_vector_search_system_spark.operators.curation import (
+        fit_funnel_state,
+        incremental_curation_funnel,
+    )
+    from semantic_vector_search_system_spark.operators.lm import bigram_lm_score
+    from semantic_vector_search_system_spark.operators.quality_filters import (
+        linear_quality_margin,
+    )
+
+    rows = [(i, _salad(i)) for i in range(30)]
+    # planted duplicates ACROSS the batch boundaries (batches are id
+    # tertiles 0-9 / 10-19 / 20-29): same normalized content, different
+    # case/punct; and an in-batch duplicate pair
+    rows[15] = (15, rows[2][1].upper() + "!")     # dup of doc 2 across batches
+    rows[25] = (25, rows[2][1] + ".")             # second copy, third batch
+    rows[27] = (27, rows[26][1])                  # exact in-batch dup
+    rows[5] = (5, "short text")                   # fails the length gate
+    docs = _corpus(spark, rows)
+
+    state = fit_funnel_state(docs)
+
+    # batch-face survivors: gates with the SAME stored state, then
+    # normalize-hash keep-one (min doc_id)
+    s1 = docs.filter(F.size(tokenize(F.col("text"))) >= 20)
+    m = linear_quality_margin(s1)
+    s2 = s1.join(m.filter(F.col("accept")).select("doc_id"), "doc_id")
+    rep = bigram_lm_score(s2, state["model"])
+    s3 = s2.join(
+        rep.filter(F.col("lm_score") >= state["threshold"]).select("doc_id"),
+        "doc_id",
+    )
+    want = {
+        (r["doc_id"], r["norm_hash"])
+        for r in s3.select(
+            F.md5(normalize_text(F.col("text"))).alias("norm_hash"), "doc_id"
+        )
+        .groupBy("norm_hash")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .collect()
+    }
+    assert len(want) >= 5  # the corpus genuinely exercises every gate
+
+    seen, got = None, set()
+    for lo, hi in ((0, 10), (10, 20), (20, 30)):
+        batch = docs.filter((F.col("doc_id") >= lo) & (F.col("doc_id") < hi))
+        accepted, _ = incremental_curation_funnel(batch, state, seen_hashes=seen)
+        accepted = accepted.localCheckpoint()
+        got |= {(r["doc_id"], r["norm_hash"]) for r in accepted.collect()}
+        nh = accepted.select("norm_hash")
+        seen = nh if seen is None else seen.unionByName(nh)
+    assert got == want
+    # the planted cross-batch dups were actually exercised: doc 2's hash
+    # accepted exactly once, and never from docs 15/25
+    accepted_ids = {d for d, _ in got}
+    assert 15 not in accepted_ids and 25 not in accepted_ids
+    assert 27 not in accepted_ids or 26 not in accepted_ids
+
+
+def test_streaming_curation_funnel_crawl_loop(spark, tmp_path):
+    """foreachBatch + warehouse-state e2e: the stored face processes two
+    micro-batches and must equal the in-memory incremental face over the
+    same ordered batches; a batch-2 copy of a batch-1 accept is
+    rejected; the hash state table grows by exactly the accepts."""
+    from semantic_vector_search_system_spark.operators.curation import (
+        fit_funnel_state,
+        incremental_curation_funnel,
+        write_funnel_state,
+    )
+    from semantic_vector_search_system_spark.streaming.events import (
+        streaming_curation_funnel_foreach_batch,
+    )
+
+    prefix = "stream_cur_state"
+    for t in ("_cnt2", "_cnt1", "_meta", "_hashes"):
+        spark.sql(f"DROP TABLE IF EXISTS {prefix}{t}")
+    try:
+        fit = _corpus(spark, [(i, _salad(i)) for i in range(30)])
+        meta = write_funnel_state(fit, prefix)
+        assert meta["vs"] > 0
+
+        b1 = _corpus(spark, [(100 + i, _salad(i)) for i in range(10)])
+        b2 = _corpus(
+            spark,
+            # 200-209 duplicate ALL of batch 1's contents: every one must
+            # be rejected — either its twin was accepted (hash now in
+            # state) or the content itself fails a gate (gates are
+            # content-pure, so the copy fails identically)
+            [(200 + i, _salad(i)) for i in range(10)]
+            + [(210, _salad(40)), (211, _salad(41)),  # novel
+               (212, "too short")],                    # length-gated
+        )
+        in_dir = str(tmp_path / "incoming_docs")
+        b1.coalesce(1).write.mode("append").parquet(in_dir)
+        b2.coalesce(1).write.mode("append").parquet(in_dir)
+
+        stream = (
+            spark.readStream.schema("doc_id long, text string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(in_dir)
+        )
+        out_path = str(tmp_path / "accepted_docs")
+        streaming_curation_funnel_foreach_batch(spark, stream, prefix, out_path)
+
+        got = {
+            (r["doc_id"], r["norm_hash"])
+            for r in spark.read.parquet(out_path).collect()
+        }
+
+        # reference: the in-memory incremental face over the same batches
+        state = fit_funnel_state(fit)
+        a1, _ = incremental_curation_funnel(b1, state)
+        a1 = a1.localCheckpoint()
+        a2, _ = incremental_curation_funnel(
+            b2, state, seen_hashes=a1.select("norm_hash")
+        )
+        want = {
+            (r["doc_id"], r["norm_hash"]) for r in a1.collect()
+        } | {(r["doc_id"], r["norm_hash"]) for r in a2.collect()}
+        assert got == want
+        accepted_ids = {d for d, _ in got}
+        assert accepted_ids, "corpus too strict — nothing accepted"
+        # every batch-2 duplicate of batch-1 content is rejected
+        assert not (accepted_ids & set(range(200, 210)))
+        assert 212 not in accepted_ids
+        # state grew by exactly the accepted hashes
+        assert spark.read.table(f"{prefix}_hashes").count() == len(got)
+    finally:
+        for t in ("_cnt2", "_cnt1", "_meta", "_hashes"):
+            spark.sql(f"DROP TABLE IF EXISTS {prefix}{t}")

@@ -123,6 +123,111 @@ def test_bonferroni_and_paired():
     assert out["paired_t"] != 0
 
 
+def _py_paired_components(before, after):
+    """Pure-python reference for the distributed paired components."""
+    diffs = [a - b for a, b in zip(after, before)]
+    n = len(diffs)
+    mean_d = sum(diffs) / n
+    var_d = sum((d - mean_d) ** 2 for d in diffs) / (n - 1)
+    nz = [d for d in diffs if d != 0]
+    # tie-averaged ranks of |d|
+    from collections import Counter
+
+    cnt = Counter(abs(d) for d in nz)
+    avg_rank, cum = {}, 0
+    for v in sorted(cnt):
+        avg_rank[v] = cum + (cnt[v] + 1) / 2.0
+        cum += cnt[v]
+    w_plus = sum(avg_rank[abs(d)] for d in nz if d > 0)
+    w_minus = sum(avg_rank[abs(d)] for d in nz if d < 0)
+    tie_term = sum(c**3 - c for c in cnt.values())
+    return n, mean_d, var_d, len(nz), w_plus, w_minus, tie_term
+
+
+def test_paired_components_matches_python_reference(spark):
+    """r8 VERDICT #7: the distributed paired-test components (one-row
+    relation; sample never collected) against a python oracle — planted
+    ties in |d|, zero diffs (dropped for Wilcoxon, kept for t), and
+    sign asymmetry; identical under repartitioning."""
+    from semantic_vector_search_system_spark.plans.report import (
+        paired_components,
+    )
+
+    before = [1.0, 2.0, 3.0, 4.0, 5.0, 6.0, 7.5, 9.0, 2.5, 0.5]
+    after = [1.5, 1.5, 3.0, 6.0, 5.5, 8.0, 7.0, 9.5, 4.5, 0.5]
+    # diffs: 0.5 -0.5 0 2 0.5 2 -0.5 0.5 2 0  -> |d| ties at 0.5 and 2
+    df = spark.createDataFrame(
+        list(zip(before, after)), "before_v double, after_v double"
+    )
+    want = _py_paired_components(before, after)
+    for parts in (1, 7):
+        row = (
+            paired_components(df.repartition(parts), "before_v", "after_v")
+            .collect()[0]
+        )
+        got = (
+            row["n"], row["mean_d"], row["var_d"], row["n_nonzero"],
+            row["w_plus"], row["w_minus"], row["tie_term"],
+        )
+        assert got[0] == want[0] and got[3] == want[3] and got[6] == want[6]
+        assert got[1] == pytest.approx(want[1], abs=1e-12)
+        assert got[2] == pytest.approx(want[2], rel=1e-12)
+        # rank sums are multiples of 0.5 -> exact doubles, bitwise equal
+        assert got[4] == want[4] and got[5] == want[5]
+
+
+def test_paired_components_all_zero_diffs(spark):
+    from semantic_vector_search_system_spark.plans.report import (
+        paired_components,
+        paired_tests_distributed,
+    )
+
+    df = spark.createDataFrame(
+        [(1.0, 1.0), (2.0, 2.0), (3.0, 3.0)], "b double, a double"
+    )
+    row = paired_components(df, "b", "a").collect()[0]
+    assert row["n"] == 3 and row["n_nonzero"] == 0
+    assert row["w_plus"] == 0.0 and row["w_minus"] == 0.0
+    out = paired_tests_distributed(df, "b", "a")
+    assert out["paired_t"] is None and out["wilcoxon"] is None
+
+
+def test_paired_tests_distributed_scipy_crosscheck(spark):
+    """Statistics AND p-values against scipy (ttest_rel; wilcoxon with
+    zero_method='wilcox', correction=False, normal approximation) —
+    the contract the docstring promises. Gated on scipy presence."""
+    from semantic_vector_search_system_spark.plans.report import (
+        paired_tests_distributed,
+    )
+
+    before = [1.0, 2.0, 3.0, 4.0, 5.0, 6.0, 7.5, 9.0, 2.5, 0.5, 11.0, 3.5]
+    after = [1.5, 1.5, 3.0, 6.0, 5.5, 8.0, 7.0, 9.5, 4.5, 0.5, 13.0, 3.0]
+    df = spark.createDataFrame(
+        list(zip(before, after)), "before_v double, after_v double"
+    )
+    out = paired_tests_distributed(df, "before_v", "after_v")
+    assert out["n"] == 12
+    scipy = pytest.importorskip("scipy")  # noqa: F841
+    from scipy import stats as sps
+
+    t_stat, t_p = sps.ttest_rel(after, before)
+    assert out["paired_t"] == pytest.approx(float(t_stat), rel=1e-12)
+    assert out["paired_t_p"] == pytest.approx(float(t_p), rel=1e-12)
+    import numpy as np
+
+    diffs = np.subtract(after, before)
+    try:
+        w = sps.wilcoxon(
+            diffs, zero_method="wilcox", correction=False, method="approx"
+        )
+    except TypeError:  # older scipy spells it mode=
+        w = sps.wilcoxon(
+            diffs, zero_method="wilcox", correction=False, mode="approx"
+        )
+    assert out["wilcoxon"] == pytest.approx(float(w.statistic))
+    assert out["wilcoxon_p"] == pytest.approx(float(w.pvalue), rel=1e-9)
+
+
 def test_h3_record_includes_query_latency(spark, tmp_path):
     rec = run_config(
         spark, RunConfig("H3", 120, "local", None, "hashing", 32, 5), str(tmp_path)

@@ -353,42 +353,37 @@ def test_driver_window_covers_every_operator_family():
     window = set(names[:50])
     # every non-demoted query is inside the driver's window
     assert window == set(CATALOG) - set(DEMOTED)
-    # r8 flagship set: the six no-family-twin stalwarts (never parked),
-    # the six NEW r7 queries (1x driver-green — stay until 2x), the two
-    # NEW r8 queries, the seven r8 keepers whose family would otherwise
-    # leave the window, and the returning r7-parked composites.
+    # r9 flagship set (rotation per the DEMOTED header): the 15 returning
+    # rotation-debt rows, the 2 NEW r9 rows, the 21 rows first green in
+    # r8 (stay until 2x driver-green), and the 12 keepers.
     flagships = {
-        # no family twin — never parked (late-r8: neardup_keep_one,
-        # sketch_stats and lsh_candidate_pairs graduated to parked —
-        # each now has a STRICTLY WIDER in-window sibling:
-        # duplicate_components / sketch_set_ops / similarity_pagerank,
-        # whose oracles contain or strengthen theirs)
-        "sequence_packing",
-        "stream_user_totals_stateful", "media_features",
-        "json_kpi",
-        # young — must be driver-checked while young
-        "bm25_topk", "span_dedup", "ann_pq_topk",
-        "quality_classifier_report", "semdedup_keep_one",
-        "bigram_lm_report",
+        # rotation debt — absent from both r7 and r8 windows, must return
+        "corpus_vocabulary", "cube_order_stats", "decontamination",
+        "doc_fingerprint", "global_top_spenders", "hourly_event_counts",
+        "lsh_candidate_pairs", "media_kind_stats", "nations_with_both",
+        "part_type_revenue", "revenue_filter", "source_cap_sample",
+        "source_mixture_weights", "stream_dedup_events",
+        "token_stats_by_lang",
+        # NEW r9
+        "paired_test_components", "stream_curation_funnel",
+        # young — first driver-green in r8, stay until 2x
         "ann_ivfpq_topk", "bpe_merges",
         "bpe_encode_tokens", "lm_perplexity_buckets", "media_ahash_dedup",
         "training_shuffle_shards", "sketch_set_ops", "similarity_pagerank",
         "duplicate_components", "media_hamming_pairs", "kmeans_steps",
         "dsir_selection", "prototype_sample", "normalized_exact_dedup",
         "leakage_safe_splits", "mmr_diversified_topk", "retrieval_ndcg",
-        "temperature_mixture", "curation_funnel",
-        # r8 keepers (family coverage; urgent_orders_by_year and
-        # nation_customer_rank parked late-r8 for the NEW
-        # bitext_margin_pairs / context_windows)
-        "pricing_summary", "knn_topk_heap", "event_percentiles",
-        "index_upsert_counts", "welch_components_by_type",
-        "bitext_margin_pairs", "context_windows",
-        # returning composites / incremental serving
-        "training_corpus_selection", "incremental_dedup", "knn_topk",
-        "ann_ivf_topk", "self_retrieval_e2e", "tfidf_self_retrieval",
-        "doc_quality",
+        "temperature_mixture", "curation_funnel", "bitext_margin_pairs",
+        "context_windows",
+        # keepers: no family twin or family anchor
+        "json_kpi", "sequence_packing", "stream_user_totals_stateful",
+        "index_upsert_counts", "bm25_topk", "media_features",
+        "knn_topk", "self_retrieval_e2e", "incremental_dedup",
+        "asof_grouped_orders", "stream_view_purchase_join",
+        "pii_scan_report",
     }
     assert flagships <= window
+    assert len(flagships) == 50  # the window IS fully specified this round
     # oracle ordering mirrors query ordering
     onames = [n for n in names if n in catalog_oracles()]
     assert list(catalog_oracles()) == onames
