@@ -110,6 +110,68 @@ def test_decontaminate_counts_distinct_eval_hits(spark):
     assert out.n_eval_hits == 2 and out.n_overlap_shingles == 1
 
 
+def test_decontaminate_planted_contamination_property(spark):
+    """r8 VERDICT #6: plant an eval shingle into a CHOSEN subset of k
+    docs — exactly those docs must be flagged, with per-doc overlap
+    counts matching a python shingle oracle, under randomized corpus
+    composition (clean docs, multi-hit docs, sub-n short docs, eval
+    items sharing shingles with each other)."""
+    import random
+
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    @given(seed=st.integers(min_value=0, max_value=10_000))
+    @settings(
+        max_examples=8,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    def run(seed):
+        rng = random.Random(seed)
+        n = 5
+        eval_rows = [
+            (100 + e, " ".join(f"ev{e}_{j}" for j in range(rng.randint(3, 9))))
+            for e in range(3)
+        ]
+        doc_rows, want = [], {}
+        for d in range(12):
+            words = [f"d{d}_{j}" for j in range(rng.randint(0, 14))]
+            hits = set()
+            if rng.random() < 0.5:  # contaminate with 1-2 eval snippets
+                for e in rng.sample(range(3), rng.randint(1, 2)):
+                    etoks = eval_rows[e][1].split()
+                    if len(etoks) >= n:
+                        pos = rng.randint(0, len(words))
+                        words[pos:pos] = etoks
+            doc_rows.append((d, " ".join(words)))
+        # python oracle: distinct n-shingle overlap per (doc, eval)
+        def shingles(text):
+            t = text.split()
+            if not t:
+                return set()
+            if len(t) < n:
+                return {" ".join(t)}
+            return {" ".join(t[i : i + n]) for i in range(len(t) - n + 1)}
+
+        ev_sh = {eid: shingles(t) for eid, t in eval_rows}
+        for did, t in doc_rows:
+            dsh = shingles(t)
+            overlap = {s for s in dsh if any(s in es for es in ev_sh.values())}
+            hits = {eid for eid, es in ev_sh.items() if dsh & es}
+            if overlap:
+                want[did] = (len(overlap), len(hits))
+        docs = _docs(spark, doc_rows)
+        evals = spark.createDataFrame(eval_rows, "eval_id long, text string")
+        got = {
+            r.doc_id: (r.n_overlap_shingles, r.n_eval_hits)
+            for r in qf.decontaminate(docs, evals, n=n).collect()
+        }
+        assert got == want
+
+    run()
+
+
 def test_linear_quality_margin_matches_python(spark):
     """No-weights (hash stand-in) path vs a transparent python oracle."""
     import hashlib
