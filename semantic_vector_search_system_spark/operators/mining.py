@@ -152,3 +152,59 @@ def margin_knn_pairs_from_knn(
         .filter((F.col("_rm") == 1) & (F.col("_margin") >= threshold))
         .select(x_id, y_id, F.round("_margin", 6).alias("margin"))
     )
+
+
+def hard_negative_mine(
+    queries: DataFrame,
+    docs: DataFrame,
+    positives: DataFrame,
+    k: int = 5,
+    pool_extra: int | None = None,
+    qid_col: str = "qid",
+    qvec_col: str = "qvec",
+    id_col: str = "docid",
+    vec_col: str = "vec",
+) -> DataFrame:
+    """Hard-negative mining for retrieval-model training (the DPR/ANCE
+    shape: negatives = the retriever's own top-scored non-gold documents,
+    the single highest-leverage training signal for dense retrievers).
+
+    Per query: the ``k`` highest-cosine documents whose ``(qid, docid)``
+    is NOT in ``positives``.  Returns ``(qid, docid, score, neg_rank)``,
+    ``neg_rank`` 1-based by (score desc, docid).
+
+    Physical shape (100 TB): one exact top-``(k + pool_extra)``
+    retrieval through the partial-top-k brute kernel (or feed the pool
+    from the ANN stack at scale), then a LEFT ANTI join against the
+    positives relation and a per-query re-rank of the ≤ k+pool_extra
+    survivors — the anti-join and window run on k-bounded rows, never
+    the corpus.  ``pool_extra`` defaults to the max positives any query
+    has (one tiny aggregate): at most that many pool rows can be
+    positives, so the full-corpus top-k negatives are always inside the
+    pool — exactness is structural, not probabilistic.
+
+    Beyond the reference surface (its pipeline evaluates retrieval but
+    never mines training pairs); LLM-pipeline operator family.
+    """
+    from .search import topk_bruteforce
+
+    if pool_extra is None:
+        row = (
+            positives.groupBy(qid_col)
+            .agg(F.count("*").alias("_n"))
+            .agg(F.max("_n").alias("_m"))
+            .collect()[0]
+        )
+        pool_extra = int(row["_m"] or 0)
+    pool = topk_bruteforce(
+        queries, docs, k=k + pool_extra, metric="cosine"
+    )
+    neg = pool.join(
+        positives.select(qid_col, id_col), [qid_col, id_col], "left_anti"
+    )
+    w = Window.partitionBy(qid_col).orderBy("rank")
+    return (
+        neg.withColumn("neg_rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("neg_rank") <= k)
+        .select(qid_col, id_col, "score", "neg_rank")
+    )

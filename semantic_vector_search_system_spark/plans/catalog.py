@@ -1378,10 +1378,17 @@ DEMOTED: tuple[str, ...] = (
                                  #   parked r9
     "view_purchase_funnel",      # interval join ≡ asof_grouped_orders
                                  #   (in-window keeper, the cogroup
-                                 #   range-join family) +
-                                 #   stream_view_purchase_join (in-window
-                                 #   streaming twin) — green r8 + earlier,
-                                 #   parked r9
+                                 #   range-join family) — green r8 +
+                                 #   earlier, parked r9
+    "stream_view_purchase_join", # stream-stream interval join ≡
+                                 #   stream_user_totals_stateful +
+                                 #   stream_curation_funnel +
+                                 #   stream_dedup_events (all in-window
+                                 #   streaming rows) + asof_grouped_orders
+                                 #   (batch range-join keeper) — green
+                                 #   r8 + earlier, parked r9 to make
+                                 #   window room for the NEW
+                                 #   hard_negative_mining
 )
 
 
@@ -4669,6 +4676,53 @@ def retrieval_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
         "qlabel",
     ).select("qid", "docid")
     return per_query_ndcg(retr, qrels, k=10)
+
+
+@_q(
+    "hard_negative_mining",
+    """
+    SELECT qid, docid, ROUND(score, 4) AS score, neg_rank FROM (
+      SELECT qid, docid, score,
+             CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY rank)
+                  AS INTEGER) AS neg_rank
+      FROM (
+        SELECT q.vec_id AS qid, d.vec_id AS docid,
+               list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+                                      CAST(d.embedding AS DOUBLE[])) AS score,
+               CAST(ROW_NUMBER() OVER (
+                 PARTITION BY q.vec_id
+                 ORDER BY list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+                                                 CAST(d.embedding AS DOUBLE[])) DESC,
+                          d.vec_id) AS INTEGER) AS rank
+        FROM (SELECT * FROM embeddings WHERE vec_id < 10) q
+        CROSS JOIN embeddings d
+      ) pool WHERE rank <= 6 AND docid != qid
+    ) neg WHERE neg_rank <= 5
+    """,
+    tags=("mining", "hard-negatives", "vector-search", "training-data"),
+)
+def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining (operators/mining.py::hard_negative_mine) —
+    the DPR/ANCE training-pair stage: per query, the top-5 highest-cosine
+    documents that are NOT the gold positive (here the self-retrieval
+    qrels: positive = the query's own source vector).  Physically one
+    exact top-(k + max-positives) retrieval, a LEFT ANTI join against
+    the positives relation on k-bounded rows, and a per-query re-rank;
+    the oracle replays pool -> anti-filter -> re-rank relationally."""
+    from ..operators.mining import hard_negative_mine
+
+    emb = T(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    d = emb.select(
+        F.col("vec_id").alias("docid"), F.col("embedding").alias("vec")
+    )
+    positives = q.select("qid", F.col("qid").alias("docid"))
+    out = hard_negative_mine(q, d, positives, k=5)
+    return out.select(
+        "qid", "docid", F.round("score", 4).alias("score"), "neg_rank"
+    )
 
 
 @_q(

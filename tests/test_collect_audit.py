@@ -31,6 +31,10 @@ ALLOWED: dict[str, dict[str, int]] = {
         "row = evaluate_all(ret, qrels, k_values=_ints(args.k)).collect()[0]": 1,
         "rows = [r.asDict() for r in summary_by_size(ok, metric_cols).collect()]": 1,
     },
+    "operators/mining.py": {
+        # hard_negative_mine pool_extra default: single MAX row
+        ".collect()[0]": 1,
+    },
     "operators/curation.py": {
         # single-row aggregates: threshold median fit, vocab size, stored
         # meta row — all O(1) rows by construction

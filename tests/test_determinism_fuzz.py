@@ -116,6 +116,14 @@ QUERIES = [
     # dedup; any stage's partitioning sensitivity would shift EVERY
     # downstream survivor count.
     "curation_funnel",
+    # r9: the INCREMENTAL funnel — the same stages served over ordered
+    # batches with carried hash state; cross-batch anti-joins must not
+    # leak partitioning into which batch accepts a hash.
+    "stream_curation_funnel",
+    # r9: paired-test components — |d| tie groups come from exact
+    # DECIMAL-sum doubles, and the signed rank sums (multiples of 0.5)
+    # plus var_samp's round-4 must be bit-stable under scrambling.
+    "paired_test_components",
 ]
 
 # Perturbations of runtime-settable physical knobs. Each tuple is applied on

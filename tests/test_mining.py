@@ -137,3 +137,59 @@ def test_margin_demotes_hub_vector(spark):
         for r in margin_knn_pairs(x, y, k=2, threshold=0.0).collect()
     }
     assert got[2] == 1  # x2 pairs with its true match, not the hub
+
+
+def test_hard_negative_mine_excludes_positives_exactly(spark):
+    """Planted geometry: for query q aligned with axis 0, docs sorted by
+    cosine are d0 > d1 > d2 > d3 > d4.  With {d0, d2} positive, the
+    top-3 negatives must be (d1, d3, d4) in that order — the positives
+    are skipped, not merely filtered after a too-small pool."""
+    from semantic_vector_search_system_spark.operators.mining import (
+        hard_negative_mine,
+    )
+
+    q = spark.createDataFrame([(0, [1.0, 0.0])], "qid long, qvec array<double>")
+    docs = spark.createDataFrame(
+        [
+            (10, [1.0, 0.0]),     # cos 1.0    POSITIVE
+            (11, [0.9, 0.1]),
+            (12, [0.8, 0.2]),     #            POSITIVE
+            (13, [0.7, 0.3]),
+            (14, [0.1, 0.9]),
+        ],
+        "docid long, vec array<double>",
+    )
+    pos = spark.createDataFrame([(0, 10), (0, 12)], "qid long, docid long")
+    out = hard_negative_mine(q, docs, pos, k=3).orderBy("neg_rank").collect()
+    assert [(r["docid"], r["neg_rank"]) for r in out] == [
+        (11, 1), (13, 2), (14, 3)
+    ]
+    # scores strictly decreasing along neg_rank
+    scores = [r["score"] for r in out]
+    assert scores == sorted(scores, reverse=True)
+
+
+def test_hard_negative_mine_pool_extra_defaults_to_max_positives(spark):
+    """Two queries with 0 and 3 positives: the default pool must be big
+    enough that the 3-positive query still yields k full negatives."""
+    from semantic_vector_search_system_spark.operators.mining import (
+        hard_negative_mine,
+    )
+
+    q = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.0, 1.0])], "qid long, qvec array<double>"
+    )
+    docs = spark.createDataFrame(
+        [(i, [1.0 - i * 0.1, i * 0.1]) for i in range(8)],
+        "docid long, vec array<double>",
+    )
+    pos = spark.createDataFrame(
+        [(1, 7), (1, 6), (1, 5)], "qid long, docid long"
+    )
+    out = hard_negative_mine(q, docs, pos, k=2)
+    rows = {(r["qid"], r["neg_rank"]): r["docid"] for r in out.collect()}
+    # q1 (axis 1) ranks docs by ascending alignment with axis 1: its top
+    # scorers 7, 6, 5 are ALL positive, so negatives start at doc 4
+    assert rows[(1, 1)] == 4 and rows[(1, 2)] == 3
+    # q0 has no positives: plain top-2
+    assert rows[(0, 1)] == 0 and rows[(0, 2)] == 1

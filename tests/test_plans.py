@@ -366,6 +366,7 @@ def test_driver_window_covers_every_operator_family():
         "token_stats_by_lang",
         # NEW r9
         "paired_test_components", "stream_curation_funnel",
+        "hard_negative_mining",
         # young — first driver-green in r8, stay until 2x
         "ann_ivfpq_topk", "bpe_merges",
         "bpe_encode_tokens", "lm_perplexity_buckets", "media_ahash_dedup",
@@ -379,8 +380,7 @@ def test_driver_window_covers_every_operator_family():
         "json_kpi", "sequence_packing", "stream_user_totals_stateful",
         "index_upsert_counts", "bm25_topk", "media_features",
         "knn_topk", "self_retrieval_e2e", "incremental_dedup",
-        "asof_grouped_orders", "stream_view_purchase_join",
-        "pii_scan_report",
+        "asof_grouped_orders", "pii_scan_report",
     }
     assert flagships <= window
     assert len(flagships) == 50  # the window IS fully specified this round
