@@ -1,0 +1,172 @@
+"""WARC source connector — the CommonCrawl ingestion shape.
+
+Production pre-training corpora start life as WARC archives (ISO 28500):
+a `.warc` / `.warc.gz` file is a sequence of records, each a
+``WARC/1.0`` header block (CRLF-terminated ``Name: value`` lines,
+``Content-Length`` giving the payload size) followed by the payload and
+a blank-line separator.  CommonCrawl's ``.warc.gz`` concatenates one
+gzip MEMBER per record; python's zlib handles member-concatenated
+streams natively.
+
+Scale shape: the scan rides Spark's ``binaryFile`` source — one task per
+archive file, which is exactly the industry-standard processing
+granularity for WARC (a ~1 GB gzip archive is sequential by nature; the
+100 TB crawl is tens of thousands of such files, so file-level
+parallelism saturates any cluster).  Parsing runs in ``mapInPandas``
+(stdlib-only: zlib), emitting one row per record with typed metadata and
+the raw payload as an opaque ``binary`` column — the multimodal-column
+contract (OPERATORS.md §multimodal): downstream stages (HTTP header
+strip, text extraction, the curation funnel) are ordinary DataFrame
+transformations.
+
+No counterpart in the reference (its sources are JSONL, SURVEY §2.1
+S1-S3); this extends the S-family toward the crawl pipeline the
+LLM-data operators exist for.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+#: Output schema of :func:`read_warc` (one row per WARC record).
+WARC_SCHEMA = (
+    "warc_file string, record_id string, warc_type string, "
+    "target_uri string, warc_date string, content_type string, "
+    "content_length long, payload binary"
+)
+
+
+def parse_warc_bytes(data: bytes) -> list[dict]:
+    """Parse one WARC archive (raw or member-concatenated gzip) into
+    record dicts.  Pure function — unit-testable off-cluster, and the
+    exact code the executors run.  Tolerant: a malformed tail stops the
+    parse at the last whole record instead of raising (a truncated
+    crawl file loses its tail record, not the batch)."""
+    import zlib
+
+    if data[:2] == b"\x1f\x8b":  # gzip magic: decompress ALL members
+        out, d = [], data
+        while d:
+            o = zlib.decompressobj(wbits=zlib.MAX_WBITS | 16)
+            try:
+                out.append(o.decompress(d))
+            except zlib.error:
+                break
+            d = o.unused_data
+            if not o.eof:
+                break
+        data = b"".join(out)
+    records = []
+    pos = 0
+    n = len(data)
+    while pos < n:
+        # skip inter-record blank lines
+        while pos < n and data[pos : pos + 2] == b"\r\n":
+            pos += 2
+        if pos >= n:
+            break
+        head_end = data.find(b"\r\n\r\n", pos)
+        if head_end < 0:
+            break
+        head = data[pos : head_end].decode("utf-8", errors="replace")
+        lines = head.split("\r\n")
+        if not lines or not lines[0].startswith("WARC/"):
+            break
+        fields: dict[str, str] = {}
+        for ln in lines[1:]:
+            if ":" in ln:
+                k, v = ln.split(":", 1)
+                fields[k.strip().lower()] = v.strip()
+        try:
+            clen = int(fields.get("content-length", ""))
+        except ValueError:
+            break
+        body_start = head_end + 4
+        if body_start + clen > n:
+            break  # truncated record
+        records.append(
+            {
+                "record_id": fields.get("warc-record-id", ""),
+                "warc_type": fields.get("warc-type", ""),
+                "target_uri": fields.get("warc-target-uri", ""),
+                "warc_date": fields.get("warc-date", ""),
+                "content_type": fields.get("content-type", ""),
+                "content_length": clen,
+                "payload": data[body_start : body_start + clen],
+            }
+        )
+        pos = body_start + clen
+    return records
+
+
+def read_warc(
+    spark: SparkSession,
+    path: str,
+    warc_types: tuple[str, ...] | None = ("response",),
+) -> DataFrame:
+    """Scan WARC archives under ``path`` into one row per record
+    (:data:`WARC_SCHEMA`).  ``warc_types`` filters record types
+    executor-side before anything is emitted (a crawl archive is ~50%
+    request/metadata records nobody trains on); ``None`` keeps all.
+    """
+    import pandas as pd
+
+    types = tuple(warc_types) if warc_types is not None else None
+
+    def parse(batches):
+        for pdf in batches:
+            rows = []
+            for fpath, content in zip(pdf["path"], pdf["content"]):
+                for rec in parse_warc_bytes(bytes(content)):
+                    if types is not None and rec["warc_type"] not in types:
+                        continue
+                    rec["warc_file"] = fpath
+                    rows.append(rec)
+            if rows:
+                yield pd.DataFrame(rows)
+
+    raw = spark.read.format("binaryFile").load(path).select("path", "content")
+    return raw.mapInPandas(parse, schema=WARC_SCHEMA)
+
+
+def http_response_body(payload: Column | str) -> Column:
+    """Strip the HTTP response envelope from a ``response`` record's
+    payload: everything after the first CRLFCRLF.  Pure expression
+    (no Python): locate the separator in the latin-1 decode (a
+    byte-transparent charset, so offsets are byte offsets) and slice
+    the binary.  Records without an HTTP envelope pass through whole."""
+    c = F.col(payload) if isinstance(payload, str) else payload
+    s = F.decode(c, "ISO-8859-1")
+    sep = F.instr(s, "\r\n\r\n")
+    return F.when(
+        sep > 0, F.encode(F.substring(s, sep + 4, F.length(s)), "ISO-8859-1")
+    ).otherwise(c)
+
+
+def http_status(payload: Column | str) -> Column:
+    """HTTP status code of a ``response`` payload (int; NULL when the
+    payload has no HTTP status line)."""
+    c = F.col(payload) if isinstance(payload, str) else payload
+    first = F.substring(F.decode(c, "ISO-8859-1"), 1, 64)
+    code = F.regexp_extract(first, r"^HTTP/[0-9.]+ (\d{3})", 1)
+    return F.when(code != "", code.cast("int"))
+
+
+def html_to_text(html: Column | str) -> Column:
+    """Crude HTML -> text for quality gating: drop script/style blocks,
+    strip tags, decode the five predefined entities, collapse
+    whitespace.  Pure expressions (RE2-safe patterns) — a real
+    extractor (trafilatura etc.) plugs in at the same column slot; this
+    keeps the funnel runnable on raw crawl with zero dependencies."""
+    c = F.col(html) if isinstance(html, str) else html
+    t = F.decode(c, "UTF-8")
+    t = F.regexp_replace(t, r"(?is)<script[^>]*>.*?</script>", " ")
+    t = F.regexp_replace(t, r"(?is)<style[^>]*>.*?</style>", " ")
+    t = F.regexp_replace(t, r"(?s)<[^>]*>", " ")
+    for ent, ch in (
+        ("&amp;", "&"), ("&lt;", "<"), ("&gt;", ">"),
+        ("&quot;", "\""), ("&#39;", "'"), ("&nbsp;", " "),
+    ):
+        t = F.replace(t, F.lit(ent), F.lit(ch))
+    return F.trim(F.regexp_replace(t, r"\s+", " "))
