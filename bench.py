@@ -935,6 +935,48 @@ def main() -> None:
         for t in ("_sigs", "_bands", "_meta"):
             spark.sql(f"DROP TABLE IF EXISTS bench_nd_idx{t}")
         emit(timings, query_meta, sf, partial=True)
+
+        # Incremental curation funnel (r9): the SAME 100k recrawl batch
+        # through the stored four-gate funnel — length gate -> classifier
+        # margin -> bigram-LM >= stored threshold -> hash-dedup against
+        # the stored accepted-hash table. State (vocabulary-bounded LM
+        # counts + threshold + hash table) is fit/written ONCE on the 1M
+        # corpus outside the timed region, like a crawl loop holds it;
+        # each timed run reads state from storage, flows the batch
+        # through all four gates and materializes the accepts (the
+        # index append is excluded: repeating it would make run 2
+        # dedup against run 1's output).
+        from semantic_vector_search_system_spark.operators.curation import (
+            incremental_curation_funnel_stored,
+            write_funnel_state,
+        )
+
+        for t in ("_cnt2", "_cnt1", "_meta", "_hashes"):
+            spark.sql(f"DROP TABLE IF EXISTS bench_cur_state{t}")
+        write_funnel_state(docs, "bench_cur_state", doc_id="id")
+        # seed the hash state with the corpus's own accepts (one pass,
+        # outside the timed region): the timed batch then dedups against
+        # a REAL populated index, the daily-crawl shape
+        incremental_curation_funnel_stored(
+            docs, "bench_cur_state", update_index=True, doc_id="id"
+        ).count()
+        timings["curation_funnel_100k_vs_1m"], spread = best_of(
+            lambda: incremental_curation_funnel_stored(
+                new_batch, "bench_cur_state", update_index=False,
+                doc_id="id",
+            ).write.format("noop").mode("overwrite").save(),
+            2,
+        )
+        query_meta["curation_funnel_100k_vs_1m"] = {
+            "repeats": 2, "spread": spread, "since_round": 9,
+            "timed_region": "stored-state serving: read gate state from "
+            "warehouse tables + 4 gates + in-batch keep-first + "
+            "anti-join vs stored hashes (state fit/write excluded, like "
+            "the stored-index dedup keys)",
+        }
+        emit(timings, query_meta, sf, partial=True)
+        for t in ("_cnt2", "_cnt1", "_meta", "_hashes"):
+            spark.sql(f"DROP TABLE IF EXISTS bench_cur_state{t}")
         new_batch.unpersist()
 
         # Reproducible epoch shuffle over the same 1M docs (r8b): the
