@@ -128,9 +128,18 @@ def emit(timings: dict, query_meta: dict, sf, *, partial: bool) -> str:
             for k, v in compact["accuracy"].items()
         }
     line = json.dumps(compact, separators=(",", ":"))
-    # drop optional payloads (least→most valuable) until the line fits;
-    # "xrun" (the noise-fold provenance + noisy-key map) is shed LAST of
-    # the optional fields — it is what lets the driver discount noise
+    if len(line) > TAIL_BUDGET:
+        # cheapest shed first: the third decimal of each per-query second
+        # (~1 char/key) costs nothing the driver uses, unlike the payload
+        # drops below
+        compact["queries"] = {
+            k: round(v, 2) for k, v in compact["queries"].items()
+        }
+        line = json.dumps(compact, separators=(",", ":"))
+    # then drop optional payloads (least→most valuable) until the line
+    # fits; "xrun" (the noise-fold provenance + noisy-key map) is shed
+    # LAST of the optional fields — it is what lets the driver discount
+    # noise
     for drop in ("accuracy", "floors", "xrun"):
         if len(line) <= TAIL_BUDGET:
             break

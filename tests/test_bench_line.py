@@ -261,3 +261,54 @@ def test_partial_emits_never_fold(tmp_path, monkeypatch):
         line = bench.emit({"q": 2.0}, {}, 0.1, partial=True)
     parsed = json.loads(line)
     assert parsed["queries"]["q"] == 2.0  # raw mid-run reading, unfolded
+
+
+def test_emit_sheds_precision_before_dropping_payloads(tmp_path, monkeypatch):
+    """When the line is only slightly over budget, the 3rd decimal of each
+    per-query second goes first — accuracy/floors survive if the rounding
+    alone brings the line under TAIL_BUDGET."""
+    monkeypatch.setattr(bench, "OUT_PATH", str(tmp_path / "bench_out.json"))
+    payload = {
+        "floors": {"python_job_floor": 0.326},
+        "accuracy": {"ann_recall": {"k": 10, "r": 0.845}},
+    }
+    monkeypatch.setattr(bench, "FLOORS", payload["floors"])
+    monkeypatch.setattr(
+        bench, "ACCURACY",
+        {"ann_recall": {"metric": "m", "k": 10, "r": 0.845}},
+    )
+
+    def line_len(timings, ndec):
+        compact = {
+            "metric": "headline_queries_total_runtime",
+            "value": round(sum(timings.values()), 3),
+            "unit": "sec",
+            "queries": {k: round(v, ndec) for k, v in timings.items()},
+            "sf": 0.1,
+            **payload,
+        }
+        return len(json.dumps(compact, separators=(",", ":")))
+
+    # grow the dict one short key at a time until the 3-decimal line first
+    # crosses TAIL_BUDGET; the overshoot (< one key, ~34 chars) is then
+    # smaller than the 1-char-per-key rounding saving (~48 keys)
+    timings = {}
+    i = 0
+    while line_len(timings, 3) <= bench.TAIL_BUDGET:
+        timings[f"bench_query_key_{i:03d}"] = 1.234
+        i += 1
+    assert line_len(timings, 2) <= bench.TAIL_BUDGET  # rounding must suffice
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        line = bench.emit(timings, {}, 0.1, partial=False)
+    assert len(line) <= bench.TAIL_BUDGET
+    parsed = json.loads(line)
+    # precision shed happened (2 decimals) but every key AND both optional
+    # payloads survived
+    assert set(parsed["queries"]) == set(timings)
+    assert parsed["queries"]["bench_query_key_000"] == 1.23
+    assert parsed["accuracy"]["ann_recall"]["r"] == 0.845
+    assert parsed["floors"] == {"python_job_floor": 0.326}
+    # the full-precision readings are preserved in bench_out.json
+    full = json.load(open(tmp_path / "bench_out.json"))
+    assert full["queries"]["bench_query_key_000"] == 1.234
