@@ -72,6 +72,57 @@ def normalized_exact_dedup(
     )
 
 
+def url_dedup(
+    docs: DataFrame,
+    url_col: str = "url",
+    id_col: str = "doc_id",
+    length_col: str | None = None,
+) -> DataFrame:
+    """URL-keyed refetch dedup — the stage crawl pipelines run BEFORE any
+    content hashing (CCNet/C4/RefinedWeb all do): the same page arrives
+    under many raw spellings (host case, ``www.``, default ports, trailing
+    slash, tracking params, fragment, param order), and collapsing them by
+    :func:`~..functions.url.canonical_url` is a pure-string keyed aggregate,
+    orders of magnitude cheaper than shingling the payloads it removes.
+
+    Returns one row per canonical URL: ``(canonical_url, n_fetches,
+    n_raw_urls, kept_id)`` — ``n_raw_urls`` counts distinct raw spellings
+    (1 = true refetch, >1 = the canonicalizer earned its keep); the kept
+    row is the longest payload (``length_col`` desc) with min ``id_col``
+    as tie-break, or plain min id when no length column is given.
+
+    Scale shape: ONE hash-keyed aggregation — the keep-best is a
+    ``min(struct(-len, id))`` declarative MIN, so map-side PARTIAL
+    aggregation collapses a hot URL's refetches inside each scan partition
+    before the exchange (per-reducer rows bounded by partition count, not
+    refetch factor — same de-skew argument as the span-dedup keep-first).
+    """
+    from ..functions.url import canonical_url
+
+    length = F.col(length_col) if length_col is not None else F.lit(0)
+    base = docs.select(
+        canonical_url(url_col).alias("canonical_url"),
+        F.col(url_col).alias("_raw"),
+        F.col(id_col).alias("_id"),
+        length.cast("long").alias("_len"),
+    )
+    best = F.struct((-F.col("_len")).alias("_nl"), F.col("_id").alias("_i"))
+    return (
+        base.groupBy("canonical_url")
+        .agg(
+            F.count("*").alias("n_fetches"),
+            F.count_distinct("_raw").alias("n_raw_urls"),
+            F.min(best).alias("_w"),
+        )
+        .select(
+            "canonical_url",
+            "n_fetches",
+            "n_raw_urls",
+            F.col("_w._i").alias("kept_id"),
+        )
+    )
+
+
 def shingle_sets(
     docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 3
 ) -> DataFrame:

@@ -1380,6 +1380,16 @@ DEMOTED: tuple[str, ...] = (
                                  #   (in-window keeper, the cogroup
                                  #   range-join family) — green r8 +
                                  #   earlier, parked r9
+    "knn_topk",                  # exact brute-force cosine top-k — the ONE
+                                 #   row the driver exercises EVERY round
+                                 #   regardless of window via entry()'s
+                                 #   smoke; oracle-green r1–r8 without a
+                                 #   single miss, and its J1/W1 operators
+                                 #   stay in-window through
+                                 #   hard_negative_mining (same
+                                 #   topk_bruteforce retrieval + re-rank)
+                                 #   — parked mid-r9 to make window room
+                                 #   for the NEW url_refetch_dedup
     "stream_view_purchase_join", # stream-stream interval join ≡
                                  #   stream_user_totals_stateful +
                                  #   stream_curation_funnel +
@@ -4933,3 +4943,82 @@ def stream_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             else seen.unionByName(accepted.select("norm_hash"))
         )
     return _reduce(DataFrame.unionByName, outs)
+
+
+# ---------------------------------------------------------------------------
+# Round 9: URL-keyed refetch dedup (the pre-content-hash crawl stage)
+# ---------------------------------------------------------------------------
+
+def _url_dedup_sql() -> str:
+    from ..functions.url import canonical_url_sql
+
+    return f"""
+    WITH raw AS (
+      SELECT doc_id, n_chars,
+             CAST(doc_id % 50 AS VARCHAR) AS k,
+             (doc_id // 50) % 5 AS v
+      FROM documents),
+    u AS (
+      SELECT doc_id, n_chars,
+        CASE v
+          WHEN 0 THEN concat('HTTP://WWW.News-Site.com:80/page/', k,
+                             '/?utm_source=feed&id=', k, '#top')
+          WHEN 1 THEN concat('http://news-site.com/page/', k, '?id=', k)
+          WHEN 2 THEN concat('https://CDN.example.org/assets/', k, '#frag')
+          WHEN 3 THEN concat('https://cdn.example.org:443/assets/', k, '//')
+          ELSE concat('http://News-Site.com/page/', k, '?ref=tw&id=', k,
+                      '&utm_campaign=x')
+        END AS url
+      FROM raw),
+    c AS (SELECT doc_id, n_chars, url,
+                 {canonical_url_sql('url')} AS canonical_url FROM u),
+    r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY canonical_url
+                                       ORDER BY n_chars DESC, doc_id) AS rn
+          FROM c)
+    SELECT canonical_url,
+           COUNT(*) AS n_fetches,
+           CAST(COUNT(DISTINCT url) AS BIGINT) AS n_raw_urls,
+           MIN(CASE WHEN rn = 1 THEN doc_id END) AS kept_id
+    FROM r GROUP BY canonical_url
+    """
+
+
+@_q(
+    "url_refetch_dedup",
+    _url_dedup_sql(),
+    tags=("dedup", "url", "crawl", "curation"),
+)
+def url_refetch_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL-keyed refetch dedup (operators/dedup.py::url_dedup over
+    functions/url.py::canonical_url) — the CCNet/C4/RefinedWeb stage run
+    BEFORE content hashing: raw crawl spellings of the same page (host
+    case, ``www.``, default ports, trailing slash, tracking params,
+    fragment, param order) collapse under a pure-expression canonicalizer
+    into ONE min-struct keyed aggregate (map-side partials absorb hot-URL
+    refetch skew; winner = longest payload, min-id tie-break).  The raw
+    URLs are synthesized deterministically from doc_id so every
+    canonicalization rule is exercised and the DuckDB oracle replays the
+    identical construction.  Companion to the WARC source
+    (sources/warc.py target_uri) — together they are the crawl front door
+    the reference never had."""
+    from ..functions.url import canonical_url  # noqa: F401 (plan parity)
+
+    d = T(spark, sf_dir, "documents")
+    ks = (F.col("doc_id") % 50).cast("string")
+    v = F.floor(F.col("doc_id") / 50) % 5
+    url = (
+        F.when(v == 0, F.concat(
+            F.lit("HTTP://WWW.News-Site.com:80/page/"), ks,
+            F.lit("/?utm_source=feed&id="), ks, F.lit("#top")))
+        .when(v == 1, F.concat(
+            F.lit("http://news-site.com/page/"), ks, F.lit("?id="), ks))
+        .when(v == 2, F.concat(
+            F.lit("https://CDN.example.org/assets/"), ks, F.lit("#frag")))
+        .when(v == 3, F.concat(
+            F.lit("https://cdn.example.org:443/assets/"), ks, F.lit("//")))
+        .otherwise(F.concat(
+            F.lit("http://News-Site.com/page/"), ks, F.lit("?ref=tw&id="),
+            ks, F.lit("&utm_campaign=x")))
+    )
+    docs = d.select("doc_id", "n_chars", url.alias("url"))
+    return dd.url_dedup(docs, url_col="url", id_col="doc_id", length_col="n_chars")
