@@ -225,6 +225,7 @@ def ivf_topk(
     qvec_col: str = "qvec",
     id_col: str = "docid",
     vec_col: str = "vec",
+    predicate=None,
 ) -> DataFrame:
     """IVF approximate top-k: probe the query's ``nprobe`` nearest inverted
     lists, exact cosine only within them.
@@ -233,11 +234,26 @@ def ivf_topk(
     candidate volume drops to ~``nprobe/n_centroids`` of the corpus, the
     doc-side join is an equi-join on ``cent_id`` (shuffle-partitioned, never
     a cross join). Deterministic given deterministic centroids.
+
+    ``predicate`` (a boolean Column over ``emb``'s metadata columns) turns
+    this into FILTERED ANN with pre-filter semantics — the classic
+    "filtered vector search" shape (per-tenant corpora, language/date
+    restrictions): matching docs are selected BEFORE list membership, so
+    the result is the exact top-k of the filtered corpus *within the
+    probed lists* (never the post-filter trap of retrieving k then
+    filtering below k).  The filter lands on the corpus scan — Catalyst
+    pushes it into the parquet reader — and per-doc list assignment is
+    filter-invariant, so only surviving docs are ever assigned or scored.
+    Recall caveat at high selectivity: a sparse filter thins each probed
+    list, so hit-k recall needs ``nprobe`` scaled roughly with 1/selectivity
+    (the same ladder ann_recall measures, filtered).
     """
     from pyspark.sql import Window
 
     from ..functions.vectors import cosine_similarity
 
+    if predicate is not None:
+        emb = emb.filter(predicate)
     doc_lists = ivf_assign(
         emb, centroids, id_col=id_col, vec_col=vec_col, nprobe=1
     ).select(id_col, "cent_id")
@@ -351,9 +367,15 @@ def ivf_topk_fast(
     id_col: str = "docid",
     vec_col: str = "vec",
     doc_lists: DataFrame | None = None,
+    predicate=None,
 ) -> DataFrame:
     """BLAS IVF top-k — the large-corpus physical strategy behind
     :func:`ivf_topk`'s logical plan.
+
+    ``predicate`` — filtered-ANN pre-filter semantics, identical contract
+    to :func:`ivf_topk`: the boolean Column filters ``emb`` before
+    assignment/scoring (pushed to the scan); with a prebuilt ``doc_lists``
+    the equi-join against the filtered corpus applies the same restriction.
 
     ``doc_lists`` (``(id, cent_id)``) lets a caller reuse a prebuilt
     index assignment — the IVF analog of loading a built index before the
@@ -376,6 +398,8 @@ def ivf_topk_fast(
 
     from pyspark.sql import Window
 
+    if predicate is not None:
+        emb = emb.filter(predicate)
     if doc_lists is None:
         doc_lists = ivf_assign_fast(
             emb, centroids, id_col=id_col, vec_col=vec_col, nprobe=1
@@ -481,9 +505,17 @@ def ivf_search_partitioned(
     precollected_centroids: list | None = None,
     merge: str = "window",
     precollected_queries: list | None = None,
+    predicate=None,
 ):
     """IVF serving against a ``partitionBy(cent_id)`` parquet index — the
     storage-pruned path for LOW-QUERY-COUNT latency.
+
+    ``predicate`` — filtered-ANN serving (pre-filter semantics, the
+    :func:`ivf_topk` contract): a boolean Column over the index's stored
+    metadata columns (``write_vector_index`` persists whatever columns the
+    assigned relation carries), applied to the pruned scan BEFORE scoring —
+    so it reaches the parquet reader as a pushed data filter stacked on the
+    ``cent_id`` partition filter, and only matching docs are ever scored.
 
     Why a separate entry point: with a large query batch, almost every
     inverted list is probed by someone and one batched brute-force matmul
@@ -621,6 +653,7 @@ def ivf_search_partitioned(
         docs = (
             spark.read.parquet(index_path)
             .filter(F.col("cent_id").isin(probed))
+            .filter(predicate if predicate is not None else F.lit(True))
             .withColumn("cent_id", F.col("cent_id").cast(cent_t))
             .select(id_col, vec_col, "cent_id")
         )
@@ -674,6 +707,7 @@ def ivf_search_partitioned(
     docs = (
         spark.read.parquet(index_path)
         .filter(F.col("cent_id").isin(probed))
+        .filter(predicate if predicate is not None else F.lit(True))
         .withColumn("cent_id", F.col("cent_id").cast(cent_t))
         .select(id_col, vec_col, "cent_id")
     )

@@ -1380,6 +1380,13 @@ DEMOTED: tuple[str, ...] = (
                                  #   (in-window keeper, the cogroup
                                  #   range-join family) — green r8 +
                                  #   earlier, parked r9
+    "ann_ivf_filtered",          # NEW mid-r9, born parked (window already
+                                 #   committed to the r9 rotation): filtered
+                                 #   ANN pre-filter semantics ≡
+                                 #   knn_hybrid_filtered (parked exact twin,
+                                 #   green r8) + ann_ivfpq_topk (in-window
+                                 #   IVF probe family); builder-sweep green
+                                 #   at sf0.001/0.01/0.1 — rotates in r10
     "knn_topk",                  # exact brute-force cosine top-k — the ONE
                                  #   row the driver exercises EVERY round
                                  #   regardless of window via entry()'s
@@ -5022,3 +5029,65 @@ def url_refetch_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     docs = d.select("doc_id", "n_chars", url.alias("url"))
     return dd.url_dedup(docs, url_col="url", id_col="doc_id", length_col="n_chars")
+
+
+@_q(
+    "ann_ivf_filtered",
+    """
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, label FROM embeddings),
+    cents AS (SELECT vec_id AS cent_id, v AS cvec FROM e WHERE vec_id < 8),
+    ef AS (SELECT * FROM e WHERE label = 3),
+    dassign AS (
+      SELECT vec_id, cent_id FROM (
+        SELECT ef.vec_id, c.cent_id,
+          ROW_NUMBER() OVER (PARTITION BY ef.vec_id
+            ORDER BY list_cosine_similarity(ef.v, c.cvec) DESC, c.cent_id) AS rk
+        FROM ef CROSS JOIN cents c) t
+      WHERE rk = 1),
+    q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id >= 100 AND vec_id < 110),
+    qassign AS (
+      SELECT qid, cent_id FROM (
+        SELECT q.qid, c.cent_id,
+          ROW_NUMBER() OVER (PARTITION BY q.qid
+            ORDER BY list_cosine_similarity(q.qv, c.cvec) DESC, c.cent_id) AS rk
+        FROM q CROSS JOIN cents c) t
+      WHERE rk <= 4),
+    cand AS (
+      SELECT q.qid, ef.vec_id AS docid, list_cosine_similarity(q.qv, ef.v) AS score
+      FROM qassign qa
+      JOIN q ON qa.qid = q.qid
+      JOIN dassign da ON qa.cent_id = da.cent_id
+      JOIN ef ON da.vec_id = ef.vec_id)
+    SELECT qid, docid, rank, ROUND(score, 4) AS score FROM (
+      SELECT qid, docid, score,
+        CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY score DESC, docid) AS INTEGER) AS rank
+      FROM cand) t
+    WHERE rank <= 5
+    """,
+    tags=("vector-search", "ann", "ivf", "filtered", "hybrid"),
+)
+def ann_ivf_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FILTERED ANN (pre-filter semantics): IVF probe restricted to docs
+    matching a metadata predicate (label = 3) — the classic filtered
+    vector-search shape (per-tenant corpora, language/date restrictions).
+    The predicate lands on the corpus scan BEFORE assignment/scoring
+    (operators/similarity.py::ivf_topk(predicate=...)), so the result is
+    the exact top-k of the filtered corpus within the probed lists —
+    never the post-filter trap of retrieving k then filtering below k.
+    nprobe=4 (vs the unfiltered row's 2) demonstrates the selectivity ~0.1
+    -> probe-wider recall trade the docstring ladder documents.  The
+    brute-force counterpart with the same predicate is knn_hybrid_filtered
+    (reference `run_experiments.py:171-188`); this row is its ANN scale
+    path."""
+    emb = T(spark, sf_dir, "embeddings")
+    cents = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("cent_id"), F.col("embedding").alias("cvec")
+    )
+    q = emb.filter((F.col("vec_id") >= 100) & (F.col("vec_id") < 110)).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    d = emb.select(
+        F.col("vec_id").alias("docid"), F.col("embedding").alias("vec"), "label"
+    )
+    top = sim.ivf_topk(q, d, cents, k=5, nprobe=4, predicate=F.col("label") == 3)
+    return top.withColumn("score", F.round("score", 4))

@@ -1751,3 +1751,100 @@ def test_semdedup_giant_cluster_guard_exact_and_bounded(spark):
         ).collect()
     }
     assert ungated_cap == plain_min
+
+
+def test_ivf_topk_filtered_matches_bruteforce_filtered_when_probing_all(spark):
+    """Filtered ANN, pre-filter semantics: with nprobe = n_lists (every list
+    probed) filtered IVF must equal the exact brute-force top-k of the
+    filtered corpus — on BOTH physical faces (HOF + BLAS cogroup)."""
+    import pyspark.sql.functions as F
+    from semantic_vector_search_system_spark.operators.search import (
+        topk_bruteforce,
+    )
+    from semantic_vector_search_system_spark.operators.similarity import (
+        ivf_topk,
+        ivf_topk_fast,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    cents = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("cent_id"), F.col("embedding").alias("cvec")
+    )
+    q = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    d = emb.select(
+        F.col("vec_id").alias("docid"), F.col("embedding").alias("vec"), "label"
+    )
+    pred = F.col("label") == 3
+    exact = {
+        (r["qid"], r["rank"]): (r["docid"], round(r["score"], 6))
+        for r in topk_bruteforce(
+            q, d, k=5, metric="cosine", predicate=pred
+        ).collect()
+    }
+    for face in (ivf_topk, ivf_topk_fast):
+        got = {
+            (r["qid"], r["rank"]): (r["docid"], round(r["score"], 6))
+            for r in face(q, d, cents, k=5, nprobe=8, predicate=pred).collect()
+        }
+        assert got == exact, face.__name__
+    # and every hit satisfies the predicate (pre-filter, never post-filter)
+    labels = {r["vec_id"]: r["label"] for r in emb.select("vec_id", "label").collect()}
+    assert all(labels[docid] == 3 for docid, _ in exact.values())
+
+
+def test_ivf_search_partitioned_filtered_pushes_data_filter(spark, tmp_path):
+    """Filtered serving against the cent_id-partitioned index: the metadata
+    predicate reaches the parquet reader as a pushed data filter stacked on
+    the cent_id partition filter, and results equal the in-memory filtered
+    ivf_topk on identical centroids/nprobe."""
+    import pyspark.sql.functions as F
+    from semantic_vector_search_system_spark.operators.similarity import (
+        ivf_assign_fast,
+        ivf_search_partitioned,
+        ivf_topk,
+    )
+    from semantic_vector_search_system_spark.sources.parquet_index import (
+        write_vector_index,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    cents = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("cent_id"), F.col("embedding").alias("cvec")
+    )
+    d = emb.select(
+        F.col("vec_id").alias("docid"), F.col("embedding").alias("vec"), "label"
+    )
+    dl = ivf_assign_fast(d, cents, id_col="docid", vec_col="vec", nprobe=1).select(
+        "docid", "cent_id"
+    )
+    idx = str(tmp_path / "ivf_index_meta")
+    # label rides into the index — write_vector_index persists every column
+    write_vector_index(d.join(dl, "docid"), idx, partition_by="cent_id")
+
+    q = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    pred = F.col("label") == 3
+    expected = {
+        (r["qid"], r["rank"]): (r["docid"], round(r["score"], 6))
+        for r in ivf_topk(q, d, cents, k=5, nprobe=2, predicate=pred).collect()
+    }
+    for strategy in ("broadcast", "cogroup"):
+        served = ivf_search_partitioned(
+            spark, idx, cents, q, k=5, nprobe=2, predicate=pred,
+            strategy=strategy,
+        )
+        got = {
+            (r["qid"], r["rank"]): (r["docid"], round(r["score"], 6))
+            for r in served.collect()
+        }
+        assert got == expected, strategy
+        plan = served._jdf.queryExecution().executedPlan().toString()
+        # the index scan (one of several scans in the plan) must carry the
+        # predicate as a PUSHED data filter, not a post-scan Filter node
+        assert any(
+            "EqualTo(label,3)" in seg.split("]", 1)[0]
+            for seg in plan.split("PushedFilters: [")[1:]
+        ), strategy
