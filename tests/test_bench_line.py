@@ -312,3 +312,49 @@ def test_emit_sheds_precision_before_dropping_payloads(tmp_path, monkeypatch):
     # the full-precision readings are preserved in bench_out.json
     full = json.load(open(tmp_path / "bench_out.json"))
     assert full["queries"]["bench_query_key_000"] == 1.234
+
+
+def test_fold_noisy_map_caps_at_top_offenders():
+    """A fully-contended run flags many keys; the printed xrun carries only
+    the NOISY_TOP worst by ratio (plus the total count) so it can never
+    crowd other payloads out of the tail window."""
+    mirror_q = {f"k{i:02d}": 1.0 for i in range(10)}
+    notes = _notes(("2026-08-15 11:00Z", {"sf": 0.1, "queries": mirror_q}))
+    # this-run readings: k00 worst (x10), descending to k09 (x1.3)
+    timings = {f"k{i:02d}": 10.0 - 0.967 * i for i in range(10)}
+    folded, info, raw = bench.fold_with_mirror(timings, 0.1, notes, _NOW)
+    assert all(folded[k] == 1.0 for k in mirror_q)
+    assert info["noisy_n"] == 10
+    assert len(info["noisy"]) == bench.NOISY_TOP
+    assert set(info["noisy"]) == {f"k{i:02d}" for i in range(bench.NOISY_TOP)}
+    assert len(raw) == 10  # full provenance still lands in bench_out.json
+
+
+def test_notes_mirror_is_full_fat_even_when_printed_line_sheds(
+    tmp_path, monkeypatch
+):
+    """BENCH_NOTES.md has no tail budget: the mirrored line must keep full
+    precision AND the accuracy/floors payloads even when the printed line
+    had to shed them (the r9 43-key case)."""
+    notes_path = tmp_path / "BENCH_NOTES.md"
+    monkeypatch.setattr(bench, "OUT_PATH", str(tmp_path / "bench_out.json"))
+    monkeypatch.setattr(bench, "NOTES_PATH", str(notes_path))
+    monkeypatch.setattr(bench, "FLOORS", {"python_job_floor": 0.326})
+    monkeypatch.setattr(
+        bench, "ACCURACY",
+        {"ann_recall_1m": {"metric": "m", "k": 10, "nprobe=8": 0.845}},
+    )
+    monkeypatch.setattr(bench, "_MIRROR_ENABLED", True)
+    timings = {f"bench_query_key_name_{i:03d}": 1.234 for i in range(60)}
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        line = bench.emit(timings, {}, 0.1, partial=False)
+    assert len(line) <= bench.TAIL_BUDGET
+    printed = json.loads(line)
+    assert "accuracy" not in printed  # the 60-key line can't hold it
+    mirrored = json.loads(
+        notes_path.read_text().splitlines()[-1].split(" :: `", 1)[1][:-1]
+    )
+    assert mirrored["accuracy"]["ann_recall_1m"]["nprobe=8"] == 0.845
+    assert mirrored["floors"] == {"python_job_floor": 0.326}
+    assert mirrored["queries"]["bench_query_key_name_000"] == 1.234  # 3 dec
