@@ -1008,13 +1008,16 @@ def main() -> None:
         # Incremental curation funnel (r9): the SAME 100k recrawl batch
         # through the stored four-gate funnel — length gate -> classifier
         # margin -> bigram-LM >= stored threshold -> hash-dedup against
-        # the stored accepted-hash table. State (vocabulary-bounded LM
-        # counts + threshold + hash table) is fit/written ONCE on the 1M
-        # corpus outside the timed region, like a crawl loop holds it;
-        # each timed run reads state from storage, flows the batch
-        # through all four gates and materializes the accepts (the
-        # index append is excluded: repeating it would make run 2
-        # dedup against run 1's output).
+        # the stored accepted-hash table. The LM + threshold are fit on a
+        # bounded 200k REFERENCE SNAPSHOT (r9b; production fits its
+        # fluency LM on a curated reference — CCNet uses Wikipedia — not
+        # on the crawl itself, and the 1M fit was 12 min of untimed wall
+        # per bench run), the hash state is then seeded with the full 1M
+        # corpus's accepts, like a crawl loop holds it; each timed run
+        # reads state from storage, flows the batch through all four
+        # gates and materializes the accepts (the index append is
+        # excluded: repeating it would make run 2 dedup against run 1's
+        # output).
         from semantic_vector_search_system_spark.operators.curation import (
             incremental_curation_funnel_stored,
             write_funnel_state,
@@ -1022,7 +1025,10 @@ def main() -> None:
 
         for t in ("_cnt2", "_cnt1", "_meta", "_hashes"):
             spark.sql(f"DROP TABLE IF EXISTS bench_cur_state{t}")
-        write_funnel_state(docs, "bench_cur_state", doc_id="id")
+        ref_snap = generate_documents(
+            spark, 200_000, seed=42, num_partitions=32
+        )
+        write_funnel_state(ref_snap, "bench_cur_state", doc_id="id")
         # seed the hash state with the corpus's own accepts (one pass,
         # outside the timed region): the timed batch then dedups against
         # a REAL populated index, the daily-crawl shape
@@ -1038,6 +1044,8 @@ def main() -> None:
         )
         query_meta["curation_funnel_100k_vs_1m"] = {
             "repeats": 2, "spread": spread, "since_round": 9,
+            "fit": "LM+threshold on a 200k reference snapshot (r9b); "
+            "hash state seeded with the 1M corpus accepts",
             "timed_region": "stored-state serving: read gate state from "
             "warehouse tables + 4 gates + in-batch keep-first + "
             "anti-join vs stored hashes (state fit/write excluded, like "

@@ -46,17 +46,27 @@ def _funnel_stages(
     min_tokens: int,
     doc_id: str,
     text_col: str,
+    lm_strategy: str = "auto",
 ) -> tuple[DataFrame, DataFrame, DataFrame]:
     """Stages 1-3 over one batch with the STORED model/threshold:
     returns (s1, s2, s3) survivor relations, each carrying
     (doc_id, text)."""
     from .lm import bigram_lm_score
-    from .quality_filters import linear_quality_margin
+    from .quality_filters import quality_accept_col
 
     s1 = batch.filter(F.size(tokenize(F.col(text_col))) >= min_tokens)
-    m = linear_quality_margin(s1, id_col=doc_id, text_col=text_col)
-    s2 = s1.join(m.filter(F.col("accept")).select(doc_id), doc_id)
-    rep = bigram_lm_score(s2, model, text_col=text_col, doc_id=doc_id)
+    # the classifier accept is ROW-LOCAL (weights=None margin is a narrow
+    # DECIMAL fold), so gate 2 is a plain filter — the r8 form joined the
+    # margin relation back on doc_id, shuffling every batch's text for a
+    # per-row decision (same accepted set, one exchange fewer per batch)
+    s2 = s1.filter(quality_accept_col(text_col))
+    # lm_strategy="auto" (r9b): the Arrow kernel face while the stored
+    # model fits a heap (serving hot path — at the 100k-batch bench shape
+    # the expr explode chain alone was ~27 s, the kernel ~2 s), expr joins
+    # beyond the bound (open-vocabulary models)
+    rep = bigram_lm_score(
+        s2, model, text_col=text_col, doc_id=doc_id, strategy=lm_strategy
+    )
     s3 = s2.join(
         rep.filter(F.col("lm_score") >= F.lit(float(threshold))).select(doc_id),
         doc_id,
@@ -79,18 +89,28 @@ def fit_funnel_state(
     gates reproduces the batch funnel bit-for-bit.  The median is a
     single-row aggregate collect (bounded)."""
     from .lm import bigram_lm_score, train_bigram_lm
-    from .quality_filters import linear_quality_margin
+    from .quality_filters import quality_accept_col
 
     cnt2, cnt1, vocab = train_bigram_lm(docs, text_col=text_col)
     # the count relations are probed once per micro-batch for the life of
     # the fitted state: pin them so the corpus-sized bigram explode runs
     # exactly once (on a cluster, persist to reliable storage instead —
-    # that is what write_funnel_state does)
-    model = (cnt2.localCheckpoint(), cnt1.localCheckpoint(), vocab)
+    # that is what write_funnel_state does).  cnt1 is RE-DERIVED from the
+    # checkpointed cnt2 (one vocabulary-bounded aggregate) and vocab is
+    # collapsed to a literal relation — the r9a form checkpointed cnt1
+    # off the PRE-checkpoint lineage and kept vocab lazy, re-running the
+    # corpus-sized bigram explode once more per reference (2 extra corpus
+    # passes measured in the 1M fit).
+    c2 = cnt2.localCheckpoint()
+    c1 = c2.groupBy("w1").agg(F.sum("c12").alias("c1")).localCheckpoint()
+    vs = int(vocab.collect()[0]["vs"])
+    vocab_lit = docs.sparkSession.createDataFrame([(vs,)], "vs long")
+    model = (c2, c1, vocab_lit)
     s1 = docs.filter(F.size(tokenize(F.col(text_col))) >= min_tokens)
-    m = linear_quality_margin(s1, id_col=doc_id, text_col=text_col)
-    s2 = s1.join(m.filter(F.col("accept")).select(doc_id), doc_id)
-    rep = bigram_lm_score(s2, model, text_col=text_col, doc_id=doc_id)
+    s2 = s1.filter(quality_accept_col(text_col))  # row-local, no join
+    rep = bigram_lm_score(
+        s2, model, text_col=text_col, doc_id=doc_id, strategy="auto"
+    )
     thr_row = rep.agg(F.expr("percentile(lm_score, 0.5)").alias("m50")).collect()[0]
     thr = thr_row["m50"]
     if thr is None:

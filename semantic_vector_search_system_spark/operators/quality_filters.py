@@ -219,6 +219,33 @@ def hash_feature_weights(tokens: Column, *, salt: str = "qw1") -> Column:
     )
 
 
+def _margin_sum_col(toks) -> Column:
+    """Exact DECIMAL(38,12) fold of the hashed per-token feature weights.
+
+    Each step recast to (38,12): Spark widens decimal addition to (38,11)
+    for carry headroom, which would break the fold's type; per-token
+    margins are in [-1, 1], so thousands of terms stay far from the
+    26-integer-digit bound and the recast is lossless."""
+    return F.aggregate(
+        hash_feature_weights(toks),
+        F.lit(0).cast("decimal(38,12)"),
+        lambda acc, w: (acc + w.cast("decimal(38,12)")).cast("decimal(38,12)"),
+    ).cast("double")
+
+
+def quality_accept_col(text_col="text") -> Column:
+    """The ``accept`` decision of :func:`linear_quality_margin`
+    (weights=None path) as a ROW-LOCAL boolean Column — bitwise the same
+    per-row decision, usable as a plain ``filter`` so pipeline stages
+    (e.g. the curation funnel's classifier gate) never pay a doc-keyed
+    join for what is a narrow projection.  Zero-token rows are rejected,
+    matching the relation face's drop of them."""
+    toks = tokenize(text_col)
+    n_tok = F.size(toks).cast("long")
+    margin = _margin_sum_col(toks) / n_tok.cast("double")
+    return (n_tok > 0) & (margin > 0)
+
+
 def linear_quality_margin(
     docs: DataFrame,
     weights: DataFrame | None = None,
@@ -247,18 +274,7 @@ def linear_quality_margin(
     """
     toks = tokenize(text_col)
     if weights is None:
-        w_arr = hash_feature_weights(toks)
-        # each step recast to (38,12): Spark widens decimal addition to
-        # (38,11) for carry headroom, which would break the fold's type;
-        # per-token margins are in [-1, 1], so thousands of terms stay
-        # far from the 26-integer-digit bound and the recast is lossless
-        margin_sum = F.aggregate(
-            w_arr,
-            F.lit(0).cast("decimal(38,12)"),
-            lambda acc, w: (acc + w.cast("decimal(38,12)")).cast(
-                "decimal(38,12)"
-            ),
-        ).cast("double")
+        margin_sum = _margin_sum_col(toks)
         n_tok = F.size(toks).cast("long")
         # zero-token docs (empty/whitespace-only text) are DROPPED — the
         # contract of both physical paths (the weight-table path's inner

@@ -407,3 +407,58 @@ def test_bigram_lm_broadcasts_counts_and_survives_token_skew(spark):
 
     with _pytest.raises(ValueError):
         bigram_lm_score(docs, model, broadcast_counts="bogus")
+
+
+def test_bigram_lm_score_fast_face_bitwise_parity(spark):
+    """strategy='fast' (Arrow kernel, r9b) must reproduce the expr face
+    BITWISE — n_bigrams and lm_score both — including unicode-whitespace
+    tokenization (NEL \\x85), empty/NULL/1-token drops, and repeated
+    bigrams; 'auto' picks the kernel under the row bound and the expr
+    face above it without changing results."""
+    from semantic_vector_search_system_spark.operators.lm import (
+        bigram_lm_score,
+        train_bigram_lm,
+    )
+
+    rows = [
+        (1, "the cat sat on the mat"),
+        (2, "the cat sat"),
+        (3, "one"),          # 1 token: no bigram, dropped
+        (4, ""),             # empty: dropped
+        (5, None),           # NULL: dropped
+        (6, "a b c\x85d e"), # NEL is NOT Java \s: 'c\x85d' is one token
+        (7, "x y x y x y"),  # repeated bigrams exercise the memo path
+        (8, "  padded   tokens  here "),
+        (9, "unseen words entirely novel here now"),
+    ]
+    from pyspark.sql import functions as F
+
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    train = docs.filter(F.col("doc_id") <= 2)
+    cnt2, cnt1, vocab = train_bigram_lm(train)
+    model = (
+        cnt2.localCheckpoint(),
+        cnt1.localCheckpoint(),
+        spark.createDataFrame(
+            [(int(vocab.collect()[0]["vs"]),)], "vs long"
+        ),
+    )
+
+    def as_map(df):
+        return {
+            r["doc_id"]: (r["n_bigrams"], r["lm_score"]) for r in df.collect()
+        }
+
+    expr = as_map(bigram_lm_score(docs, model))
+    fast = as_map(bigram_lm_score(docs, model, strategy="fast"))
+    assert fast == expr
+    assert set(expr) == {1, 2, 6, 7, 8, 9}
+    # auto: kernel under the bound, expr joins above it — same results
+    auto_small = as_map(bigram_lm_score(docs, model, strategy="auto"))
+    auto_expr = as_map(
+        bigram_lm_score(docs, model, strategy="auto", max_model_rows=1)
+    )
+    assert auto_small == expr and auto_expr == expr
+    # the guard refuses an oversized model instead of collecting it
+    with pytest.raises(ValueError, match="max_model_rows"):
+        bigram_lm_score(docs, model, strategy="fast", max_model_rows=1)
