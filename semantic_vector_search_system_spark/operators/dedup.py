@@ -1413,11 +1413,22 @@ def read_neardup_index(
     index tables is cheap next to any batch it serves."""
     for t in ("_sigs", "_bands", "_meta"):
         spark.catalog.refreshTable(f"{table_prefix}{t}")
+    if spark.catalog.tableExists(f"{table_prefix}_tombstones"):
+        spark.catalog.refreshTable(f"{table_prefix}_tombstones")
     meta_row = spark.read.table(f"{table_prefix}_meta").first()
     meta = meta_row.asDict()
+    # tombstoned ids (r9b: tombstone_neardup_index) are masked here via a
+    # broadcast anti-join, so every serving path forgets deleted docs
+    # immediately; compact_neardup_index folds the mask into storage
     return (
-        spark.read.table(f"{table_prefix}_sigs"),
-        spark.read.table(f"{table_prefix}_bands"),
+        _mask_tombstones(
+            spark, table_prefix,
+            spark.read.table(f"{table_prefix}_sigs"), meta["id_col"],
+        ),
+        _mask_tombstones(
+            spark, table_prefix,
+            spark.read.table(f"{table_prefix}_bands"), meta["id_col"],
+        ),
         meta,
     )
 
@@ -1461,3 +1472,96 @@ def ngram_jaccard_pairs(
         )
         .filter(F.col("jaccard") > threshold)
     )
+
+
+def tombstone_neardup_index(
+    spark,
+    table_prefix: str,
+    ids,
+) -> int:
+    """Mark documents DELETED in a stored neardup index (the crawl
+    warehouse's right-to-be-forgotten path): appends their ids to a
+    ``<prefix>_tombstones`` table — an O(delete-batch) write, no touch of
+    the corpus-sized signature/band tables.  :func:`read_neardup_index`
+    masks tombstoned rows at serve time via a broadcast anti-join (the
+    tombstone set is deletes-sized, so no stored-side shuffle and the
+    bucketed join paths are preserved); :func:`compact_neardup_index`
+    later folds the mask into the storage.
+
+    ``ids`` is a list of id values or a single-column DataFrame named
+    after the index's id column.  Returns the number of ids tombstoned.
+    """
+    meta = spark.read.table(f"{table_prefix}_meta").first().asDict()
+    id_col = meta["id_col"]
+    if isinstance(ids, DataFrame):
+        tomb = ids.select(F.col(ids.columns[0]).alias(id_col)).distinct()
+    else:
+        id_t = dict(spark.read.table(f"{table_prefix}_sigs").dtypes)[id_col]
+        tomb = spark.createDataFrame(
+            [(v,) for v in ids], f"`{id_col}` {id_t}"
+        ).distinct()
+    n = tomb.count()
+    tname = f"{table_prefix}_tombstones"
+    if not spark.catalog.tableExists(tname):
+        tomb.limit(0).write.mode("overwrite").format("parquet").saveAsTable(tname)
+    tomb.write.mode("append").format("parquet").insertInto(tname)
+    return n
+
+
+def _mask_tombstones(spark, table_prefix: str, df: DataFrame, id_col: str) -> DataFrame:
+    tname = f"{table_prefix}_tombstones"
+    if not spark.catalog.tableExists(tname):
+        return df
+    tomb = spark.read.table(tname)
+    # deletes-sized set: broadcast anti-join leaves the stored side's
+    # bucketed distribution untouched (no Exchange on the corpus tables)
+    return df.join(F.broadcast(tomb), id_col, "left_anti")
+
+
+def compact_neardup_index(spark, table_prefix: str) -> dict:
+    """Fold accumulated tombstones into the physical index: rewrite the
+    signature and band tables WITHOUT the tombstoned ids (same bucketBy
+    spec — ``saveAsTable`` on staging names, then an atomic-per-table
+    DROP+RENAME swap), and truncate the tombstone table.  The crawl-loop
+    maintenance step after enough deletes/re-crawls accumulate: serving
+    cost returns to pure bucketed probes with no mask join.
+
+    Returns ``{"sigs_rows": n, "bands_rows": n, "tombstones_folded": n}``.
+    """
+    meta = spark.read.table(f"{table_prefix}_meta").first().asDict()
+    id_col, n_buckets = meta["id_col"], int(meta["n_buckets"])
+    tname = f"{table_prefix}_tombstones"
+    n_tomb = (
+        spark.read.table(tname).count()
+        if spark.catalog.tableExists(tname)
+        else 0
+    )
+    sigs = _mask_tombstones(
+        spark, table_prefix, spark.read.table(f"{table_prefix}_sigs"), id_col
+    )
+    bands = _mask_tombstones(
+        spark, table_prefix, spark.read.table(f"{table_prefix}_bands"), id_col
+    )
+    (
+        sigs.write.mode("overwrite").format("parquet")
+        .bucketBy(n_buckets, id_col).sortBy(id_col)
+        .saveAsTable(f"{table_prefix}_sigs_staging")
+    )
+    (
+        bands.write.mode("overwrite").format("parquet")
+        .bucketBy(n_buckets, "band_sig").sortBy("band_sig")
+        .saveAsTable(f"{table_prefix}_bands_staging")
+    )
+    for t in ("sigs", "bands"):
+        spark.sql(f"DROP TABLE {table_prefix}_{t}")
+        spark.sql(
+            f"ALTER TABLE {table_prefix}_{t}_staging "
+            f"RENAME TO {table_prefix}_{t}"
+        )
+    if n_tomb:
+        spark.sql(f"TRUNCATE TABLE {tname}")
+    return {
+        "sigs_rows": spark.read.table(f"{table_prefix}_sigs").count(),
+        "bands_rows": spark.read.table(f"{table_prefix}_bands").count(),
+        "tombstones_folded": int(n_tomb),
+    }

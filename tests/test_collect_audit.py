@@ -40,7 +40,17 @@ ALLOWED: dict[str, dict[str, int]] = {
         # meta row — all O(1) rows by construction
         'thr_row = rep.agg(F.expr("percentile(lm_score, 0.5)").alias("m50")).collect()[0]': 1,
         'vs = vocab.collect()[0]["vs"]': 1,
+        'vs = int(vocab.collect()[0]["vs"])': 1,
         'meta = spark.read.table(f"{table_prefix}_meta").collect()[0]': 1,
+    },
+    "operators/lm.py": {
+        # bigram_lm_score fast face (r9b): the count relations collect to
+        # broadcast dicts — raise-guarded by the max_model_rows count
+        # immediately above (cnt1/vocab are <= cnt2 by construction); the
+        # same trade as dsir's bucket-bounded _fast_counts collect
+        'c2 = {(r["w1"], r["w2"]): int(r["c12"]) for r in cnt2.collect()}': 1,
+        'c1 = {r["w1"]: int(r["c1"]) for r in cnt1.collect()}': 1,
+        'vs = int(vocab.collect()[0]["vs"])': 1,
     },
     "plans/catalog.py": {
         # stream_curation_funnel batch-boundary probe: single MAX row

@@ -1848,3 +1848,84 @@ def test_ivf_search_partitioned_filtered_pushes_data_filter(spark, tmp_path):
             "EqualTo(label,3)" in seg.split("]", 1)[0]
             for seg in plan.split("PushedFilters: [")[1:]
         ), strategy
+
+
+def test_neardup_index_tombstone_and_compact(spark):
+    """Right-to-be-forgotten in the stored dedup index (r9b): tombstoned
+    ids stop matching IMMEDIATELY (serve-time broadcast anti-join mask,
+    O(delete-batch) write), compaction folds the mask into storage
+    (bucket spec preserved, tombstone table truncated), and the index
+    keeps accepting appends afterwards."""
+    from semantic_vector_search_system_spark.operators.dedup import (
+        append_neardup_index,
+        compact_neardup_index,
+        incremental_neardup,
+        read_neardup_index,
+        tombstone_neardup_index,
+        write_neardup_index,
+    )
+
+    prefix = "t_nd_tomb_idx"
+    texts = {
+        i: f"corpus doc {i} body {' '.join(str(i * j) for j in range(1, 9))}"
+        for i in range(20)
+    }
+    corpus = spark.createDataFrame(list(texts.items()), "doc_id long, text string")
+
+    def serve(batch):
+        sigs, bands, meta = read_neardup_index(spark, prefix)
+        return {
+            r["doc_id"]: (r["is_dup"], r["matched_id"])
+            for r in incremental_neardup(
+                batch, sigs, num_hashes=meta["num_hashes"],
+                rows_per_band=meta["rows_per_band"], threshold=0.5,
+                shingle_n=meta["shingle_n"], hash_family=meta["hash_family"],
+                corpus_bands=bands, corpus_hash_family=meta["hash_family"],
+            ).collect()
+        }
+
+    probe = spark.createDataFrame(
+        [(100, texts[7]), (101, texts[3])], "doc_id long, text string"
+    )
+    try:
+        write_neardup_index(
+            corpus, prefix, num_hashes=16, rows_per_band=4,
+            hash_family="fast", n_buckets=4,
+        )
+        before = serve(probe)
+        assert before[100] == (True, 7) and before[101] == (True, 3)
+        sigs_full = spark.read.table(f"{prefix}_sigs").count()
+
+        # tombstone doc 7: its copy must stop matching at once, doc 3's not
+        assert tombstone_neardup_index(spark, prefix, [7]) == 1
+        after = serve(probe)
+        assert after[100] == (False, None), "tombstoned id still matches"
+        assert after[101] == (True, 3)
+        # storage untouched until compaction (the mask is serve-time)
+        assert spark.read.table(f"{prefix}_sigs").count() == sigs_full
+
+        stats = compact_neardup_index(spark, prefix)
+        assert stats["tombstones_folded"] == 1
+        assert stats["sigs_rows"] == sigs_full - 16  # doc 7's 16 sig rows
+        assert spark.read.table(f"{prefix}_tombstones").count() == 0
+        assert serve(probe) == after  # identical serving post-compact
+        # bucket spec survived the staging swap (insertInto still works)
+        desc = spark.sql(f"DESCRIBE EXTENDED {prefix}_sigs").collect()
+        desc_txt = "\n".join(f"{r[0]} {r[1]}" for r in desc)
+        assert "Num Buckets 4" in desc_txt or "`doc_id`" in desc_txt
+
+        # the loop continues: append a novel doc, then its recrawl matches
+        novel = spark.createDataFrame(
+            [(300, "totally fresh page about tombstones and compaction")],
+            "doc_id long, text string",
+        )
+        append_neardup_index(novel, prefix)
+        got = serve(spark.createDataFrame(
+            [(301, "totally fresh page about tombstones and compaction")],
+            "doc_id long, text string",
+        ))
+        assert got[301] == (True, 300)
+    finally:
+        for t in ("_sigs", "_bands", "_meta", "_tombstones",
+                  "_sigs_staging", "_bands_staging"):
+            spark.sql(f"DROP TABLE IF EXISTS {prefix}{t}")
