@@ -629,46 +629,66 @@ def main() -> None:
             emit(timings, query_meta, sf, partial=True)
 
             # Filtered ANN recall (r9b): the predicate= path of the IVF
-            # family, measured. label := docid % 10 (deterministic,
-            # selectivity 0.1); exact answer = brute force over ONLY the
-            # matching docs; the nprobe sweep shows the scale-nprobe-with-
-            # 1/selectivity trade the operator docstring documents (a 0.1
-            # filter thins each probed list ~10x, so matching unfiltered
-            # recall needs a wider probe). Reuses the cached corpus,
-            # queries and doc-list assignment — adds ~3 IVF passes + one
+            # family, measured. label := trailing digit of the doc id
+            # (ids are datagen strings "d0".."d999999" — a numeric mod
+            # null-casts and silently empties the corpus, the r9b
+            # first-run crash), deterministic selectivity ~0.1; exact
+            # answer = brute force over ONLY the matching docs; the
+            # nprobe sweep shows the scale-nprobe-with-1/selectivity
+            # trade the operator docstring documents (a 0.1 filter thins
+            # each probed list ~10x, so matching unfiltered recall needs
+            # a wider probe). Reuses the cached corpus, queries and
+            # doc-list assignment — adds ~3 IVF passes + one
             # 0.1-selectivity brute-force pass, not a new index build.
-            fpred = F.col("docid") % 10 == 3
-            fexact: dict = {}
-            for r in topk_bruteforce(
-                rq, dvec.filter(fpred), k=k_rec,
-                precollected=collect_query_matrix(rq),
-            ).collect():
-                fexact.setdefault(r["qid"], set()).add(r["docid"])
-            frecall = {}
-            for nprobe in (4, 8, 16):
-                fapprox: dict = {}
-                for r in ivf_topk_fast(
-                    rq, dvec, cents, k=k_rec, nprobe=nprobe,
-                    doc_lists=dl, predicate=fpred,
+            def _filtered_recall() -> dict:
+                fpred = F.substring(F.col("docid"), -1, 1) == "3"
+                fexact: dict = {}
+                for r in topk_bruteforce(
+                    rq, dvec.filter(fpred), k=k_rec,
+                    precollected=collect_query_matrix(rq),
                 ).collect():
-                    fapprox.setdefault(r["qid"], set()).add(r["docid"])
-                recs = [
-                    len(fexact[q] & fapprox.get(q, set())) / k_rec
-                    for q in fexact
-                ]
-                frecall[f"nprobe={nprobe}"] = round(sum(recs) / len(recs), 4)
-            ACCURACY["ann_filtered_recall_1m"] = {
-                "metric": f"mean recall@{k_rec} vs exact brute force over "
-                "the filtered corpus (predicate docid%10==3, sel 0.1)",
-                "n_queries": n_rec_q, "n_lists": 64, "k": k_rec,
-                "centroids": "kmeans",
-                **frecall,
-            }
-            query_meta["ann_filtered_recall_1m"] = {
-                "since_round": 9, "reported_in": "accuracy",
-                "semantics": "pre-filter (exact top-k of filtered corpus "
-                "within probed lists)",
-            }
+                    fexact.setdefault(r["qid"], set()).add(r["docid"])
+                if not fexact:
+                    raise RuntimeError(
+                        "filtered-recall predicate matched no docs"
+                    )
+                out = {}
+                for nprobe in (4, 8, 16):
+                    fapprox: dict = {}
+                    for r in ivf_topk_fast(
+                        rq, dvec, cents, k=k_rec, nprobe=nprobe,
+                        doc_lists=dl, predicate=fpred,
+                    ).collect():
+                        fapprox.setdefault(r["qid"], set()).add(r["docid"])
+                    recs = [
+                        len(fexact[q] & fapprox.get(q, set())) / k_rec
+                        for q in fexact
+                    ]
+                    out[f"nprobe={nprobe}"] = round(sum(recs) / len(recs), 4)
+                return out
+
+            # an accuracy-only extra must never kill the official run
+            # (the r9b first run aborted here and lost the round's final
+            # folded line): failures are recorded and timing continues
+            try:
+                frecall = _filtered_recall()
+                ACCURACY["ann_filtered_recall_1m"] = {
+                    "metric": f"mean recall@{k_rec} vs exact brute force "
+                    "over the filtered corpus (trailing-digit==3, sel 0.1)",
+                    "n_queries": n_rec_q, "n_lists": 64, "k": k_rec,
+                    "centroids": "kmeans",
+                    **frecall,
+                }
+                query_meta["ann_filtered_recall_1m"] = {
+                    "since_round": 9, "reported_in": "accuracy",
+                    "semantics": "pre-filter (exact top-k of filtered "
+                    "corpus within probed lists)",
+                }
+            except Exception as exc:  # noqa: BLE001 — record, don't abort
+                query_meta["ann_filtered_recall_1m"] = {
+                    "since_round": 9, "reported_in": "accuracy",
+                    "error": f"{type(exc).__name__}: {exc}",
+                }
             emit(timings, query_meta, sf, partial=True)
 
             # PQ: memory-compressed ANN over the same 1M corpus (r7).
