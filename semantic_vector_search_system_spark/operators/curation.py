@@ -243,7 +243,12 @@ def incremental_curation_funnel_stored(
     its own output)."""
     spark = batch.sparkSession
     state = read_funnel_state(spark, table_prefix)
-    seen = spark.read.table(f"{table_prefix}_hashes")
+    # forgotten hashes (forget_funnel_hashes) are masked so a recrawl of
+    # deleted content is accepted again; compact_funnel_hashes folds the
+    # mask into storage
+    seen = _mask_hash_tombstones(
+        spark, table_prefix, spark.read.table(f"{table_prefix}_hashes")
+    )
     accepted, novel = incremental_curation_funnel(
         batch, state, seen_hashes=seen, doc_id=doc_id, text_col=text_col
     )
@@ -253,3 +258,87 @@ def incremental_curation_funnel_stored(
             f"{table_prefix}_hashes"
         )
     return accepted
+
+
+# --- right-to-be-forgotten for the hash state (r9b) -------------------------
+
+def forget_funnel_hashes(
+    spark: SparkSession,
+    table_prefix: str,
+    docs: DataFrame | None = None,
+    hashes: DataFrame | None = None,
+    text_col: str = "text",
+) -> int:
+    """Remove content from the funnel's accepted-hash state — the funnel
+    half of the warehouse right-to-be-forgotten path (the dedup-index
+    half is ``dedup.tombstone_neardup_index``): after forgetting, a
+    future batch carrying the same normalized content is ACCEPTED again
+    instead of anti-joined away.
+
+    Content is named either by ``docs`` (rows whose ``text_col`` is
+    normalize-then-hashed exactly like acceptance did) or by ``hashes``
+    (a single-column relation of norm_hash values).  The tombstones land
+    in ``<prefix>_hash_tombstones`` — an O(forget-batch) append; serving
+    masks them with a broadcast anti-join (deletes-sized, the stored
+    bucketed table never shuffles) until :func:`compact_funnel_hashes`
+    folds them into storage.  Returns the number of hashes tombstoned.
+    """
+    if (docs is None) == (hashes is None):
+        raise ValueError("forget_funnel_hashes: pass exactly one of docs|hashes")
+    if docs is not None:
+        tomb = docs.select(
+            F.md5(normalize_text(F.col(text_col))).alias("norm_hash")
+        ).distinct()
+    else:
+        tomb = hashes.select(
+            F.col(hashes.columns[0]).alias("norm_hash")
+        ).distinct()
+    tname = f"{table_prefix}_hash_tombstones"
+    if not spark.catalog.tableExists(tname):
+        tomb.limit(0).write.mode("overwrite").format("parquet").saveAsTable(tname)
+    n = tomb.count()
+    tomb.write.mode("append").format("parquet").insertInto(tname)
+    return n
+
+
+def _mask_hash_tombstones(spark: SparkSession, table_prefix: str, seen: DataFrame) -> DataFrame:
+    tname = f"{table_prefix}_hash_tombstones"
+    if not spark.catalog.tableExists(tname):
+        return seen
+    spark.catalog.refreshTable(tname)
+    return seen.join(
+        F.broadcast(spark.read.table(tname)), "norm_hash", "left_anti"
+    )
+
+
+def compact_funnel_hashes(spark: SparkSession, table_prefix: str, n_buckets: int = 8) -> dict:
+    """Fold hash tombstones into storage: rewrite ``<prefix>_hashes``
+    without the forgotten hashes (same bucketBy via a staging table +
+    DROP/RENAME swap — the ``compact_neardup_index`` recipe) and
+    truncate the tombstone table.  Returns ``{"hashes_rows": n,
+    "tombstones_folded": n}``."""
+    tname = f"{table_prefix}_hash_tombstones"
+    n_tomb = (
+        spark.read.table(tname).count()
+        if spark.catalog.tableExists(tname)
+        else 0
+    )
+    kept = _mask_hash_tombstones(
+        spark, table_prefix, spark.read.table(f"{table_prefix}_hashes")
+    )
+    (
+        kept.write.mode("overwrite").format("parquet")
+        .bucketBy(n_buckets, "norm_hash")
+        .saveAsTable(f"{table_prefix}_hashes_staging")
+    )
+    spark.sql(f"DROP TABLE {table_prefix}_hashes")
+    spark.sql(
+        f"ALTER TABLE {table_prefix}_hashes_staging "
+        f"RENAME TO {table_prefix}_hashes"
+    )
+    if n_tomb:
+        spark.sql(f"TRUNCATE TABLE {tname}")
+    return {
+        "hashes_rows": spark.read.table(f"{table_prefix}_hashes").count(),
+        "tombstones_folded": int(n_tomb),
+    }

@@ -273,3 +273,66 @@ def test_streaming_curation_funnel_crawl_loop(spark, tmp_path):
     finally:
         for t in ("_cnt2", "_cnt1", "_meta", "_hashes"):
             spark.sql(f"DROP TABLE IF EXISTS {prefix}{t}")
+
+
+def test_forget_funnel_hashes_and_compact(spark):
+    """Right-to-be-forgotten in the funnel hash state (r9b): after
+    forgetting a document's content, a recrawl of it is ACCEPTED again
+    (the anti-join no longer masks it); compaction folds the tombstones
+    into storage (bucketBy preserved — the append path keeps working)
+    and truncates the tombstone table."""
+    from semantic_vector_search_system_spark.operators.curation import (
+        compact_funnel_hashes,
+        forget_funnel_hashes,
+        incremental_curation_funnel_stored,
+        write_funnel_state,
+    )
+
+    prefix = "t_forget_cur_state"
+    for t in ("_cnt2", "_cnt1", "_meta", "_hashes",
+              "_hash_tombstones", "_hashes_staging"):
+        spark.sql(f"DROP TABLE IF EXISTS {prefix}{t}")
+    try:
+        fit = _corpus(spark, [(i, _salad(i)) for i in range(30)])
+        write_funnel_state(fit, prefix)
+
+        b1 = _corpus(spark, [(100 + i, _salad(i)) for i in range(8)])
+        a1 = {r["doc_id"] for r in incremental_curation_funnel_stored(
+            b1, prefix).collect()}
+        assert a1, "corpus too strict — nothing accepted"
+        target = min(a1)  # forget this accepted doc's content
+
+        # a recrawl of the accepted content is rejected (hash in state)
+        recrawl = _corpus(
+            spark, [(500, _salad(target - 100))]  # same content, new id
+        )
+        assert not incremental_curation_funnel_stored(
+            recrawl, prefix, update_index=False).collect()
+
+        # forget it -> the same recrawl is accepted again
+        n = forget_funnel_hashes(
+            spark, prefix, docs=b1.filter(F.col("doc_id") == target)
+        )
+        assert n == 1
+        got = {r["doc_id"] for r in incremental_curation_funnel_stored(
+            recrawl, prefix, update_index=False).collect()}
+        assert got == {500}, "forgotten content still masked"
+
+        # compact: mask folded into storage, behavior unchanged
+        n_hashes = spark.read.table(f"{prefix}_hashes").count()
+        stats = compact_funnel_hashes(spark, prefix)
+        assert stats["tombstones_folded"] == 1
+        assert stats["hashes_rows"] == n_hashes - 1
+        assert spark.read.table(f"{prefix}_hash_tombstones").count() == 0
+        got2 = {r["doc_id"] for r in incremental_curation_funnel_stored(
+            recrawl, prefix, update_index=False).collect()}
+        assert got2 == {500}
+        # the bucketed append path survives the staging swap
+        accepted = incremental_curation_funnel_stored(recrawl, prefix)
+        assert {r["doc_id"] for r in accepted.collect()} == {500}
+        assert not incremental_curation_funnel_stored(
+            recrawl, prefix, update_index=False).collect()
+    finally:
+        for t in ("_cnt2", "_cnt1", "_meta", "_hashes",
+                  "_hash_tombstones", "_hashes_staging"):
+            spark.sql(f"DROP TABLE IF EXISTS {prefix}{t}")
