@@ -1565,3 +1565,52 @@ def compact_neardup_index(spark, table_prefix: str) -> dict:
         "bands_rows": spark.read.table(f"{table_prefix}_bands").count(),
         "tombstones_folded": int(n_tomb),
     }
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    key_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Crawl-snapshot delta — what changed between two crawls of the same
+    key space (canonical URL or doc id): one row per key present in
+    either snapshot with ``status`` ``added`` / ``removed`` / ``changed``
+    / ``unchanged`` and both content hashes (NULL on the missing side).
+    The monthly-dump loop runs this FIRST: only ``added``+``changed``
+    rows flow into the funnel/dedup/index stages, turning a full recrawl
+    into an incremental batch (CommonCrawl month-over-month overlap is
+    large, so the delta is a small fraction of the dump).
+
+    Change detection is normalize-then-hash (``normalize_text`` + md5 —
+    the funnel/exact-dedup content identity), so cosmetic case/
+    punctuation/whitespace churn does not count as change.
+
+    Scale shape: each side collapses to ``(key, hash)`` (narrow), then
+    ONE full outer equi-join on the key — hash-partitioned, no skew
+    (keys are unique per side by construction; duplicate keys within a
+    side are first collapsed by min-hash keep-one, a map-side-partial
+    aggregate).
+    """
+    from ..functions.text import normalize_text
+
+    def side(df, alias):
+        return (
+            df.select(
+                F.col(key_col),
+                F.md5(normalize_text(F.col(text_col))).alias("_h"),
+            )
+            .groupBy(key_col)
+            .agg(F.min("_h").alias(alias))
+        )
+
+    o = side(old, "old_hash")
+    n = side(new, "new_hash")
+    joined = o.join(n, key_col, "full_outer")
+    status = (
+        F.when(F.col("old_hash").isNull(), F.lit("added"))
+        .when(F.col("new_hash").isNull(), F.lit("removed"))
+        .when(F.col("old_hash") == F.col("new_hash"), F.lit("unchanged"))
+        .otherwise(F.lit("changed"))
+    )
+    return joined.select(key_col, "old_hash", "new_hash", status.alias("status"))

@@ -1380,6 +1380,15 @@ DEMOTED: tuple[str, ...] = (
                                  #   (in-window keeper, the cogroup
                                  #   range-join family) — green r8 +
                                  #   earlier, parked r9
+    "crawl_snapshot_diff",       # NEW mid-r9, born parked (window already
+                                 #   committed to the r9 rotation):
+                                 #   full-outer content-delta ≡
+                                 #   normalized_exact_dedup (in-window,
+                                 #   same normalize-then-hash identity) +
+                                 #   customers_without_orders (parked
+                                 #   outer/anti family); builder-sweep
+                                 #   green at sf0.001/0.01/0.1 — rotates
+                                 #   in r10
     "ann_ivf_filtered",          # NEW mid-r9, born parked (window already
                                  #   committed to the r9 rotation): filtered
                                  #   ANN pre-filter semantics ≡
@@ -5091,3 +5100,68 @@ def ann_ivf_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     top = sim.ivf_topk(q, d, cents, k=5, nprobe=4, predicate=F.col("label") == 3)
     return top.withColumn("score", F.round("score", 4))
+
+
+@_q(
+    "crawl_snapshot_diff",
+    r"""
+    WITH norm AS (
+      SELECT doc_id, text,
+             md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', ' ', 'g'),
+                                     '\s+', ' ', 'g'))) AS h
+      FROM documents),
+    old_side AS (SELECT doc_id, MIN(h) AS old_hash FROM norm GROUP BY doc_id),
+    new_raw AS (
+      SELECT doc_id,
+             CASE doc_id % 7
+               WHEN 1 THEN concat(text, ' updated content revision')
+               WHEN 2 THEN upper(text)
+               ELSE text END AS text
+      FROM documents WHERE doc_id % 7 <> 0
+      UNION ALL
+      SELECT doc_id + 1000000 AS doc_id,
+             concat('fresh crawl page ', CAST(doc_id AS VARCHAR)) AS text
+      FROM documents WHERE doc_id % 7 = 3),
+    new_side AS (
+      SELECT doc_id,
+             MIN(md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', ' ', 'g'),
+                                         '\s+', ' ', 'g')))) AS new_hash
+      FROM new_raw GROUP BY doc_id)
+    SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id, o.old_hash, n.new_hash,
+           CASE WHEN o.old_hash IS NULL THEN 'added'
+                WHEN n.new_hash IS NULL THEN 'removed'
+                WHEN o.old_hash = n.new_hash THEN 'unchanged'
+                ELSE 'changed' END AS status
+    FROM old_side o FULL OUTER JOIN new_side n ON o.doc_id = n.doc_id
+    """,
+    tags=("dedup", "crawl", "snapshot", "delta"),
+)
+def crawl_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl-snapshot delta (operators/dedup.py::snapshot_diff) — the
+    month-over-month dump stage that turns a full recrawl into an
+    incremental batch: per-key added/removed/changed/unchanged via
+    normalize-then-hash content identity, ONE full-outer equi-join of
+    two narrow (key, hash) relations.  The synthetic "next crawl" drops
+    every 7th doc (removed), appends real content to %7==1 (changed),
+    UPPERCASES %7==2 (cosmetic churn — must classify UNCHANGED, proving
+    the normalized identity), and adds fresh pages for %7==3 (added)."""
+    d = T(spark, sf_dir, "documents").select("doc_id", "text")
+    m7 = F.col("doc_id") % 7
+    new_text = (
+        F.when(m7 == 1, F.concat(F.col("text"), F.lit(" updated content revision")))
+        .when(m7 == 2, F.upper(F.col("text")))
+        .otherwise(F.col("text"))
+    )
+    new_snap = (
+        d.filter(m7 != 0).select("doc_id", new_text.alias("text"))
+        .unionByName(
+            d.filter(m7 == 3).select(
+                (F.col("doc_id") + 1000000).alias("doc_id"),
+                F.concat(
+                    F.lit("fresh crawl page "),
+                    F.col("doc_id").cast("string"),
+                ).alias("text"),
+            )
+        )
+    )
+    return dd.snapshot_diff(d, new_snap)

@@ -95,3 +95,31 @@ def test_url_dedup_aggregate_has_map_side_partial(spark):
     plan = url_dedup(df, length_col="n_chars")._jdf.queryExecution().executedPlan().toString()
     assert "partial_min" in plan or "partial_count" in plan
     assert "Window" not in plan
+
+
+def test_snapshot_diff_statuses(spark):
+    """added/removed/changed/unchanged per key; cosmetic case/punct churn
+    is UNCHANGED (normalize-then-hash identity); duplicate keys within a
+    side collapse by min-hash keep-one before the join."""
+    from semantic_vector_search_system_spark.operators.dedup import snapshot_diff
+
+    old = spark.createDataFrame(
+        [(1, "the same page"), (2, "will be edited"), (3, "gets removed"),
+         (4, "Cosmetic, CHURN only!"), (5, "dup key"), (5, "dup key")],
+        "doc_id long, text string",
+    )
+    new = spark.createDataFrame(
+        [(1, "the same page"), (2, "now fully rewritten"),
+         (4, "cosmetic churn only"), (5, "dup key"),
+         (9, "brand new page")],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r["status"] for r in snapshot_diff(old, new).collect()}
+    assert got == {
+        1: "unchanged", 2: "changed", 3: "removed",
+        4: "unchanged",  # normalization absorbs case + punctuation
+        5: "unchanged",  # in-side dup collapsed, then matched
+        9: "added",
+    }
+    row = {r["doc_id"]: r for r in snapshot_diff(old, new).collect()}
+    assert row[3]["new_hash"] is None and row[9]["old_hash"] is None
