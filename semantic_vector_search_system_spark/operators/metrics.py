@@ -73,7 +73,15 @@ def per_query_metrics(
             .alias(f"r_at_{k}")
         )
     ap_terms = F.when(F.col("is_rel") == 1, F.col("hits_at").cast("double") / F.col("rank"))
-    aggs.append(F.coalesce(F.avg(ap_terms), F.lit(0.0)).alias("ap"))
+    # Order-free AP (r9 VERDICT #2 — the ROUND-over-double-agg purge): each
+    # term is a deterministic per-row double; round-12 + exact DECIMAL sum +
+    # ONE IEEE division makes the mean independent of partition merge order
+    # (a raw double AVG is not — float addition doesn't associate).
+    ap_sum = F.sum(F.round(ap_terms, 12).cast("decimal(25,12)"))
+    ap_n = F.count(ap_terms)
+    aggs.append(
+        F.when(ap_n > 0, ap_sum.cast("double") / ap_n).otherwise(F.lit(0.0)).alias("ap")
+    )
     first_hit = F.min(F.when(F.col("is_rel") == 1, F.col("rank")))
     aggs.append(F.coalesce(F.lit(1.0) / first_hit, F.lit(0.0)).alias("rr"))
     return labeled.groupBy("qid").agg(*aggs)
@@ -87,12 +95,21 @@ def evaluate_all(
     One row: ``p_at_k``/``r_at_k`` per k, ``map``, ``mrr``, ``n_queries``.
     """
     pq = per_query_metrics(retrievals, qrels, k_values)
+
+    def _mean12(col: str):
+        # Partition-order-free mean (r9 VERDICT #2): the per-query values
+        # are deterministic doubles; round-12 + exact DECIMAL sum + one
+        # IEEE division is bit-stable under any partitioning / merge order,
+        # where a plain double AVG is not.
+        s = F.sum(F.round(F.col(col), 12).cast("decimal(25,12)"))
+        return (s.cast("double") / F.count(col)).alias(col)
+
     aggs = []
     for k in k_values:
-        aggs.append(F.avg(f"p_at_{k}").alias(f"p_at_{k}"))
-        aggs.append(F.avg(f"r_at_{k}").alias(f"r_at_{k}"))
-    aggs.append(F.avg("ap").alias("map"))
-    aggs.append(F.avg("rr").alias("mrr"))
+        aggs.append(_mean12(f"p_at_{k}"))
+        aggs.append(_mean12(f"r_at_{k}"))
+    aggs.append(_mean12("ap").alias("map"))
+    aggs.append(_mean12("rr").alias("mrr"))
     aggs.append(F.count("*").alias("n_queries"))
     return pq.agg(*aggs)
 

@@ -584,13 +584,20 @@ def knn_hybrid_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
           / SUM(CASE WHEN rnk <= 10 THEN 1 ELSE 0 END) AS p10,
         CAST(SUM(CASE WHEN rnk <= 5 THEN rel ELSE 0 END) AS DOUBLE) / MAX(n_rel) AS r5,
         CAST(SUM(CASE WHEN rnk <= 10 THEN rel ELSE 0 END) AS DOUBLE) / MAX(n_rel) AS r10,
-        COALESCE(AVG(CASE WHEN rel = 1 THEN CAST(hits_at AS DOUBLE) / rnk END), 0.0) AS ap,
+        COALESCE(CAST(SUM(CAST(ROUND(
+            CASE WHEN rel = 1 THEN CAST(hits_at AS DOUBLE) / rnk END, 12)
+          AS DECIMAL(25,12))) AS DOUBLE)
+          / COUNT(CASE WHEN rel = 1 THEN 1 END), 0.0) AS ap,
         COALESCE(1.0 / MIN(CASE WHEN rel = 1 THEN rnk END), 0.0) AS rr
       FROM wh JOIN nrel ON wh.qid = nrel.qid GROUP BY wh.qid)
-    SELECT ROUND(AVG(p5), 4) AS p_at_5, ROUND(AVG(r5), 4) AS r_at_5,
-           ROUND(AVG(p10), 4) AS p_at_10, ROUND(AVG(r10), 4) AS r_at_10,
-           ROUND(AVG(ap), 4) AS mean_ap, ROUND(AVG(rr), 4) AS mean_rr,
-           COUNT(*) AS n_queries
+    SELECT
+      ROUND(CAST(SUM(CAST(ROUND(p5, 12) AS DECIMAL(25,12))) AS DOUBLE) / COUNT(p5), 4) AS p_at_5,
+      ROUND(CAST(SUM(CAST(ROUND(r5, 12) AS DECIMAL(25,12))) AS DOUBLE) / COUNT(r5), 4) AS r_at_5,
+      ROUND(CAST(SUM(CAST(ROUND(p10, 12) AS DECIMAL(25,12))) AS DOUBLE) / COUNT(p10), 4) AS p_at_10,
+      ROUND(CAST(SUM(CAST(ROUND(r10, 12) AS DECIMAL(25,12))) AS DOUBLE) / COUNT(r10), 4) AS r_at_10,
+      ROUND(CAST(SUM(CAST(ROUND(ap, 12) AS DECIMAL(25,12))) AS DOUBLE) / COUNT(ap), 4) AS mean_ap,
+      ROUND(CAST(SUM(CAST(ROUND(rr, 12) AS DECIMAL(25,12))) AS DOUBLE) / COUNT(rr), 4) AS mean_rr,
+      COUNT(*) AS n_queries
     FROM perq
     """,
     bench=True,
@@ -598,7 +605,13 @@ def knn_hybrid_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def retrieval_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end IR evaluation (reference `evaluate_all`): top-10 retrieval
-    with label-relevance qrels -> p@k / r@k / MAP / MRR means."""
+    with label-relevance qrels -> p@k / r@k / MAP / MRR means.
+
+    Hash-determinism (r9 VERDICT #2): the per-query ratios are fractions
+    with non-binary denominators, so the AP term and every mean-over-queries
+    run through round-12 + exact DECIMAL sums + one IEEE division (in
+    metrics.per_query_metrics / evaluate_all, mirrored in the oracle) —
+    never a raw double AVG whose summation order can flip the round-4."""
     emb = T(spark, sf_dir, "embeddings")
     q = emb.filter(F.col("vec_id") < 20).select(
         F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec"), F.col("label").alias("ql")
@@ -1542,21 +1555,44 @@ def global_top_spenders(spark: SparkSession, sf_dir: str) -> DataFrame:
 @_q(
     "welch_components_by_type",
     """
-    SELECT event_type, COUNT(value) AS n,
-      ROUND(AVG(value), 4) AS mean_value,
-      ROUND(var_samp(value), 4) AS var_value
-    FROM events GROUP BY event_type
+    WITH c AS (SELECT event_type, CAST(value AS DECIMAL(12,2)) AS v FROM events)
+    SELECT event_type, COUNT(v) AS n,
+      ROUND(CAST(SUM(v) AS DOUBLE) / COUNT(v), 4) AS mean_value,
+      ROUND(CASE WHEN COUNT(v) > 1 THEN
+        (CAST(SUM(v * v) AS DOUBLE)
+         - CAST(SUM(v) AS DOUBLE) * CAST(SUM(v) AS DOUBLE) / COUNT(v))
+        / (COUNT(v) - 1) END, 4) AS var_value
+    FROM c GROUP BY event_type
     """,
     tags=("stats", "A12"),
 )
 def welch_components_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed Welch-test components (n/mean/variance per group) —
-    SURVEY A12; the t statistic is driver-side arithmetic in plans/report.py."""
+    SURVEY A12; the t statistic is driver-side arithmetic in plans/report.py.
+
+    Hash-determinism (r9 VERDICT #2 — same ROUND-on-double-agg class as
+    paired_test_components): events.value carries exactly 2 decimal places,
+    so mean/variance derive from the exact DECIMAL component sums
+    S1=SUM(v), S2=SUM(v·v) — order-free — each cast to double once and
+    combined in a fixed IEEE expression tree, instead of rounding
+    AVG/var_samp over order-dependent double summation."""
     e = T(spark, sf_dir, "events")
-    return e.groupBy("event_type").agg(
+    v = F.col("value").cast("decimal(12,2)")
+    comp = e.groupBy("event_type").agg(
         F.count("value").alias("n"),
-        F.round(F.avg("value"), 4).alias("mean_value"),
-        F.round(F.var_samp("value"), 4).alias("var_value"),
+        F.sum(v).alias("_s1"),
+        F.sum(v * v).alias("_s2"),
+    )
+    s1d = F.col("_s1").cast("double")
+    s2d = F.col("_s2").cast("double")
+    n = F.col("n")
+    return comp.select(
+        "event_type",
+        "n",
+        F.round(s1d / n, 4).alias("mean_value"),
+        F.round(
+            F.when(n > 1, (s2d - s1d * s1d / n) / (n - 1)), 4
+        ).alias("var_value"),
     )
 
 
@@ -1596,9 +1632,9 @@ def mannwhitney_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH pairs AS (
       SELECT user_id,
         CAST(SUM(CASE WHEN event_type = 'view'
-                      THEN CAST(value AS DECIMAL(12,2)) END) AS DOUBLE) AS before_v,
+                      THEN CAST(value AS DECIMAL(12,2)) END) AS DECIMAL(14,2)) AS before_v,
         CAST(SUM(CASE WHEN event_type = 'purchase'
-                      THEN CAST(value AS DECIMAL(12,2)) END) AS DOUBLE) AS after_v
+                      THEN CAST(value AS DECIMAL(12,2)) END) AS DECIMAL(14,2)) AS after_v
       FROM events WHERE event_type IN ('view', 'purchase')
       GROUP BY user_id
     ),
@@ -1614,8 +1650,12 @@ def mannwhitney_components(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM counts),
     rv AS (SELECT cnt, pos_cnt, cum_before + (cnt + 1) / 2.0 AS avg_rank
            FROM ranked),
-    mom AS (SELECT COUNT(d) AS n, ROUND(AVG(d), 4) AS mean_d,
-                   ROUND(var_samp(d), 4) AS var_d FROM d),
+    mom AS (SELECT COUNT(d) AS n,
+                   ROUND(CAST(SUM(d) AS DOUBLE) / COUNT(d), 4) AS mean_d,
+                   ROUND(CASE WHEN COUNT(d) > 1 THEN
+                     (CAST(SUM(d * d) AS DOUBLE)
+                      - CAST(SUM(d) AS DOUBLE) * CAST(SUM(d) AS DOUBLE) / COUNT(d))
+                     / (COUNT(d) - 1) END, 4) AS var_d FROM d),
     wil AS (SELECT COALESCE(SUM(cnt), 0) AS n_nonzero,
         CAST(COALESCE(SUM(avg_rank * pos_cnt), 0) AS DOUBLE) AS w_plus,
         CAST(COALESCE(SUM(avg_rank * (cnt - pos_cnt)), 0) AS DOUBLE) AS w_minus,
@@ -1629,11 +1669,19 @@ def paired_test_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed paired-test components (plans/report.py::
     paired_components, r8 VERDICT #7): pairing unit = user with both
     view and purchase events, before/after = DECIMAL-exact per-type
-    value totals (bitwise-deterministic doubles, so the |d| tie groups
-    match across engines); the one-row relation carries the paired-t
-    moments and the Wilcoxon signed-rank sums + tie correction.  The
-    statistics themselves are driver arithmetic
-    (paired_tests_distributed), as with Welch/Mann-Whitney."""
+    value totals; the one-row relation carries the paired-t moments and
+    the Wilcoxon signed-rank sums + tie correction.  The statistics
+    themselves are driver arithmetic (paired_tests_distributed), as
+    with Welch/Mann-Whitney.
+
+    Hash-determinism (r9 VERDICT #1): before/after stay DECIMAL(14,2)
+    all the way into paired_components, whose decimal branch derives
+    mean_d/var_d from the exact component sums S1=SUM(d), S2=SUM(d·d)
+    — order-free decimal arithmetic, ONE double cast each, a fixed IEEE
+    expression tree.  The old form rounded AVG/var_samp over doubles,
+    whose partition-merge-order nondeterminism flipped the 4-decimal
+    round near a 5e-5 boundary (the single red cell in
+    CORRECTNESS_r09)."""
     from .report import paired_components
 
     e = T(spark, sf_dir, "events")
@@ -1643,10 +1691,10 @@ def paired_test_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("user_id")
         .agg(
             F.sum(F.when(F.col("event_type") == "view", dec))
-            .cast("double")
+            .cast("decimal(14,2)")
             .alias("before_v"),
             F.sum(F.when(F.col("event_type") == "purchase", dec))
-            .cast("double")
+            .cast("decimal(14,2)")
             .alias("after_v"),
         )
         .filter(
@@ -1837,7 +1885,8 @@ _E2E_HASH_BUCKET = (
       FROM q LEFT JOIN top t ON q.qid = t.qid GROUP BY q.qid)
     SELECT ROUND(AVG(CAST(hit1 AS DOUBLE)), 4) AS p_at_1,
            ROUND(AVG(CAST(hit10 AS DOUBLE)), 4) AS r_at_10,
-           ROUND(AVG(rr), 4) AS mean_rr,
+           ROUND(CAST(SUM(CAST(ROUND(rr, 12) AS DECIMAL(25,12))) AS DOUBLE)
+                 / COUNT(rr), 4) AS mean_rr,
            COUNT(*) AS n_queries
     FROM perq
     """,
@@ -2077,13 +2126,14 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM q CROSS JOIN e) t WHERE rank <= 5),
     perq AS (
       SELECT p.nprobe, ex.qid,
-        SUM(CASE WHEN ap.docid IS NOT NULL THEN 1 ELSE 0 END) / 5.0 AS r
+        SUM(CASE WHEN ap.docid IS NOT NULL THEN 1 ELSE 0 END) AS hits
       FROM probes p
       CROSS JOIN exact ex
       LEFT JOIN approx ap
         ON ap.nprobe = p.nprobe AND ap.qid = ex.qid AND ap.docid = ex.docid
       GROUP BY p.nprobe, ex.qid)
-    SELECT nprobe, ROUND(SUM(r) / COUNT(*), 6) AS mean_recall_at_5,
+    SELECT nprobe,
+           ROUND(CAST(SUM(hits) AS DOUBLE) / (5 * COUNT(*)), 6) AS mean_recall_at_5,
            COUNT(*) AS n_queries
     FROM perq GROUP BY nprobe
     """,
@@ -2122,14 +2172,20 @@ def ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("qid", "docid")
             .withColumn("hit", F.lit(1))
         )
+        # hash-determinism (r9 VERDICT #2): per-query hits stay INTEGER
+        # through both aggregations (exact under any summation order);
+        # the recall mean is ONE IEEE division at the end — never a double
+        # sum of 0.2-granular ratios, whose merge order isn't associative.
         perq = (
             exact.join(ap, ["qid", "docid"], "left")
             .groupBy("qid")
-            .agg((F.sum(F.coalesce(F.col("hit"), F.lit(0))) / F.lit(5.0)).alias("r"))
+            .agg(F.sum(F.coalesce(F.col("hit"), F.lit(0))).alias("hits"))
         )
         outs.append(
             perq.agg(
-                F.round(F.sum("r") / F.count("*"), 6).alias("mean_recall_at_5"),
+                F.round(
+                    F.sum("hits").cast("double") / (F.lit(5) * F.count("*")), 6
+                ).alias("mean_recall_at_5"),
                 F.count("*").alias("n_queries"),
             ).select(
                 F.lit(nprobe).alias("nprobe"), "mean_recall_at_5", "n_queries"
@@ -2389,7 +2445,10 @@ def rollup_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
              CAST(unnest(embedding) AS DOUBLE) AS val,
              CAST(generate_subscripts(embedding, 1) - 1 AS INTEGER) AS idx
       FROM embeddings)
-    SELECT label, idx, ROUND(AVG(val), 4) AS centroid_val, COUNT(*) AS n_vectors
+    SELECT label, idx,
+      ROUND(CAST(SUM(CAST(ROUND(val, 12) AS DECIMAL(25,12))) AS DOUBLE)
+            / COUNT(*), 4) AS centroid_val,
+      COUNT(*) AS n_vectors
     FROM x GROUP BY label, idx
     """,
     tags=("udaf", "applyInPandas", "embedding"),
@@ -2398,10 +2457,17 @@ def label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Grouped-map UDAF (applyInPandas): per-label embedding centroid,
     emitted long-format (label, idx, centroid_val, n_vectors).
 
-    The pandas kernel is one np.mean(axis=0) per label group — the UDAF
+    The pandas kernel is one vectorized pass per label group — the UDAF
     pattern for vector-typed aggregations (Spark has no native array-mean).
     Shuffle = one hash partition by label; group state = one matrix.
-    """
+
+    Hash-determinism (r9 VERDICT #2): row order INSIDE a group is whatever
+    the shuffle delivered, so np.mean over the group matrix was
+    order-dependent (pairwise summation over a nondeterministic row
+    order).  The kernel now mirrors the oracle's round-12 + exact-sum
+    recipe in scaled int64 (each round-12 value × 1e12 is an exact
+    integer < 2^63/n for any realistic group), divides once in IEEE and
+    rounds HALF_UP via decimal — bit-stable under any row order."""
     import numpy as np
     import pandas as pd
 
@@ -2409,14 +2475,31 @@ def label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     dim = len(emb.select("embedding").first()[0])
 
     def centroid(pdf: pd.DataFrame) -> pd.DataFrame:
+        from decimal import ROUND_HALF_UP, Decimal
+
         M = np.array(pdf["embedding"].tolist(), dtype=np.float64)
-        c = np.round(M.mean(axis=0), 4)
+        n = len(pdf)
+        # exact integer image of ROUND(val, 12): |val| is O(1), so
+        # val*1e12 carries < 1e-3 absolute float error — rint is exact
+        ints = np.rint(np.round(M, 12) * 1e12).astype(np.int64)
+        sums = ints.sum(axis=0, dtype=np.int64)
+        q4 = Decimal("0.0001")
+        c = np.array(
+            [
+                float(
+                    Decimal(
+                        repr(float(Decimal(int(s)).scaleb(-12)) / n)
+                    ).quantize(q4, rounding=ROUND_HALF_UP)
+                )
+                for s in sums
+            ]
+        )
         return pd.DataFrame(
             {
                 "label": pdf["label"].iloc[0],
                 "idx": np.arange(dim, dtype=np.int32),
                 "centroid_val": c,
-                "n_vectors": len(pdf),
+                "n_vectors": n,
             }
         )
 
@@ -3035,7 +3118,8 @@ def sketch_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
       WHERE q >= 0.3 AND lang IN ('en', 'de', 'fr', 'es')
         AND NOT EXISTS (SELECT 1 FROM dup_losers x WHERE x.doc_id = quality.doc_id))
     SELECT lang, COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
-           ROUND(CAST(SUM(q) AS DOUBLE) / COUNT(*), 4) AS mean_quality
+           ROUND(CAST(SUM(CAST(ROUND(q, 12) AS DECIMAL(25,12))) AS DOUBLE)
+                 / COUNT(*), 4) AS mean_quality
     FROM selected GROUP BY lang
     """,
     bench=True,
@@ -3087,7 +3171,13 @@ def training_corpus_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
     return selected.groupBy("lang").agg(
         F.count("*").alias("n_docs"),
         F.sum("n_tokens").alias("total_tokens"),
-        F.round(F.sum("q") / F.count("*"), 4).alias("mean_quality"),
+        # round-12 + exact DECIMAL sum + one IEEE division (r9 VERDICT #2):
+        # q is a double product, so a raw double SUM is merge-order-dependent
+        F.round(
+            F.sum(F.round(F.col("q"), 12).cast("decimal(25,12)")).cast("double")
+            / F.count("*"),
+            4,
+        ).alias("mean_quality"),
     )
 
 
