@@ -95,8 +95,12 @@ def emit(timings: dict, query_meta: dict, sf, *, partial: bool) -> str:
     timings = dict(timings)
     fold_info = None
     raw_this_run = None
+    fold_source = None
+    head = _git_head() if _MIRROR_ENABLED else None
     if not partial and _MIRROR_ENABLED:
-        timings, fold_info, raw_this_run = fold_with_mirror(timings, sf)
+        timings, fold_info, raw_this_run, fold_source = fold_with_mirror(
+            timings, sf, head=head
+        )
     full = {
         "metric": "headline_queries_total_runtime",
         "value": round(sum(timings.values()), 3),
@@ -107,8 +111,10 @@ def emit(timings: dict, query_meta: dict, sf, *, partial: bool) -> str:
         **({"floors": FLOORS} if FLOORS else {}),
         **({"accuracy": ACCURACY} if ACCURACY else {}),
         **({"partial": True} if partial else {}),
+        **({"head": head} if head else {}),
         **({"xrun": fold_info} if fold_info else {}),
         **({"raw_this_run": raw_this_run} if raw_this_run else {}),
+        **({"fold_source": fold_source} if fold_source else {}),
     }
     try:
         with open(OUT_PATH, "w") as f:
@@ -117,7 +123,7 @@ def emit(timings: dict, query_meta: dict, sf, *, partial: bool) -> str:
         pass
     compact = {
         k: v for k, v in full.items()
-        if k not in ("query_meta", "raw_this_run")
+        if k not in ("query_meta", "raw_this_run", "fold_source")
     }
     if "accuracy" in compact:
         # the per-entry "metric" prose repeats across entries and lives in
@@ -251,20 +257,51 @@ def _parse_mirrored_lines(notes_text: str) -> list:
     return out
 
 
+def _git_head() -> str | None:
+    """Short commit id of the code being benched — recorded in every
+    mirrored line so the fold can tell 'same code, quieter box' from
+    'older, faster code' (r9 ADVICE: a mid-round commit that genuinely
+    slows a query must not hide behind a pre-regression minimum)."""
+    import subprocess
+
+    try:
+        out = subprocess.run(
+            ["git", "rev-parse", "--short", "HEAD"],
+            cwd=os.path.dirname(os.path.abspath(__file__)),
+            capture_output=True, text=True, timeout=10,
+        )
+        head = out.stdout.strip()
+        return head if out.returncode == 0 and head else None
+    except (OSError, subprocess.SubprocessError):
+        return None
+
+
 def fold_with_mirror(
     timings: dict, sf, notes_text: str | None = None, now=None,
-    max_age_hours: float = MIRROR_FOLD_HOURS,
-) -> tuple[dict, dict | None, dict | None]:
+    max_age_hours: float = MIRROR_FOLD_HOURS, head: str | None = None,
+) -> tuple[dict, dict | None, dict | None, dict | None]:
     """Fold each key to the min across this run and the round's recent
     mirrored clean lines (r8 VERDICT #1).
 
-    Returns (folded_timings, fold_info, raw_this_run):
-    - folded_timings: per-key min(this run, recent same-sf mirrored lines)
+    Commit-identity gate (r9 ADVICE): when ``head`` is given, only
+    mirrored lines recorded at the SAME commit fold in — a line from
+    older code (different or missing "head") is skipped and counted
+    under ``fold_info["skipped_other_head"]``, so a commit that
+    genuinely slows a query can never keep reporting the pre-regression
+    minimum as 'noise'.  ``head=None`` (git unavailable) folds across
+    the window as before — the fold_source provenance still names every
+    borrowed line.
+
+    Returns (folded_timings, fold_info, raw_this_run, fold_source):
+    - folded_timings: per-key min(this run, recent same-sf/-head lines)
     - fold_info: {"runs": N, "window_h": H, "noisy": {key: raw}} where
       "noisy" lists keys whose this-run reading is > NOISY_RATIO x the
       folded min — self-identifying contention for the driver/judge
     - raw_this_run: this run's readings for every folded-down key (full
       provenance, recorded in bench_out.json only)
+    - fold_source: per folded-down key, WHICH mirrored line supplied the
+      minimum ("<stamp>@<head>") — r9 VERDICT #7's provenance note, in
+      bench_out.json only
     Pure given notes_text/now so the protocol is unit-testable; the CLI
     path reads BENCH_NOTES.md and uses wall-clock now.
     """
@@ -278,28 +315,44 @@ def fold_with_mirror(
             notes_text = ""
     if now is None:
         now = datetime.datetime.now(datetime.timezone.utc)
-    minima: dict = {}
+    minima: dict = {}  # key -> (value, source-line tag)
     runs = 0
+    skipped_other_head = 0
     for stamp, rec in _parse_mirrored_lines(notes_text):
         if rec.get("sf") != sf:
             continue
         age_h = (now - stamp).total_seconds() / 3600.0
         if not (0 <= age_h <= max_age_hours):
             continue
+        if head is not None and rec.get("head") != head:
+            skipped_other_head += 1
+            continue
         runs += 1
+        tag = f"{stamp.strftime('%Y-%m-%d %H:%MZ')}@{rec.get('head') or '?'}"
         for k, v in rec.get("queries", {}).items():
             if isinstance(v, (int, float)) and k in timings:
-                minima[k] = min(minima.get(k, v), v)
+                if k not in minima or v < minima[k][0]:
+                    minima[k] = (v, tag)
     if not runs:
-        return dict(timings), None, None
-    folded, noisy, raw = {}, {}, {}
+        info = (
+            {"runs": 0, "window_h": max_age_hours,
+             "skipped_other_head": skipped_other_head}
+            if skipped_other_head else None
+        )
+        return dict(timings), info, None, None
+    folded, noisy, raw, src = {}, {}, {}, {}
     for k, v in timings.items():
-        best = round(min(v, minima.get(k, v)), 3)
+        mv, mtag = minima.get(k, (v, None))
+        best = round(min(v, mv), 3)
         folded[k] = best
+        if mv < v and mtag:
+            src[k] = mtag
         if v > best * NOISY_RATIO:
             noisy[k] = round(v, 2)
             raw[k] = round(v, 3)
     info = {"runs": runs, "window_h": max_age_hours}
+    if skipped_other_head:
+        info["skipped_other_head"] = skipped_other_head
     if noisy:
         # a contended run can flag dozens of keys; the printed line only
         # needs the worst offenders to be self-identifying — cap at the
@@ -310,7 +363,7 @@ def fold_with_mirror(
             noisy, key=lambda k: noisy[k] / max(folded[k], 1e-9), reverse=True
         )[:NOISY_TOP]
         info["noisy"] = {k: noisy[k] for k in top}
-    return folded, info, (raw or None)
+    return folded, info, (raw or None), (src or None)
 
 
 def main() -> None:

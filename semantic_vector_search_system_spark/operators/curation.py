@@ -254,10 +254,35 @@ def incremental_curation_funnel_stored(
     )
     accepted = accepted.localCheckpoint()
     if update_index:
-        accepted.select("norm_hash").write.mode("append").insertInto(
-            f"{table_prefix}_hashes"
-        )
+        append_funnel_hashes(spark, table_prefix, accepted)
     return accepted
+
+
+def append_funnel_hashes(
+    spark: SparkSession, table_prefix: str, accepted: DataFrame
+) -> None:
+    """Commit a batch's accepted hashes to the stored state.  Two rules
+    (both r9 ADVICE):
+
+    * re-accept closes the tombstone: a forgotten hash that a recrawl
+      just re-accepted must be protected IMMEDIATELY — leaving its
+      tombstone row in place would keep masking it out of ``seen``, so
+      every later batch carrying the same content would be accepted
+      again (and compact would then anti-join the re-accepted hash out
+      of storage: the dedup invariant permanently broken).  Cleared
+      BEFORE the hash append: a crash between the two leaves the hash
+      absent from storage with no tombstone — the batch replays as a
+      plain re-accept (at-least-once), never a permanently masked hash.
+    * callers that ALSO write the accepted rows somewhere (the streaming
+      face's ``out_path``) must write those rows FIRST and call this
+      LAST — appending the hashes before the output commit would make a
+      replayed batch anti-join its own rows away, silently losing them
+      (at-most-once).
+    """
+    _clear_hash_tombstones(spark, table_prefix, accepted.select("norm_hash"))
+    accepted.select("norm_hash").write.mode("append").insertInto(
+        f"{table_prefix}_hashes"
+    )
 
 
 # --- right-to-be-forgotten for the hash state (r9b) -------------------------
@@ -311,12 +336,38 @@ def _mask_hash_tombstones(spark: SparkSession, table_prefix: str, seen: DataFram
     )
 
 
+def _clear_hash_tombstones(
+    spark: SparkSession, table_prefix: str, hashes: DataFrame
+) -> None:
+    """Drop the given hashes from ``<prefix>_hash_tombstones`` (parquet
+    tables have no row DELETE, and the tombstone table is O(forget-batch)
+    small by construction, so this is a cheap anti-join rewrite)."""
+    tname = f"{table_prefix}_hash_tombstones"
+    if not spark.catalog.tableExists(tname):
+        return
+    spark.catalog.refreshTable(tname)
+    remaining = (
+        spark.read.table(tname)
+        .join(F.broadcast(hashes.select("norm_hash")), "norm_hash", "left_anti")
+        # materialize BEFORE the overwrite — the write must not scan the
+        # table it is replacing
+        .localCheckpoint()
+    )
+    remaining.write.mode("overwrite").format("parquet").saveAsTable(tname)
+
+
 def compact_funnel_hashes(spark: SparkSession, table_prefix: str, n_buckets: int = 8) -> dict:
     """Fold hash tombstones into storage: rewrite ``<prefix>_hashes``
     without the forgotten hashes (same bucketBy via a staging table +
-    DROP/RENAME swap — the ``compact_neardup_index`` recipe) and
-    truncate the tombstone table.  Returns ``{"hashes_rows": n,
-    "tombstones_folded": n}``."""
+    rename-aside swap — the ``compact_neardup_index`` recipe), dedup
+    any re-accept duplicate rows, and truncate the tombstone table.
+    Returns ``{"hashes_rows": n, "tombstones_folded": n}``.
+
+    Swap order (r9 ADVICE): live → ``_old``, staging → live, drop
+    ``_old``.  The old DROP-then-RENAME left NO hashes table at all if
+    the process died between the two statements; with rename-aside the
+    data always exists — a crash mid-swap is recovered by renaming
+    ``_old`` (or ``_staging``) back, never by rebuilding state."""
     tname = f"{table_prefix}_hash_tombstones"
     n_tomb = (
         spark.read.table(tname).count()
@@ -325,17 +376,15 @@ def compact_funnel_hashes(spark: SparkSession, table_prefix: str, n_buckets: int
     )
     kept = _mask_hash_tombstones(
         spark, table_prefix, spark.read.table(f"{table_prefix}_hashes")
-    )
+    ).distinct()  # re-accept appends may have duplicated a hash row
     (
         kept.write.mode("overwrite").format("parquet")
         .bucketBy(n_buckets, "norm_hash")
         .saveAsTable(f"{table_prefix}_hashes_staging")
     )
-    spark.sql(f"DROP TABLE {table_prefix}_hashes")
-    spark.sql(
-        f"ALTER TABLE {table_prefix}_hashes_staging "
-        f"RENAME TO {table_prefix}_hashes"
-    )
+    from .dedup import swap_staging_table
+
+    swap_staging_table(spark, f"{table_prefix}_hashes")
     if n_tomb:
         spark.sql(f"TRUNCATE TABLE {tname}")
     return {

@@ -104,7 +104,12 @@ def url_dedup(
         canonical_url(url_col).alias("canonical_url"),
         F.col(url_col).alias("_raw"),
         F.col(id_col).alias("_id"),
-        length.cast("long").alias("_len"),
+        # NULL length must LOSE to any real payload (r9 ADVICE): a null
+        # struct field sorts FIRST under Spark's ascending struct MIN, so
+        # an un-coalesced null -_len would beat the longest payload —
+        # diverging from the documented longest-payload contract (and from
+        # ORDER BY n_chars DESC NULLS LAST in the oracle)
+        F.coalesce(length.cast("long"), F.lit(-1)).alias("_len"),
     )
     best = F.struct((-F.col("_len")).alias("_nl"), F.col("_id").alias("_i"))
     return (
@@ -1391,6 +1396,14 @@ def append_neardup_index(
             hash_family=meta["hash_family"],
         ).localCheckpoint()
         bands = band_signatures(sigs, id_col, meta["rows_per_band"])
+    # re-index closes the tombstone (r9 ADVICE): a deleted id that a later
+    # crawl legitimately re-indexes must become servable again — a stale
+    # tombstone row would keep masking it, and compaction would then fold
+    # the fresh signatures out of storage.  Cleared BEFORE the appends: a
+    # crash in between replays as a plain re-append, never a masked id.
+    _clear_id_tombstones(
+        spark, table_prefix, accepted_docs.select(id_col).distinct(), id_col
+    )
     sigs.write.mode("append").insertInto(f"{table_prefix}_sigs")
     bands.write.mode("append").insertInto(f"{table_prefix}_bands")
 
@@ -1518,13 +1531,50 @@ def _mask_tombstones(spark, table_prefix: str, df: DataFrame, id_col: str) -> Da
     return df.join(F.broadcast(tomb), id_col, "left_anti")
 
 
+def _clear_id_tombstones(spark, table_prefix: str, ids: DataFrame, id_col: str) -> None:
+    """Drop the given ids from ``<prefix>_tombstones`` — called when a
+    tombstoned id is RE-INDEXED (r9 ADVICE): without this, the stale
+    tombstone keeps masking the re-indexed rows at serve time, and the
+    next compaction folds them out of storage entirely.  Parquet tables
+    have no row DELETE; the tombstone table is O(delete-batch) small by
+    construction, so an anti-join rewrite is cheap."""
+    tname = f"{table_prefix}_tombstones"
+    if not spark.catalog.tableExists(tname):
+        return
+    spark.catalog.refreshTable(tname)
+    remaining = (
+        spark.read.table(tname)
+        .join(F.broadcast(ids.select(id_col)), id_col, "left_anti")
+        # materialize BEFORE the overwrite — must not scan the table being replaced
+        .localCheckpoint()
+    )
+    remaining.write.mode("overwrite").format("parquet").saveAsTable(tname)
+
+
+def swap_staging_table(spark, table: str) -> None:
+    """Swap ``<table>_staging`` into place via RENAME-ASIDE (r9 ADVICE):
+    live → ``_old``, staging → live, drop ``_old``.  The old
+    DROP-then-RENAME order destroyed the live table first — a crash
+    between the two statements left no table at all, breaking every
+    serving call until manual repair.  With rename-aside the data always
+    exists; a crash mid-swap is recovered by renaming ``_old`` (or
+    ``_staging``) back, never by rebuilding state."""
+    old = f"{table}_old"
+    if spark.catalog.tableExists(old):  # leftover from a prior crash
+        spark.sql(f"DROP TABLE {old}")
+    spark.sql(f"ALTER TABLE {table} RENAME TO {old}")
+    spark.sql(f"ALTER TABLE {table}_staging RENAME TO {table}")
+    spark.sql(f"DROP TABLE {old}")
+
+
 def compact_neardup_index(spark, table_prefix: str) -> dict:
     """Fold accumulated tombstones into the physical index: rewrite the
     signature and band tables WITHOUT the tombstoned ids (same bucketBy
-    spec — ``saveAsTable`` on staging names, then an atomic-per-table
-    DROP+RENAME swap), and truncate the tombstone table.  The crawl-loop
-    maintenance step after enough deletes/re-crawls accumulate: serving
-    cost returns to pure bucketed probes with no mask join.
+    spec — ``saveAsTable`` on staging names, then a rename-aside swap per
+    table, :func:`swap_staging_table`), and truncate the tombstone table.
+    The crawl-loop maintenance step after enough deletes/re-crawls
+    accumulate: serving cost returns to pure bucketed probes with no mask
+    join.
 
     Returns ``{"sigs_rows": n, "bands_rows": n, "tombstones_folded": n}``.
     """
@@ -1553,11 +1603,7 @@ def compact_neardup_index(spark, table_prefix: str) -> dict:
         .saveAsTable(f"{table_prefix}_bands_staging")
     )
     for t in ("sigs", "bands"):
-        spark.sql(f"DROP TABLE {table_prefix}_{t}")
-        spark.sql(
-            f"ALTER TABLE {table_prefix}_{t}_staging "
-            f"RENAME TO {table_prefix}_{t}"
-        )
+        swap_staging_table(spark, f"{table_prefix}_{t}")
     if n_tomb:
         spark.sql(f"TRUNCATE TABLE {tname}")
     return {

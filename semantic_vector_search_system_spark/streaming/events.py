@@ -490,14 +490,24 @@ def streaming_curation_funnel_foreach_batch(
     Batch-equivalence: over ascending-id batches the accumulated accepts
     equal the batch ``curation_funnel``'s stage-4 survivors (tested).
     Same at-least-once replay contract as every foreachBatch parquet
-    append."""
-    from ..operators.curation import incremental_curation_funnel_stored
+    append — which requires the COMMIT ORDER below (r9 ADVICE): the
+    accepted rows land in ``out_path`` BEFORE their hashes join the
+    state.  The old order (hashes first) meant a failure between the two
+    made the replayed batch anti-join its own rows away — those accepted
+    docs silently vanished from ``out_path`` forever (at-most-once).
+    With output-first, a replay re-accepts and re-writes the batch:
+    duplicate output rows, exactly the at-least-once contract."""
+    from ..operators.curation import (
+        append_funnel_hashes,
+        incremental_curation_funnel_stored,
+    )
 
     def handle(batch_df: DataFrame, batch_id: int) -> None:
         out = incremental_curation_funnel_stored(
-            batch_df, state_prefix, update_index=True
+            batch_df, state_prefix, update_index=False
         )
         out.write.mode("append").parquet(out_path)
+        append_funnel_hashes(batch_df.sparkSession, state_prefix, out)
 
     q = (
         docs_stream.writeStream.foreachBatch(handle)

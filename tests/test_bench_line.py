@@ -180,7 +180,7 @@ def test_fold_with_mirror_takes_per_key_min_and_flags_noise():
         ("2026-08-15 07:29Z", {"sf": 0.1, "queries": {"dedup": 17.226, "encode": 9.135}}),
     )
     timings = {"dedup": 16.9, "encode": 6.1, "brand_new_key": 2.0}
-    folded, info, raw = bench.fold_with_mirror(timings, 0.1, notes, _NOW)
+    folded, info, raw, src = bench.fold_with_mirror(timings, 0.1, notes, _NOW)
     assert folded == {"dedup": 5.982, "encode": 6.1, "brand_new_key": 2.0}
     assert info["runs"] == 2
     # dedup's this-run reading is >1.2x the folded min -> self-identified
@@ -197,7 +197,7 @@ def test_fold_with_mirror_ignores_stale_and_wrong_sf_lines():
         # future timestamp (clock skew) — never folds
         ("2026-08-16 08:00Z", {"sf": 0.1, "queries": {"dedup": 0.1}}),
     )
-    folded, info, raw = bench.fold_with_mirror({"dedup": 7.0}, 0.1, notes, _NOW)
+    folded, info, raw, src = bench.fold_with_mirror({"dedup": 7.0}, 0.1, notes, _NOW)
     assert folded == {"dedup": 7.0}
     assert info is None and raw is None
 
@@ -208,7 +208,7 @@ def test_fold_with_mirror_survives_malformed_entries():
         "- not a mirror line at all\n"
         + _notes(("2026-08-15 05:00Z", {"sf": 0.1, "queries": {"q": 1.5}}))
     )
-    folded, info, raw = bench.fold_with_mirror({"q": 2.0}, 0.1, notes, _NOW)
+    folded, info, raw, src = bench.fold_with_mirror({"q": 2.0}, 0.1, notes, _NOW)
     assert folded == {"q": 1.5}
     assert info["runs"] == 1
 
@@ -217,17 +217,17 @@ def test_final_emit_folds_against_recent_mirror(tmp_path, monkeypatch):
     """End-to-end: a CLI-mode final emit reads the notes, folds per-key
     minima into the printed line, and keeps raw readings in bench_out."""
     notes_path = tmp_path / "BENCH_NOTES.md"
+    stamp = datetime.datetime.now(datetime.timezone.utc).strftime("%Y-%m-%d %H:%MZ")
     notes_path.write_text(_notes(
-        (
-            datetime.datetime.now(datetime.timezone.utc).strftime("%Y-%m-%d %H:%MZ"),
-            {"sf": 0.1, "queries": {"dedup_1000000_docs": 5.982}},
-        )
+        (stamp, {"sf": 0.1, "head": "abc1234",
+                 "queries": {"dedup_1000000_docs": 5.982}}),
     ))
     monkeypatch.setattr(bench, "OUT_PATH", str(tmp_path / "bench_out.json"))
     monkeypatch.setattr(bench, "NOTES_PATH", str(notes_path))
     monkeypatch.setattr(bench, "FLOORS", {})
     monkeypatch.setattr(bench, "ACCURACY", {})
     monkeypatch.setattr(bench, "_MIRROR_ENABLED", True)
+    monkeypatch.setattr(bench, "_git_head", lambda: "abc1234")
     timings = {"dedup_1000000_docs": 17.226, "other": 1.0}
     buf = io.StringIO()
     with redirect_stdout(buf):
@@ -237,10 +237,44 @@ def test_final_emit_folds_against_recent_mirror(tmp_path, monkeypatch):
     assert parsed["queries"]["other"] == 1.0
     assert parsed["value"] == round(5.982 + 1.0, 3)
     assert parsed["xrun"]["noisy"] == {"dedup_1000000_docs": 17.23}
+    assert parsed["head"] == "abc1234"
     full = json.load(open(tmp_path / "bench_out.json"))
     assert full["raw_this_run"] == {"dedup_1000000_docs": 17.226}
+    # fold-source provenance (r9 VERDICT #7): which line supplied the min
+    assert full["fold_source"]["dedup_1000000_docs"] == f"{stamp}@abc1234"
     # the folded line was itself mirrored (idempotent under re-folding)
     assert "17.226" not in notes_path.read_text().splitlines()[-1]
+
+
+def test_fold_skips_lines_from_other_commits(tmp_path, monkeypatch):
+    """r9 ADVICE: a mirrored minimum recorded at a DIFFERENT commit must
+    not fold into this run's line — a commit that genuinely slows a query
+    would otherwise keep reporting the pre-regression minimum for up to
+    36 h, masking real regressions as 'noise'."""
+    notes = _notes(
+        # old, faster code — must be skipped
+        ("2026-08-15 10:00Z", {"sf": 0.1, "head": "old0001",
+                               "queries": {"q": 1.0}}),
+        # pre-head-field legacy line — also skipped once heads exist
+        ("2026-08-15 10:30Z", {"sf": 0.1, "queries": {"q": 1.1}}),
+        # same code, quieter box — folds
+        ("2026-08-15 11:00Z", {"sf": 0.1, "head": "new0002",
+                               "queries": {"q": 4.0}}),
+    )
+    folded, info, raw, src = bench.fold_with_mirror(
+        {"q": 5.0}, 0.1, notes, _NOW, head="new0002"
+    )
+    assert folded == {"q": 4.0}  # NOT the other-commit 1.0
+    assert info["runs"] == 1
+    assert info["skipped_other_head"] == 2
+    assert src == {"q": "2026-08-15 11:00Z@new0002"}
+    # head=None (git unavailable) keeps the legacy fold-across-all behavior
+    folded2, info2, _, src2 = bench.fold_with_mirror(
+        {"q": 5.0}, 0.1, notes, _NOW, head=None
+    )
+    assert folded2 == {"q": 1.0}
+    assert info2["runs"] == 3
+    assert src2 == {"q": "2026-08-15 10:00Z@old0001"}
 
 
 def test_partial_emits_never_fold(tmp_path, monkeypatch):
@@ -322,7 +356,7 @@ def test_fold_noisy_map_caps_at_top_offenders():
     notes = _notes(("2026-08-15 11:00Z", {"sf": 0.1, "queries": mirror_q}))
     # this-run readings: k00 worst (x10), descending to k09 (x1.3)
     timings = {f"k{i:02d}": 10.0 - 0.967 * i for i in range(10)}
-    folded, info, raw = bench.fold_with_mirror(timings, 0.1, notes, _NOW)
+    folded, info, raw, src = bench.fold_with_mirror(timings, 0.1, notes, _NOW)
     assert all(folded[k] == 1.0 for k in mirror_q)
     assert info["noisy_n"] == 10
     assert len(info["noisy"]) == bench.NOISY_TOP

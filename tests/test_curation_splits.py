@@ -336,3 +336,57 @@ def test_forget_funnel_hashes_and_compact(spark):
         for t in ("_cnt2", "_cnt1", "_meta", "_hashes",
                   "_hash_tombstones", "_hashes_staging"):
             spark.sql(f"DROP TABLE IF EXISTS {prefix}{t}")
+
+
+def test_reaccepted_hash_protected_before_compaction(spark):
+    """The r9 ADVICE window: forget -> recrawl RE-ACCEPTED (update_index)
+    -> the tombstone must be cleared at that moment, NOT at compaction.
+    Before the fix the stale tombstone kept masking the re-appended hash,
+    so every later batch carrying the same content was accepted again,
+    and compaction then anti-joined the re-accepted hash out of storage —
+    the dedup invariant permanently broken for re-accepted content."""
+    from semantic_vector_search_system_spark.operators.curation import (
+        compact_funnel_hashes,
+        forget_funnel_hashes,
+        incremental_curation_funnel_stored,
+        write_funnel_state,
+    )
+
+    prefix = "t_reacc_cur_state"
+    tables = ("_cnt2", "_cnt1", "_meta", "_hashes",
+              "_hash_tombstones", "_hashes_staging", "_hashes_old")
+    for t in tables:
+        spark.sql(f"DROP TABLE IF EXISTS {prefix}{t}")
+    try:
+        fit = _corpus(spark, [(i, _salad(i)) for i in range(30)])
+        write_funnel_state(fit, prefix)
+
+        b1 = _corpus(spark, [(100 + i, _salad(i)) for i in range(8)])
+        a1 = {r["doc_id"] for r in incremental_curation_funnel_stored(
+            b1, prefix).collect()}
+        assert a1, "corpus too strict — nothing accepted"
+        target = min(a1)
+
+        # forget, then RE-ACCEPT via a recrawl WITH update_index=True
+        assert forget_funnel_hashes(
+            spark, prefix, docs=b1.filter(F.col("doc_id") == target)) == 1
+        got = {r["doc_id"] for r in incremental_curation_funnel_stored(
+            _corpus(spark, [(500, _salad(target - 100))]), prefix).collect()}
+        assert got == {500}
+
+        # the re-accept must have closed the tombstone...
+        assert spark.read.table(f"{prefix}_hash_tombstones").count() == 0
+        # ...so ANOTHER copy of the same content is rejected (pre-fix it
+        # was accepted again: the tombstone still masked the hash)
+        again = _corpus(spark, [(501, _salad(target - 100))])
+        assert not incremental_curation_funnel_stored(
+            again, prefix, update_index=False).collect()
+
+        # and compaction keeps the re-accepted hash in storage (pre-fix
+        # the stale tombstone folded it out), still rejecting the copy
+        compact_funnel_hashes(spark, prefix)
+        assert not incremental_curation_funnel_stored(
+            again, prefix, update_index=False).collect()
+    finally:
+        for t in tables:
+            spark.sql(f"DROP TABLE IF EXISTS {prefix}{t}")

@@ -1929,3 +1929,63 @@ def test_neardup_index_tombstone_and_compact(spark):
         for t in ("_sigs", "_bands", "_meta", "_tombstones",
                   "_sigs_staging", "_bands_staging"):
             spark.sql(f"DROP TABLE IF EXISTS {prefix}{t}")
+
+
+def test_neardup_reindexed_id_clears_tombstone(spark):
+    """The r9 ADVICE window, dedup-index flavor: an id that is tombstoned
+    and then legitimately RE-INDEXED (append_neardup_index) must be
+    servable again immediately — the append clears its tombstone.  Before
+    the fix the stale tombstone kept masking the fresh signatures, and
+    compaction folded them out of storage entirely."""
+    from semantic_vector_search_system_spark.operators.dedup import (
+        append_neardup_index,
+        compact_neardup_index,
+        incremental_neardup,
+        read_neardup_index,
+        tombstone_neardup_index,
+        write_neardup_index,
+    )
+
+    prefix = "t_nd_reidx"
+    texts = {
+        i: f"corpus doc {i} body {' '.join(str(i * j) for j in range(1, 9))}"
+        for i in range(10)
+    }
+    corpus = spark.createDataFrame(list(texts.items()), "doc_id long, text string")
+
+    def serve(batch):
+        sigs, bands, meta = read_neardup_index(spark, prefix)
+        return {
+            r["doc_id"]: (r["is_dup"], r["matched_id"])
+            for r in incremental_neardup(
+                batch, sigs, num_hashes=meta["num_hashes"],
+                rows_per_band=meta["rows_per_band"], threshold=0.5,
+                shingle_n=meta["shingle_n"], hash_family=meta["hash_family"],
+                corpus_bands=bands, corpus_hash_family=meta["hash_family"],
+            ).collect()
+        }
+
+    probe = spark.createDataFrame([(100, texts[7])], "doc_id long, text string")
+    try:
+        write_neardup_index(
+            corpus, prefix, num_hashes=16, rows_per_band=4,
+            hash_family="fast", n_buckets=4,
+        )
+        # delete doc 7, then RE-INDEX the same id (recrawl after deletion)
+        assert tombstone_neardup_index(spark, prefix, [7]) == 1
+        assert serve(probe)[100] == (False, None)
+        append_neardup_index(
+            spark.createDataFrame([(7, texts[7])], "doc_id long, text string"),
+            prefix,
+        )
+        # the re-index closed the tombstone: id 7 serves again at once
+        assert spark.read.table(f"{prefix}_tombstones").count() == 0
+        assert serve(probe)[100] == (True, 7), "re-indexed id still masked"
+        # and compaction keeps (not folds out) the re-indexed signatures
+        compact_neardup_index(spark, prefix)
+        assert serve(probe)[100] == (True, 7)
+    finally:
+        for t in ("_sigs", "_bands", "_meta", "_tombstones",
+                  "_sigs_staging", "_bands_staging",
+                  "_sigs_old", "_bands_old"):
+            spark.sql(f"DROP TABLE IF EXISTS {prefix}{t}")

@@ -79,6 +79,26 @@ def test_url_dedup_keeps_longest_then_min_id(spark):
     assert (b["n_fetches"], b["n_raw_urls"], b["kept_id"]) == (1, 1, 4)
 
 
+def test_url_dedup_null_length_loses_to_any_payload(spark):
+    """r9 ADVICE: a NULL length must LOSE to any real payload (a null
+    struct field sorts first under ascending struct MIN, so the raw
+    -_len would have made the null-length row win) — and an all-null
+    group falls back to min id, matching the oracle's NULLS LAST."""
+    rows = [
+        (1, None, "http://a.com/p"),       # null length: must lose
+        (2, 5, "http://www.a.com/p/"),     # shortest real payload still wins
+        (9, None, "https://c.net/r"),      # all-null group:
+        (4, None, "https://c.net/r#f"),    #   min id wins
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, n_chars long, url string")
+    out = {
+        r["canonical_url"]: r["kept_id"]
+        for r in url_dedup(df, length_col="n_chars").collect()
+    }
+    assert out["http://a.com/p"] == 2
+    assert out["https://c.net/r"] == 4
+
+
 def test_url_dedup_without_length_keeps_min_id(spark):
     rows = [(9, "http://a.com/p"), (4, "http://www.a.com/p")]
     df = spark.createDataFrame(rows, "doc_id long, url string")
