@@ -1197,237 +1197,256 @@ def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
 # bm25_topk, media_features (no family twin), knn_topk,
 # self_retrieval_e2e, incremental_dedup, asof_grouped_orders,
 # stream_view_purchase_join, pii_scan_report (family anchors).
+# Round-10 rotation (r9 VERDICT #3 — clear the ENTIRE driver-verification
+# debt in one window): ALL 37 rows absent from both the r8 and r9 driver
+# windows return — every row last driver-green in r7, plus the two born
+# parked in r9 that have NEVER been driver-checked (ann_ivf_filtered,
+# crawl_snapshot_diff).  37 debt + 13 keepers = exactly the 50-row window:
+#   * paired_test_components — the single r9 red cell; its exact-DECIMAL
+#     moments rebuild (r9 VERDICT #1) must prove hash-green in r10;
+#   * welch_components_by_type, training_corpus_selection,
+#     self_retrieval_e2e — oracles REBUILT this round (the
+#     ROUND-over-double-agg purge, r9 VERDICT #2) — a changed oracle pair
+#     must be driver-verified, not just locally swept (retrieval_quality,
+#     ann_recall, label_centroids — the other rebuilt rows — are already
+#     in the debt set);
+#   * stream_curation_funnel, url_refetch_dedup — 1x green AND their
+#     operators changed this round (at-least-once commit order; url_dedup
+#     null-length coalesce);
+#   * crawl_e2e — NEW r10 (the WARC->URL->diff->funnel capstone), born
+#     in-window;
+#   * json_kpi, sequence_packing, stream_user_totals_stateful,
+#     media_features, bm25_topk, index_upsert_counts — the six no-family-
+#     twin anchors (kept in-window since r7/r8).
+# In exchange ALL 40 other r9-green rows park — every one 0 rounds stale
+# (driver-green in the round just judged), most 2x+ green; per-entry
+# family notes below.  The young-until-2x rule yields to the judge's
+# debt-clearing directive for the 1x-green r9 rows (hard_negative_mining,
+# media_kind_stats, source_cap_sample, source_mixture_weights, ...) —
+# all fresh-green, with family twins noted.
 DEMOTED: tuple[str, ...] = (
-    "revenue_by_nation",         # multi-way broadcast join-agg ≡
-                                 #   part_type_revenue (returning) +
-                                 #   pricing_summary (in-window keeper)
-    "segment_order_stats",       # J3 semi-join ≡ decontamination
-                                 #   (returning broadcast semi-join)
-    "customers_without_orders",  # anti-join ≡ training_corpus_selection
-                                 #   (returning, anti-join stage) +
-                                 #   decontamination (returning)
-    "top_orders_per_customer",   # W3 per-group top-k ≡ global_top_spenders
-                                 #   (returning W2) + knn_topk_heap
-                                 #   (in-window keeper, same ranking shape)
-    "user_event_pivot",          # J6 pivot ≡ user_event_unpivot
-                                 #   (returning — the inverse twin)
-    "user_running_value",        # W5 running frame ≡ user_event_sequences
-                                 #   (returning A15 ordered accumulation)
-    "retrieval_quality",         # A1-A4 IR metrics ≡ self_retrieval_e2e
-                                 #   (returning, same metric operators e2e)
-    "exact_dedup",               # content-hash dedup ≡ incremental_dedup
-                                 #   (returning, hash agg against stored
-                                 #   index) + stream_dedup_events (returning)
-    "simhash",                   # ≡ doc_fingerprint (returning
-                                 #   fingerprint-family twin)
-    "minhash_signatures",        # ≡ lsh_candidate_pairs (returning, same
-                                 #   signature kernel) + incremental_dedup
-                                 #   (returning) + neardup_keep_one (in-window)
-    "ngram_jaccard_pairs",       # shingle set-overlap ≡ nations_with_both
-                                 #   (returning SO1) + neardup_keep_one
-                                 #   (in-window shingle verify)
-    "embedding_neardup_pairs",   # embedding near-dup ≡ semdedup_keep_one
-                                 #   (in-window clustered semantic dedup) +
-                                 #   lsh_candidate_pairs (returning banding)
-    "brand_price_stats",         # A11 count/mean/std/min/max ≡
-                                 #   part_type_revenue + source_mixture_weights
-                                 #   (both returning agg family)
-    "region_customer_rollup",    # ROLLUP ≡ cube_order_stats (returning
-                                 #   grouping-sets family)
-    "mannwhitney_components",    # A12 rank-sum ≡ welch_components_by_type
-                                 #   (in-window keeper, same test builder)
-    "snippet_queries",           # F1/S5 snippet generation ≡ bm25_topk
-                                 #   (in-window, same query_snippet builder)
-    "sessionization",            # session windows ≡ user_event_sequences +
-                                 #   view_purchase_funnel (both returning)
-    "stream_hourly_counts",      # ≡ hourly_event_counts (returning,
-                                 #   identical result by construction)
-    "stream_sessionize",         # streaming windows ≡ stream_view_purchase_join
-                                 #   + stream_dedup_events (both returning) +
-                                 #   stream_user_totals_stateful (in-window)
-    "langid_confusion",          # per-lang n-gram profiles ≡
-                                 #   token_stats_by_lang (returning per-lang
-                                 #   grouping) + doc_quality (returning)
-    "token_counts_regex",        # F2 tokenize+agg ≡ token_stats_by_lang +
-                                 #   corpus_vocabulary (both returning)
-    "supplier_balance_by_nation",# keyed agg ≡ part_type_revenue +
-                                 #   source_mixture_weights (returning A8)
-    "ann_recall",                # IVF + exact recall sweep ≡ ann_ivf_topk
-                                 #   (returning, IVF side) + ann_ivfpq_topk /
-                                 #   ann_pq_topk (in-window NEW ADC rows);
-                                 #   bench ann_recall_1m keeps the measured
-                                 #   recall ladder every round
-    "sql_interface_pricing",     # spark.sql face of pricing_summary
-                                 #   (in-window keeper, same plan)
-    "asof_latest_order",         # as-of ≡ asof_grouped_orders (returning
-                                 #   — the cogroup strategy twin)
-    "rollup_pricing",            # ROLLUP ≡ cube_order_stats (returning
-                                 #   grouping-sets family)
-    "label_centroids",           # grouped-map UDAF ≡ semdedup_keep_one
-                                 #   (in-window applyInPandas kernel family)
-    "quantized_topk_rerank",     # two-stage coarse->rerank ≡
-                                 #   knn_hybrid_filtered (returning
-                                 #   two-stage) + ann_pq_topk (in-window)
-    "hybrid_rrf_fusion",         # RRF fusion ≡ tfidf_self_retrieval +
-                                 #   knn_topk (both returning — the two
-                                 #   runs it fuses)
-    "dataset_splits",            # stable-hash splits ≡ source_cap_sample
-                                 #   (returning, same hash-bucket sampling)
-    "gopher_quality_report",     # rule-based quality ≡ doc_quality
-                                 #   (returning) + quality_classifier_report
-                                 #   (in-window model-based gate)
-    "urgent_orders_by_year",     # P4/P8 routing filter ≡ revenue_filter
-                                 #   (returning P4 compound filter) +
-                                 #   user_event_pivot (returning CASE
-                                 #   routing) — parked late-r8 to make
-                                 #   window room for the NEW
-                                 #   bitext_margin_pairs
-    "nation_customer_rank",      # W4 rank position ≡ global_top_spenders
-                                 #   (returning ranking family) +
-                                 #   knn_topk_heap (in-window keeper,
-                                 #   rank/top-k windows) — parked late-r8
-                                 #   for the NEW context_windows
-    "sketch_stats",              # KMV estimator ≡ sketch_set_ops
-                                 #   (in-window NEW: the same bottom-k
-                                 #   sketch PLUS theta set algebra —
-                                 #   sketch_stats's former no-twin
-                                 #   status is resolved by its
-                                 #   strictly-wider sibling);
-                                 #   sample-median ≡ event_percentiles
-                                 #   (in-window keeper) — parked late-r8
-                                 #   for the NEW sketch_set_ops
-    "neardup_keep_one",          # star-edge clustering + keep-one ≡
-                                 #   duplicate_components (in-window NEW:
-                                 #   a STRICTLY STRONGER components
-                                 #   oracle — true recursive-CTE
-                                 #   transitive closure over the same
-                                 #   pair graph, exercising the
-                                 #   DISTRIBUTED min-label path the
-                                 #   driver union-find shortcut hid);
-                                 #   exact-verify ≡ incremental_dedup
-                                 #   (in-window agreement join); keep-one
-                                 #   ≡ media_ahash_dedup + span_dedup
-                                 #   (both in-window) — parked late-r8
-                                 #   for the NEW duplicate_components
-    "pricing_summary",           # A8 decimal agg keeper since r8 ≡
-                                 #   part_type_revenue (returning debt row,
-                                 #   same decimal-exact agg) +
-                                 #   temperature_mixture (in-window) —
-                                 #   r7+r8 driver-green, parked r9
-    "event_percentiles",         # A5/A6 exact percentiles ≡
-                                 #   lm_perplexity_buckets (in-window exact
-                                 #   global-rank buckets) +
-                                 #   hourly_event_counts (returning
-                                 #   event-time agg) — r7+r8 green, parked r9
+    # --- long-parked stays (family-covered, rotate back r11+) ---
+    "pricing_summary",           # A8 decimal agg ≡ sql_interface_pricing
+                                 #   (in-window: the SAME plan via
+                                 #   spark.sql) — green r7+r8
+    "event_percentiles",         # A5/A6 exact percentiles ≡ sketch_stats
+                                 #   (in-window hash-sampled exact median)
+                                 #   — green r7+r8
     "knn_topk_heap",             # JVM bounded-heap Aggregator ≡
-                                 #   prototype_sample (in-window: the same
-                                 #   Aggregator physically) + knn_topk
-                                 #   (in-window, same query semantics) —
-                                 #   r7+r8 green, parked r9
-    "quality_classifier_report", # classifier margin ≡ curation_funnel
-                                 #   (in-window: composes the same margin
-                                 #   gate) + doc_quality family via
-                                 #   gopher (parked twins); bench
+                                 #   top_orders_per_customer (in-window W3
+                                 #   ranking) + retrieval_quality
+                                 #   (in-window top-k); the Aggregator
+                                 #   physical form stays plan-gated in
+                                 #   tests — green r7+r8
+    "quality_classifier_report", # classifier margin ≡
+                                 #   gopher_quality_report +
+                                 #   training_corpus_selection (both
+                                 #   in-window quality gates); bench
                                  #   quality_classifier_1M every round —
-                                 #   r7+r8 green, parked r9
-    "span_dedup",                # sub-doc dedup ≡ normalized_exact_dedup
-                                 #   (in-window hash-keyed keep-one) +
-                                 #   stream_curation_funnel (in-window
-                                 #   incremental dedup state); bench
-                                 #   span_dedup_1M every round — r7+r8
-                                 #   green, parked r9
-    "welch_components_by_type",  # A12 ≡ paired_test_components (NEW
-                                 #   in-window: same distributed-components
-                                 #   shape, A13) + mannwhitney_components
-                                 #   (parked twin) — r7+r8 green, parked r9
-    "bigram_lm_report",          # bigram LM ≡ lm_perplexity_buckets +
-                                 #   curation_funnel + stream_curation_funnel
-                                 #   (all in-window, same train/score
-                                 #   builders) — r7+r8 green, parked r9
-    "ann_pq_topk",               # PQ ADC ≡ ann_ivfpq_topk (in-window:
-                                 #   strictly wider — residual codebooks +
-                                 #   probed ADC); bench ann_pq_1m recall
-                                 #   every round — r7+r8 green, parked r9
-    "semdedup_keep_one",         # clustered semantic dedup ≡ kmeans_steps
-                                 #   + prototype_sample (in-window, same
-                                 #   assignment kernels) +
-                                 #   mmr_diversified_topk (in-window
-                                 #   embedding-sim greedy); bench
-                                 #   semdedup_1M every round — r7+r8
-                                 #   green, parked r9
-    "ann_ivf_topk",              # IVF probe ≡ ann_ivfpq_topk (in-window,
-                                 #   same probe + partition-pruned scan);
-                                 #   bench ann_recall_1m ladder every
-                                 #   round — green r8 + r1-r6, parked r9
-    "doc_quality",               # C4-ish rules ≡ curation_funnel
-                                 #   (in-window length gate) +
-                                 #   gopher_quality_report (parked twin)
-                                 #   — green r8 + r1-r6, parked r9
-    "knn_hybrid_filtered",       # P3 hybrid pre-filter ≡ knn_topk
-                                 #   (in-window J1 scoring) +
-                                 #   revenue_filter (returning debt row,
-                                 #   pushdown-asserted filter family) —
-                                 #   green r8 + earlier, parked r9
+                                 #   green r7+r8
+    "span_dedup",                # sub-doc dedup ≡ exact_dedup +
+                                 #   minhash_signatures (in-window
+                                 #   keep-first/hash dedup); bench
+                                 #   span_dedup_1M every round — green
+                                 #   r7+r8
+    "bigram_lm_report",          # bigram LM ≡ stream_curation_funnel
+                                 #   (in-window keeper: same train/score
+                                 #   builders inside the funnel) — green
+                                 #   r7+r8
+    "ann_pq_topk",               # PQ ADC ≡ quantized_topk_rerank
+                                 #   (in-window int8 coarse->rerank) +
+                                 #   ann_recall (in-window); bench
+                                 #   ann_pq_1m recall every round — green
+                                 #   r7+r8
+    "semdedup_keep_one",         # clustered semantic dedup ≡
+                                 #   embedding_neardup_pairs (in-window
+                                 #   embedding near-dup) + label_centroids
+                                 #   (in-window applyInPandas kernel);
+                                 #   bench semdedup_1M every round —
+                                 #   green r7+r8
+    "ann_ivf_topk",              # IVF probe ≡ ann_recall +
+                                 #   ann_ivf_filtered (both in-window,
+                                 #   same probe chain); bench
+                                 #   ann_recall_1m ladder every round —
+                                 #   green r8 + r1-r6
+    "doc_quality",               # C4-ish rules ≡ gopher_quality_report
+                                 #   (in-window) — green r8 + r1-r6
+    "knn_hybrid_filtered",       # P3 hybrid pre-filter ≡ ann_ivf_filtered
+                                 #   (in-window: the ANN face of the SAME
+                                 #   filtered search) + retrieval_quality
+                                 #   — green r8 + earlier
     "tfidf_self_retrieval",      # TF-IDF e2e ≡ self_retrieval_e2e
-                                 #   (in-window, hashing-encoder e2e twin)
-                                 #   + bm25_topk... (bm25 in-window keeper,
-                                 #   lexical weighting family) — green r8 +
-                                 #   earlier, parked r9
-    "training_corpus_selection", # composed candidates->verify->anti-join ≡
-                                 #   decontamination (returning debt row,
-                                 #   same anti-join gate) + curation_funnel
-                                 #   (in-window composed funnel) +
-                                 #   lsh_candidate_pairs (returning) —
-                                 #   green r8 + earlier, parked r9
+                                 #   (keeper, hashing-encoder e2e twin) +
+                                 #   bm25_topk (keeper, lexical weighting)
+                                 #   — green r8 + earlier
     "user_event_sequences",      # A15 ordered accumulation ≡
-                                 #   context_windows (in-window ordered
-                                 #   sequence assembly) + user_running_value
-                                 #   / sessionization (parked twins) —
-                                 #   green r8 + earlier, parked r9
-    "user_event_unpivot",        # unpivot ≡ user_event_pivot (parked
-                                 #   inverse twin, green r1-r6) +
-                                 #   media_kind_stats (returning derived-
-                                 #   table agg) — green r8 + earlier,
-                                 #   parked r9
-    "view_purchase_funnel",      # interval join ≡ asof_grouped_orders
-                                 #   (in-window keeper, the cogroup
-                                 #   range-join family) — green r8 +
-                                 #   earlier, parked r9
-    "crawl_snapshot_diff",       # NEW mid-r9, born parked (window already
-                                 #   committed to the r9 rotation):
-                                 #   full-outer content-delta ≡
-                                 #   normalized_exact_dedup (in-window,
-                                 #   same normalize-then-hash identity) +
-                                 #   customers_without_orders (parked
-                                 #   outer/anti family); builder-sweep
-                                 #   green at sf0.001/0.01/0.1 — rotates
-                                 #   in r10
-    "ann_ivf_filtered",          # NEW mid-r9, born parked (window already
-                                 #   committed to the r9 rotation): filtered
-                                 #   ANN pre-filter semantics ≡
-                                 #   knn_hybrid_filtered (parked exact twin,
-                                 #   green r8) + ann_ivfpq_topk (in-window
-                                 #   IVF probe family); builder-sweep green
-                                 #   at sf0.001/0.01/0.1 — rotates in r10
-    "knn_topk",                  # exact brute-force cosine top-k — the ONE
-                                 #   row the driver exercises EVERY round
-                                 #   regardless of window via entry()'s
-                                 #   smoke; oracle-green r1–r8 without a
-                                 #   single miss, and its J1/W1 operators
-                                 #   stay in-window through
-                                 #   hard_negative_mining (same
-                                 #   topk_bruteforce retrieval + re-rank)
-                                 #   — parked mid-r9 to make window room
-                                 #   for the NEW url_refetch_dedup
+                                 #   user_running_value + sessionization
+                                 #   (both in-window) — green r8 + earlier
+    "user_event_unpivot",        # unpivot ≡ user_event_pivot (in-window
+                                 #   inverse twin) — green r8 + earlier
+    "view_purchase_funnel",      # interval join ≡ asof_latest_order
+                                 #   (in-window as-of family) +
+                                 #   sessionization (in-window event
+                                 #   windows) — green r8 + earlier
+    "knn_topk",                  # exact brute-force cosine top-k — the
+                                 #   ONE row entry()'s smoke runs EVERY
+                                 #   round regardless; ≡ retrieval_quality
+                                 #   (in-window, same topk_bruteforce
+                                 #   kernel) — green r1-r8
     "stream_view_purchase_join", # stream-stream interval join ≡
-                                 #   stream_user_totals_stateful +
-                                 #   stream_curation_funnel +
-                                 #   stream_dedup_events (all in-window
-                                 #   streaming rows) + asof_grouped_orders
-                                 #   (batch range-join keeper) — green
-                                 #   r8 + earlier, parked r9 to make
-                                 #   window room for the NEW
-                                 #   hard_negative_mining
+                                 #   stream_hourly_counts +
+                                 #   stream_sessionize (in-window
+                                 #   streaming) + stream_user_totals_
+                                 #   stateful (keeper) — green r8 +
+                                 #   earlier
+    # --- r9-green parks (0 rounds stale; most 2x+ green) ---
+    "revenue_filter",            # P4 compound filter ≡
+                                 #   urgent_orders_by_year (in-window
+                                 #   P4/P8 routing filter) — green r9
+    "nations_with_both",         # SO1 set intersection ≡
+                                 #   ngram_jaccard_pairs (in-window set
+                                 #   overlap) — green r9
+    "hourly_event_counts",       # ≡ stream_hourly_counts (in-window,
+                                 #   identical result by construction) —
+                                 #   green r9
+    "token_stats_by_lang",       # ≡ token_counts_regex (in-window
+                                 #   tokenize+agg twin) — green r9
+    "doc_fingerprint",           # ≡ simhash (in-window fingerprint twin)
+                                 #   — green r9
+    "lsh_candidate_pairs",       # ≡ minhash_signatures (in-window, same
+                                 #   signature kernel) + neardup_keep_one
+                                 #   (in-window banding+verify) — green r9
+    "incremental_dedup",         # stored-index serving ≡ neardup_keep_one
+                                 #   (in-window, same LSH verify) +
+                                 #   stream_curation_funnel (keeper,
+                                 #   stored-state serving); bench
+                                 #   incremental_dedup_100k_vs_1m every
+                                 #   round — green r8+r9
+    "source_cap_sample",         # ≡ dataset_splits (in-window, same
+                                 #   hash-bucket sampling) — green r9
+    "source_mixture_weights",    # per-source shares ≡
+                                 #   supplier_balance_by_nation (in-window
+                                 #   keyed agg) + dataset_splits — green r9
+    "corpus_vocabulary",         # ≡ token_counts_regex (in-window token
+                                 #   agg + top-k) — green r9
+    "global_top_spenders",       # W2 global top-k ≡
+                                 #   top_orders_per_customer (in-window
+                                 #   ranking family) — green r9
+    "asof_grouped_orders",       # ≡ asof_latest_order (in-window — the
+                                 #   window-strategy twin of the same
+                                 #   as-of) — green r8+r9
+    "media_kind_stats",          # ≡ media_features (keeper, multimodal
+                                 #   decode slot) — green r9
+    "media_ahash_dedup",         # perceptual keep-one ≡ media_features
+                                 #   (keeper) + exact_dedup (in-window
+                                 #   hash keep-one) — green r8+r9
+    "media_hamming_pairs",       # banded hamming LSH ≡
+                                 #   minhash_signatures (in-window banded
+                                 #   LSH shape) + media_features (keeper)
+                                 #   — green r8+r9
+    "stream_dedup_events",       # dropDuplicatesWithinWatermark ≡
+                                 #   stream_sessionize +
+                                 #   stream_hourly_counts (in-window
+                                 #   streaming) + exact_dedup — green r9
+    "part_type_revenue",         # keyed decimal agg ≡ revenue_by_nation
+                                 #   (in-window join-agg) +
+                                 #   supplier_balance_by_nation — green r9
+    "cube_order_stats",          # CUBE ≡ rollup_pricing +
+                                 #   region_customer_rollup (in-window
+                                 #   grouping sets) — green r9
+    "sketch_set_ops",            # theta algebra ≡ sketch_stats
+                                 #   (in-window, same KMV bottom-k) —
+                                 #   green r8+r9
+    "pii_scan_report",           # PII regex scan ≡ gopher_quality_report
+                                 #   (in-window rule-scan family) +
+                                 #   token_counts_regex (in-window regex
+                                 #   extraction) — green r8+r9
+    "decontamination",           # eval-overlap anti-join ≡
+                                 #   customers_without_orders (in-window
+                                 #   anti-join) + segment_order_stats
+                                 #   (in-window semi-join) +
+                                 #   ngram_jaccard_pairs (in-window
+                                 #   shingle overlap) — green r9
+    "lm_perplexity_buckets",     # CCNet head/middle/tail ≡
+                                 #   stream_curation_funnel (keeper, same
+                                 #   LM builders) + sketch_stats
+                                 #   (in-window percentile family) —
+                                 #   green r8+r9
+    "ann_ivfpq_topk",            # IVF+PQ residual ADC ≡ ann_recall +
+                                 #   ann_ivf_filtered (in-window IVF) +
+                                 #   quantized_topk_rerank (in-window
+                                 #   quantized scoring); bench
+                                 #   ann_ivfpq_1m every round — green
+                                 #   r8+r9
+    "bpe_merges",                # BPE training — no direct twin; 2x green
+                                 #   (r8+r9), parks ONE round for the
+                                 #   debt-clearing rotation, returns r11;
+                                 #   token family partially ≡
+                                 #   token_counts_regex (in-window) —
+                                 #   green r8+r9
+    "bpe_encode_tokens",         # BPE serving — same note as bpe_merges
+                                 #   (its oracle embeds the full
+                                 #   bpe_merges CTE chain) — green r8+r9
+    "bitext_margin_pairs",       # margin mining ≡ retrieval_quality
+                                 #   (in-window knn + round-12 means) +
+                                 #   hybrid_rrf_fusion (in-window
+                                 #   two-ranking fusion) — green r8+r9
+    "context_windows",           # sliding windows ≡ sequence_packing
+                                 #   (keeper, ordered sample assembly) —
+                                 #   green r8+r9
+    "training_shuffle_shards",   # seeded epoch shuffle ≡ dataset_splits
+                                 #   (in-window stable-hash bucketing) —
+                                 #   green r8+r9
+    "duplicate_components",      # connected components ≡ neardup_keep_one
+                                 #   (in-window components + keep-one over
+                                 #   the same LSH graph) — green r8+r9
+    "similarity_pagerank",       # graph propagation ≡ neardup_keep_one
+                                 #   (in-window, same LSH pair graph; the
+                                 #   iterative DECIMAL trajectory stays
+                                 #   pinned by its python-replica tests)
+                                 #   — green r8+r9
+    "kmeans_steps",              # Lloyd trajectory ≡ label_centroids
+                                 #   (in-window DECIMAL-exact centroid
+                                 #   means) + ann_recall (in-window
+                                 #   assignment argmax) — green r8+r9
+    "dsir_selection",            # importance selection ≡
+                                 #   training_corpus_selection (in-window
+                                 #   composed selection) +
+                                 #   gopher_quality_report (in-window
+                                 #   scoring gate) — green r8+r9
+    "prototype_sample",          # coreset top-m ≡ label_centroids
+                                 #   (in-window per-label kernels) +
+                                 #   top_orders_per_customer (in-window
+                                 #   per-group top-k) — green r8+r9
+    "normalized_exact_dedup",    # ≡ exact_dedup (in-window raw twin) +
+                                 #   crawl_e2e (keeper: the same
+                                 #   normalize-then-hash identity drives
+                                 #   its diff + dedup stages) — green
+                                 #   r8+r9
+    "leakage_safe_splits",       # ≡ dataset_splits (in-window hash
+                                 #   split) + neardup_keep_one (in-window
+                                 #   component grouping) — green r8+r9
+    "mmr_diversified_topk",      # greedy rerank ≡ quantized_topk_rerank
+                                 #   (in-window two-stage rerank) +
+                                 #   retrieval_quality — green r8+r9
+    "retrieval_ndcg",            # graded metric ≡ retrieval_quality
+                                 #   (in-window IR metric suite) — green
+                                 #   r8+r9
+    "hard_negative_mining",      # 1x green (r9, fresh) ≡
+                                 #   retrieval_quality (in-window, same
+                                 #   topk_bruteforce retrieval + rank) —
+                                 #   green r9
+    "temperature_mixture",       # sqrt mixture ≡ source-mixture family
+                                 #   via dataset_splits +
+                                 #   supplier_balance_by_nation (in-window
+                                 #   keyed shares); round-12 DECIMAL
+                                 #   normalizer pinned by the fuzz slice —
+                                 #   green r8+r9
+    "curation_funnel",           # batch funnel ≡ crawl_e2e (keeper: the
+                                 #   SAME four gates composed inside the
+                                 #   crawl capstone) +
+                                 #   stream_curation_funnel (keeper,
+                                 #   incremental face) — green r8+r9
 )
 
 
@@ -5255,3 +5274,288 @@ def crawl_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return dd.snapshot_diff(d, new_snap)
+
+
+# ---------------------------------------------------------------------------
+# Round 10: the crawl FRONT DOOR end-to-end — WARC -> HTTP -> HTML -> URL
+# dedup -> snapshot diff -> curation funnel, as ONE oracle-paired relation
+# ---------------------------------------------------------------------------
+
+def _html_extract_sql(texpr: str) -> str:
+    """DuckDB twin of sources/warc.py::html_to_text applied to the page
+    wrapper ``<html><body><p>{text}</p></body></html>`` — every regex and
+    entity replace replayed verbatim (RE2 accepts the inline flags; the
+    'g' option matches Spark's replace-all default)."""
+    w = f"concat('<html><body><p>', {texpr}, '</p></body></html>')"
+    s = f"regexp_replace({w}, '(?is)<script[^>]*>.*?</script>', ' ', 'g')"
+    s = f"regexp_replace({s}, '(?is)<style[^>]*>.*?</style>', ' ', 'g')"
+    s = f"regexp_replace({s}, '(?s)<[^>]*>', ' ', 'g')"
+    for ent, ch in (
+        ("&amp;", "&"), ("&lt;", "<"), ("&gt;", ">"),
+        ("&quot;", '"'), ("&#39;", "''"), ("&nbsp;", " "),
+    ):
+        s = f"replace({s}, '{ent}', '{ch}')"
+    return rf"trim(regexp_replace({s}, '\s+', ' ', 'g'))"
+
+
+def _crawl_e2e_sql() -> str:
+    from ..functions.url import canonical_url_sql
+
+    norm = (
+        r"trim(regexp_replace(regexp_replace(lower({0}), '[^a-z0-9\s]', ' ', 'g'),"
+        r" '\s+', ' ', 'g'))"
+    )
+    ext = _html_extract_sql("{0}")
+    return rf"""
+    WITH pages AS (
+      SELECT doc_id, text FROM documents
+      WHERE doc_id % 5 = 0 AND doc_id % 13 <> 3
+    ),
+    urls AS (
+      SELECT doc_id, CASE CAST(doc_id % 3 AS INTEGER)
+        WHEN 0 THEN concat('http://crawl-site.example/page/',
+                           CAST(doc_id AS VARCHAR), '?id=', CAST(doc_id AS VARCHAR))
+        WHEN 1 THEN concat('HTTP://WWW.Crawl-Site.example:80/page/',
+                           CAST(doc_id AS VARCHAR), '/?id=', CAST(doc_id AS VARCHAR), '#top')
+        ELSE concat('https://Mirror.example/p/', CAST(doc_id AS VARCHAR))
+      END AS url FROM pages),
+    curl AS (SELECT doc_id, {canonical_url_sql('url')} AS canonical_url FROM urls),
+    oldd AS (
+      SELECT c.canonical_url, p.doc_id, {ext.format('p.text')} AS text
+      FROM pages p JOIN curl c USING (doc_id) WHERE p.doc_id % 7 <> 1),
+    newt AS (
+      SELECT doc_id,
+        CASE WHEN doc_id % 11 = 0 THEN concat(text, ' updated changed content revision two')
+             WHEN doc_id % 11 = 5 THEN concat(text, '  !!')
+             ELSE text END AS text
+      FROM pages WHERE doc_id % 7 <> 2),
+    newd AS (
+      SELECT c.canonical_url, p.doc_id, {ext.format('p.text')} AS text
+      FROM newt p JOIN curl c USING (doc_id)),
+    oh AS (SELECT canonical_url, MIN(md5({norm.format('text')})) AS old_hash
+           FROM oldd GROUP BY canonical_url),
+    nh AS (SELECT canonical_url, MIN(md5({norm.format('text')})) AS new_hash,
+                  MIN(doc_id) AS new_id
+           FROM newd GROUP BY canonical_url),
+    diff AS (
+      SELECT canonical_url, new_id,
+        CASE WHEN old_hash IS NULL THEN 'added'
+             WHEN new_hash IS NULL THEN 'removed'
+             WHEN old_hash = new_hash THEN 'unchanged'
+             ELSE 'changed' END AS status
+      FROM oh FULL OUTER JOIN nh USING (canonical_url)),
+    delta AS (
+      SELECT d.new_id AS doc_id, n.text
+      FROM diff d JOIN newd n ON n.doc_id = d.new_id
+      WHERE d.status IN ('added', 'changed')),
+    -- stored funnel gate state, fit on the RAW corpus (fit_funnel_state):
+    toks AS (SELECT doc_id, {_SPLIT_CLEAN} AS t FROM documents),
+    s1 AS (SELECT doc_id, t FROM toks WHERE len(t) >= 20),
+    tok AS (SELECT doc_id, unnest(t) AS tok FROM s1),
+    wt AS (SELECT doc_id,
+                 (CAST({stable_hash64_sql("CONCAT('qw1', tok)")} % 2001 AS DOUBLE) - 1000.0) / 1000.0 AS w
+          FROM tok),
+    m AS (SELECT doc_id,
+                 CAST(SUM(CAST(w AS DECIMAL(38,12))) AS DOUBLE)
+                   / CAST(COUNT(*) AS DOUBLE) AS margin
+          FROM wt GROUP BY doc_id),
+    s2 AS (SELECT s1.doc_id, s1.t FROM s1 JOIN m USING (doc_id)
+           WHERE m.margin > 0),
+    bg AS (SELECT doc_id, t[i] AS w1, t[i+1] AS w2
+           FROM toks, unnest(generate_series(1, len(t)-1)) AS g(i)
+           WHERE len(t) >= 2),
+    cnt2 AS (SELECT w1, w2, COUNT(*) AS c12 FROM bg GROUP BY 1, 2),
+    cnt1 AS (SELECT w1, SUM(c12) AS c1 FROM cnt2 GROUP BY 1),
+    v AS (SELECT COUNT(DISTINCT tok0) AS vs
+          FROM (SELECT unnest(t) AS tok0 FROM toks)),
+    sc AS (SELECT b.doc_id, ROUND((c12 + 1.0) / (c1 + vs), 12) AS r
+           FROM (SELECT s2.doc_id, bg.w1, bg.w2
+                 FROM bg JOIN s2 ON s2.doc_id = bg.doc_id) b
+           JOIN cnt2 USING (w1, w2) JOIN cnt1 USING (w1) CROSS JOIN v),
+    rep AS (SELECT doc_id,
+              ROUND(CAST(SUM(CAST(r AS DECIMAL(38,12))) AS DOUBLE)
+                    / COUNT(*), 6) AS s
+            FROM sc GROUP BY doc_id),
+    med AS (SELECT quantile_cont(s, 0.5) AS m50 FROM rep),
+    -- the DELTA batch through the stored gates (incremental funnel):
+    ft AS (SELECT doc_id, {_SPLIT_CLEAN} AS t, text FROM delta),
+    f1 AS (SELECT doc_id, t, text FROM ft WHERE len(t) >= 20),
+    ftok AS (SELECT doc_id, unnest(t) AS tok FROM f1),
+    fwt AS (SELECT doc_id,
+                 (CAST({stable_hash64_sql("CONCAT('qw1', tok)")} % 2001 AS DOUBLE) - 1000.0) / 1000.0 AS w
+          FROM ftok),
+    fm AS (SELECT doc_id,
+                 CAST(SUM(CAST(w AS DECIMAL(38,12))) AS DOUBLE)
+                   / CAST(COUNT(*) AS DOUBLE) AS margin
+          FROM fwt GROUP BY doc_id),
+    f2 AS (SELECT f1.doc_id, f1.t, f1.text FROM f1 JOIN fm USING (doc_id)
+           WHERE fm.margin > 0),
+    fbg AS (SELECT doc_id, t[i] AS w1, t[i+1] AS w2
+            FROM f2, unnest(generate_series(1, len(t)-1)) AS g(i)),
+    fsc AS (SELECT fbg.doc_id,
+                   ROUND((COALESCE(c12, 0) + 1.0) / (COALESCE(c1, 0) + vs), 12) AS r
+            FROM fbg LEFT JOIN cnt2 USING (w1, w2) LEFT JOIN cnt1 USING (w1)
+            CROSS JOIN v),
+    frep AS (SELECT doc_id,
+               ROUND(CAST(SUM(CAST(r AS DECIMAL(38,12))) AS DOUBLE)
+                     / COUNT(*), 6) AS s
+             FROM fsc GROUP BY doc_id),
+    f3 AS (SELECT f2.doc_id, f2.text FROM f2 JOIN frep USING (doc_id), med
+           WHERE frep.s >= med.m50),
+    acc AS (SELECT MIN(doc_id) AS doc_id
+            FROM (SELECT doc_id, md5({norm.format('text')}) AS h FROM f3)
+            GROUP BY h)
+    SELECT d.canonical_url, d.status, d.new_id,
+      CASE WHEN d.status IN ('added', 'changed')
+           THEN d.new_id IN (SELECT doc_id FROM acc) END AS accepted
+    FROM diff d
+    """
+
+
+@_q(
+    "crawl_e2e",
+    _crawl_e2e_sql(),
+    tags=("crawl", "warc", "url", "snapshot", "curation", "composed", "e2e"),
+)
+def crawl_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The crawl FRONT DOOR end to end (r9 VERDICT #4 — the capstone
+    proving the crawl operators compose relationally): a deterministic
+    synthetic crawl is SERIALIZED TO REAL WARC ARCHIVES (write_warc,
+    executor-side) and then flows through the full ingestion pipeline —
+
+    ``read_warc`` -> ``http_status``/``http_response_body`` (404s drop,
+    envelopes strip) -> ``html_to_text`` -> ``canonical_url``/``url_dedup``
+    (raw spellings + a planted refetch record collapse per page) ->
+    ``snapshot_diff`` old-vs-new crawl (cosmetic ``'  !!'`` churn counts
+    UNCHANGED; real edits count CHANGED) -> the added+changed DELTA runs
+    the stored-state curation funnel (``fit_funnel_state`` on the raw
+    corpus + ``incremental_curation_funnel`` — length/classifier/LM
+    gates with real OOV tokens, in-batch normalized dedup).
+
+    One row per canonical URL in the diff: ``(canonical_url, status,
+    new_id, accepted)`` — accepted is NULL for rows the funnel never
+    sees (removed/unchanged).  The ORACLE replays everything from
+    ``documents`` alone: the WARC/HTTP round-trip is lossless by
+    construction (pinned by tests/test_warc.py), and every transform —
+    canonicalization, HTML extraction, hashing, all four gates — has a
+    byte-identical SQL twin.
+
+    Scale: the WARC scan is one task per archive (the CommonCrawl
+    granularity), every downstream stage is the already-plan-gated
+    operator it names; the funnel state is fit once and vocabulary-
+    bounded."""
+    import os
+    import shutil
+    import tempfile
+
+    from ..functions.url import canonical_url
+    from ..operators.curation import (
+        fit_funnel_state,
+        incremental_curation_funnel,
+    )
+    from ..sources.warc import (
+        html_to_text,
+        http_response_body,
+        http_status,
+        read_warc,
+        write_warc,
+    )
+
+    docs = T(spark, sf_dir, "documents")
+    pages = docs.filter(F.col("doc_id") % 5 == 0).select("doc_id", "text")
+    ks = F.col("doc_id").cast("string")
+    url = (
+        F.when(F.col("doc_id") % 3 == 0, F.concat(
+            F.lit("http://crawl-site.example/page/"), ks, F.lit("?id="), ks))
+        .when(F.col("doc_id") % 3 == 1, F.concat(
+            F.lit("HTTP://WWW.Crawl-Site.example:80/page/"), ks,
+            F.lit("/?id="), ks, F.lit("#top")))
+        .otherwise(F.concat(F.lit("https://Mirror.example/p/"), ks))
+    )
+    status = F.when(F.col("doc_id") % 13 == 3, F.lit(404)).otherwise(F.lit(200))
+
+    def to_records(side_pages: DataFrame) -> DataFrame:
+        body = F.concat(
+            F.lit("HTTP/1.1 "), status.cast("string"),
+            F.lit(" OK\r\nContent-Type: text/html\r\n\r\n<html><body><p>"),
+            F.col("text"), F.lit("</p></body></html>"),
+        )
+        base = side_pages.select(
+            F.col("doc_id").cast("string").alias("record_id"),
+            url.alias("target_uri"),
+            F.encode(body, "UTF-8").alias("payload"),
+        )
+        # planted refetch: a second record of the SAME page under a
+        # fragment-bearing raw spelling (same canonical), higher id —
+        # url_dedup must collapse it and keep the original id
+        dup = side_pages.filter(F.col("doc_id") % 9 == 0).select(
+            (F.col("doc_id") + 10_000_000).cast("string").alias("record_id"),
+            F.concat(url, F.lit("#dupfetch")).alias("target_uri"),
+            F.encode(body, "UTF-8").alias("payload"),
+        )
+        return base.unionByName(dup)
+
+    base_dir = os.path.join(
+        tempfile.gettempdir(),
+        f"sivbp_crawl_e2e_{os.getpid()}_{abs(hash(sf_dir)) % 10**8}",
+    )
+    old_pages = pages.filter(F.col("doc_id") % 7 != 1)
+    m11 = F.col("doc_id") % 11
+    new_pages = pages.filter(F.col("doc_id") % 7 != 2).select(
+        "doc_id",
+        F.when(m11 == 0, F.concat(F.col("text"), F.lit(" updated changed content revision two")))
+        .when(m11 == 5, F.concat(F.col("text"), F.lit("  !!")))
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    sides = {}
+    for name, side in (("old", old_pages), ("new", new_pages)):
+        path = os.path.join(base_dir, name)
+        shutil.rmtree(path, ignore_errors=True)
+        write_warc(to_records(side), path)  # eager executor-side action
+        crawl = (
+            read_warc(spark, path)
+            .filter(http_status("payload") == 200)
+            .select(
+                F.col("record_id").cast("long").alias("id"),
+                F.col("target_uri").alias("url"),
+                html_to_text(http_response_body("payload")).alias("text"),
+            )
+        )
+        ud = dd.url_dedup(crawl, url_col="url", id_col="id")
+        sides[name] = (
+            ud.select("canonical_url", F.col("kept_id").alias("doc_id"))
+            .join(crawl.select(F.col("id").alias("doc_id"), "text"), "doc_id")
+            .localCheckpoint()  # truncate the WARC-scan lineage: each side
+            # is consumed by the diff AND (new) the funnel + final join
+        )
+    diff = dd.snapshot_diff(
+        sides["old"], sides["new"], key_col="canonical_url", text_col="text"
+    )
+    new_ids = sides["new"].select(
+        "canonical_url", F.col("doc_id").alias("new_id"), "text"
+    )
+    diff = (
+        diff.join(new_ids.select("canonical_url", "new_id"), "canonical_url", "left")
+        .select("canonical_url", "status", "new_id")
+        .localCheckpoint()  # consumed twice (delta + final projection)
+    )
+    delta = (
+        diff.filter(F.col("status").isin("added", "changed"))
+        .join(new_ids.select("new_id", "text"), "new_id")
+        .select(F.col("new_id").alias("doc_id"), "text")
+    )
+    state = fit_funnel_state(docs)
+    accepted, _ = incremental_curation_funnel(delta, state)
+    acc = accepted.select(F.col("doc_id").alias("new_id")).withColumn(
+        "_acc", F.lit(True)
+    )
+    return diff.join(acc, "new_id", "left").select(
+        "canonical_url",
+        "status",
+        "new_id",
+        F.when(
+            F.col("status").isin("added", "changed"),
+            F.coalesce(F.col("_acc"), F.lit(False)),
+        ).alias("accepted"),
+    )

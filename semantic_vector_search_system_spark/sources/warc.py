@@ -130,6 +130,58 @@ def read_warc(
     return raw.mapInPandas(parse, schema=WARC_SCHEMA)
 
 
+def write_warc(
+    records: DataFrame,
+    path: str,
+    warc_type: str = "response",
+) -> None:
+    """WARC SINK — serialize ``(record_id, target_uri, payload binary)``
+    rows into ``.warc`` archive files under ``path`` (one file per input
+    partition, written EXECUTOR-side via foreachPartition: no driver
+    collect, the inverse of :func:`read_warc`'s one-task-per-archive
+    granularity).  Record order within and across files is whatever the
+    partitioning delivered — the WARC contract (and :func:`read_warc`)
+    carries identity in the headers, never in position.  Rows may carry
+    their own ``warc_type`` column; otherwise ``warc_type`` applies.
+
+    Round-trip contract (tested): ``read_warc(write_warc(df))`` returns
+    the same (record_id, warc_type, target_uri, payload) set.
+    """
+    import os
+
+    cols = ["record_id", "target_uri", "payload"]
+    has_type = "warc_type" in records.columns
+    if has_type:
+        cols.append("warc_type")
+    os.makedirs(path, exist_ok=True)
+
+    def write_partition(rows):
+        import os
+        import uuid
+
+        buf = []
+        for r in rows:
+            payload = bytes(r["payload"]) if r["payload"] is not None else b""
+            rtype = r["warc_type"] if has_type else warc_type
+            head = (
+                "WARC/1.0\r\n"
+                f"WARC-Type: {rtype}\r\n"
+                f"WARC-Record-ID: {r['record_id']}\r\n"
+                f"WARC-Target-URI: {r['target_uri']}\r\n"
+                "WARC-Date: 2026-01-01T00:00:00Z\r\n"
+                "Content-Type: application/http; msgtype=response\r\n"
+                f"Content-Length: {len(payload)}\r\n"
+                "\r\n"
+            ).encode()
+            buf.append(head + payload + b"\r\n\r\n")
+        if buf:
+            fname = os.path.join(path, f"part-{uuid.uuid4().hex}.warc")
+            with open(fname, "wb") as f:
+                f.write(b"".join(buf))
+
+    records.select(*cols).foreachPartition(write_partition)
+
+
 def http_response_body(payload: Column | str) -> Column:
     """Strip the HTTP response envelope from a ``response`` record's
     payload: everything after the first CRLFCRLF.  Pure expression

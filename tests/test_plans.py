@@ -353,38 +353,40 @@ def test_driver_window_covers_every_operator_family():
     window = set(names[:50])
     # every non-demoted query is inside the driver's window
     assert window == set(CATALOG) - set(DEMOTED)
-    # r9 flagship set (rotation per the DEMOTED header): the 15 returning
-    # rotation-debt rows, the 2 NEW r9 rows, the 21 rows first green in
-    # r8 (stay until 2x driver-green), and the 12 keepers.
+    # r10 flagship set (rotation per the DEMOTED header — r9 VERDICT #3,
+    # clear the ENTIRE verification debt in one window): the 37 rows
+    # absent from both the r8 and r9 driver windows, plus 13 keepers.
     flagships = {
-        # rotation debt — absent from both r7 and r8 windows, must return
-        "corpus_vocabulary", "cube_order_stats", "decontamination",
-        "doc_fingerprint", "global_top_spenders", "hourly_event_counts",
-        "lsh_candidate_pairs", "media_kind_stats", "nations_with_both",
-        "part_type_revenue", "revenue_filter", "source_cap_sample",
-        "source_mixture_weights", "stream_dedup_events",
-        "token_stats_by_lang",
-        # NEW r9
-        "paired_test_components", "stream_curation_funnel",
-        "hard_negative_mining",
-        # young — first driver-green in r8, stay until 2x
-        "ann_ivfpq_topk", "bpe_merges",
-        "bpe_encode_tokens", "lm_perplexity_buckets", "media_ahash_dedup",
-        "training_shuffle_shards", "sketch_set_ops", "similarity_pagerank",
-        "duplicate_components", "media_hamming_pairs", "kmeans_steps",
-        "dsir_selection", "prototype_sample", "normalized_exact_dedup",
-        "leakage_safe_splits", "mmr_diversified_topk", "retrieval_ndcg",
-        "temperature_mixture", "curation_funnel", "bitext_margin_pairs",
-        "context_windows",
-        # keepers: no family twin or family anchor
+        # rotation debt — last driver-green in r7, or NEVER
+        # (ann_ivf_filtered, crawl_snapshot_diff were born parked in r9)
+        "ann_ivf_filtered", "ann_recall", "asof_latest_order",
+        "brand_price_stats", "crawl_snapshot_diff",
+        "customers_without_orders", "dataset_splits",
+        "embedding_neardup_pairs", "exact_dedup", "gopher_quality_report",
+        "hybrid_rrf_fusion", "label_centroids", "langid_confusion",
+        "mannwhitney_components", "minhash_signatures",
+        "nation_customer_rank", "neardup_keep_one", "ngram_jaccard_pairs",
+        "quantized_topk_rerank", "region_customer_rollup",
+        "retrieval_quality", "revenue_by_nation", "rollup_pricing",
+        "segment_order_stats", "sessionization", "simhash",
+        "sketch_stats", "snippet_queries", "sql_interface_pricing",
+        "stream_hourly_counts", "stream_sessionize",
+        "supplier_balance_by_nation", "token_counts_regex",
+        "top_orders_per_customer", "urgent_orders_by_year",
+        "user_event_pivot", "user_running_value",
+        # the r9 red cell — the exact-DECIMAL rebuild must prove green
+        "paired_test_components",
+        # oracles REBUILT this round (ROUND-over-double-agg purge) — a
+        # changed oracle pair must be driver-verified
+        "welch_components_by_type", "training_corpus_selection",
+        "self_retrieval_e2e",
+        # 1x green AND their operators changed this round
+        "stream_curation_funnel", "url_refetch_dedup",
+        # NEW r10: the crawl front-door capstone
+        "crawl_e2e",
+        # the six no-family-twin anchors
         "json_kpi", "sequence_packing", "stream_user_totals_stateful",
-        "index_upsert_counts", "bm25_topk", "media_features",
-        "self_retrieval_e2e", "incremental_dedup",
-        "asof_grouped_orders", "pii_scan_report",
-        # NEW mid-r9 (knn_topk parked to make room: entry()'s smoke runs
-        # it every round regardless, and hard_negative_mining keeps its
-        # J1/W1 retrieval operators in-window)
-        "url_refetch_dedup",
+        "media_features", "bm25_topk", "index_upsert_counts",
     }
     assert flagships <= window
     assert len(flagships) == 50  # the window IS fully specified this round

@@ -124,6 +124,39 @@ def test_html_to_text_strips_script_style_tags_entities(spark):
     assert "not text" not in out and "color" not in out
 
 
+def test_write_warc_read_warc_round_trip(spark, tmp_path):
+    """The WARC SINK (r10): executor-side foreachPartition serialization;
+    read_warc(write_warc(df)) must return the same (record_id, warc_type,
+    target_uri, payload) set regardless of partitioning / file split."""
+    from semantic_vector_search_system_spark.sources.warc import write_warc
+
+    rows = [
+        (str(i), f"http://site.example/{i}", _http(f"body {i}".encode()))
+        for i in range(7)
+    ]
+    df = spark.createDataFrame(
+        rows, "record_id string, target_uri string, payload binary"
+    ).repartition(3)
+    path = str(tmp_path / "sink")
+    write_warc(df, path)
+    back = {
+        (r["record_id"], r["target_uri"], bytes(r["payload"]))
+        for r in read_warc(spark, path).collect()
+    }
+    assert back == {(rid, uri, p) for rid, uri, p in rows}
+    # every record carries the default type and parses as response
+    assert read_warc(spark, path, warc_types=("response",)).count() == 7
+    # per-row warc_type column wins over the default
+    df2 = spark.createDataFrame(
+        [("9", "http://site.example/9", b"GET /", "request")],
+        "record_id string, target_uri string, payload binary, warc_type string",
+    )
+    path2 = str(tmp_path / "sink2")
+    write_warc(df2, path2)
+    assert read_warc(spark, path2, warc_types=None).collect()[0]["warc_type"] == "request"
+    assert read_warc(spark, path2).count() == 0  # response filter drops it
+
+
 def test_warc_to_curation_gates_composition(spark, tmp_path):
     """The crawl shape end to end: WARC scan -> HTTP body -> text ->
     the funnel's length gate — a 25-token page survives, the tiny page
