@@ -694,30 +694,83 @@ def main() -> None:
             # doc-list assignment — adds ~3 IVF passes + one
             # 0.1-selectivity brute-force pass, not a new index build.
             def _filtered_recall() -> dict:
-                fpred = F.substring(F.col("docid"), -1, 1) == "3"
-                fexact: dict = {}
-                for r in topk_bruteforce(
-                    rq, dvec.filter(fpred), k=k_rec,
-                    precollected=collect_query_matrix(rq),
-                ).collect():
-                    fexact.setdefault(r["qid"], set()).add(r["docid"])
-                if not fexact:
-                    raise RuntimeError(
-                        "filtered-recall predicate matched no docs"
-                    )
-                out = {}
-                for nprobe in (4, 8, 16):
+                from semantic_vector_search_system_spark.operators.similarity import (  # noqa: E501
+                    effective_nprobe,
+                )
+
+                # predicates by trailing digit(s) of the string doc id:
+                # deterministic selectivities 0.1 / 0.5 on the same corpus
+                preds = {
+                    0.1: F.substring(F.col("docid"), -1, 1) == "3",
+                    0.5: F.substring(F.col("docid"), -1, 1).isin(
+                        "0", "1", "2", "3", "4"
+                    ),
+                }
+
+                def _recall(df, fexact):
                     fapprox: dict = {}
-                    for r in ivf_topk_fast(
-                        rq, dvec, cents, k=k_rec, nprobe=nprobe,
-                        doc_lists=dl, predicate=fpred,
-                    ).collect():
+                    for r in df.collect():
                         fapprox.setdefault(r["qid"], set()).add(r["docid"])
                     recs = [
                         len(fexact[q] & fapprox.get(q, set())) / k_rec
                         for q in fexact
                     ]
-                    out[f"nprobe={nprobe}"] = round(sum(recs) / len(recs), 4)
+                    return round(sum(recs) / len(recs), 4)
+
+                fexact01: dict = {}
+                for r in topk_bruteforce(
+                    rq, dvec.filter(preds[0.1]), k=k_rec,
+                    precollected=collect_query_matrix(rq),
+                ).collect():
+                    fexact01.setdefault(r["qid"], set()).add(r["docid"])
+                if not fexact01:
+                    raise RuntimeError(
+                        "filtered-recall predicate matched no docs"
+                    )
+                out = {}
+                # fixed ladder (since r9): the under-recall a fixed probe
+                # count pays as the predicate tightens
+                for nprobe in (4, 8, 16):
+                    out[f"nprobe={nprobe}"] = _recall(
+                        ivf_topk_fast(
+                            rq, dvec, cents, k=k_rec, nprobe=nprobe,
+                            doc_lists=dl, predicate=preds[0.1],
+                        ),
+                        fexact01,
+                    )
+                # selectivity x base-nprobe AUTO grid (r9 VERDICT #5):
+                # effective_nprobe scales the probe by 1/selectivity
+                # (capped at the 64-list fan-out); parity target = the
+                # UNFILTERED recall at the same base nprobe (equal
+                # scored-vector budget), taken from ann_recall_1m's sweep
+                auto = {}
+                for sel, fpred in preds.items():
+                    fexact = fexact01
+                    if sel != 0.1:
+                        fexact = {}
+                        for r in topk_bruteforce(
+                            rq, dvec.filter(fpred), k=k_rec,
+                            precollected=collect_query_matrix(rq),
+                        ).collect():
+                            fexact.setdefault(r["qid"], set()).add(r["docid"])
+                    for base in (2, 4):
+                        eff = effective_nprobe(base, sel, max_nprobe=64)
+                        rec = _recall(
+                            ivf_topk_fast(
+                                rq, dvec, cents, k=k_rec, nprobe=base,
+                                doc_lists=dl, predicate=fpred,
+                                selectivity=sel, max_nprobe=64,
+                            ),
+                            fexact,
+                        )
+                        auto[f"sel={sel},base={base}"] = {
+                            "eff_nprobe": eff,
+                            "recall": rec,
+                            "parity_target": recall_by_nprobe.get(
+                                f"nprobe={base}"
+                            ),
+                        }
+                out["auto"] = auto
                 return out
 
             # an accuracy-only extra must never kill the official run
@@ -1074,7 +1127,42 @@ def main() -> None:
             "index": "bucketed parquet warehouse tables (r6: read from "
             "storage; write_neardup_index/read_neardup_index)",
         }
-        for t in ("_sigs", "_bands", "_meta"):
+        emit(timings, query_meta, sf, partial=True)
+
+        # Forget -> reprobe (r9 VERDICT #8): serving latency with a LIVE
+        # tombstone mask — the right-to-be-forgotten steady state between
+        # a delete batch and the next compaction. 1,000 corpus ids are
+        # tombstoned (untimed O(delete-batch) append), then the SAME 100k
+        # recrawl batch probes the index with the broadcast anti-join
+        # mask active on both stored relations. The delta vs
+        # incremental_dedup_100k_vs_1m IS the measured cost of serving
+        # after deletes without compaction.
+        from semantic_vector_search_system_spark.operators.dedup import (
+            tombstone_neardup_index,
+        )
+
+        tombstone_neardup_index(
+            spark, "bench_nd_idx",
+            docs.select("id").limit(1_000),
+        )
+        m_sigs, m_bands, m_meta = read_neardup_index(spark, "bench_nd_idx")
+        timings["incremental_dedup_tombstoned_100k_vs_1m"], spread = best_of(
+            lambda: incremental_neardup(
+                new_batch, m_sigs, id_col="id", text_col="text",
+                num_hashes=16, rows_per_band=4, threshold=0.7,
+                hash_family="fast", corpus_bands=m_bands,
+                corpus_hash_family=m_meta["hash_family"],
+            ).write.format("noop").mode("overwrite").save(),
+            2,
+        )
+        query_meta["incremental_dedup_tombstoned_100k_vs_1m"] = {
+            "repeats": 2, "spread": spread, "since_round": 10,
+            "tombstoned_ids": 1_000,
+            "timed_region": "stored-index serving with the tombstone "
+            "broadcast anti-join mask live on sigs+bands (deletes not "
+            "yet compacted); baseline = incremental_dedup_100k_vs_1m",
+        }
+        for t in ("_sigs", "_bands", "_meta", "_tombstones"):
             spark.sql(f"DROP TABLE IF EXISTS bench_nd_idx{t}")
         emit(timings, query_meta, sf, partial=True)
 

@@ -215,6 +215,56 @@ def ivf_assign(
     )
 
 
+def effective_nprobe(
+    nprobe: int, selectivity: float | None, max_nprobe: int | None = None
+) -> int:
+    """Selectivity-aware probe widening for FILTERED ANN (r9 VERDICT #5).
+
+    A predicate of selectivity ``s`` thins every probed inverted list to
+    ``~s`` of its members, so a fixed ``nprobe`` scores only ``~s`` of the
+    unfiltered candidate budget and recall drops as the filter tightens
+    (measured r9: 0.575 @ nprobe=4 filtered sel-0.1 vs 0.685 unfiltered).
+    Scaling the probe count by ``1/s`` restores the SAME scored-vector
+    budget — ``ceil(nprobe/s) * s * N/n_lists ~= nprobe * N/n_lists`` —
+    which is the equal-budget parity target.  ``max_nprobe`` caps the
+    widening (pass the list count to allow up to a full scan of the
+    filtered corpus; beyond n_lists a probe sweep IS the brute-force
+    fallback, which is exactly the right degeneration for tiny
+    selectivities)."""
+    if selectivity is None:
+        return nprobe
+    if not (0.0 < selectivity <= 1.0):
+        raise ValueError(
+            f"selectivity must be in (0, 1], got {selectivity!r}"
+        )
+    import math
+
+    eff = max(nprobe, math.ceil(nprobe / selectivity))
+    if max_nprobe is not None:
+        eff = min(eff, max_nprobe)
+    return eff
+
+
+def estimate_selectivity(
+    emb: DataFrame, predicate, sample_frac: float = 0.05, seed: int = 7
+) -> float:
+    """Measured selectivity of ``predicate`` over ``emb`` from a seeded
+    sample — for callers without table statistics.  Two counts over ONE
+    cached sample scan (at 100 TB keep per-predicate selectivities in a
+    stats table instead; this is the bootstrap path).  Returns a value
+    clamped to (0, 1] — an empty sample match reports the smallest
+    resolvable selectivity rather than 0, so :func:`effective_nprobe`
+    degenerates to the max_nprobe cap instead of dividing by zero."""
+    s = emb.sample(fraction=sample_frac, seed=seed).select(
+        F.when(predicate, 1).otherwise(0).alias("_m")
+    )
+    row = s.agg(F.count("*").alias("n"), F.sum("_m").alias("m")).collect()[0]
+    n, m = int(row["n"] or 0), int(row["m"] or 0)
+    if n == 0:
+        return 1.0
+    return max(m, 1) / n
+
+
 def ivf_topk(
     queries: DataFrame,
     emb: DataFrame,
@@ -226,6 +276,8 @@ def ivf_topk(
     id_col: str = "docid",
     vec_col: str = "vec",
     predicate=None,
+    selectivity: float | None = None,
+    max_nprobe: int | None = None,
 ) -> DataFrame:
     """IVF approximate top-k: probe the query's ``nprobe`` nearest inverted
     lists, exact cosine only within them.
@@ -246,7 +298,10 @@ def ivf_topk(
     filter-invariant, so only surviving docs are ever assigned or scored.
     Recall caveat at high selectivity: a sparse filter thins each probed
     list, so hit-k recall needs ``nprobe`` scaled roughly with 1/selectivity
-    (the same ladder ann_recall measures, filtered).
+    (the same ladder ann_recall measures, filtered).  Pass ``selectivity``
+    (caller stats, or :func:`estimate_selectivity`) and the probe count
+    auto-widens via :func:`effective_nprobe` to restore the unfiltered
+    scored-vector budget; ``max_nprobe`` caps the widening.
     """
     from pyspark.sql import Window
 
@@ -254,6 +309,7 @@ def ivf_topk(
 
     if predicate is not None:
         emb = emb.filter(predicate)
+        nprobe = effective_nprobe(nprobe, selectivity, max_nprobe)
     doc_lists = ivf_assign(
         emb, centroids, id_col=id_col, vec_col=vec_col, nprobe=1
     ).select(id_col, "cent_id")
@@ -368,6 +424,8 @@ def ivf_topk_fast(
     vec_col: str = "vec",
     doc_lists: DataFrame | None = None,
     predicate=None,
+    selectivity: float | None = None,
+    max_nprobe: int | None = None,
 ) -> DataFrame:
     """BLAS IVF top-k — the large-corpus physical strategy behind
     :func:`ivf_topk`'s logical plan.
@@ -376,6 +434,8 @@ def ivf_topk_fast(
     to :func:`ivf_topk`: the boolean Column filters ``emb`` before
     assignment/scoring (pushed to the scan); with a prebuilt ``doc_lists``
     the equi-join against the filtered corpus applies the same restriction.
+    ``selectivity``/``max_nprobe`` — the :func:`effective_nprobe`
+    probe-widening rule, same contract as :func:`ivf_topk`.
 
     ``doc_lists`` (``(id, cent_id)``) lets a caller reuse a prebuilt
     index assignment — the IVF analog of loading a built index before the
@@ -400,6 +460,7 @@ def ivf_topk_fast(
 
     if predicate is not None:
         emb = emb.filter(predicate)
+        nprobe = effective_nprobe(nprobe, selectivity, max_nprobe)
     if doc_lists is None:
         doc_lists = ivf_assign_fast(
             emb, centroids, id_col=id_col, vec_col=vec_col, nprobe=1
@@ -506,6 +567,8 @@ def ivf_search_partitioned(
     merge: str = "window",
     precollected_queries: list | None = None,
     predicate=None,
+    selectivity: float | None = None,
+    max_nprobe: int | None = None,
 ):
     """IVF serving against a ``partitionBy(cent_id)`` parquet index — the
     storage-pruned path for LOW-QUERY-COUNT latency.
@@ -582,6 +645,12 @@ def ivf_search_partitioned(
 
     if merge not in ("window", "driver"):
         raise ValueError(f"unknown merge {merge!r} (window|driver)")
+    if predicate is not None:
+        # selectivity-aware probe widening (effective_nprobe contract):
+        # a filter of selectivity s thins each pruned list ~s, so the
+        # probe count scales by 1/s to keep the scored-vector budget —
+        # here that directly widens the PARTITION-PRUNING predicate
+        nprobe = effective_nprobe(nprobe, selectivity, max_nprobe)
     qid_t = dict(queries.dtypes)[qid_col]
     # ``precollected_queries`` — (qid, vec) rows already in driver memory —
     # is the pure serving entry: a query-API process holds the incoming

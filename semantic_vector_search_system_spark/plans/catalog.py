@@ -5193,10 +5193,14 @@ def ann_ivf_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
     the exact top-k of the filtered corpus within the probed lists —
     never the post-filter trap of retrieving k then filtering below k.
     nprobe=4 (vs the unfiltered row's 2) demonstrates the selectivity ~0.1
-    -> probe-wider recall trade the docstring ladder documents.  The
-    brute-force counterpart with the same predicate is knn_hybrid_filtered
-    (reference `run_experiments.py:171-188`); this row is its ANN scale
-    path."""
+    -> probe-wider recall trade the docstring ladder documents — r10 makes
+    that rule automatic: pass ``selectivity=`` and ``effective_nprobe``
+    widens the probe by 1/selectivity (capped at ``max_nprobe``) to
+    restore the unfiltered scored-vector budget (parity pinned in
+    tests/test_dedup_textanalysis.py; the 1M selectivity x nprobe grid is
+    in the bench accuracy payload).  The brute-force counterpart with the
+    same predicate is knn_hybrid_filtered (reference
+    `run_experiments.py:171-188`); this row is its ANN scale path."""
     emb = T(spark, sf_dir, "embeddings")
     cents = emb.filter(F.col("vec_id") < 8).select(
         F.col("vec_id").alias("cent_id"), F.col("embedding").alias("cvec")

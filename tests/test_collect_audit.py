@@ -61,6 +61,10 @@ ALLOWED: dict[str, dict[str, int]] = {
         ").collect()[0]": 1,
     },
     "operators/similarity.py": {
+        # estimate_selectivity: ONE scalar aggregate row over a seeded
+        # sample — the bootstrap selectivity probe for filtered ANN
+        # (callers with table stats pass selectivity= directly)
+        'row = s.agg(F.count("*").alias("n"), F.sum("_m").alias("m")).collect()[0]': 1,
         # raise-guarded by max_rows count immediately above (bounded matmul)
         "rows = emb.select(id_col, vec_col).collect()": 1,
         # tiny centroid relation (n_lists/k rows) for the BLAS IVF and

@@ -124,6 +124,11 @@ QUERIES = [
     # DECIMAL-sum doubles, and the signed rank sums (multiples of 0.5)
     # plus var_samp's round-4 must be bit-stable under scrambling.
     "paired_test_components",
+    # r10: the crawl capstone — WARC round-trip + URL dedup + snapshot
+    # diff + the stored-state funnel; file-split/partitioning of the
+    # written archives and every join flip must not move a single
+    # (canonical_url, status, accepted) cell.
+    "crawl_e2e",
 ]
 
 # Perturbations of runtime-settable physical knobs. Each tuple is applied on
