@@ -306,3 +306,83 @@ def linear_quality_margin(
     )
     base = docs.select(F.col(id_col), *[F.col(c) for c in extra_cols])
     return base.join(agg, id_col).withColumn("accept", F.col("margin") > 0)
+
+
+def train_quality_perceptron(
+    docs: DataFrame,
+    label_col: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    epochs: int = 3,
+) -> tuple[DataFrame, list[dict]]:
+    """TRAIN the quality-classifier gate in-engine (r10): a batch
+    perceptron over bag-of-words token counts — the missing half of
+    :func:`linear_quality_margin`, which until now could only SERVE
+    fixed/imported weights.  Production pipelines train exactly this
+    shape of cheap linear gate on labeled good/bad documents (the GPT-3 /
+    LLaMA quality-classifier stage); the batch perceptron is its
+    integer-exact relational form:
+
+    * features: per-doc token counts ``c`` (one corpus tokenize, the
+      relation is CHECKPOINTED so every epoch reuses it — the corpus
+      streams ONCE regardless of epochs);
+    * epoch update: margins ``m_i = Σ_tok w[tok]·c_i[tok]`` (weights are
+      vocabulary-bounded and broadcast), then
+      ``w += Σ_{y_i·m_i <= 0} y_i·c_i`` over the misclassified docs —
+      ONE doc-keyed aggregation + ONE token-keyed aggregation per epoch,
+      both map-side combinable;
+    * everything is INTEGER arithmetic (counts, ±1 labels, integer
+      weights), so the trajectory is bit-exact under any partitioning —
+      the same determinism class as BPE training, with an unrolled-epoch
+      SQL oracle (catalog row ``perceptron_quality_weights``).
+
+    ``label_col`` must be boolean (true = good document).  Returns
+    ``(weights, history)``: ``weights`` is the final ``(tok, w)``
+    relation (``w`` long, zero-weight tokens dropped) — cast ``w`` to
+    double and it plugs straight into ``linear_quality_margin(weights=)``
+    for serving; ``history`` is one dict per epoch with the
+    misclassified-doc count BEFORE that epoch's update (epoch 0 counts
+    every doc: all margins are 0 under ``w=0`` and the perceptron
+    updates on ``y·m <= 0``).
+
+    Scale: weights never exceed the vocabulary; per epoch the checkpointed
+    count relation is scanned once; the history counts are 1-row collects.
+    """
+    y = F.when(F.col(label_col), F.lit(1)).otherwise(F.lit(-1))
+    tc = (
+        docs.select(F.col(id_col), y.alias("_y"), F.explode(tokenize(text_col)).alias("tok"))
+        .groupBy(id_col, "_y", "tok")
+        .agg(F.count("*").alias("c"))
+        .localCheckpoint()
+    )
+    spark = docs.sparkSession
+    weights = spark.createDataFrame([], "tok string, w long")
+    history: list[dict] = []
+    for epoch in range(epochs):
+        margins = (
+            tc.join(F.broadcast(weights), "tok", "left")
+            .groupBy(id_col, "_y")
+            .agg(F.sum(F.coalesce(F.col("w"), F.lit(0)) * F.col("c")).alias("_m"))
+        )
+        miscl = margins.filter(F.col("_y") * F.col("_m") <= 0)
+        n_miscl = miscl.count()
+        history.append({"epoch": epoch, "n_misclassified": int(n_miscl)})
+        if n_miscl == 0:
+            break
+        delta = (
+            tc.join(miscl.select(id_col), id_col)
+            .groupBy("tok")
+            .agg(F.sum(F.col("_y") * F.col("c")).alias("dw"))
+        )
+        weights = (
+            weights.join(delta, "tok", "full_outer")
+            .select(
+                "tok",
+                (
+                    F.coalesce(F.col("w"), F.lit(0))
+                    + F.coalesce(F.col("dw"), F.lit(0))
+                ).alias("w"),
+            )
+            .localCheckpoint()  # epochs-deep lineage would re-run every prior epoch
+        )
+    return weights.filter(F.col("w") != 0), history

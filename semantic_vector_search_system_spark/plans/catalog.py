@@ -1447,6 +1447,16 @@ DEMOTED: tuple[str, ...] = (
                                  #   crawl capstone) +
                                  #   stream_curation_funnel (keeper,
                                  #   incremental face) — green r8+r9
+    "perceptron_quality_weights",# NEW mid-r10, born parked (window
+                                 #   committed to the debt-clearing
+                                 #   rotation): in-engine classifier
+                                 #   TRAINING ≡ gopher_quality_report +
+                                 #   training_corpus_selection (in-window
+                                 #   quality gates — the SERVING half) and
+                                 #   the unrolled-iteration trajectory
+                                 #   shape ≡ kmeans_steps (parked twin);
+                                 #   builder-sweep green tri-scale —
+                                 #   rotates in r11
 )
 
 
@@ -5563,3 +5573,84 @@ def crawl_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce(F.col("_acc"), F.lit(False)),
         ).alias("accepted"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Round 10: in-engine quality-classifier TRAINING (batch perceptron)
+# ---------------------------------------------------------------------------
+
+def _perceptron_sql(epochs: int = 3) -> str:
+    """Unrolled batch-perceptron oracle (the kmeans_steps recipe: SQL can't
+    aggregate over a recursive term, so each epoch is a chained CTE pair —
+    margins under the current weights, then the misclassified-doc update).
+    All-integer arithmetic, so the trajectory is hash-exact."""
+    parts = [
+        f"WITH toks AS (SELECT doc_id, {_SPLIT_CLEAN} AS t FROM documents)",
+        "lab AS (SELECT doc_id, CASE WHEN len(list_filter(t, x -> x = 'spark')) >= 2"
+        " THEN 1 ELSE -1 END AS y FROM toks)",
+        "tc AS (SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS c"
+        " FROM (SELECT doc_id, unnest(t) AS tok FROM toks) GROUP BY doc_id, tok)",
+        # epoch 0: w = 0 -> every featured doc has margin 0 -> all update
+        "w1 AS (SELECT tok, SUM(y * c) AS w FROM tc JOIN lab USING (doc_id) GROUP BY tok)",
+    ]
+    prev = "w1"
+    for e in range(2, epochs + 1):
+        parts.append(
+            f"m{e} AS (SELECT tc.doc_id, lab.y,"
+            f" SUM(COALESCE({prev}.w, 0) * tc.c) AS m"
+            f" FROM tc JOIN lab USING (doc_id)"
+            f" LEFT JOIN {prev} USING (tok)"
+            f" GROUP BY tc.doc_id, lab.y)"
+        )
+        parts.append(
+            f"d{e} AS (SELECT tok, SUM(mm.y * tc.c) AS dw"
+            f" FROM tc JOIN (SELECT doc_id, y FROM m{e} WHERE y * m <= 0) mm"
+            f" USING (doc_id) GROUP BY tok)"
+        )
+        parts.append(
+            f"w{e} AS (SELECT COALESCE(a.tok, b.tok) AS tok,"
+            f" COALESCE(a.w, 0) + COALESCE(b.dw, 0) AS w"
+            f" FROM {prev} a FULL OUTER JOIN d{e} b ON a.tok = b.tok)"
+        )
+        prev = f"w{e}"
+    return (
+        ",\n    ".join(parts)
+        + f"\n    SELECT tok, CAST(w AS BIGINT) AS w FROM {prev} WHERE w <> 0"
+    )
+
+
+@_q(
+    "perceptron_quality_weights",
+    _perceptron_sql(3),
+    tags=("quality", "classifier", "training", "perceptron", "iterative"),
+)
+def perceptron_quality_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """In-engine TRAINING of the model-based quality gate (r10;
+    operators/quality_filters.py::train_quality_perceptron): a batch
+    perceptron over bag-of-words token counts learns ``(tok, w)`` weights
+    from a deterministic label ("the doc mentions 'spark' at least
+    twice") — the trainer half of the classifier stage whose SERVING
+    half (linear_quality_margin) has been oracle-checked since r7.
+    All-integer arithmetic (counts, ±1 labels, integer weights) makes
+    the 3-epoch trajectory bit-exact under any partitioning; the oracle
+    unrolls the epochs as chained CTEs (the kmeans_steps recipe).
+    Returns the final non-zero weights ``(tok, w)``.
+
+    Scale: one corpus tokenize (checkpointed count relation reused every
+    epoch), per epoch ONE broadcast join against the vocabulary-bounded
+    weights + one doc-keyed and one token-keyed aggregation — both
+    map-side combinable; no driver state beyond the per-epoch
+    misclassified count."""
+    from ..functions.text import tokenize as _tok
+    from ..operators.quality_filters import train_quality_perceptron
+
+    docs = T(spark, sf_dir, "documents")
+    labeled = docs.withColumn(
+        "_good",
+        F.size(F.filter(_tok(F.col("text")), lambda x: x == F.lit("spark")))
+        >= 2,
+    )
+    weights, _history = train_quality_perceptron(
+        labeled, label_col="_good", epochs=3
+    )
+    return weights.select("tok", "w")
