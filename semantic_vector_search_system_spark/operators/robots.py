@@ -1,0 +1,171 @@
+"""robots.txt parsing + crawl politeness filtering — the stage between
+fetching and KEEPING a page that every production crawl pipeline runs
+(CommonCrawl honors robots at fetch time; recrawl/refilter loops re-apply
+it when policies change retroactively).
+
+No counterpart in the reference (its sources are JSONL); this extends the
+crawl front door (``sources/warc.py`` -> ``functions/url.py`` ->
+``operators/dedup.py::url_dedup``) with the allow/deny policy stage.
+
+Both operators are pure DataFrame algebra with exact SQL twins:
+
+* :func:`parse_robots` — the STATEFUL line-group grammar of robots.txt
+  (``User-agent:`` headers open a group; ``Disallow:``/``Allow:`` lines
+  belong to the most recent header run) expressed relationally: one
+  window keyed by host ordered by line number assigns each rule line to
+  its group (a running count of header lines — the sessionization
+  recipe), then groups are kept when any of their user-agents matches.
+* :func:`apply_robots` — standard longest-match semantics (RFC 9309 /
+  Google): among the rules whose prefix matches the page's path, the
+  LONGEST prefix wins; on a length tie ``allow`` beats ``disallow``;
+  hosts with no rules (or no match) are allowed.  One broadcast join of
+  the policy relation (rules are ~KBs/host) + a per-page max-struct
+  aggregation — no shuffle of the page side beyond its own grouping.
+
+Scale: the rules relation is bounded by crawl-policy size (millions of
+hosts x dozens of rules — GBs at the absolute worst, typically MBs), so
+the page-side join broadcasts; the page relation streams once.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+_HOST_RE = r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?#:]*)"
+_PATH_RE = r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)"
+
+
+def url_host(url: Column | str) -> Column:
+    """Lowercased host of an absolute URL (no port)."""
+    c = F.col(url) if isinstance(url, str) else url
+    return F.lower(F.regexp_extract(c, _HOST_RE, 1))
+
+
+def url_path(url: Column | str) -> Column:
+    """Path of an absolute URL ('' for bare hosts; query/fragment
+    excluded) — the string robots prefixes match against (a bare-host
+    fetch matches as '/')."""
+    c = F.col(url) if isinstance(url, str) else url
+    p = F.regexp_extract(c, _PATH_RE, 1)
+    return F.when(p == "", F.lit("/")).otherwise(p)
+
+
+def parse_robots(
+    robots: DataFrame,
+    host_col: str = "host",
+    text_col: str = "robots_txt",
+    user_agent: str = "*",
+) -> DataFrame:
+    """Parse per-host robots.txt bodies into a flat rule relation
+    ``(host, rule, prefix)`` with ``rule`` in {'allow', 'disallow'}.
+
+    Grammar (RFC 9309 subset): lines split on newline; ``#`` comments
+    stripped; field names case-insensitive; a RUN of ``User-agent:``
+    lines opens a group; ``Allow:``/``Disallow:`` lines attach to the
+    most recent group; a group applies when any of its agents is ``*``
+    or equals ``user_agent`` (case-insensitive).  ``Disallow:`` with an
+    empty value is the spec's "allow everything" — emitted as an
+    ``allow ''`` rule so longest-match still resolves correctly.
+
+    Relational form: posexplode(lines) -> per-line field/value parse ->
+    ONE host-keyed window computing (a) the running group id (count of
+    group-OPENING header lines — a header line opens a group only when
+    the previous line was not also a header, giving header-run
+    semantics) and (b) membership of the matching agent via a per-group
+    max — then rule lines of matching groups project to rows.
+    """
+    ua = user_agent.lower()
+    lines = robots.select(
+        F.col(host_col).alias("host"),
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("line_no", "raw"),
+    ).select(
+        "host",
+        "line_no",
+        # strip comments + whitespace
+        F.trim(F.regexp_replace(F.col("raw"), r"#.*$", "")).alias("ln"),
+    )
+    field = F.lower(F.regexp_extract(F.col("ln"), r"^([A-Za-z-]+)\s*:", 1))
+    value = F.trim(F.regexp_extract(F.col("ln"), r"^[A-Za-z-]+\s*:(.*)$", 1))
+    parsed = lines.select(
+        "host", "line_no", field.alias("field"), value.alias("value")
+    ).filter(F.col("field").isin("user-agent", "allow", "disallow"))
+    w = Window.partitionBy("host").orderBy("line_no")
+    is_header = (F.col("field") == "user-agent").cast("int")
+    prev_header = F.coalesce(F.lag(is_header).over(w), F.lit(0))
+    opens = ((is_header == 1) & (prev_header == 0)).cast("int")
+    grouped = parsed.withColumn(
+        "grp",
+        F.sum(opens).over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    agent_match = F.max(
+        F.when(
+            (F.col("field") == "user-agent")
+            & (F.lower(F.col("value")).isin("*", ua)),
+            1,
+        ).otherwise(0)
+    ).over(Window.partitionBy("host", "grp"))
+    rules = (
+        grouped.withColumn("m", agent_match)
+        .filter((F.col("m") == 1) & (F.col("field") != "user-agent"))
+        .select(
+            "host",
+            # empty Disallow == allow-everything (spec)
+            F.when(
+                (F.col("field") == "disallow") & (F.col("value") == ""),
+                F.lit("allow"),
+            )
+            .otherwise(F.col("field"))
+            .alias("rule"),
+            F.col("value").alias("prefix"),
+        )
+    )
+    return rules
+
+
+def apply_robots(
+    pages: DataFrame,
+    rules: DataFrame,
+    url_col: str = "url",
+) -> DataFrame:
+    """Annotate ``pages`` with the robots decision: adds ``robots_allowed``
+    (boolean).  Longest-match semantics: among matching rule prefixes for
+    the page's (host, path), the longest prefix decides; a length tie
+    goes to ``allow``; no rules / no match => allowed.
+
+    ONE broadcast join (the policy relation is bounded) + ONE max-struct
+    aggregation keyed by the page's own id-set of columns — expressed as
+    a groupBy over all original columns via a monotonic row tag to avoid
+    assuming a key."""
+    tagged = pages.withColumn("_rid", F.monotonically_increasing_id())
+    h = url_host(F.col(url_col))
+    p = url_path(F.col(url_col))
+    sides = tagged.select("_rid", h.alias("host"), p.alias("_path"))
+    matched = (
+        sides.join(F.broadcast(rules), "host", "left")
+        .withColumn(
+            "_hit",
+            F.col("prefix").isNotNull()
+            & F.col("_path").startswith(F.col("prefix")),
+        )
+        .groupBy("_rid")
+        .agg(
+            F.max(
+                F.when(
+                    F.col("_hit"),
+                    F.struct(
+                        F.length("prefix").alias("_l"),
+                        # allow sorts ABOVE disallow at equal length
+                        (F.col("rule") == "allow").cast("int").alias("_a"),
+                    ),
+                )
+            ).alias("_best")
+        )
+        .select(
+            "_rid",
+            F.coalesce(F.col("_best._a") == 1, F.lit(True)).alias(
+                "robots_allowed"
+            ),
+        )
+    )
+    return tagged.join(matched, "_rid").drop("_rid")

@@ -1457,6 +1457,16 @@ DEMOTED: tuple[str, ...] = (
                                  #   shape ≡ kmeans_steps (parked twin);
                                  #   builder-sweep green tri-scale —
                                  #   rotates in r11
+    "robots_page_filter",        # NEW mid-r10, born parked: crawl
+                                 #   politeness (robots parse + longest-
+                                 #   match filter) ≡ crawl_e2e (keeper —
+                                 #   the crawl front door this stage
+                                 #   slots into) + urgent_orders_by_year
+                                 #   (in-window routing-filter family);
+                                 #   the stateful group parse ≡
+                                 #   sessionization (in-window window-
+                                 #   grouping recipe); builder-sweep
+                                 #   green tri-scale — rotates in r11
 )
 
 
@@ -5654,3 +5664,105 @@ def perceptron_quality_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         labeled, label_col="_good", epochs=3
     )
     return weights.select("tok", "w")
+
+
+# ---------------------------------------------------------------------------
+# Round 10: crawl politeness — robots.txt parse + longest-match filtering
+# ---------------------------------------------------------------------------
+
+_ROBOTS_STAR = (
+    "# policy\n"
+    "User-agent: googlebot\n"
+    "Disallow: /\n"
+    "\n"
+    "User-agent: *\n"
+    "Disallow: /private/\n"
+    "Allow: /private/ok\n"
+    "# scratch\n"
+    "Disallow: /tmp"
+)
+_ROBOTS_BOTONLY = "User-agent: googlebot\nDisallow: /"
+_ROBOTS_BLOCKALL = "User-agent: *\nDisallow: /"
+
+
+@_q(
+    "robots_page_filter",
+    """
+    WITH pages AS (
+      SELECT doc_id,
+             concat('h', CAST(doc_id % 7 AS VARCHAR), '.example') AS host,
+             CASE CAST(doc_id % 5 AS INTEGER)
+               WHEN 0 THEN concat('/a/x', CAST(doc_id AS VARCHAR))
+               WHEN 1 THEN concat('/private/x', CAST(doc_id AS VARCHAR))
+               WHEN 2 THEN concat('/private/ok/x', CAST(doc_id AS VARCHAR))
+               WHEN 3 THEN concat('/tmp/x', CAST(doc_id AS VARCHAR))
+               ELSE '/'
+             END AS path
+      FROM documents),
+    -- the rule table is derived BY HAND from the same literal robots.txt
+    -- bodies the Spark face PARSES (an independent second reading — a
+    -- parse bug on either side breaks the hash): hosts h0..h4 carry the
+    -- '*' policy group, h5 has only a googlebot group (no rules for us),
+    -- h6 blocks everything
+    rules AS (
+      SELECT concat('h', CAST(k AS VARCHAR), '.example') AS host, rule, prefix
+      FROM (SELECT unnest(generate_series(0, 4)) AS k),
+           (VALUES ('disallow', '/private/'),
+                   ('allow', '/private/ok'),
+                   ('disallow', '/tmp')) AS t(rule, prefix)
+      UNION ALL SELECT 'h6.example', 'disallow', '/'),
+    m AS (
+      SELECT p.doc_id,
+             MAX(CASE WHEN starts_with(p.path, r.prefix)
+                      THEN length(r.prefix) * 2
+                           + CASE WHEN r.rule = 'allow' THEN 1 ELSE 0 END
+                 END) AS bestkey
+      FROM pages p LEFT JOIN rules r ON p.host = r.host
+      GROUP BY p.doc_id)
+    SELECT p.doc_id, p.host,
+           (m.bestkey IS NULL OR m.bestkey % 2 = 1) AS robots_allowed
+    FROM pages p JOIN m ON p.doc_id = m.doc_id
+    """,
+    tags=("crawl", "robots", "politeness", "filter"),
+)
+def robots_page_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl politeness (r10; operators/robots.py): per-host robots.txt
+    bodies are PARSED relationally (parse_robots — the stateful
+    header-run/group grammar via one host-keyed window) and applied to a
+    synthetic page relation with RFC-9309 longest-match semantics
+    (apply_robots — longest matching prefix decides, allow beats disallow
+    on ties, no rules means allowed).  Hosts carry three distinct
+    policies: the '*' group (with a decoy googlebot group, a comment, an
+    Allow carve-out under a Disallow), a googlebot-only policy (no rules
+    apply to us), and a block-everything policy.  The ORACLE encodes the
+    rule table by hand from the same literal robots bodies — an
+    independent second reading, so a parsing bug on either face breaks
+    the hash — and replays the longest-match decision as a keyed MAX of
+    ``2*len(prefix) + is_allow``."""
+    from ..operators.robots import apply_robots, parse_robots
+
+    d = T(spark, sf_dir, "documents")
+    robots = spark.createDataFrame(
+        [(f"h{k}.example", _ROBOTS_STAR) for k in range(5)]
+        + [("h5.example", _ROBOTS_BOTONLY), ("h6.example", _ROBOTS_BLOCKALL)],
+        "host string, robots_txt string",
+    )
+    rules = parse_robots(robots)
+    ks = F.col("doc_id").cast("string")
+    host = F.concat(F.lit("h"), (F.col("doc_id") % 7).cast("string"), F.lit(".example"))
+    v = (F.col("doc_id") % 5).cast("int")
+    path = (
+        F.when(v == 0, F.concat(F.lit("/a/x"), ks))
+        .when(v == 1, F.concat(F.lit("/private/x"), ks))
+        .when(v == 2, F.concat(F.lit("/private/ok/x"), ks))
+        .when(v == 3, F.concat(F.lit("/tmp/x"), ks))
+        .otherwise(F.lit(""))
+    )
+    pages = d.select(
+        "doc_id",
+        host.alias("host"),
+        F.concat(F.lit("http://"), host, path).alias("url"),
+    )
+    return apply_robots(pages, rules, url_col="url").select(
+        "doc_id", "host", "robots_allowed"
+    )

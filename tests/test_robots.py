@@ -1,0 +1,102 @@
+"""robots.txt parsing + politeness filtering (operators/robots.py, r10):
+the stateful line-group grammar expressed relationally, and RFC-9309
+longest-match Allow/Disallow decisions."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from semantic_vector_search_system_spark.operators.robots import (
+    apply_robots,
+    parse_robots,
+    url_host,
+    url_path,
+)
+
+ROBOTS = (
+    "# crawl policy\n"
+    "User-agent: googlebot\n"
+    "Disallow: /\n"
+    "\n"
+    "User-agent: superbot\n"
+    "User-agent: *\n"
+    "Disallow: /private/\n"
+    "Allow: /private/ok\n"
+    "# tmp is scratch\n"
+    "Disallow: /tmp\n"
+)
+
+
+def test_parse_robots_groups_comments_agents(spark):
+    df = spark.createDataFrame(
+        [("a.example", ROBOTS), ("empty.example", "User-agent: *\nDisallow:\n")],
+        "host string, robots_txt string",
+    )
+    rules = {
+        (r["host"], r["rule"], r["prefix"])
+        for r in parse_robots(df).collect()
+    }
+    # the googlebot group is NOT ours; the header-RUN (superbot + *) is
+    assert rules == {
+        ("a.example", "disallow", "/private/"),
+        ("a.example", "allow", "/private/ok"),
+        ("a.example", "disallow", "/tmp"),
+        # empty Disallow == allow-everything
+        ("empty.example", "allow", ""),
+    }
+    # agent-specific parse picks up BOTH matching groups
+    g = {
+        (r["host"], r["rule"], r["prefix"])
+        for r in parse_robots(df, user_agent="googlebot").collect()
+        if r["host"] == "a.example"
+    }
+    assert ("a.example", "disallow", "/") in g
+    assert ("a.example", "disallow", "/private/") in g  # '*' matches too
+
+
+def test_apply_robots_longest_match_and_defaults(spark):
+    rules = spark.createDataFrame(
+        [
+            ("a.example", "disallow", "/private/"),
+            ("a.example", "allow", "/private/ok"),
+            ("a.example", "disallow", "/tmp"),
+            ("all.example", "disallow", "/"),
+            # equal-length tie: allow wins
+            ("tie.example", "disallow", "/x/"),
+            ("tie.example", "allow", "/x/"),
+        ],
+        "host string, rule string, prefix string",
+    )
+    pages = spark.createDataFrame(
+        [
+            (1, "http://a.example/a/page"),
+            (2, "http://a.example/private/doc"),
+            (3, "http://a.example/private/ok/doc"),
+            (4, "http://a.example/tmp/x"),
+            (5, "http://a.example"),            # bare host -> path '/'
+            (6, "http://all.example/anything"),
+            (7, "http://norules.example/x"),    # no rules -> allowed
+            (8, "http://tie.example/x/y"),
+        ],
+        "doc_id long, url string",
+    )
+    got = {
+        r["doc_id"]: r["robots_allowed"]
+        for r in apply_robots(pages, rules).collect()
+    }
+    assert got == {
+        1: True, 2: False, 3: True, 4: False,
+        5: True, 6: False, 7: True, 8: True,
+    }
+
+
+def test_url_host_path_helpers(spark):
+    df = spark.createDataFrame(
+        [("HTTPS://WWW.Site.Example:443/A/b?q=1#f",), ("http://h.example",)],
+        "url string",
+    )
+    rows = df.select(
+        url_host("url").alias("h"), url_path("url").alias("p")
+    ).collect()
+    assert (rows[0]["h"], rows[0]["p"]) == ("www.site.example", "/A/b")
+    assert (rows[1]["h"], rows[1]["p"]) == ("h.example", "/")
