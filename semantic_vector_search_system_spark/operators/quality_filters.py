@@ -314,6 +314,7 @@ def train_quality_perceptron(
     id_col: str = "doc_id",
     text_col: str = "text",
     epochs: int = 3,
+    checkpoint: bool = True,
 ) -> tuple[DataFrame, list[dict]]:
     """TRAIN the quality-classifier gate in-engine (r10): a batch
     perceptron over bag-of-words token counts — the missing half of
@@ -347,14 +348,18 @@ def train_quality_perceptron(
 
     Scale: weights never exceed the vocabulary; per epoch the checkpointed
     count relation is scanned once; the history counts are 1-row collects.
+    ``checkpoint=False`` keeps the full multi-epoch lineage (each epoch
+    then re-derives its predecessors — tests use it to plan-gate the
+    broadcast-join/partial-agg shapes; production keeps the default).
     """
     y = F.when(F.col(label_col), F.lit(1)).otherwise(F.lit(-1))
     tc = (
         docs.select(F.col(id_col), y.alias("_y"), F.explode(tokenize(text_col)).alias("tok"))
         .groupBy(id_col, "_y", "tok")
         .agg(F.count("*").alias("c"))
-        .localCheckpoint()
     )
+    if checkpoint:
+        tc = tc.localCheckpoint()
     spark = docs.sparkSession
     weights = spark.createDataFrame([], "tok string, w long")
     history: list[dict] = []
@@ -383,6 +388,8 @@ def train_quality_perceptron(
                     + F.coalesce(F.col("dw"), F.lit(0))
                 ).alias("w"),
             )
-            .localCheckpoint()  # epochs-deep lineage would re-run every prior epoch
         )
+        if checkpoint:
+            # epochs-deep lineage would re-run every prior epoch
+            weights = weights.localCheckpoint()
     return weights.filter(F.col("w") != 0), history

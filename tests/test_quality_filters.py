@@ -529,3 +529,26 @@ def test_train_quality_perceptron_integer_exact_and_zero_token_docs(spark):
     # (epoch 0 updates on EVERY doc): alpha: +2 (d1) +1 (d4) = +3
     allw = {r["tok"]: r["w"] for r in w1.collect()}
     assert all(isinstance(v, int) for v in allw.values())
+
+
+def test_train_quality_perceptron_plan_shape(spark):
+    """Scale gates for the trainer: the weights join is a BROADCAST
+    (vocabulary-bounded side), and both per-epoch aggregations carry
+    map-side partials (partial_sum / partial_count) so the corpus-keyed
+    shuffles move combined rows, not raw token rows."""
+    from pyspark.sql import functions as F
+
+    from semantic_vector_search_system_spark.operators.quality_filters import (
+        train_quality_perceptron,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"tok{i % 3} tok{i % 5} filler", i % 2 == 0) for i in range(20)],
+        "doc_id long, text string, good boolean",
+    )
+    weights, _ = train_quality_perceptron(
+        docs, label_col="good", epochs=2, checkpoint=False
+    )
+    plan = weights._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan  # weights side broadcast
+    assert "partial_sum" in plan        # map-side combine on the update agg

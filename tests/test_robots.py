@@ -100,3 +100,20 @@ def test_url_host_path_helpers(spark):
     ).collect()
     assert (rows[0]["h"], rows[0]["p"]) == ("www.site.example", "/A/b")
     assert (rows[1]["h"], rows[1]["p"]) == ("h.example", "/")
+
+
+def test_apply_robots_plan_broadcasts_rules(spark):
+    """Scale gate: the policy relation must BROADCAST (it is bounded by
+    crawl-policy size); the page side never shuffles for the join."""
+    rules = spark.createDataFrame(
+        [("a.example", "disallow", "/private/")],
+        "host string, rule string, prefix string",
+    )
+    pages = spark.createDataFrame(
+        [(1, "http://a.example/x")], "doc_id long, url string"
+    )
+    plan = (
+        apply_robots(pages, rules)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastHashJoin" in plan
