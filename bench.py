@@ -258,20 +258,31 @@ def _parse_mirrored_lines(notes_text: str) -> list:
 
 
 def _git_head() -> str | None:
-    """Short commit id of the code being benched — recorded in every
-    mirrored line so the fold can tell 'same code, quieter box' from
-    'older, faster code' (r9 ADVICE: a mid-round commit that genuinely
-    slows a query must not hide behind a pre-regression minimum)."""
+    """CODE identity of the benched engine — recorded in every mirrored
+    line so the fold can tell 'same code, quieter box' from 'older,
+    faster code' (r9 ADVICE: a mid-round commit that genuinely slows a
+    query must not hide behind a pre-regression minimum).
+
+    The identity is the git TREE hash of the package at HEAD (first 12
+    hex chars), NOT the commit sha: a round interleaves bench runs with
+    doc/notes/test commits (including the BENCH_NOTES mirror append
+    itself), and a commit-sha gate would wrongly orphan every mirrored
+    line after each of them — in particular the driver's own per-round
+    run would never fold with the builder's quiet mirrors.  Engine-code
+    commits still reset the fold window, which is the regression-masking
+    fix the gate exists for.  (bench.py itself is excluded: its edits
+    are protocol, not engine — a deliberate timed-region change should
+    bump the window by touching the package or pruning the notes.)"""
     import subprocess
 
     try:
         out = subprocess.run(
-            ["git", "rev-parse", "--short", "HEAD"],
+            ["git", "rev-parse", "HEAD:semantic_vector_search_system_spark"],
             cwd=os.path.dirname(os.path.abspath(__file__)),
             capture_output=True, text=True, timeout=10,
         )
-        head = out.stdout.strip()
-        return head if out.returncode == 0 and head else None
+        tree = out.stdout.strip()
+        return tree[:12] if out.returncode == 0 and tree else None
     except (OSError, subprocess.SubprocessError):
         return None
 
