@@ -117,3 +117,47 @@ def test_apply_robots_plan_broadcasts_rules(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "BroadcastHashJoin" in plan
+
+
+def test_robots_slots_into_the_warc_front_door(spark, tmp_path):
+    """Composition: WARC scan -> robots politeness -> URL dedup. The
+    blocked page drops BEFORE canonicalization/dedup (policy first, so
+    disallowed payloads never reach content stages), the allowed pages'
+    raw spellings still collapse per canonical URL."""
+    import gzip
+
+    from semantic_vector_search_system_spark.operators.dedup import url_dedup
+    from semantic_vector_search_system_spark.sources.warc import read_warc
+
+    def record(rid, uri, body):
+        head = (
+            "WARC/1.0\r\n"
+            "WARC-Type: response\r\n"
+            f"WARC-Record-ID: {rid}\r\n"
+            f"WARC-Target-URI: {uri}\r\n"
+            "WARC-Date: 2026-08-15T00:00:00Z\r\n"
+            f"Content-Length: {len(body)}\r\n\r\n"
+        ).encode()
+        return head + body + b"\r\n\r\n"
+
+    arc = (
+        record("1", "http://a.example/page?utm_source=x", b"payload one")
+        + record("2", "HTTP://A.EXAMPLE:80/page", b"payload one refetch")
+        + record("3", "http://a.example/private/secret", b"blocked payload")
+    )
+    (tmp_path / "c.warc.gz").write_bytes(gzip.compress(arc))
+    rules = spark.createDataFrame(
+        [("a.example", "disallow", "/private/")],
+        "host string, rule string, prefix string",
+    )
+    pages = read_warc(spark, str(tmp_path)).select(
+        F.col("record_id").cast("long").alias("doc_id"),
+        F.col("target_uri").alias("url"),
+        F.length("payload").cast("long").alias("n_bytes"),
+    )
+    polite = apply_robots(pages, rules).filter("robots_allowed")
+    out = url_dedup(polite, url_col="url", id_col="doc_id", length_col="n_bytes")
+    rows = {r["canonical_url"]: r for r in out.collect()}
+    assert set(rows) == {"http://a.example/page"}  # blocked page never dedups
+    assert rows["http://a.example/page"]["n_fetches"] == 2
+    assert rows["http://a.example/page"]["kept_id"] == 2  # longest payload
