@@ -817,19 +817,32 @@ def verify_candidate_edges(
     ea = arrs.select(F.col(id_col).alias("id_a"), F.col("shs").alias("shs_a"))
     eb = arrs.select(F.col(id_col).alias("id_b"), F.col("shs").alias("shs_b"))
     n_inter = F.size(F.array_intersect("shs_a", "shs_b"))
+    n_union = F.size("shs_a") + F.size("shs_b") - n_inter
     half = ea.join(maybe_b(edges.select("id_a", "id_b")), "id_a")
+    # Threshold as an EXACT integer rational comparison (r10 VERDICT #2):
+    # the former `ROUND(i/u, 4) >= t` flips cross-engine at exact .5
+    # boundaries (Spark BigDecimal HALF_UP on the shortest repr vs
+    # DuckDB scaled-double std::round) — and i/u over small integers
+    # lands on such boundaries with real probability, silently changing
+    # the ROW SET. `round4(i/u) >= t` ⟺ `20000·i >= (2·t·10⁴ − 1)·u`
+    # in exact int64 arithmetic — identical semantics, no float, no
+    # engine divergence. The emitted jaccard column is the UNROUNDED
+    # IEEE quotient: both engines divide the same two integers, so the
+    # doubles are bit-identical.
+    thr4 = int(round(threshold * 10000))
+    keep = (F.lit(20000).cast("long") * n_inter) >= (
+        F.lit(2 * thr4 - 1).cast("long") * n_union
+    )
     return (
         half.join(eb, "id_b")
         .select(
             "id_a",
             "id_b",
-            F.round(
-                n_inter.cast("double")
-                / (F.size("shs_a") + F.size("shs_b") - n_inter),
-                4,
-            ).alias("jaccard"),
+            (n_inter.cast("double") / n_union).alias("jaccard"),
+            keep.alias("_keep"),
         )
-        .filter(F.col("jaccard") >= threshold)
+        .filter(F.col("_keep"))
+        .drop("_keep")
     )
 
 
@@ -1471,19 +1484,24 @@ def ngram_jaccard_pairs(
     )
     ca = counts.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a"))
     cb = counts.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("n_b"))
+    # Exact integer threshold + unrounded quotient, as in
+    # :func:`verify_candidate_edges` (r10 VERDICT #2 — the cross-engine
+    # ROUND boundary class). Strict form: `round4(i/u) > t` ⟺
+    # `20000·i >= (2·t·10⁴ + 1)·u`.
+    thr4 = int(round(threshold * 10000))
+    n_union = F.col("n_a") + F.col("n_b") - F.col("n_inter")
+    keep = (F.lit(20000).cast("long") * F.col("n_inter")) >= (
+        F.lit(2 * thr4 + 1).cast("long") * n_union
+    )
     return (
         inter.join(F.broadcast(ca), "id_a")
         .join(F.broadcast(cb), "id_b")
+        .filter(keep)
         .select(
             "id_a",
             "id_b",
-            F.round(
-                F.col("n_inter").cast("double")
-                / (F.col("n_a") + F.col("n_b") - F.col("n_inter")),
-                4,
-            ).alias("jaccard"),
+            (F.col("n_inter").cast("double") / n_union).alias("jaccard"),
         )
-        .filter(F.col("jaccard") > threshold)
     )
 
 

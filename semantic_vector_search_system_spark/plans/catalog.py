@@ -858,10 +858,11 @@ def incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
               FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
               GROUP BY 1, 2)
     SELECT id_a, id_b,
-           ROUND(CAST(i AS DOUBLE) / (ca.n + cb.n - i), 4) AS jaccard
+           CAST(i AS DOUBLE) / (ca.n + cb.n - i) AS jaccard
     FROM inter
     JOIN cnt ca ON id_a = ca.doc_id
     JOIN cnt cb ON id_b = cb.doc_id
+    WHERE 20000 * i >= (ca.n + cb.n - i)
     """,
     tags=("dedup", "jaccard"),
 )
@@ -906,7 +907,7 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ver AS (SELECT i.id_a, i.id_b
             FROM inter i JOIN cnt ca ON i.id_a = ca.doc_id
                          JOIN cnt cb ON i.id_b = cb.doc_id
-            WHERE ROUND(CAST(i.i AS DOUBLE) / (ca.n + cb.n - i.i), 4) >= 0.6),
+            WHERE 20000 * i.i >= 11999 * (ca.n + cb.n - i.i)),
     sym AS (SELECT id_a AS src, id_b AS dst FROM ver
             UNION SELECT id_b, id_a FROM ver),
     reach AS (SELECT src, dst FROM sym
@@ -1690,16 +1691,13 @@ def mannwhitney_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     rv AS (SELECT cnt, pos_cnt, cum_before + (cnt + 1) / 2.0 AS avg_rank
            FROM ranked),
     mom AS (SELECT COUNT(d) AS n,
-                   ROUND(CAST(SUM(d) AS DOUBLE) / COUNT(d), 4) AS mean_d,
-                   ROUND(CASE WHEN COUNT(d) > 1 THEN
-                     (CAST(SUM(d * d) AS DOUBLE)
-                      - CAST(SUM(d) AS DOUBLE) * CAST(SUM(d) AS DOUBLE) / COUNT(d))
-                     / (COUNT(d) - 1) END, 4) AS var_d FROM d),
+                   CAST(SUM(d) AS DOUBLE) AS s1,
+                   CAST(SUM(d * d) AS DOUBLE) AS s2 FROM d),
     wil AS (SELECT COALESCE(SUM(cnt), 0) AS n_nonzero,
         CAST(COALESCE(SUM(avg_rank * pos_cnt), 0) AS DOUBLE) AS w_plus,
         CAST(COALESCE(SUM(avg_rank * (cnt - pos_cnt)), 0) AS DOUBLE) AS w_minus,
         COALESCE(SUM(cnt * cnt * cnt - cnt), 0) AS tie_term FROM rv)
-    SELECT n, mean_d, var_d, n_nonzero, w_plus, w_minus, tie_term
+    SELECT n, s1, s2, n_nonzero, w_plus, w_minus, tie_term
     FROM mom, wil
     """,
     tags=("stats", "A13", "paired"),
@@ -1713,14 +1711,19 @@ def paired_test_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     themselves are driver arithmetic (paired_tests_distributed), as
     with Welch/Mann-Whitney.
 
-    Hash-determinism (r9 VERDICT #1): before/after stay DECIMAL(14,2)
-    all the way into paired_components, whose decimal branch derives
-    mean_d/var_d from the exact component sums S1=SUM(d), S2=SUM(d·d)
-    — order-free decimal arithmetic, ONE double cast each, a fixed IEEE
-    expression tree.  The old form rounded AVG/var_samp over doubles,
-    whose partition-merge-order nondeterminism flipped the 4-decimal
-    round near a 5e-5 boundary (the single red cell in
-    CORRECTNESS_r09)."""
+    Hash-determinism (r9 VERDICT #1, r10 VERDICT #1): before/after stay
+    DECIMAL(14,2) all the way into paired_components, whose decimal
+    branch emits the RAW power sums s1=SUM(d), s2=SUM(d·d) — order-free
+    exact decimal arithmetic, ONE double cast each, and — the r10
+    lesson — NO division and NO ROUND anywhere in the hashed relation.
+    The r10 red cell came from the final 4-dp ROUND of mean_d=S1/n:
+    Spark rounds a double via BigDecimal HALF_UP on its shortest repr,
+    DuckDB via scaled-double std::round, and exact 2-decimal DECIMAL
+    ratios land on .5 boundaries with real probability (reproduced:
+    round(-4.04515, 4) → Spark -4.0452, DuckDB -4.0451) — so the row
+    was green on /root/testdata yet red on the driver's parquet.
+    mean_d/var_d are now derived driver-side (paired_tests_distributed)
+    from the sums this row emits."""
     from .report import paired_components
 
     e = T(spark, sf_dir, "events")
@@ -1740,16 +1743,7 @@ def paired_test_components(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("before_v").isNotNull() & F.col("after_v").isNotNull()
         )
     )
-    comp = paired_components(pairs, "before_v", "after_v")
-    return comp.select(
-        "n",
-        F.round("mean_d", 4).alias("mean_d"),
-        F.round("var_d", 4).alias("var_d"),
-        "n_nonzero",
-        "w_plus",
-        "w_minus",
-        "tie_term",
-    )
+    return paired_components(pairs, "before_v", "after_v")
 
 
 @_q(
@@ -3146,7 +3140,7 @@ def sketch_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT DISTINCT i.id_b AS doc_id
       FROM inter i JOIN cnt ca ON i.id_a = ca.doc_id
                    JOIN cnt cb ON i.id_b = cb.doc_id
-      WHERE ROUND(CAST(i.i AS DOUBLE) / (ca.n + cb.n - i.i), 4) >= 0.6),
+      WHERE 20000 * i.i >= 11999 * (ca.n + cb.n - i.i)),
     quality AS (
       SELECT d.doc_id, d.lang, len(t.t) AS n_tokens,
         LEAST(1.0, CAST(len(t.t) AS DOUBLE) / 100.0)

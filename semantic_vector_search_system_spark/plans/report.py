@@ -162,11 +162,13 @@ def paired_components(
     PAIRED tests): ONE row holding everything paired t and Wilcoxon
     signed-rank need, computed without ever collecting the sample:
 
-    ``(n, mean_d, var_d, n_nonzero, w_plus, w_minus, tie_term)``
+    ``(n, s1, s2, n_nonzero, w_plus, w_minus, tie_term)``
 
-    * paired t: ``n``/``mean_d``/``var_d`` are the moments of the
-      per-row difference ``after - before`` (zeros included — the paired
-      t keeps them);
+    * paired t: ``n`` and the RAW power sums ``s1 = Σd``, ``s2 = Σd²``
+      of the per-row difference ``after - before`` (zeros included — the
+      paired t keeps them); mean/variance are derived driver-side in
+      :func:`paired_tests_distributed` — the relation itself never
+      divides or rounds;
     * Wilcoxon: zero differences dropped (``zero_method='wilcox'``),
       |d| tie-average-ranked via the same bounded-cardinality scheme as
       :func:`mann_whitney_components` (per-DISTINCT-|d| counts + a
@@ -178,18 +180,23 @@ def paired_components(
     Determinism: every avg_rank is a multiple of 0.5 far below 2^52, so
     the double rank sums are exact under any partitioning/summation
     order — hash-comparable across engines (the mann-whitney contract).
-    The MOMENTS get the same guarantee only when the inputs are DECIMAL
-    (r9 VERDICT #1 — the ``paired_test_components`` hash flake): with
-    decimal before/after columns, ``mean_d``/``var_d`` are derived from
-    the exact component sums ``S1 = SUM(d)`` and ``S2 = SUM(d·d)``
-    (both exact decimal arithmetic, order-free), each cast to double
-    once and combined in a fixed IEEE expression tree — bit-identical
-    under any partitioning and across engines.  Double inputs fall back
-    to AVG/var_samp, whose results are summation-order-dependent like
-    any float aggregate (callers needing hash-exactness pass DECIMAL).
-    Keep the decimal precision of the inputs small enough that ``d·d``
-    stays within 38 digits (e.g. DECIMAL(15,2) squares to (31,4)) —
-    wider and Spark silently rounds the product, breaking exactness.
+    The POWER SUMS get the same guarantee only when the inputs are
+    DECIMAL (r9/r10 VERDICT — the ``paired_test_components`` hash
+    flakes): with decimal before/after columns, ``s1 = SUM(d)`` and
+    ``s2 = SUM(d·d)`` are exact decimal arithmetic (order-free), each
+    cast to double exactly once — bit-identical under any partitioning
+    and across engines.  No division and no ROUND happens in the
+    relation at all: r10 showed that even a fixed IEEE ``S1/n`` tree is
+    unsafe to hash once a 4-dp ``ROUND`` follows it, because Spark
+    (BigDecimal HALF_UP on the shortest repr) and DuckDB (scaled-double
+    ``std::round``) disagree at exact ``.5`` boundaries — and exact
+    low-scale decimal ratios LAND on those boundaries with real
+    probability.  Double inputs fall back to plain double sums, whose
+    results are summation-order-dependent like any float aggregate
+    (callers needing hash-exactness pass DECIMAL).  Keep the decimal
+    precision of the inputs small enough that ``d·d`` stays within 38
+    digits (e.g. DECIMAL(15,2) squares to (31,4)) — wider and Spark
+    silently rounds the product, breaking exactness.
     """
     from pyspark.sql import Window
     from pyspark.sql.types import DecimalType
@@ -201,19 +208,16 @@ def paired_components(
             F.sum("d").alias("_s1"),
             F.sum(F.col("d") * F.col("d")).alias("_s2"),
         )
-        s1d = F.col("_s1").cast("double")
-        s2d = F.col("_s2").cast("double")
-        n = F.col("n")
         moments = comp.select(
             "n",
-            (s1d / n).alias("mean_d"),
-            F.when(n > 1, (s2d - s1d * s1d / n) / (n - 1)).alias("var_d"),
+            F.col("_s1").cast("double").alias("s1"),
+            F.col("_s2").cast("double").alias("s2"),
         )
     else:
         moments = d.agg(
             F.count("d").alias("n"),
-            F.avg("d").alias("mean_d"),
-            F.var_samp("d").alias("var_d"),
+            F.sum("d").cast("double").alias("s1"),
+            F.sum(F.col("d") * F.col("d")).cast("double").alias("s2"),
         )
     nz = d.filter(F.col("d") != 0).select(
         F.abs(F.col("d")).alias("ad"),
@@ -266,8 +270,16 @@ def paired_tests_distributed(
         "wilcoxon": None,
         "wilcoxon_p": None,
     }
-    if n and n >= 2 and row["var_d"] and row["var_d"] > 0:
-        t = row["mean_d"] / math.sqrt(row["var_d"] / n)
+    # Moments are driver arithmetic over the raw power sums — the
+    # distributed relation never divides/rounds (hash-determinism).
+    mean_d = row["s1"] / n if n else None
+    var_d = (
+        (row["s2"] - row["s1"] * row["s1"] / n) / (n - 1)
+        if n and n > 1
+        else None
+    )
+    if n and n >= 2 and var_d and var_d > 0:
+        t = mean_d / math.sqrt(var_d / n)
         out["paired_t"] = float(t)
         try:
             from scipy import stats as sps

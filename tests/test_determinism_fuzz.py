@@ -286,3 +286,67 @@ def test_repartitioned_input_invariant(spark, baselines):
             )
     finally:
         cat.T = orig_T
+
+
+def test_paired_components_boundary_data_cross_engine(spark, tmp_path):
+    """r10 VERDICT #1: Spark round(double, 4) (BigDecimal HALF_UP on the
+    shortest repr) and DuckDB round (scaled-double std::round) DISAGREE at
+    exact decimal .5 boundaries — reproduced: round(-4.04515, 4) → Spark
+    -4.0452, DuckDB -4.0451. paired_test_components was green on
+    /root/testdata yet hash-red on the driver's parquet for two rounds
+    because whether mean_d = S1/n lands on such a boundary is
+    data-dependent. The fix: the hashed relation emits the RAW exact-sum
+    components (s1, s2) and never divides or rounds.
+
+    This test PLANTS the failing shape: 8 user pairs whose diff total is
+    S1 = -32.37, so the old mean_d = S1/8 = -4.046250 sat exactly on a
+    4-dp half-way point (the old code diverged: Spark -4.0463 vs DuckDB
+    -4.0462). Both faces must now agree BIT-EXACTLY on the planted data.
+    """
+    import datetime
+
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from semantic_vector_search_system_spark.plans.catalog import CATALOG
+
+    diffs = [-4.05] * 5 + [-4.04] * 3  # S1 = -32.37; S1/8 = -4.046250
+    assert round(sum(diffs), 2) == -32.37
+    eid, rows = 0, []
+    for u, d in enumerate(diffs):
+        for et, v in (("view", 10.00), ("purchase", round(10.00 + d, 2))):
+            rows.append(
+                (eid, datetime.datetime(2024, 1, 1, 0, eid % 60), u, et, v)
+            )
+            eid += 1
+    tbl = pa.table(
+        {
+            "event_id": pa.array([r[0] for r in rows], pa.int64()),
+            "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+            "user_id": pa.array([r[2] for r in rows], pa.int64()),
+            "event_type": pa.array([r[3] for r in rows], pa.string()),
+            "value": pa.array([r[4] for r in rows], pa.float64()),
+            "props": pa.array(["{}"] * len(rows), pa.string()),
+        }
+    )
+    pq.write_table(tbl, str(tmp_path / "events.parquet"))
+
+    entry = CATALOG["paired_test_components"]
+    df = entry.builder(spark, str(tmp_path))
+    srow = {c: v for c, v in zip(df.columns, df.collect()[0])}
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM '{tmp_path}/events.parquet'"
+    )
+    res = con.execute(entry.oracle)
+    orow = {d[0]: v for d, v in zip(res.description, res.fetchone())}
+
+    assert sorted(srow) == sorted(orow)
+    # No divided/rounded column may survive in the hashed relation: the
+    # moments travel as raw power sums.
+    assert "s1" in srow and "s2" in srow and "mean_d" not in srow
+    for c in srow:
+        assert srow[c] == orow[c], (c, srow[c], orow[c])  # bit-exact
+    assert srow["n"] == 8 and srow["s1"] == orow["s1"]

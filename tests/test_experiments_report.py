@@ -127,8 +127,8 @@ def _py_paired_components(before, after):
     """Pure-python reference for the distributed paired components."""
     diffs = [a - b for a, b in zip(after, before)]
     n = len(diffs)
-    mean_d = sum(diffs) / n
-    var_d = sum((d - mean_d) ** 2 for d in diffs) / (n - 1)
+    s1 = sum(diffs)
+    s2 = sum(d * d for d in diffs)
     nz = [d for d in diffs if d != 0]
     # tie-averaged ranks of |d|
     from collections import Counter
@@ -141,7 +141,7 @@ def _py_paired_components(before, after):
     w_plus = sum(avg_rank[abs(d)] for d in nz if d > 0)
     w_minus = sum(avg_rank[abs(d)] for d in nz if d < 0)
     tie_term = sum(c**3 - c for c in cnt.values())
-    return n, mean_d, var_d, len(nz), w_plus, w_minus, tie_term
+    return n, s1, s2, len(nz), w_plus, w_minus, tie_term
 
 
 def test_paired_components_matches_python_reference(spark):
@@ -166,7 +166,7 @@ def test_paired_components_matches_python_reference(spark):
             .collect()[0]
         )
         got = (
-            row["n"], row["mean_d"], row["var_d"], row["n_nonzero"],
+            row["n"], row["s1"], row["s2"], row["n_nonzero"],
             row["w_plus"], row["w_minus"], row["tie_term"],
         )
         assert got[0] == want[0] and got[3] == want[3] and got[6] == want[6]
