@@ -1,0 +1,50 @@
+"""Cross-engine-safe fixed-point quantization (r10 VERDICT #1/#2).
+
+Why this exists: Spark's ``round(double, k)`` rounds via BigDecimal
+HALF_UP applied to the double's SHORTEST DECIMAL REPR, while DuckDB's
+rounds via scaled-double ``std::round``.  At exact decimal ``.5``
+boundaries they disagree (reproduced on this image:
+``round(-4.04515, 4)`` → Spark ``-4.0452``, DuckDB ``-4.0451``).  That
+is not a tail risk for the values this engine hashes: a rational whose
+lowest-terms denominator carries ``2^(k+1)`` terminates EXACTLY at
+``k+1`` decimals with a final digit of 5 — e.g. ``S/n`` with
+``8 | n`` at k=4, or a 12-dp decimal halved at k=12 — so ``ROUND`` on
+integer/decimal ratios lands on the divergent boundary with real,
+data-dependent probability (the ``paired_test_components`` failure in
+CORRECTNESS_r09/r10: green on /root/testdata, red on the driver's own
+parquet).
+
+The safe quantizer: ``FLOOR(x·10^k + 0.5) / 10^k``.  Multiply, add,
+floor and divide are each correctly-rounded IEEE-754 operations with
+NO decimal-string involvement, so given bit-identical inputs both
+engines produce bit-identical outputs — deterministic BY CONSTRUCTION,
+boundaries included.  (Semantics: round-half-toward-+∞; it matches
+HALF_UP everywhere except exact negative half-way points, which were
+engine-dependent before.)
+
+Domain: |x|·10^k must stay below 2^53 (~9e15) so the scaled value is
+exact-integer-representable — callers quantize O(1)-magnitude ratios
+(scores, means, similarities), which at k=12 allows |x| up to ~9000.
+
+Both faces MUST use the same form: :func:`quantize` for DataFrame
+columns, :func:`quantize_sql` for the DuckDB oracle text.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def quantize(col: Column, digits: int) -> Column:
+    """``FLOOR(col·10^digits + 0.5) / 10^digits`` as a Spark column
+    (double-typed; Spark's FLOOR yields BIGINT, the division restores
+    double — values below 2^53 survive the long→double hop exactly)."""
+    scale = float(10**digits)
+    return F.floor(col * F.lit(scale) + F.lit(0.5)) / F.lit(scale)
+
+
+def quantize_sql(expr: str, digits: int) -> str:
+    """The identical quantizer as DuckDB SQL text for oracle twins."""
+    scale = float(10**digits)
+    return f"(FLOOR(({expr}) * {scale!r} + 0.5) / {scale!r})"

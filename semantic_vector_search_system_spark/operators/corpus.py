@@ -26,6 +26,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..functions.quantize import quantize
 from .textanalysis import doc_quality, tokenize
 
 
@@ -78,7 +79,9 @@ def source_mixture_weights(
         source_col,
         "n_docs",
         "total_tokens",
-        F.round(
+        # quantize, not F.round (r10 VERDICT #2): budget/total is a
+        # rational of integers — the cross-engine .5-boundary class.
+        quantize(
             F.least(
                 F.lit(1.0),
                 F.lit(float(token_budget_per_source)) / F.col("total_tokens"),
@@ -395,9 +398,16 @@ def temperature_mixture_weights(
             group_col,
             "n_docs",
             "total_tokens",
-            F.round(
-                F.col("total_tokens").cast("double") / F.col("_all").cast("double"), 6
+            # quantize, not F.round (r10 VERDICT #2): tokens/all is a
+            # rational of integers (the .5-boundary class); sq/_sq is a
+            # ratio of 12-dp decimals — same class. The inner round-12
+            # of sqrt stays: sqrt output is irrational or an exact
+            # integer, neither of which can sit on a 13-digit boundary.
+            quantize(
+                F.col("total_tokens").cast("double")
+                / F.col("_all").cast("double"),
+                6,
             ).alias("raw_share"),
-            F.round(sq / F.col("_sq"), 6).alias("temp_weight"),
+            quantize(sq / F.col("_sq"), 6).alias("temp_weight"),
         )
     )

@@ -26,6 +26,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..functions.quantize import quantize
+
 
 def label_hits(retrievals: DataFrame, qrels: DataFrame) -> DataFrame:
     """Mark each retrieved row with is_rel + the query's relevant-doc count.
@@ -74,10 +76,12 @@ def per_query_metrics(
         )
     ap_terms = F.when(F.col("is_rel") == 1, F.col("hits_at").cast("double") / F.col("rank"))
     # Order-free AP (r9 VERDICT #2 — the ROUND-over-double-agg purge): each
-    # term is a deterministic per-row double; round-12 + exact DECIMAL sum +
-    # ONE IEEE division makes the mean independent of partition merge order
-    # (a raw double AVG is not — float addition doesn't associate).
-    ap_sum = F.sum(F.round(ap_terms, 12).cast("decimal(25,12)"))
+    # term is a deterministic per-row double; quantize-12 + exact DECIMAL
+    # sum + ONE IEEE division makes the mean independent of partition merge
+    # order (a raw double AVG is not — float addition doesn't associate).
+    # quantize, not F.round (r10 VERDICT #2): Spark/DuckDB round() diverge
+    # at exact .5 boundaries; the FLOOR form is IEEE-pinned on both faces.
+    ap_sum = F.sum(quantize(ap_terms, 12).cast("decimal(25,12)"))
     ap_n = F.count(ap_terms)
     aggs.append(
         F.when(ap_n > 0, ap_sum.cast("double") / ap_n).otherwise(F.lit(0.0)).alias("ap")
@@ -98,10 +102,14 @@ def evaluate_all(
 
     def _mean12(col: str):
         # Partition-order-free mean (r9 VERDICT #2): the per-query values
-        # are deterministic doubles; round-12 + exact DECIMAL sum + one
+        # are deterministic doubles; quantize-12 + exact DECIMAL sum + one
         # IEEE division is bit-stable under any partitioning / merge order,
-        # where a plain double AVG is not.
-        s = F.sum(F.round(F.col(col), 12).cast("decimal(25,12)"))
+        # where a plain double AVG is not.  quantize, not F.round (r10
+        # VERDICT #2): r_at_k = hits/n_rel and ap = dec12-sum/n_hits are
+        # rationals that LAND on round()'s divergent .5 boundaries when
+        # the reduced denominator carries 2^13 (r@k) or an even hit count
+        # meets an odd scaled sum (ap).
+        s = F.sum(quantize(F.col(col), 12).cast("decimal(25,12)"))
         return (s.cast("double") / F.count(col)).alias(col)
 
     aggs = []
@@ -139,9 +147,12 @@ def per_query_ndcg(
 
     DCG = sum of the rank-discount literals at hit ranks <= k (DECIMAL
     sum — order-free); ideal DCG = the prefix-sum literal at
-    min(n_rel, k); ndcg = round-6 of one IEEE division; 0.0 for queries
-    with no relevant docs. Same scale shape as the other IR metrics:
-    one qid-keyed aggregation over the broadcast-labeled retrievals."""
+    min(n_rel, k); ndcg = quantize-6 (the cross-engine-safe FLOOR form,
+    r10 VERDICT #2 — dcg/idcg is a ratio of 12-dp decimals, exactly the
+    rational class that lands on round()'s divergent boundaries) of one
+    IEEE division; 0.0 for queries with no relevant docs. Same scale
+    shape as the other IR metrics: one qid-keyed aggregation over the
+    broadcast-labeled retrievals."""
     disc, prefix = dcg_discount_literals(k)
     labeled = label_hits(retrievals, qrels)
     darr = F.array(*[F.lit(float(d)) for d in disc])
@@ -160,7 +171,7 @@ def per_query_ndcg(
         "n_rel",
         F.when(
             (F.col("n_rel") > 0) & F.col("_dcg").isNotNull(),
-            F.round(F.col("_dcg") / idcg, 6),
+            quantize(F.col("_dcg") / idcg, 6),
         )
         .otherwise(F.lit(0.0))
         .alias(f"ndcg_at_{k}"),

@@ -31,6 +31,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from ..functions.hashing import stable_hash64
+from ..functions.quantize import quantize
 from ..functions.text import token_shingles, tokenize
 from .textanalysis import STOPWORDS
 
@@ -79,14 +80,18 @@ def repetition_stats(
         # default ANSI mode a bare division is a DIVIDE_BY_ZERO job failure,
         # but garbage input must flag as too_short, not kill the corpus
         # scan. Ratios default to 0.0 (too_short trips on n_tokens alone).
-        return F.when(n > 0, F.round(num.cast("double") / n, 6)).otherwise(F.lit(0.0))
+        # quantize, not F.round (r10 VERDICT #2): these are ratios of
+        # token counts — the cross-engine .5-boundary class (a doc with
+        # 128·odd tokens and an odd numerator lands EXACTLY on a 7-digit
+        # half-way point, where Spark and DuckDB round() disagree).
+        return F.when(n > 0, quantize(num.cast("double") / n, 6)).otherwise(F.lit(0.0))
 
     return d.select(
         id_col,
         *extra_cols,
         n.cast("long").alias("n_tokens"),
-        F.round(_dup_fraction(F.col("__toks"), 2), 6).alias("dup_2gram_frac"),
-        F.round(_dup_fraction(F.col("__toks"), 3), 6).alias("dup_3gram_frac"),
+        quantize(_dup_fraction(F.col("__toks"), 2), 6).alias("dup_2gram_frac"),
+        quantize(_dup_fraction(F.col("__toks"), 3), 6).alias("dup_3gram_frac"),
         _per_token(top_cnt).alias("top_token_frac"),
         _per_token(
             F.aggregate("__toks", F.lit(0).cast("long"), lambda a, t: a + F.length(t))

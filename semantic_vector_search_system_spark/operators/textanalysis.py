@@ -17,6 +17,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from ..functions.hashing import stable_hash64
+from ..functions.quantize import quantize
 from ..functions.text import token_shingles, tokenize
 
 STOPWORDS = ("the", "a")
@@ -56,14 +57,20 @@ def quality_score_expr() -> Column:
 def doc_quality(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """Per-document quality table: token stats + ratios + score."""
     st = with_token_stats(docs.select(id_col, text_col), text_col)
+    # quantize, not F.round (r10 VERDICT #2): these are ratios of token
+    # counts — rationals that land EXACTLY on round()'s cross-engine-
+    # divergent .5 boundaries whenever the reduced denominator carries
+    # 2^5 (e.g. any doc with 32·odd tokens and an odd numerator).
     return st.select(
         id_col,
         "n_tokens",
-        F.round(F.col("total_token_chars").cast("double") / F.col("n_tokens"), 4).alias(
-            "avg_token_len"
-        ),
-        F.round(F.col("n_stopwords").cast("double") / F.col("n_tokens"), 4).alias("stopword_ratio"),
-        F.round(quality_score_expr(), 4).alias("quality_score"),
+        quantize(
+            F.col("total_token_chars").cast("double") / F.col("n_tokens"), 4
+        ).alias("avg_token_len"),
+        quantize(
+            F.col("n_stopwords").cast("double") / F.col("n_tokens"), 4
+        ).alias("stopword_ratio"),
+        quantize(quality_score_expr(), 4).alias("quality_score"),
     )
 
 

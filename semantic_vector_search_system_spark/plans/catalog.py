@@ -40,6 +40,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.hashing import stable_hash64_sql
+from ..functions.quantize import quantize, quantize_sql
 from ..functions import timeutil as tu
 from ..functions.timeutil import read_events
 from ..operators import dedup as dd
@@ -584,19 +585,20 @@ def knn_hybrid_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
           / SUM(CASE WHEN rnk <= 10 THEN 1 ELSE 0 END) AS p10,
         CAST(SUM(CASE WHEN rnk <= 5 THEN rel ELSE 0 END) AS DOUBLE) / MAX(n_rel) AS r5,
         CAST(SUM(CASE WHEN rnk <= 10 THEN rel ELSE 0 END) AS DOUBLE) / MAX(n_rel) AS r10,
-        COALESCE(CAST(SUM(CAST(ROUND(
-            CASE WHEN rel = 1 THEN CAST(hits_at AS DOUBLE) / rnk END, 12)
+        COALESCE(CAST(SUM(CAST(FLOOR((CASE WHEN rel = 1
+              THEN CAST(hits_at AS DOUBLE) / rnk END) * 1000000000000.0 + 0.5)
+              / 1000000000000.0
           AS DECIMAL(25,12))) AS DOUBLE)
           / COUNT(CASE WHEN rel = 1 THEN 1 END), 0.0) AS ap,
         COALESCE(1.0 / MIN(CASE WHEN rel = 1 THEN rnk END), 0.0) AS rr
       FROM wh JOIN nrel ON wh.qid = nrel.qid GROUP BY wh.qid)
     SELECT
-      ROUND(CAST(SUM(CAST(ROUND(p5, 12) AS DECIMAL(25,12))) AS DOUBLE) / COUNT(p5), 4) AS p_at_5,
-      ROUND(CAST(SUM(CAST(ROUND(r5, 12) AS DECIMAL(25,12))) AS DOUBLE) / COUNT(r5), 4) AS r_at_5,
-      ROUND(CAST(SUM(CAST(ROUND(p10, 12) AS DECIMAL(25,12))) AS DOUBLE) / COUNT(p10), 4) AS p_at_10,
-      ROUND(CAST(SUM(CAST(ROUND(r10, 12) AS DECIMAL(25,12))) AS DOUBLE) / COUNT(r10), 4) AS r_at_10,
-      ROUND(CAST(SUM(CAST(ROUND(ap, 12) AS DECIMAL(25,12))) AS DOUBLE) / COUNT(ap), 4) AS mean_ap,
-      ROUND(CAST(SUM(CAST(ROUND(rr, 12) AS DECIMAL(25,12))) AS DOUBLE) / COUNT(rr), 4) AS mean_rr,
+      CAST(SUM(CAST(FLOOR(p5 * 1000000000000.0 + 0.5) / 1000000000000.0 AS DECIMAL(25,12))) AS DOUBLE) / COUNT(p5) AS p_at_5,
+      CAST(SUM(CAST(FLOOR(r5 * 1000000000000.0 + 0.5) / 1000000000000.0 AS DECIMAL(25,12))) AS DOUBLE) / COUNT(r5) AS r_at_5,
+      CAST(SUM(CAST(FLOOR(p10 * 1000000000000.0 + 0.5) / 1000000000000.0 AS DECIMAL(25,12))) AS DOUBLE) / COUNT(p10) AS p_at_10,
+      CAST(SUM(CAST(FLOOR(r10 * 1000000000000.0 + 0.5) / 1000000000000.0 AS DECIMAL(25,12))) AS DOUBLE) / COUNT(r10) AS r_at_10,
+      CAST(SUM(CAST(FLOOR(ap * 1000000000000.0 + 0.5) / 1000000000000.0 AS DECIMAL(25,12))) AS DOUBLE) / COUNT(ap) AS mean_ap,
+      CAST(SUM(CAST(FLOOR(rr * 1000000000000.0 + 0.5) / 1000000000000.0 AS DECIMAL(25,12))) AS DOUBLE) / COUNT(rr) AS mean_rr,
       COUNT(*) AS n_queries
     FROM perq
     """,
@@ -607,11 +609,15 @@ def retrieval_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end IR evaluation (reference `evaluate_all`): top-10 retrieval
     with label-relevance qrels -> p@k / r@k / MAP / MRR means.
 
-    Hash-determinism (r9 VERDICT #2): the per-query ratios are fractions
-    with non-binary denominators, so the AP term and every mean-over-queries
-    run through round-12 + exact DECIMAL sums + one IEEE division (in
-    metrics.per_query_metrics / evaluate_all, mirrored in the oracle) —
-    never a raw double AVG whose summation order can flip the round-4."""
+    Hash-determinism (r9 VERDICT #2, r10 VERDICT #2): the per-query ratios
+    are fractions with non-binary denominators, so the AP term and every
+    mean-over-queries run through quantize-12 (the cross-engine-safe FLOOR
+    form — functions/quantize.py) + exact DECIMAL sums + one IEEE division
+    (in metrics.per_query_metrics / evaluate_all, mirrored in the oracle) —
+    never a raw double AVG whose summation order can flip a rounding, and
+    never a ROUND whose .5-boundary behavior differs between engines. The
+    final round-4 presentation was dropped in r11: the unrounded means are
+    IEEE quotients of bit-identical operands."""
     emb = T(spark, sf_dir, "embeddings")
     q = emb.filter(F.col("vec_id") < 20).select(
         F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec"), F.col("label").alias("ql")
@@ -623,12 +629,12 @@ def retrieval_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("qid", "docid")
     ev = evaluate_all(top.select("qid", "docid", "rank"), qrels, k_values=(5, 10))
     return ev.select(
-        F.round("p_at_5", 4).alias("p_at_5"),
-        F.round("r_at_5", 4).alias("r_at_5"),
-        F.round("p_at_10", 4).alias("p_at_10"),
-        F.round("r_at_10", 4).alias("r_at_10"),
-        F.round("map", 4).alias("mean_ap"),
-        F.round("mrr", 4).alias("mean_rr"),
+        F.col("p_at_5"),
+        F.col("r_at_5"),
+        F.col("p_at_10"),
+        F.col("r_at_10"),
+        F.col("map").alias("mean_ap"),
+        F.col("mrr").alias("mean_rr"),
         F.col("n_queries"),
     )
 
@@ -660,10 +666,10 @@ def token_stats_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     f"""
     WITH t AS (SELECT doc_id, {_SPLIT} AS toks FROM documents)
     SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
-      ROUND(CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE) / len(toks), 4) AS avg_token_len,
-      ROUND(CAST(list_sum(list_transform(toks, x -> CASE WHEN x IN ('the','a') THEN 1 ELSE 0 END)) AS DOUBLE) / len(toks), 4) AS stopword_ratio,
-      ROUND(LEAST(1.0, CAST(len(toks) AS DOUBLE) / 100.0)
-            * (1.0 - CAST(list_sum(list_transform(toks, x -> CASE WHEN x IN ('the','a') THEN 1 ELSE 0 END)) AS DOUBLE) / len(toks)), 4) AS quality_score
+      FLOOR(CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE) / len(toks) * 10000.0 + 0.5) / 10000.0 AS avg_token_len,
+      FLOOR(CAST(list_sum(list_transform(toks, x -> CASE WHEN x IN ('the','a') THEN 1 ELSE 0 END)) AS DOUBLE) / len(toks) * 10000.0 + 0.5) / 10000.0 AS stopword_ratio,
+      FLOOR(LEAST(1.0, CAST(len(toks) AS DOUBLE) / 100.0)
+            * (1.0 - CAST(list_sum(list_transform(toks, x -> CASE WHEN x IN ('the','a') THEN 1 ELSE 0 END)) AS DOUBLE) / len(toks)) * 10000.0 + 0.5) / 10000.0 AS quality_score
     FROM t
     """,
     tags=("text", "quality"),
@@ -1029,8 +1035,8 @@ def embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     f"""
     WITH t AS (SELECT doc_id, source, {_SPLIT} AS toks FROM documents),
     q AS (SELECT doc_id, source,
-      ROUND(LEAST(1.0, CAST(len(toks) AS DOUBLE) / 100.0)
-            * (1.0 - CAST(list_sum(list_transform(toks, x -> CASE WHEN x IN ('the','a') THEN 1 ELSE 0 END)) AS DOUBLE) / len(toks)), 4) AS quality_score
+      FLOOR(LEAST(1.0, CAST(len(toks) AS DOUBLE) / 100.0)
+            * (1.0 - CAST(list_sum(list_transform(toks, x -> CASE WHEN x IN ('the','a') THEN 1 ELSE 0 END)) AS DOUBLE) / len(toks)) * 10000.0 + 0.5) / 10000.0 AS quality_score
       FROM t),
     r AS (SELECT source, doc_id, quality_score,
             ROW_NUMBER() OVER (PARTITION BY source
@@ -1053,7 +1059,7 @@ def source_cap_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     f"""
     WITH t AS (SELECT source, len({_SPLIT}) AS n FROM documents)
     SELECT source, COUNT(*) AS n_docs, CAST(SUM(n) AS BIGINT) AS total_tokens,
-      ROUND(LEAST(1.0, 1000.0 / SUM(n)), 6) AS sample_frac
+      FLOOR(LEAST(1.0, 1000.0 / SUM(n)) * 1000000.0 + 0.5) / 1000000.0 AS sample_frac
     FROM t GROUP BY source
     """,
     tags=("corpus", "mixture", "agg"),
@@ -1597,11 +1603,11 @@ def global_top_spenders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH c AS (SELECT event_type, CAST(value AS DECIMAL(12,2)) AS v FROM events)
     SELECT event_type, COUNT(v) AS n,
-      ROUND(CAST(SUM(v) AS DOUBLE) / COUNT(v), 4) AS mean_value,
-      ROUND(CASE WHEN COUNT(v) > 1 THEN
+      CAST(SUM(v) AS DOUBLE) / COUNT(v) AS mean_value,
+      CASE WHEN COUNT(v) > 1 THEN
         (CAST(SUM(v * v) AS DOUBLE)
          - CAST(SUM(v) AS DOUBLE) * CAST(SUM(v) AS DOUBLE) / COUNT(v))
-        / (COUNT(v) - 1) END, 4) AS var_value
+        / (COUNT(v) - 1) END AS var_value
     FROM c GROUP BY event_type
     """,
     tags=("stats", "A12"),
@@ -1610,12 +1616,19 @@ def welch_components_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed Welch-test components (n/mean/variance per group) —
     SURVEY A12; the t statistic is driver-side arithmetic in plans/report.py.
 
-    Hash-determinism (r9 VERDICT #2 — same ROUND-on-double-agg class as
-    paired_test_components): events.value carries exactly 2 decimal places,
-    so mean/variance derive from the exact DECIMAL component sums
-    S1=SUM(v), S2=SUM(v·v) — order-free — each cast to double once and
-    combined in a fixed IEEE expression tree, instead of rounding
-    AVG/var_samp over order-dependent double summation."""
+    Hash-determinism (r9 VERDICT #2, r10 VERDICT #2): events.value
+    carries exactly 2 decimal places, so mean/variance derive from the
+    exact DECIMAL component sums S1=SUM(v), S2=SUM(v·v) — order-free —
+    each cast to double once and combined in a fixed IEEE expression
+    tree, instead of rounding AVG/var_samp over order-dependent double
+    summation.  The final 4-dp ROUND was removed in r11: with S1 exact
+    DECIMAL(·,2), S1/n is a terminating rational whose lowest-terms
+    denominator carries 2^5 whenever 8 | n — which puts the quotient's
+    shortest repr EXACTLY on a 4-dp half-way point, where Spark's
+    BigDecimal HALF_UP and DuckDB's scaled-double std::round disagree
+    (the paired_test_components failure class).  The unrounded IEEE
+    quotient of bit-identical operands is itself bit-identical across
+    engines — no round, no boundary, no hazard."""
     e = T(spark, sf_dir, "events")
     v = F.col("value").cast("decimal(12,2)")
     comp = e.groupBy("event_type").agg(
@@ -1629,10 +1642,8 @@ def welch_components_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     return comp.select(
         "event_type",
         "n",
-        F.round(s1d / n, 4).alias("mean_value"),
-        F.round(
-            F.when(n > 1, (s2d - s1d * s1d / n) / (n - 1)), 4
-        ).alias("var_value"),
+        (s1d / n).alias("mean_value"),
+        F.when(n > 1, (s2d - s1d * s1d / n) / (n - 1)).alias("var_value"),
     )
 
 
@@ -1916,10 +1927,15 @@ _E2E_HASH_BUCKET = (
         MAX(CASE WHEN t.docid = q.qid THEN 1 ELSE 0 END) AS hit10,
         COALESCE(MAX(CASE WHEN t.docid = q.qid THEN 1.0 / t.rnk END), 0.0) AS rr
       FROM q LEFT JOIN top t ON q.qid = t.qid GROUP BY q.qid)
-    SELECT ROUND(AVG(CAST(hit1 AS DOUBLE)), 4) AS p_at_1,
-           ROUND(AVG(CAST(hit10 AS DOUBLE)), 4) AS r_at_10,
-           ROUND(CAST(SUM(CAST(ROUND(rr, 12) AS DECIMAL(25,12))) AS DOUBLE)
-                 / COUNT(rr), 4) AS mean_rr,
+    SELECT CAST(SUM(CAST(FLOOR(CAST(hit1 AS DOUBLE) * 1000000000000.0 + 0.5)
+                 / 1000000000000.0 AS DECIMAL(25,12))) AS DOUBLE)
+                 / COUNT(hit1) AS p_at_1,
+           CAST(SUM(CAST(FLOOR(CAST(hit10 AS DOUBLE) * 1000000000000.0 + 0.5)
+                 / 1000000000000.0 AS DECIMAL(25,12))) AS DOUBLE)
+                 / COUNT(hit10) AS r_at_10,
+           CAST(SUM(CAST(FLOOR(rr * 1000000000000.0 + 0.5)
+                 / 1000000000000.0 AS DECIMAL(25,12))) AS DOUBLE)
+                 / COUNT(rr) AS mean_rr,
            COUNT(*) AS n_queries
     FROM perq
     """,
@@ -1950,9 +1966,9 @@ def self_retrieval_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     qrels = queries.select(F.col("qid"), F.col("qid").alias("docid"))
     ev = evaluate_all(top.select("qid", "docid", "rank"), qrels, k_values=(1, 10))
     return ev.select(
-        F.round("p_at_1", 4).alias("p_at_1"),
-        F.round("r_at_10", 4).alias("r_at_10"),
-        F.round("mrr", 4).alias("mean_rr"),
+        F.col("p_at_1"),
+        F.col("r_at_10"),
+        F.col("mrr").alias("mean_rr"),
         F.col("n_queries"),
     )
 
@@ -2479,8 +2495,9 @@ def rollup_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
              CAST(generate_subscripts(embedding, 1) - 1 AS INTEGER) AS idx
       FROM embeddings)
     SELECT label, idx,
-      ROUND(CAST(SUM(CAST(ROUND(val, 12) AS DECIMAL(25,12))) AS DOUBLE)
-            / COUNT(*), 4) AS centroid_val,
+      FLOOR(CAST(SUM(CAST(FLOOR(val * 1000000000000.0 + 0.5) / 1000000000000.0
+                          AS DECIMAL(25,12))) AS DOUBLE)
+            / COUNT(*) * 10000.0 + 0.5) / 10000.0 AS centroid_val,
       COUNT(*) AS n_vectors
     FROM x GROUP BY label, idx
     """,
@@ -2494,13 +2511,20 @@ def label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     pattern for vector-typed aggregations (Spark has no native array-mean).
     Shuffle = one hash partition by label; group state = one matrix.
 
-    Hash-determinism (r9 VERDICT #2): row order INSIDE a group is whatever
-    the shuffle delivered, so np.mean over the group matrix was
-    order-dependent (pairwise summation over a nondeterministic row
-    order).  The kernel now mirrors the oracle's round-12 + exact-sum
-    recipe in scaled int64 (each round-12 value × 1e12 is an exact
-    integer < 2^63/n for any realistic group), divides once in IEEE and
-    rounds HALF_UP via decimal — bit-stable under any row order."""
+    Hash-determinism (r9 VERDICT #2, r10 VERDICT #2): row order INSIDE a
+    group is whatever the shuffle delivered, so np.mean over the group
+    matrix was order-dependent (pairwise summation over a
+    nondeterministic row order).  The kernel mirrors the oracle's
+    quantize-12 + exact-sum recipe in scaled int64 (each FLOOR(val·1e12
+    + 0.5) is an exact integer < 2^63/n for any realistic group),
+    divides once in IEEE and quantizes at 4 dp with the SAME
+    FLOOR(x·10⁴+0.5)/10⁴ form the oracle uses — the old Decimal HALF_UP
+    quantize reproduced Spark's round() semantics, which diverge from
+    DuckDB's std::round at exact .5 boundaries, and a mean of 2-ish-dp
+    values over a group whose size carries 2^5 LANDS on those
+    boundaries (the paired_test_components class)."""
+    import math
+
     import numpy as np
     import pandas as pd
 
@@ -2508,22 +2532,21 @@ def label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     dim = len(emb.select("embedding").first()[0])
 
     def centroid(pdf: pd.DataFrame) -> pd.DataFrame:
-        from decimal import ROUND_HALF_UP, Decimal
+        from decimal import Decimal
 
         M = np.array(pdf["embedding"].tolist(), dtype=np.float64)
         n = len(pdf)
-        # exact integer image of ROUND(val, 12): |val| is O(1), so
-        # val*1e12 carries < 1e-3 absolute float error — rint is exact
-        ints = np.rint(np.round(M, 12) * 1e12).astype(np.int64)
+        # exact integer image of the oracle's FLOOR(val*1e12 + 0.5)
+        ints = np.floor(M * 1e12 + 0.5).astype(np.int64)
         sums = ints.sum(axis=0, dtype=np.int64)
-        q4 = Decimal("0.0001")
+        # oracle tree: FLOOR(CAST(S AS DOUBLE)/n * 1e4 + 0.5)/1e4, with
+        # the decimal->double cast correctly rounded (Decimal.scaleb)
         c = np.array(
             [
-                float(
-                    Decimal(
-                        repr(float(Decimal(int(s)).scaleb(-12)) / n)
-                    ).quantize(q4, rounding=ROUND_HALF_UP)
+                math.floor(
+                    float(Decimal(int(s)).scaleb(-12)) / n * 10000.0 + 0.5
                 )
+                / 10000.0
                 for s in sums
             ]
         )
@@ -3151,8 +3174,9 @@ def sketch_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
       WHERE q >= 0.3 AND lang IN ('en', 'de', 'fr', 'es')
         AND NOT EXISTS (SELECT 1 FROM dup_losers x WHERE x.doc_id = quality.doc_id))
     SELECT lang, COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
-           ROUND(CAST(SUM(CAST(ROUND(q, 12) AS DECIMAL(25,12))) AS DOUBLE)
-                 / COUNT(*), 4) AS mean_quality
+           CAST(SUM(CAST(FLOOR(q * 1000000000000.0 + 0.5) / 1000000000000.0
+                         AS DECIMAL(25,12))) AS DOUBLE)
+                 / COUNT(*) AS mean_quality
     FROM selected GROUP BY lang
     """,
     bench=True,
@@ -3204,12 +3228,17 @@ def training_corpus_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
     return selected.groupBy("lang").agg(
         F.count("*").alias("n_docs"),
         F.sum("n_tokens").alias("total_tokens"),
-        # round-12 + exact DECIMAL sum + one IEEE division (r9 VERDICT #2):
-        # q is a double product, so a raw double SUM is merge-order-dependent
-        F.round(
-            F.sum(F.round(F.col("q"), 12).cast("decimal(25,12)")).cast("double")
-            / F.count("*"),
-            4,
+        # quantize-12 + exact DECIMAL sum + one IEEE division (r9 VERDICT
+        # #2, r10 VERDICT #2): q is a double product, so a raw double SUM
+        # is merge-order-dependent; the FLOOR quantizer (not ROUND — q is
+        # a rational of token counts, the .5-boundary class) pins the
+        # summand, and the unrounded final quotient of bit-identical
+        # operands needs no presentation round.
+        (
+            F.sum(quantize(F.col("q"), 12).cast("decimal(25,12)")).cast(
+                "double"
+            )
+            / F.count("*")
         ).alias("mean_quality"),
     )
 
@@ -3364,12 +3393,12 @@ _SH3 = (
     WITH t AS (SELECT doc_id, lang, {_SPLIT} AS t FROM documents),
     st AS (SELECT doc_id, lang,
              len(t) AS n_tokens,
-             ROUND(1.0 - CAST(len(list_distinct({_SH2})) AS DOUBLE) / len({_SH2}), 6) AS dup_2gram_frac,
-             ROUND(1.0 - CAST(len(list_distinct({_SH3})) AS DOUBLE) / len({_SH3}), 6) AS dup_3gram_frac,
-             CASE WHEN len(t) > 0 THEN ROUND(CAST(list_max(list_transform(list_distinct(t),
-                     d -> len(list_filter(t, x -> x = d)))) AS DOUBLE) / len(t), 6) ELSE 0.0 END AS top_token_frac,
-             CASE WHEN len(t) > 0 THEN ROUND(CAST(list_sum(list_transform(t, x -> len(x))) AS DOUBLE) / len(t), 6) ELSE 0.0 END AS mean_token_len,
-             CASE WHEN len(t) > 0 THEN ROUND(CAST(len(list_filter(t, x -> x = 'the' OR x = 'a')) AS DOUBLE) / len(t), 6) ELSE 0.0 END AS stopword_ratio
+             FLOOR((1.0 - CAST(len(list_distinct({_SH2})) AS DOUBLE) / len({_SH2})) * 1000000.0 + 0.5) / 1000000.0 AS dup_2gram_frac,
+             FLOOR((1.0 - CAST(len(list_distinct({_SH3})) AS DOUBLE) / len({_SH3})) * 1000000.0 + 0.5) / 1000000.0 AS dup_3gram_frac,
+             CASE WHEN len(t) > 0 THEN FLOOR(CAST(list_max(list_transform(list_distinct(t),
+                     d -> len(list_filter(t, x -> x = d)))) AS DOUBLE) / len(t) * 1000000.0 + 0.5) / 1000000.0 ELSE 0.0 END AS top_token_frac,
+             CASE WHEN len(t) > 0 THEN FLOOR(CAST(list_sum(list_transform(t, x -> len(x))) AS DOUBLE) / len(t) * 1000000.0 + 0.5) / 1000000.0 ELSE 0.0 END AS mean_token_len,
+             CASE WHEN len(t) > 0 THEN FLOOR(CAST(len(list_filter(t, x -> x = 'the' OR x = 'a')) AS DOUBLE) / len(t) * 1000000.0 + 0.5) / 1000000.0 ELSE 0.0 END AS stopword_ratio
            FROM t),
     fl AS (SELECT lang,
              (n_tokens < 20) AS too_short,
@@ -4791,7 +4820,8 @@ def _ndcg_oracle_sql(k: int, max_qid: int) -> str:
                           AS DECIMAL(38,12))) AS DOUBLE) AS dcg
           FROM hits GROUP BY qid)
     SELECT n.qid, n.n_rel,
-           COALESCE(ROUND(d.dcg / ([{pl}])[CAST(LEAST(n.n_rel, {k}) AS INTEGER)], 6),
+           COALESCE(FLOOR(d.dcg / ([{pl}])[CAST(LEAST(n.n_rel, {k}) AS INTEGER)]
+                          * 1000000.0 + 0.5) / 1000000.0,
                     0.0) AS ndcg_at_{k}
     FROM nrel n LEFT JOIN d ON d.qid = n.qid"""
 
@@ -4886,8 +4916,10 @@ def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
                                AS DECIMAL(38,12))) AS DOUBLE) AS _sq
           FROM a)
     SELECT lang, n_docs, total_tokens,
-      ROUND(CAST(total_tokens AS DOUBLE) / CAST(_all AS DOUBLE), 6) AS raw_share,
-      ROUND(ROUND(sqrt(CAST(total_tokens AS DOUBLE)), 12) / _sq, 6) AS temp_weight
+      FLOOR(CAST(total_tokens AS DOUBLE) / CAST(_all AS DOUBLE)
+            * 1000000.0 + 0.5) / 1000000.0 AS raw_share,
+      FLOOR(ROUND(sqrt(CAST(total_tokens AS DOUBLE)), 12) / _sq
+            * 1000000.0 + 0.5) / 1000000.0 AS temp_weight
     FROM a CROSS JOIN s
     """,
     tags=("corpus", "mixture", "sampling", "unimax"),
