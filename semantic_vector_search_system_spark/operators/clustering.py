@@ -51,6 +51,8 @@ import operator as _op
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..functions.quantize import quantize
+
 
 def _sq_dist_expr(vec_col: str, cvals: list[float]) -> F.Column:
     """Explicit left-associative squared-L2 chain between an array column
@@ -162,7 +164,11 @@ def _lloyd(
             assigned.select("cent_id", F.posexplode("v").alias("idx", "val"))
             .groupBy("cent_id", "idx")
             .agg(
-                F.round(
+                # quantize, not F.round (r10 VERDICT #2): the centroid
+                # update S/n is the exact-rational .5-boundary class —
+                # a cluster of 2^(k+1)·odd members with an odd scaled
+                # sum lands EXACTLY where Spark/DuckDB round() disagree.
+                quantize(
                     F.sum(F.col("val").cast("decimal(38,12)")).cast("double")
                     / F.count("*").cast("double"),
                     round_digits,
@@ -282,7 +288,7 @@ def prototype_sample(
     ).localCheckpoint()
     _, cents = _lloyd(e, k, n_iter, strategy, round_digits)
     assign = _assign_expr if strategy == "expr" else _assign_fast
-    r6 = F.round(F.col("adist"), 6)
+    r6 = quantize(F.col("adist"), 6)
     scored = assign(e, cents).select(
         "cent_id",
         "vec_id",

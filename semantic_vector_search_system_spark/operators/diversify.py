@@ -66,6 +66,8 @@ def mmr_rerank(
     exactly representable (0.5, 0.25, ...) for the cross-engine
     guarantee; other values still give a deterministic Spark result.
     """
+    import math
+
     import pandas as pd
     from decimal import ROUND_HALF_UP, Decimal
 
@@ -131,11 +133,11 @@ def mmr_rerank(
                 qid_col: pdf[qid_col].iloc[0],
                 id_col: [s[0] for s in sel],
                 "step": [i + 1 for i in range(len(sel))],
-                "rel": [
-                    float(Decimal(s[1]).quantize(Decimal("1e-6"),
-                                                 rounding=ROUND_HALF_UP))
-                    for s in sel
-                ],
+                # quantize-6 (FLOOR form, r10 VERDICT #2): mirrors the
+                # oracle's FLOOR(rel*1e6 + 0.5)/1e6 — the 12-dp rel is a
+                # terminating decimal, the class where Spark/DuckDB
+                # round() semantics disagree at .5 boundaries.
+                "rel": [math.floor(s[1] * 1e6 + 0.5) / 1e6 for s in sel],
             }
         )
         return out

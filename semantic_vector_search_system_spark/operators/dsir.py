@@ -41,6 +41,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.hashing import stable_hash_bucket
+from ..functions.quantize import quantize
 from ..functions.text import py_tokenize, tokenize
 
 
@@ -107,8 +108,11 @@ def dsir_topk(
         .crossJoin(F.broadcast(tt))
         .crossJoin(F.broadcast(tr))
         .withColumn(
+            # quantize, not F.round (r10 VERDICT #2): the likelihood
+            # ratio is a rational of integer counts — the cross-engine
+            # .5-boundary class; FLOOR(x·1e12+0.5)/1e12 is engine-pinned.
             "r",
-            F.round(
+            quantize(
                 (
                     (F.coalesce(F.col("ct"), F.lit(0)) + F.lit(1.0))
                     / (F.col("tn") + b)
@@ -123,7 +127,7 @@ def dsir_topk(
     )
     rep = scored.groupBy(doc_id).agg(
         F.count("*").alias("n_feats"),
-        F.round(
+        quantize(
             F.sum(F.col("r").cast("decimal(38,12)")).cast("double")
             / F.count("*").cast("double"),
             6,
@@ -204,32 +208,33 @@ def _dsir_topk_fast(
 ) -> DataFrame:
     """Arrow-kernel face of :func:`dsir_topk`, BITWISE-identical output
     (parity-tested): per-feature ratios precompute ONCE driver-side as
-    exact 1e-12-scaled integers (Decimal HALF_UP — cast(x as
-    decimal(38,12)) semantics), per-doc scores are exact integer sums
-    replayed through Decimal for the final cast/divide/round — no
+    exact 1e-12-scaled integers (``floor(r·1e12 + 0.5)`` — the expr
+    face's quantize-12/DECIMAL(38,12) semantics, FLOOR form per r10
+    VERDICT #2), per-doc scores are exact integer sums replayed through
+    Decimal for the final cast/divide/quantize-6 — no
     per-gram md5 expressions, no corpus-sized explode, no 10^8-row
     DECIMAL aggregation. Measured at 1M docs (111M tokens): the expr
     face exceeds 9 minutes; this face is tens of seconds."""
-    from decimal import ROUND_HALF_UP, Decimal
+    import math
+    from decimal import Decimal
 
     import pandas as pd
 
     ct, tn = _fast_counts(target_docs, n_buckets, text_col)
     cr, rn = _fast_counts(raw_docs, n_buckets, text_col)
-    q12 = Decimal("1e-12")
     int_r: dict[int, int] = {}
     for f in range(n_buckets):
         r = ((ct.get(f, 0) + 1.0) / (tn + n_buckets)) / (
             (cr.get(f, 0) + 1.0) / (rn + n_buckets)
         )
-        int_r[f] = int(Decimal(r).quantize(q12, rounding=ROUND_HALF_UP) / q12)
+        # the expr face's quantize(r, 12), scaled (FLOOR form, r10 #2)
+        int_r[f] = math.floor(r * 1e12 + 0.5)
 
     _, feat_of = _count_kernel(n_buckets, text_col)
 
     def score_fn(batches):
         from collections import Counter
 
-        q6 = Decimal("1e-6")
         for pdf in batches:
             ids, nfs, scs = [], [], []
             for did, t in zip(pdf[doc_id], pdf[text_col]):
@@ -247,7 +252,7 @@ def _dsir_topk_fast(
                 mean = float(Decimal(total).scaleb(-12)) / float(n)
                 ids.append(did)
                 nfs.append(n)
-                scs.append(float(Decimal(mean).quantize(q6, rounding=ROUND_HALF_UP)))
+                scs.append(math.floor(mean * 1e6 + 0.5) / 1e6)
             if ids:
                 yield pd.DataFrame(
                     {doc_id: ids, "n_feats": nfs, "dsir_score": scs}
@@ -286,19 +291,18 @@ def write_dsir_model(
     different width can never silently probe an incompatible model).
     The whole model is <= n_buckets rows: the 100 TB corpora compress
     to kilobytes of serving state."""
-    from decimal import ROUND_HALF_UP, Decimal
+    import math
 
     spark = raw_docs.sparkSession
     ct, tn = _fast_counts(target_docs, n_buckets, text_col)
     cr, rn = _fast_counts(raw_docs, n_buckets, text_col)
-    q12 = Decimal("1e-12")
     rows = []
     for f in range(n_buckets):
         r = ((ct.get(f, 0) + 1.0) / (tn + n_buckets)) / (
             (cr.get(f, 0) + 1.0) / (rn + n_buckets)
         )
-        q = Decimal(r).quantize(q12, rounding=ROUND_HALF_UP)
-        rows.append((f, float(q), int(q / q12)))
+        iq = math.floor(r * 1e12 + 0.5)  # quantize(r, 12), scaled
+        rows.append((f, iq / 1e12, iq))
     spark.createDataFrame(
         rows, "feat long, r double, int_r long"
     ).write.mode("overwrite").format("parquet").saveAsTable(
@@ -333,7 +337,8 @@ def dsir_score_batch(
         int(r["feat"]): int(r["int_r"])
         for r in spark.read.table(f"{table_prefix}_ratios").collect()
     }  # bounded: n_buckets rows (the whole stored model)
-    from decimal import ROUND_HALF_UP, Decimal
+    import math
+    from decimal import Decimal
 
     _, feat_of = _count_kernel(n_buckets, text_col)
 
@@ -341,7 +346,6 @@ def dsir_score_batch(
         import pandas as pd
         from collections import Counter
 
-        q6 = Decimal("1e-6")
         for pdf in batches:
             ids, nfs, scs = [], [], []
             for did, t in zip(pdf[doc_id], pdf[text_col]):
@@ -357,7 +361,7 @@ def dsir_score_batch(
                 mean = float(Decimal(total).scaleb(-12)) / float(n)
                 ids.append(did)
                 nfs.append(n)
-                scs.append(float(Decimal(mean).quantize(q6, rounding=ROUND_HALF_UP)))
+                scs.append(math.floor(mean * 1e6 + 0.5) / 1e6)
             if ids:
                 yield pd.DataFrame(
                     {doc_id: ids, "n_feats": nfs, "dsir_score": scs}

@@ -39,6 +39,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from ..functions.hashing import stable_hash64
+from ..functions.quantize import quantize
 from ..functions.text import py_tokenize, tokenize
 from ..functions.vectors import l2_normalize
 
@@ -319,7 +320,7 @@ def pinned_tfidf_topk(
     return (
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
-        .select(q_id, "docid", "rank", F.round("score", 4).alias("score"))
+        .select(q_id, "docid", "rank", quantize(F.col("score"), 4).alias("score"))
     )
 
 

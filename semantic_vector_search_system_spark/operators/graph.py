@@ -29,6 +29,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..functions.quantize import quantize
+
 
 def pagerank(
     pairs: DataFrame,
@@ -58,22 +60,27 @@ def pagerank(
         return deg.withColumn("pagerank", F.lit(0.0)).limit(0)
     n_lit = F.lit(float(n_nodes))
     teleport = (F.lit(1.0) - F.lit(damping)) / n_lit
+    # quantize, not F.round (r10 VERDICT #2): every pinned value in the
+    # trajectory is a rational (1/n, pr/degree with pr itself a 12-dp
+    # rational) — a degree of 2 with an odd scaled numerator lands the
+    # quotient EXACTLY on a 13-digit half-way point, where Spark and
+    # DuckDB round() disagree; the FLOOR form is IEEE-pinned on both.
     state = deg.select(
         "node",
         "degree",
-        F.round(F.lit(1.0) / n_lit, round_digits).alias("pr"),
+        quantize(F.lit(1.0) / n_lit, round_digits).alias("pr"),
     ).localCheckpoint()
     for _ in range(n_iter):
         msg = und.join(
             state.withColumnRenamed("node", "s"), "s"
         ).select(
             F.col("d").alias("node"),
-            F.round(
+            quantize(
                 F.col("pr") / F.col("degree"), round_digits
             ).alias("m"),
         )
         pr = msg.groupBy("node").agg(
-            F.round(
+            quantize(
                 teleport
                 + F.lit(damping)
                 * F.sum(F.col("m").cast("decimal(38,12)")).cast("double"),

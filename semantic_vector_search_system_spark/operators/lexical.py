@@ -35,6 +35,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..functions.quantize import quantize
+
 from ..functions.hashing import stable_hash64
 from ..functions.text import tokenize
 
@@ -248,7 +250,7 @@ def bm25_topk_from_index(
     return (
         scored.withColumn("rank", F.row_number().over(w).cast("int"))
         .filter(F.col("rank") <= k)
-        .select("qid", "docid", "rank", F.round("score", 4).alias("score"))
+        .select("qid", "docid", "rank", quantize(F.col("score"), 4).alias("score"))
     )
 
 
@@ -265,7 +267,7 @@ def bm25_topk(
     return (
         scored.withColumn("rank", F.row_number().over(w).cast("int"))
         .filter(F.col("rank") <= k)
-        .select("qid", "docid", "rank", F.round("score", 4).alias("score"))
+        .select("qid", "docid", "rank", quantize(F.col("score"), 4).alias("score"))
     )
 
 

@@ -18,7 +18,8 @@ Training is two keyed aggregations over ONE bigram explode (conditioning
 counts c(w1,*) derive from the bigram relation, not a second corpus
 pass); scoring is an explode + two equi-joins against the count relations
 (broadcast when the vocabulary fits, shuffle-keyed otherwise) + a
-DECIMAL-exact mean (each ratio rounded to 12 decimals first, so the sum
+DECIMAL-exact mean (each ratio quantized to 12 decimals first via the
+cross-engine-safe FLOOR form — functions/quantize.py — so the sum
 is partitioning-invariant). 100 TB shape: count relations are
 vocabulary-bounded, the corpus streams once for training and once for
 scoring, no driver collect anywhere.
@@ -29,6 +30,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..functions.quantize import quantize
 from ..functions.text import tokenize
 
 
@@ -79,10 +81,11 @@ def _bigram_lm_score_fast(
     output (parity-tested incl. unicode whitespace and round-half ties —
     the dsir fast-face recipe at `dsir.py:_dsir_topk_fast`): the count
     relations collect to broadcast dicts, each ratio quantizes ONCE per
-    distinct bigram per worker to an exact 1e-12-scaled integer (Decimal
-    HALF_UP = the expr face's ``round(x, 12)``/DECIMAL(38,12) semantics),
+    distinct bigram per worker to an exact 1e-12-scaled integer
+    (``floor(r·1e12 + 0.5)`` = the expr face's quantize-12/DECIMAL(38,12)
+    semantics — the FLOOR form, not round(): r10 VERDICT #2),
     and per-doc scores are exact integer sums replayed through Decimal
-    for the final cast/divide/round-6.  No bigram explode, no shuffle at
+    for the final cast/divide/quantize-6.  No bigram explode, no shuffle at
     all — ONE narrow pass over the docs (measured r9b at a 100k-doc /
     13M-bigram batch: expr face ~27 s regardless of join strategy — the
     explode chain itself, not the join, was the cost — fast face ~2 s).
@@ -92,7 +95,8 @@ def _bigram_lm_score_fast(
     corpus grows cnt2 with the corpus, and beyond the bound the expr
     face's joins are the honest distributed path (same trade as the
     dsir n_buckets bound and the bm25 broadcast-terms bound)."""
-    from decimal import ROUND_HALF_UP, Decimal
+    import math
+    from decimal import Decimal
 
     import pandas as pd
 
@@ -112,8 +116,6 @@ def _bigram_lm_score_fast(
     bc = docs.sparkSession.sparkContext.broadcast((c2, c1, vs))
 
     def fn(batches):
-        q12 = Decimal("1e-12")
-        q6 = Decimal("1e-6")
         b2, b1, bvs = bc.value
         memo: dict = {}
 
@@ -121,7 +123,8 @@ def _bigram_lm_score_fast(
             v = memo.get((a, b))
             if v is None:
                 r = (b2.get((a, b), 0) + 1.0) / (b1.get(a, 0) + bvs)
-                v = int(Decimal(r).quantize(q12, rounding=ROUND_HALF_UP) / q12)
+                # the expr face's quantize(r, 12), scaled: FLOOR(r·1e12+0.5)
+                v = math.floor(r * 1e12 + 0.5)
                 memo[(a, b)] = v
             return v
 
@@ -136,13 +139,11 @@ def _bigram_lm_score_fast(
                 for a, b in zip(toks, toks[1:]):
                     total += int_r(a, b)
                 # exact decimal sum -> double (cast), one IEEE division,
-                # round-6 HALF_UP: the expr face's agg replayed exactly
+                # quantize-6 (FLOOR form): the expr face's agg replayed
                 mean = float(Decimal(total).scaleb(-12)) / float(n)
                 ids.append(did)
                 nbs.append(n)
-                scs.append(
-                    float(Decimal(mean).quantize(q6, rounding=ROUND_HALF_UP))
-                )
+                scs.append(math.floor(mean * 1e6 + 0.5) / 1e6)
             if ids:
                 yield pd.DataFrame(
                     {doc_id: ids, "n_bigrams": nbs, "lm_score": scs}
@@ -180,8 +181,10 @@ def bigram_lm_score(
     shuffle at all); ``"none"`` leaves both to the optimizer.
 
     Determinism: each ratio is a single IEEE division of exact-integer
-    doubles (bit-identical in any engine), rounded to 12 decimals and
-    summed in DECIMAL(38,12) — the mean is exact under any partitioning.
+    doubles (bit-identical in any engine), quantized to 12 decimals via
+    the FLOOR form (ROUND diverges cross-engine at the .5 boundaries a
+    2^13-bearing denominator guarantees — r10 VERDICT #2) and summed in
+    DECIMAL(38,12) — the mean is exact under any partitioning.
 
     ``strategy``: ``"expr"`` (default) is the distributed explode+join
     face — the 100 TB path for open-vocabulary models; ``"fast"`` is the
@@ -229,8 +232,13 @@ def bigram_lm_score(
         .join(cnt1, "w1", "left")
         .crossJoin(F.broadcast(vocab))
         .withColumn(
+            # quantize, not F.round (r10 VERDICT #2): the smoothed ratio
+            # (c12+1)/(c1+vs) is a rational of integers — when the reduced
+            # denominator carries 2^13 it terminates EXACTLY on a 13-digit
+            # half-way point, where Spark and DuckDB round() disagree.
+            # FLOOR(x·1e12+0.5)/1e12 is pure IEEE — engine-identical.
             "r",
-            F.round(
+            quantize(
                 (F.coalesce(F.col("c12"), F.lit(0)) + F.lit(1)).cast("double")
                 / (F.coalesce(F.col("c1"), F.lit(0)) + F.col("vs")).cast("double"),
                 12,
@@ -239,7 +247,7 @@ def bigram_lm_score(
     )
     return scored.groupBy(doc_id).agg(
         F.count("*").alias("n_bigrams"),
-        F.round(
+        quantize(
             F.sum(F.col("r").cast("decimal(38,12)")).cast("double")
             / F.count("*").cast("double"),
             6,

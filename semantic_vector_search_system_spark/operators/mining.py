@@ -35,6 +35,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..functions.quantize import quantize
+
 from ..functions.vectors import cosine_similarity
 
 
@@ -106,7 +108,7 @@ def margin_knn_pairs(
     return (
         m.withColumn("_rm", F.row_number().over(wm))
         .filter((F.col("_rm") == 1) & (F.col("_margin") >= threshold))
-        .select(x_id, y_id, F.round("_margin", 6).alias("margin"))
+        .select(x_id, y_id, quantize(F.col("_margin"), 6).alias("margin"))
     )
 
 
@@ -150,7 +152,7 @@ def margin_knn_pairs_from_knn(
     return (
         m.withColumn("_rm", F.row_number().over(wm))
         .filter((F.col("_rm") == 1) & (F.col("_margin") >= threshold))
-        .select(x_id, y_id, F.round("_margin", 6).alias("margin"))
+        .select(x_id, y_id, quantize(F.col("_margin"), 6).alias("margin"))
     )
 
 

@@ -42,6 +42,8 @@ import numpy as np
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..functions.quantize import quantize
+
 
 def _sq_l2_expr(vec: Column, cvec: Column, offset: Column, d: int) -> Column:
     """Explicit left-associative squared-L2 over ``d`` elements:
@@ -168,7 +170,7 @@ def pq_adc_topk(
     return (
         scored.withColumn("rank", F.row_number().over(w).cast("int"))
         .filter(F.col("rank") <= k)
-        .select(q_id, "docid", "rank", F.round("adist", 4).alias("adist"))
+        .select(q_id, "docid", "rank", quantize(F.col("adist"), 4).alias("adist"))
     )
 
 
@@ -449,7 +451,7 @@ def ivfpq_topk_expr(
     return (
         scored.withColumn("rank", F.row_number().over(w_r).cast("int"))
         .filter(F.col("rank") <= k)
-        .select(q_id, "docid", "rank", F.round("adist", 4).alias("adist"))
+        .select(q_id, "docid", "rank", quantize(F.col("adist"), 4).alias("adist"))
     )
 
 

@@ -31,6 +31,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..functions.quantize import quantize
+
 from ..functions.hashing import HASH_BITS, stable_hash64
 
 #: theta while a group is still exact: the whole 60-bit hash space.
@@ -128,7 +130,9 @@ def kmv_pair_ops(
         theta_u.alias("theta_u"),
         _estimate(nu, theta_u).alias("union_est"),
         _estimate(ni, theta_u).alias("intersect_est"),
-        F.when(nu > 0, F.round(ni.cast("double") / nu.cast("double"), 6))
+        # quantize, not F.round (r10 VERDICT #2): ni/nu is a rational of
+        # integer retained-counts — the cross-engine .5-boundary class.
+        F.when(nu > 0, quantize(ni.cast("double") / nu.cast("double"), 6))
         .otherwise(F.lit(0.0))
         .alias("jaccard_est"),
     )

@@ -9,9 +9,31 @@ Cross-engine determinism rules used throughout (so value hashes match):
 
 * money/quantity aggregates: sum in DECIMAL(12,2) (exact), cast the final
   value to DOUBLE — bit-identical in both engines, immune to summation order;
-* averages: exact decimal (or integer) sum cast to double, divided by count;
-* percentiles: exact linear-interpolation percentile (both engines), rounded;
-* means of ratios (IR metrics): ROUND(..., 4) absorbs summation-order noise;
+* averages: exact decimal (or integer) sum cast to double, divided by count
+  — the final quotient is emitted UNROUNDED (one IEEE division of
+  bit-identical operands is itself bit-identical);
+* percentiles: exact linear-interpolation percentile (both engines); the
+  round-4 on 2-dp event values is safe because the interpolated value
+  terminates within 4 decimals (round-k of a <= k-dp value is exact);
+* NEVER ROUND an exact-rational value (r10 VERDICT #1/#2): Spark's
+  round(double, k) applies BigDecimal HALF_UP to the double's SHORTEST
+  DECIMAL REPR while DuckDB's applies scaled-double std::round, and they
+  DISAGREE at exact .5 boundaries — which a rational hits with certainty
+  whenever its lowest-terms denominator carries 2^(k+1) (e.g. S/n with
+  8|n at k=4; a token ratio over a 128·odd-token doc at k=6; pr/degree
+  with degree 2 at k=12).  Where a fixed-point quantization is wanted
+  (ratio summands before DECIMAL sums, score presentation on pinned
+  expression trees), use functions/quantize.py: FLOOR(x·10^k + 0.5)/10^k
+  — multiply/add/floor/divide are correctly-rounded IEEE ops with no
+  decimal-string involvement, so bit-identical inputs give bit-identical
+  outputs in both engines, boundaries included.  ROUND remains ONLY on
+  (a) <= k-dp exact values (percentiles of 2-dp data — exact round-trip),
+  (b) irrational-ish float-math values where the two faces take different
+  physical paths (BLAS cosine vs SQL fold) and the round absorbs ~1e-13
+  path noise (boundary probability for a 17-digit-repr double is ~1e-11
+  — negligible, and the absorption is load-bearing), and (c) round-12 of
+  sqrt outputs (irrational or exact-integer, neither can terminate at
+  digit 13);
 * hashing: pinned md5-based 60-bit hash (functions/hashing.py) — identical
   in Spark, DuckDB and Python;
 * no transcendental functions (exp/ln/pow) whose libm rounding may differ
@@ -2182,7 +2204,7 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         ON ap.nprobe = p.nprobe AND ap.qid = ex.qid AND ap.docid = ex.docid
       GROUP BY p.nprobe, ex.qid)
     SELECT nprobe,
-           ROUND(CAST(SUM(hits) AS DOUBLE) / (5 * COUNT(*)), 6) AS mean_recall_at_5,
+           FLOOR(CAST(SUM(hits) AS DOUBLE) / (5 * COUNT(*)) * 1000000.0 + 0.5) / 1000000.0 AS mean_recall_at_5,
            COUNT(*) AS n_queries
     FROM perq GROUP BY nprobe
     """,
@@ -2232,7 +2254,9 @@ def ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         outs.append(
             perq.agg(
-                F.round(
+                # quantize, not F.round (r10 VERDICT #2): hits/(5n) is
+                # a rational of integers — the .5-boundary class.
+                quantize(
                     F.sum("hits").cast("double") / (F.lit(5) * F.count("*")), 6
                 ).alias("mean_recall_at_5"),
                 F.count("*").alias("n_queries"),
@@ -2292,7 +2316,7 @@ def stream_user_totals_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
     ranked AS (SELECT qid, docid, score,
                  CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY score DESC, docid) AS INTEGER) AS rank
                FROM scored)
-    SELECT qid, docid, rank, ROUND(score, 4) AS score FROM ranked WHERE rank <= 5
+    SELECT qid, docid, rank, FLOOR(score * 10000.0 + 0.5) / 10000.0 AS score FROM ranked WHERE rank <= 5
     """,
     tags=("encode", "tfidf", "§2.8"),
 )
@@ -3101,7 +3125,8 @@ def sketch_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                 * ({float(1 << 60)!r} / CAST(theta_u AS DOUBLE))) AS BIGINT)
              AS intersect_est,
            CASE WHEN nu > 0
-                THEN ROUND(CAST(ni AS DOUBLE) / CAST(nu AS DOUBLE), 6)
+                THEN FLOOR(CAST(ni AS DOUBLE) / CAST(nu AS DOUBLE)
+                           * 1000000.0 + 0.5) / 1000000.0
                 ELSE 0.0 END AS jaccard_est
     FROM cu, ci, tu
     """,
@@ -3617,7 +3642,7 @@ def decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     ranked AS (SELECT qid, docid, score,
                  CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY score DESC, docid) AS INTEGER) AS rank
                FROM sc)
-    SELECT qid, docid, rank, ROUND(score, 4) AS score FROM ranked WHERE rank <= 5
+    SELECT qid, docid, rank, FLOOR(score * 10000.0 + 0.5) / 10000.0 AS score FROM ranked WHERE rank <= 5
     """,
     bench=True,
     tags=("lexical", "bm25", "topk"),
@@ -3722,7 +3747,7 @@ def _sq16_sql(a: str, b: str, off: str) -> str:
                  CAST(ROW_NUMBER() OVER (PARTITION BY qid
                         ORDER BY adist ASC, docid) AS INTEGER) AS rank
                FROM sc)
-    SELECT qid, docid, rank, ROUND(adist, 4) AS adist FROM ranked WHERE rank <= 5
+    SELECT qid, docid, rank, FLOOR(adist * 10000.0 + 0.5) / 10000.0 AS adist FROM ranked WHERE rank <= 5
     """,
     tags=("vector-search", "ann", "pq"),
 )
@@ -3762,7 +3787,7 @@ def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                FROM w GROUP BY doc_id, source)
     SELECT source, COUNT(*) AS n_docs,
            CAST(SUM(CASE WHEN margin > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_accepted,
-           ROUND(CAST(SUM(CAST(margin AS DECIMAL(38,12))) AS DOUBLE) / COUNT(*), 6) AS mean_margin
+           FLOOR(CAST(SUM(CAST(margin AS DECIMAL(38,12))) AS DOUBLE) / COUNT(*) * 1000000.0 + 0.5) / 1000000.0 AS mean_margin
     FROM perdoc GROUP BY source
     """,
     tags=("curation", "quality", "classifier"),
@@ -3787,7 +3812,7 @@ def quality_classifier_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(F.col("margin") > 0, 1).otherwise(0))
         .cast("long")
         .alias("n_accepted"),
-        F.round(
+        quantize(
             F.sum(F.col("margin").cast("decimal(38,12)")).cast("double")
             / F.count("*").cast("double"),
             6,
@@ -3864,12 +3889,12 @@ def semdedup_keep_one(spark: SparkSession, sf_dir: str) -> DataFrame:
     v AS (SELECT COUNT(DISTINCT tok) AS vs
           FROM (SELECT unnest(t) AS tok FROM toks)),
     scored AS (
-      SELECT bg.doc_id, ROUND((c12 + 1.0) / (c1 + vs), 12) AS r
+      SELECT bg.doc_id, FLOOR((c12 + 1.0) / (c1 + vs) * 1000000000000.0 + 0.5) / 1000000000000.0 AS r
       FROM bg JOIN cnt2 USING (w1, w2) JOIN cnt1 USING (w1) CROSS JOIN v
       WHERE bg.doc_id % 5 = 0)
     SELECT doc_id, COUNT(*) AS n_bigrams,
-           ROUND(CAST(SUM(CAST(r AS DECIMAL(38,12))) AS DOUBLE)
-                 / COUNT(*), 6) AS lm_score
+           FLOOR(CAST(SUM(CAST(r AS DECIMAL(38,12))) AS DOUBLE)
+                 / COUNT(*) * 1000000.0 + 0.5) / 1000000.0 AS lm_score
     FROM scored GROUP BY doc_id
     """,
     tags=("curation", "quality", "lm"),
@@ -3905,12 +3930,12 @@ def bigram_lm_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     v AS (SELECT COUNT(DISTINCT tok) AS vs
           FROM (SELECT unnest(t) AS tok FROM toks)),
     sc AS (
-      SELECT bg.doc_id, ROUND((c12 + 1.0) / (c1 + vs), 12) AS r
+      SELECT bg.doc_id, FLOOR((c12 + 1.0) / (c1 + vs) * 1000000000000.0 + 0.5) / 1000000000000.0 AS r
       FROM bg JOIN cnt2 USING (w1, w2) JOIN cnt1 USING (w1) CROSS JOIN v
       WHERE bg.doc_id % 5 = 0),
     rep AS (SELECT doc_id, COUNT(*) AS nb,
-              ROUND(CAST(SUM(CAST(r AS DECIMAL(38,12))) AS DOUBLE)
-                    / COUNT(*), 6) AS s
+              FLOOR(CAST(SUM(CAST(r AS DECIMAL(38,12))) AS DOUBLE)
+                    / COUNT(*) * 1000000.0 + 0.5) / 1000000.0 AS s
             FROM sc GROUP BY doc_id),
     nt AS (SELECT doc_id, nb, s,
              NTILE(3) OVER (ORDER BY s DESC, doc_id) AS bucket
@@ -4002,7 +4027,7 @@ def lm_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
                  CAST(ROW_NUMBER() OVER (PARTITION BY qid
                         ORDER BY adist ASC, docid) AS INTEGER) AS rank
                FROM sc)
-    SELECT qid, docid, rank, ROUND(adist, 4) AS adist FROM ranked WHERE rank <= 5
+    SELECT qid, docid, rank, FLOOR(adist * 10000.0 + 0.5) / 10000.0 AS adist FROM ranked WHERE rank <= 5
     """,
     tags=("vector-search", "ann", "ivf", "pq"),
 )
@@ -4181,7 +4206,7 @@ def bpe_encode_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     best AS (SELECT xid, yid, mg,
                ROW_NUMBER() OVER (PARTITION BY xid ORDER BY mg DESC, yid) AS rm
              FROM m)
-    SELECT xid, yid, ROUND(mg, 6) AS margin FROM best WHERE rm = 1 AND mg >= 1.0
+    SELECT xid, yid, FLOOR(mg * 1000000.0 + 0.5) / 1000000.0 AS margin FROM best WHERE rm = 1 AND mg >= 1.0
     """,
     tags=("mining", "bitext", "vector-search", "curation"),
 )
@@ -4330,16 +4355,16 @@ def _pagerank_oracle_sql(n_iter: int) -> str:
             UNION ALL SELECT id_b AS s, id_a AS d FROM pairs),
     deg AS (SELECT s AS node, COUNT(*) AS degree FROM und GROUP BY s),
     nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM deg),
-    pr0 AS (SELECT node, degree, ROUND(1.0 / (SELECT n FROM nn), 12) AS pr
+    pr0 AS (SELECT node, degree, FLOOR(1.0 / (SELECT n FROM nn) * 1000000000000.0 + 0.5) / 1000000000000.0 AS pr
             FROM deg)"""
     for k in range(n_iter):
         sql += f"""
-    , m{k + 1} AS (SELECT u.d AS node, ROUND(p.pr / p.degree, 12) AS m
+    , m{k + 1} AS (SELECT u.d AS node, FLOOR(p.pr / p.degree * 1000000000000.0 + 0.5) / 1000000000000.0 AS m
               FROM und u JOIN pr{k} p ON p.node = u.s)
     , pr{k + 1} AS (SELECT d.node, d.degree,
-              ROUND((1.0 - 0.85) / (SELECT n FROM nn)
-                    + 0.85 * CAST(SUM(CAST(m AS DECIMAL(38,12))) AS DOUBLE),
-                    12) AS pr
+              FLOOR(((1.0 - 0.85) / (SELECT n FROM nn)
+                    + 0.85 * CAST(SUM(CAST(m AS DECIMAL(38,12))) AS DOUBLE))
+                    * 1000000000000.0 + 0.5) / 1000000000000.0 AS pr
             FROM m{k + 1} JOIN deg d ON d.node = m{k + 1}.node
             GROUP BY d.node, d.degree)"""
     return sql + f"""
@@ -4466,8 +4491,9 @@ def _lloyd_ctes(k: int, n_iter: int, dim: int = 64) -> str:
                                    ORDER BY dist, cent_id) AS rn
          FROM d{t}) x WHERE rn = 1)
     , m{t} AS (SELECT cent_id, CAST(idx AS INTEGER) AS idx,
-                ROUND(CAST(SUM(CAST(val AS DECIMAL(38,12))) AS DOUBLE)
-                      / CAST(COUNT(*) AS DOUBLE), 6) AS centroid_val,
+                FLOOR(CAST(SUM(CAST(val AS DECIMAL(38,12))) AS DOUBLE)
+                      / CAST(COUNT(*) AS DOUBLE)
+                      * 1000000.0 + 0.5) / 1000000.0 AS centroid_val,
                 COUNT(*) AS n_members
          FROM (SELECT cent_id, CAST(unnest(v) AS DOUBLE) AS val,
                       generate_subscripts(v, 1) - 1 AS idx FROM a{t}) u
@@ -4499,7 +4525,7 @@ def _prototype_oracle_sql(
     , dfin AS (SELECT e.vec_id, c.cent_id,
                {_sqdim_sql('e.v', 'c.cv', dim)} AS dist
                FROM e CROSS JOIN c{n_iter} c)
-    , afin AS (SELECT vec_id, cent_id, ROUND(dist, 6) AS dist FROM (
+    , afin AS (SELECT vec_id, cent_id, FLOOR(dist * 1000000.0 + 0.5) / 1000000.0 AS dist FROM (
          SELECT vec_id, cent_id, dist,
                 ROW_NUMBER() OVER (PARTITION BY vec_id
                                    ORDER BY dist, cent_id) AS rn
@@ -4562,14 +4588,15 @@ def kmeans_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
     tt AS (SELECT COUNT(*) AS tn FROM feats WHERE doc_id % 7 = 0),
     tr AS (SELECT COUNT(*) AS rn FROM feats WHERE doc_id % 7 <> 0),
     sc AS (SELECT f.doc_id,
-             ROUND(((COALESCE(ct, 0) + 1.0) / (tn + 512))
-                   / ((COALESCE(cr, 0) + 1.0) / (rn + 512)), 12) AS r
+             FLOOR(((COALESCE(ct, 0) + 1.0) / (tn + 512))
+                   / ((COALESCE(cr, 0) + 1.0) / (rn + 512))
+                   * 1000000000000.0 + 0.5) / 1000000000000.0 AS r
            FROM feats f LEFT JOIN tfc USING (feat) LEFT JOIN rfc USING (feat)
            CROSS JOIN tt CROSS JOIN tr
            WHERE f.doc_id % 7 <> 0),
     rep AS (SELECT doc_id, COUNT(*) AS n_feats,
-              ROUND(CAST(SUM(CAST(r AS DECIMAL(38,12))) AS DOUBLE)
-                    / COUNT(*), 6) AS dsir_score
+              FLOOR(CAST(SUM(CAST(r AS DECIMAL(38,12))) AS DOUBLE)
+                    / COUNT(*) * 1000000.0 + 0.5) / 1000000.0 AS dsir_score
             FROM sc GROUP BY doc_id),
     ranked AS (SELECT doc_id, n_feats, dsir_score,
                  CAST(ROW_NUMBER() OVER (ORDER BY dsir_score DESC, doc_id)
@@ -4760,7 +4787,7 @@ def _mmr_oracle_sql(k: int, pool: int, n_queries: int = 5, dim: int = 64) -> str
         FROM cand c JOIN pick{t} p
           ON p.qid = c.qid AND p.docid = c.docid)"""
     return sql + f"""
-    SELECT qid, docid, step, ROUND(rel, 6) AS rel FROM sel{k}"""
+    SELECT qid, docid, step, FLOOR(rel * 1000000.0 + 0.5) / 1000000.0 AS rel FROM sel{k}"""
 
 
 @_q(
@@ -4960,13 +4987,13 @@ def temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     cnt1 AS (SELECT w1, SUM(c12) AS c1 FROM cnt2 GROUP BY 1),
     v AS (SELECT COUNT(DISTINCT tok0) AS vs
           FROM (SELECT unnest(t) AS tok0 FROM toks)),
-    sc AS (SELECT b.doc_id, ROUND((c12 + 1.0) / (c1 + vs), 12) AS r
+    sc AS (SELECT b.doc_id, FLOOR((c12 + 1.0) / (c1 + vs) * 1000000000000.0 + 0.5) / 1000000000000.0 AS r
            FROM (SELECT s2.doc_id, bg.w1, bg.w2
                  FROM bg JOIN s2 ON s2.doc_id = bg.doc_id) b
            JOIN cnt2 USING (w1, w2) JOIN cnt1 USING (w1) CROSS JOIN v),
     rep AS (SELECT doc_id,
-              ROUND(CAST(SUM(CAST(r AS DECIMAL(38,12))) AS DOUBLE)
-                    / COUNT(*), 6) AS s
+              FLOOR(CAST(SUM(CAST(r AS DECIMAL(38,12))) AS DOUBLE)
+                    / COUNT(*) * 1000000.0 + 0.5) / 1000000.0 AS s
             FROM sc GROUP BY doc_id),
     med AS (SELECT quantile_cont(s, 0.5) AS m50 FROM rep),
     s3 AS (SELECT rep.doc_id FROM rep, med WHERE rep.s >= med.m50),
@@ -5047,13 +5074,13 @@ def curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     cnt1 AS (SELECT w1, SUM(c12) AS c1 FROM cnt2 GROUP BY 1),
     v AS (SELECT COUNT(DISTINCT tok0) AS vs
           FROM (SELECT unnest(t) AS tok0 FROM toks)),
-    sc AS (SELECT b.doc_id, ROUND((c12 + 1.0) / (c1 + vs), 12) AS r
+    sc AS (SELECT b.doc_id, FLOOR((c12 + 1.0) / (c1 + vs) * 1000000000000.0 + 0.5) / 1000000000000.0 AS r
            FROM (SELECT s2.doc_id, bg.w1, bg.w2
                  FROM bg JOIN s2 ON s2.doc_id = bg.doc_id) b
            JOIN cnt2 USING (w1, w2) JOIN cnt1 USING (w1) CROSS JOIN v),
     rep AS (SELECT doc_id,
-              ROUND(CAST(SUM(CAST(r AS DECIMAL(38,12))) AS DOUBLE)
-                    / COUNT(*), 6) AS s
+              FLOOR(CAST(SUM(CAST(r AS DECIMAL(38,12))) AS DOUBLE)
+                    / COUNT(*) * 1000000.0 + 0.5) / 1000000.0 AS s
             FROM sc GROUP BY doc_id),
     med AS (SELECT quantile_cont(s, 0.5) AS m50 FROM rep),
     s3 AS (SELECT rep.doc_id FROM rep, med WHERE rep.s >= med.m50),
@@ -5418,13 +5445,13 @@ def _crawl_e2e_sql() -> str:
     cnt1 AS (SELECT w1, SUM(c12) AS c1 FROM cnt2 GROUP BY 1),
     v AS (SELECT COUNT(DISTINCT tok0) AS vs
           FROM (SELECT unnest(t) AS tok0 FROM toks)),
-    sc AS (SELECT b.doc_id, ROUND((c12 + 1.0) / (c1 + vs), 12) AS r
+    sc AS (SELECT b.doc_id, FLOOR((c12 + 1.0) / (c1 + vs) * 1000000000000.0 + 0.5) / 1000000000000.0 AS r
            FROM (SELECT s2.doc_id, bg.w1, bg.w2
                  FROM bg JOIN s2 ON s2.doc_id = bg.doc_id) b
            JOIN cnt2 USING (w1, w2) JOIN cnt1 USING (w1) CROSS JOIN v),
     rep AS (SELECT doc_id,
-              ROUND(CAST(SUM(CAST(r AS DECIMAL(38,12))) AS DOUBLE)
-                    / COUNT(*), 6) AS s
+              FLOOR(CAST(SUM(CAST(r AS DECIMAL(38,12))) AS DOUBLE)
+                    / COUNT(*) * 1000000.0 + 0.5) / 1000000.0 AS s
             FROM sc GROUP BY doc_id),
     med AS (SELECT quantile_cont(s, 0.5) AS m50 FROM rep),
     -- the DELTA batch through the stored gates (incremental funnel):
@@ -5443,12 +5470,12 @@ def _crawl_e2e_sql() -> str:
     fbg AS (SELECT doc_id, t[i] AS w1, t[i+1] AS w2
             FROM f2, unnest(generate_series(1, len(t)-1)) AS g(i)),
     fsc AS (SELECT fbg.doc_id,
-                   ROUND((COALESCE(c12, 0) + 1.0) / (COALESCE(c1, 0) + vs), 12) AS r
+                   FLOOR((COALESCE(c12, 0) + 1.0) / (COALESCE(c1, 0) + vs) * 1000000000000.0 + 0.5) / 1000000000000.0 AS r
             FROM fbg LEFT JOIN cnt2 USING (w1, w2) LEFT JOIN cnt1 USING (w1)
             CROSS JOIN v),
     frep AS (SELECT doc_id,
-               ROUND(CAST(SUM(CAST(r AS DECIMAL(38,12))) AS DOUBLE)
-                     / COUNT(*), 6) AS s
+               FLOOR(CAST(SUM(CAST(r AS DECIMAL(38,12))) AS DOUBLE)
+                     / COUNT(*) * 1000000.0 + 0.5) / 1000000.0 AS s
              FROM fsc GROUP BY doc_id),
     f3 AS (SELECT f2.doc_id, f2.text FROM f2 JOIN frep USING (doc_id), med
            WHERE frep.s >= med.m50),

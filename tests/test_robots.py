@@ -103,8 +103,12 @@ def test_url_host_path_helpers(spark):
 
 
 def test_apply_robots_plan_broadcasts_rules(spark):
-    """Scale gate: the policy relation must BROADCAST (it is bounded by
-    crawl-policy size); the page side never shuffles for the join."""
+    """Scale gate (r10 VERDICT #3/#4): the policy relation must BROADCAST
+    (it is bounded by crawl-policy size) and the page side must be
+    MAP-ONLY — zero Exchange anywhere except the single rules-side
+    per-host pre-aggregation. A 100 TB crawl must stream the page
+    relation exactly once; the pre-r11 plan shuffled it ~3 times
+    (groupBy(_rid) + a page×page self-join)."""
     rules = spark.createDataFrame(
         [("a.example", "disallow", "/private/")],
         "host string, rule string, prefix string",
@@ -117,6 +121,19 @@ def test_apply_robots_plan_broadcasts_rules(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "BroadcastHashJoin" in plan
+    # page side never re-partitions: no sort-merge join, no page-keyed
+    # aggregation. The ONLY shuffle Exchange is the rules-side groupBy
+    # (hashpartitioning on the rules' host key).
+    assert "SortMergeJoin" not in plan
+    import re
+
+    exchanges = re.findall(r"Exchange hashpartitioning\(([^)]*)\)", plan)
+    assert len(exchanges) <= 1, plan
+    if exchanges:
+        # keyed by the RULES' host column (pages carry only _host/_path)
+        assert exchanges[0].startswith("host#"), exchanges[0]
+    # and the old _rid fan-out/self-join shape is gone
+    assert "monotonically_increasing_id" not in plan
 
 
 def test_robots_slots_into_the_warc_front_door(spark, tmp_path):
