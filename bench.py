@@ -272,17 +272,34 @@ def _git_head() -> str | None:
     commits still reset the fold window, which is the regression-masking
     fix the gate exists for.  (bench.py itself is excluded: its edits
     are protocol, not engine — a deliberate timed-region change should
-    bump the window by touching the package or pruning the notes.)"""
+    bump the window by touching the package or pruning the notes.)
+
+    Dirty-tree guard (r10 ADVICE): HEAD describes the COMMITTED tree,
+    but the benched code is the WORKING tree.  A run with uncommitted
+    package edits (possibly a regression) must not fold against clean
+    mirrored minima stamped with the same head — that is exactly the
+    masking this gate prevents — so a dirty package returns
+    ``<tree>-dirty``, which never matches a mirrored line and resets
+    the fold window until the edits are committed."""
     import subprocess
 
     try:
+        cwd = os.path.dirname(os.path.abspath(__file__))
         out = subprocess.run(
             ["git", "rev-parse", "HEAD:semantic_vector_search_system_spark"],
-            cwd=os.path.dirname(os.path.abspath(__file__)),
-            capture_output=True, text=True, timeout=10,
+            cwd=cwd, capture_output=True, text=True, timeout=10,
         )
         tree = out.stdout.strip()
-        return tree[:12] if out.returncode == 0 and tree else None
+        if out.returncode != 0 or not tree:
+            return None
+        st = subprocess.run(
+            ["git", "status", "--porcelain", "--",
+             "semantic_vector_search_system_spark"],
+            cwd=cwd, capture_output=True, text=True, timeout=10,
+        )
+        if st.returncode == 0 and st.stdout.strip():
+            return f"{tree[:12]}-dirty"
+        return tree[:12]
     except (OSError, subprocess.SubprocessError):
         return None
 
@@ -335,7 +352,11 @@ def fold_with_mirror(
         age_h = (now - stamp).total_seconds() / 3600.0
         if not (0 <= age_h <= max_age_hours):
             continue
-        if head is not None and rec.get("head") != head:
+        if head is not None and (
+            head.endswith("-dirty") or rec.get("head") != head
+        ):
+            # a dirty working tree never folds against ANYTHING — two
+            # dirty runs share the marker but not necessarily the code
             skipped_other_head += 1
             continue
         runs += 1

@@ -341,19 +341,31 @@ def _clear_hash_tombstones(
 ) -> None:
     """Drop the given hashes from ``<prefix>_hash_tombstones`` (parquet
     tables have no row DELETE, and the tombstone table is O(forget-batch)
-    small by construction, so this is a cheap anti-join rewrite)."""
+    small by construction, so this is a cheap anti-join rewrite).
+
+    Crash safety (r10 ADVICE): the rewrite goes to a ``_staging`` table
+    and swaps in via :func:`dedup.swap_staging_table` — a non-atomic
+    in-place ``mode('overwrite')`` could die mid-write and drop ALL
+    pending tombstones, silently un-forgetting unrelated
+    right-to-be-forgotten requests.  And when the batch intersects zero
+    tombstones (the overwhelmingly common case — re-accepts of
+    never-forgotten hashes), the table is left untouched instead of
+    being churned on every batch."""
+    from .dedup import swap_staging_table
+
     tname = f"{table_prefix}_hash_tombstones"
     if not spark.catalog.tableExists(tname):
         return
     spark.catalog.refreshTable(tname)
-    remaining = (
-        spark.read.table(tname)
-        .join(F.broadcast(hashes.select("norm_hash")), "norm_hash", "left_anti")
-        # materialize BEFORE the overwrite — the write must not scan the
-        # table it is replacing
-        .localCheckpoint()
+    tomb = spark.read.table(tname)
+    keys = F.broadcast(hashes.select("norm_hash"))
+    if tomb.join(keys, "norm_hash", "left_semi").limit(1).count() == 0:
+        return  # nothing to clear — skip the rewrite entirely
+    remaining = tomb.join(keys, "norm_hash", "left_anti")
+    remaining.write.mode("overwrite").format("parquet").saveAsTable(
+        f"{tname}_staging"
     )
-    remaining.write.mode("overwrite").format("parquet").saveAsTable(tname)
+    swap_staging_table(spark, tname)
 
 
 def compact_funnel_hashes(spark: SparkSession, table_prefix: str, n_buckets: int = 8) -> dict:

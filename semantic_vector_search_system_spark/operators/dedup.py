@@ -1555,18 +1555,26 @@ def _clear_id_tombstones(spark, table_prefix: str, ids: DataFrame, id_col: str) 
     tombstone keeps masking the re-indexed rows at serve time, and the
     next compaction folds them out of storage entirely.  Parquet tables
     have no row DELETE; the tombstone table is O(delete-batch) small by
-    construction, so an anti-join rewrite is cheap."""
+    construction, so an anti-join rewrite is cheap.
+
+    Crash safety (r10 ADVICE): rewrite to ``_staging`` + rename-aside
+    swap — an in-place ``mode('overwrite')`` dying mid-write would drop
+    ALL pending tombstones, not just the re-indexed ones — and skip the
+    rewrite entirely when the batch intersects zero tombstones (no
+    churn on the common no-op path)."""
     tname = f"{table_prefix}_tombstones"
     if not spark.catalog.tableExists(tname):
         return
     spark.catalog.refreshTable(tname)
-    remaining = (
-        spark.read.table(tname)
-        .join(F.broadcast(ids.select(id_col)), id_col, "left_anti")
-        # materialize BEFORE the overwrite — must not scan the table being replaced
-        .localCheckpoint()
+    tomb = spark.read.table(tname)
+    keys = F.broadcast(ids.select(id_col))
+    if tomb.join(keys, id_col, "left_semi").limit(1).count() == 0:
+        return  # nothing to clear — leave the table untouched
+    remaining = tomb.join(keys, id_col, "left_anti")
+    remaining.write.mode("overwrite").format("parquet").saveAsTable(
+        f"{tname}_staging"
     )
-    remaining.write.mode("overwrite").format("parquet").saveAsTable(tname)
+    swap_staging_table(spark, tname)
 
 
 def swap_staging_table(spark, table: str) -> None:

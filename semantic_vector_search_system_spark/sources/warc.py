@@ -134,6 +134,7 @@ def write_warc(
     records: DataFrame,
     path: str,
     warc_type: str = "response",
+    warc_date: str = "1970-01-01T00:00:00Z",
 ) -> None:
     """WARC SINK — serialize ``(record_id, target_uri, payload binary)``
     rows into ``.warc`` archive files under ``path`` (one file per input
@@ -142,7 +143,25 @@ def write_warc(
     granularity).  Record order within and across files is whatever the
     partitioning delivered — the WARC contract (and :func:`read_warc`)
     carries identity in the headers, never in position.  Rows may carry
-    their own ``warc_type`` column; otherwise ``warc_type`` applies.
+    their own ``warc_type`` / ``warc_date`` columns; otherwise the
+    ``warc_type`` / ``warc_date`` arguments apply to every record (r10
+    ADVICE: the date is caller data, not a constant of the sink).
+
+    Header-injection guard (r10 ADVICE): record_id / target_uri /
+    warc_type / warc_date are interpolated into the CRLF-framed header
+    block, so a value containing a control character (CR/LF above all)
+    would corrupt the archive framing — inject a phantom record on
+    re-read or truncate parsing.  Such rows RAISE rather than encode:
+    silently rewriting an identity header would break the round-trip
+    contract below, and control characters in a URI are upstream
+    garbage the crawl should drop explicitly.
+
+    Filesystem contract: ``path`` must be visible to driver AND
+    executors under the same name (local mode, or a shared/NFS mount) —
+    the driver creates the directory, executors ``open()`` files inside
+    it.  On a real cluster with only object storage, write the records
+    relation as parquet and run this sink from a node that mounts the
+    shared path.
 
     Round-trip contract (tested): ``read_warc(write_warc(df))`` returns
     the same (record_id, warc_type, target_uri, payload) set.
@@ -153,22 +172,40 @@ def write_warc(
     has_type = "warc_type" in records.columns
     if has_type:
         cols.append("warc_type")
+    has_date = "warc_date" in records.columns
+    if has_date:
+        cols.append("warc_date")
     os.makedirs(path, exist_ok=True)
 
     def write_partition(rows):
         import os
+        import re
         import uuid
+
+        ctrl = re.compile(r"[\x00-\x1f\x7f]")
+
+        def header_value(name: str, v) -> str:
+            s = str(v)
+            if ctrl.search(s):
+                raise ValueError(
+                    f"write_warc: {name}={s!r} contains a control "
+                    "character — it would corrupt the WARC header "
+                    "framing (record injection / parse truncation on "
+                    "re-read); drop or sanitize the row upstream"
+                )
+            return s
 
         buf = []
         for r in rows:
             payload = bytes(r["payload"]) if r["payload"] is not None else b""
             rtype = r["warc_type"] if has_type else warc_type
+            rdate = r["warc_date"] if has_date else warc_date
             head = (
                 "WARC/1.0\r\n"
-                f"WARC-Type: {rtype}\r\n"
-                f"WARC-Record-ID: {r['record_id']}\r\n"
-                f"WARC-Target-URI: {r['target_uri']}\r\n"
-                "WARC-Date: 2026-01-01T00:00:00Z\r\n"
+                f"WARC-Type: {header_value('warc_type', rtype)}\r\n"
+                f"WARC-Record-ID: {header_value('record_id', r['record_id'])}\r\n"
+                f"WARC-Target-URI: {header_value('target_uri', r['target_uri'])}\r\n"
+                f"WARC-Date: {header_value('warc_date', rdate)}\r\n"
                 "Content-Type: application/http; msgtype=response\r\n"
                 f"Content-Length: {len(payload)}\r\n"
                 "\r\n"

@@ -392,3 +392,27 @@ def test_notes_mirror_is_full_fat_even_when_printed_line_sheds(
     assert mirrored["accuracy"]["ann_recall_1m"]["nprobe=8"] == 0.845
     assert mirrored["floors"] == {"python_job_floor": 0.326}
     assert mirrored["queries"]["bench_query_key_name_000"] == 1.234  # 3 dec
+
+
+def test_fold_dirty_tree_never_borrows_minima():
+    """r10 ADVICE: HEAD stamps the COMMITTED tree but the bench times the
+    WORKING tree — a run with uncommitted engine edits (possibly a
+    regression) must not fold against clean same-head minima, and two
+    dirty runs must not fold with each other (same marker, possibly
+    different code)."""
+    notes = _notes(
+        ("2026-08-15 11:00Z", {"sf": 0.1, "head": "new0002",
+                               "queries": {"q": 1.0}}),
+        ("2026-08-15 11:30Z", {"sf": 0.1, "head": "new0002-dirty",
+                               "queries": {"q": 0.5}}),
+    )
+    folded, info, raw, src = bench.fold_with_mirror(
+        {"q": 5.0}, 0.1, notes, _NOW, head="new0002-dirty"
+    )
+    assert folded == {"q": 5.0}  # borrowed nothing
+    assert info is None or info.get("runs", 0) == 0
+    # and a clean run ignores mirrored dirty lines
+    folded2, _, _, _ = bench.fold_with_mirror(
+        {"q": 5.0}, 0.1, notes, _NOW, head="new0002"
+    )
+    assert folded2 == {"q": 1.0}  # the clean line, never the dirty 0.5

@@ -2093,3 +2093,52 @@ def test_neardup_reindexed_id_clears_tombstone(spark):
                   "_sigs_staging", "_bands_staging",
                   "_sigs_old", "_bands_old"):
             spark.sql(f"DROP TABLE IF EXISTS {prefix}{t}")
+
+
+def test_clear_tombstones_staging_swap_and_noop_skip(spark):
+    """r10 ADVICE (medium): _clear_id_tombstones must not rewrite the
+    tombstone table IN PLACE — a crash mid-overwrite would drop ALL
+    pending tombstones (unrelated right-to-be-forgotten requests
+    silently lost).  Pins the two new behaviors: (a) a batch that
+    intersects ZERO tombstones leaves the table's physical files
+    untouched (no churn on the common no-op path), (b) a real clear
+    goes through the _staging + rename-aside swap, surviving a stale
+    _staging leftover from a prior crash."""
+    from semantic_vector_search_system_spark.operators.dedup import (
+        _clear_id_tombstones,
+    )
+
+    prefix = "t_nd_clear"
+    tname = f"{prefix}_tombstones"
+    try:
+        spark.createDataFrame(
+            [(1,), (2,), (3,)], "doc_id long"
+        ).write.mode("overwrite").format("parquet").saveAsTable(tname)
+
+        # (a) no intersection -> no rewrite: physical files identical
+        before = sorted(spark.read.table(tname).inputFiles())
+        _clear_id_tombstones(
+            spark, prefix,
+            spark.createDataFrame([(99,)], "doc_id long"), "doc_id",
+        )
+        assert sorted(spark.read.table(tname).inputFiles()) == before
+        assert spark.read.table(tname).count() == 3
+
+        # (b) real clear via staging swap — plant a stale _staging first
+        spark.createDataFrame(
+            [(42,)], "doc_id long"
+        ).write.mode("overwrite").format("parquet").saveAsTable(
+            f"{tname}_staging"
+        )
+        _clear_id_tombstones(
+            spark, prefix,
+            spark.createDataFrame([(2,)], "doc_id long"), "doc_id",
+        )
+        left = {r["doc_id"] for r in spark.read.table(tname).collect()}
+        assert left == {1, 3}
+        # swap consumed the staging table; no _old left behind
+        assert not spark.catalog.tableExists(f"{tname}_staging")
+        assert not spark.catalog.tableExists(f"{tname}_old")
+    finally:
+        for t in ("", "_staging", "_old"):
+            spark.sql(f"DROP TABLE IF EXISTS {tname}{t}")

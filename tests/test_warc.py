@@ -180,3 +180,46 @@ def test_warc_to_curation_gates_composition(spark, tmp_path):
     )
     survivors = docs.filter(F.size(tokenize(F.col("text"))) >= 20)
     assert [r["doc_id"] for r in survivors.collect()] == ["http://long.example/"]
+
+
+def test_write_warc_rejects_control_chars_and_takes_row_dates(spark, tmp_path):
+    """r10 ADVICE: header values interpolate into CRLF framing — a URI
+    carrying CR/LF must RAISE (silent encoding would corrupt identity or
+    inject phantom records on re-read), and WARC-Date comes from the row
+    (or the parameter), never a hardcoded constant."""
+    import pytest as _pytest
+
+    from semantic_vector_search_system_spark.sources.warc import (
+        read_warc,
+        write_warc,
+    )
+
+    # per-row dates round-trip
+    df = spark.createDataFrame(
+        [
+            ("<urn:a>", "http://x.example/a", bytearray(b"A"),
+             "2001-02-03T04:05:06Z"),
+            ("<urn:b>", "http://x.example/b", bytearray(b"B"),
+             "2011-12-13T14:15:16Z"),
+        ],
+        "record_id string, target_uri string, payload binary, warc_date string",
+    )
+    path = str(tmp_path / "dated")
+    write_warc(df, path)
+    got = {
+        r["record_id"]: r["warc_date"]
+        for r in read_warc(spark, path).collect()
+    }
+    assert got == {
+        "<urn:a>": "2001-02-03T04:05:06Z",
+        "<urn:b>": "2011-12-13T14:15:16Z",
+    }
+
+    # CR/LF in a header value raises executor-side (surfaces as a job error)
+    bad = spark.createDataFrame(
+        [("<urn:evil>", "http://x.example/a\r\nWARC-Type: fake",
+          bytearray(b"A"))],
+        "record_id string, target_uri string, payload binary",
+    )
+    with _pytest.raises(Exception, match="control character"):
+        write_warc(bad, str(tmp_path / "bad"))
