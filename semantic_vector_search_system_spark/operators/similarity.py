@@ -215,6 +215,15 @@ def ivf_assign(
     )
 
 
+def _with_eff(df, nprobe: int):
+    """Attach the resolved probe count as ``df.eff_nprobe`` (r10 VERDICT
+    #7: callers/benches read which nprobe the auto path actually used —
+    an attribute, not a column, so result schemas/oracles are
+    untouched)."""
+    df.eff_nprobe = nprobe
+    return df
+
+
 def effective_nprobe(
     nprobe: int, selectivity: float | None, max_nprobe: int | None = None
 ) -> int:
@@ -246,18 +255,36 @@ def effective_nprobe(
 
 
 def estimate_selectivity(
-    emb: DataFrame, predicate, sample_frac: float = 0.05, seed: int = 7
+    emb: DataFrame,
+    predicate,
+    sample_frac: float = 0.05,
+    seed: int = 7,
+    hash_col: str | None = None,
 ) -> float:
-    """Measured selectivity of ``predicate`` over ``emb`` from a seeded
-    sample — for callers without table statistics.  Two counts over ONE
-    cached sample scan (at 100 TB keep per-predicate selectivities in a
-    stats table instead; this is the bootstrap path).  Returns a value
-    clamped to (0, 1] — an empty sample match reports the smallest
-    resolvable selectivity rather than 0, so :func:`effective_nprobe`
-    degenerates to the max_nprobe cap instead of dividing by zero."""
-    s = emb.sample(fraction=sample_frac, seed=seed).select(
-        F.when(predicate, 1).otherwise(0).alias("_m")
-    )
+    """Measured selectivity of ``predicate`` over ``emb`` from a sample —
+    for callers without table statistics.  Two counts over ONE sample
+    scan (at 100 TB keep per-predicate selectivities in a stats table
+    instead; this is the bootstrap path).  Returns a value clamped to
+    (0, 1] — an empty sample match reports the smallest resolvable
+    selectivity rather than 0, so :func:`effective_nprobe` degenerates
+    to the max_nprobe cap instead of dividing by zero.
+
+    ``hash_col`` (r10 VERDICT #7, the auto-nprobe default path): when
+    given, the sample is CONTENT-HASH based — rows where
+    ``stable_hash64(hash_col) % round(1/sample_frac) == 0`` — which is
+    deterministic under any partitioning (``DataFrame.sample`` seeds per
+    partition, so its membership shifts with the physical layout; fine
+    for a bench probe, not for an oracle-checked serving default)."""
+    if hash_col is not None:
+        from ..functions.hashing import stable_hash64
+
+        mod = max(2, round(1.0 / sample_frac))
+        sampled = emb.filter(
+            stable_hash64(F.col(hash_col).cast("string")) % mod == 0
+        )
+    else:
+        sampled = emb.sample(fraction=sample_frac, seed=seed)
+    s = sampled.select(F.when(predicate, 1).otherwise(0).alias("_m"))
     row = s.agg(F.count("*").alias("n"), F.sum("_m").alias("m")).collect()[0]
     n, m = int(row["n"] or 0), int(row["m"] or 0)
     if n == 0:
@@ -298,16 +325,25 @@ def ivf_topk(
     filter-invariant, so only surviving docs are ever assigned or scored.
     Recall caveat at high selectivity: a sparse filter thins each probed
     list, so hit-k recall needs ``nprobe`` scaled roughly with 1/selectivity
-    (the same ladder ann_recall measures, filtered).  Pass ``selectivity``
-    (caller stats, or :func:`estimate_selectivity`) and the probe count
+    (the same ladder ann_recall measures, filtered).  The probe count
     auto-widens via :func:`effective_nprobe` to restore the unfiltered
-    scored-vector budget; ``max_nprobe`` caps the widening.
+    scored-vector budget; ``max_nprobe`` caps the widening.  When a
+    predicate is given and ``selectivity`` is None (r10 VERDICT #7), it
+    is ESTIMATED from a deterministic content-hash sample
+    (:func:`estimate_selectivity` with ``hash_col=id_col``) — the
+    stats-table escape hatch is passing ``selectivity=`` explicitly.
+    The probe count actually used is recorded on the returned DataFrame
+    as the ``eff_nprobe`` attribute.
     """
     from pyspark.sql import Window
 
     from ..functions.vectors import cosine_similarity
 
     if predicate is not None:
+        if selectivity is None:
+            selectivity = estimate_selectivity(
+                emb, predicate, hash_col=id_col
+            )
         emb = emb.filter(predicate)
         nprobe = effective_nprobe(nprobe, selectivity, max_nprobe)
     doc_lists = ivf_assign(
@@ -325,12 +361,13 @@ def ivf_topk(
     )
     scored = cands.withColumn("score", cosine_similarity(qvec_col, vec_col))
     w = Window.partitionBy(qid_col).orderBy(F.desc("score"), F.asc(id_col))
-    return (
+    # a doc can enter via multiple probed lists only if it tied across
+    # centroids (impossible with nprobe=1 doc assignment) — no dedup path
+    return _with_eff(
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
-        .select(qid_col, id_col, "rank", "score")
-        # a doc can enter via multiple probed lists only if it tied across
-        # centroids (impossible with nprobe=1 doc assignment) — no dedup path
+        .select(qid_col, id_col, "rank", "score"),
+        nprobe,
     )
 
 
@@ -459,6 +496,10 @@ def ivf_topk_fast(
     from pyspark.sql import Window
 
     if predicate is not None:
+        if selectivity is None:  # auto path (r10 VERDICT #7)
+            selectivity = estimate_selectivity(
+                emb, predicate, hash_col=id_col
+            )
         emb = emb.filter(predicate)
         nprobe = effective_nprobe(nprobe, selectivity, max_nprobe)
     if doc_lists is None:
@@ -473,8 +514,12 @@ def ivf_topk_fast(
     q_side = queries.select(qid_col, qvec_col).join(q_lists, qid_col)
     qid_t = dict(queries.dtypes)[qid_col]
     id_t = dict(emb.dtypes)[id_col]
-    return _cogroup_list_topk(
-        q_side, d_side, k, qid_col, qvec_col, id_col, vec_col, qid_t, id_t
+    return _with_eff(
+        _cogroup_list_topk(
+            q_side, d_side, k, qid_col, qvec_col, id_col, vec_col,
+            qid_t, id_t,
+        ),
+        nprobe,
     )
 
 
@@ -650,6 +695,11 @@ def ivf_search_partitioned(
         # a filter of selectivity s thins each pruned list ~s, so the
         # probe count scales by 1/s to keep the scored-vector budget —
         # here that directly widens the PARTITION-PRUNING predicate
+        if selectivity is None:  # auto path (r10 VERDICT #7); pass
+            # selectivity= from a stats table to skip this probe job
+            selectivity = estimate_selectivity(
+                spark.read.parquet(index_path), predicate, hash_col=id_col
+            )
         nprobe = effective_nprobe(nprobe, selectivity, max_nprobe)
     qid_t = dict(queries.dtypes)[qid_col]
     # ``precollected_queries`` — (qid, vec) rows already in driver memory —
@@ -728,8 +778,12 @@ def ivf_search_partitioned(
         )
         q_side = queries.select(qid_col, qvec_col).join(q_lists, qid_col)
         id_t = dict(docs.dtypes)[id_col]
-        return _cogroup_list_topk(
-            q_side, docs, k, qid_col, qvec_col, id_col, vec_col, qid_t, id_t
+        return _with_eff(
+            _cogroup_list_topk(
+                q_side, docs, k, qid_col, qvec_col, id_col, vec_col,
+                qid_t, id_t,
+            ),
+            nprobe,
         )
 
     # -- broadcast strategy ------------------------------------------------
@@ -747,8 +801,12 @@ def ivf_search_partitioned(
         raise ValueError("ivf_search_partitioned: centroids relation is empty")
     if not qrows:
         id_t = dict(spark.read.parquet(index_path).dtypes)[id_col]
-        return spark.createDataFrame(
-            [], f"`{qid_col}` {qid_t}, `{id_col}` {id_t}, rank int, score double"
+        return _with_eff(
+            spark.createDataFrame(
+                [],
+                f"`{qid_col}` {qid_t}, `{id_col}` {id_t}, rank int, score double",
+            ),
+            nprobe,
         )
     cids = np.array([r[0] for r in crows])
     C = np.array([r[1] for r in crows], dtype=np.float64)
@@ -841,14 +899,19 @@ def ivf_search_partitioned(
                 heapq.nsmallest(k, per_q[qv]), start=1
             ):
                 out.append((qv, did, rank, -negs))
-        return spark.createDataFrame(
-            out, f"`{qid_col}` {qid_t}, `{id_col}` {id_t}, rank int, score double"
+        return _with_eff(
+            spark.createDataFrame(
+                out,
+                f"`{qid_col}` {qid_t}, `{id_col}` {id_t}, rank int, score double",
+            ),
+            nprobe,
         )
     w = Window.partitionBy(qid_col).orderBy(F.desc("score"), F.asc(id_col))
-    return (
+    return _with_eff(
         partial.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
-        .select(qid_col, id_col, "rank", "score")
+        .select(qid_col, id_col, "rank", "score"),
+        nprobe,
     )
 
 

@@ -5242,7 +5242,7 @@ def url_refetch_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
           ROW_NUMBER() OVER (PARTITION BY q.qid
             ORDER BY list_cosine_similarity(q.qv, c.cvec) DESC, c.cent_id) AS rk
         FROM q CROSS JOIN cents c) t
-      WHERE rk <= 4),
+      WHERE rk <= 6),
     cand AS (
       SELECT q.qid, ef.vec_id AS docid, list_cosine_similarity(q.qv, ef.v) AS score
       FROM qassign qa
@@ -5265,15 +5265,20 @@ def ann_ivf_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
     (operators/similarity.py::ivf_topk(predicate=...)), so the result is
     the exact top-k of the filtered corpus within the probed lists —
     never the post-filter trap of retrieving k then filtering below k.
-    nprobe=4 (vs the unfiltered row's 2) demonstrates the selectivity ~0.1
-    -> probe-wider recall trade the docstring ladder documents — r10 makes
-    that rule automatic: pass ``selectivity=`` and ``effective_nprobe``
-    widens the probe by 1/selectivity (capped at ``max_nprobe``) to
-    restore the unfiltered scored-vector budget (parity pinned in
-    tests/test_dedup_textanalysis.py; the 1M selectivity x nprobe grid is
-    in the bench accuracy payload).  The brute-force counterpart with the
-    same predicate is knn_hybrid_filtered (reference
-    `run_experiments.py:171-188`); this row is its ANN scale path."""
+    This row exercises the AUTO nprobe path (r10 VERDICT #7, the r11
+    default): no ``selectivity=`` is passed, so ivf_topk estimates it
+    from a deterministic content-hash sample and widens nprobe=4 by
+    ~1/selectivity, capped at ``max_nprobe=6``.  The cap is what keeps
+    the row oracle-checkable: label=3 is ~0.1 of the corpus at every
+    scale, so ceil(4/s) >= 6 for any plausible estimate (any s <= 2/3)
+    and the resolved probe count is EXACTLY the cap — the static oracle
+    probes rk <= 6 — while the estimate itself (a hash sample, invariant
+    under partitioning) only has to land anywhere below 2/3.  The
+    runtime assertion below turns a violated assumption into a loud
+    failure instead of a silent hash mismatch.  The brute-force
+    counterpart with the same predicate is knn_hybrid_filtered
+    (reference `run_experiments.py:171-188`); this row is its ANN scale
+    path."""
     emb = T(spark, sf_dir, "embeddings")
     cents = emb.filter(F.col("vec_id") < 8).select(
         F.col("vec_id").alias("cent_id"), F.col("embedding").alias("cvec")
@@ -5284,7 +5289,13 @@ def ann_ivf_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = emb.select(
         F.col("vec_id").alias("docid"), F.col("embedding").alias("vec"), "label"
     )
-    top = sim.ivf_topk(q, d, cents, k=5, nprobe=4, predicate=F.col("label") == 3)
+    top = sim.ivf_topk(
+        q, d, cents, k=5, nprobe=4,
+        predicate=F.col("label") == 3, max_nprobe=6,
+    )
+    assert top.eff_nprobe == 6, (
+        f"auto-nprobe resolved to {top.eff_nprobe}, oracle probes 6"
+    )
     return top.withColumn("score", F.round("score", 4))
 
 

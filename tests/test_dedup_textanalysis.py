@@ -1119,8 +1119,13 @@ def test_filtered_ivf_auto_nprobe_restores_budget_parity(spark):
         exact_f.setdefault(r["qid"], set()).add(r["docid"])
 
     r_unf = recall(ivf_topk_fast(qvec, dvec, cents, k=k, nprobe=2), exact_unf)
+    # selectivity=1.0 pins the OLD fixed-probe behavior (no widening) —
+    # since r11 a bare predicate auto-estimates selectivity instead
     r_fixed = recall(
-        ivf_topk_fast(qvec, dvec, cents, k=k, nprobe=2, predicate=pred),
+        ivf_topk_fast(
+            qvec, dvec, cents, k=k, nprobe=2, predicate=pred,
+            selectivity=1.0,
+        ),
         exact_f,
     )
     r_auto = recall(
@@ -1130,11 +1135,22 @@ def test_filtered_ivf_auto_nprobe_restores_budget_parity(spark):
         ),
         exact_f,
     )
+    # r10 VERDICT #7: the AUTO path is now the DEFAULT — a predicate with
+    # no selectivity= estimates it from a deterministic content-hash
+    # sample and widens the probe; the resolved count is recorded on the
+    # result as .eff_nprobe
+    auto_df = ivf_topk_fast(
+        qvec, dvec, cents, k=k, nprobe=2, predicate=pred, max_nprobe=64
+    )
+    assert getattr(auto_df, "eff_nprobe", None) is not None
+    assert auto_df.eff_nprobe > 2, auto_df.eff_nprobe  # it widened
+    r_auto_default = recall(auto_df, exact_f)
     for d in (docs, dvec, qvec):
         d.unpersist()
     assert r_fixed < r_unf, (r_fixed, r_unf)  # the gap the rule closes
     assert r_auto >= r_unf, (r_auto, r_unf)   # equal-budget parity met
     assert r_auto >= r_fixed + 0.3, (r_auto, r_fixed)
+    assert r_auto_default >= r_unf, (r_auto_default, r_unf)
 
 
 def test_incremental_neardup_planted(spark):
