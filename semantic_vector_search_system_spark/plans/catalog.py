@@ -5398,6 +5398,18 @@ def _crawl_e2e_sql() -> str:
     WITH pages AS (
       SELECT doc_id, text FROM documents
       WHERE doc_id % 5 = 0 AND doc_id % 13 <> 3
+        -- robots politeness (r10 VERDICT #6): an INDEPENDENT hand-encoding
+        -- of the literal robots.txt bodies the Spark face parses with
+        -- parse_robots/apply_robots. crawl-site.example and its www
+        -- variant disallow /page/1* except /page/13* (longest-match:
+        -- the 8-char Allow beats the 7-char Disallow); both /page/ URL
+        -- shapes (doc_id % 3 IN (0, 1)) carry the id right after the
+        -- prefix, so the path rule is exactly a decimal-prefix rule on
+        -- the id. mirror.example's only group is agent 'otherbot' —
+        -- it never applies to us, so % 3 = 2 pages are all allowed.
+        AND NOT (CAST(doc_id % 3 AS INTEGER) IN (0, 1)
+                 AND CAST(doc_id AS VARCHAR) LIKE '1%'
+                 AND CAST(doc_id AS VARCHAR) NOT LIKE '13%')
     ),
     urls AS (
       SELECT doc_id, CASE CAST(doc_id % 3 AS INTEGER)
@@ -5512,7 +5524,12 @@ def crawl_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     executor-side) and then flows through the full ingestion pipeline —
 
     ``read_warc`` -> ``http_status``/``http_response_body`` (404s drop,
-    envelopes strip) -> ``html_to_text`` -> ``canonical_url``/``url_dedup``
+    envelopes strip) -> ``parse_robots``/``apply_robots`` POLITENESS (r10
+    VERDICT #6: literal per-host robots.txt bodies — a longest-match
+    Allow overriding a shorter Disallow on the crawl hosts, plus an
+    agent-mismatched group on the mirror host that must NOT apply;
+    disallowed pages drop from BOTH snapshots before any content stage)
+    -> ``html_to_text`` -> ``canonical_url``/``url_dedup``
     (raw spellings + a planted refetch record collapse per page) ->
     ``snapshot_diff`` old-vs-new crawl (cosmetic ``'  !!'`` churn counts
     UNCHANGED; real edits count CHANGED) -> the added+changed DELTA runs
@@ -5541,6 +5558,7 @@ def crawl_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         fit_funnel_state,
         incremental_curation_funnel,
     )
+    from ..operators.robots import apply_robots, parse_robots
     from ..sources.warc import (
         html_to_text,
         http_response_body,
@@ -5550,6 +5568,24 @@ def crawl_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = T(spark, sf_dir, "documents")
+    # per-host robots.txt: the crawl hosts disallow /page/1* but allow
+    # /page/13* back (longest-match), behind a decoy group for another
+    # agent; the mirror host's ONLY group is for 'otherbot' — it must
+    # not apply to us at all
+    crawl_site_robots = (
+        "User-agent: otherbot\nDisallow: /\n\n"
+        "User-agent: *\nDisallow: /page/1\nAllow: /page/13"
+    )
+    robots_rules = parse_robots(
+        spark.createDataFrame(
+            [
+                ("crawl-site.example", crawl_site_robots),
+                ("www.crawl-site.example", crawl_site_robots),
+                ("mirror.example", "User-agent: otherbot\nDisallow: /"),
+            ],
+            "host string, robots_txt string",
+        )
+    )
     pages = docs.filter(F.col("doc_id") % 5 == 0).select("doc_id", "text")
     ks = F.col("doc_id").cast("string")
     url = (
@@ -5609,6 +5645,13 @@ def crawl_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("target_uri").alias("url"),
                 html_to_text(http_response_body("payload")).alias("text"),
             )
+        )
+        # politeness BEFORE any content stage: disallowed fetches never
+        # reach canonicalization/dedup/diff (policy first)
+        crawl = (
+            apply_robots(crawl, robots_rules, url_col="url")
+            .filter(F.col("robots_allowed"))
+            .drop("robots_allowed")
         )
         ud = dd.url_dedup(crawl, url_col="url", id_col="id")
         sides[name] = (
