@@ -1253,249 +1253,256 @@ def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
 # debt-clearing directive for the 1x-green r9 rows (hard_negative_mining,
 # media_kind_stats, source_cap_sample, source_mixture_weights, ...) —
 # all fresh-green, with family twins noted.
+# Round-11 rotation (r10 VERDICT #3/#8 + the r11 quantizer sweep): this
+# round REWROTE one or both faces of ~33 rows (the ROUND->FLOOR-quantizer
+# purge, the jaccard integer thresholds, the paired raw-sums schema, the
+# robots stage in crawl_e2e, the filtered-ANN auto path), and a changed
+# pair must be driver-verified, not just locally swept.  The window is
+# therefore: the 14 changed rows already in-window stay; the 19 CHANGED
+# parked rows rotate in; the 2 born-parked r10 rows (robots_page_filter,
+# perceptron_quality_weights — r10 VERDICT #3) finally get their first
+# driver check; 3 cadence rows return (hard_negative_mining,
+# stream_dedup_events 1x-green, bpe_merges — BPE family anchor); the five
+# no-family-twin anchors stay; and 7 unchanged rows are retained purely
+# for family breadth (sessionization, asof_latest_order,
+# sql_interface_pricing, quantized_topk_rerank, dataset_splits,
+# user_event_pivot, rollup_pricing).  In exchange 24 unchanged r10-green
+# rows park (notes per entry).
+#
+# RE-VERIFICATION CALENDAR (r10 VERDICT #8 — plan the windows, don't
+# react; rule: no row goes more than ~3 rounds without a driver check):
+#   r12: the 12 long-parked stays (last driver-green r8 — pricing_summary,
+#        event_percentiles, knn_topk_heap, span_dedup, semdedup_keep_one,
+#        ann_ivf_topk, knn_hybrid_filtered, user_event_sequences,
+#        user_event_unpivot, view_purchase_funnel, knn_topk,
+#        stream_view_purchase_join) MUST return, plus the r9-last-checked
+#        block (revenue_filter, nations_with_both, hourly_event_counts,
+#        token_stats_by_lang, doc_fingerprint, lsh_candidate_pairs,
+#        corpus_vocabulary, global_top_spenders, media_kind_stats,
+#        asof_grouped_orders, media_ahash_dedup, media_hamming_pairs,
+#        part_type_revenue, cube_order_stats, pii_scan_report,
+#        decontamination, bpe_encode_tokens, context_windows,
+#        training_shuffle_shards, duplicate_components,
+#        normalized_exact_dedup, leakage_safe_splits, incremental_dedup)
+#        — 35 returners + 15 keepers (changed-in-r12 rows first, then the
+#        anchors).
+#   r13: the 24 rows parked THIS round (r10-last-checked) return.
+#   Every round: new/changed rows are in-window the round they change.
 DEMOTED: tuple[str, ...] = (
-    # --- long-parked stays (family-covered, rotate back r11+) ---
+    # --- long-parked stays (last green r8; ALL return r12 per calendar) ---
     "pricing_summary",           # A8 decimal agg ≡ sql_interface_pricing
                                  #   (in-window: the SAME plan via
                                  #   spark.sql) — green r7+r8
-    "event_percentiles",         # A5/A6 exact percentiles ≡ sketch_stats
-                                 #   (in-window hash-sampled exact median)
-                                 #   — green r7+r8
+    "event_percentiles",         # A5/A6 exact percentiles ≡
+                                 #   lm_perplexity_buckets (in-window
+                                 #   NTILE percentile family) — green r7+r8
     "knn_topk_heap",             # JVM bounded-heap Aggregator ≡
-                                 #   top_orders_per_customer (in-window W3
-                                 #   ranking) + retrieval_quality
-                                 #   (in-window top-k); the Aggregator
-                                 #   physical form stays plan-gated in
-                                 #   tests — green r7+r8
-    "quality_classifier_report", # classifier margin ≡
-                                 #   gopher_quality_report +
-                                 #   training_corpus_selection (both
-                                 #   in-window quality gates); bench
-                                 #   quality_classifier_1M every round —
+                                 #   prototype_sample (in-window — uses
+                                 #   the SAME rank_topk_heap Aggregator) +
+                                 #   retrieval_quality (in-window top-k);
+                                 #   physical form stays plan-gated —
                                  #   green r7+r8
-    "span_dedup",                # sub-doc dedup ≡ exact_dedup +
-                                 #   minhash_signatures (in-window
-                                 #   keep-first/hash dedup); bench
-                                 #   span_dedup_1M every round — green
-                                 #   r7+r8
-    "bigram_lm_report",          # bigram LM ≡ stream_curation_funnel
-                                 #   (in-window keeper: same train/score
-                                 #   builders inside the funnel) — green
-                                 #   r7+r8
-    "ann_pq_topk",               # PQ ADC ≡ quantized_topk_rerank
-                                 #   (in-window int8 coarse->rerank) +
-                                 #   ann_recall (in-window); bench
-                                 #   ann_pq_1m recall every round — green
-                                 #   r7+r8
+    "span_dedup",                # sub-doc dedup ≡ exact-dedup family via
+                                 #   crawl_e2e (in-window hash identity) +
+                                 #   curation_funnel (in-window normalized
+                                 #   dedup gate); bench span_dedup_1M
+                                 #   every round — green r7+r8
     "semdedup_keep_one",         # clustered semantic dedup ≡
-                                 #   embedding_neardup_pairs (in-window
-                                 #   embedding near-dup) + label_centroids
-                                 #   (in-window applyInPandas kernel);
-                                 #   bench semdedup_1M every round —
-                                 #   green r7+r8
+                                 #   kmeans_steps (in-window assignment) +
+                                 #   label_centroids (in-window
+                                 #   applyInPandas kernel) + mmr (in-window
+                                 #   pairwise-sim pruning); bench
+                                 #   semdedup_1M every round — green r7+r8
     "ann_ivf_topk",              # IVF probe ≡ ann_recall +
                                  #   ann_ivf_filtered (both in-window,
-                                 #   same probe chain); bench
-                                 #   ann_recall_1m ladder every round —
-                                 #   green r8 + r1-r6
-    "doc_quality",               # C4-ish rules ≡ gopher_quality_report
-                                 #   (in-window) — green r8 + r1-r6
+                                 #   same probe chain — the filtered row
+                                 #   now ALSO exercises the r11 auto-
+                                 #   nprobe default); bench ann_recall_1m
+                                 #   every round — green r8 + r1-r6
     "knn_hybrid_filtered",       # P3 hybrid pre-filter ≡ ann_ivf_filtered
                                  #   (in-window: the ANN face of the SAME
-                                 #   filtered search) + retrieval_quality
-                                 #   — green r8 + earlier
-    "tfidf_self_retrieval",      # TF-IDF e2e ≡ self_retrieval_e2e
-                                 #   (keeper, hashing-encoder e2e twin) +
-                                 #   bm25_topk (keeper, lexical weighting)
-                                 #   — green r8 + earlier
+                                 #   filtered search) — green r8 + earlier
     "user_event_sequences",      # A15 ordered accumulation ≡
-                                 #   user_running_value + sessionization
-                                 #   (both in-window) — green r8 + earlier
+                                 #   sessionization (in-window ordered
+                                 #   event windows) — green r8 + earlier
     "user_event_unpivot",        # unpivot ≡ user_event_pivot (in-window
-                                 #   inverse twin) — green r8 + earlier
+                                 #   inverse twin, retained r11 precisely
+                                 #   to keep the J6 family covered) —
+                                 #   green r8 + earlier
     "view_purchase_funnel",      # interval join ≡ asof_latest_order
                                  #   (in-window as-of family) +
-                                 #   sessionization (in-window event
-                                 #   windows) — green r8 + earlier
+                                 #   sessionization — green r8 + earlier
     "knn_topk",                  # exact brute-force cosine top-k — the
                                  #   ONE row entry()'s smoke runs EVERY
                                  #   round regardless; ≡ retrieval_quality
                                  #   (in-window, same topk_bruteforce
                                  #   kernel) — green r1-r8
     "stream_view_purchase_join", # stream-stream interval join ≡
-                                 #   stream_hourly_counts +
-                                 #   stream_sessionize (in-window
-                                 #   streaming) + stream_user_totals_
-                                 #   stateful (keeper) — green r8 +
+                                 #   stream_curation_funnel +
+                                 #   stream_dedup_events +
+                                 #   stream_user_totals_stateful (all
+                                 #   in-window streaming) — green r8 +
                                  #   earlier
-    # --- r9-green parks (0 rounds stale; most 2x+ green) ---
-    "revenue_filter",            # P4 compound filter ≡
-                                 #   urgent_orders_by_year (in-window
-                                 #   P4/P8 routing filter) — green r9
+    # --- r9-last-checked parks (return r12 per calendar) ---
+    "revenue_filter",            # P4 compound filter ≡ ann_ivf_filtered
+                                 #   (in-window pushed predicate) +
+                                 #   training_corpus_selection (in-window
+                                 #   routing filters) — green r9
     "nations_with_both",         # SO1 set intersection ≡
                                  #   ngram_jaccard_pairs (in-window set
                                  #   overlap) — green r9
-    "hourly_event_counts",       # ≡ stream_hourly_counts (in-window,
-                                 #   identical result by construction) —
-                                 #   green r9
-    "token_stats_by_lang",       # ≡ token_counts_regex (in-window
-                                 #   tokenize+agg twin) — green r9
-    "doc_fingerprint",           # ≡ simhash (in-window fingerprint twin)
+    "hourly_event_counts",       # hourly agg ≡ sessionization +
+                                 #   stream_curation_funnel (in-window
+                                 #   event-time aggs) — green r9
+    "token_stats_by_lang",       # ≡ doc_quality (in-window token stats)
                                  #   — green r9
-    "lsh_candidate_pairs",       # ≡ minhash_signatures (in-window, same
-                                 #   signature kernel) + neardup_keep_one
-                                 #   (in-window banding+verify) — green r9
+    "doc_fingerprint",           # hash fingerprint ≡ neardup_keep_one
+                                 #   (in-window signature identity) +
+                                 #   crawl_e2e (in-window md5 identity) —
+                                 #   green r9
+    "lsh_candidate_pairs",       # ≡ neardup_keep_one (in-window, same
+                                 #   signature kernel + banding) — green r9
     "incremental_dedup",         # stored-index serving ≡ neardup_keep_one
                                  #   (in-window, same LSH verify) +
-                                 #   stream_curation_funnel (keeper,
+                                 #   stream_curation_funnel (in-window
                                  #   stored-state serving); bench
                                  #   incremental_dedup_100k_vs_1m every
                                  #   round — green r8+r9
-    "source_cap_sample",         # ≡ dataset_splits (in-window, same
-                                 #   hash-bucket sampling) — green r9
-    "source_mixture_weights",    # per-source shares ≡
-                                 #   supplier_balance_by_nation (in-window
-                                 #   keyed agg) + dataset_splits — green r9
-    "corpus_vocabulary",         # ≡ token_counts_regex (in-window token
-                                 #   agg + top-k) — green r9
-    "global_top_spenders",       # W2 global top-k ≡
-                                 #   top_orders_per_customer (in-window
-                                 #   ranking family) — green r9
+    "corpus_vocabulary",         # ≡ bpe_merges (in-window vocabulary
+                                 #   aggregation) + doc_quality — green r9
+    "global_top_spenders",       # W2 global top-k ≡ dsir_selection
+                                 #   (in-window TakeOrderedAndProject
+                                 #   global top-k) — green r9
     "asof_grouped_orders",       # ≡ asof_latest_order (in-window — the
                                  #   window-strategy twin of the same
                                  #   as-of) — green r8+r9
-    "media_kind_stats",          # ≡ media_features (keeper, multimodal
-                                 #   decode slot) — green r9
+    "media_kind_stats",          # ≡ media_features (in-window multimodal
+                                 #   anchor) — green r9
     "media_ahash_dedup",         # perceptual keep-one ≡ media_features
-                                 #   (keeper) + exact_dedup (in-window
+                                 #   (in-window) + crawl_e2e (in-window
                                  #   hash keep-one) — green r8+r9
-    "media_hamming_pairs",       # banded hamming LSH ≡
-                                 #   minhash_signatures (in-window banded
-                                 #   LSH shape) + media_features (keeper)
-                                 #   — green r8+r9
-    "stream_dedup_events",       # dropDuplicatesWithinWatermark ≡
-                                 #   stream_sessionize +
-                                 #   stream_hourly_counts (in-window
-                                 #   streaming) + exact_dedup — green r9
-    "part_type_revenue",         # keyed decimal agg ≡ revenue_by_nation
-                                 #   (in-window join-agg) +
-                                 #   supplier_balance_by_nation — green r9
-    "cube_order_stats",          # CUBE ≡ rollup_pricing +
-                                 #   region_customer_rollup (in-window
-                                 #   grouping sets) — green r9
-    "sketch_set_ops",            # theta algebra ≡ sketch_stats
-                                 #   (in-window, same KMV bottom-k) —
-                                 #   green r8+r9
+    "media_hamming_pairs",       # banded hamming LSH ≡ neardup_keep_one
+                                 #   (in-window banded LSH shape) +
+                                 #   media_features — green r8+r9
+    "part_type_revenue",         # keyed decimal agg ≡
+                                 #   sql_interface_pricing (in-window) —
+                                 #   green r9
+    "cube_order_stats",          # CUBE ≡ rollup_pricing (in-window
+                                 #   grouping sets, retained r11 for this
+                                 #   family) — green r9
     "pii_scan_report",           # PII regex scan ≡ gopher_quality_report
-                                 #   (in-window rule-scan family) +
-                                 #   token_counts_regex (in-window regex
-                                 #   extraction) — green r8+r9
-    "decontamination",           # eval-overlap anti-join ≡
-                                 #   customers_without_orders (in-window
-                                 #   anti-join) + segment_order_stats
-                                 #   (in-window semi-join) +
-                                 #   ngram_jaccard_pairs (in-window
-                                 #   shingle overlap) — green r9
-    "lm_perplexity_buckets",     # CCNet head/middle/tail ≡
-                                 #   stream_curation_funnel (keeper, same
-                                 #   LM builders) + sketch_stats
-                                 #   (in-window percentile family) —
-                                 #   green r8+r9
-    "ann_ivfpq_topk",            # IVF+PQ residual ADC ≡ ann_recall +
-                                 #   ann_ivf_filtered (in-window IVF) +
-                                 #   quantized_topk_rerank (in-window
-                                 #   quantized scoring); bench
-                                 #   ann_ivfpq_1m every round — green
+                                 #   (in-window rule-scan family) — green
                                  #   r8+r9
-    "bpe_merges",                # BPE training — no direct twin; 2x green
-                                 #   (r8+r9), parks ONE round for the
-                                 #   debt-clearing rotation, returns r11;
-                                 #   token family partially ≡
-                                 #   token_counts_regex (in-window) —
-                                 #   green r8+r9
-    "bpe_encode_tokens",         # BPE serving — same note as bpe_merges
-                                 #   (its oracle embeds the full
-                                 #   bpe_merges CTE chain) — green r8+r9
-    "bitext_margin_pairs",       # margin mining ≡ retrieval_quality
-                                 #   (in-window knn + round-12 means) +
-                                 #   hybrid_rrf_fusion (in-window
-                                 #   two-ranking fusion) — green r8+r9
+    "decontamination",           # eval-overlap anti-join ≡
+                                 #   curation_funnel (in-window anti-join
+                                 #   gates) + ngram_jaccard_pairs
+                                 #   (in-window shingle overlap) — green r9
+    "bpe_encode_tokens",         # BPE serving ≡ bpe_merges (in-window —
+                                 #   its oracle embeds the full bpe_merges
+                                 #   CTE chain) — green r8+r9
     "context_windows",           # sliding windows ≡ sequence_packing
-                                 #   (keeper, ordered sample assembly) —
+                                 #   (in-window ordered sample assembly) —
                                  #   green r8+r9
     "training_shuffle_shards",   # seeded epoch shuffle ≡ dataset_splits
-                                 #   (in-window stable-hash bucketing) —
+                                 #   (in-window stable-hash bucketing,
+                                 #   retained r11 for this family) —
                                  #   green r8+r9
     "duplicate_components",      # connected components ≡ neardup_keep_one
                                  #   (in-window components + keep-one over
                                  #   the same LSH graph) — green r8+r9
-    "similarity_pagerank",       # graph propagation ≡ neardup_keep_one
-                                 #   (in-window, same LSH pair graph; the
-                                 #   iterative DECIMAL trajectory stays
-                                 #   pinned by its python-replica tests)
-                                 #   — green r8+r9
-    "kmeans_steps",              # Lloyd trajectory ≡ label_centroids
-                                 #   (in-window DECIMAL-exact centroid
-                                 #   means) + ann_recall (in-window
-                                 #   assignment argmax) — green r8+r9
-    "dsir_selection",            # importance selection ≡
-                                 #   training_corpus_selection (in-window
-                                 #   composed selection) +
-                                 #   gopher_quality_report (in-window
-                                 #   scoring gate) — green r8+r9
-    "prototype_sample",          # coreset top-m ≡ label_centroids
-                                 #   (in-window per-label kernels) +
-                                 #   top_orders_per_customer (in-window
-                                 #   per-group top-k) — green r8+r9
-    "normalized_exact_dedup",    # ≡ exact_dedup (in-window raw twin) +
-                                 #   crawl_e2e (keeper: the same
+    "normalized_exact_dedup",    # ≡ crawl_e2e (in-window: the same
                                  #   normalize-then-hash identity drives
-                                 #   its diff + dedup stages) — green
-                                 #   r8+r9
+                                 #   its diff + dedup stages) +
+                                 #   curation_funnel (in-window normalized
+                                 #   dedup gate) — green r8+r9
     "leakage_safe_splits",       # ≡ dataset_splits (in-window hash
                                  #   split) + neardup_keep_one (in-window
                                  #   component grouping) — green r8+r9
-    "mmr_diversified_topk",      # greedy rerank ≡ quantized_topk_rerank
-                                 #   (in-window two-stage rerank) +
-                                 #   retrieval_quality — green r8+r9
-    "retrieval_ndcg",            # graded metric ≡ retrieval_quality
-                                 #   (in-window IR metric suite) — green
-                                 #   r8+r9
-    "hard_negative_mining",      # 1x green (r9, fresh) ≡
-                                 #   retrieval_quality (in-window, same
-                                 #   topk_bruteforce retrieval + rank) —
-                                 #   green r9
-    "temperature_mixture",       # sqrt mixture ≡ source-mixture family
-                                 #   via dataset_splits +
-                                 #   supplier_balance_by_nation (in-window
-                                 #   keyed shares); round-12 DECIMAL
-                                 #   normalizer pinned by the fuzz slice —
-                                 #   green r8+r9
-    "curation_funnel",           # batch funnel ≡ crawl_e2e (keeper: the
-                                 #   SAME four gates composed inside the
-                                 #   crawl capstone) +
-                                 #   stream_curation_funnel (keeper,
-                                 #   incremental face) — green r8+r9
-    "perceptron_quality_weights",# NEW mid-r10, born parked (window
-                                 #   committed to the debt-clearing
-                                 #   rotation): in-engine classifier
-                                 #   TRAINING ≡ gopher_quality_report +
+    # --- r10-green parks, unchanged in r11 (return r13 per calendar) ---
+    "revenue_by_nation",         # join-agg ≡ sql_interface_pricing
+                                 #   (in-window keyed decimal agg) —
+                                 #   green r10 + earlier
+    "segment_order_stats",       # segment join-agg ≡
+                                 #   sql_interface_pricing (in-window) —
+                                 #   green r10 + earlier
+    "customers_without_orders",  # anti-join ≡ curation_funnel +
                                  #   training_corpus_selection (in-window
-                                 #   quality gates — the SERVING half) and
-                                 #   the unrolled-iteration trajectory
-                                 #   shape ≡ kmeans_steps (parked twin);
-                                 #   builder-sweep green tri-scale —
-                                 #   rotates in r11
-    "robots_page_filter",        # NEW mid-r10, born parked: crawl
-                                 #   politeness (robots parse + longest-
-                                 #   match filter) ≡ crawl_e2e (keeper —
-                                 #   the crawl front door this stage
-                                 #   slots into) + urgent_orders_by_year
-                                 #   (in-window routing-filter family);
-                                 #   the stateful group parse ≡
-                                 #   sessionization (in-window window-
-                                 #   grouping recipe); builder-sweep
-                                 #   green tri-scale — rotates in r11
+                                 #   left_anti stages) — green r10 +
+                                 #   earlier
+    "top_orders_per_customer",   # W3 per-group top-k ≡ prototype_sample
+                                 #   (in-window per-cluster top-m) +
+                                 #   source_cap_sample (in-window
+                                 #   per-source cap) — green r10 + earlier
+    "user_running_value",        # W5 running frame ≡ sessionization
+                                 #   (in-window ordered windows) — green
+                                 #   r10 + earlier
+    "nation_customer_rank",      # W4 rank ≡ source_cap_sample (in-window
+                                 #   rank-per-group) — green r10 + earlier
+    "exact_dedup",               # hash keep-one ≡ crawl_e2e (in-window
+                                 #   normalize-then-hash identity) +
+                                 #   neardup_keep_one — green r10 + earlier
+    "simhash",                   # fingerprint ≡ neardup_keep_one
+                                 #   (in-window signature identity) —
+                                 #   green r10 + earlier
+    "minhash_signatures",        # ≡ neardup_keep_one (in-window — the
+                                 #   same md5 signature kernel runs inside
+                                 #   it) — green r10 + earlier
+    "embedding_neardup_pairs",   # embedding near-dup ≡ ann_recall +
+                                 #   mmr_diversified_topk (in-window
+                                 #   cosine sims over embeddings) — green
+                                 #   r10 + earlier
+    "brand_price_stats",         # A11 count/mean/std ≡
+                                 #   welch_components_by_type (in-window
+                                 #   n/mean/var components) — green r10 +
+                                 #   earlier
+    "region_customer_rollup",    # ROLLUP ≡ rollup_pricing (in-window,
+                                 #   retained r11 for this family) —
+                                 #   green r10 + earlier
+    "urgent_orders_by_year",     # P4/P8 routing filter ≡
+                                 #   training_corpus_selection (in-window
+                                 #   routing) + ann_ivf_filtered
+                                 #   (in-window pushed predicate) — green
+                                 #   r10 + earlier
+    "mannwhitney_components",    # A12 rank-sum ≡ welch_components_by_type
+                                 #   + paired_test_components (both
+                                 #   in-window stats components) — green
+                                 #   r10 + earlier
+    "snippet_queries",           # S5 query gen ≡ self_retrieval_e2e
+                                 #   (in-window — query_snippet feeds its
+                                 #   query side) — green r10 + earlier
+    "stream_hourly_counts",      # ≡ stream_curation_funnel +
+                                 #   stream_dedup_events +
+                                 #   stream_user_totals_stateful (all
+                                 #   in-window streaming) — green r10 +
+                                 #   earlier
+    "stream_sessionize",         # ≡ same streaming trio as above +
+                                 #   sessionization (in-window batch twin)
+                                 #   — green r10 + earlier
+    "langid_confusion",          # langid profiles ≡
+                                 #   training_corpus_selection (in-window
+                                 #   lang routing) + doc_quality
+                                 #   (in-window per-doc text scoring) —
+                                 #   green r10 + earlier
+    "token_counts_regex",        # ≡ doc_quality (in-window token stats) +
+                                 #   bpe_merges (in-window tokenization) —
+                                 #   green r10 + earlier
+    "supplier_balance_by_nation",# keyed agg ≡ sql_interface_pricing
+                                 #   (in-window) — green r10 + earlier
+    "sketch_stats",              # KMV sketch ≡ sketch_set_ops (in-window
+                                 #   — the strictly wider set-algebra
+                                 #   sibling over the same sketches) —
+                                 #   green r10 + earlier
+    "hybrid_rrf_fusion",         # rank fusion ≡ retrieval_ndcg (in-window
+                                 #   rank-based metric) +
+                                 #   retrieval_quality (in-window rank
+                                 #   suite) — green r10 + earlier
+    "url_refetch_dedup",         # URL dedup ≡ crawl_e2e (in-window — the
+                                 #   same canonical_url/url_dedup stage
+                                 #   composed in the capstone) — green
+                                 #   r9+r10
+    "crawl_snapshot_diff",       # snapshot diff ≡ crawl_e2e (in-window —
+                                 #   the same snapshot_diff stage composed
+                                 #   in the capstone) — green r10
 )
 
 

@@ -353,40 +353,39 @@ def test_driver_window_covers_every_operator_family():
     window = set(names[:50])
     # every non-demoted query is inside the driver's window
     assert window == set(CATALOG) - set(DEMOTED)
-    # r10 flagship set (rotation per the DEMOTED header — r9 VERDICT #3,
-    # clear the ENTIRE verification debt in one window): the 37 rows
-    # absent from both the r8 and r9 driver windows, plus 13 keepers.
+    # r11 flagship set (rotation per the DEMOTED header): every row whose
+    # face or oracle CHANGED this round (the ROUND->FLOOR quantizer purge,
+    # jaccard integer thresholds, paired raw-sums schema, robots stage in
+    # crawl_e2e, filtered-ANN auto path) is in-window, plus the two
+    # born-parked r10 rows (first driver check), three cadence returners,
+    # the anchors, and seven family-breadth retainees.
     flagships = {
-        # rotation debt — last driver-green in r7, or NEVER
-        # (ann_ivf_filtered, crawl_snapshot_diff were born parked in r9)
-        "ann_ivf_filtered", "ann_recall", "asof_latest_order",
-        "brand_price_stats", "crawl_snapshot_diff",
-        "customers_without_orders", "dataset_splits",
-        "embedding_neardup_pairs", "exact_dedup", "gopher_quality_report",
-        "hybrid_rrf_fusion", "label_centroids", "langid_confusion",
-        "mannwhitney_components", "minhash_signatures",
-        "nation_customer_rank", "neardup_keep_one", "ngram_jaccard_pairs",
-        "quantized_topk_rerank", "region_customer_rollup",
-        "retrieval_quality", "revenue_by_nation", "rollup_pricing",
-        "segment_order_stats", "sessionization", "simhash",
-        "sketch_stats", "snippet_queries", "sql_interface_pricing",
-        "stream_hourly_counts", "stream_sessionize",
-        "supplier_balance_by_nation", "token_counts_regex",
-        "top_orders_per_customer", "urgent_orders_by_year",
-        "user_event_pivot", "user_running_value",
-        # the r9 red cell — the exact-DECIMAL rebuild must prove green
-        "paired_test_components",
-        # oracles REBUILT this round (ROUND-over-double-agg purge) — a
-        # changed oracle pair must be driver-verified
-        "welch_components_by_type", "training_corpus_selection",
-        "self_retrieval_e2e",
-        # 1x green AND their operators changed this round
-        "stream_curation_funnel", "url_refetch_dedup",
-        # NEW r10: the crawl front-door capstone
-        "crawl_e2e",
-        # the six no-family-twin anchors
+        # changed this round, already in-window — stay for driver re-check
+        "paired_test_components", "welch_components_by_type",
+        "retrieval_quality", "self_retrieval_e2e", "label_centroids",
+        "training_corpus_selection", "gopher_quality_report",
+        "ngram_jaccard_pairs", "neardup_keep_one", "ann_recall",
+        "ann_ivf_filtered", "crawl_e2e", "stream_curation_funnel",
+        "bm25_topk",
+        # changed this round, rotated IN from the parked set
+        "doc_quality", "source_cap_sample", "source_mixture_weights",
+        "temperature_mixture", "quality_classifier_report",
+        "bigram_lm_report", "lm_perplexity_buckets", "curation_funnel",
+        "dsir_selection", "similarity_pagerank", "kmeans_steps",
+        "prototype_sample", "bitext_margin_pairs", "mmr_diversified_topk",
+        "retrieval_ndcg", "sketch_set_ops", "tfidf_self_retrieval",
+        "ann_pq_topk", "ann_ivfpq_topk",
+        # born parked in r10 — first driver check (r10 VERDICT #3)
+        "robots_page_filter", "perceptron_quality_weights",
+        # cadence returners (1x-green fresh rows + the BPE family anchor)
+        "hard_negative_mining", "stream_dedup_events", "bpe_merges",
+        # the five no-family-twin anchors
         "json_kpi", "sequence_packing", "stream_user_totals_stateful",
-        "media_features", "bm25_topk", "index_upsert_counts",
+        "media_features", "index_upsert_counts",
+        # unchanged rows retained purely for family breadth
+        "sessionization", "asof_latest_order", "sql_interface_pricing",
+        "quantized_topk_rerank", "dataset_splits", "user_event_pivot",
+        "rollup_pricing",
     }
     assert flagships <= window
     assert len(flagships) == 50  # the window IS fully specified this round
