@@ -1419,6 +1419,16 @@ DEMOTED: tuple[str, ...] = (
                                  #   split) + neardup_keep_one (in-window
                                  #   component grouping) — green r8+r9
     # --- r10-green parks, unchanged in r11 (return r13 per calendar) ---
+    "stream_dedup_events",       # dropDuplicatesWithinWatermark ≡
+                                 #   stream_curation_funnel +
+                                 #   stream_user_totals_stateful
+                                 #   (in-window streaming) + the dedup
+                                 #   family anchors; parked to make
+                                 #   window room for the NEW
+                                 #   recrawl_priority (born in-window —
+                                 #   the r10 born-parked lesson);
+                                 #   returns r12 with the calendar
+                                 #   block — green r9
     "revenue_by_nation",         # join-agg ≡ sql_interface_pricing
                                  #   (in-window keyed decimal agg) —
                                  #   green r10 + earlier
@@ -5697,6 +5707,132 @@ def crawl_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce(F.col("_acc"), F.lit(False)),
         ).alias("accepted"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Round 11: adaptive recrawl scheduling (the crawl-loop stage after the diff)
+# ---------------------------------------------------------------------------
+
+_RC_NORM = (
+    r"md5(trim(regexp_replace(regexp_replace(lower({0}), '[^a-z0-9\s]',"
+    r" ' ', 'g'), '\s+', ' ', 'g')))"
+)
+
+
+def _recrawl_priority_sql() -> str:
+    """Replay of the THREE-snapshot recrawl pipeline: two snapshot_diff
+    passes (the crawl_snapshot_diff oracle recipe) build the change
+    history, then the Laplace change-rate + staleness priority ranks the
+    frontier.  change_rate/priority use the FLOOR quantizer (rationals
+    of small integers — the cross-engine ROUND-boundary class)."""
+    h = _RC_NORM
+    return f"""
+    WITH pages AS (SELECT doc_id, text FROM documents WHERE doc_id % 5 = 0),
+    u AS (SELECT doc_id,
+                 concat('http://site.example/d/', CAST(doc_id AS VARCHAR)) AS url
+          FROM pages),
+    s1 AS (SELECT u.url, {h.format('p.text')} AS h
+           FROM pages p JOIN u USING (doc_id) WHERE p.doc_id % 7 <> 0),
+    t2 AS (SELECT doc_id, CASE CAST(doc_id % 3 AS INTEGER)
+             WHEN 0 THEN concat(text, ' revision two')
+             WHEN 1 THEN concat(text, '  !!')
+             ELSE text END AS text
+           FROM pages WHERE doc_id % 7 <> 1),
+    s2 AS (SELECT u.url, {h.format('p.text')} AS h
+           FROM t2 p JOIN u USING (doc_id)),
+    t3 AS (SELECT doc_id, CASE WHEN doc_id % 4 = 0
+             THEN concat(text, ' revision three') ELSE text END AS text
+           FROM pages WHERE doc_id % 7 <> 2),
+    s3 AS (SELECT u.url, {h.format('p.text')} AS h
+           FROM t3 p JOIN u USING (doc_id)),
+    d12 AS (SELECT COALESCE(a.url, b.url) AS url, 2 AS snapshot_id,
+              CASE WHEN a.h IS NULL THEN 'added'
+                   WHEN b.h IS NULL THEN 'removed'
+                   WHEN a.h = b.h THEN 'unchanged' ELSE 'changed' END AS status
+            FROM s1 a FULL OUTER JOIN s2 b ON a.url = b.url),
+    d23 AS (SELECT COALESCE(a.url, b.url) AS url, 3 AS snapshot_id,
+              CASE WHEN a.h IS NULL THEN 'added'
+                   WHEN b.h IS NULL THEN 'removed'
+                   WHEN a.h = b.h THEN 'unchanged' ELSE 'changed' END AS status
+            FROM s2 a FULL OUTER JOIN s3 b ON a.url = b.url),
+    hist AS (SELECT * FROM d12 UNION ALL SELECT * FROM d23),
+    agg AS (SELECT url AS canonical_url,
+              CAST(COUNT(*) AS BIGINT) AS n_checks,
+              CAST(SUM(CASE WHEN status IN ('added', 'changed')
+                       THEN 1 ELSE 0 END) AS BIGINT) AS n_changes,
+              MAX(CASE WHEN status IN ('added', 'changed')
+                  THEN snapshot_id END) AS last_change_snapshot,
+              MAX(snapshot_id) AS _last_seen,
+              arg_max(status, snapshot_id) AS _latest
+            FROM hist GROUP BY url),
+    now AS (SELECT MAX(snapshot_id) AS _now FROM hist),
+    live AS (SELECT agg.*,
+               CAST(_now - _last_seen + 1 AS DOUBLE) AS _age,
+               FLOOR(CAST(n_changes + 1 AS DOUBLE)
+                     / CAST(n_checks + 2 AS DOUBLE)
+                     * 1000000000000.0 + 0.5) / 1000000000000.0 AS change_rate
+             FROM agg CROSS JOIN now WHERE _latest <> 'removed')
+    SELECT canonical_url, n_checks, n_changes, last_change_snapshot,
+           change_rate,
+           FLOOR(change_rate * _age * 1000000000000.0 + 0.5)
+             / 1000000000000.0 AS priority
+    FROM live
+    ORDER BY priority DESC, canonical_url LIMIT 100
+    """
+
+
+@_q(
+    "recrawl_priority",
+    _recrawl_priority_sql(),
+    tags=("crawl", "scheduling", "recrawl", "snapshot", "frontier"),
+)
+def recrawl_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adaptive recrawl scheduling (operators/recrawl.py — the Cho &
+    Garcia-Molina 2003 shape, transcendental-free): three synthetic
+    snapshots of the same URL space diff pairwise (snapshot_diff, the
+    crawl_snapshot_diff identity), the per-URL change history feeds a
+    Laplace change-rate estimate, and the frontier ranks by
+    change_rate x staleness — the stage that closes the crawl loop this
+    engine models (fetch -> robots -> url_dedup -> diff -> SCHEDULE).
+    Top-100 by (priority desc, url) — a TakeOrderedAndProject, never a
+    full-universe window sort.  URLs whose latest status is 'removed'
+    leave the frontier; a %7-phase page DISAPPEARS in one snapshot and
+    RE-ENTERS as 'added' in the next, exercising the re-discovery path.
+    Cosmetic '  !!' churn normalizes away (counts unchanged) exactly as
+    in snapshot_diff."""
+    from ..operators.recrawl import diff_to_history, recrawl_priority as _rp
+
+    docs = T(spark, sf_dir, "documents")
+    pages = docs.filter(F.col("doc_id") % 5 == 0).select("doc_id", "text")
+    url = F.concat(
+        F.lit("http://site.example/d/"), F.col("doc_id").cast("string")
+    )
+    s1 = pages.filter(F.col("doc_id") % 7 != 0).select(
+        url.alias("url"), "text"
+    )
+    m3 = F.col("doc_id") % 3
+    s2 = pages.filter(F.col("doc_id") % 7 != 1).select(
+        url.alias("url"),
+        F.when(m3 == 0, F.concat(F.col("text"), F.lit(" revision two")))
+        .when(m3 == 1, F.concat(F.col("text"), F.lit("  !!")))
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    s3 = pages.filter(F.col("doc_id") % 7 != 2).select(
+        url.alias("url"),
+        F.when(
+            F.col("doc_id") % 4 == 0,
+            F.concat(F.col("text"), F.lit(" revision three")),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    d12 = dd.snapshot_diff(s1, s2, key_col="url", text_col="text")
+    d23 = dd.snapshot_diff(s2, s3, key_col="url", text_col="text")
+    hist = diff_to_history(d12, 2, url_col="url").unionByName(
+        diff_to_history(d23, 3, url_col="url")
+    )
+    return _rp(hist, frontier_size=100)
 
 
 # ---------------------------------------------------------------------------

@@ -129,6 +129,11 @@ QUERIES = [
     # written archives and every join flip must not move a single
     # (canonical_url, status, accepted) cell.
     "crawl_e2e",
+    # r11: the crawl-loop scheduler — two snapshot diffs feed Laplace
+    # change rates and a quantized staleness priority; the top-100
+    # frontier cut must be partition-invariant (rate/priority are
+    # rationals of small integers, the quantizer's home turf).
+    "recrawl_priority",
 ]
 
 # Perturbations of runtime-settable physical knobs. Each tuple is applied on

@@ -377,8 +377,11 @@ def test_driver_window_covers_every_operator_family():
         "ann_pq_topk", "ann_ivfpq_topk",
         # born parked in r10 — first driver check (r10 VERDICT #3)
         "robots_page_filter", "perceptron_quality_weights",
-        # cadence returners (1x-green fresh rows + the BPE family anchor)
-        "hard_negative_mining", "stream_dedup_events", "bpe_merges",
+        # cadence returners (1x-green fresh row + the BPE family anchor;
+        # stream_dedup_events re-parked for the NEW row, returns r12)
+        "hard_negative_mining", "bpe_merges",
+        # NEW r11: adaptive recrawl scheduling — born in-window
+        "recrawl_priority",
         # the five no-family-twin anchors
         "json_kpi", "sequence_packing", "stream_user_totals_stateful",
         "media_features", "index_upsert_counts",
