@@ -761,12 +761,16 @@ def main() -> None:
                     )
                 out = {}
                 # fixed ladder (since r9): the under-recall a fixed probe
-                # count pays as the predicate tightens
+                # count pays as the predicate tightens. selectivity=1.0
+                # pins the FIXED behavior — since r11 a bare predicate
+                # auto-estimates selectivity and widens the probe, which
+                # is exactly what this ladder exists to contrast against.
                 for nprobe in (4, 8, 16):
                     out[f"nprobe={nprobe}"] = _recall(
                         ivf_topk_fast(
                             rq, dvec, cents, k=k_rec, nprobe=nprobe,
                             doc_lists=dl, predicate=preds[0.1],
+                            selectivity=1.0,
                         ),
                         fexact01,
                     )
