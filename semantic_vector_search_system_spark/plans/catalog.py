@@ -1267,7 +1267,10 @@ def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
 # for family breadth (sessionization, asof_latest_order,
 # sql_interface_pricing, quantized_topk_rerank, dataset_splits,
 # user_event_pivot, rollup_pricing).  In exchange 24 unchanged r10-green
-# rows park (notes per entry).
+# rows park (notes per entry).  Mid-round addendum: the NEW
+# ann_index_upsert row (stored-index upsert/delete/compact lifecycle) is
+# born in-window per the calendar's changed-rows rule; rollup_pricing
+# parks in exchange (returns r12).
 #
 # RE-VERIFICATION CALENDAR (r10 VERDICT #8 — plan the windows, don't
 # react; rule: no row goes more than ~3 rounds without a driver check):
@@ -1513,6 +1516,12 @@ DEMOTED: tuple[str, ...] = (
     "crawl_snapshot_diff",       # snapshot diff ≡ crawl_e2e (in-window —
                                  #   the same snapshot_diff stage composed
                                  #   in the capstone) — green r10
+    "rollup_pricing",            # parked mid-r11 to make window room for
+                                 #   the NEW ann_index_upsert row (born
+                                 #   in-window per calendar); ROLLUP agg ≡
+                                 #   sql_interface_pricing (in-window
+                                 #   grouped pricing agg) — green r10 +
+                                 #   earlier; returns r12
 )
 
 
@@ -2677,6 +2686,102 @@ def index_upsert_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     updates = emb.filter(F.col("vec_id") < 50).withColumn("label", F.col("label") + 100)
     merged = upsert_by_key(emb, updates, key="vec_id")
     return merged.groupBy("label").agg(F.count("*").alias("n_vectors"))
+
+
+@_q(
+    "ann_index_upsert",
+    """
+    WITH base AS (
+      SELECT vec_id, embedding, vec_id % 8 AS cent_id, 0 AS b
+      FROM embeddings WHERE vec_id % 3 <> 2),
+    upd AS (
+      SELECT vec_id, list_transform(embedding, x -> -x) AS embedding,
+             vec_id % 8 AS cent_id, 1 AS b
+      FROM embeddings
+      WHERE vec_id % 6 = 0 OR (vec_id % 3 = 2 AND vec_id % 7 = 1)),
+    live AS (
+      SELECT * FROM upd
+      UNION ALL
+      SELECT * FROM base
+      WHERE NOT EXISTS (SELECT 1 FROM upd u WHERE u.vec_id = base.vec_id)),
+    kept AS (SELECT * FROM live WHERE vec_id % 30 NOT IN (1, 6))
+    SELECT CAST(cent_id AS BIGINT) AS cent_id,
+           COUNT(*) AS n_live,
+           CAST(SUM(b) AS BIGINT) AS n_from_updates,
+           CAST(SUM(vec_id) AS BIGINT) AS sum_ids,
+           CAST(SUM(CASE WHEN embedding[1] < 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_neg_first
+    FROM kept GROUP BY cent_id
+    """,
+    tags=("upsert", "index", "tombstone", "compaction", "maintenance"),
+)
+def ann_index_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STORED vector-index mutation lifecycle — the reference's actual
+    write path (`weaviate/client.py:60-79`, `pinecone/client.py:61-90`:
+    upsert REPLACES the vector under an existing id; deletes drop it)
+    run against the engine's cent_id-partitioned parquet index:
+
+      write(batch 0) -> upsert_vector_index(batch 1: replacements get
+      NEGATED embeddings + brand-new ids insert) ->
+      delete_from_vector_index -> compact_vector_index -> read raw.
+
+    Everything is tombstone-masked generations over append-only parquet
+    (sources/parquet_index.py) — the same stored-state recipe as the
+    near-dup index — and compaction folds the mask in, so the final RAW
+    read equals the live view.  The oracle replays latest-wins/delete
+    relationally from `embeddings`.  Checked per list: live count,
+    how many rows the update generation won (SUM(_batch)), id checksum,
+    and a vector-VALUE probe (negated first element) proving the
+    replacement actually swapped the payload, not just the metadata.
+
+    Scale shape: upsert appends are partition-aligned (new files land in
+    existing cent_id=... directories, pruning intact), the superseded
+    scan reads two thin columns, tombstones stay O(churn) and broadcast.
+    """
+    import os
+    import shutil
+    import tempfile
+
+    from ..sources.parquet_index import (
+        compact_vector_index,
+        delete_from_vector_index,
+        upsert_vector_index,
+        write_vector_index,
+    )
+
+    emb = T(spark, sf_dir, "embeddings")
+    path = os.path.join(
+        tempfile.gettempdir(),
+        f"sivbp_ann_upsert_{os.getpid()}_{abs(hash(sf_dir)) % 10**8}",
+    )
+    shutil.rmtree(path, ignore_errors=True)
+    shutil.rmtree(path + "__tombstones", ignore_errors=True)
+    with_cent = emb.withColumn("cent_id", F.col("vec_id") % 8)
+    base = with_cent.filter(F.col("vec_id") % 3 != 2)
+    write_vector_index(base, path, partition_by="cent_id", batch=0)
+    upd = with_cent.filter(
+        (F.col("vec_id") % 6 == 0)
+        | ((F.col("vec_id") % 3 == 2) & (F.col("vec_id") % 7 == 1))
+    ).withColumn("embedding", F.transform("embedding", lambda x: -x))
+    upsert_vector_index(
+        spark, path, upd, id_col="vec_id", batch=1, partition_by="cent_id"
+    )
+    delete_from_vector_index(
+        spark,
+        path,
+        emb.filter((F.col("vec_id") % 30).isin(1, 6)).select("vec_id"),
+        id_col="vec_id",
+    )
+    compact_vector_index(spark, path, id_col="vec_id", partition_by="cent_id")
+    final = spark.read.parquet(path)
+    return final.groupBy(F.col("cent_id").cast("long").alias("cent_id")).agg(
+        F.count("*").alias("n_live"),
+        F.sum("_batch").cast("long").alias("n_from_updates"),
+        F.sum("vec_id").alias("sum_ids"),
+        F.sum(F.when(F.col("embedding")[0] < 0, 1).otherwise(0))
+        .cast("long")
+        .alias("n_neg_first"),
+    )
 
 
 @_q(

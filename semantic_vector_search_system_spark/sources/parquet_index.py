@@ -30,6 +30,7 @@ def write_vector_index(
     target_partitions: int | None = None,
     mode: str = "overwrite",
     compression: str = "zstd",
+    batch: int | None = None,
 ) -> None:
     """S6/S11: persist the encoded corpus as the engine's search index.
 
@@ -37,8 +38,14 @@ def write_vector_index(
     writes at the same speed as snappy (0.54 vs 0.56 s) at 60% of the
     size (24 vs 40 MB; uncompressed 103 MB) — at 100 TB the index's scan
     cost is IO-bound, so the smaller file wins reads too.
+
+    ``batch`` stamps every row with an ``_batch`` generation column —
+    required for the mutable-index path (:func:`upsert_vector_index` /
+    :func:`read_live_index`); write-once indexes may omit it.
     """
     df = vectors
+    if batch is not None:
+        df = df.withColumn("_batch", F.lit(int(batch)))
     if target_partitions:
         df = df.repartition(target_partitions)
     writer = df.write.mode(mode).option("compression", compression)
@@ -51,6 +58,169 @@ def read_vector_index(spark: SparkSession, path: str) -> DataFrame:
     """S7: reopen the index (schema travels with the Parquet footer —
     no dim probe needed, unlike the reference's 8-doc sample)."""
     return spark.read.parquet(path)
+
+
+def _tombstones_path(path: str) -> str:
+    return path.rstrip("/") + "__tombstones"
+
+
+def upsert_vector_index(
+    spark: SparkSession,
+    path: str,
+    updates: DataFrame,
+    id_col: str = "docid",
+    batch: int = 1,
+    partition_by: str | None = None,
+) -> dict:
+    """Reference upsert parity (`weaviate/client.py:60-79`,
+    `pinecone/client.py:61-90`: re-upserting an existing id REPLACES its
+    vector) for the parquet index, without rewriting the index.
+
+    Mechanics — the same stored-state recipe as the near-dup index
+    (`operators/dedup.py`) and the curation funnel:
+
+    * find which incoming ids are already LIVE in the index by scanning
+      ONLY ``(id, _batch)`` (column-pruned; at 100 TB this reads two thin
+      columns, not the vectors) and semi-joining against the broadcast
+      update keys — those ``(id, _batch)`` pairs are SUPERSEDED;
+    * append the superseded pairs to ``<path>__tombstones`` (churn-sized:
+      O(updates), never O(index));
+    * append the update rows stamped ``_batch = batch`` to the index,
+      partition-aligned (``partition_by`` must match the original
+      layout so new files land inside the existing ``cent_id=...``
+      directories and partition pruning keeps working).
+
+    Crash ordering (the at-least-once contract the streaming funnel
+    pinned in r10): the new rows are appended FIRST, the tombstones for
+    the old generations second — a crash in between leaves BOTH
+    generations visible (duplicates, healed by re-running the upsert
+    under a FRESH batch id, which tombstones every older generation)
+    rather than silently losing the replacement.  The superseded scan
+    filters ``_batch != batch`` so it can never tombstone the rows it
+    just wrote.
+
+    Append-only on the big relation, tombstone-masked reads, periodic
+    :func:`compact_vector_index` — no MERGE engine required.  Returns
+    ``{"upserted": n, "replaced": n_superseded}``.
+    """
+    updates = updates.withColumn("_batch", F.lit(int(batch)))
+    keys = F.broadcast(updates.select(id_col).distinct())
+    try:
+        stored = spark.read.parquet(path)
+    except Exception:
+        stored = None
+    if stored is not None and "_batch" not in stored.columns:
+        raise ValueError(
+            "index at %r has no _batch column — write it with "
+            "write_vector_index(..., batch=0) to make it upsertable"
+            % path
+        )
+    writer = updates.write.mode("append").option("compression", "zstd")
+    if partition_by:
+        writer = writer.partitionBy(partition_by)
+    writer.parquet(path)
+    replaced = 0
+    if stored is not None:
+        superseded = (
+            read_live_index(spark, path, id_col=id_col)
+            .filter(F.col("_batch") != int(batch))
+            .select(id_col, "_batch")
+            .join(keys, id_col, "left_semi")
+        )
+        # count() doubles as the skip-gate: zero superseded -> no
+        # tombstone append at all (pure-insert batches stay one write)
+        replaced = superseded.count()
+        if replaced:
+            superseded.write.mode("append").format("parquet").save(
+                _tombstones_path(path)
+            )
+    return {"upserted": updates.count(), "replaced": replaced}
+
+
+def delete_from_vector_index(
+    spark: SparkSession, path: str, ids: DataFrame, id_col: str = "docid"
+) -> int:
+    """Tombstone every live generation of the given ids (the index-side
+    half of right-to-be-forgotten — pairs with the curation funnel's hash
+    tombstones).  O(churn) write, no index rewrite; space is reclaimed at
+    the next :func:`compact_vector_index`.  Returns rows tombstoned."""
+    doomed = (
+        read_live_index(spark, path, id_col=id_col)
+        .select(id_col, "_batch")
+        .join(F.broadcast(ids.select(id_col).distinct()), id_col, "left_semi")
+    )
+    n = doomed.count()
+    if n:
+        doomed.write.mode("append").format("parquet").save(
+            _tombstones_path(path)
+        )
+    return n
+
+
+def read_live_index(
+    spark: SparkSession, path: str, id_col: str = "docid"
+) -> DataFrame:
+    """Open the index with superseded generations masked out: a broadcast
+    anti-join on ``(id, _batch)`` against the churn-sized tombstone table.
+    Partition/predicate pushdown on the index scan survives the join —
+    the mask touches only rows that already passed pruning."""
+    index = spark.read.parquet(path)
+    tomb_path = _tombstones_path(path)
+    try:
+        tomb = spark.read.parquet(tomb_path)
+    except Exception:
+        return index
+    return index.join(
+        F.broadcast(tomb.select(id_col, "_batch")),
+        [id_col, "_batch"],
+        "left_anti",
+    )
+
+
+def compact_vector_index(
+    spark: SparkSession,
+    path: str,
+    id_col: str = "docid",
+    partition_by: str | None = None,
+) -> dict:
+    """Fold tombstones into the index: rewrite the LIVE rows to a staging
+    directory, swap it in rename-aside (stage -> live is two renames with
+    the old tree kept at ``<path>__old`` until the swap completes — a
+    crash leaves either the old index or the new one, never a torn one),
+    then drop the tombstone table.  Amortized maintenance, same contract
+    as ``compact_neardup_index``.  No-ops (and skips the full rewrite)
+    when there are no tombstones.
+
+    Local/shared-FS directory renames only — object stores need their
+    own atomic-promote (documented, same caveat as ``write_warc``).
+    """
+    import os
+    import shutil
+
+    tomb_path = _tombstones_path(path)
+    try:
+        n_tomb = spark.read.parquet(tomb_path).limit(1).count()
+    except Exception:
+        n_tomb = 0
+    if n_tomb == 0:
+        return {"compacted": False, "dropped": 0}
+    live = read_live_index(spark, path, id_col=id_col)
+    n_before = spark.read.parquet(path).count()
+    staging = path.rstrip("/") + "__staging"
+    shutil.rmtree(staging, ignore_errors=True)
+    writer = live.write.mode("overwrite").option("compression", "zstd")
+    if partition_by:
+        writer = writer.partitionBy(partition_by)
+    writer.parquet(staging)
+    n_after = spark.read.parquet(staging).count()
+    old = path.rstrip("/") + "__old"
+    shutil.rmtree(old, ignore_errors=True)
+    os.rename(path, old)
+    os.rename(staging, path)
+    shutil.rmtree(old, ignore_errors=True)
+    shutil.rmtree(tomb_path, ignore_errors=True)
+    spark.catalog.clearCache()
+    return {"compacted": True, "dropped": n_before - n_after}
 
 
 def index_stats(index: DataFrame, vec_col: str = "vec") -> DataFrame:

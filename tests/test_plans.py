@@ -380,15 +380,17 @@ def test_driver_window_covers_every_operator_family():
         # cadence returners (1x-green fresh row + the BPE family anchor;
         # stream_dedup_events re-parked for the NEW row, returns r12)
         "hard_negative_mining", "bpe_merges",
-        # NEW r11: adaptive recrawl scheduling — born in-window
-        "recrawl_priority",
+        # NEW r11: adaptive recrawl scheduling + stored vector-index
+        # mutation lifecycle — born in-window (rollup_pricing parked in
+        # exchange for the latter; pricing family stays covered by
+        # sql_interface_pricing)
+        "recrawl_priority", "ann_index_upsert",
         # the five no-family-twin anchors
         "json_kpi", "sequence_packing", "stream_user_totals_stateful",
         "media_features", "index_upsert_counts",
         # unchanged rows retained purely for family breadth
         "sessionization", "asof_latest_order", "sql_interface_pricing",
         "quantized_topk_rerank", "dataset_splits", "user_event_pivot",
-        "rollup_pricing",
     }
     assert flagships <= window
     assert len(flagships) == 50  # the window IS fully specified this round

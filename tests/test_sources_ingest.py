@@ -149,3 +149,100 @@ def test_results_union_by_name(spark, tmp_path):
     b = spark.createDataFrame([(0.4, 100)], "p double, n_docs long")
     u = a.unionByName(b)
     assert u.count() == 2 and {r["n_docs"] for r in u.collect()} == {10, 100}
+
+
+def test_vector_index_upsert_lifecycle(spark, tmp_path):
+    """Mutable-index CRUD: base write -> upsert (replace+insert) ->
+    delete -> compact, with live reads correct at every step.
+
+    Reference parity: Weaviate/Pinecone upsert replaces the vector under
+    an existing id (`weaviate/client.py:60-79`, `pinecone/client.py:61-90`);
+    here the replacement is tombstone-masked generations over append-only
+    parquet, folded in by compaction."""
+    from semantic_vector_search_system_spark.sources.parquet_index import (
+        compact_vector_index,
+        delete_from_vector_index,
+        read_live_index,
+        upsert_vector_index,
+        write_vector_index,
+    )
+
+    path = str(tmp_path / "mut_index")
+    base = spark.createDataFrame(
+        [(f"d{i}", [float(i), 0.0], "news") for i in range(10)],
+        "docid string, vec array<float>, category string",
+    )
+    write_vector_index(base, path, partition_by="category", batch=0)
+
+    # batch 1: replace d0..d2 (new vectors, new category value too),
+    # insert d10/d11
+    upd = spark.createDataFrame(
+        [(f"d{i}", [float(100 + i), 1.0], "sports") for i in (0, 1, 2, 10, 11)],
+        "docid string, vec array<float>, category string",
+    )
+    out = upsert_vector_index(
+        spark, path, upd, id_col="docid", batch=1, partition_by="category"
+    )
+    assert out == {"upserted": 5, "replaced": 3}
+
+    live = read_live_index(spark, path, id_col="docid")
+    assert live.count() == 12  # 10 - 3 + 5
+    got = {r["docid"]: r["vec"][0] for r in live.collect()}
+    assert got["d0"] == 100.0 and got["d1"] == 101.0  # replaced win
+    assert got["d5"] == 5.0  # untouched survive
+    assert got["d10"] == 110.0  # inserts present
+
+    # raw index still holds both generations (append-only)
+    assert spark.read.parquet(path).count() == 15
+
+    # re-upserting the SAME id again supersedes the batch-1 generation
+    upd2 = spark.createDataFrame(
+        [("d0", [500.0, 2.0], "news")],
+        "docid string, vec array<float>, category string",
+    )
+    out2 = upsert_vector_index(
+        spark, path, upd2, id_col="docid", batch=2, partition_by="category"
+    )
+    assert out2 == {"upserted": 1, "replaced": 1}
+    live = read_live_index(spark, path, id_col="docid")
+    assert live.count() == 12
+    assert {r["vec"][0] for r in live.filter(F.col("docid") == "d0").collect()} == {500.0}
+
+    # delete two ids (one with a replaced history, one base-only)
+    doomed = spark.createDataFrame([("d0",), ("d5",)], "docid string")
+    n = delete_from_vector_index(spark, path, doomed, id_col="docid")
+    assert n == 2
+    live = read_live_index(spark, path, id_col="docid")
+    assert live.count() == 10
+    assert live.filter(F.col("docid").isin("d0", "d5")).count() == 0
+
+    # compact folds tombstones: raw row count == live row count afterwards
+    res = compact_vector_index(spark, path, id_col="docid", partition_by="category")
+    assert res["compacted"] is True and res["dropped"] == 6  # 16 raw - 10 live
+    assert spark.read.parquet(path).count() == 10
+    live_after = read_live_index(spark, path, id_col="docid")
+    assert {r["docid"] for r in live_after.collect()} == (
+        {f"d{i}" for i in range(12) if i not in (0, 5)}
+    )
+    # second compact is a no-op (no tombstone table left)
+    assert compact_vector_index(spark, path, id_col="docid") == {
+        "compacted": False,
+        "dropped": 0,
+    }
+
+
+def test_vector_index_upsert_requires_batch_column(spark, tmp_path):
+    from semantic_vector_search_system_spark.sources.parquet_index import (
+        upsert_vector_index,
+        write_vector_index,
+    )
+
+    path = str(tmp_path / "immut_index")
+    base = spark.createDataFrame(
+        [("d1", [1.0])], "docid string, vec array<float>"
+    )
+    write_vector_index(base, path)  # no batch stamp -> write-once index
+    with pytest.raises(ValueError, match="_batch"):
+        upsert_vector_index(
+            spark, path, base, id_col="docid", batch=1
+        )
