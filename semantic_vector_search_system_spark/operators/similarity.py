@@ -594,6 +594,26 @@ def _cogroup_list_topk(
     )
 
 
+def _mask_tombstoned(docs, spark, index_path: str, id_col: str):
+    """Drop superseded/deleted generations from a (pruned) index scan:
+    broadcast anti-join on ``(id, _batch)`` vs the mutable index's
+    tombstone side table (``sources/parquet_index.py``).  No tombstone
+    table or no ``_batch`` column -> the scan is already live."""
+    if "_batch" not in docs.columns:
+        return docs
+    from ..sources.parquet_index import _tombstones_path
+
+    try:
+        tomb = spark.read.parquet(_tombstones_path(index_path))
+    except Exception:
+        return docs
+    return docs.join(
+        F.broadcast(tomb.select(id_col, "_batch")),
+        [id_col, "_batch"],
+        "left_anti",
+    )
+
+
 def ivf_search_partitioned(
     spark,
     index_path: str,
@@ -614,9 +634,18 @@ def ivf_search_partitioned(
     predicate=None,
     selectivity: float | None = None,
     max_nprobe: int | None = None,
+    live: bool = False,
 ):
     """IVF serving against a ``partitionBy(cent_id)`` parquet index — the
     storage-pruned path for LOW-QUERY-COUNT latency.
+
+    ``live=True`` serves a MUTABLE index (``sources/parquet_index.py``
+    upsert/delete lifecycle): superseded generations are masked out of
+    the pruned scan by a broadcast anti-join on ``(id, _batch)`` against
+    the churn-sized tombstone table — search-after-upsert returns the
+    NEW vector, search-after-delete returns nothing, and the mask rides
+    AFTER partition pruning so only probed lists pay it.  A write-once
+    index (no ``_batch`` column / no tombstone table) serves unmasked.
 
     ``predicate`` — filtered-ANN serving (pre-filter semantics, the
     :func:`ivf_topk` contract): a boolean Column over the index's stored
@@ -697,8 +726,11 @@ def ivf_search_partitioned(
         # here that directly widens the PARTITION-PRUNING predicate
         if selectivity is None:  # auto path (r10 VERDICT #7); pass
             # selectivity= from a stats table to skip this probe job
+            _est_scan = spark.read.parquet(index_path)
+            if live:
+                _est_scan = _mask_tombstoned(_est_scan, spark, index_path, id_col)
             selectivity = estimate_selectivity(
-                spark.read.parquet(index_path), predicate, hash_col=id_col
+                _est_scan, predicate, hash_col=id_col
             )
         nprobe = effective_nprobe(nprobe, selectivity, max_nprobe)
     qid_t = dict(queries.dtypes)[qid_col]
@@ -773,9 +805,12 @@ def ivf_search_partitioned(
             spark.read.parquet(index_path)
             .filter(F.col("cent_id").isin(probed))
             .filter(predicate if predicate is not None else F.lit(True))
-            .withColumn("cent_id", F.col("cent_id").cast(cent_t))
-            .select(id_col, vec_col, "cent_id")
         )
+        if live:
+            docs = _mask_tombstoned(docs, spark, index_path, id_col)
+        docs = docs.withColumn(
+            "cent_id", F.col("cent_id").cast(cent_t)
+        ).select(id_col, vec_col, "cent_id")
         q_side = queries.select(qid_col, qvec_col).join(q_lists, qid_col)
         id_t = dict(docs.dtypes)[id_col]
         return _with_eff(
@@ -835,9 +870,12 @@ def ivf_search_partitioned(
         spark.read.parquet(index_path)
         .filter(F.col("cent_id").isin(probed))
         .filter(predicate if predicate is not None else F.lit(True))
-        .withColumn("cent_id", F.col("cent_id").cast(cent_t))
-        .select(id_col, vec_col, "cent_id")
     )
+    if live:
+        docs = _mask_tombstoned(docs, spark, index_path, id_col)
+    docs = docs.withColumn(
+        "cent_id", F.col("cent_id").cast(cent_t)
+    ).select(id_col, vec_col, "cent_id")
     id_t = dict(docs.dtypes)[id_col]
     bq = spark.sparkContext.broadcast((qids, Qn, cent_to_qidx))
     schema = f"`{qid_col}` {qid_t}, `{id_col}` {id_t}, score double"

@@ -2158,3 +2158,79 @@ def test_clear_tombstones_staging_swap_and_noop_skip(spark):
     finally:
         for t in ("", "_staging", "_old"):
             spark.sql(f"DROP TABLE IF EXISTS {tname}{t}")
+
+
+def test_ivf_search_partitioned_live_after_upsert_and_delete(spark, tmp_path):
+    """Search-after-mutation correctness on the mutable index: live=True
+    returns the UPSERTED vector (not the superseded generation), drops
+    deleted ids entirely, and live=False still sees the raw append-only
+    history; compaction makes both views agree.  The mask rides AFTER
+    partition pruning (plan-gated: partition filters still present)."""
+    import pyspark.sql.functions as F
+    from semantic_vector_search_system_spark.operators.similarity import (
+        ivf_search_partitioned,
+    )
+    from semantic_vector_search_system_spark.sources.parquet_index import (
+        compact_vector_index,
+        delete_from_vector_index,
+        upsert_vector_index,
+        write_vector_index,
+    )
+
+    # two well-separated lists; docs d1/d2 in list 0's orbit, d3 in list 1's
+    cents = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.0, 1.0])], "cent_id int, cvec array<float>"
+    )
+    base = spark.createDataFrame(
+        [
+            ("d1", [0.9, 0.1], 0),
+            ("d2", [0.8, 0.2], 0),
+            ("d3", [0.1, 0.9], 1),
+        ],
+        "docid string, vec array<float>, cent_id int",
+    )
+    idx = str(tmp_path / "mut_ivf")
+    write_vector_index(base, idx, partition_by="cent_id", batch=0)
+    q = spark.createDataFrame([("q1", [1.0, 0.0])], "qid string, qvec array<float>")
+
+    top = ivf_search_partitioned(
+        spark, idx, cents, q, k=1, nprobe=1, live=True
+    ).collect()
+    assert [(r["docid"],) for r in top] == [("d1",)]
+
+    # upsert flips d2 to be the best match for q1 (d1 superseded away
+    # from the query); delete removes d1 entirely afterwards
+    upd = spark.createDataFrame(
+        [("d2", [1.0, 0.0], 0)], "docid string, vec array<float>, cent_id int"
+    )
+    upsert_vector_index(spark, idx, upd, id_col="docid", batch=1, partition_by="cent_id")
+    live_top = ivf_search_partitioned(
+        spark, idx, cents, q, k=3, nprobe=1, live=True
+    ).collect()
+    assert [r["docid"] for r in live_top] == ["d2", "d1"]
+    assert live_top[0]["score"] == pytest.approx(1.0)
+    # the superseded d2 generation is gone from the live view (one d2 row)
+    assert sum(1 for r in live_top if r["docid"] == "d2") == 1
+    # live=False sees the raw history: BOTH d2 generations rank
+    raw_top = ivf_search_partitioned(
+        spark, idx, cents, q, k=3, nprobe=1, live=False
+    ).collect()
+    assert sum(1 for r in raw_top if r["docid"] == "d2") == 2
+
+    delete_from_vector_index(
+        spark, idx, spark.createDataFrame([("d1",)], "docid string"), id_col="docid"
+    )
+    after_del = ivf_search_partitioned(
+        spark, idx, cents, q, k=3, nprobe=1, live=True
+    )
+    assert [r["docid"] for r in after_del.collect()] == ["d2"]
+    # partition pruning survives the tombstone mask
+    plan = after_del._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "cent_id" in plan.split("PartitionFilters")[1][:200]
+
+    # compaction folds the mask: raw search now equals live search
+    compact_vector_index(spark, idx, id_col="docid", partition_by="cent_id")
+    raw_after = ivf_search_partitioned(
+        spark, idx, cents, q, k=3, nprobe=1, live=False
+    ).collect()
+    assert [r["docid"] for r in raw_after] == ["d2"]
