@@ -134,7 +134,15 @@ def upsert_vector_index(
             superseded.write.mode("append").format("parquet").save(
                 _tombstones_path(path)
             )
-    return {"upserted": updates.count(), "replaced": replaced}
+    # report what actually LANDED (parquet metadata count over the new
+    # generation), not a recompute of the caller's possibly-expensive /
+    # non-deterministic update plan
+    n_up = (
+        spark.read.parquet(path)
+        .filter(F.col("_batch") == int(batch))
+        .count()
+    )
+    return {"upserted": n_up, "replaced": replaced}
 
 
 def delete_from_vector_index(
@@ -219,7 +227,11 @@ def compact_vector_index(
     os.rename(staging, path)
     shutil.rmtree(old, ignore_errors=True)
     shutil.rmtree(tomb_path, ignore_errors=True)
-    spark.catalog.clearCache()
+    # invalidate cached listings/data for THIS path only — a global
+    # clearCache() would evict every unrelated cached relation in a
+    # long-lived serving session
+    spark.catalog.refreshByPath(path)
+    spark.catalog.refreshByPath(tomb_path)
     return {"compacted": True, "dropped": n_before - n_after}
 
 
