@@ -246,3 +246,49 @@ def test_vector_index_upsert_requires_batch_column(spark, tmp_path):
         upsert_vector_index(
             spark, path, base, id_col="docid", batch=1
         )
+
+
+def test_vector_index_upsert_superseded_scan_is_thin(spark, tmp_path):
+    """The 100 TB property of the mutable index's upsert: finding the
+    superseded generations must read ONLY (id, _batch) from the stored
+    index — never the vectors.  Frozen as a ReadSchema plan gate on the
+    exact relation upsert_vector_index builds."""
+    from semantic_vector_search_system_spark.sources.parquet_index import (
+        read_live_index,
+        write_vector_index,
+    )
+
+    path = str(tmp_path / "thin_index")
+    base = spark.createDataFrame(
+        [(f"d{i}", [float(i)] * 64, "news") for i in range(20)],
+        "docid string, vec array<float>, category string",
+    )
+    write_vector_index(base, path, partition_by="category", batch=0)
+    keys = F.broadcast(
+        spark.createDataFrame([("d1",), ("d2",)], "docid string").distinct()
+    )
+    superseded = (
+        read_live_index(spark, path, id_col="docid")
+        .filter(F.col("_batch") != 1)
+        .select("docid", "_batch")
+        .join(keys, "docid", "left_semi")
+    )
+    plan = superseded._jdf.queryExecution().executedPlan().toString()
+    read_schema = plan.split("ReadSchema: ", 1)[1].splitlines()[0]
+    assert "vec" not in read_schema, read_schema
+    assert "docid" in read_schema and "_batch" in read_schema
+    # and the candidate probe is a broadcast semi-join: the INDEX side
+    # streams into the join with no Exchange between scan and join (the
+    # only allowed shuffle is the churn-sized keys-side distinct)
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
+    lines = plan.splitlines()
+    scan_i = next(
+        i for i, ln in enumerate(lines) if "Scan parquet" in ln
+    )
+    scan_depth = len(lines[scan_i]) - len(lines[scan_i].lstrip(" +-:"))
+    for ln in lines[:scan_i]:
+        depth = len(ln) - len(ln.lstrip(" +-:"))
+        if depth < scan_depth and "Exchange hashpartitioning" in ln:
+            raise AssertionError(
+                "index scan sits below a shuffle:\n" + plan[:2000]
+            )
