@@ -134,6 +134,12 @@ QUERIES = [
     # frontier cut must be partition-invariant (rate/priority are
     # rationals of small integers, the quantizer's home turf).
     "recrawl_priority",
+    # r11: the mutable-index lifecycle — write/upsert/delete/compact over
+    # parquet generations; the superseded semi-join, tombstone anti-join
+    # mask and compaction rewrite must land the SAME live set under
+    # partition scrambling and join-strategy flips (a partitioning-
+    # dependent mask would silently resurrect or lose generations).
+    "ann_index_upsert",
 ]
 
 # Perturbations of runtime-settable physical knobs. Each tuple is applied on
