@@ -48,3 +48,38 @@ def quantize_sql(expr: str, digits: int) -> str:
     """The identical quantizer as DuckDB SQL text for oracle twins."""
     scale = float(10**digits)
     return f"(FLOOR(({expr}) * {scale!r} + 0.5) / {scale!r})"
+
+
+def quantize_cents(col: Column) -> Column:
+    """``FLOOR(col·100 + 0.5)`` as an exact BIGINT of cents (r11 VERDICT
+    #1/#2 — the money-column twin of :func:`quantize`).
+
+    Why not ``CAST(col AS DECIMAL(12,2))``: that cast is ITSELF a
+    cross-engine rounding op — Spark converts double→decimal via
+    BigDecimal HALF_UP applied to the double's SHORTEST DECIMAL REPR
+    while DuckDB rounds the scaled double, so they disagree on every
+    double whose shortest repr ends in a third-decimal 5 (reproduced on
+    this image: ``CAST(4.045 AS DECIMAL(12,2))`` → Spark ``4.05``,
+    DuckDB ``4.04``; likewise −4.045, 0.125, 2.675, 1.005, …).  That
+    divergence sat at the head of every hashed money relation and was
+    the residual ``paired_test_components`` red cell in r9–r11: local
+    testdata is exactly-2-dp (boundary-free, green) while the driver's
+    parquet carries ≥3-dp values (red).
+
+    ``FLOOR(x·100 + 0.5)`` is multiply + add + floor — each a
+    correctly-rounded IEEE-754 op with NO decimal-string semantics —
+    so both engines produce bit-identical cents from bit-identical
+    doubles, boundaries included (semantics: round-half-toward-+∞,
+    like :func:`quantize`).  All downstream money arithmetic then runs
+    in exact integer cents; divide the FINAL double by the matching
+    power of 100 — never divide before the aggregate.
+
+    Domain: |col|·100 must stay below 2^53 (|col| ≲ 9e13 dollars).
+    """
+    return F.floor(col * F.lit(100.0) + F.lit(0.5))
+
+
+def quantize_cents_sql(expr: str) -> str:
+    """The identical cents quantizer as DuckDB SQL text (BIGINT; DuckDB
+    sums BIGINT into HUGEINT so downstream aggregates stay exact)."""
+    return f"CAST(FLOOR(({expr}) * 100.0 + 0.5) AS BIGINT)"

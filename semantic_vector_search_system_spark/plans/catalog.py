@@ -7,11 +7,22 @@ value hash against the oracle SQL executed by DuckDB on the same parquet.
 
 Cross-engine determinism rules used throughout (so value hashes match):
 
-* money/quantity aggregates: sum in DECIMAL(12,2) (exact), cast the final
-  value to DOUBLE — bit-identical in both engines, immune to summation order;
-* averages: exact decimal (or integer) sum cast to double, divided by count
-  — the final quotient is emitted UNROUNDED (one IEEE division of
-  bit-identical operands is itself bit-identical);
+* money/quantity aggregates: quantize to EXACT INTEGER CENTS first —
+  FLOOR(x·100 + 0.5), functions/quantize.py::quantize_cents — sum the
+  cents exactly (DECIMAL(18,0) on the Spark face, BIGINT→HUGEINT in
+  DuckDB), cast the final value to DOUBLE once and divide by the matching
+  power of 100.  NEVER ``CAST(double AS DECIMAL(12,2))`` at the head of a
+  hashed relation (r11 VERDICT #1/#3): that cast is itself a cross-engine
+  rounding op — Spark BigDecimal HALF_UP on the double's shortest repr vs
+  DuckDB scaled-double rounding — and they disagree on every double whose
+  shortest repr ends in a third-decimal 5 (4.045 → 4.05 vs 4.04,
+  reproduced; local testdata is exactly-2-dp so the hazard only fires on
+  the driver's parquet).  FLOOR cents is multiply/add/floor — pure IEEE,
+  bit-identical across engines, boundaries included;
+* averages: exact cents (or integer) sum cast to double, /100, divided by
+  count — each quotient emitted UNROUNDED (correctly-rounded IEEE
+  divisions of bit-identical operands are themselves bit-identical, as
+  long as BOTH faces apply them in the same order);
 * percentiles: exact linear-interpolation percentile (both engines); the
   round-4 on 2-dp event values is safe because the interpolated value
   terminates within 4 decimals (round-k of a <= k-dp value is exact);
@@ -62,7 +73,12 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.hashing import stable_hash64_sql
-from ..functions.quantize import quantize, quantize_sql
+from ..functions.quantize import (
+    quantize,
+    quantize_cents,
+    quantize_cents_sql,
+    quantize_sql,
+)
 from ..functions import timeutil as tu
 from ..functions.timeutil import read_events
 from ..operators import dedup as dd
@@ -112,23 +128,52 @@ def TP(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return _min_parts(T(spark, sf_dir, name), spark)
 
 
-def _dec(c: str | F.Column) -> F.Column:
+# Money idiom (r11 VERDICT #1/#3 — the catalog-wide `_dec()` purge).
+# The old head `CAST(value AS DECIMAL(12,2))` is ITSELF a cross-engine
+# rounding op: Spark converts double→decimal via BigDecimal HALF_UP on
+# the double's shortest repr, DuckDB via scaled-double rounding — they
+# disagree on every double whose shortest repr ends in a third-decimal 5
+# (4.045 → 4.05 vs 4.04; reproduced on this image).  Every hashed money
+# relation therefore quantizes to EXACT INTEGER CENTS with the pure-IEEE
+# FLOOR quantizer (functions/quantize.py::quantize_cents — multiply,
+# add, floor: each correctly-rounded IEEE-754, no decimal-string
+# semantics, bit-identical across engines), aggregates in exact integer
+# arithmetic, and divides the FINAL double by the matching power of 100.
+# Spark sums cents as DECIMAL(18,0) (SUM → DECIMAL(28,0), overflow-free
+# at any scale); DuckDB sums BIGINT into HUGEINT — both exact, one
+# double cast at the end.
+
+
+def _cents(c: str | F.Column) -> F.Column:
+    """Exact BIGINT cents of a money/ratio column (×100)."""
     col = F.col(c) if isinstance(c, str) else c
-    return col.cast("decimal(12,2)")
+    return quantize_cents(col)
 
 
-def _one() -> F.Column:
-    return F.lit(1).cast("decimal(12,2)")
+def _centsd(c: str | F.Column) -> F.Column:
+    """Cents widened to DECIMAL(18,0) so SUM/products never overflow."""
+    return _cents(c).cast("decimal(18,0)")
+
+
+def _sum_money(c: str | F.Column) -> F.Column:
+    """Exact money sum as double dollars: SUM(cents) → ONE double cast
+    → /100.0 (both divisions correctly rounded, both faces identical)."""
+    return F.sum(_centsd(c)).cast("double") / F.lit(100.0)
+
+
+def _cents_sql(expr: str) -> str:
+    return quantize_cents_sql(expr)
+
+
+def _sumd_sql(expr: str, alias: str) -> str:
+    return f"CAST(SUM({_cents_sql(expr)}) AS DOUBLE) / 100.0 AS {alias}"
+
 
 # SQL fragment helpers (DuckDB dialect)
 _SPLIT = r"regexp_split_to_array(text, '\s+')"
 # the shared functions/text.py tokenize(): trim + split + drop empty tokens
 # (r7 queries use this so padded/whitespace-only text agrees across engines)
 _SPLIT_CLEAN = r"list_filter(regexp_split_to_array(trim(text), '\s+'), t -> t <> '')"
-
-
-def _sumd_sql(expr: str, alias: str) -> str:
-    return f"CAST(SUM(CAST({expr} AS DECIMAL(12,2))) AS DOUBLE) AS {alias}"
 
 
 @dataclass
@@ -160,11 +205,11 @@ def _q(name: str, oracle: str | None, bench: bool = False, tags: tuple[str, ...]
     SELECT l_returnflag, l_linestatus,
       {_sumd_sql('l_quantity', 'sum_qty')},
       {_sumd_sql('l_extendedprice', 'sum_base_price')},
-      CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE) AS sum_disc_price,
-      CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2))) * (CAST(1 AS DECIMAL(12,2)) + CAST(l_tax AS DECIMAL(12,2)))) AS DOUBLE) AS sum_charge,
-      CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
-      CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS avg_price,
-      CAST(SUM(CAST(l_discount AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS avg_disc,
+      CAST(SUM({_cents_sql('l_extendedprice')} * (100 - {_cents_sql('l_discount')})) AS DOUBLE) / 10000.0 AS sum_disc_price,
+      CAST(SUM({_cents_sql('l_extendedprice')} * (100 - {_cents_sql('l_discount')}) * (100 + {_cents_sql('l_tax')})) AS DOUBLE) / 1000000.0 AS sum_charge,
+      CAST(SUM({_cents_sql('l_quantity')}) AS DOUBLE) / 100.0 / COUNT(*) AS avg_qty,
+      CAST(SUM({_cents_sql('l_extendedprice')}) AS DOUBLE) / 100.0 / COUNT(*) AS avg_price,
+      CAST(SUM({_cents_sql('l_discount')}) AS DOUBLE) / 100.0 / COUNT(*) AS avg_disc,
       COUNT(*) AS count_order
     FROM lineitem
     WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
@@ -175,28 +220,38 @@ def _q(name: str, oracle: str | None, bench: bool = False, tags: tuple[str, ...]
 )
 def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H-Q1-shaped scan+agg: filter pushdown, map-side partial agg
-    (SURVEY A8/A11-style group-by summary)."""
+    (SURVEY A8/A11-style group-by summary).  Money arithmetic in exact
+    integer cents (×100 per factor; disc/tax factors as (100 ∓ cents)),
+    final double divided by the matching power of 100 — see the module
+    money-idiom note."""
     li = T(spark, sf_dir, "lineitem").filter(
         F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp_ntz")
     )
     return li.groupBy("l_returnflag", "l_linestatus").agg(
-        F.sum(_dec("l_quantity")).cast("double").alias("sum_qty"),
-        F.sum(_dec("l_extendedprice")).cast("double").alias("sum_base_price"),
-        F.sum(_dec("l_extendedprice") * (_one() - _dec("l_discount"))).cast("double").alias("sum_disc_price"),
-        F.sum(
-            _dec("l_extendedprice") * (_one() - _dec("l_discount")) * (_one() + _dec("l_tax"))
-        ).cast("double").alias("sum_charge"),
-        (F.sum(_dec("l_quantity")).cast("double") / F.count("*")).alias("avg_qty"),
-        (F.sum(_dec("l_extendedprice")).cast("double") / F.count("*")).alias("avg_price"),
-        (F.sum(_dec("l_discount")).cast("double") / F.count("*")).alias("avg_disc"),
+        _sum_money("l_quantity").alias("sum_qty"),
+        _sum_money("l_extendedprice").alias("sum_base_price"),
+        (
+            F.sum(_centsd("l_extendedprice") * (F.lit(100) - _cents("l_discount")))
+            .cast("double") / F.lit(10000.0)
+        ).alias("sum_disc_price"),
+        (
+            F.sum(
+                _centsd("l_extendedprice")
+                * (F.lit(100) - _cents("l_discount"))
+                * (F.lit(100) + _cents("l_tax"))
+            ).cast("double") / F.lit(1000000.0)
+        ).alias("sum_charge"),
+        (_sum_money("l_quantity") / F.count("*")).alias("avg_qty"),
+        (_sum_money("l_extendedprice") / F.count("*")).alias("avg_price"),
+        (_sum_money("l_discount") / F.count("*")).alias("avg_disc"),
         F.count("*").alias("count_order"),
     )
 
 
 @_q(
     "revenue_filter",
-    """
-    SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_discount AS DECIMAL(12,2))) AS DOUBLE) AS revenue,
+    f"""
+    SELECT CAST(SUM({_cents_sql('l_extendedprice')} * {_cents_sql('l_discount')}) AS DOUBLE) / 10000.0 AS revenue,
            COUNT(*) AS n_items
     FROM lineitem
     WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
@@ -218,7 +273,10 @@ def revenue_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("l_quantity") < 24)
         )
         .agg(
-            F.sum(_dec("l_extendedprice") * _dec("l_discount")).cast("double").alias("revenue"),
+            (
+                F.sum(_centsd("l_extendedprice") * _cents("l_discount"))
+                .cast("double") / F.lit(10000.0)
+            ).alias("revenue"),
             F.count("*").alias("n_items"),
         )
     )
@@ -226,9 +284,9 @@ def revenue_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @_q(
     "revenue_by_nation",
-    """
+    f"""
     SELECT n.n_name,
-      CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(12,2)) - CAST(l.l_discount AS DECIMAL(12,2)))) AS DOUBLE) AS revenue,
+      CAST(SUM({_cents_sql('l.l_extendedprice')} * (100 - {_cents_sql('l.l_discount')})) AS DOUBLE) / 10000.0 AS revenue,
       COUNT(DISTINCT o.o_orderkey) AS n_orders
     FROM customer c
     JOIN orders o ON c.c_custkey = o.o_custkey
@@ -270,7 +328,11 @@ def revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     lrev = (
         l.join(F.broadcast(keys), l.l_orderkey == keys.o_orderkey, "left_semi")
         .groupBy("l_orderkey")
-        .agg(F.sum(_dec("l_extendedprice") * (_one() - _dec("l_discount"))).alias("rev_dec"))
+        .agg(
+            F.sum(
+                _centsd("l_extendedprice") * (F.lit(100) - _cents("l_discount"))
+            ).alias("rev_cents2")
+        )
     )
     cn = c.select("c_custkey", "c_nationkey").join(
         F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey")
@@ -282,7 +344,7 @@ def revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(cn, F.col("o_custkey") == F.col("c_custkey"))
         .groupBy("n_name")
         .agg(
-            F.sum("rev_dec").cast("double").alias("revenue"),
+            (F.sum("rev_cents2").cast("double") / F.lit(10000.0)).alias("revenue"),
             F.count("*").alias("n_orders"),
         )
     )
@@ -290,10 +352,10 @@ def revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @_q(
     "segment_order_stats",
-    """
+    f"""
     SELECT c_mktsegment,
       COUNT(*) AS n_customers,
-      CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS avg_acctbal
+      CAST(SUM({_cents_sql('c_acctbal')}) AS DOUBLE) / 100.0 / COUNT(*) AS avg_acctbal
     FROM customer c
     WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
     GROUP BY c_mktsegment
@@ -309,7 +371,7 @@ def segment_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("c_mktsegment")
         .agg(
             F.count("*").alias("n_customers"),
-            (F.sum(_dec("c_acctbal")).cast("double") / F.count("*")).alias("avg_acctbal"),
+            (_sum_money("c_acctbal") / F.count("*")).alias("avg_acctbal"),
         )
     )
 
@@ -361,27 +423,37 @@ def top_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @_q(
     "event_percentiles",
-    """
+    f"""
+    WITH c AS (SELECT event_type, {_cents_sql('value')} AS vc FROM events)
     SELECT event_type, COUNT(*) AS n_events,
-      CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS avg_value,
-      ROUND(quantile_cont(value, 0.5), 4) AS p50,
-      ROUND(quantile_cont(value, 0.9), 4) AS p90,
-      ROUND(quantile_cont(value, 0.99), 4) AS p99
-    FROM events GROUP BY event_type
+      CAST(SUM(vc) AS DOUBLE) / 100.0 / COUNT(*) AS avg_value,
+      {quantize_sql('quantile_cont(vc, 0.5) / 100.0', 4)} AS p50,
+      {quantize_sql('quantile_cont(vc, 0.9) / 100.0', 4)} AS p90,
+      {quantize_sql('quantile_cont(vc, 0.99) / 100.0', 4)} AS p99
+    FROM c GROUP BY event_type
     """,
     bench=True,
     tags=("agg", "A5", "A6"),
 )
 def event_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Latency-stats-shaped aggregation: exact percentiles (SURVEY A5/A6 —
-    the reference's mean/p50/p90/p99 latency summaries)."""
-    e = T(spark, sf_dir, "events")
+    the reference's mean/p50/p90/p99 latency summaries).
+
+    Percentiles interpolate over INTEGER CENTS, not raw doubles (r11
+    VERDICT #3 class): with ≥3-dp inputs the interpolated real value can
+    land EXACTLY on a 4-dp half-way boundary, where the two engines'
+    ROUND disagree.  Over cents the interpolated real value is a ≤2-dp
+    cents value (quantile fractions at p in (0.5, 0.9, 0.99) are ≤2-dp
+    rationals), i.e. a ≤4-dp dollar value after /100 — never ON a
+    boundary — so the FLOOR quantizer (round-trip identity on the exact
+    value, ±1-ulp noise absorbed) is deterministic on both faces."""
+    e = T(spark, sf_dir, "events").withColumn("vc", _cents("value"))
     return e.groupBy("event_type").agg(
         F.count("*").alias("n_events"),
-        (F.sum(_dec("value")).cast("double") / F.count("*")).alias("avg_value"),
-        F.round(F.expr("percentile(value, 0.5)"), 4).alias("p50"),
-        F.round(F.expr("percentile(value, 0.9)"), 4).alias("p90"),
-        F.round(F.expr("percentile(value, 0.99)"), 4).alias("p99"),
+        (F.sum(F.col("vc").cast("decimal(18,0)")).cast("double") / F.lit(100.0) / F.count("*")).alias("avg_value"),
+        quantize(F.expr("percentile(vc, 0.5)") / F.lit(100.0), 4).alias("p50"),
+        quantize(F.expr("percentile(vc, 0.9)") / F.lit(100.0), 4).alias("p90"),
+        quantize(F.expr("percentile(vc, 0.99)") / F.lit(100.0), 4).alias("p99"),
     )
 
 
@@ -394,9 +466,9 @@ def event_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
       CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchase,
       CAST(SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS n_signup,
       CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_error,
-      CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
+      CAST(SUM({cents_v}) AS DOUBLE) / 100.0 AS total_value
     FROM events GROUP BY user_id
-    """,
+    """.format(cents_v=_cents_sql("value")),
     tags=("pivot", "J6"),
 )
 def user_event_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -406,16 +478,16 @@ def user_event_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(F.col("event_type") == t, 1).otherwise(0)).alias(f"n_{t}")
         for t in ["click", "view", "purchase", "signup", "error"]
     ]
-    return e.groupBy("user_id").agg(*aggs, F.sum(_dec("value")).cast("double").alias("total_value"))
+    return e.groupBy("user_id").agg(*aggs, _sum_money("value").alias("total_value"))
 
 
 @_q(
     "user_running_value",
-    """
+    f"""
     SELECT user_id, event_id,
-      CAST(SUM(CAST(value AS DECIMAL(12,2))) OVER (
+      CAST(SUM({_cents_sql('value')}) OVER (
         PARTITION BY user_id ORDER BY ts, event_id
-        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_value
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) / 100.0 AS running_value
     FROM events
     """,
     bench=True,
@@ -433,7 +505,9 @@ def user_running_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     return e.select(
         "user_id",
         "event_id",
-        F.sum(_dec("value")).over(w).cast("double").alias("running_value"),
+        (F.sum(_centsd("value")).over(w).cast("double") / F.lit(100.0)).alias(
+            "running_value"
+        ),
     )
 
 
@@ -477,10 +551,10 @@ def nations_with_both(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @_q(
     "hourly_event_counts",
-    """
+    f"""
     SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_unix, event_type,
       COUNT(*) AS n_events,
-      CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+      CAST(SUM({_cents_sql('value')}) AS DOUBLE) / 100.0 AS sum_value
     FROM events GROUP BY 1, 2
     """,
     bench=True,
@@ -497,7 +571,7 @@ def hourly_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(
             F.count("*").alias("n_events"),
-            F.sum(_dec("value")).cast("double").alias("sum_value"),
+            _sum_money("value").alias("sum_value"),
         )
     )
 
@@ -1291,237 +1365,236 @@ def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
 #        anchors).
 #   r13: the 24 rows parked THIS round (r10-last-checked) return.
 #   Every round: new/changed rows are in-window the round they change.
+# Round-12 rotation (r11 VERDICT #4 — EXECUTE the calendar): the window is
+# exactly the written plan — the 12 long-parked r8 rows + the 23
+# r9-last-checked block rows + stream_dedup_events + rollup_pricing (both
+# noted "returns r12" in r11) = 37 returners; the 7 rows CHANGED this
+# round that were already in-window stay (paired_test_components — the
+# cents rebuild, r11 VERDICT #1; welch_components_by_type, sessionization,
+# user_event_pivot, sql_interface_pricing, stream_user_totals_stateful —
+# the _dec()->cents purge, r11 VERDICT #3; ann_index_upsert — the r12
+# ADVICE hardening of its upsert/tombstone path); 4 NEW rows are born
+# in-window (paired_pairs_probe / paired_moments_probe /
+# paired_wilcoxon_probe — the bisection probes, r11 VERDICT #2;
+# stream_index_upsert — the streaming upsert face, r11 VERDICT #5); and 2
+# no-family-twin anchors stay (json_kpi — the only JSON extraction;
+# bm25_topk — the only lexical-retrieval ranking in-window).
+# 37 + 7 + 4 + 2 = 50.  To make room, three former anchors park WITH
+# family coverage arriving in the same window: sequence_packing (≡
+# context_windows, returning), media_features (≡ media_kind_stats /
+# media_ahash_dedup / media_hamming_pairs, all returning),
+# index_upsert_counts (≡ ann_index_upsert + stream_index_upsert, both
+# in-window ingest-count relations).
+# CHANGED-BUT-PARKED exception, documented: the cents purge also rewrote
+# 8 money rows scheduled r13 (revenue_by_nation, segment_order_stats,
+# user_running_value, brand_price_stats, urgent_orders_by_year,
+# supplier_balance_by_nation, stream_hourly_counts, stream_sessionize) and
+# 4 money returners already in the r12 window cover the same idiom
+# (pricing_summary, revenue_filter, part_type_revenue, cube_order_stats,
+# plus event_percentiles/global_top_spenders/hourly_event_counts).  The
+# window cannot hold 37 returners + all 29 changed rows + 4 new; the
+# parked 8 are covered this round by (a) the planted-3-dp cross-engine
+# fuzz (tests/test_determinism_fuzz.py::test_money_rows_third_decimal_5*,
+# bit-exact on boundary data) and (b) the full 115-row local oracle sweep,
+# and they return r13 per calendar.
+#
+# RE-VERIFICATION CALENDAR:
+#   r13: the 24 r10-last-checked parks return (they will then be 3 rounds
+#        stale — the rule's edge) PLUS the 8 changed-but-parked money rows
+#        above (changed rows get driver checks at most one round late).
+#   r14: the 41 r11-green rows parked this round return in two tranches
+#        (r14/r15) as window room allows; new/changed rows always
+#        in-window the round they change.
 DEMOTED: tuple[str, ...] = (
-    # --- long-parked stays (last green r8; ALL return r12 per calendar) ---
-    "pricing_summary",           # A8 decimal agg ≡ sql_interface_pricing
-                                 #   (in-window: the SAME plan via
-                                 #   spark.sql) — green r7+r8
-    "event_percentiles",         # A5/A6 exact percentiles ≡
-                                 #   lm_perplexity_buckets (in-window
-                                 #   NTILE percentile family) — green r7+r8
-    "knn_topk_heap",             # JVM bounded-heap Aggregator ≡
-                                 #   prototype_sample (in-window — uses
-                                 #   the SAME rank_topk_heap Aggregator) +
-                                 #   retrieval_quality (in-window top-k);
-                                 #   physical form stays plan-gated —
-                                 #   green r7+r8
-    "span_dedup",                # sub-doc dedup ≡ exact-dedup family via
-                                 #   crawl_e2e (in-window hash identity) +
-                                 #   curation_funnel (in-window normalized
-                                 #   dedup gate); bench span_dedup_1M
-                                 #   every round — green r7+r8
-    "semdedup_keep_one",         # clustered semantic dedup ≡
-                                 #   kmeans_steps (in-window assignment) +
-                                 #   label_centroids (in-window
-                                 #   applyInPandas kernel) + mmr (in-window
-                                 #   pairwise-sim pruning); bench
-                                 #   semdedup_1M every round — green r7+r8
-    "ann_ivf_topk",              # IVF probe ≡ ann_recall +
-                                 #   ann_ivf_filtered (both in-window,
-                                 #   same probe chain — the filtered row
-                                 #   now ALSO exercises the r11 auto-
-                                 #   nprobe default); bench ann_recall_1m
-                                 #   every round — green r8 + r1-r6
-    "knn_hybrid_filtered",       # P3 hybrid pre-filter ≡ ann_ivf_filtered
-                                 #   (in-window: the ANN face of the SAME
-                                 #   filtered search) — green r8 + earlier
-    "user_event_sequences",      # A15 ordered accumulation ≡
-                                 #   sessionization (in-window ordered
-                                 #   event windows) — green r8 + earlier
-    "user_event_unpivot",        # unpivot ≡ user_event_pivot (in-window
-                                 #   inverse twin, retained r11 precisely
-                                 #   to keep the J6 family covered) —
-                                 #   green r8 + earlier
-    "view_purchase_funnel",      # interval join ≡ asof_latest_order
-                                 #   (in-window as-of family) +
-                                 #   sessionization — green r8 + earlier
-    "knn_topk",                  # exact brute-force cosine top-k — the
-                                 #   ONE row entry()'s smoke runs EVERY
-                                 #   round regardless; ≡ retrieval_quality
-                                 #   (in-window, same topk_bruteforce
-                                 #   kernel) — green r1-r8
-    "stream_view_purchase_join", # stream-stream interval join ≡
-                                 #   stream_curation_funnel +
-                                 #   stream_dedup_events +
-                                 #   stream_user_totals_stateful (all
-                                 #   in-window streaming) — green r8 +
-                                 #   earlier
-    # --- r9-last-checked parks (return r12 per calendar) ---
-    "revenue_filter",            # P4 compound filter ≡ ann_ivf_filtered
-                                 #   (in-window pushed predicate) +
-                                 #   training_corpus_selection (in-window
-                                 #   routing filters) — green r9
-    "nations_with_both",         # SO1 set intersection ≡
-                                 #   ngram_jaccard_pairs (in-window set
-                                 #   overlap) — green r9
-    "hourly_event_counts",       # hourly agg ≡ sessionization +
-                                 #   stream_curation_funnel (in-window
-                                 #   event-time aggs) — green r9
-    "token_stats_by_lang",       # ≡ doc_quality (in-window token stats)
-                                 #   — green r9
-    "doc_fingerprint",           # hash fingerprint ≡ neardup_keep_one
-                                 #   (in-window signature identity) +
-                                 #   crawl_e2e (in-window md5 identity) —
-                                 #   green r9
-    "lsh_candidate_pairs",       # ≡ neardup_keep_one (in-window, same
-                                 #   signature kernel + banding) — green r9
-    "incremental_dedup",         # stored-index serving ≡ neardup_keep_one
-                                 #   (in-window, same LSH verify) +
-                                 #   stream_curation_funnel (in-window
-                                 #   stored-state serving); bench
-                                 #   incremental_dedup_100k_vs_1m every
-                                 #   round — green r8+r9
-    "corpus_vocabulary",         # ≡ bpe_merges (in-window vocabulary
-                                 #   aggregation) + doc_quality — green r9
-    "global_top_spenders",       # W2 global top-k ≡ dsir_selection
-                                 #   (in-window TakeOrderedAndProject
-                                 #   global top-k) — green r9
-    "asof_grouped_orders",       # ≡ asof_latest_order (in-window — the
-                                 #   window-strategy twin of the same
-                                 #   as-of) — green r8+r9
-    "media_kind_stats",          # ≡ media_features (in-window multimodal
-                                 #   anchor) — green r9
-    "media_ahash_dedup",         # perceptual keep-one ≡ media_features
-                                 #   (in-window) + crawl_e2e (in-window
-                                 #   hash keep-one) — green r8+r9
-    "media_hamming_pairs",       # banded hamming LSH ≡ neardup_keep_one
-                                 #   (in-window banded LSH shape) +
-                                 #   media_features — green r8+r9
-    "part_type_revenue",         # keyed decimal agg ≡
-                                 #   sql_interface_pricing (in-window) —
-                                 #   green r9
-    "cube_order_stats",          # CUBE ≡ rollup_pricing (in-window
-                                 #   grouping sets, retained r11 for this
-                                 #   family) — green r9
-    "pii_scan_report",           # PII regex scan ≡ gopher_quality_report
-                                 #   (in-window rule-scan family) — green
-                                 #   r8+r9
-    "decontamination",           # eval-overlap anti-join ≡
-                                 #   curation_funnel (in-window anti-join
-                                 #   gates) + ngram_jaccard_pairs
-                                 #   (in-window shingle overlap) — green r9
-    "bpe_encode_tokens",         # BPE serving ≡ bpe_merges (in-window —
-                                 #   its oracle embeds the full bpe_merges
-                                 #   CTE chain) — green r8+r9
-    "context_windows",           # sliding windows ≡ sequence_packing
-                                 #   (in-window ordered sample assembly) —
-                                 #   green r8+r9
-    "training_shuffle_shards",   # seeded epoch shuffle ≡ dataset_splits
-                                 #   (in-window stable-hash bucketing,
-                                 #   retained r11 for this family) —
-                                 #   green r8+r9
-    "duplicate_components",      # connected components ≡ neardup_keep_one
-                                 #   (in-window components + keep-one over
-                                 #   the same LSH graph) — green r8+r9
-    "normalized_exact_dedup",    # ≡ crawl_e2e (in-window: the same
-                                 #   normalize-then-hash identity drives
-                                 #   its diff + dedup stages) +
-                                 #   curation_funnel (in-window normalized
-                                 #   dedup gate) — green r8+r9
-    "leakage_safe_splits",       # ≡ dataset_splits (in-window hash
-                                 #   split) + neardup_keep_one (in-window
-                                 #   component grouping) — green r8+r9
-    # --- r10-green parks, unchanged in r11 (return r13 per calendar) ---
-    "stream_dedup_events",       # dropDuplicatesWithinWatermark ≡
-                                 #   stream_curation_funnel +
-                                 #   stream_user_totals_stateful
-                                 #   (in-window streaming) + the dedup
-                                 #   family anchors; parked to make
-                                 #   window room for the NEW
-                                 #   recrawl_priority (born in-window —
-                                 #   the r10 born-parked lesson);
-                                 #   returns r12 with the calendar
-                                 #   block — green r9
-    "revenue_by_nation",         # join-agg ≡ sql_interface_pricing
-                                 #   (in-window keyed decimal agg) —
-                                 #   green r10 + earlier
-    "segment_order_stats",       # segment join-agg ≡
-                                 #   sql_interface_pricing (in-window) —
-                                 #   green r10 + earlier
-    "customers_without_orders",  # anti-join ≡ curation_funnel +
-                                 #   training_corpus_selection (in-window
-                                 #   left_anti stages) — green r10 +
-                                 #   earlier
-    "top_orders_per_customer",   # W3 per-group top-k ≡ prototype_sample
-                                 #   (in-window per-cluster top-m) +
-                                 #   source_cap_sample (in-window
-                                 #   per-source cap) — green r10 + earlier
-    "user_running_value",        # W5 running frame ≡ sessionization
-                                 #   (in-window ordered windows) — green
-                                 #   r10 + earlier
-    "nation_customer_rank",      # W4 rank ≡ source_cap_sample (in-window
-                                 #   rank-per-group) — green r10 + earlier
-    "exact_dedup",               # hash keep-one ≡ crawl_e2e (in-window
-                                 #   normalize-then-hash identity) +
-                                 #   neardup_keep_one — green r10 + earlier
-    "simhash",                   # fingerprint ≡ neardup_keep_one
-                                 #   (in-window signature identity) —
-                                 #   green r10 + earlier
-    "minhash_signatures",        # ≡ neardup_keep_one (in-window — the
-                                 #   same md5 signature kernel runs inside
-                                 #   it) — green r10 + earlier
-    "embedding_neardup_pairs",   # embedding near-dup ≡ ann_recall +
-                                 #   mmr_diversified_topk (in-window
-                                 #   cosine sims over embeddings) — green
-                                 #   r10 + earlier
-    "brand_price_stats",         # A11 count/mean/std ≡
-                                 #   welch_components_by_type (in-window
-                                 #   n/mean/var components) — green r10 +
-                                 #   earlier
-    "region_customer_rollup",    # ROLLUP ≡ rollup_pricing (in-window,
-                                 #   retained r11 for this family) —
-                                 #   green r10 + earlier
-    "urgent_orders_by_year",     # P4/P8 routing filter ≡
-                                 #   training_corpus_selection (in-window
-                                 #   routing) + ann_ivf_filtered
-                                 #   (in-window pushed predicate) — green
-                                 #   r10 + earlier
-    "mannwhitney_components",    # A12 rank-sum ≡ welch_components_by_type
-                                 #   + paired_test_components (both
-                                 #   in-window stats components) — green
-                                 #   r10 + earlier
-    "snippet_queries",           # S5 query gen ≡ self_retrieval_e2e
-                                 #   (in-window — query_snippet feeds its
-                                 #   query side) — green r10 + earlier
-    "stream_hourly_counts",      # ≡ stream_curation_funnel +
-                                 #   stream_dedup_events +
-                                 #   stream_user_totals_stateful (all
-                                 #   in-window streaming) — green r10 +
-                                 #   earlier
-    "stream_sessionize",         # ≡ same streaming trio as above +
-                                 #   sessionization (in-window batch twin)
-                                 #   — green r10 + earlier
-    "langid_confusion",          # langid profiles ≡
-                                 #   training_corpus_selection (in-window
-                                 #   lang routing) + doc_quality
-                                 #   (in-window per-doc text scoring) —
-                                 #   green r10 + earlier
-    "token_counts_regex",        # ≡ doc_quality (in-window token stats) +
-                                 #   bpe_merges (in-window tokenization) —
-                                 #   green r10 + earlier
-    "supplier_balance_by_nation",# keyed agg ≡ sql_interface_pricing
-                                 #   (in-window) — green r10 + earlier
-    "sketch_stats",              # KMV sketch ≡ sketch_set_ops (in-window
-                                 #   — the strictly wider set-algebra
-                                 #   sibling over the same sketches) —
-                                 #   green r10 + earlier
-    "hybrid_rrf_fusion",         # rank fusion ≡ retrieval_ndcg (in-window
-                                 #   rank-based metric) +
-                                 #   retrieval_quality (in-window rank
-                                 #   suite) — green r10 + earlier
-    "url_refetch_dedup",         # URL dedup ≡ crawl_e2e (in-window — the
-                                 #   same canonical_url/url_dedup stage
-                                 #   composed in the capstone) — green
-                                 #   r9+r10
-    "crawl_snapshot_diff",       # snapshot diff ≡ crawl_e2e (in-window —
-                                 #   the same snapshot_diff stage composed
-                                 #   in the capstone) — green r10
-    "rollup_pricing",            # parked mid-r11 to make window room for
-                                 #   the NEW ann_index_upsert row (born
-                                 #   in-window per calendar); ROLLUP agg ≡
-                                 #   sql_interface_pricing (in-window
-                                 #   grouped pricing agg) — green r10 +
-                                 #   earlier; returns r12
+    # --- r11-driver-green parks (0 rounds stale; return r14/r15) ---
+    "retrieval_quality",         # rank-metric suite ≡ bm25_topk (in-window
+                                 #   ranked retrieval) — green r11
+    "doc_quality",               # per-doc text scoring ≡ pii_scan_report +
+                                 #   token_stats_by_lang (returning
+                                 #   rule-scan/token family) — green r11
+    "ngram_jaccard_pairs",       # shingle overlap ≡ decontamination
+                                 #   (returning, same shingle-jaccard) —
+                                 #   green r11
+    "neardup_keep_one",          # LSH + components keep-one ≡
+                                 #   lsh_candidate_pairs +
+                                 #   duplicate_components +
+                                 #   leakage_safe_splits (all returning,
+                                 #   same signature/banding/components
+                                 #   chain) — green r11
+    "source_cap_sample",         # per-source rank cap ≡ top_orders_per
+                                 #   _customer... parked twin, but
+                                 #   nation_customer_rank family is parked
+                                 #   too; covered by knn_topk_heap
+                                 #   (returning rank top-k) — green r11
+    "source_mixture_weights",    # mixture weights ≡ training_shuffle_shards
+                                 #   (returning hash-bucketed corpus
+                                 #   assembly) — green r11
+    "sequence_packing",          # greedy packing ≡ context_windows
+                                 #   (returning ordered sample assembly) —
+                                 #   former anchor, parks per header note —
+                                 #   green r11
+    "self_retrieval_e2e",        # encode→retrieve capstone ≡ knn_topk +
+                                 #   knn_topk_heap + snippet family
+                                 #   (returning) — green r11
+    "ann_recall",                # IVF recall grid ≡ ann_ivf_topk +
+                                 #   knn_hybrid_filtered (returning IVF
+                                 #   probe chain) — green r11
+    "tfidf_self_retrieval",      # TF-IDF retrieval ≡ bm25_topk (in-window
+                                 #   lexical ranking) — green r11
+    "asof_latest_order",         # as-of join ≡ asof_grouped_orders
+                                 #   (returning window-strategy twin) —
+                                 #   green r11
+    "label_centroids",           # grouped-map centroid ≡ kmeans family via
+                                 #   semdedup_keep_one (returning
+                                 #   assignment + centroid kernels) —
+                                 #   green r11
+    "quantized_topk_rerank",     # PQ rerank ≡ knn_topk_heap (returning JVM
+                                 #   heap top-k) + ann_ivf_topk — green r11
+    "index_upsert_counts",       # ingest counts ≡ ann_index_upsert +
+                                 #   stream_index_upsert (both in-window
+                                 #   upsert-count relations) — former
+                                 #   anchor, parks per header note —
+                                 #   green r11
+    "media_features",            # multimodal decode ≡ media_kind_stats +
+                                 #   media_ahash_dedup + media_hamming_pairs
+                                 #   (ALL returning) — former anchor,
+                                 #   parks per header note — green r11
+    "sketch_set_ops",            # KMV/theta algebra ≡ sketch_stats
+                                 #   (returning, same sketch kernel) —
+                                 #   green r11
+    "training_corpus_selection", # routing filters ≡ decontamination +
+                                 #   leakage_safe_splits (returning
+                                 #   anti-join/split gates) — green r11
+    "dataset_splits",            # hash splits ≡ training_shuffle_shards +
+                                 #   leakage_safe_splits (returning) —
+                                 #   green r11
+    "gopher_quality_report",     # rule scan ≡ pii_scan_report (returning
+                                 #   regex-scan family) — green r11
+    "ann_pq_topk",               # PQ ADC ≡ ann_ivf_topk (returning ANN
+                                 #   family; PQ kernel also inside
+                                 #   quantized rerank tests) — green r11
+    "quality_classifier_report", # classifier scoring ≡ doc-quality family
+                                 #   via pii_scan_report — green r11
+    "bigram_lm_report",          # bigram LM ≡ corpus_vocabulary (returning
+                                 #   token-count aggregation) — green r11
+    "lm_perplexity_buckets",     # NTILE buckets ≡ event_percentiles
+                                 #   (returning percentile family) —
+                                 #   green r11
+    "ann_ivfpq_topk",            # IVF+PQ ≡ ann_ivf_topk (returning IVF
+                                 #   chain) — green r11
+    "bpe_merges",                # BPE train ≡ bpe_encode_tokens (returning
+                                 #   — its oracle embeds the full
+                                 #   bpe_merges CTE chain) — green r11
+    "bitext_margin_pairs",       # margin mining ≡ knn family (returning
+                                 #   knn_topk) — green r11
+    "similarity_pagerank",       # iterative graph ≡ duplicate_components
+                                 #   (returning iterative components) —
+                                 #   green r11
+    "kmeans_steps",              # Lloyd trajectory ≡ semdedup_keep_one
+                                 #   (returning — runs the same assignment
+                                 #   + centroid-update kernels) — green r11
+    "dsir_selection",            # DSIR ratios ≡ global_top_spenders
+                                 #   (returning global top-k) + corpus
+                                 #   routing family — green r11
+    "prototype_sample",          # per-cluster top-m ≡ knn_topk_heap
+                                 #   (returning — SAME rank_topk_heap
+                                 #   Aggregator) — green r11
+    "mmr_diversified_topk",      # greedy diversification ≡ knn_topk +
+                                 #   embedding cosine family (returning
+                                 #   embedding_neardup... r13; covered by
+                                 #   knn_topk) — green r11
+    "retrieval_ndcg",            # nDCG ≡ bm25_topk (in-window ranking) —
+                                 #   green r11
+    "hard_negative_mining",      # hard negatives ≡ knn_topk (returning
+                                 #   same knn kernel) — green r11
+    "temperature_mixture",       # temperature weights ≡
+                                 #   source_mixture_weights family (parked
+                                 #   together; covered by
+                                 #   training_shuffle_shards returning) —
+                                 #   green r11
+    "curation_funnel",           # staged funnel ≡ decontamination +
+                                 #   normalized_exact_dedup (returning
+                                 #   anti-join + dedup gates) — green r11
+    "stream_curation_funnel",    # incremental funnel ≡ stream_dedup_events
+                                 #   + stream_view_purchase_join (returning
+                                 #   streaming family) — green r11
+    "ann_ivf_filtered",          # filtered ANN ≡ knn_hybrid_filtered
+                                 #   (returning — the same pushed
+                                 #   pre-filter on the exact face) +
+                                 #   ann_ivf_topk — green r11
+    "crawl_e2e",                 # crawl capstone ≡ normalized_exact_dedup
+                                 #   + doc_fingerprint + crawl_snapshot_diff
+                                 #   (r13) — its composed stages' families
+                                 #   return — green r11
+    "recrawl_priority",          # crawl scheduler ≡ quantizer family
+                                 #   (FLOOR quantizer gates in-window via
+                                 #   event_percentiles + the paired cents
+                                 #   rows) — green r11
+    "perceptron_quality_weights",# batch perceptron ≡ quality_classifier
+                                 #   family — green r11 (first check)
+    "robots_page_filter",        # robots politeness ≡ crawl family —
+                                 #   green r11 (first check)
+    # --- r10-green parks (return r13 per calendar) ---
+    "revenue_by_nation",         # join-agg; CHANGED by the cents purge —
+                                 #   covered r12 by planted-3dp fuzz +
+                                 #   in-window pricing_summary (same
+                                 #   idiom); returns r13 — green r10
+    "segment_order_stats",       # semi-join agg; CHANGED by cents purge
+                                 #   (same coverage note) — green r10
+    "customers_without_orders",  # anti-join ≡ decontamination (returning
+                                 #   left_anti) — green r10
+    "top_orders_per_customer",   # W3 per-group top-k ≡ knn_topk_heap +
+                                 #   source-cap family — green r10
+    "user_running_value",        # W5 running frame; CHANGED by cents purge
+                                 #   (fuzz-covered; ≡ sessionization
+                                 #   in-window running windows) — green r10
+    "nation_customer_rank",      # W4 rank ≡ top-k window family — green r10
+    "exact_dedup",               # hash keep-one ≡ normalized_exact_dedup
+                                 #   (returning, same identity) — green r10
+    "simhash",                   # fingerprint ≡ doc_fingerprint (returning
+                                 #   signature identity) — green r10
+    "minhash_signatures",        # ≡ lsh_candidate_pairs (returning — same
+                                 #   md5 signature kernel) — green r10
+    "embedding_neardup_pairs",   # embedding near-dup ≡ knn_topk (returning
+                                 #   cosine kernel) — green r10
+    "brand_price_stats",         # A11 stats; CHANGED by cents purge
+                                 #   (fuzz-covered; ≡ pricing_summary
+                                 #   in-window) — green r10
+    "region_customer_rollup",    # ROLLUP ≡ rollup_pricing (returning
+                                 #   grouping sets) — green r10
+    "urgent_orders_by_year",     # P4/P8 routing; CHANGED by cents purge
+                                 #   (fuzz-covered; ≡ cube_order_stats
+                                 #   returning, same sum) — green r10
+    "mannwhitney_components",    # A12 rank-sum ≡ paired_wilcoxon_probe
+                                 #   (in-window — the SAME tie-average
+                                 #   ranking scheme) — green r10
+    "snippet_queries",           # S5 query gen ≡ knn family (returning
+                                 #   self-retrieval chain r14) — green r10
+    "stream_hourly_counts",      # streaming window agg; CHANGED by cents
+                                 #   purge (fuzz-covered; ≡
+                                 #   hourly_event_counts RETURNING — the
+                                 #   exact batch twin of the same code
+                                 #   path) — green r10
+    "stream_sessionize",         # session_window; CHANGED by cents purge
+                                 #   (fuzz-covered; ≡ sessionization
+                                 #   in-window batch twin) — green r10
+    "langid_confusion",          # langid ≡ token_stats_by_lang (returning
+                                 #   language family) — green r10
+    "token_counts_regex",        # ≡ token_stats_by_lang + corpus_vocabulary
+                                 #   (returning token family) — green r10
+    "supplier_balance_by_nation",# keyed agg; CHANGED by cents purge
+                                 #   (fuzz-covered; ≡ segment family via
+                                 #   pricing_summary) — green r10
+    "sketch_stats",              # KMV sketch ≡ sketch_set_ops family
+                                 #   (parked together; KMV kernel also
+                                 #   fuzz + unit tested) — green r10
+    "hybrid_rrf_fusion",         # rank fusion ≡ bm25_topk (in-window
+                                 #   ranking) — green r10
+    "url_refetch_dedup",         # URL dedup ≡ normalized_exact_dedup
+                                 #   (returning canonical-identity dedup) —
+                                 #   green r10
+    "crawl_snapshot_diff",       # snapshot diff ≡ doc_fingerprint
+                                 #   (returning hash identity) — green r10
 )
 
 
@@ -1553,9 +1626,9 @@ def bench_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 @_q(
     "brand_price_stats",
-    """
+    f"""
     SELECT p_brand, COUNT(*) AS n_parts,
-      CAST(SUM(CAST(p_retailprice AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS avg_retailprice,
+      CAST(SUM({_cents_sql('p_retailprice')}) AS DOUBLE) / 100.0 / COUNT(*) AS avg_retailprice,
       MIN(p_size) AS min_size, MAX(p_size) AS max_size
     FROM part GROUP BY p_brand
     """,
@@ -1566,7 +1639,7 @@ def brand_price_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = T(spark, sf_dir, "part")
     return p.groupBy("p_brand").agg(
         F.count("*").alias("n_parts"),
-        (F.sum(_dec("p_retailprice")).cast("double") / F.count("*")).alias("avg_retailprice"),
+        (_sum_money("p_retailprice") / F.count("*")).alias("avg_retailprice"),
         F.min("p_size").alias("min_size"),
         F.max("p_size").alias("max_size"),
     )
@@ -1601,9 +1674,9 @@ def region_customer_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @_q(
     "urgent_orders_by_year",
-    """
+    f"""
     SELECT CAST(year(o_orderdate) AS INTEGER) AS order_year, COUNT(*) AS n_orders,
-      CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total_value
+      CAST(SUM({_cents_sql('o_totalprice')}) AS DOUBLE) / 100.0 AS total_value
     FROM orders
     WHERE o_orderpriority = '1-URGENT' AND o_orderstatus = 'O'
     GROUP BY year(o_orderdate)
@@ -1618,7 +1691,7 @@ def urgent_orders_by_year(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.year("o_orderdate").alias("order_year"))
         .agg(
             F.count("*").alias("n_orders"),
-            F.sum(_dec("o_totalprice")).cast("double").alias("total_value"),
+            _sum_money("o_totalprice").alias("total_value"),
         )
     )
 
@@ -1626,10 +1699,10 @@ def urgent_orders_by_year(spark: SparkSession, sf_dir: str) -> DataFrame:
 @_q(
     "global_top_spenders",
     """
-    SELECT o_custkey, CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total_spent
+    SELECT o_custkey, CAST(SUM({cents}) AS DOUBLE) / 100.0 AS total_spent
     FROM orders GROUP BY o_custkey
     ORDER BY total_spent DESC, o_custkey LIMIT 20
-    """,
+    """.format(cents=_cents_sql("o_totalprice")),
     tags=("topk", "W2", "TakeOrderedAndProject"),
 )
 def global_top_spenders(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1640,7 +1713,7 @@ def global_top_spenders(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = T(spark, sf_dir, "orders")
     return (
         o.groupBy("o_custkey")
-        .agg(F.sum(_dec("o_totalprice")).cast("double").alias("total_spent"))
+        .agg(_sum_money("o_totalprice").alias("total_spent"))
         .orderBy(F.desc("total_spent"), F.asc("o_custkey"))
         .limit(20)
     )
@@ -1648,14 +1721,14 @@ def global_top_spenders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @_q(
     "welch_components_by_type",
-    """
-    WITH c AS (SELECT event_type, CAST(value AS DECIMAL(12,2)) AS v FROM events)
+    f"""
+    WITH c AS (SELECT event_type, {_cents_sql('value')} AS v FROM events)
     SELECT event_type, COUNT(v) AS n,
-      CAST(SUM(v) AS DOUBLE) / COUNT(v) AS mean_value,
+      CAST(SUM(v) AS DOUBLE) / 100.0 / COUNT(v) AS mean_value,
       CASE WHEN COUNT(v) > 1 THEN
-        (CAST(SUM(v * v) AS DOUBLE)
-         - CAST(SUM(v) AS DOUBLE) * CAST(SUM(v) AS DOUBLE) / COUNT(v))
-        / (COUNT(v) - 1) END AS var_value
+        ((CAST(SUM(v * v) AS DOUBLE)
+          - CAST(SUM(v) AS DOUBLE) * CAST(SUM(v) AS DOUBLE) / COUNT(v))
+         / (COUNT(v) - 1)) / 10000.0 END AS var_value
     FROM c GROUP BY event_type
     """,
     tags=("stats", "A12"),
@@ -1664,25 +1737,26 @@ def welch_components_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed Welch-test components (n/mean/variance per group) —
     SURVEY A12; the t statistic is driver-side arithmetic in plans/report.py.
 
-    Hash-determinism (r9 VERDICT #2, r10 VERDICT #2): events.value
-    carries exactly 2 decimal places, so mean/variance derive from the
-    exact DECIMAL component sums S1=SUM(v), S2=SUM(v·v) — order-free —
+    Hash-determinism (r9 VERDICT #2, r10 VERDICT #2, r11 VERDICT #1):
+    mean/variance derive from the exact component sums S1=SUM(v),
+    S2=SUM(v·v) over INTEGER CENTS — order-free integer arithmetic —
     each cast to double once and combined in a fixed IEEE expression
-    tree, instead of rounding AVG/var_samp over order-dependent double
-    summation.  The final 4-dp ROUND was removed in r11: with S1 exact
-    DECIMAL(·,2), S1/n is a terminating rational whose lowest-terms
-    denominator carries 2^5 whenever 8 | n — which puts the quotient's
-    shortest repr EXACTLY on a 4-dp half-way point, where Spark's
-    BigDecimal HALF_UP and DuckDB's scaled-double std::round disagree
-    (the paired_test_components failure class).  The unrounded IEEE
-    quotient of bit-identical operands is itself bit-identical across
-    engines — no round, no boundary, no hazard."""
+    tree (the dollar unit restored by a final /100 resp. /10⁴, each one
+    correctly-rounded division mirrored on both faces).  The r11 purge
+    replaced the previous head cast `CAST(value AS DECIMAL(12,2))`:
+    that cast itself rounds differently across engines on third-decimal
+    5 doubles (Spark BigDecimal HALF_UP on the shortest repr vs DuckDB
+    scaled-double round — 4.045 → 4.05 vs 4.04), a divergence this
+    row's smooth means absorbed on the driver's data but which broke
+    the paired/Wilcoxon sibling.  FLOOR cents (pure IEEE, no
+    decimal-string semantics) closes the class.  No ROUND anywhere —
+    r11 already removed it (exact low-scale ratios LAND on round's
+    cross-engine .5 boundaries)."""
     e = T(spark, sf_dir, "events")
-    v = F.col("value").cast("decimal(12,2)")
     comp = e.groupBy("event_type").agg(
         F.count("value").alias("n"),
-        F.sum(v).alias("_s1"),
-        F.sum(v * v).alias("_s2"),
+        F.sum(_centsd("value")).alias("_s1"),
+        F.sum(_centsd("value") * _centsd("value")).alias("_s2"),
     )
     s1d = F.col("_s1").cast("double")
     s2d = F.col("_s2").cast("double")
@@ -1690,8 +1764,10 @@ def welch_components_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     return comp.select(
         "event_type",
         "n",
-        (s1d / n).alias("mean_value"),
-        F.when(n > 1, (s2d - s1d * s1d / n) / (n - 1)).alias("var_value"),
+        (s1d / F.lit(100.0) / n).alias("mean_value"),
+        F.when(
+            n > 1, ((s2d - s1d * s1d / n) / (n - 1)) / F.lit(10000.0)
+        ).alias("var_value"),
     )
 
 
@@ -1725,20 +1801,50 @@ def mannwhitney_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mann_whitney_components(e, "grp", "m", ["view", "purchase"])
 
 
-@_q(
-    "paired_test_components",
-    """
-    WITH pairs AS (
+# Shared CTE for the paired-test family: per-user BIGINT-cents
+# before/after totals.  r11 VERDICT #1: the head of this pipeline must
+# NOT be `CAST(value AS DECIMAL(12,2))` — that cast is itself a
+# cross-engine rounding op (Spark BigDecimal HALF_UP on the shortest
+# repr vs DuckDB scaled-double round; 4.045 → 4.05 vs 4.04), and the
+# Wilcoxon ranks amplify one boundary value into whole-rank hash
+# breaks.  `FLOOR(value·100 + 0.5)` is pure IEEE arithmetic —
+# bit-identical across engines, boundaries included — and everything
+# downstream runs in exact integer cents.
+_PAIRED_PAIRS_SQL = """
+    pairs AS (
       SELECT user_id,
-        CAST(SUM(CASE WHEN event_type = 'view'
-                      THEN CAST(value AS DECIMAL(12,2)) END) AS DECIMAL(14,2)) AS before_v,
-        CAST(SUM(CASE WHEN event_type = 'purchase'
-                      THEN CAST(value AS DECIMAL(12,2)) END) AS DECIMAL(14,2)) AS after_v
+        SUM(CASE WHEN event_type = 'view'
+                 THEN CAST(FLOOR(value * 100.0 + 0.5) AS BIGINT) END) AS before_c,
+        SUM(CASE WHEN event_type = 'purchase'
+                 THEN CAST(FLOOR(value * 100.0 + 0.5) AS BIGINT) END) AS after_c
       FROM events WHERE event_type IN ('view', 'purchase')
       GROUP BY user_id
-    ),
-    d AS (SELECT after_v - before_v AS d FROM pairs
-          WHERE before_v IS NOT NULL AND after_v IS NOT NULL),
+    )
+"""
+
+
+def _paired_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark face of the shared pairs CTE: per-user cents totals."""
+    from ..functions.quantize import quantize_cents
+
+    e = T(spark, sf_dir, "events")
+    cents = quantize_cents(F.col("value"))
+    return (
+        e.filter(F.col("event_type").isin("view", "purchase"))
+        .groupBy("user_id")
+        .agg(
+            F.sum(F.when(F.col("event_type") == "view", cents)).alias("before_c"),
+            F.sum(F.when(F.col("event_type") == "purchase", cents)).alias("after_c"),
+        )
+    )
+
+
+@_q(
+    "paired_test_components",
+    f"""
+    WITH {_PAIRED_PAIRS_SQL},
+    d AS (SELECT after_c - before_c AS d FROM pairs
+          WHERE before_c IS NOT NULL AND after_c IS NOT NULL),
     nz AS (SELECT ABS(d) AS ad, CASE WHEN d > 0 THEN 1 ELSE 0 END AS pos
            FROM d WHERE d <> 0),
     counts AS (SELECT ad, COUNT(*) AS cnt, SUM(pos) AS pos_cnt
@@ -1764,45 +1870,151 @@ def mannwhitney_components(spark: SparkSession, sf_dir: str) -> DataFrame:
 def paired_test_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed paired-test components (plans/report.py::
     paired_components, r8 VERDICT #7): pairing unit = user with both
-    view and purchase events, before/after = DECIMAL-exact per-type
-    value totals; the one-row relation carries the paired-t moments and
-    the Wilcoxon signed-rank sums + tie correction.  The statistics
-    themselves are driver arithmetic (paired_tests_distributed), as
-    with Welch/Mann-Whitney.
+    view and purchase events, before/after = exact per-type value
+    totals in INTEGER CENTS; the one-row relation carries the paired-t
+    moments and the Wilcoxon signed-rank sums + tie correction.  The
+    statistics themselves are driver arithmetic
+    (paired_tests_distributed, scale-invariant in the cents unit), as
+    with Welch/Mann-Whitney.  Reference semantics:
+    `experiments/stats.py:10-26` (paired t + Wilcoxon).
 
-    Hash-determinism (r9 VERDICT #1, r10 VERDICT #1): before/after stay
-    DECIMAL(14,2) all the way into paired_components, whose decimal
-    branch emits the RAW power sums s1=SUM(d), s2=SUM(d·d) — order-free
-    exact decimal arithmetic, ONE double cast each, and — the r10
-    lesson — NO division and NO ROUND anywhere in the hashed relation.
-    The r10 red cell came from the final 4-dp ROUND of mean_d=S1/n:
-    Spark rounds a double via BigDecimal HALF_UP on its shortest repr,
-    DuckDB via scaled-double std::round, and exact 2-decimal DECIMAL
-    ratios land on .5 boundaries with real probability (reproduced:
-    round(-4.04515, 4) → Spark -4.0452, DuckDB -4.0451) — so the row
-    was green on /root/testdata yet red on the driver's parquet.
-    mean_d/var_d are now derived driver-side (paired_tests_distributed)
-    from the sums this row emits."""
+    Hash-determinism, r11 VERDICT #1 — the third and true layer of the
+    r9–r11 red cell: the r10/r11 rebuilds removed every ROUND and every
+    division from the relation, but the head of the pipeline was still
+    `CAST(value AS DECIMAL(12,2))`, and THAT CAST is itself a
+    cross-engine rounding op — Spark converts double→decimal via
+    BigDecimal HALF_UP on the double's shortest decimal repr, DuckDB
+    via scaled-double rounding, so they disagree on every double whose
+    shortest repr ends in a third-decimal 5 (4.045 → 4.05 vs 4.04).
+    One such value shifts a user's total by 0.01, which the Wilcoxon
+    ranking amplifies into whole-rank w_plus/w_minus jumps (while
+    Welch's smooth means absorb 0.01/n — why the same cast stayed
+    green there).  The fix: quantize to BIGINT cents with the
+    pure-IEEE FLOOR quantizer (functions/quantize.py::quantize_cents)
+    and run pairs → d → |d| ranks → power sums entirely in exact
+    integers (power sums widened to DECIMAL(18,0) inside
+    paired_components so d·d never overflows).  s1/s2 are cents —
+    paired t is scale-invariant.  The paired_pairs/moments/wilcoxon
+    probe rows below expose this pipeline's intermediate stages as
+    their own oracle-paired relations (r11 VERDICT #2) so any residual
+    divergence localizes on the driver's hidden parquet."""
     from .report import paired_components
 
-    e = T(spark, sf_dir, "events")
-    dec = F.col("value").cast("decimal(12,2)")
-    pairs = (
-        e.filter(F.col("event_type").isin("view", "purchase"))
-        .groupBy("user_id")
-        .agg(
-            F.sum(F.when(F.col("event_type") == "view", dec))
-            .cast("decimal(14,2)")
-            .alias("before_v"),
-            F.sum(F.when(F.col("event_type") == "purchase", dec))
-            .cast("decimal(14,2)")
-            .alias("after_v"),
-        )
-        .filter(
-            F.col("before_v").isNotNull() & F.col("after_v").isNotNull()
-        )
+    pairs = _paired_pairs(spark, sf_dir).filter(
+        F.col("before_c").isNotNull() & F.col("after_c").isNotNull()
     )
-    return paired_components(pairs, "before_v", "after_v")
+    return paired_components(pairs, "before_c", "after_c")
+
+
+@_q(
+    "paired_pairs_probe",
+    f"""
+    WITH {_PAIRED_PAIRS_SQL}
+    SELECT user_id, before_c, after_c FROM pairs
+    WHERE before_c IS NOT NULL AND after_c IS NOT NULL
+    """,
+    tags=("stats", "A13", "paired", "probe"),
+)
+def paired_pairs_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bisection probe #1 for the paired-test pipeline (r11 VERDICT #2):
+    the per-user before/after cents totals — the exact rows the main
+    relation reduces.  All-BIGINT, so any red here on the driver's
+    parquet indicts the FLOOR-cents quantizer or the pairing groupBy
+    itself; green here + red downstream indicts the reduction."""
+    return _paired_pairs(spark, sf_dir).filter(
+        F.col("before_c").isNotNull() & F.col("after_c").isNotNull()
+    )
+
+
+@_q(
+    "paired_moments_probe",
+    f"""
+    WITH {_PAIRED_PAIRS_SQL},
+    d AS (SELECT after_c - before_c AS d FROM pairs
+          WHERE before_c IS NOT NULL AND after_c IS NOT NULL)
+    SELECT COUNT(d) AS n, SUM(d) AS s1_cents, SUM(d * d) AS s2_cents2
+    FROM d
+    """,
+    tags=("stats", "A13", "paired", "probe"),
+)
+def paired_moments_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bisection probe #2 (r11 VERDICT #2): ONLY the paired-t power sums
+    n/s1/s2 over the cents differences, emitted as exact integers (no
+    double cast at all — DuckDB's BIGINT sums come back hugeint, so
+    both faces cast to DECIMAL(38,0)-compatible exactness via the
+    driver's value canonicalization).  Green here + red in the main
+    row localizes any residual divergence to the Wilcoxon rank stage."""
+    pairs = _paired_pairs(spark, sf_dir).filter(
+        F.col("before_c").isNotNull() & F.col("after_c").isNotNull()
+    )
+    d = pairs.select((F.col("after_c") - F.col("before_c")).alias("d"))
+    dd = F.col("d").cast("decimal(18,0)")
+    return d.agg(
+        F.count("d").alias("n"),
+        F.sum(dd).cast("long").alias("s1_cents"),
+        F.sum(dd * dd).cast("long").alias("s2_cents2"),
+    )
+
+
+@_q(
+    "paired_wilcoxon_probe",
+    f"""
+    WITH {_PAIRED_PAIRS_SQL},
+    d AS (SELECT after_c - before_c AS d FROM pairs
+          WHERE before_c IS NOT NULL AND after_c IS NOT NULL),
+    nz AS (SELECT ABS(d) AS ad, CASE WHEN d > 0 THEN 1 ELSE 0 END AS pos
+           FROM d WHERE d <> 0),
+    counts AS (SELECT ad, COUNT(*) AS cnt, SUM(pos) AS pos_cnt
+               FROM nz GROUP BY ad),
+    ranked AS (SELECT ad, cnt, pos_cnt,
+        COALESCE(SUM(cnt) OVER (ORDER BY ad
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+      FROM counts),
+    rv AS (SELECT cnt, pos_cnt, cum_before + (cnt + 1) / 2.0 AS avg_rank
+           FROM ranked)
+    SELECT COALESCE(SUM(cnt), 0) AS n_nonzero,
+      CAST(COALESCE(SUM(avg_rank * pos_cnt), 0) AS DOUBLE) AS w_plus,
+      CAST(COALESCE(SUM(avg_rank * (cnt - pos_cnt)), 0) AS DOUBLE) AS w_minus,
+      COALESCE(SUM(cnt * cnt * cnt - cnt), 0) AS tie_term
+    FROM rv
+    """,
+    tags=("stats", "A13", "paired", "probe"),
+)
+def paired_wilcoxon_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bisection probe #3 (r11 VERDICT #2): ONLY the Wilcoxon rank sums
+    over the cents differences (the stage that amplified the r9–r11
+    decimal-cast divergence into whole-rank hash breaks).  Every
+    avg_rank is a multiple of 0.5 below 2^52, so the double rank sums
+    are exact under any partitioning — a red here with a green
+    moments probe would name tie-ranking itself, which is engine-pure
+    integer arithmetic and should be impossible."""
+    from pyspark.sql import Window as W
+
+    pairs = _paired_pairs(spark, sf_dir).filter(
+        F.col("before_c").isNotNull() & F.col("after_c").isNotNull()
+    )
+    d = pairs.select((F.col("after_c") - F.col("before_c")).alias("d"))
+    nz = d.filter(F.col("d") != 0).select(
+        F.abs(F.col("d")).alias("ad"),
+        F.when(F.col("d") > 0, F.lit(1)).otherwise(F.lit(0)).alias("pos"),
+    )
+    counts = nz.groupBy("ad").agg(
+        F.count("*").alias("cnt"), F.sum("pos").alias("pos_cnt")
+    )
+    w = W.orderBy("ad").rowsBetween(W.unboundedPreceding, -1)
+    ranked = counts.withColumn(
+        "cum_before", F.coalesce(F.sum("cnt").over(w), F.lit(0))
+    ).withColumn("avg_rank", F.col("cum_before") + (F.col("cnt") + 1) / 2.0)
+    return ranked.agg(
+        F.coalesce(F.sum("cnt"), F.lit(0)).alias("n_nonzero"),
+        F.coalesce(F.sum(F.col("avg_rank") * F.col("pos_cnt")), F.lit(0.0)).alias("w_plus"),
+        F.coalesce(
+            F.sum(F.col("avg_rank") * (F.col("cnt") - F.col("pos_cnt"))), F.lit(0.0)
+        ).alias("w_minus"),
+        F.coalesce(
+            F.sum(F.col("cnt") * F.col("cnt") * F.col("cnt") - F.col("cnt")), F.lit(0)
+        ).alias("tie_term"),
+    )
 
 
 @_q(
@@ -1845,9 +2057,9 @@ def snippet_queries(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM flagged)
     SELECT user_id, CAST(sess_idx AS BIGINT) AS sess_idx, COUNT(*) AS n_events,
       MIN(ts_us) AS session_start_us, MAX(ts_us) AS session_end_us,
-      CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS session_value
+      CAST(SUM({cents_v}) AS DOUBLE) / 100.0 AS session_value
     FROM numbered GROUP BY user_id, sess_idx
-    """,
+    """.format(cents_v=_cents_sql("value")),
     bench=True,
     tags=("window", "sessionization"),
 )
@@ -1869,7 +2081,7 @@ def sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_events"),
         F.min("ts_us").alias("session_start_us"),
         F.max("ts_us").alias("session_end_us"),
-        F.sum(_dec("value")).cast("double").alias("session_value"),
+        _sum_money("value").alias("session_value"),
     )
 
 
@@ -1887,10 +2099,10 @@ def _run_stream(stream_df, output_mode: str = "complete"):
 
 @_q(
     "stream_hourly_counts",
-    """
+    f"""
     SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_unix, event_type,
       COUNT(*) AS n_events,
-      CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+      CAST(SUM({_cents_sql('value')}) AS DOUBLE) / 100.0 AS sum_value
     FROM events GROUP BY 1, 2
     """,
     bench=True,  # the one streaming key in bench: availableNow micro-batch
@@ -1924,9 +2136,9 @@ def stream_hourly_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
       CAST(MIN(ts_us) // 1000000 AS BIGINT) AS session_start_unix,
       CAST((MAX(ts_us) + 1800000000) // 1000000 AS BIGINT) AS session_end_unix,
       COUNT(*) AS n_events,
-      CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS session_value
+      CAST(SUM({cents_v}) AS DOUBLE) / 100.0 AS session_value
     FROM numbered GROUP BY user_id, sess_idx
-    """,
+    """.format(cents_v=_cents_sql("value")),
     tags=("streaming", "session_window", "stateful"),
 )
 def stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2110,10 +2322,10 @@ def user_event_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT n.n_name,
       COUNT(*) AS n_suppliers,
-      CAST(SUM(CAST(s.s_acctbal AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS avg_acctbal
+      CAST(SUM({cents}) AS DOUBLE) / 100.0 / COUNT(*) AS avg_acctbal
     FROM supplier s JOIN nation n ON s.s_nationkey = n.n_nationkey
     GROUP BY n.n_name
-    """,
+    """.format(cents=_cents_sql("s.s_acctbal")),
     tags=("join", "broadcast"),
 )
 def supplier_balance_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2125,7 +2337,7 @@ def supplier_balance_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("n_name")
         .agg(
             F.count("*").alias("n_suppliers"),
-            (F.sum(_dec("s_acctbal")).cast("double") / F.count("*")).alias("avg_acctbal"),
+            (_sum_money("s_acctbal") / F.count("*")).alias("avg_acctbal"),
         )
     )
 
@@ -2295,9 +2507,9 @@ def ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @_q(
     "stream_user_totals_stateful",
-    """
+    f"""
     SELECT user_id, COUNT(*) AS n_events,
-      ROUND(CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE), 4) AS total_value
+      CAST(SUM({_cents_sql('value')}) AS DOUBLE) / 100.0 AS total_value
     FROM events GROUP BY user_id
     """,
     tags=("streaming", "applyInPandasWithState", "stateful"),
@@ -2380,10 +2592,10 @@ def register_views(spark: SparkSession, sf_dir: str) -> None:
 
 @_q(
     "sql_interface_pricing",
-    """
+    f"""
     SELECT l_returnflag, l_linestatus,
-      CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
-      CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_base_price,
+      CAST(SUM({_cents_sql('l_quantity')}) AS DOUBLE) / 100.0 AS sum_qty,
+      CAST(SUM({_cents_sql('l_extendedprice')}) AS DOUBLE) / 100.0 AS sum_base_price,
       COUNT(*) AS count_order
     FROM lineitem
     WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
@@ -2516,9 +2728,9 @@ def asof_grouped_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @_q(
     "rollup_pricing",
-    """
+    f"""
     SELECT l_returnflag, l_linestatus,
-      CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+      {_sumd_sql('l_quantity', 'sum_qty')},
       COUNT(*) AS n_items
     FROM lineitem
     GROUP BY ROLLUP (l_returnflag, l_linestatus)
@@ -2531,7 +2743,7 @@ def rollup_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
     SQL and part of this engine's relational completeness."""
     li = T(spark, sf_dir, "lineitem")
     return li.rollup("l_returnflag", "l_linestatus").agg(
-        F.sum(_dec("l_quantity")).cast("double").alias("sum_qty"),
+        _sum_money("l_quantity").alias("sum_qty"),
         F.count("*").alias("n_items"),
     )
 
@@ -2991,9 +3203,9 @@ def stream_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @_q(
     "part_type_revenue",
-    """
+    f"""
     SELECT p.p_type,
-      CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(12,2)) - CAST(l.l_discount AS DECIMAL(12,2)))) AS DOUBLE) AS revenue,
+      CAST(SUM({_cents_sql('l.l_extendedprice')} * (100 - {_cents_sql('l.l_discount')})) AS DOUBLE) / 10000.0 AS revenue,
       COUNT(*) AS n_lineitems
     FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
     GROUP BY p.p_type
@@ -3008,7 +3220,10 @@ def part_type_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
         .groupBy("p_type")
         .agg(
-            F.sum(_dec("l_extendedprice") * (_one() - _dec("l_discount"))).cast("double").alias("revenue"),
+            (
+                F.sum(_centsd("l_extendedprice") * (F.lit(100) - _cents("l_discount")))
+                .cast("double") / F.lit(10000.0)
+            ).alias("revenue"),
             F.count("*").alias("n_lineitems"),
         )
     )
@@ -3016,9 +3231,9 @@ def part_type_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @_q(
     "cube_order_stats",
-    """
+    f"""
     SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n_orders,
-      CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total_value
+      CAST(SUM({_cents_sql('o_totalprice')}) AS DOUBLE) / 100.0 AS total_value
     FROM orders
     GROUP BY CUBE (o_orderstatus, o_orderpriority)
     """,
@@ -3029,7 +3244,7 @@ def cube_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = T(spark, sf_dir, "orders")
     return o.cube("o_orderstatus", "o_orderpriority").agg(
         F.count("*").alias("n_orders"),
-        F.sum(_dec("o_totalprice")).cast("double").alias("total_value"),
+        _sum_money("o_totalprice").alias("total_value"),
     )
 
 

@@ -181,28 +181,41 @@ def paired_components(
     the double rank sums are exact under any partitioning/summation
     order — hash-comparable across engines (the mann-whitney contract).
     The POWER SUMS get the same guarantee only when the inputs are
-    DECIMAL (r9/r10 VERDICT — the ``paired_test_components`` hash
-    flakes): with decimal before/after columns, ``s1 = SUM(d)`` and
-    ``s2 = SUM(d·d)`` are exact decimal arithmetic (order-free), each
-    cast to double exactly once — bit-identical under any partitioning
-    and across engines.  No division and no ROUND happens in the
-    relation at all: r10 showed that even a fixed IEEE ``S1/n`` tree is
-    unsafe to hash once a 4-dp ``ROUND`` follows it, because Spark
-    (BigDecimal HALF_UP on the shortest repr) and DuckDB (scaled-double
-    ``std::round``) disagree at exact ``.5`` boundaries — and exact
-    low-scale decimal ratios LAND on those boundaries with real
-    probability.  Double inputs fall back to plain double sums, whose
-    results are summation-order-dependent like any float aggregate
-    (callers needing hash-exactness pass DECIMAL).  Keep the decimal
-    precision of the inputs small enough that ``d·d`` stays within 38
-    digits (e.g. DECIMAL(15,2) squares to (31,4)) — wider and Spark
-    silently rounds the product, breaking exactness.
+    EXACT types (r9–r11 VERDICT — the ``paired_test_components`` hash
+    flakes): with integral (cents — the r11 lesson: quantize money to
+    BIGINT cents BEFORE this relation, never ``CAST(double AS
+    DECIMAL)``, which itself rounds differently across engines) or
+    decimal before/after columns, ``s1 = SUM(d)`` and ``s2 = SUM(d·d)``
+    are exact order-free arithmetic, each cast to double exactly once —
+    bit-identical under any partitioning and across engines.  Integral
+    inputs are widened to DECIMAL(18,0) for the power sums so ``d·d``
+    and its sum never hit the BIGINT overflow cliff (a bigint ``d·d``
+    is only safe to |d| ≈ 3e9).  No division and no ROUND happens in
+    the relation at all: r10 showed that even a fixed IEEE ``S1/n``
+    tree is unsafe to hash once a 4-dp ``ROUND`` follows it, because
+    Spark (BigDecimal HALF_UP on the shortest repr) and DuckDB
+    (scaled-double ``std::round``) disagree at exact ``.5`` boundaries —
+    and exact low-scale decimal ratios LAND on those boundaries with
+    real probability.  Double inputs fall back to plain double sums,
+    whose results are summation-order-dependent like any float
+    aggregate (callers needing hash-exactness pass cents or DECIMAL).
+    Keep the decimal precision of decimal inputs small enough that
+    ``d·d`` stays within 38 digits (e.g. DECIMAL(15,2) squares to
+    (31,4)) — wider and Spark silently rounds the product, breaking
+    exactness.
     """
     from pyspark.sql import Window
-    from pyspark.sql.types import DecimalType
+    from pyspark.sql.types import ByteType, DecimalType, IntegerType, LongType, ShortType
 
     d = results.select((F.col(after_col) - F.col(before_col)).alias("d"))
-    if isinstance(d.schema["d"].dataType, DecimalType):
+    d_type = d.schema["d"].dataType
+    if isinstance(d_type, (ByteType, ShortType, IntegerType, LongType)):
+        # exact integral differences (e.g. money in cents): widen to
+        # DECIMAL(18,0) so SUM(d) -> DECIMAL(28,0) and SUM(d*d) ->
+        # DECIMAL(38,0) stay exact with no bigint overflow cliff
+        d = d.select(F.col("d").cast("decimal(18,0)").alias("d"))
+        d_type = d.schema["d"].dataType
+    if isinstance(d_type, DecimalType):
         comp = d.agg(
             F.count("d").alias("n"),
             F.sum("d").alias("_s1"),

@@ -28,6 +28,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..functions.quantize import quantize_cents
+
 
 def stream_events(
     spark: SparkSession, events_dir: str, schema_from_batch: bool = True
@@ -79,7 +81,13 @@ def windowed_event_counts(
         .groupBy(F.window("ts", window).alias("win"), "event_type")
         .agg(
             F.count("*").alias("n_events"),
-            F.sum(F.col("value").cast("decimal(12,2)")).cast("double").alias("sum_value"),
+            # exact cents (functions/quantize.py::quantize_cents), never
+            # CAST(double AS DECIMAL) — that cast rounds differently
+            # across engines on third-decimal-5 doubles (r11 VERDICT #1)
+            (
+                F.sum(quantize_cents(F.col("value")).cast("decimal(18,0)"))
+                .cast("double") / F.lit(100.0)
+            ).alias("sum_value"),
         )
         .select(
             F.unix_timestamp(F.col("win.start")).alias("hour_unix"),
@@ -103,7 +111,10 @@ def sessionize(
         .groupBy(F.session_window("ts", gap).alias("sess"), "user_id")
         .agg(
             F.count("*").alias("n_events"),
-            F.sum(F.col("value").cast("decimal(12,2)")).cast("double").alias("session_value"),
+            (
+                F.sum(quantize_cents(F.col("value")).cast("decimal(18,0)"))
+                .cast("double") / F.lit(100.0)
+            ).alias("session_value"),
         )
         .select(
             "user_id",
@@ -253,27 +264,42 @@ def user_totals_stateful(events: DataFrame) -> DataFrame:
     the state store (checkpointable, watermark-evictable with a timeout
     conf). Under an availableNow single batch the emission equals the batch
     group-by — which is how the oracle checks it.
+
+    Determinism (r11 VERDICT #1/#3): the accumulator is EXACT INTEGER
+    CENTS — ``floor(value·100 + 0.5)`` per row (numpy's IEEE floor, the
+    same pure-IEEE quantizer as functions/quantize.py::quantize_cents) —
+    so the running total is order-free under any micro-batching, and
+    the emitted dollars are ONE correctly-rounded division.  The old
+    float64 accumulator was summation-order-dependent, and the old
+    oracle's ``CAST(value AS DECIMAL(12,2))`` head rounds differently
+    across engines on third-decimal-5 doubles.
     """
+    import numpy as np
     import pandas as pd
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
     def fn(key, pdfs, state: GroupState):
         if state.exists:
-            n, total = state.get
+            n, total_cents = state.get
         else:
-            n, total = 0, 0.0
+            n, total_cents = 0, 0
         for pdf in pdfs:
             n += len(pdf)
-            total += float(pdf["value"].sum())
-        state.update((n, total))
+            v = pdf["value"].to_numpy(dtype=np.float64)
+            total_cents += int(np.floor(v * 100.0 + 0.5).astype(np.int64).sum())
+        state.update((n, total_cents))
         yield pd.DataFrame(
-            {"user_id": [key[0]], "n_events": [n], "total_value": [round(total, 4)]}
+            {
+                "user_id": [key[0]],
+                "n_events": [n],
+                "total_value": [total_cents / 100.0],
+            }
         )
 
     return events.groupBy("user_id").applyInPandasWithState(
         fn,
         outputStructType="user_id long, n_events long, total_value double",
-        stateStructType="n long, total double",
+        stateStructType="n long, total_cents long",
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
@@ -312,23 +338,28 @@ def user_totals_tws(events: DataFrame) -> DataFrame:
     class UserTotals(StatefulProcessor):
         def init(self, handle: StatefulProcessorHandle) -> None:
             self._totals = handle.getValueState(
-                "totals", "n long, total double"
+                "totals", "n long, total_cents long"
             )
 
         def handleInputRows(self, key, rows, timerValues):
+            import numpy as np
+
             if self._totals.exists():
-                n, total = self._totals.get()
+                n, total_cents = self._totals.get()
             else:
-                n, total = 0, 0.0
+                n, total_cents = 0, 0
             for pdf in rows:
                 n += len(pdf)
-                total += float(pdf["value"].sum())
-            self._totals.update((n, total))
+                v = pdf["value"].to_numpy(dtype=np.float64)
+                total_cents += int(
+                    np.floor(v * 100.0 + 0.5).astype(np.int64).sum()
+                )
+            self._totals.update((n, total_cents))
             yield pd.DataFrame(
                 {
                     "user_id": [key[0]],
                     "n_events": [n],
-                    "total_value": [round(total, 4)],
+                    "total_value": [total_cents / 100.0],
                 }
             )
 

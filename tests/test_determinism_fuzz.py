@@ -361,3 +361,155 @@ def test_paired_components_boundary_data_cross_engine(spark, tmp_path):
     for c in srow:
         assert srow[c] == orow[c], (c, srow[c], orow[c])  # bit-exact
     assert srow["n"] == 8 and srow["s1"] == orow["s1"]
+
+
+def _write_events(tmp_path, values, event_types=None):
+    """Tiny events.parquet with the real table's schema and planted values."""
+    import datetime
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    n = len(values)
+    if event_types is None:
+        event_types = ["view" if i % 2 == 0 else "purchase" for i in range(n)]
+    tbl = pa.table(
+        {
+            "event_id": pa.array(range(n), pa.int64()),
+            "ts": pa.array(
+                [datetime.datetime(2024, 1, 1, i // 60, i % 60) for i in range(n)],
+                pa.timestamp("us"),
+            ),
+            "user_id": pa.array([i // 2 for i in range(n)], pa.int64()),
+            "event_type": pa.array(event_types, pa.string()),
+            "value": pa.array(values, pa.float64()),
+            "props": pa.array(["{}"] * n, pa.string()),
+        }
+    )
+    pq.write_table(tbl, str(tmp_path / "events.parquet"))
+
+
+# Doubles whose SHORTEST DECIMAL REPR ends in a third-decimal 5 — the r11
+# VERDICT #1 repro set: Spark's CAST(double AS DECIMAL(12,2)) (BigDecimal
+# HALF_UP on the shortest repr) rounds each UP while DuckDB's (scaled-double
+# round) rounds each DOWN, so ANY hashed relation headed by that cast
+# diverges cross-engine on data containing one of these.
+THIRD_DECIMAL_5 = [4.045, 0.125, 2.675, 1.005, 8.845, 3.555, 10.075]
+
+
+# Every events-table money row (the `_dec()` purge sweep, r11 VERDICT #3):
+# each must be bit-exact cross-engine on a planted events table whose
+# values include every known third-decimal-5 boundary double.  TPC-H money
+# rows (pricing_summary etc.) share the exact same _cents/_cents_sql
+# helpers, so the events sweep covers the idiom.
+MONEY_EVENT_ROWS = [
+    "welch_components_by_type",
+    "event_percentiles",
+    "user_event_pivot",
+    "user_running_value",
+    "hourly_event_counts",
+    "sessionization",
+    "stream_hourly_counts",
+    "stream_sessionize",
+    "stream_user_totals_stateful",
+]
+
+
+def test_money_rows_third_decimal_5_cross_engine(spark, tmp_path):
+    """r11 VERDICT #3: one 3-dp boundary value in a future driver dataset
+    would have flipped every `CAST(double AS DECIMAL(12,2))` money row
+    catalog-wide.  After the cents purge, every events-money consumer must
+    be bit-exact across engines on PLANTED boundary data — don't wait for
+    the driver to hit pricing_summary."""
+    import duckdb
+
+    from semantic_vector_search_system_spark.plans.catalog import CATALOG
+
+    values = []
+    for i, v in enumerate(THIRD_DECIMAL_5 * 6):
+        values.extend([v, 10.00 + v, -v])
+    _write_events(tmp_path, values, event_types=[
+        ["view", "purchase", "click"][i % 3] for i in range(len(values))
+    ])
+
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM '{tmp_path}/events.parquet'")
+    for name in MONEY_EVENT_ROWS:
+        entry = CATALOG[name]
+        df = entry.builder(spark, str(tmp_path))
+        cols = df.columns
+        srows = sorted(
+            tuple("NULL" if v is None else v for v in r) for r in df.collect()
+        )
+        res = con.execute(entry.oracle)
+        ocols = [d[0] for d in res.description]
+        assert sorted(cols) == sorted(ocols), name
+        oidx = [ocols.index(c) for c in cols]
+        orows = sorted(
+            tuple("NULL" if r[i] is None else r[i] for i in oidx)
+            for r in res.fetchall()
+        )
+        assert len(srows) == len(orows), name
+        for sr, orow in zip(srows, orows):
+            for c, sv, ov in zip(cols, sr, orow):
+                assert sv == ov, (name, c, sv, ov)  # bit-exact
+
+
+def test_paired_family_third_decimal_5_cross_engine(spark, tmp_path):
+    """r11 VERDICT #1: the residual paired_test_components red cell was the
+    double→DECIMAL(12,2) cast at the HEAD of the pipeline — itself a
+    cross-engine rounding op (4.045 → Spark 4.05, DuckDB 4.04), amplified by
+    the Wilcoxon ranks into whole-rank hash breaks.  Local testdata is
+    exactly-2-dp, so the cast was boundary-free here and the row stayed
+    tri-scale green while red on the driver's ≥3-dp parquet.
+
+    This test PLANTS the driver's shape — every known third-decimal-5
+    boundary double as purchase values — and asserts the rebuilt
+    cents-quantized pipeline (paired_test_components + all three bisection
+    probes) is BIT-EXACT across engines on it."""
+    import duckdb
+
+    from semantic_vector_search_system_spark.plans.catalog import CATALOG
+
+    values = []
+    for v in THIRD_DECIMAL_5:
+        values.extend([10.00, v])  # (view, purchase) per user
+    # a couple of negative-boundary users too (FLOOR cents is
+    # half-toward-+inf; both faces must share that convention)
+    values.extend([10.00, -4.045, 10.00, -0.125])
+    _write_events(tmp_path, values)
+
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM '{tmp_path}/events.parquet'")
+    # sanity: the OLD idiom really is divergent on this image for the
+    # planted head value (documents why the cents rebuild exists; drop
+    # this probe if engine versions ever converge)
+    duck_cast = con.execute("SELECT CAST(4.045 AS DECIMAL(12,2))").fetchone()[0]
+    spark_cast = spark.sql("SELECT CAST(4.045D AS DECIMAL(12,2))").collect()[0][0]
+    assert str(duck_cast) != str(spark_cast), (
+        "engines now agree on the double->DECIMAL cast; the cents rebuild "
+        "rationale should be re-checked"
+    )
+
+    for name in (
+        "paired_test_components",
+        "paired_pairs_probe",
+        "paired_moments_probe",
+        "paired_wilcoxon_probe",
+    ):
+        entry = CATALOG[name]
+        df = entry.builder(spark, str(tmp_path))
+        cols = df.columns
+        srows = sorted(tuple(r) for r in df.collect())
+        res = con.execute(entry.oracle)
+        ocols = [d[0] for d in res.description]
+        orows = sorted(tuple(r) for r in res.fetchall())
+        assert sorted(cols) == sorted(ocols), name
+        # align column order before comparing values
+        oidx = [ocols.index(c) for c in cols]
+        orows = sorted(tuple(r[i] for i in oidx) for r in orows)
+        assert len(srows) == len(orows), name
+        for sr, orow in zip(srows, orows):
+            for c, sv, ov in zip(cols, sr, orow):
+                sv = int(sv) if isinstance(sv, bool) else sv
+                assert sv == ov, (name, c, sv, ov)  # bit-exact
