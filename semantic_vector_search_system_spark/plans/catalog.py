@@ -2966,34 +2966,178 @@ def ann_index_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         tempfile.gettempdir(),
         f"sivbp_ann_upsert_{os.getpid()}_{abs(hash(sf_dir)) % 10**8}",
     )
-    shutil.rmtree(path, ignore_errors=True)
-    shutil.rmtree(path + "__tombstones", ignore_errors=True)
-    with_cent = emb.withColumn("cent_id", F.col("vec_id") % 8)
-    base = with_cent.filter(F.col("vec_id") % 3 != 2)
-    write_vector_index(base, path, partition_by="cent_id", batch=0)
-    upd = with_cent.filter(
-        (F.col("vec_id") % 6 == 0)
-        | ((F.col("vec_id") % 3 == 2) & (F.col("vec_id") % 7 == 1))
-    ).withColumn("embedding", F.transform("embedding", lambda x: -x))
-    upsert_vector_index(
-        spark, path, upd, id_col="vec_id", batch=1, partition_by="cent_id"
+
+    def _scrub() -> None:
+        # every lifecycle artifact, including compaction generations and
+        # stale __staging/__swaplink from a crashed prior run (r11 ADVICE:
+        # the old cleanup only ran at the NEXT same-pid invocation, leaking
+        # one index per process)
+        parent, base = os.path.dirname(path), os.path.basename(path)
+        for name in os.listdir(parent):
+            if name == base or name.startswith(base + "__"):
+                full = os.path.join(parent, name)
+                if os.path.islink(full) or os.path.isfile(full):
+                    os.remove(full)
+                else:
+                    shutil.rmtree(full, ignore_errors=True)
+
+    _scrub()
+    try:
+        with_cent = emb.withColumn("cent_id", F.col("vec_id") % 8)
+        base = with_cent.filter(F.col("vec_id") % 3 != 2)
+        write_vector_index(base, path, partition_by="cent_id", batch=0)
+        upd = with_cent.filter(
+            (F.col("vec_id") % 6 == 0)
+            | ((F.col("vec_id") % 3 == 2) & (F.col("vec_id") % 7 == 1))
+        ).withColumn("embedding", F.transform("embedding", lambda x: -x))
+        upsert_vector_index(
+            spark, path, upd, id_col="vec_id", batch=1, partition_by="cent_id"
+        )
+        delete_from_vector_index(
+            spark,
+            path,
+            emb.filter((F.col("vec_id") % 30).isin(1, 6)).select("vec_id"),
+            id_col="vec_id",
+        )
+        compact_vector_index(spark, path, id_col="vec_id", partition_by="cent_id")
+        final = spark.read.parquet(path)
+        out = final.groupBy(F.col("cent_id").cast("long").alias("cent_id")).agg(
+            F.count("*").alias("n_live"),
+            F.sum("_batch").cast("long").alias("n_from_updates"),
+            F.sum("vec_id").alias("sum_ids"),
+            F.sum(F.when(F.col("embedding")[0] < 0, 1).otherwise(0))
+            .cast("long")
+            .alias("n_neg_first"),
+        )
+        # materialize BEFORE scrubbing the files the plan reads, then
+        # return an in-memory relation — no leaked index dir per process
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        _scrub()
+
+
+@_q(
+    "stream_index_upsert",
+    """
+    WITH base AS (
+      SELECT vec_id, embedding, vec_id % 8 AS cent_id, 0 AS b
+      FROM embeddings WHERE vec_id % 3 <> 2),
+    upd AS (
+      SELECT vec_id, list_transform(embedding, x -> -x) AS embedding,
+             vec_id % 8 AS cent_id, 1 AS b
+      FROM embeddings WHERE vec_id % 3 <> 2 AND vec_id % 6 = 0
+      UNION ALL
+      SELECT vec_id, list_transform(embedding, x -> x + x) AS embedding,
+             vec_id % 8 AS cent_id, 1 AS b
+      FROM embeddings WHERE vec_id % 3 <> 2 AND vec_id % 6 = 1
+      UNION ALL
+      SELECT vec_id, embedding, vec_id % 8 AS cent_id, 1 AS b
+      FROM embeddings WHERE vec_id % 3 = 2),
+    live AS (
+      SELECT * FROM upd
+      UNION ALL
+      SELECT * FROM base
+      WHERE NOT EXISTS (SELECT 1 FROM upd u WHERE u.vec_id = base.vec_id))
+    SELECT CAST(cent_id AS BIGINT) AS cent_id,
+           COUNT(*) AS n_live,
+           CAST(SUM(b) AS BIGINT) AS n_from_updates,
+           CAST(SUM(vec_id) AS BIGINT) AS sum_ids,
+           CAST(SUM(CASE WHEN embedding[1] < 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_neg_first
+    FROM live GROUP BY cent_id
+    """,
+    tags=("streaming", "upsert", "index", "foreachBatch", "ST1"),
+)
+def stream_index_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING twin of ``ann_index_upsert`` (r11 VERDICT #5; reference
+    online write path `pinecone/client.py:61-90`): a file stream of
+    update batches drives ``foreachBatch → upsert_vector_index``
+    (streaming/events.py::streaming_upsert_foreach_batch) against the
+    cent_id-partitioned parquet index, with auto-assigned monotonic
+    generations and idempotent per-epoch commit markers; the hashed
+    relation is the final tombstone-masked LIVE view.
+
+    Determinism by construction: the three update files touch DISJOINT
+    id sets (replacements ≡0 mod 6 negated, ≡1 mod 6 doubled, brand-new
+    ≡2 mod 3 inserted), so the final live set is identical under ANY
+    micro-batch partitioning or delivery order — the oracle replays
+    latest-wins relationally.  maxFilesPerTrigger=1 still exercises the
+    multi-epoch path (three upsert generations, per-epoch tombstones).
+    """
+    import os
+    import shutil
+    import tempfile
+
+    from ..sources.parquet_index import read_live_index, write_vector_index
+    from ..streaming.events import streaming_upsert_foreach_batch
+
+    emb = T(spark, sf_dir, "embeddings")
+    root = os.path.join(
+        tempfile.gettempdir(),
+        f"sivbp_stream_upsert_{os.getpid()}_{abs(hash(sf_dir)) % 10**8}",
     )
-    delete_from_vector_index(
-        spark,
-        path,
-        emb.filter((F.col("vec_id") % 30).isin(1, 6)).select("vec_id"),
-        id_col="vec_id",
-    )
-    compact_vector_index(spark, path, id_col="vec_id", partition_by="cent_id")
-    final = spark.read.parquet(path)
-    return final.groupBy(F.col("cent_id").cast("long").alias("cent_id")).agg(
-        F.count("*").alias("n_live"),
-        F.sum("_batch").cast("long").alias("n_from_updates"),
-        F.sum("vec_id").alias("sum_ids"),
-        F.sum(F.when(F.col("embedding")[0] < 0, 1).otherwise(0))
-        .cast("long")
-        .alias("n_neg_first"),
-    )
+    shutil.rmtree(root, ignore_errors=True)
+    try:
+        os.makedirs(root)
+        idx = os.path.join(root, "index")
+        src = os.path.join(root, "updates")
+        os.makedirs(src)
+        with_cent = emb.withColumn("cent_id", F.col("vec_id") % 8)
+        base = with_cent.filter(F.col("vec_id") % 3 != 2)
+        write_vector_index(base, idx, partition_by="cent_id", batch=0)
+        neg = F.transform("embedding", lambda x: -x)
+        dbl = F.transform("embedding", lambda x: x + x)
+        files = [
+            with_cent.filter(
+                (F.col("vec_id") % 3 != 2) & (F.col("vec_id") % 6 == 0)
+            ).withColumn("embedding", neg),
+            with_cent.filter(
+                (F.col("vec_id") % 3 != 2) & (F.col("vec_id") % 6 == 1)
+            ).withColumn("embedding", dbl),
+            with_cent.filter(F.col("vec_id") % 3 == 2),
+        ]
+        for i, upd in enumerate(files):
+            stage = os.path.join(root, f"stage{i}")
+            upd.coalesce(1).write.parquet(stage)
+            part = next(
+                f for f in os.listdir(stage) if f.endswith(".parquet")
+            )
+            dst = os.path.join(src, f"u{i}.parquet")
+            os.rename(os.path.join(stage, part), dst)
+            # distinct mtimes: FileStreamSource orders by modification
+            # time, so epochs arrive in file order (and the disjoint id
+            # sets make the result order-independent anyway)
+            os.utime(dst, (1_700_000_000 + i * 100, 1_700_000_000 + i * 100))
+        stream = (
+            spark.readStream.schema(spark.read.parquet(src).schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src)
+        )
+        streaming_upsert_foreach_batch(
+            stream,
+            idx,
+            id_col="vec_id",
+            partition_by="cent_id",
+            checkpoint=os.path.join(root, "ckpt"),
+        )
+        final = read_live_index(spark, idx, id_col="vec_id")
+        out = final.groupBy(
+            F.col("cent_id").cast("long").alias("cent_id")
+        ).agg(
+            F.count("*").alias("n_live"),
+            F.sum(F.when(F.col("_batch") > 0, 1).otherwise(0))
+            .cast("long")
+            .alias("n_from_updates"),
+            F.sum("vec_id").alias("sum_ids"),
+            F.sum(F.when(F.col("embedding")[0] < 0, 1).otherwise(0))
+            .cast("long")
+            .alias("n_neg_first"),
+        )
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
 
 
 @_q(

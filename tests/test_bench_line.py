@@ -313,10 +313,16 @@ def test_emit_sheds_precision_before_dropping_payloads(tmp_path, monkeypatch):
     )
 
     def line_len(timings, ndec):
+        total = sum(timings.values())
         compact = {
             "metric": "headline_queries_total_runtime",
-            "value": round(sum(timings.values()), 3),
+            "value": round(total, 3),
             "unit": "sec",
+            # r12: emit also prints the floor-normalized total + anchor
+            "value_floor_norm": round(
+                total * (bench.REF_FLOOR / payload["floors"]["python_job_floor"]), 3
+            ),
+            "ref_floor": bench.REF_FLOOR,
             "queries": {k: round(v, ndec) for k, v in timings.items()},
             "sf": 0.1,
             **payload,

@@ -55,6 +55,10 @@ ALLOWED: dict[str, dict[str, int]] = {
     "plans/catalog.py": {
         # stream_curation_funnel batch-boundary probe: single MAX row
         'mtot = docs.agg((F.max("doc_id") + 1).alias("m")).collect()[0]["m"]': 1,
+        # ann_index_upsert / stream_index_upsert (r12 ADVICE leak fix):
+        # the 8-row per-list aggregate materializes BEFORE the finally
+        # block scrubs the temp index files the lazy plan would re-read
+        "rows = out.collect()": 2,
     },
     "sources/vectorstores.py": {
         # single aggregate row (count/dim probe before upsert)
@@ -65,6 +69,9 @@ ALLOWED: dict[str, dict[str, int]] = {
         # sample — the bootstrap selectivity probe for filtered ANN
         # (callers with table stats pass selectivity= directly)
         'row = s.agg(F.count("*").alias("n"), F.sum("_m").alias("m")).collect()[0]': 1,
+        # ivf_assignment_quality (r12 drift detector): ONE (mean, count)
+        # aggregate row — the per-batch drift statistic
+        "row = scored.collect()[0]": 1,
         # raise-guarded by max_rows count immediately above (bounded matmul)
         "rows = emb.select(id_col, vec_col).collect()": 1,
         # tiny centroid relation (n_lists/k rows) for the BLAS IVF and
@@ -92,6 +99,13 @@ ALLOWED: dict[str, dict[str, int]] = {
     },
     "operators/quantize.py": {
         # single aggregate row (global min/max for the quantization range)
+        ").collect()[0]": 1,
+    },
+    "sources/parquet_index.py": {
+        # _max_batch (r12 batch-freshness gate): ONE scalar MAX row over a
+        # thin single-column scan
+        'row = stored.agg(F.max("_batch").alias("m")).collect()[0]': 1,
+        # upsert dup-id gate: ONE (count, count_distinct) aggregate row
         ").collect()[0]": 1,
     },
     "operators/search.py": {

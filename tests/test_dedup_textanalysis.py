@@ -2234,3 +2234,53 @@ def test_ivf_search_partitioned_live_after_upsert_and_delete(spark, tmp_path):
         spark, idx, cents, q, k=3, nprobe=1, live=False
     ).collect()
     assert [r["docid"] for r in raw_after] == ["d2"]
+
+
+def test_ivf_drift_signal_fires_on_shifted_batch(spark):
+    """r11 VERDICT #6: serving an IVF codebook over a MUTATING index decays
+    silently when upserts shift the vector distribution.  The drift
+    detector compares a new batch's mean nearest-centroid cosine against
+    the codebook's training-time quality: a planted shifted batch must
+    fire needs_retrain; an unshifted batch must not."""
+    import random
+
+    from semantic_vector_search_system_spark.operators.similarity import (
+        ivf_assignment_quality,
+        ivf_drift_signal,
+        train_ivf_centroids,
+    )
+
+    rng = random.Random(7)
+    modes = [[10.0, 0.0, 0.0, 0.0], [0.0, 10.0, 0.0, 0.0],
+             [0.0, 0.0, 10.0, 0.0]]
+    rows = []
+    for i in range(240):
+        m = modes[i % 3]
+        rows.append((i, [c + rng.gauss(0, 0.5) for c in m]))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cents = train_ivf_centroids(emb, n_lists=3, max_iter=5)
+
+    train_q = ivf_assignment_quality(emb, cents)
+    assert train_q["n"] == 240 and train_q["mean_assign_sim"] > 0.95
+
+    # unshifted batch: same modes, fresh noise -> no signal
+    same = spark.createDataFrame(
+        [(1000 + i, [c + rng.gauss(0, 0.5) for c in modes[i % 3]])
+         for i in range(60)],
+        "vec_id long, embedding array<double>",
+    )
+    sig_same = ivf_drift_signal(train_q, ivf_assignment_quality(same, cents))
+    assert sig_same["needs_retrain"] is False, sig_same
+
+    # shifted batch: a NEW mode the codebook never saw -> signal fires
+    shifted = spark.createDataFrame(
+        [(2000 + i, [rng.gauss(0, 0.5), rng.gauss(0, 0.5),
+                     rng.gauss(0, 0.5), 10.0 + rng.gauss(0, 0.5)])
+         for i in range(60)],
+        "vec_id long, embedding array<double>",
+    )
+    sig_shift = ivf_drift_signal(
+        train_q, ivf_assignment_quality(shifted, cents)
+    )
+    assert sig_shift["needs_retrain"] is True, sig_shift
+    assert sig_shift["drop"] > sig_same["drop"]

@@ -353,44 +353,40 @@ def test_driver_window_covers_every_operator_family():
     window = set(names[:50])
     # every non-demoted query is inside the driver's window
     assert window == set(CATALOG) - set(DEMOTED)
-    # r11 flagship set (rotation per the DEMOTED header): every row whose
-    # face or oracle CHANGED this round (the ROUND->FLOOR quantizer purge,
-    # jaccard integer thresholds, paired raw-sums schema, robots stage in
-    # crawl_e2e, filtered-ANN auto path) is in-window, plus the two
-    # born-parked r10 rows (first driver check), three cadence returners,
-    # the anchors, and seven family-breadth retainees.
+    # r12 flagship set = the calendar window (r11 VERDICT #4; DEMOTED
+    # header): 37 calendar returners + 7 changed keepers + 4 new rows +
+    # 2 anchors = exactly 50.
     flagships = {
-        # changed this round, already in-window — stay for driver re-check
+        # the 12 long-parked r8 rows (calendar: MUST return r12)
+        "pricing_summary", "event_percentiles", "knn_topk_heap",
+        "span_dedup", "semdedup_keep_one", "ann_ivf_topk",
+        "knn_hybrid_filtered", "user_event_sequences", "user_event_unpivot",
+        "view_purchase_funnel", "knn_topk", "stream_view_purchase_join",
+        # the 23 r9-last-checked block rows (calendar)
+        "revenue_filter", "nations_with_both", "hourly_event_counts",
+        "token_stats_by_lang", "doc_fingerprint", "lsh_candidate_pairs",
+        "corpus_vocabulary", "global_top_spenders", "media_kind_stats",
+        "asof_grouped_orders", "media_ahash_dedup", "media_hamming_pairs",
+        "part_type_revenue", "cube_order_stats", "pii_scan_report",
+        "decontamination", "bpe_encode_tokens", "context_windows",
+        "training_shuffle_shards", "duplicate_components",
+        "normalized_exact_dedup", "leakage_safe_splits", "incremental_dedup",
+        # the two "returns r12" per-entry notes from the r11 header
+        "stream_dedup_events", "rollup_pricing",
+        # changed in r12, already in-window — stay for driver re-check
+        # (cents purge: welch/sessionization/pivot/sql-interface/stateful;
+        # paired rebuild; ann_index_upsert hardened upsert/tombstone path)
         "paired_test_components", "welch_components_by_type",
-        "retrieval_quality", "self_retrieval_e2e", "label_centroids",
-        "training_corpus_selection", "gopher_quality_report",
-        "ngram_jaccard_pairs", "neardup_keep_one", "ann_recall",
-        "ann_ivf_filtered", "crawl_e2e", "stream_curation_funnel",
-        "bm25_topk",
-        # changed this round, rotated IN from the parked set
-        "doc_quality", "source_cap_sample", "source_mixture_weights",
-        "temperature_mixture", "quality_classifier_report",
-        "bigram_lm_report", "lm_perplexity_buckets", "curation_funnel",
-        "dsir_selection", "similarity_pagerank", "kmeans_steps",
-        "prototype_sample", "bitext_margin_pairs", "mmr_diversified_topk",
-        "retrieval_ndcg", "sketch_set_ops", "tfidf_self_retrieval",
-        "ann_pq_topk", "ann_ivfpq_topk",
-        # born parked in r10 — first driver check (r10 VERDICT #3)
-        "robots_page_filter", "perceptron_quality_weights",
-        # cadence returners (1x-green fresh row + the BPE family anchor;
-        # stream_dedup_events re-parked for the NEW row, returns r12)
-        "hard_negative_mining", "bpe_merges",
-        # NEW r11: adaptive recrawl scheduling + stored vector-index
-        # mutation lifecycle — born in-window (rollup_pricing parked in
-        # exchange for the latter; pricing family stays covered by
-        # sql_interface_pricing)
-        "recrawl_priority", "ann_index_upsert",
-        # the five no-family-twin anchors
-        "json_kpi", "sequence_packing", "stream_user_totals_stateful",
-        "media_features", "index_upsert_counts",
-        # unchanged rows retained purely for family breadth
-        "sessionization", "asof_latest_order", "sql_interface_pricing",
-        "quantized_topk_rerank", "dataset_splits", "user_event_pivot",
+        "sessionization", "user_event_pivot", "sql_interface_pricing",
+        "stream_user_totals_stateful", "ann_index_upsert",
+        # NEW r12 rows, born in-window: the paired bisection probes +
+        # the streaming upsert face
+        "paired_pairs_probe", "paired_moments_probe",
+        "paired_wilcoxon_probe", "stream_index_upsert",
+        # the two remaining no-family-twin anchors (sequence_packing,
+        # media_features, index_upsert_counts parked WITH their family
+        # coverage returning — see DEMOTED header)
+        "json_kpi", "bm25_topk",
     }
     assert flagships <= window
     assert len(flagships) == 50  # the window IS fully specified this round
