@@ -14,7 +14,14 @@ Both operators are pure DataFrame algebra with exact SQL twins:
   belong to the most recent header run) expressed relationally: one
   window keyed by host ordered by line number assigns each rule line to
   its group (a running count of header lines — the sessionization
-  recipe), then groups are kept when any of their user-agents matches.
+  recipe), then RFC 9309 group SELECTION keeps, per host, only the
+  groups at the MOST SPECIFIC matching agent level (r12: a crawler
+  passes its product-token ladder, e.g. ``["mybot-images", "mybot"]``;
+  the best-matching token wins, ``*`` only when nothing else matches —
+  same-level groups merge per the spec).  The pre-r12 behavior (union
+  of every matching group incl. ``*``) diverged from real crawlers: a
+  specific group's Allow could be overridden by the generic group's
+  longer Disallow, which the spec says must not even be consulted.
 * :func:`apply_robots` — standard longest-match semantics (RFC 9309 /
   Google): among the rules whose prefix matches the page's path, the
   LONGEST prefix wins; on a length tie ``allow`` beats ``disallow``;
@@ -57,7 +64,7 @@ def parse_robots(
     robots: DataFrame,
     host_col: str = "host",
     text_col: str = "robots_txt",
-    user_agent: str = "*",
+    user_agent: str | list[str] | tuple[str, ...] = "*",
 ) -> DataFrame:
     """Parse per-host robots.txt bodies into a flat rule relation
     ``(host, rule, prefix)`` with ``rule`` in {'allow', 'disallow'}.
@@ -65,19 +72,36 @@ def parse_robots(
     Grammar (RFC 9309 subset): lines split on newline; ``#`` comments
     stripped; field names case-insensitive; a RUN of ``User-agent:``
     lines opens a group; ``Allow:``/``Disallow:`` lines attach to the
-    most recent group; a group applies when any of its agents is ``*``
-    or equals ``user_agent`` (case-insensitive).  ``Disallow:`` with an
-    empty value is the spec's "allow everything" — emitted as an
-    ``allow ''`` rule so longest-match still resolves correctly.
+    most recent group.  ``Disallow:`` with an empty value is the spec's
+    "allow everything" — emitted as an ``allow ''`` rule so
+    longest-match still resolves correctly.
+
+    Group SELECTION (RFC 9309 §2.2.1, r12): ``user_agent`` is the
+    crawler's product-token ladder, most specific first — a string for
+    the common single-token case, or a list like ``["mybot-images",
+    "mybot"]`` for multi-token crawlers (the reference pattern:
+    googlebot-images consults the "googlebot-images" group if present,
+    else "googlebot", else ``*``).  Per host, ONLY the groups matching
+    at the best available ladder level are kept (same-level groups
+    merge, per spec); the ``*`` groups apply only when no named token
+    matches.  A union of all matching groups — the pre-r12 behavior —
+    is wrong: the spec's crawler never consults the generic group once
+    a specific one matches.
 
     Relational form: posexplode(lines) -> per-line field/value parse ->
     ONE host-keyed window computing (a) the running group id (count of
     group-OPENING header lines — a header line opens a group only when
     the previous line was not also a header, giving header-run
-    semantics) and (b) membership of the matching agent via a per-group
-    max — then rule lines of matching groups project to rows.
+    semantics) and (b) each group's best agent-match level via a
+    per-group max, compared against (c) the per-host best level — then
+    rule lines of best-level groups project to rows.
     """
-    ua = user_agent.lower()
+    from functools import reduce
+
+    uas = [user_agent] if isinstance(user_agent, str) else list(user_agent)
+    uas = [u.lower() for u in uas]
+    if "*" not in uas:
+        uas.append("*")  # the spec's fallback group, always least specific
     lines = robots.select(
         F.col(host_col).alias("host"),
         F.posexplode(F.split(F.col(text_col), "\n")).alias("line_no", "raw"),
@@ -100,16 +124,24 @@ def parse_robots(
         "grp",
         F.sum(opens).over(w.rowsBetween(Window.unboundedPreceding, 0)),
     )
-    agent_match = F.max(
-        F.when(
-            (F.col("field") == "user-agent")
-            & (F.lower(F.col("value")).isin("*", ua)),
-            1,
-        ).otherwise(0)
-    ).over(Window.partitionBy("host", "grp"))
+    # ladder level of one User-agent line: most specific token = highest
+    lvl_value = F.lower(F.col("value"))
+    line_level = F.when(F.col("field") != "user-agent", F.lit(0))
+    line_level = reduce(
+        lambda acc, iu: acc.when(lvl_value == iu[1], F.lit(len(uas) - iu[0])),
+        enumerate(uas),
+        line_level,
+    ).otherwise(F.lit(0))
+    group_level = F.max(line_level).over(Window.partitionBy("host", "grp"))
+    host_level = F.max(line_level).over(Window.partitionBy("host"))
     rules = (
-        grouped.withColumn("m", agent_match)
-        .filter((F.col("m") == 1) & (F.col("field") != "user-agent"))
+        grouped.withColumn("_glvl", group_level)
+        .withColumn("_hlvl", host_level)
+        .filter(
+            (F.col("_glvl") > 0)
+            & (F.col("_glvl") == F.col("_hlvl"))
+            & (F.col("field") != "user-agent")
+        )
         .select(
             "host",
             # empty Disallow == allow-everything (spec)

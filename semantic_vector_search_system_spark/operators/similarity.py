@@ -263,6 +263,69 @@ def ivf_drift_signal(
     }
 
 
+def ivf_retrain_index(
+    spark,
+    index_path: str,
+    n_lists: int,
+    id_col: str = "docid",
+    vec_col: str = "vec",
+    seed: int = 7,
+    max_iter: int = 10,
+    sample_fraction: float | None = None,
+) -> DataFrame:
+    """Act on the drift signal (r11 VERDICT #6's natural completion):
+    retrain the IVF codebook over the LIVE rows of a mutated index and
+    rewrite the index re-partitioned on the NEW assignments — through
+    the same crash-safe generation swap as ``compact_vector_index``
+    (``__gen<N>`` + atomic symlink repoint + previous-generation reader
+    grace + ``recover_vector_index`` recovery), so serving never sees a
+    torn or missing tree and tombstones fold in for free (the rewrite
+    contains exactly the live rows).
+
+    O(live) by nature — a retrain IS a full re-cluster + re-layout; run
+    it when :func:`ivf_drift_signal` fires over consecutive batches, not
+    per upsert.  Returns the new ``(cent_id, cvec)`` codebook; serve
+    with ``ivf_search_partitioned(..., live=True)`` as before (the new
+    generation starts tombstone-free).
+    """
+    import shutil
+
+    from ..sources.parquet_index import (
+        _assert_local_fs,
+        _promote_staging,
+        _tombstones_path,
+        read_live_index,
+    )
+
+    _assert_local_fs(index_path, "ivf_retrain_index")
+    index_path = index_path.rstrip("/")
+    live = read_live_index(spark, index_path, id_col=id_col)
+    if "cent_id" in live.columns:
+        live = live.drop("cent_id")
+    cents = train_ivf_centroids(
+        live,
+        n_lists,
+        vec_col=vec_col,
+        seed=seed,
+        max_iter=max_iter,
+        sample_fraction=sample_fraction,
+    )
+    assigned = ivf_assign_fast(
+        live, cents, id_col=id_col, vec_col=vec_col, nprobe=1
+    ).select(id_col, "cent_id")
+    staged = live.join(assigned, id_col)
+    staging = index_path + "__staging"
+    shutil.rmtree(staging, ignore_errors=True)
+    (
+        staged.write.mode("overwrite")
+        .option("compression", "zstd")
+        .partitionBy("cent_id")
+        .parquet(staging)
+    )
+    _promote_staging(spark, index_path, staging, _tombstones_path(index_path))
+    return cents
+
+
 def ivf_assign(
     emb: DataFrame,
     centroids: DataFrame,

@@ -368,6 +368,21 @@ def compact_vector_index(
     writer.parquet(staging)
     n_after = spark.read.parquet(staging).count()
 
+    _promote_staging(spark, path, staging, tomb_path)
+    return {"compacted": True, "dropped": n_before - n_after}
+
+
+def _promote_staging(
+    spark: SparkSession, path: str, staging: str, tomb_path: str
+) -> None:
+    """Swap a fully-written staging tree in as the new current generation
+    (the shared tail of compaction and retraining): rename staging →
+    ``__gen<N>``, atomically repoint the ``<path>`` symlink, keep the
+    previous generation as reader grace, drop older generations and the
+    (now folded) tombstone table, refresh Spark's path caches."""
+    import os
+    import shutil
+
     gens = _gen_dirs(path)
     new_n = (gens[-1][0] + 1) if gens else 1
     new_gen = f"{path}__gen{new_n}"
@@ -394,7 +409,6 @@ def compact_vector_index(
     # long-lived serving session
     spark.catalog.refreshByPath(path)
     spark.catalog.refreshByPath(tomb_path)
-    return {"compacted": True, "dropped": n_before - n_after}
 
 
 def recover_vector_index(path: str) -> dict:

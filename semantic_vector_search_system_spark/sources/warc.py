@@ -135,6 +135,7 @@ def write_warc(
     path: str,
     warc_type: str = "response",
     warc_date: str = "1970-01-01T00:00:00Z",
+    compression: str | None = None,
 ) -> None:
     """WARC SINK — serialize ``(record_id, target_uri, payload binary)``
     rows into ``.warc`` archive files under ``path`` (one file per input
@@ -165,9 +166,22 @@ def write_warc(
 
     Round-trip contract (tested): ``read_warc(write_warc(df))`` returns
     the same (record_id, warc_type, target_uri, payload) set.
+
+    ``compression="gzip"`` writes ``.warc.gz`` in the CommonCrawl
+    convention — one gzip MEMBER per record, so downstream tooling can
+    seek to a record boundary and decompress just that member (and
+    :func:`parse_warc_bytes` already consumes member-concatenated gzip).
+    ``None`` (default) writes raw ``.warc``.  Anything else raises —
+    name the unsupported codec instead of silently writing raw.
     """
     import os
 
+    if compression not in (None, "gzip"):
+        raise ValueError(
+            f"write_warc: unsupported compression {compression!r} — "
+            "use 'gzip' (one member per record, the CommonCrawl "
+            "convention) or None"
+        )
     cols = ["record_id", "target_uri", "payload"]
     has_type = "warc_type" in records.columns
     if has_type:
@@ -178,6 +192,7 @@ def write_warc(
     os.makedirs(path, exist_ok=True)
 
     def write_partition(rows):
+        import gzip
         import os
         import re
         import uuid
@@ -210,9 +225,15 @@ def write_warc(
                 f"Content-Length: {len(payload)}\r\n"
                 "\r\n"
             ).encode()
-            buf.append(head + payload + b"\r\n\r\n")
+            rec = head + payload + b"\r\n\r\n"
+            if compression == "gzip":
+                # mtime=0: reproducible bytes (the gzip header embeds a
+                # timestamp otherwise — same records, different archive)
+                rec = gzip.compress(rec, mtime=0)
+            buf.append(rec)
         if buf:
-            fname = os.path.join(path, f"part-{uuid.uuid4().hex}.warc")
+            ext = "warc.gz" if compression == "gzip" else "warc"
+            fname = os.path.join(path, f"part-{uuid.uuid4().hex}.{ext}")
             with open(fname, "wb") as f:
                 f.write(b"".join(buf))
 

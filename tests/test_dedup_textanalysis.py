@@ -2284,3 +2284,97 @@ def test_ivf_drift_signal_fires_on_shifted_batch(spark):
     )
     assert sig_shift["needs_retrain"] is True, sig_shift
     assert sig_shift["drop"] > sig_same["drop"]
+
+
+def test_ivf_retrain_index_after_drift(spark, tmp_path):
+    """Drift → retrain → serve (the r12 completion of the drift signal):
+    after a shifted upsert batch fires needs_retrain, ivf_retrain_index
+    rewrites the index re-partitioned on a fresh codebook through the
+    crash-safe generation swap — tombstones fold in, the new codebook
+    absorbs the new mode (signal clears), and partitioned live serving
+    finds the shifted vectors."""
+    import os
+    import random
+
+    from semantic_vector_search_system_spark.operators.similarity import (
+        ivf_assign_fast,
+        ivf_assignment_quality,
+        ivf_drift_signal,
+        ivf_retrain_index,
+        ivf_search_partitioned,
+        train_ivf_centroids,
+    )
+    from semantic_vector_search_system_spark.sources.parquet_index import (
+        upsert_vector_index,
+        write_vector_index,
+    )
+
+    rng = random.Random(11)
+    modes = [[10.0, 0.0, 0.0, 0.0], [0.0, 10.0, 0.0, 0.0],
+             [0.0, 0.0, 10.0, 0.0]]
+    base_rows = [
+        (i, [c + rng.gauss(0, 0.4) for c in modes[i % 3]])
+        for i in range(180)
+    ]
+    emb = spark.createDataFrame(base_rows, "docid long, vec array<double>")
+    cents = train_ivf_centroids(emb, n_lists=3, vec_col="vec", max_iter=5)
+    train_q = ivf_assignment_quality(
+        emb, cents, id_col="docid", vec_col="vec"
+    )
+
+    idx = str(tmp_path / "drift_idx")
+    assigned = ivf_assign_fast(
+        emb, cents, id_col="docid", vec_col="vec", nprobe=1
+    ).select("docid", "cent_id")
+    write_vector_index(
+        emb.join(assigned, "docid"), idx, partition_by="cent_id", batch=0
+    )
+
+    # shifted upsert batch: a NEW mode on the 4th axis
+    shifted = spark.createDataFrame(
+        [(1000 + i, [rng.gauss(0, 0.4), rng.gauss(0, 0.4),
+                     rng.gauss(0, 0.4), 10.0 + rng.gauss(0, 0.4)])
+         for i in range(60)],
+        "docid long, vec array<double>",
+    )
+    sh_assigned = ivf_assign_fast(
+        shifted, cents, id_col="docid", vec_col="vec", nprobe=1
+    ).select("docid", "cent_id")
+    upsert_vector_index(
+        spark, idx, shifted.join(sh_assigned, "docid"),
+        id_col="docid", partition_by="cent_id",
+    )
+    sig = ivf_drift_signal(
+        train_q,
+        ivf_assignment_quality(shifted, cents, id_col="docid", vec_col="vec"),
+    )
+    assert sig["needs_retrain"] is True
+
+    # retrain with room for the new mode; index rewritten via gen swap
+    new_cents = ivf_retrain_index(
+        spark, idx, n_lists=4, id_col="docid", vec_col="vec", max_iter=5
+    )
+    assert os.path.islink(idx)
+    assert not os.path.exists(idx + "__tombstones")  # folded by the rewrite
+    assert spark.read.parquet(idx).count() == 240  # all live rows, once
+
+    # the new codebook absorbs the shifted mode: signal clears
+    sig2 = ivf_drift_signal(
+        ivf_assignment_quality(emb, new_cents, id_col="docid", vec_col="vec"),
+        ivf_assignment_quality(
+            shifted, new_cents, id_col="docid", vec_col="vec"
+        ),
+    )
+    assert sig2["needs_retrain"] is False, sig2
+
+    # partitioned live serving over the retrained index finds the
+    # shifted vectors (their list exists now)
+    q = shifted.limit(2).select(
+        F.col("docid").alias("qid"), F.col("vec").alias("qvec")
+    )
+    hits = ivf_search_partitioned(
+        spark, idx, new_cents, q, k=1, nprobe=1, live=True,
+        id_col="docid", vec_col="vec",
+    )
+    got = {r["qid"]: r["docid"] for r in hits.collect()}
+    assert all(qid == docid for qid, docid in got.items())  # self-hit top-1

@@ -44,14 +44,63 @@ def test_parse_robots_groups_comments_agents(spark):
         # empty Disallow == allow-everything
         ("empty.example", "allow", ""),
     }
-    # agent-specific parse picks up BOTH matching groups
+    # RFC 9309 group selection (r12): a named-token match makes the
+    # crawler obey ONLY that group — the '*' group is not consulted
     g = {
         (r["host"], r["rule"], r["prefix"])
         for r in parse_robots(df, user_agent="googlebot").collect()
         if r["host"] == "a.example"
     }
-    assert ("a.example", "disallow", "/") in g
-    assert ("a.example", "disallow", "/private/") in g  # '*' matches too
+    assert g == {("a.example", "disallow", "/")}
+
+
+def test_parse_robots_agent_ladder_most_specific_wins(spark):
+    """r12: multi-token crawlers pass their product-token ladder (most
+    specific first) — the best-matching level's groups apply, same-level
+    groups merge, '*' only as the fallback."""
+    txt = (
+        "User-agent: mybot-images\nDisallow: /img-private/\n\n"
+        "User-agent: mybot\nDisallow: /bot-private/\n\n"
+        "User-agent: mybot\nAllow: /bot-private/ok\n\n"
+        "User-agent: *\nDisallow: /\n"
+    )
+    df = spark.createDataFrame(
+        [("a.example", txt), ("star-only.example", "User-agent: *\nDisallow: /x\n")],
+        "host string, robots_txt string",
+    )
+    # full ladder: the images token is most specific -> only its group
+    g = {
+        (r["rule"], r["prefix"])
+        for r in parse_robots(
+            df, user_agent=["mybot-images", "mybot"]
+        ).collect()
+        if r["host"] == "a.example"
+    }
+    assert g == {("disallow", "/img-private/")}
+    # generic token only: BOTH mybot groups merge (same level), the
+    # images group and '*' do not apply
+    g2 = {
+        (r["rule"], r["prefix"])
+        for r in parse_robots(df, user_agent=["mybot"]).collect()
+        if r["host"] == "a.example"
+    }
+    assert g2 == {("disallow", "/bot-private/"), ("allow", "/bot-private/ok")}
+    # a host with only '*' groups falls back to them for any ladder
+    g3 = {
+        (r["host"], r["rule"], r["prefix"])
+        for r in parse_robots(
+            df, user_agent=["mybot-images", "mybot"]
+        ).collect()
+        if r["host"] == "star-only.example"
+    }
+    assert g3 == {("star-only.example", "disallow", "/x")}
+    # unknown token everywhere -> '*' fallback on a.example too
+    g4 = {
+        (r["rule"], r["prefix"])
+        for r in parse_robots(df, user_agent="strangerbot").collect()
+        if r["host"] == "a.example"
+    }
+    assert g4 == {("disallow", "/")}
 
 
 def test_apply_robots_longest_match_and_defaults(spark):
