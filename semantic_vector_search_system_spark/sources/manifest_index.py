@@ -1,0 +1,208 @@
+"""Manifest-committed vector index — the OBJECT-STORE twin of the
+symlink-generation layout in ``sources/parquet_index.py``.
+
+Why it exists: the mutable-index lifecycle (upsert / delete / compact /
+retrain) promotes new generations with POSIX ``rename``/``symlink`` —
+atomic on a shared filesystem, unavailable on S3/GCS-class stores (their
+"rename" is copy+delete, and there are no symlinks).  The portable
+commit primitive object stores DO offer is a conditional PUT of a small
+object (S3 If-None-Match / If-Match on ETag, GCS generation
+preconditions).  This module re-expresses the generation swap on exactly
+that primitive — the same design move as Iceberg/Delta's
+manifest-pointer commit, reduced to the one pointer this index needs:
+
+* data generations are immutable directories
+  ``<path>/gen-<N>-<token>/`` (Spark parquet writes with the usual
+  ``_SUCCESS`` marker); the random token makes every writer's directory
+  unique, so two racers for generation N+1 can never scribble into each
+  other's files — the pointer CAS, not the directory name, decides the
+  winner;
+* the CURRENT pointer is a tiny JSON object ``<path>/current.json``
+  holding ``{"gen": N, "dir": ..., "prev_dir": ...}``; readers resolve
+  it, then scan the named directory — a torn tree is unobservable
+  because a directory is referenced only after its write completed;
+* a commit is one :func:`put_pointer` call, conditional on the pointer
+  still naming the generation the writer based its work on
+  (compare-and-swap) — a lost race raises instead of silently
+  clobbering a concurrent commit;
+* crash/loser recovery is trivial by construction: an unreferenced
+  ``gen-*`` directory is garbage (collected by a later commit once its
+  number falls to or below the committed generation), and the pointer
+  always names a complete tree.  There is no ``recover_*`` step.
+
+The store interface here is deliberately tiny — ``put_pointer`` /
+``get_pointer`` over local files (atomic temp+rename standing in for
+conditional PUT, with the compare-and-swap check enforced in code).  On
+a real object store, implement the same two calls with the store's
+conditional-PUT header; everything else is unchanged.  Tombstone-masked
+serving (``read_live_index``-style) works the same over this layout —
+the side tables are plain append-only parquet prefixes, which object
+stores handle natively.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+_POINTER = "current.json"
+
+
+def _pointer_path(path: str) -> str:
+    return os.path.join(path, _POINTER)
+
+
+def get_pointer(path: str) -> dict | None:
+    """Current pointer ``{"gen", "dir", "prev_dir"}``, or None for an
+    empty/uninitialized index.  Object-store analog: GET of the pointer
+    object (keep the ETag for the subsequent conditional PUT)."""
+    try:
+        with open(_pointer_path(path)) as fh:
+            return json.load(fh)
+    except FileNotFoundError:
+        return None
+
+
+def put_pointer(path: str, pointer: dict, expected_gen: int | None) -> None:
+    """Commit ``pointer`` iff the current pointer's generation still
+    reads ``expected_gen`` (compare-and-swap; ``None`` = must not exist
+    yet).  Local emulation: re-read + atomic temp+rename; on a real
+    store use conditional PUT (S3 If-Match on the read ETag /
+    If-None-Match:* for first create, GCS ifGenerationMatch) — the ONE
+    primitive this layout needs.
+
+    Raises ``RuntimeError`` on a lost race: a concurrent writer
+    committed first and this writer's generation is based on stale
+    data — rebase on the new current and retry, never overwrite blindly.
+    """
+    cur = get_pointer(path)
+    actual = cur["gen"] if cur else None
+    if actual != expected_gen:
+        raise RuntimeError(
+            f"manifest-index commit conflict at {path!r}: expected "
+            f"current gen {expected_gen}, found {actual} — a concurrent "
+            "writer committed first; rebase on the new current and retry"
+        )
+    os.makedirs(path, exist_ok=True)
+    tmp = _pointer_path(path) + ".tmp"
+    with open(tmp, "w") as fh:
+        json.dump(pointer, fh)
+    os.rename(tmp, _pointer_path(path))
+
+
+def _new_gen_dir(path: str, gen: int) -> str:
+    import uuid
+
+    return os.path.join(path, f"gen-{gen}-{uuid.uuid4().hex[:8]}")
+
+
+def _gen_number(dirname: str) -> int | None:
+    parts = os.path.basename(dirname).split("-")
+    if len(parts) >= 2 and parts[0] == "gen" and parts[1].isdigit():
+        return int(parts[1])
+    return None
+
+
+def current_gen_dir(path: str) -> str:
+    """Resolve the CURRENT data directory (raises on an empty index)."""
+    cur = get_pointer(path)
+    if cur is None:
+        raise FileNotFoundError(
+            f"no committed generation at {path!r} (missing {_POINTER})"
+        )
+    return os.path.join(path, cur["dir"])
+
+
+def write_manifest_index(
+    vectors: DataFrame,
+    path: str,
+    partition_by: str | None = None,
+    compression: str = "zstd",
+) -> int:
+    """Create the first generation and commit the pointer to it.
+    Returns the committed generation number."""
+    cur = get_pointer(path)
+    gen = (cur["gen"] if cur else 0) + 1
+    gen_dir = _new_gen_dir(path, gen)
+    writer = vectors.write.mode("overwrite").option(
+        "compression", compression
+    )
+    if partition_by:
+        writer = writer.partitionBy(partition_by)
+    writer.parquet(gen_dir)
+    put_pointer(
+        path,
+        {
+            "gen": gen,
+            "dir": os.path.basename(gen_dir),
+            "prev_dir": cur["dir"] if cur else None,
+        },
+        expected_gen=cur["gen"] if cur else None,
+    )
+    return gen
+
+
+def read_manifest_index(spark: SparkSession, path: str) -> DataFrame:
+    """Open the CURRENT generation (readers that resolved the pointer a
+    moment earlier keep a consistent view: generations are immutable,
+    and the grace policy keeps the previous committed directory until
+    the commit after next)."""
+    return spark.read.parquet(current_gen_dir(path))
+
+
+def rewrite_manifest_index(
+    spark: SparkSession,
+    path: str,
+    new_rows: DataFrame,
+    partition_by: str | None = None,
+    compression: str = "zstd",
+) -> dict:
+    """The compaction/retrain commit: write ``new_rows`` as generation
+    N+1 into a writer-unique directory, compare-and-swap the pointer
+    from N to N+1, then garbage-collect every directory that is neither
+    the new current nor the previous committed one and whose generation
+    number is <= N+1 (superseded generations past the one-generation
+    reader grace, plus the directories of losers/crashed writers at
+    already-decided numbers).  Directories numbered ABOVE the committed
+    generation are left alone — they may belong to an in-flight writer
+    whose CAS hasn't resolved yet.
+
+    A crash anywhere before the pointer swap leaves the index serving
+    generation N with an orphan directory — harmless garbage a later
+    commit collects.  A crash after the swap leaves a fully-committed
+    index.  No torn state exists at any instant.
+    """
+    import shutil
+
+    cur = get_pointer(path)
+    if cur is None:
+        raise FileNotFoundError(
+            f"no committed generation at {path!r}; use write_manifest_index"
+        )
+    new_gen = cur["gen"] + 1
+    new_dir = _new_gen_dir(path, new_gen)
+    writer = new_rows.write.mode("overwrite").option(
+        "compression", compression
+    )
+    if partition_by:
+        writer = writer.partitionBy(partition_by)
+    writer.parquet(new_dir)
+    pointer = {
+        "gen": new_gen,
+        "dir": os.path.basename(new_dir),
+        "prev_dir": cur["dir"],
+    }
+    put_pointer(path, pointer, expected_gen=cur["gen"])  # CAS commit
+    keep = {pointer["dir"], pointer["prev_dir"]}
+    dropped = []
+    for name in os.listdir(path):
+        n = _gen_number(name)
+        if n is None or name in keep:
+            continue
+        if n <= new_gen:
+            shutil.rmtree(os.path.join(path, name), ignore_errors=True)
+            dropped.append(name)
+    spark.catalog.refreshByPath(new_dir)
+    return {"gen": new_gen, "dir": pointer["dir"], "gc": sorted(dropped)}

@@ -591,3 +591,74 @@ def test_streaming_upsert_version_col_latest_wins(spark, tmp_path):
     assert {
         r["vec"][0] for r in live.filter(F.col("docid") == "d0").collect()
     } == {2.0}
+
+
+def test_manifest_index_commit_cas_and_gc(spark, tmp_path):
+    """r12 (object-store twin of the symlink generation swap): generations
+    are immutable writer-unique gen-<N>-<token> directories, the commit is
+    a compare-and-swap of one tiny pointer object, crashes/losers leave
+    only unreferenced garbage (no torn state, no recovery step), lost
+    races raise, and GC keeps the previous committed generation as reader
+    grace."""
+    import os
+
+    import pytest
+
+    from semantic_vector_search_system_spark.sources.manifest_index import (
+        get_pointer,
+        put_pointer,
+        read_manifest_index,
+        rewrite_manifest_index,
+        write_manifest_index,
+    )
+
+    def gens():
+        return sorted(
+            n for n in os.listdir(path) if n.startswith("gen-")
+        )
+
+    path = str(tmp_path / "mfidx")
+    base = spark.createDataFrame(
+        [(i, [float(i)]) for i in range(8)], "docid long, vec array<float>"
+    )
+    assert write_manifest_index(base, path) == 1
+    p1 = get_pointer(path)
+    assert p1["gen"] == 1 and p1["prev_dir"] is None
+    assert read_manifest_index(spark, path).count() == 8
+
+    # rewrite commit (compaction/retrain shape): CAS 1 -> 2
+    out2 = rewrite_manifest_index(spark, path, base.filter("docid < 5"))
+    assert out2["gen"] == 2 and get_pointer(path)["gen"] == 2
+    assert read_manifest_index(spark, path).count() == 5
+    # grace: the gen-1 directory (previous committed) survives
+    assert len(gens()) == 2 and any(g.startswith("gen-1-") for g in gens())
+
+    # a third commit GCs gen-1 (out of the grace window)
+    out3 = rewrite_manifest_index(spark, path, base.filter("docid < 3"))
+    assert out3["gen"] == 3
+    assert out3["gc"] and all(g.startswith("gen-1-") for g in out3["gc"])
+    assert len(gens()) == 2  # current + previous only
+
+    # lost race: a CAS from a stale base raises instead of clobbering
+    with pytest.raises(RuntimeError, match="commit conflict"):
+        put_pointer(
+            path, {"gen": 99, "dir": "gen-99-x", "prev_dir": None},
+            expected_gen=1,
+        )
+    assert get_pointer(path)["gen"] == 3
+
+    # crashed/losing writer = orphan directory only; readers unaffected;
+    # the next successful commit collects it (its number is decided)
+    orphan_dir = os.path.join(path, "gen-3-deadbeef")
+    base.filter("docid >= 6").write.parquet(orphan_dir)
+    assert read_manifest_index(spark, path).count() == 3  # still committed gen-3
+    out4 = rewrite_manifest_index(spark, path, base.filter("docid < 5"))
+    assert out4["gen"] == 4
+    assert "gen-3-deadbeef" in out4["gc"]  # loser collected
+    assert read_manifest_index(spark, path).count() == 5
+    # an in-flight FUTURE writer's directory is left alone
+    future_dir = os.path.join(path, "gen-9-aaaaaaaa")
+    os.makedirs(future_dir)
+    out5 = rewrite_manifest_index(spark, path, base.filter("docid < 2"))
+    assert "gen-9-aaaaaaaa" not in out5["gc"]
+    assert os.path.isdir(future_dir)
