@@ -28,6 +28,29 @@ exact-integer-representable — callers quantize O(1)-magnitude ratios
 
 Both faces MUST use the same form: :func:`quantize` for DataFrame
 columns, :func:`quantize_sql` for the DuckDB oracle text.
+
+THE THREE LAYERS of cross-engine hash determinism (r9→r13; each was a
+real driver red in its round, each has a permanent gate):
+
+1. ROUNDING (r10): never ``ROUND(double, k)`` in a hashed relation —
+   use :func:`quantize`/:func:`quantize_sql` on both faces.
+   Gate: tests/test_determinism_fuzz.py THIRD_DECIMAL_5 boundary fuzz.
+2. DECIMAL CASTS (r11): never ``CAST(double AS DECIMAL(p,s))`` either —
+   the cast itself rounds, engine-dependently.  Money runs in exact
+   integer cents via :func:`quantize_cents` on both faces.
+   Gate: the planted-3dp money fuzz (same file).
+3. OUTPUT TYPES (r12): the driver hashes TYPE-SENSITIVELY, and DuckDB
+   types ``SUM(BIGINT)`` as HUGEINT, which its Arrow/pandas
+   materialization hands over as ``Decimal``/float64 while Spark emits
+   int64 — value-identical faces hash apart on type alone.  RULE: every
+   integer column a hashed relation EMITS gets an explicit
+   ``CAST(... AS BIGINT)`` on the oracle face (CTE/window-internal
+   hugeints that feed doubles are fine; NULL-bearing BIGINT finals are
+   fine — r12 evidence: incremental_dedup, 60% NULL, driver-green).
+   Gate: tests/test_oracle_types.py (static DESCRIBE ban on
+   HUGEINT/DECIMAL/DATE finals + per-column Spark/DuckDB type-class
+   agreement catalog-wide) and the type-sensitive canon in
+   scripts/verify_local.py.
 """
 
 from __future__ import annotations

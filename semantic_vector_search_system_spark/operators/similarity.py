@@ -297,8 +297,11 @@ def ivf_retrain_index(
         read_live_index,
     )
 
+    import os
+
     _assert_local_fs(index_path, "ivf_retrain_index")
-    index_path = index_path.rstrip("/")
+    # r12 ADVICE: the promote's grace-GC compares abspaths
+    index_path = os.path.abspath(index_path.rstrip("/"))
     live = read_live_index(spark, index_path, id_col=id_col)
     if "cent_id" in live.columns:
         live = live.drop("cent_id")

@@ -1398,13 +1398,40 @@ def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
 # bit-exact on boundary data) and (b) the full 115-row local oracle sweep,
 # and they return r13 per calendar.
 #
+# Round-13 rotation (r12 VERDICT #3 — execute the calendar as written):
+# the 24 r10-last-checked parks return, which INCLUDES all 8
+# changed-but-parked money rows (revenue_by_nation, segment_order_stats,
+# user_running_value, brand_price_stats, urgent_orders_by_year,
+# supplier_balance_by_nation, stream_hourly_counts, stream_sessionize —
+# their first driver check since the cents rebuild, one round late per
+# the documented exception).  Staying in-window (26): the 4 paired rows
+# (CHANGED again this round — r12 VERDICT #1's oracle-face
+# CAST(...AS BIGINT) fix — and they MUST stay until driver-green);
+# ann_index_upsert + stream_index_upsert (CHANGED by the r12 ADVICE
+# hardening: abspath-normalized grace-GC, legacy-gen collision fix,
+# checkpoint-scoped streaming commit markers); incremental_dedup (the
+# NULL-int driver-model evidence row, tests/test_oracle_types.py);
+# json_kpi (anchor: only JSON extraction); and 17 family-breadth
+# keepers (event_percentiles, user_event_pivot, nations_with_both,
+# knn_topk, knn_topk_heap, knn_hybrid_filtered, ann_ivf_topk,
+# stream_user_totals_stateful, sql_interface_pricing,
+# asof_grouped_orders, media_kind_stats, stream_dedup_events,
+# stream_view_purchase_join, pii_scan_report, bpe_encode_tokens,
+# context_windows + training_shuffle_shards + leakage_safe_splits).
+# In exchange 24 r12-driver-green rows park, each with family coverage
+# in the r13 window (notes per entry below).  26 + 24 = 50.
+#
 # RE-VERIFICATION CALENDAR:
-#   r13: the 24 r10-last-checked parks return (they will then be 3 rounds
-#        stale — the rule's edge) PLUS the 8 changed-but-parked money rows
-#        above (changed rows get driver checks at most one round late).
-#   r14: the 41 r11-green rows parked this round return in two tranches
-#        (r14/r15) as window room allows; new/changed rows always
+#   r14: the three paired probes (paired_pairs_probe /
+#        paired_moments_probe / paired_wilcoxon_probe) become
+#        DEMOTED-eligible once r13 shows them driver-green (r12 VERDICT
+#        #7): they were diagnostic scaffolding for the r9–r12 red cell,
+#        family twin paired_test_components stays as the A13 anchor.
+#        Then the 41 r11-green parks return in two tranches (r14/r15,
+#        oldest first) as window room allows, PLUS the 24 rows parked
+#        THIS round queue behind them (r15/r16); new/changed rows always
 #        in-window the round they change.
+#   Every round: no row goes more than ~3 rounds without a driver check.
 DEMOTED: tuple[str, ...] = (
     # --- r11-driver-green parks (0 rounds stale; return r14/r15) ---
     "retrieval_quality",         # rank-metric suite ≡ bm25_topk (in-window
@@ -1534,67 +1561,85 @@ DEMOTED: tuple[str, ...] = (
                                  #   family — green r11 (first check)
     "robots_page_filter",        # robots politeness ≡ crawl family —
                                  #   green r11 (first check)
-    # --- r10-green parks (return r13 per calendar) ---
-    "revenue_by_nation",         # join-agg; CHANGED by the cents purge —
-                                 #   covered r12 by planted-3dp fuzz +
-                                 #   in-window pricing_summary (same
-                                 #   idiom); returns r13 — green r10
-    "segment_order_stats",       # semi-join agg; CHANGED by cents purge
-                                 #   (same coverage note) — green r10
-    "customers_without_orders",  # anti-join ≡ decontamination (returning
-                                 #   left_anti) — green r10
-    "top_orders_per_customer",   # W3 per-group top-k ≡ knn_topk_heap +
-                                 #   source-cap family — green r10
-    "user_running_value",        # W5 running frame; CHANGED by cents purge
-                                 #   (fuzz-covered; ≡ sessionization
-                                 #   in-window running windows) — green r10
-    "nation_customer_rank",      # W4 rank ≡ top-k window family — green r10
-    "exact_dedup",               # hash keep-one ≡ normalized_exact_dedup
-                                 #   (returning, same identity) — green r10
-    "simhash",                   # fingerprint ≡ doc_fingerprint (returning
-                                 #   signature identity) — green r10
-    "minhash_signatures",        # ≡ lsh_candidate_pairs (returning — same
-                                 #   md5 signature kernel) — green r10
-    "embedding_neardup_pairs",   # embedding near-dup ≡ knn_topk (returning
-                                 #   cosine kernel) — green r10
-    "brand_price_stats",         # A11 stats; CHANGED by cents purge
-                                 #   (fuzz-covered; ≡ pricing_summary
-                                 #   in-window) — green r10
-    "region_customer_rollup",    # ROLLUP ≡ rollup_pricing (returning
-                                 #   grouping sets) — green r10
-    "urgent_orders_by_year",     # P4/P8 routing; CHANGED by cents purge
-                                 #   (fuzz-covered; ≡ cube_order_stats
-                                 #   returning, same sum) — green r10
-    "mannwhitney_components",    # A12 rank-sum ≡ paired_wilcoxon_probe
-                                 #   (in-window — the SAME tie-average
-                                 #   ranking scheme) — green r10
-    "snippet_queries",           # S5 query gen ≡ knn family (returning
-                                 #   self-retrieval chain r14) — green r10
-    "stream_hourly_counts",      # streaming window agg; CHANGED by cents
-                                 #   purge (fuzz-covered; ≡
-                                 #   hourly_event_counts RETURNING — the
-                                 #   exact batch twin of the same code
-                                 #   path) — green r10
-    "stream_sessionize",         # session_window; CHANGED by cents purge
-                                 #   (fuzz-covered; ≡ sessionization
-                                 #   in-window batch twin) — green r10
-    "langid_confusion",          # langid ≡ token_stats_by_lang (returning
-                                 #   language family) — green r10
-    "token_counts_regex",        # ≡ token_stats_by_lang + corpus_vocabulary
-                                 #   (returning token family) — green r10
-    "supplier_balance_by_nation",# keyed agg; CHANGED by cents purge
-                                 #   (fuzz-covered; ≡ segment family via
-                                 #   pricing_summary) — green r10
-    "sketch_stats",              # KMV sketch ≡ sketch_set_ops family
-                                 #   (parked together; KMV kernel also
-                                 #   fuzz + unit tested) — green r10
-    "hybrid_rrf_fusion",         # rank fusion ≡ bm25_topk (in-window
-                                 #   ranking) — green r10
-    "url_refetch_dedup",         # URL dedup ≡ normalized_exact_dedup
-                                 #   (returning canonical-identity dedup) —
-                                 #   green r10
-    "crawl_snapshot_diff",       # snapshot diff ≡ doc_fingerprint
-                                 #   (returning hash identity) — green r10
+    # --- r12-green parks (return r15/r16 per calendar) ---
+    "pricing_summary",           # money agg ≡ brand_price_stats +
+                                 #   revenue_by_nation +
+                                 #   supplier_balance_by_nation (ALL
+                                 #   returning money aggs) — green r12
+    "revenue_filter",            # compound filter ≡ urgent_orders_by_year
+                                 #   (returning P4/P8 routing on the same
+                                 #   cents sum) — green r12
+    "part_type_revenue",         # money join-agg ≡ revenue_by_nation
+                                 #   (returning, same join-agg idiom) —
+                                 #   green r12
+    "hourly_event_counts",       # batch window agg ≡ stream_hourly_counts
+                                 #   (returning — the streaming twin of
+                                 #   the SAME code path) — green r12
+    "token_stats_by_lang",       # language/token stats ≡ langid_confusion
+                                 #   + token_counts_regex (returning
+                                 #   language + token families) — green r12
+    "corpus_vocabulary",         # token counts ≡ token_counts_regex
+                                 #   (returning tokenize-count kernel) —
+                                 #   green r12
+    "doc_fingerprint",           # rolling-hash fingerprint ≡ simhash +
+                                 #   crawl_snapshot_diff (returning hash
+                                 #   identities) — green r12
+    "lsh_candidate_pairs",       # banded LSH ≡ minhash_signatures
+                                 #   (returning — the SAME md5 signature
+                                 #   kernel feeding the bands) — green r12
+    "normalized_exact_dedup",    # keep-one dedup ≡ exact_dedup +
+                                 #   url_refetch_dedup (returning identity
+                                 #   dedups) — green r12
+    "span_dedup",                # chunk-hash dedup ≡ exact_dedup
+                                 #   (returning keyed min-struct agg) +
+                                 #   incremental_dedup (staying stored-
+                                 #   index face) — green r12
+    "semdedup_keep_one",         # semantic dedup ≡ embedding_neardup_pairs
+                                 #   (returning embedding-cosine dedup) —
+                                 #   green r12
+    "duplicate_components",      # connected components ≡
+                                 #   leakage_safe_splits (staying — same
+                                 #   signature/banding/components chain
+                                 #   per the r11 neardup note) — green r12
+    "decontamination",           # anti-join gate ≡ customers_without_orders
+                                 #   (returning left_anti) +
+                                 #   leakage_safe_splits (staying shingle
+                                 #   gates) — green r12
+    "sessionization",            # running windows ≡ user_running_value +
+                                 #   stream_sessionize (BOTH returning —
+                                 #   batch frame + streaming session
+                                 #   twin) — green r12
+    "user_event_sequences",      # ordered accumulation ≡
+                                 #   user_running_value (returning running
+                                 #   frame) — green r12
+    "user_event_unpivot",        # J6 unpivot ≡ user_event_pivot (staying —
+                                 #   the pivot side of the same
+                                 #   group-comparison pair) — green r12
+    "view_purchase_funnel",      # funnel pivot ≡ user_event_pivot
+                                 #   (staying group-comparison) +
+                                 #   stream_view_purchase_join (staying
+                                 #   streaming funnel join) — green r12
+    "global_top_spenders",       # global top-k ≡ top_orders_per_customer
+                                 #   (returning W2/W3 top-k family, same
+                                 #   TakeOrderedAndProject cut) — green r12
+    "rollup_pricing",            # grouping sets ≡ region_customer_rollup
+                                 #   (returning ROLLUP twin) — green r12
+    "cube_order_stats",          # CUBE ≡ region_customer_rollup (returning
+                                 #   grouping-sets family) — green r12
+    "welch_components_by_type",  # A12 Welch ≡ mannwhitney_components
+                                 #   (returning rank-sum sibling) + the
+                                 #   paired family (staying A13) — green r12
+    "bm25_topk",                 # lexical ranking ≡ hybrid_rrf_fusion
+                                 #   (returning — its oracle embeds the
+                                 #   full BM25 chain) — green r12
+    "media_ahash_dedup",         # media hash dedup ≡ media_kind_stats
+                                 #   (staying media plumbing) + exact_dedup
+                                 #   (returning keep-one identity) —
+                                 #   green r12
+    "media_hamming_pairs",       # banded hamming pairs ≡ media_kind_stats
+                                 #   (staying) + minhash_signatures /
+                                 #   lsh banding family (returning) —
+                                 #   green r12
 )
 
 
@@ -1810,13 +1855,26 @@ def mannwhitney_components(spark: SparkSession, sf_dir: str) -> DataFrame:
 # breaks.  `FLOOR(value·100 + 0.5)` is pure IEEE arithmetic —
 # bit-identical across engines, boundaries included — and everything
 # downstream runs in exact integer cents.
+#
+# r12 VERDICT #1 (layer 3 of the cross-engine story — OUTPUT TYPES):
+# DuckDB types `SUM(BIGINT)` as HUGEINT (int128) and pandas `.df()`
+# materializes HUGEINT as float64, while the Spark face emits int64 —
+# the driver's type-sensitive value hash then mismatches even when the
+# values are identical (and for cents² power sums > 2^53 the float hop
+# can change the value too).  Every INTEGER column a hashed relation
+# EMITS must therefore carry an explicit `CAST(... AS BIGINT)` on the
+# oracle face (window/CTE-internal hugeints that feed doubles are
+# fine).  Enforced catalog-wide by tests/test_oracle_types.py; see
+# functions/quantize.py's module docstring for the full 3-layer rule.
 _PAIRED_PAIRS_SQL = """
     pairs AS (
       SELECT user_id,
-        SUM(CASE WHEN event_type = 'view'
-                 THEN CAST(FLOOR(value * 100.0 + 0.5) AS BIGINT) END) AS before_c,
-        SUM(CASE WHEN event_type = 'purchase'
-                 THEN CAST(FLOOR(value * 100.0 + 0.5) AS BIGINT) END) AS after_c
+        CAST(SUM(CASE WHEN event_type = 'view'
+                 THEN CAST(FLOOR(value * 100.0 + 0.5) AS BIGINT) END) AS BIGINT)
+          AS before_c,
+        CAST(SUM(CASE WHEN event_type = 'purchase'
+                 THEN CAST(FLOOR(value * 100.0 + 0.5) AS BIGINT) END) AS BIGINT)
+          AS after_c
       FROM events WHERE event_type IN ('view', 'purchase')
       GROUP BY user_id
     )
@@ -1858,10 +1916,11 @@ def _paired_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     mom AS (SELECT COUNT(d) AS n,
                    CAST(SUM(d) AS DOUBLE) AS s1,
                    CAST(SUM(d * d) AS DOUBLE) AS s2 FROM d),
-    wil AS (SELECT COALESCE(SUM(cnt), 0) AS n_nonzero,
+    wil AS (SELECT CAST(COALESCE(SUM(cnt), 0) AS BIGINT) AS n_nonzero,
         CAST(COALESCE(SUM(avg_rank * pos_cnt), 0) AS DOUBLE) AS w_plus,
         CAST(COALESCE(SUM(avg_rank * (cnt - pos_cnt)), 0) AS DOUBLE) AS w_minus,
-        COALESCE(SUM(cnt * cnt * cnt - cnt), 0) AS tie_term FROM rv)
+        CAST(COALESCE(SUM(cnt * cnt * cnt - cnt), 0) AS BIGINT) AS tie_term
+      FROM rv)
     SELECT n, s1, s2, n_nonzero, w_plus, w_minus, tie_term
     FROM mom, wil
     """,
@@ -1932,18 +1991,23 @@ def paired_pairs_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH {_PAIRED_PAIRS_SQL},
     d AS (SELECT after_c - before_c AS d FROM pairs
           WHERE before_c IS NOT NULL AND after_c IS NOT NULL)
-    SELECT COUNT(d) AS n, SUM(d) AS s1_cents, SUM(d * d) AS s2_cents2
+    SELECT COUNT(d) AS n,
+      CAST(SUM(d) AS BIGINT) AS s1_cents,
+      CAST(SUM(d * d) AS BIGINT) AS s2_cents2
     FROM d
     """,
     tags=("stats", "A13", "paired", "probe"),
 )
 def paired_moments_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bisection probe #2 (r11 VERDICT #2): ONLY the paired-t power sums
-    n/s1/s2 over the cents differences, emitted as exact integers (no
-    double cast at all — DuckDB's BIGINT sums come back hugeint, so
-    both faces cast to DECIMAL(38,0)-compatible exactness via the
-    driver's value canonicalization).  Green here + red in the main
-    row localizes any residual divergence to the Wilcoxon rank stage."""
+    n/s1/s2 over the cents differences, emitted as exact integers.
+    r12 root cause lived HERE (and in its three siblings): DuckDB's
+    `SUM(BIGINT)` is HUGEINT, which pandas materializes as float64
+    while the Spark face emits int64 — the driver's type-sensitive
+    hash mismatched on type alone.  The oracle face now CASTs every
+    emitted integer sum to BIGINT (the green-row idiom, enforced by
+    tests/test_oracle_types.py).  Green here + red in the main row
+    localizes any residual divergence to the Wilcoxon rank stage."""
     pairs = _paired_pairs(spark, sf_dir).filter(
         F.col("before_c").isNotNull() & F.col("after_c").isNotNull()
     )
@@ -1972,10 +2036,10 @@ def paired_moments_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM counts),
     rv AS (SELECT cnt, pos_cnt, cum_before + (cnt + 1) / 2.0 AS avg_rank
            FROM ranked)
-    SELECT COALESCE(SUM(cnt), 0) AS n_nonzero,
+    SELECT CAST(COALESCE(SUM(cnt), 0) AS BIGINT) AS n_nonzero,
       CAST(COALESCE(SUM(avg_rank * pos_cnt), 0) AS DOUBLE) AS w_plus,
       CAST(COALESCE(SUM(avg_rank * (cnt - pos_cnt)), 0) AS DOUBLE) AS w_minus,
-      COALESCE(SUM(cnt * cnt * cnt - cnt), 0) AS tie_term
+      CAST(COALESCE(SUM(cnt * cnt * cnt - cnt), 0) AS BIGINT) AS tie_term
     FROM rv
     """,
     tags=("stats", "A13", "paired", "probe"),

@@ -76,20 +76,37 @@ def put_pointer(path: str, pointer: dict, expected_gen: int | None) -> None:
     Raises ``RuntimeError`` on a lost race: a concurrent writer
     committed first and this writer's generation is based on stale
     data — rebase on the new current and retry, never overwrite blindly.
+
+    The local emulation holds an ``fcntl`` file lock across the
+    read-check-then-rename (r12 ADVICE, low): without it two local
+    racers could both pass the ``expected_gen`` check in the window
+    between ``get_pointer`` and ``os.rename`` and both "win" —
+    violating the compare-and-swap contract the module documents (a
+    real store's conditional PUT is atomic server-side and needs no
+    lock).
     """
-    cur = get_pointer(path)
-    actual = cur["gen"] if cur else None
-    if actual != expected_gen:
-        raise RuntimeError(
-            f"manifest-index commit conflict at {path!r}: expected "
-            f"current gen {expected_gen}, found {actual} — a concurrent "
-            "writer committed first; rebase on the new current and retry"
-        )
+    import fcntl
+
     os.makedirs(path, exist_ok=True)
-    tmp = _pointer_path(path) + ".tmp"
-    with open(tmp, "w") as fh:
-        json.dump(pointer, fh)
-    os.rename(tmp, _pointer_path(path))
+    lock_path = _pointer_path(path) + ".lock"
+    with open(lock_path, "w") as lk:
+        fcntl.flock(lk, fcntl.LOCK_EX)
+        try:
+            cur = get_pointer(path)
+            actual = cur["gen"] if cur else None
+            if actual != expected_gen:
+                raise RuntimeError(
+                    f"manifest-index commit conflict at {path!r}: expected "
+                    f"current gen {expected_gen}, found {actual} — a "
+                    "concurrent writer committed first; rebase on the new "
+                    "current and retry"
+                )
+            tmp = f"{_pointer_path(path)}.tmp.{os.getpid()}"
+            with open(tmp, "w") as fh:
+                json.dump(pointer, fh)
+            os.rename(tmp, _pointer_path(path))
+        finally:
+            fcntl.flock(lk, fcntl.LOCK_UN)
 
 
 def _new_gen_dir(path: str, gen: int) -> str:
@@ -199,10 +216,103 @@ def rewrite_manifest_index(
     dropped = []
     for name in os.listdir(path):
         n = _gen_number(name)
-        if n is None or name in keep:
+        if n is None or name.split("__")[0] in keep:
+            # side tables (gen-<N>-<tok>__tombstones) share their
+            # generation's lifecycle: kept while the gen is in grace
             continue
         if n <= new_gen:
             shutil.rmtree(os.path.join(path, name), ignore_errors=True)
             dropped.append(name)
     spark.catalog.refreshByPath(new_dir)
     return {"gen": new_gen, "dir": pointer["dir"], "gc": sorted(dropped)}
+
+
+# ---------------------------------------------------------------------------
+# Mutable-index lifecycle over the manifest layout (r12 VERDICT #6)
+#
+# The SAME tombstone-masked CRUD operators as the symlink layout
+# (sources/parquet_index.py), re-committed through the pointer CAS: the
+# current generation directory plays the role the symlink target plays on
+# a shared FS.  Upserts/deletes append immutable parquet FILES to the
+# current generation's prefix and its churn-sized __tombstones side table
+# (object stores append new objects to a prefix natively; every file is
+# complete before it is listable, so readers see a consistent pre- or
+# post-append view — the same at-least-once contract as the symlink
+# path).  Compaction folds tombstones into a fresh generation and commits
+# it with one conditional PUT.  The parity test
+# (tests/test_sources_ingest.py::test_manifest_lifecycle_parity) drives
+# an identical CRUD sequence through both layouts and asserts identical
+# live views at every step.
+# ---------------------------------------------------------------------------
+
+
+def upsert_manifest_index(
+    spark: SparkSession,
+    path: str,
+    updates: DataFrame,
+    id_col: str = "docid",
+    batch: int | None = None,
+    partition_by: str | None = None,
+) -> dict:
+    """Latest-wins upsert against the CURRENT generation (composes
+    ``parquet_index.upsert_vector_index`` on the resolved gen dir —
+    identical semantics, tombstones land in the generation's
+    ``__tombstones`` side prefix and fold at the next compaction)."""
+    from .parquet_index import upsert_vector_index
+
+    return upsert_vector_index(
+        spark, current_gen_dir(path), updates,
+        id_col=id_col, batch=batch, partition_by=partition_by,
+    )
+
+
+def delete_from_manifest_index(
+    spark: SparkSession, path: str, ids: DataFrame, id_col: str = "docid"
+) -> int:
+    """Tombstone live generations of the ids in the CURRENT gen dir."""
+    from .parquet_index import delete_from_vector_index
+
+    return delete_from_vector_index(
+        spark, current_gen_dir(path), ids, id_col=id_col
+    )
+
+
+def read_live_manifest_index(
+    spark: SparkSession, path: str, id_col: str = "docid"
+) -> DataFrame:
+    """Tombstone-masked live view of the CURRENT generation (fail-closed
+    on tombstone read errors, same as the symlink layout)."""
+    from .parquet_index import read_live_index
+
+    return read_live_index(spark, current_gen_dir(path), id_col=id_col)
+
+
+def compact_manifest_index(
+    spark: SparkSession,
+    path: str,
+    id_col: str = "docid",
+    partition_by: str | None = None,
+) -> dict:
+    """Fold tombstones: rewrite the live rows as generation N+1 and CAS
+    the pointer — the object-store twin of ``compact_vector_index``'s
+    staging-rename-symlink-swap tail.  A lost CAS raises (a concurrent
+    writer committed first; the orphan directory is GC'd by a later
+    commit).  Grace note (same contract as the symlink layout, where the
+    folded tombstone table is dropped after the swap): a reader pinned to
+    the PREVIOUS generation after its side tables are collected sees it
+    unmasked — grace covers in-flight scans, not long-lived stale
+    pointers."""
+    from .parquet_index import _tombstones_path, read_optional_parquet
+
+    cur_dir = current_gen_dir(path)
+    tomb = read_optional_parquet(spark, _tombstones_path(cur_dir))
+    if tomb is None or tomb.limit(1).count() == 0:
+        return {"compacted": False, "dropped": 0}
+    n_before = spark.read.parquet(cur_dir).count()
+    live = read_live_manifest_index(spark, path, id_col=id_col)
+    out = rewrite_manifest_index(
+        spark, path, live, partition_by=partition_by
+    )
+    n_after = spark.read.parquet(current_gen_dir(path)).count()
+    out.update({"compacted": True, "dropped": n_before - n_after})
+    return out

@@ -72,17 +72,33 @@ def write_vector_index(
     writer = df.write.mode(mode).option("compression", compression)
     if partition_by:
         writer = writer.partitionBy(partition_by)
-    writer.parquet(path)
+    writer.parquet(_norm_path(path))
 
 
 def read_vector_index(spark: SparkSession, path: str) -> DataFrame:
     """S7: reopen the index (schema travels with the Parquet footer —
     no dim probe needed, unlike the reference's 8-doc sample)."""
-    return spark.read.parquet(path)
+    return spark.read.parquet(_norm_path(path))
+
+
+def _norm_path(path: str) -> str:
+    """Absolutize LOCAL paths at every lifecycle entry (r12 ADVICE, high).
+
+    A relative index path is resolved against two DIFFERENT working
+    directories: Python's cwd for the os.rename/symlink/GC side and the
+    JVM's launch cwd for Spark reads/writes — so the two faces of the
+    same operator silently target different trees (observed: a test
+    chdir'd into tmp while Spark wrote into the repo root).  ``abspath``
+    (Python-cwd resolution, symlink preserved) unifies both; URIs pass
+    through untouched for the object-store guards to reject.
+    """
+    if "://" in path:
+        return path
+    return os.path.abspath(path.rstrip("/") or "/")
 
 
 def _tombstones_path(path: str) -> str:
-    return path.rstrip("/") + "__tombstones"
+    return _norm_path(path) + "__tombstones"
 
 
 def _assert_local_fs(path: str, op: str) -> None:
@@ -176,6 +192,7 @@ def upsert_vector_index(
     :func:`compact_vector_index` — no MERGE engine required.  Returns
     ``{"upserted": n, "replaced": n_superseded, "batch": assigned}``.
     """
+    path = _norm_path(path)
     dup_row = updates.agg(
         F.count("*").alias("n"), F.count_distinct(F.col(id_col)).alias("d")
     ).collect()[0]
@@ -246,6 +263,7 @@ def delete_from_vector_index(
     half of right-to-be-forgotten — pairs with the curation funnel's hash
     tombstones).  O(churn) write, no index rewrite; space is reclaimed at
     the next :func:`compact_vector_index`.  Returns rows tombstoned."""
+    path = _norm_path(path)
     doomed = (
         read_live_index(spark, path, id_col=id_col)
         .select(id_col, "_batch")
@@ -271,6 +289,7 @@ def read_live_index(
     table serves unmasked (a never-mutated index); any other tombstone
     read error propagates.  Serving unmasked on a transient error would
     silently resurrect deleted/superseded vectors."""
+    path = _norm_path(path)
     index = spark.read.parquet(path)
     tomb = read_optional_parquet(spark, _tombstones_path(path))
     if tomb is None:
@@ -353,7 +372,7 @@ def compact_vector_index(
     import shutil
 
     _assert_local_fs(path, "compact_vector_index")
-    path = path.rstrip("/")
+    path = _norm_path(path)  # r12 ADVICE: GC compares abspaths
     tomb_path = _tombstones_path(path)
     tomb = read_optional_parquet(spark, tomb_path)
     if tomb is None or tomb.limit(1).count() == 0:
@@ -379,29 +398,55 @@ def _promote_staging(
     (the shared tail of compaction and retraining): rename staging →
     ``__gen<N>``, atomically repoint the ``<path>`` symlink, keep the
     previous generation as reader grace, drop older generations and the
-    (now folded) tombstone table, refresh Spark's path caches."""
+    (now folded) tombstone table, refresh Spark's path caches.
+
+    Path discipline (r12 ADVICE, high): every comparison in the grace-GC
+    loop runs on ``os.path.abspath`` forms.  ``_gen_dirs`` returns
+    absolute paths, so a RELATIVE ``path`` used to build ``new_gen`` /
+    ``prev_target`` would never match the keep-set and the GC would
+    rmtree the generation it just promoted — compaction reporting
+    success while leaving a dangling symlink (and recovery would then
+    resurrect the stale previous generation unmasked).  Normalized once
+    at entry; ``abspath`` (not ``realpath``) so the symlink itself is
+    preserved as the index identity."""
     import os
     import shutil
 
+    path = os.path.abspath(path.rstrip("/"))
+    staging = os.path.abspath(staging)
+    tomb_path = os.path.abspath(tomb_path)
     gens = _gen_dirs(path)
-    new_n = (gens[-1][0] + 1) if gens else 1
-    new_gen = f"{path}__gen{new_n}"
+    last_n = gens[-1][0] if gens else 0
     was_link = os.path.islink(path)
-    prev_target = os.path.realpath(path) if was_link else None
+    if was_link:
+        new_n = last_n + 1
+        legacy_gen = None
+        prev_target = os.path.realpath(path)
+    else:
+        # legacy real-directory index: the old tree needs its own
+        # generation slot.  Use the NEXT UNUSED number for it and the one
+        # after for the new generation (r12 ADVICE, low: the old
+        # ``new_n - 1`` scheme collided with an existing non-empty
+        # __gen<N-1> dir and EEXIST/ENOTEMPTY-aborted the promote after
+        # staging had already been renamed).  legacy < new keeps
+        # recover_vector_index's highest-complete-generation promotion
+        # pointing at the new tree.
+        legacy_gen = f"{path}__gen{last_n + 1}"
+        new_n = last_n + 2
+        prev_target = legacy_gen
+    new_gen = f"{path}__gen{new_n}"
     os.rename(staging, new_gen)
     if was_link:
         _swap_symlink(path, new_gen)  # atomic: readers never see a gap
     else:
-        # legacy real-directory index: migrate into the symlink layout.
         # Bounded gap between these two metadata ops — recover_vector_index
         # promotes __gen<N> if we crash here.
-        legacy_gen = f"{path}__gen{new_n - 1}" if new_n > 1 else f"{path}__gen0"
         os.rename(path, legacy_gen)
         _swap_symlink(path, new_gen)
-        prev_target = legacy_gen
     # grace policy: keep ONLY the previous generation; drop everything older
+    keep = {new_gen, prev_target}
     for n, d in _gen_dirs(path):
-        if d not in (new_gen, prev_target):
+        if os.path.abspath(d) not in keep:
             shutil.rmtree(d, ignore_errors=True)
     shutil.rmtree(tomb_path, ignore_errors=True)
     # invalidate cached listings/data for THIS path only — a global
@@ -441,7 +486,7 @@ def recover_vector_index(path: str) -> dict:
     import shutil
 
     _assert_local_fs(path, "recover_vector_index")
-    path = path.rstrip("/")
+    path = _norm_path(path)
     staging = path + "__staging"
     swaplink = path + "__swaplink"
     old = path + "__old"

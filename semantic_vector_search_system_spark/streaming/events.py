@@ -25,6 +25,8 @@ plans/catalog.py (hourly_event_counts / sessionization queries).
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -165,8 +167,64 @@ def streaming_ingest_foreach_batch(
     q.awaitTermination()
 
 
-def _epoch_marker_dir(index_path: str) -> str:
-    return index_path.rstrip("/") + "__epochs"
+def _epoch_marker_dir(checkpoint: str) -> str:
+    """Commit markers live INSIDE the checkpoint directory (r12 ADVICE,
+    medium).  Epoch ids are only meaningful relative to one checkpoint's
+    offset log — a restart with a fresh/different checkpointLocation
+    restarts them at 0, so markers stored next to the INDEX (the old
+    layout) would collide with the new stream's epochs and silently skip
+    real micro-batches as "already committed".  Keying the markers under
+    the checkpoint aligns their lifecycle exactly: same checkpoint →
+    markers survive restarts and keep re-delivered epochs idempotent;
+    fresh checkpoint → fresh markers, everything reprocesses and the
+    upsert's tombstone-heal absorbs the duplicates."""
+    return os.path.join(checkpoint.rstrip("/"), "__upsert_epochs")
+
+
+def _make_upsert_handler(
+    index_path: str,
+    marker_dir: str,
+    id_col: str,
+    version_col: str | None,
+    partition_by: str | None,
+):
+    """The foreachBatch handler for :func:`streaming_upsert_foreach_batch`
+    (factored out so tests can drive re-delivery/skip directly)."""
+    import json
+
+    def handle(batch_df: DataFrame, epoch_id: int) -> None:
+        marker = os.path.join(marker_dir, f"{epoch_id}.json")
+        if os.path.exists(marker):  # re-delivered epoch: already committed
+            return
+        batch = batch_df
+        if version_col is not None:
+            from pyspark.sql import Window
+
+            w = Window.partitionBy(id_col).orderBy(F.desc(version_col))
+            batch = (
+                batch.withColumn("__vrank", F.row_number().over(w))
+                .filter(F.col("__vrank") == 1)
+                .drop("__vrank")
+            )
+        if not batch.take(1):
+            out = {"upserted": 0, "replaced": 0, "batch": None}
+        else:
+            from ..sources.parquet_index import upsert_vector_index
+
+            out = upsert_vector_index(
+                batch.sparkSession,
+                index_path,
+                batch,
+                id_col=id_col,
+                batch=None,  # auto-assign: monotonic in stream order
+                partition_by=partition_by,
+            )
+        tmp = marker + ".tmp"
+        with open(tmp, "w") as fh:
+            json.dump({"epoch": epoch_id, **out}, fh)
+        os.rename(tmp, marker)  # atomic commit of the epoch
+
+    return handle
 
 
 def streaming_upsert_foreach_batch(
@@ -192,9 +250,14 @@ def streaming_upsert_foreach_batch(
     Exactly-once per epoch: foreachBatch is at-least-once — after a crash
     the SAME epoch is re-delivered.  A naive re-upsert would tombstone the
     first delivery and re-append (correct live set, bloated churn), so the
-    handle writes a marker file ``<index>__epochs/<epoch>.json`` AFTER the
-    upsert commits and SKIPS any epoch already marked — the standard
-    idempotent-foreachBatch recipe.  A crash BETWEEN upsert and marker
+    handle writes a marker file ``<checkpoint>/__upsert_epochs/<epoch>.json``
+    AFTER the upsert commits and SKIPS any epoch already marked — the
+    standard idempotent-foreachBatch recipe.  Markers are scoped to the
+    CHECKPOINT, not the index (r12 ADVICE, medium): epoch ids restart at 0
+    under a fresh checkpointLocation, so index-scoped markers from a
+    previous stream would alias the new stream's epochs and silently drop
+    its micro-batches as "already committed" — see
+    :func:`_epoch_marker_dir`.  A crash BETWEEN upsert and marker
     re-runs the upsert under a fresh generation, which tombstones the
     half-committed one: at-least-once heals to exactly-once semantics on
     the live view (the same commit-order contract the curation funnel
@@ -205,49 +268,16 @@ def streaming_upsert_foreach_batch(
     rejects same-batch duplicates by design).  Rows with duplicate
     ``(id, version)`` pairs are caller error — ties are not broken.
     """
-    import json
-    import os
-
-    from ..sources.parquet_index import upsert_vector_index
-
-    marker_dir = _epoch_marker_dir(index_path)
+    if checkpoint is None:
+        checkpoint = index_path.rstrip("/") + "__upsert_ckpt"
+    marker_dir = _epoch_marker_dir(checkpoint)
     os.makedirs(marker_dir, exist_ok=True)
-
-    def handle(batch_df: DataFrame, epoch_id: int) -> None:
-        marker = os.path.join(marker_dir, f"{epoch_id}.json")
-        if os.path.exists(marker):  # re-delivered epoch: already committed
-            return
-        batch = batch_df
-        if version_col is not None:
-            from pyspark.sql import Window
-
-            w = Window.partitionBy(id_col).orderBy(F.desc(version_col))
-            batch = (
-                batch.withColumn("__vrank", F.row_number().over(w))
-                .filter(F.col("__vrank") == 1)
-                .drop("__vrank")
-            )
-        if not batch.take(1):
-            out = {"upserted": 0, "replaced": 0, "batch": None}
-        else:
-            out = upsert_vector_index(
-                batch.sparkSession,
-                index_path,
-                batch,
-                id_col=id_col,
-                batch=None,  # auto-assign: monotonic in stream order
-                partition_by=partition_by,
-            )
-        tmp = marker + ".tmp"
-        with open(tmp, "w") as fh:
-            json.dump({"epoch": epoch_id, **out}, fh)
-        os.rename(tmp, marker)  # atomic commit of the epoch
-
+    handle = _make_upsert_handler(
+        index_path, marker_dir, id_col, version_col, partition_by
+    )
     writer = updates_stream.writeStream.foreachBatch(handle).trigger(
         availableNow=True
     )
-    if checkpoint is None:
-        checkpoint = index_path.rstrip("/") + "__upsert_ckpt"
     q = writer.option("checkpointLocation", checkpoint).start()
     q.awaitTermination()
 

@@ -353,40 +353,39 @@ def test_driver_window_covers_every_operator_family():
     window = set(names[:50])
     # every non-demoted query is inside the driver's window
     assert window == set(CATALOG) - set(DEMOTED)
-    # r12 flagship set = the calendar window (r11 VERDICT #4; DEMOTED
-    # header): 37 calendar returners + 7 changed keepers + 4 new rows +
-    # 2 anchors = exactly 50.
+    # r13 flagship set = the calendar window (r12 VERDICT #3; DEMOTED
+    # header): 24 calendar returners + 26 keepers = exactly 50.
     flagships = {
-        # the 12 long-parked r8 rows (calendar: MUST return r12)
-        "pricing_summary", "event_percentiles", "knn_topk_heap",
-        "span_dedup", "semdedup_keep_one", "ann_ivf_topk",
-        "knn_hybrid_filtered", "user_event_sequences", "user_event_unpivot",
-        "view_purchase_funnel", "knn_topk", "stream_view_purchase_join",
-        # the 23 r9-last-checked block rows (calendar)
-        "revenue_filter", "nations_with_both", "hourly_event_counts",
-        "token_stats_by_lang", "doc_fingerprint", "lsh_candidate_pairs",
-        "corpus_vocabulary", "global_top_spenders", "media_kind_stats",
-        "asof_grouped_orders", "media_ahash_dedup", "media_hamming_pairs",
-        "part_type_revenue", "cube_order_stats", "pii_scan_report",
-        "decontamination", "bpe_encode_tokens", "context_windows",
-        "training_shuffle_shards", "duplicate_components",
-        "normalized_exact_dedup", "leakage_safe_splits", "incremental_dedup",
-        # the two "returns r12" per-entry notes from the r11 header
-        "stream_dedup_events", "rollup_pricing",
-        # changed in r12, already in-window — stay for driver re-check
-        # (cents purge: welch/sessionization/pivot/sql-interface/stateful;
-        # paired rebuild; ann_index_upsert hardened upsert/tombstone path)
-        "paired_test_components", "welch_components_by_type",
-        "sessionization", "user_event_pivot", "sql_interface_pricing",
-        "stream_user_totals_stateful", "ann_index_upsert",
-        # NEW r12 rows, born in-window: the paired bisection probes +
-        # the streaming upsert face
-        "paired_pairs_probe", "paired_moments_probe",
-        "paired_wilcoxon_probe", "stream_index_upsert",
-        # the two remaining no-family-twin anchors (sequence_packing,
-        # media_features, index_upsert_counts parked WITH their family
-        # coverage returning — see DEMOTED header)
-        "json_kpi", "bm25_topk",
+        # the 24 r10-last-checked parks (calendar: MUST return r13),
+        # including all 8 cents-purge-changed money rows — their first
+        # driver check since the rebuild
+        "revenue_by_nation", "segment_order_stats",
+        "customers_without_orders", "top_orders_per_customer",
+        "user_running_value", "nation_customer_rank", "exact_dedup",
+        "simhash", "minhash_signatures", "embedding_neardup_pairs",
+        "brand_price_stats", "region_customer_rollup",
+        "urgent_orders_by_year", "mannwhitney_components",
+        "snippet_queries", "stream_hourly_counts", "stream_sessionize",
+        "langid_confusion", "token_counts_regex",
+        "supplier_balance_by_nation", "sketch_stats", "hybrid_rrf_fusion",
+        "url_refetch_dedup", "crawl_snapshot_diff",
+        # CHANGED this round, must stay until driver-green: the paired
+        # family (oracle-face CAST(...AS BIGINT) fix, r12 VERDICT #1) and
+        # the index-lifecycle rows (r12 ADVICE hardening)
+        "paired_test_components", "paired_pairs_probe",
+        "paired_moments_probe", "paired_wilcoxon_probe",
+        "ann_index_upsert", "stream_index_upsert",
+        # evidence + anchor keepers
+        "incremental_dedup",  # NULL-int driver-model evidence row
+        "json_kpi",           # only JSON extraction
+        # family-breadth keepers (see DEMOTED header)
+        "event_percentiles", "user_event_pivot", "nations_with_both",
+        "knn_topk", "knn_topk_heap", "knn_hybrid_filtered", "ann_ivf_topk",
+        "stream_user_totals_stateful", "sql_interface_pricing",
+        "asof_grouped_orders", "media_kind_stats", "stream_dedup_events",
+        "stream_view_purchase_join", "pii_scan_report",
+        "bpe_encode_tokens", "context_windows", "training_shuffle_shards",
+        "leakage_safe_splits",
     }
     assert flagships <= window
     assert len(flagships) == 50  # the window IS fully specified this round

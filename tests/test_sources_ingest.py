@@ -447,6 +447,88 @@ def test_compact_symlink_swap_and_recovery(spark, tmp_path):
         recover_vector_index(str(tmp_path / "nonexistent_index"))
 
 
+def test_compact_via_relative_path_keeps_promoted_generation(
+    spark, tmp_path, monkeypatch
+):
+    """r12 ADVICE (high): the grace-GC used to compare the caller-supplied
+    path string against _gen_dirs' ABSOLUTE paths — with a relative index
+    path the just-promoted generation never matched the keep-set and was
+    rmtree'd right after the symlink swap (compaction "succeeds", index
+    is a dangling symlink, recovery resurrects the stale unmasked
+    generation).  Everything now normalizes through abspath at entry."""
+    import os
+
+    from semantic_vector_search_system_spark.sources.parquet_index import (
+        compact_vector_index,
+        delete_from_vector_index,
+        read_live_index,
+        upsert_vector_index,
+    )
+
+    monkeypatch.chdir(tmp_path)
+    rel = "rel_index"  # deliberately relative
+    _mini_index(spark, str(tmp_path / rel))
+    upd = spark.createDataFrame(
+        [("d0", [9.0, 9.0], "news")],
+        "docid string, vec array<float>, category string",
+    )
+    upsert_vector_index(spark, rel, upd, id_col="docid")
+    delete_from_vector_index(
+        spark, rel, spark.createDataFrame([("d1",)], "docid string"),
+        id_col="docid",
+    )
+    res = compact_vector_index(spark, rel, id_col="docid")
+    assert res["compacted"] is True
+    # the promoted generation must still exist and the link must resolve
+    assert os.path.islink(str(tmp_path / rel))
+    assert os.path.exists(os.path.realpath(str(tmp_path / rel)))
+    live = read_live_index(spark, str(tmp_path / rel), id_col="docid")
+    assert live.count() == 5
+    assert {r["vec"][0] for r in live.filter(F.col("docid") == "d0").collect()} == {9.0}
+    # and a second cycle through the already-symlinked layout also holds
+    upsert_vector_index(spark, rel, upd, id_col="docid")
+    res2 = compact_vector_index(spark, rel, id_col="docid")
+    assert res2["compacted"] is True
+    assert read_live_index(spark, rel, id_col="docid").count() == 5
+
+
+def test_legacy_migration_with_preexisting_gen_dirs(spark, tmp_path):
+    """r12 ADVICE (low): migrating a legacy REAL-directory index while
+    __gen<N> dirs already exist used to os.rename the legacy tree onto an
+    existing non-empty __gen<N-1> (EEXIST/ENOTEMPTY) after staging had
+    already been renamed.  The legacy tree now takes the next UNUSED
+    generation number and the new tree the one after, so the promote
+    completes and recovery ordering (highest complete gen == newest)
+    still holds."""
+    import os
+    import shutil
+
+    from semantic_vector_search_system_spark.sources.parquet_index import (
+        compact_vector_index,
+        delete_from_vector_index,
+        read_live_index,
+    )
+
+    path = str(tmp_path / "legacy_clash")
+    _mini_index(spark, path)
+    # plant a pre-existing complete generation dir (e.g. from an aborted
+    # out-of-band migration) — path itself is still a REAL directory
+    shutil.copytree(path, path + "__gen1")
+    assert not os.path.islink(path)
+
+    delete_from_vector_index(
+        spark, path, spark.createDataFrame([("d1",)], "docid string"),
+        id_col="docid",
+    )
+    res = compact_vector_index(spark, path, id_col="docid")
+    assert res["compacted"] is True
+    assert os.path.islink(path)
+    # new generation got a number above the planted one and is served
+    target = os.path.basename(os.path.realpath(path))
+    assert target == "legacy_clash__gen3"  # planted=1, legacy tree=2, new=3
+    assert read_live_index(spark, path, id_col="docid").count() == 5
+
+
 def test_compact_rejects_object_store_paths(spark):
     from semantic_vector_search_system_spark.sources.parquet_index import (
         compact_vector_index,
@@ -460,10 +542,11 @@ def test_compact_rejects_object_store_paths(spark):
 
 
 def test_streaming_upsert_foreach_batch_and_crash_order(spark, tmp_path):
-    """r11 VERDICT #5: the streaming upsert face must (a) produce the same
-    live view as batch upserts, (b) SKIP a re-delivered epoch (idempotent
-    marker committed after the upsert), and (c) heal a crash that landed
-    the upsert but not the marker — the re-run under a fresh generation
+    """r11 VERDICT #5 + r12 ADVICE (medium): the streaming upsert face must
+    (a) produce the same live view as batch upserts, (b) SKIP a
+    re-delivered epoch (idempotent marker, committed after the upsert,
+    scoped to the CHECKPOINT), and (c) heal a crash that landed the
+    upsert but not the marker — the re-run under a fresh generation
     tombstones the half-committed one (at-least-once -> exactly-once on
     the live view)."""
     import json
@@ -511,18 +594,32 @@ def test_streaming_upsert_foreach_batch_and_crash_order(spark, tmp_path):
     got = {r["docid"]: r["vec"][0] for r in live.collect()}
     assert got["d0"] == 90.0 and got["d1"] == 91.0 and got["d9"] == 99.0
 
-    # epoch markers committed (one per micro-batch)
-    markers = sorted(os.listdir(idx + "__epochs"))
+    # epoch markers committed (one per micro-batch), SCOPED TO THE
+    # CHECKPOINT (r12 ADVICE: index-scoped markers aliased epochs across
+    # checkpoint identities)
+    marker_dir = str(tmp_path / "ckpt" / "__upsert_epochs")
+    markers = sorted(os.listdir(marker_dir))
     assert len(markers) == 2
     batches = [
-        json.load(open(os.path.join(idx + "__epochs", m)))["batch"]
+        json.load(open(os.path.join(marker_dir, m)))["batch"]
         for m in markers
     ]
     assert batches == sorted(batches)  # monotonic generations
 
-    # (b) re-delivered epoch is SKIPPED: call the handle path again by
-    # re-running the whole stream with the same checkpoint -> no new work
+    # (b) re-delivered epoch is SKIPPED by the marker: drive the handler
+    # directly (what foreachBatch re-delivery does after a crash whose
+    # upsert AND marker both landed)
+    from semantic_vector_search_system_spark.streaming.events import (
+        _make_upsert_handler,
+    )
+
     raw_before = spark.read.parquet(idx).count()
+    handle = _make_upsert_handler(idx, marker_dir, "docid", None, None)
+    handle(spark.read.parquet(src), 0)  # epoch 0 marker exists -> skip
+    handle(spark.read.parquet(src), 1)
+    assert spark.read.parquet(idx).count() == raw_before
+    # ... and re-running the whole stream on the SAME checkpoint is also
+    # a no-op (Spark's own offset log short-circuits before the handler)
     stream2 = (
         spark.readStream.schema(spark.read.parquet(src).schema)
         .option("maxFilesPerTrigger", "1")
@@ -533,24 +630,85 @@ def test_streaming_upsert_foreach_batch_and_crash_order(spark, tmp_path):
     )
     assert spark.read.parquet(idx).count() == raw_before
 
-    # (c) crash between upsert and marker: simulate by deleting one
-    # marker and re-streaming with a FRESH checkpoint (same epochs
-    # re-delivered). The marked epoch skips; the unmarked one re-upserts
-    # under a fresh generation, tombstoning its half-committed twin —
-    # live view unchanged, no duplicates.
-    os.remove(os.path.join(idx + "__epochs", markers[0]))
-    stream3 = (
-        spark.readStream.schema(spark.read.parquet(src).schema)
-        .option("maxFilesPerTrigger", "1")
-        .parquet(src)
-    )
-    streaming_upsert_foreach_batch(
-        stream3, idx, id_col="docid", checkpoint=str(tmp_path / "ckpt2")
-    )
+    # (c) crash between upsert and marker: the SAME epoch re-delivers
+    # with no marker; the re-run upserts under a fresh generation,
+    # tombstoning its half-committed twin — live view unchanged.
+    os.remove(os.path.join(marker_dir, markers[1]))
+    handle(
+        spark.read.parquet(os.path.join(src, "u1.parquet")), 1
+    )  # re-delivery of epoch 1
     live2 = read_live_index(spark, idx, id_col="docid")
     assert live2.count() == 7
     got2 = {r["docid"]: r["vec"][0] for r in live2.collect()}
     assert got2 == got  # identical live view after healing
+
+
+def test_streaming_upsert_fresh_checkpoint_does_not_skip(spark, tmp_path):
+    """r12 ADVICE (medium) regression: restarting the stream with a FRESH
+    checkpointLocation restarts epoch ids at 0; under the old
+    index-scoped marker layout the new epoch 0 collided with the old
+    stream's marker and was silently dropped as 'already committed' —
+    including any NEW data batched into it.  Checkpoint-scoped markers
+    must reprocess everything (the upsert's tombstone-heal absorbs the
+    duplicates) and land the new rows."""
+    import os
+
+    from semantic_vector_search_system_spark.sources.parquet_index import (
+        read_live_index,
+    )
+    from semantic_vector_search_system_spark.streaming.events import (
+        streaming_upsert_foreach_batch,
+    )
+
+    idx = str(tmp_path / "fresh_ckpt_idx")
+    _mini_index(spark, idx)  # d0..d5
+    src = str(tmp_path / "updates")
+    os.makedirs(src)
+
+    def land(df, name, mtime):
+        stage = str(tmp_path / ("stage_" + name))
+        df.coalesce(1).write.parquet(stage)
+        part = next(f for f in os.listdir(stage) if f.endswith(".parquet"))
+        dst = os.path.join(src, name)
+        os.rename(os.path.join(stage, part), dst)
+        os.utime(dst, (mtime,) * 2)
+
+    land(
+        spark.createDataFrame(
+            [("d0", [90.0, 0.0], "news")],
+            "docid string, vec array<float>, category string",
+        ),
+        "u0.parquet", 1_700_000_000,
+    )
+    stream = (
+        spark.readStream.schema(spark.read.parquet(src).schema).parquet(src)
+    )
+    streaming_upsert_foreach_batch(
+        stream, idx, id_col="docid", checkpoint=str(tmp_path / "ckptA")
+    )
+    assert read_live_index(spark, idx, id_col="docid").count() == 6
+
+    # new data arrives; the stream is restarted with a FRESH checkpoint,
+    # so ALL files (old u0 + new u1) land in the new stream's epoch 0 —
+    # exactly the id that already has a marker under the old layout
+    land(
+        spark.createDataFrame(
+            [("d42", [42.0, 0.0], "news")],
+            "docid string, vec array<float>, category string",
+        ),
+        "u1.parquet", 1_700_000_100,
+    )
+    stream2 = (
+        spark.readStream.schema(spark.read.parquet(src).schema).parquet(src)
+    )
+    streaming_upsert_foreach_batch(
+        stream2, idx, id_col="docid", checkpoint=str(tmp_path / "ckptB")
+    )
+    live = read_live_index(spark, idx, id_col="docid")
+    got = {r["docid"]: r["vec"][0] for r in live.collect()}
+    assert got["d42"] == 42.0  # the new row LANDED (old layout dropped it)
+    assert got["d0"] == 90.0  # the replayed replacement healed, not duped
+    assert live.count() == 7
 
 
 def test_streaming_upsert_version_col_latest_wins(spark, tmp_path):
@@ -662,3 +820,177 @@ def test_manifest_index_commit_cas_and_gc(spark, tmp_path):
     out5 = rewrite_manifest_index(spark, path, base.filter("docid < 2"))
     assert "gen-9-aaaaaaaa" not in out5["gc"]
     assert os.path.isdir(future_dir)
+
+
+def test_manifest_lifecycle_parity_with_symlink_layout(spark, tmp_path):
+    """r12 VERDICT #6: the SAME CRUD sequence (base write -> upsert
+    replace+insert -> delete -> compact) through BOTH commit paths —
+    POSIX symlink swap and object-store manifest CAS — must produce
+    identical live views at every step."""
+    from semantic_vector_search_system_spark.sources.manifest_index import (
+        compact_manifest_index,
+        delete_from_manifest_index,
+        get_pointer,
+        read_live_manifest_index,
+        upsert_manifest_index,
+        write_manifest_index,
+    )
+    from semantic_vector_search_system_spark.sources.parquet_index import (
+        compact_vector_index,
+        delete_from_vector_index,
+        read_live_index,
+        upsert_vector_index,
+        write_vector_index,
+    )
+
+    base = spark.createDataFrame(
+        [(f"d{i}", [float(i), 0.0], "news") for i in range(8)],
+        "docid string, vec array<float>, category string",
+    )
+    upd = spark.createDataFrame(
+        [("d0", [90.0, 1.0], "sports"), ("d9", [99.0, 1.0], "sports")],
+        "docid string, vec array<float>, category string",
+    )
+    doomed = spark.createDataFrame([("d1",)], "docid string")
+
+    sym = str(tmp_path / "sym_idx")
+    mf = str(tmp_path / "mf_idx")
+    write_vector_index(base, sym, batch=0)
+    write_manifest_index(base.withColumn("_batch", F.lit(0)), mf)
+
+    def views():
+        a = {
+            r["docid"]: r["vec"]
+            for r in read_live_index(spark, sym, id_col="docid").collect()
+        }
+        b = {
+            r["docid"]: r["vec"]
+            for r in read_live_manifest_index(spark, mf, id_col="docid").collect()
+        }
+        return a, b
+
+    a, b = views()
+    assert a == b and len(a) == 8
+
+    o1 = upsert_vector_index(spark, sym, upd, id_col="docid", batch=1)
+    o2 = upsert_manifest_index(spark, mf, upd, id_col="docid", batch=1)
+    assert (o1["upserted"], o1["replaced"]) == (o2["upserted"], o2["replaced"]) == (2, 1)
+    a, b = views()
+    assert a == b and a["d0"] == [90.0, 1.0] and "d9" in a
+
+    assert delete_from_vector_index(spark, sym, doomed, id_col="docid") == 1
+    assert delete_from_manifest_index(spark, mf, doomed, id_col="docid") == 1
+    a, b = views()
+    assert a == b and "d1" not in a and len(a) == 8  # 8 - 1 + 1 insert
+
+    r1 = compact_vector_index(spark, sym, id_col="docid")
+    r2 = compact_manifest_index(spark, mf, id_col="docid")
+    assert r1["compacted"] is True and r2["compacted"] is True
+    assert r1["dropped"] == r2["dropped"] == 2  # superseded d0 gen + deleted d1
+    assert get_pointer(mf)["gen"] == 2
+    a, b = views()
+    assert a == b and len(a) == 8
+    # both layouts are idempotent no-ops with no tombstones left
+    assert compact_vector_index(spark, sym, id_col="docid")["compacted"] is False
+    assert compact_manifest_index(spark, mf, id_col="docid")["compacted"] is False
+
+
+def test_manifest_concurrent_compacts_one_loses_and_is_gcd(spark, tmp_path):
+    """r12 VERDICT #6: two writers race the compaction commit — B commits
+    first, A's CAS raises (never clobbers), A's orphan generation is
+    collected by the next successful commit, and the reader grace
+    generation survives throughout."""
+    import os
+
+    from semantic_vector_search_system_spark.sources.manifest_index import (
+        _new_gen_dir,
+        get_pointer,
+        put_pointer,
+        read_live_manifest_index,
+        rewrite_manifest_index,
+        write_manifest_index,
+    )
+
+    path = str(tmp_path / "race_idx")
+    base = spark.createDataFrame(
+        [(i, [float(i)], 0) for i in range(10)],
+        "docid long, vec array<float>, _batch long",
+    )
+    write_manifest_index(base, path)
+
+    # both writers read the same base generation
+    cur = get_pointer(path)
+    assert cur["gen"] == 1
+
+    # writer A prepares its generation (slow writer: written, not committed)
+    a_dir = _new_gen_dir(path, cur["gen"] + 1)
+    base.filter("docid < 9").write.parquet(a_dir)
+
+    # writer B prepares AND commits first; B's post-commit GC already
+    # collects A's directory — gen number 2 is DECIDED the moment B's CAS
+    # lands, so A can never win it and its tree is garbage immediately
+    out_b = rewrite_manifest_index(spark, path, base.filter("docid < 8"))
+    assert out_b["gen"] == 2
+    assert os.path.basename(a_dir) in out_b["gc"]
+    assert not os.path.isdir(a_dir)
+
+    # writer A's CAS loses loudly (never clobbers the committed pointer)
+    import pytest as _pytest
+
+    with _pytest.raises(RuntimeError, match="commit conflict"):
+        put_pointer(
+            path,
+            {"gen": 2, "dir": os.path.basename(a_dir), "prev_dir": cur["dir"]},
+            expected_gen=cur["gen"],
+        )
+    # committed state untouched; grace (gen-1, previous committed) intact
+    assert get_pointer(path)["dir"] == out_b["dir"]
+    assert read_live_manifest_index(spark, path, id_col="docid").count() == 8
+    assert any(n.startswith("gen-1-") for n in os.listdir(path))
+
+    # the next commit rolls grace forward (gen-2 becomes the grace gen)
+    out3 = rewrite_manifest_index(spark, path, base.filter("docid < 5"))
+    assert out3["gen"] == 3
+    assert any(n.startswith("gen-2-") for n in os.listdir(path))
+    assert not any(n.startswith("gen-1-") for n in os.listdir(path))
+    assert read_live_manifest_index(spark, path, id_col="docid").count() == 5
+
+
+def test_put_pointer_cas_is_atomic_under_thread_race(tmp_path):
+    """r12 ADVICE (low): the local CAS emulation holds an fcntl lock
+    across read-check-then-rename — of N threads racing the same
+    expected_gen, EXACTLY one wins and N-1 raise (before the lock, two
+    racers could interleave between get_pointer and os.rename and both
+    'win')."""
+    import threading
+
+    from semantic_vector_search_system_spark.sources.manifest_index import (
+        get_pointer,
+        put_pointer,
+    )
+
+    path = str(tmp_path / "cas_idx")
+    put_pointer(path, {"gen": 1, "dir": "gen-1-a", "prev_dir": None}, None)
+
+    wins, losses = [], []
+    barrier = threading.Barrier(8)
+
+    def racer(i):
+        barrier.wait()
+        try:
+            put_pointer(
+                path,
+                {"gen": 2, "dir": f"gen-2-{i}", "prev_dir": "gen-1-a"},
+                expected_gen=1,
+            )
+            wins.append(i)
+        except RuntimeError:
+            losses.append(i)
+
+    threads = [threading.Thread(target=racer, args=(i,)) for i in range(8)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert len(wins) == 1 and len(losses) == 7
+    assert get_pointer(path)["dir"] == f"gen-2-{wins[0]}"
