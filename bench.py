@@ -687,6 +687,116 @@ def main() -> None:
                 "query-collect-included region for round comparability)",
             }
             emit(timings, query_meta, sf, partial=True)
+
+            # Index lifecycle under churn (r12 VERDICT #5): SCALE.md's
+            # O(churn) upsert and O(live) retrain claims as measured
+            # numbers, on the SAME 1M cent_id-partitioned corpus as the
+            # serving keys above.  A batch-stamped copy of the index is
+            # built ONCE outside every timed region (the ann_ivf_1q keys
+            # keep their historical un-stamped layout for round
+            # comparability).  NOTE (headline comparability): these three
+            # keys are NEW in r13 and add their seconds to "value" —
+            # compare r12/r13 totals per-key or via BENCH_NOTES.
+            from semantic_vector_search_system_spark.operators.similarity import (  # noqa: E501
+                ivf_retrain_index,
+            )
+            from semantic_vector_search_system_spark.sources.parquet_index import (  # noqa: E501
+                upsert_vector_index,
+            )
+
+            life_dir = tempfile.mkdtemp(prefix="bench_idxlife_")
+            life_idx = f"{life_dir}/index"
+            write_vector_index(
+                dvec.join(dl, "docid"), life_idx,
+                partition_by="cent_id", batch=0,
+            )
+            # churn batch: the ~10k docs whose id ends in "42" get NEW
+            # vectors (pure JVM transform — no python stage) — all
+            # REPLACEMENTS, the path that pays the superseded scan +
+            # tombstone append.  The timed region is the full production
+            # upsert: assign new vectors to lists, append partition-
+            # aligned, tombstone the superseded generations.  repeats=3
+            # under AUTO batch ids — each repeat supersedes the previous
+            # one's rows, so every run does the same 10k-row quantum of
+            # work (tombstone table grows by O(churn) per run, which is
+            # the steady state of a live index).
+            churn = (
+                dvec.filter(F.substring(F.col("docid"), -2, 2) == "42")
+                .withColumn("vec", F.transform("vec", lambda c: -c))
+                .cache()
+            )
+            n_churn = churn.count()  # materialized outside the timed region
+
+            def _upsert_churn():
+                asg = ivf_assign_fast(
+                    churn, cents, id_col="docid", vec_col="vec", nprobe=1
+                ).select("docid", "cent_id")
+                upsert_vector_index(
+                    spark, life_idx, churn.join(asg, "docid"),
+                    id_col="docid", batch=None, partition_by="cent_id",
+                )
+
+            timings[f"index_upsert_10k_churn_{n}_docs"], spread = best_of(
+                _upsert_churn, 3
+            )
+            query_meta[f"index_upsert_10k_churn_{n}_docs"] = {
+                "repeats": 3, "spread": spread, "since_round": 13,
+                "churn_rows": n_churn,
+                "timed_region": "assign-to-lists + partition-aligned "
+                "append + superseded thin-scan + tombstone append "
+                "(upsert_vector_index, auto batch id); all-replacement "
+                "batch — the worst case (inserts skip the tombstone "
+                "write)",
+            }
+            emit(timings, query_meta, sf, partial=True)
+
+            # masked serving after churn: the same 1-query pruned-scan
+            # region as ann_ivf_1q_vec, plus the live=True tombstone
+            # anti-join (broadcast, rides AFTER partition pruning) — the
+            # measured cost of serving a MUTATED index without compaction.
+            timings[f"index_serve_masked_1q_{n}_docs"], spread = best_of(
+                lambda: ivf_search_partitioned(
+                    spark, life_idx, cents, one_q, k=1, nprobe=4,
+                    precollected_centroids=pre_cents, merge="driver",
+                    precollected_queries=q_mem, live=True,
+                ).write.format("noop").mode("overwrite").save(),
+                3,
+            )
+            query_meta[f"index_serve_masked_1q_{n}_docs"] = {
+                "n_lists": 64, "nprobe": 4, "repeats": 3, "spread": spread,
+                "since_round": 13,
+                "timed_region": "ann_ivf_1q_vec's in-memory-query serving "
+                "region + live=True tombstone masking over the churned "
+                "index (compare against ann_ivf_1q_vec for the mask's "
+                "marginal cost)",
+            }
+            emit(timings, query_meta, sf, partial=True)
+
+            # retrain-after-drift: full re-cluster (2% bounded sample) +
+            # 1M-row re-assignment + partitioned rewrite + crash-safe
+            # generation swap — the O(live) maintenance op ivf_drift_signal
+            # gates.  repeats=1: a retrain IS a full index rewrite; its
+            # run-to-run variance is write-bound, and three rewrites would
+            # dominate the whole bench for one number.
+            timings[f"ivf_retrain_{n}_docs"], spread = best_of(
+                lambda: ivf_retrain_index(
+                    spark, life_idx, 64, id_col="docid", vec_col="vec",
+                    seed=7, max_iter=10, sample_fraction=0.02,
+                ),
+                1,
+            )
+            query_meta[f"ivf_retrain_{n}_docs"] = {
+                "n_lists": 64, "repeats": 1, "spread": spread,
+                "since_round": 13,
+                "timed_region": "train_ivf_centroids (2% sample) + "
+                "ivf_assign_fast over the live 1M rows + partitionBy("
+                "cent_id) rewrite + generation swap (tombstones fold "
+                "in; the index this leaves is tombstone-free)",
+            }
+            emit(timings, query_meta, sf, partial=True)
+            churn.unpersist()
+            shutil.rmtree(life_dir, ignore_errors=True)
+
             one_q.unpersist()
             shutil.rmtree(ivf_dir, ignore_errors=True)
 
