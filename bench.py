@@ -469,6 +469,30 @@ def main() -> None:
         "shape": "empty mapInPandas, 32 partitions", "repeats": 5,
         "spread": spread, "since_round": 5, "reported_in": "floors",
     }
+
+    # CPU floor (r13): the scheduling floor above is an EMPTY round-trip —
+    # it prices scheduler/worker-channel overhead but is blind to
+    # co-tenant CPU contention, which hits the compute-bound keys
+    # (encode/search/PQ, all numpy kernels) 1.3-1.5x while the empty
+    # floor holds steady (observed r12→r13).  A fixed single-thread
+    # numpy matmul prices raw CPU throughput so a uniform drift on
+    # compute keys is attributable from the record itself.
+    import numpy as _np
+
+    _a = _np.random.default_rng(7).standard_normal((512, 512))
+
+    def _matmul_floor():
+        x = _a
+        for _ in range(8):
+            x = _a @ _a
+        return x
+
+    FLOORS["numpy_cpu_floor"], spread = best_of(_matmul_floor, 5)
+    query_meta["numpy_cpu_floor"] = {
+        "shape": "8x 512x512 float64 matmul, driver-side single call",
+        "repeats": 5, "spread": spread, "since_round": 13,
+        "reported_in": "floors",
+    }
     emit(timings, query_meta, sf, partial=True)
 
     # Three timed runs per query, report the min: run 1 pays whole-stage
