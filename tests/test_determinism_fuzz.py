@@ -432,14 +432,17 @@ def test_money_rows_third_decimal_5_cross_engine(spark, tmp_path):
         ["view", "purchase", "click"][i % 3] for i in range(len(values))
     ])
 
+    from scripts.verify_local import canon, duck_rows
+
     con = duckdb.connect()
     con.execute(f"CREATE VIEW events AS SELECT * FROM '{tmp_path}/events.parquet'")
     for name in MONEY_EVENT_ROWS:
         entry = CATALOG[name]
         df = entry.builder(spark, str(tmp_path))
         cols = df.columns
+        raw_rows = [tuple(r) for r in df.collect()]
         srows = sorted(
-            tuple("NULL" if v is None else v for v in r) for r in df.collect()
+            tuple("NULL" if v is None else v for v in r) for r in raw_rows
         )
         res = con.execute(entry.oracle)
         ocols = [d[0] for d in res.description]
@@ -453,6 +456,14 @@ def test_money_rows_third_decimal_5_cross_engine(spark, tmp_path):
         for sr, orow in zip(srows, orows):
             for c, sv, ov in zip(cols, sr, orow):
                 assert sv == ov, (name, c, sv, ov)  # bit-exact
+        # r12 VERDICT #2: the fetchall comparison above is value-exact but
+        # TYPE-blind (DuckDB hands hugeint back as a plain int); re-check
+        # under the driver-model canon (Arrow materialization, int 3 !=
+        # float 3.0 != Decimal 3) so an uncast integer final goes red here
+        acols, arows = duck_rows(con.execute(entry.oracle))
+        assert canon(raw_rows, cols) == canon(arows, acols), (
+            f"{name}: driver-model (type-sensitive) mismatch"
+        )
 
 
 def test_paired_family_third_decimal_5_cross_engine(spark, tmp_path):
@@ -491,6 +502,8 @@ def test_paired_family_third_decimal_5_cross_engine(spark, tmp_path):
         "rationale should be re-checked"
     )
 
+    from scripts.verify_local import canon, duck_rows
+
     for name in (
         "paired_test_components",
         "paired_pairs_probe",
@@ -500,7 +513,8 @@ def test_paired_family_third_decimal_5_cross_engine(spark, tmp_path):
         entry = CATALOG[name]
         df = entry.builder(spark, str(tmp_path))
         cols = df.columns
-        srows = sorted(tuple(r) for r in df.collect())
+        raw_rows = [tuple(r) for r in df.collect()]
+        srows = sorted(raw_rows)
         res = con.execute(entry.oracle)
         ocols = [d[0] for d in res.description]
         orows = sorted(tuple(r) for r in res.fetchall())
@@ -513,3 +527,176 @@ def test_paired_family_third_decimal_5_cross_engine(spark, tmp_path):
             for c, sv, ov in zip(cols, sr, orow):
                 sv = int(sv) if isinstance(sv, bool) else sv
                 assert sv == ov, (name, c, sv, ov)  # bit-exact
+        # r12 VERDICT #2: the r12 red cells were value-identical and
+        # TYPE-divergent — exactly what the fetchall loop above cannot
+        # see.  The driver-model canon (Arrow materialization) fails any
+        # uncast hugeint final here, on planted boundary data.
+        acols, arows = duck_rows(con.execute(entry.oracle))
+        assert canon(raw_rows, cols) == canon(arows, acols), (
+            f"{name}: driver-model (type-sensitive) mismatch"
+        )
+
+
+def _write_tpch(tmp_path) -> None:
+    """Plant the seven TPC-H-ish tables with every THIRD_DECIMAL_5 boundary
+    double in every money column, matching the driver's physical schema
+    snapshot (tests/conftest.py EXPECTED_SCHEMAS)."""
+    import datetime
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    def money(n, base=0.0):
+        out = []
+        for i in range(n):
+            v = THIRD_DECIMAL_5[i % len(THIRD_DECIMAL_5)]
+            out.append([base + v, base + 10.0 + v, base - v][i % 3])
+        return out
+
+    ts = pa.timestamp("us")
+
+    pq.write_table(pa.table({
+        "r_regionkey": pa.array([0, 1], pa.int32()),
+        "r_name": pa.array(["AFRICA", "AMERICA"], pa.string()),
+    }), str(tmp_path / "region.parquet"))
+
+    pq.write_table(pa.table({
+        "n_nationkey": pa.array([0, 1, 2], pa.int32()),
+        "n_name": pa.array(["ALGERIA", "BRAZIL", "CANADA"], pa.string()),
+        "n_regionkey": pa.array([0, 1, 0], pa.int32()),
+    }), str(tmp_path / "nation.parquet"))
+
+    nc = 12  # custkeys 11/12 get no orders (anti/semi-join coverage)
+    pq.write_table(pa.table({
+        "c_custkey": pa.array(list(range(1, nc + 1)), pa.int64()),
+        "c_name": pa.array([f"Customer#{i}" for i in range(1, nc + 1)], pa.string()),
+        "c_nationkey": pa.array([i % 3 for i in range(nc)], pa.int32()),
+        "c_acctbal": pa.array(money(nc), pa.float64()),
+        "c_mktsegment": pa.array(
+            [["BUILDING", "MACHINERY", "HOUSEHOLD"][i % 3] for i in range(nc)],
+            pa.string()),
+    }), str(tmp_path / "customer.parquet"))
+
+    ns = 4
+    pq.write_table(pa.table({
+        "s_suppkey": pa.array(list(range(1, ns + 1)), pa.int64()),
+        "s_name": pa.array([f"Supplier#{i}" for i in range(1, ns + 1)], pa.string()),
+        "s_nationkey": pa.array([i % 3 for i in range(ns)], pa.int32()),
+        "s_acctbal": pa.array(money(ns), pa.float64()),
+    }), str(tmp_path / "supplier.parquet"))
+
+    npart = 5
+    pq.write_table(pa.table({
+        "p_partkey": pa.array(list(range(1, npart + 1)), pa.int64()),
+        "p_name": pa.array([f"part {i}" for i in range(npart)], pa.string()),
+        "p_brand": pa.array([f"Brand#{i % 2}" for i in range(npart)], pa.string()),
+        "p_type": pa.array([["ANODIZED", "BURNISHED", "PLATED"][i % 3]
+                            for i in range(npart)], pa.string()),
+        "p_size": pa.array([1 + (i * 7) % 50 for i in range(npart)], pa.int32()),
+        "p_retailprice": pa.array(money(npart, base=100.0), pa.float64()),
+    }), str(tmp_path / "part.parquet"))
+
+    no = 20  # half the dates inside [1996, 1998) for the revenue window
+    pq.write_table(pa.table({
+        "o_orderkey": pa.array(list(range(1, no + 1)), pa.int64()),
+        "o_custkey": pa.array([(i % 10) + 1 for i in range(no)], pa.int64()),
+        "o_orderstatus": pa.array([["O", "F"][i % 2] for i in range(no)], pa.string()),
+        "o_totalprice": pa.array(money(no, base=1000.0), pa.float64()),
+        "o_orderdate": pa.array(
+            [datetime.datetime(1995 + (i % 4), 1 + (i % 12), 1 + i)
+             for i in range(no)], ts),
+        "o_orderpriority": pa.array(
+            [["1-URGENT", "3-MEDIUM", "5-LOW"][i % 3] for i in range(no)],
+            pa.string()),
+    }), str(tmp_path / "orders.parquet"))
+
+    nl = 40  # discounts straddle the 0.03..0.07 band with 3-dp-5 boundaries
+    discounts = [[0.045, 0.055, 0.065, 0.005, 0.095][i % 5] for i in range(nl)]
+    pq.write_table(pa.table({
+        "l_orderkey": pa.array([(i % no) + 1 for i in range(nl)], pa.int64()),
+        "l_partkey": pa.array([(i % npart) + 1 for i in range(nl)], pa.int64()),
+        "l_suppkey": pa.array([(i % ns) + 1 for i in range(nl)], pa.int64()),
+        "l_linenumber": pa.array([(i % 7) + 1 for i in range(nl)], pa.int32()),
+        "l_quantity": pa.array(
+            [[8.045, 23.125, 30.675, 47.005][i % 4] for i in range(nl)],
+            pa.float64()),
+        "l_extendedprice": pa.array(money(nl, base=500.0), pa.float64()),
+        "l_discount": pa.array(discounts, pa.float64()),
+        "l_tax": pa.array([[0.015, 0.045, 0.075][i % 3] for i in range(nl)],
+                          pa.float64()),
+        "l_returnflag": pa.array([["A", "N", "R"][i % 3] for i in range(nl)],
+                                 pa.string()),
+        "l_linestatus": pa.array([["O", "F"][i % 2] for i in range(nl)],
+                                 pa.string()),
+        "l_shipdate": pa.array(
+            [datetime.datetime(1995 + (i % 5), 1 + (i % 12), 1 + (i % 28))
+             for i in range(nl)], ts),
+    }), str(tmp_path / "lineitem.parquet"))
+
+
+# Every TPC-H-table money row: each must match its oracle on planted
+# boundary data under the DRIVER-MODEL comparison (Arrow materialization +
+# type-sensitive canon) AND be value-bit-exact.  Five of these
+# (revenue_by_nation, segment_order_stats, brand_price_stats,
+# urgent_orders_by_year, supplier_balance_by_nation) were rebuilt by the
+# r12 cents purge while parked — this is their pre-driver-check gate.
+TPCH_MONEY_ROWS = [
+    "pricing_summary",
+    "revenue_filter",
+    "revenue_by_nation",
+    "segment_order_stats",
+    "customers_without_orders",
+    "brand_price_stats",
+    "urgent_orders_by_year",
+    "supplier_balance_by_nation",
+    "global_top_spenders",
+    "part_type_revenue",
+    "cube_order_stats",
+    "region_customer_rollup",
+]
+
+
+def test_tpch_money_rows_third_decimal_5_cross_engine(spark, tmp_path):
+    """r12 VERDICT #3's risk, closed locally before the driver sees it: the
+    cents purge rewrote 8 money rows that were PARKED in r12, so their
+    first driver check on ≥3-dp parquet is r13.  Plant every known
+    third-decimal-5 boundary double into every TPC-H money column
+    (acctbal, totalprice, retailprice, extendedprice, discount, quantity,
+    tax) and assert every TPC-H money consumer matches its oracle under
+    the driver-model comparison — order-insensitive, TYPE-SENSITIVE canon
+    over Arrow-materialized DuckDB results — and is value-bit-exact."""
+    import duckdb
+
+    from scripts.verify_local import canon, canon_value, duck_rows
+    from semantic_vector_search_system_spark.plans.catalog import CATALOG
+
+    _write_tpch(tmp_path)
+    con = duckdb.connect()
+    for t in ("region", "nation", "customer", "supplier", "part",
+              "orders", "lineitem"):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{tmp_path}/{t}.parquet'"
+        )
+
+    for name in TPCH_MONEY_ROWS:
+        entry = CATALOG[name]
+        df = entry.builder(spark, str(tmp_path))
+        cols = df.columns
+        srows = [tuple(r) for r in df.collect()]
+        ocols, orows = duck_rows(con.execute(entry.oracle))
+        assert sorted(cols) == sorted(ocols), name
+        assert len(srows) > 0, f"{name}: planted data produced no rows"
+        # driver-model hash equality (type-sensitive)
+        assert canon(srows, cols) == canon(orows, ocols), name
+        # bit-exactness beyond canon's 9 significant digits: pair rows by
+        # canon string (equal by the assert above), compare raw values
+        oidx = [ocols.index(c) for c in cols]
+        skey = sorted(srows, key=lambda r: [canon_value(v) for v in r])
+        okey = sorted(
+            (tuple(r[i] for i in oidx) for r in orows),
+            key=lambda r: [canon_value(v) for v in r],
+        )
+        for sr, orow in zip(skey, okey):
+            for c, sv, ov in zip(cols, sr, orow):
+                sv = int(sv) if isinstance(sv, bool) else sv
+                assert sv == ov, (name, c, sv, ov)
