@@ -752,11 +752,12 @@ def main() -> None:
             n_churn = churn.count()  # materialized outside the timed region
 
             def _upsert_churn():
-                asg = ivf_assign_fast(
-                    churn, cents, id_col="docid", vec_col="vec", nprobe=1
-                ).select("docid", "cent_id")
+                from semantic_vector_search_system_spark.operators.similarity import (  # noqa: E501
+                    ivf_assign_inline,
+                )
+
                 upsert_vector_index(
-                    spark, life_idx, churn.join(asg, "docid"),
+                    spark, life_idx, ivf_assign_inline(churn, cents, vec_col="vec"),
                     id_col="docid", batch=None, partition_by="cent_id",
                 )
 

@@ -313,10 +313,11 @@ def ivf_retrain_index(
         max_iter=max_iter,
         sample_fraction=sample_fraction,
     )
-    assigned = ivf_assign_fast(
-        live, cents, id_col=id_col, vec_col=vec_col, nprobe=1
-    ).select(id_col, "cent_id")
-    staged = live.join(assigned, id_col)
+    # r13: append cent_id INSIDE the assignment kernel instead of
+    # assign-then-join — the join-back shuffled the full vector relation
+    # (2 GB at 1M x 512; the corpus at 100 TB) to reattach one column.
+    # The only wide op left in a retrain is the partitioned write itself.
+    staged = ivf_assign_inline(live, cents, vec_col=vec_col)
     staging = index_path + "__staging"
     shutil.rmtree(staging, ignore_errors=True)
     (
@@ -577,6 +578,66 @@ def ivf_assign_fast(
             )
 
     return emb.select(id_col, vec_col).mapInPandas(assign, schema=schema)
+
+
+def ivf_assign_inline(
+    emb: DataFrame,
+    centroids: DataFrame,
+    vec_col: str = "embedding",
+    cent_id_col: str = "cent_id",
+    cent_vec_col: str = "cvec",
+) -> DataFrame:
+    """Nearest-list assignment that CARRIES THE ROW: every input column
+    passes through and ``cent_id`` is appended inside the same Arrow batch
+    — the zero-shuffle form of ``ivf_assign_fast(nprobe=1)`` + join-back.
+
+    Why it exists (r13): the retrain/re-layout path used to compute
+    ``(id, cent_id)`` with :func:`ivf_assign_fast` and JOIN it back to the
+    full vector relation on the id — at 1M x 512 that join shuffles ~2 GB
+    of vectors (and at 100 TB it shuffles the corpus) purely to reattach a
+    column the assignment kernel had in hand all along.  Appending the
+    column in the mapInPandas keeps the vectors on their input partitions;
+    the only wide operation left in a retrain is the final
+    ``partitionBy(cent_id)`` write itself.  Tie-breaking and arithmetic are
+    shared with :func:`ivf_assign_fast` (``_topn_list_sel``), so the two
+    forms can never drift."""
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql import types as ST
+
+    crows = centroids.select(cent_id_col, cent_vec_col).collect()
+    if not crows:
+        raise ValueError("ivf_assign_inline: centroids relation is empty")
+    cids = np.array([r[0] for r in crows])
+    C = np.array([r[1] for r in crows], dtype=np.float64)
+    cn = np.linalg.norm(C, axis=1, keepdims=True)
+    Cn = np.divide(C, cn, out=np.zeros_like(C), where=cn > 0)
+    bc = emb.sparkSession.sparkContext.broadcast((cids, Cn))
+
+    cent_field = centroids.schema[cent_id_col]
+    out_schema = ST.StructType(
+        list(emb.schema.fields)
+        + [ST.StructField(cent_id_col, cent_field.dataType, True)]
+    )
+
+    def assign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        all_cids, Cm = bc.value
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            D = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+            dn = np.linalg.norm(D, axis=1, keepdims=True)
+            Dn = np.divide(D, dn, out=np.zeros_like(D), where=dn > 0)
+            S = Dn @ Cm.T
+            sel = np.concatenate(
+                [s[:1] for s in _topn_list_sel(S, all_cids, 1)]
+            )
+            out = pdf.copy()
+            out[cent_id_col] = all_cids[sel]
+            yield out
+
+    return emb.mapInPandas(assign, schema=out_schema)
 
 
 def _topn_list_sel(S, all_cids, n: int):

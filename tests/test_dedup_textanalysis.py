@@ -2378,3 +2378,53 @@ def test_ivf_retrain_index_after_drift(spark, tmp_path):
     )
     got = {r["qid"]: r["docid"] for r in hits.collect()}
     assert all(qid == docid for qid, docid in got.items())  # self-hit top-1
+
+
+def test_ivf_assign_inline_parity_and_zero_shuffle(spark):
+    """r13: ivf_assign_inline must (a) assign every row to exactly the list
+    ivf_assign_fast(nprobe=1) picks (shared tie-break kernel), (b) pass
+    EVERY input column through unchanged, and (c) compile to a plan with
+    NO Exchange — the point of the operator is that the retrain/re-layout
+    path stops shuffling the full vector relation just to reattach the
+    cent_id column."""
+    import pyspark.sql.functions as F
+
+    from semantic_vector_search_system_spark.operators.similarity import (
+        ivf_assign_fast,
+        ivf_assign_inline,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    cents = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("cent_id"), F.col("embedding").alias("cvec")
+    )
+    d = emb.select(
+        F.col("vec_id").alias("docid"),
+        F.col("embedding").alias("vec"),
+        (F.col("vec_id") % 5).alias("extra"),  # a carried payload column
+    )
+
+    inline = ivf_assign_inline(d, cents, vec_col="vec")
+    assert inline.columns == ["docid", "vec", "extra", "cent_id"]
+
+    want = {
+        r["docid"]: r["cent_id"]
+        for r in ivf_assign_fast(
+            d, cents, id_col="docid", vec_col="vec", nprobe=1
+        ).collect()
+    }
+    rows = inline.collect()
+    assert {r["docid"]: r["cent_id"] for r in rows} == want
+    # payload survives untouched
+    assert all(r["extra"] == r["docid"] % 5 for r in rows)
+    assert all(len(r["vec"]) > 0 for r in rows)
+
+    plan = inline._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan  # vectors never shuffle
+
+    # empty-centroid failure is named, like the fast form
+    import pytest as _pytest
+
+    no_cents = cents.filter(F.lit(False))
+    with _pytest.raises(ValueError, match="centroids relation is empty"):
+        ivf_assign_inline(d, no_cents, vec_col="vec")
