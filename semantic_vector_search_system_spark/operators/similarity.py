@@ -287,6 +287,22 @@ def ivf_retrain_index(
     per upsert.  Returns the new ``(cent_id, cvec)`` codebook; serve
     with ``ivf_search_partitioned(..., live=True)`` as before (the new
     generation starts tombstone-free).
+
+    Plan shape (r13): assignment appends ``cent_id`` INSIDE the Arrow
+    batch (:func:`ivf_assign_inline`) — the old assign-then-join-back
+    shuffled AND sorted the full vector relation twice to reattach one
+    column.  Two residual physics problems are handled explicitly:
+
+    * the assignment matmul's parallelism equals the SCAN's split count,
+      and an index whose files pack into a handful of
+      ``maxPartitionBytes`` splits would run the Python stage nearly
+      serially — the scan split size is temporarily lowered so the
+      assignment stage fills ``defaultParallelism`` tasks;
+    * a ``partitionBy(cent_id)`` write from T tasks sprays up to
+      ``T x n_lists`` small files (file explosion at scale) — one
+      explicit ``repartition(n_lists, cent_id)`` Exchange between
+      assignment and write bounds output at ~one file per list and is
+      the ONLY wide operation in the whole retrain.
     """
     import shutil
 
@@ -302,30 +318,46 @@ def ivf_retrain_index(
     _assert_local_fs(index_path, "ivf_retrain_index")
     # r12 ADVICE: the promote's grace-GC compares abspaths
     index_path = os.path.abspath(index_path.rstrip("/"))
-    live = read_live_index(spark, index_path, id_col=id_col)
-    if "cent_id" in live.columns:
-        live = live.drop("cent_id")
-    cents = train_ivf_centroids(
-        live,
-        n_lists,
-        vec_col=vec_col,
-        seed=seed,
-        max_iter=max_iter,
-        sample_fraction=sample_fraction,
-    )
-    # r13: append cent_id INSIDE the assignment kernel instead of
-    # assign-then-join — the join-back shuffled the full vector relation
-    # (2 GB at 1M x 512; the corpus at 100 TB) to reattach one column.
-    # The only wide op left in a retrain is the partitioned write itself.
-    staged = ivf_assign_inline(live, cents, vec_col=vec_col)
-    staging = index_path + "__staging"
-    shutil.rmtree(staging, ignore_errors=True)
-    (
-        staged.write.mode("overwrite")
-        .option("compression", "zstd")
-        .partitionBy("cent_id")
-        .parquet(staging)
-    )
+
+    # size the scan splits so the assignment stage fills the cluster
+    # (conf is read at plan time; restored after the write below)
+    split_key = "spark.sql.files.maxPartitionBytes"
+    old_split = spark.conf.get(split_key)
+    idx_bytes = 0
+    for root, _dirs, files in os.walk(index_path):
+        idx_bytes += sum(
+            os.path.getsize(os.path.join(root, f))
+            for f in files
+            if not f.startswith(("_", "."))
+        )
+    par = spark.sparkContext.defaultParallelism
+    target = max(1 << 20, idx_bytes // max(1, par * 2))
+    try:
+        spark.conf.set(split_key, str(target))
+        live = read_live_index(spark, index_path, id_col=id_col)
+        if "cent_id" in live.columns:
+            live = live.drop("cent_id")
+        cents = train_ivf_centroids(
+            live,
+            n_lists,
+            vec_col=vec_col,
+            seed=seed,
+            max_iter=max_iter,
+            sample_fraction=sample_fraction,
+        )
+        staged = ivf_assign_inline(live, cents, vec_col=vec_col).repartition(
+            n_lists, "cent_id"
+        )
+        staging = index_path + "__staging"
+        shutil.rmtree(staging, ignore_errors=True)
+        (
+            staged.write.mode("overwrite")
+            .option("compression", "zstd")
+            .partitionBy("cent_id")
+            .parquet(staging)
+        )
+    finally:
+        spark.conf.set(split_key, old_split)
     _promote_staging(spark, index_path, staging, _tombstones_path(index_path))
     return cents
 

@@ -2351,12 +2351,31 @@ def test_ivf_retrain_index_after_drift(spark, tmp_path):
     assert sig["needs_retrain"] is True
 
     # retrain with room for the new mode; index rewritten via gen swap
+    split_before = spark.conf.get("spark.sql.files.maxPartitionBytes")
     new_cents = ivf_retrain_index(
         spark, idx, n_lists=4, id_col="docid", vec_col="vec", max_iter=5
     )
     assert os.path.islink(idx)
     assert not os.path.exists(idx + "__tombstones")  # folded by the rewrite
     assert spark.read.parquet(idx).count() == 240  # all live rows, once
+    # r13 plan shape: the pre-write repartition(n_lists, cent_id) bounds
+    # output at ~one data file per list (a plain partitionBy write from T
+    # tasks sprays up to T x n_lists small files — file explosion at scale)
+    data_files = [
+        os.path.join(root, f)
+        for root, _d, fs in os.walk(os.path.realpath(idx))
+        for f in fs
+        if f.endswith(".parquet")
+    ]
+    lists = {
+        p.split("cent_id=")[1].split("/")[0]
+        for p in data_files
+        if "cent_id=" in p
+    }
+    assert len(data_files) <= 4, data_files  # <= one file per list
+    assert len(lists) >= 1
+    # the split-size override is restored after the rewrite
+    assert spark.conf.get("spark.sql.files.maxPartitionBytes") == split_before
 
     # the new codebook absorbs the shifted mode: signal clears
     sig2 = ivf_drift_signal(
