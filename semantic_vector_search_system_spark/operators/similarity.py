@@ -619,24 +619,29 @@ def ivf_assign_inline(
     cent_id_col: str = "cent_id",
     cent_vec_col: str = "cvec",
 ) -> DataFrame:
-    """Nearest-list assignment that CARRIES THE ROW: every input column
-    passes through and ``cent_id`` is appended inside the same Arrow batch
-    — the zero-shuffle form of ``ivf_assign_fast(nprobe=1)`` + join-back.
+    """Nearest-list assignment that CARRIES THE ROW: ``cent_id`` is
+    appended as a column computed by a scalar (Arrow-batched) pandas UDF
+    over the vector column — the no-join form of
+    ``ivf_assign_fast(nprobe=1)`` + join-back.
 
-    Why it exists (r13): the retrain/re-layout path used to compute
-    ``(id, cent_id)`` with :func:`ivf_assign_fast` and JOIN it back to the
-    full vector relation on the id — at 1M x 512 that join shuffles ~2 GB
-    of vectors (and at 100 TB it shuffles the corpus) purely to reattach a
-    column the assignment kernel had in hand all along.  Appending the
-    column in the mapInPandas keeps the vectors on their input partitions;
-    the only wide operation left in a retrain is the final
-    ``partitionBy(cent_id)`` write itself.  Tie-breaking and arithmetic are
-    shared with :func:`ivf_assign_fast` (``_topn_list_sel``), so the two
-    forms can never drift."""
+    Why this exact shape (r13, measured at 1M x 512): the retrain path
+    used to compute ``(id, cent_id)`` with :func:`ivf_assign_fast` and
+    JOIN it back on the id — shuffling ~2 GB of vectors (the corpus at
+    100 TB) to reattach one column.  The first fix moved the whole row
+    through ``mapInPandas``, which was WORSE than the join: the vector
+    column then round-trips Arrow IN **and** OUT of Python (two full
+    serializations of the fat column vs the join's one Tungsten
+    shuffle); phase timings: join+write 22.7 s, row-carrying
+    mapInPandas+write 29.8 s.  The scalar-UDF form is the minimum data
+    motion: the vectors cross into Python ONCE (the kernel needs them),
+    only the thin int column crosses back, the rest of the row never
+    leaves the JVM plan, and there is no Exchange at all.  Tie-breaking
+    and arithmetic are shared with :func:`ivf_assign_fast`
+    (``_topn_list_sel``), so the two forms can never drift."""
     import numpy as np
     import pandas as pd
 
-    from pyspark.sql import types as ST
+    from pyspark.sql.functions import PandasUDFType, pandas_udf
 
     crows = centroids.select(cent_id_col, cent_vec_col).collect()
     if not crows:
@@ -647,29 +652,23 @@ def ivf_assign_inline(
     Cn = np.divide(C, cn, out=np.zeros_like(C), where=cn > 0)
     bc = emb.sparkSession.sparkContext.broadcast((cids, Cn))
 
-    cent_field = centroids.schema[cent_id_col]
-    out_schema = ST.StructType(
-        list(emb.schema.fields)
-        + [ST.StructField(cent_id_col, cent_field.dataType, True)]
-    )
+    cent_type = centroids.schema[cent_id_col].dataType.simpleString()
 
-    def assign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    # explicit functionType: `from __future__ import annotations` makes the
+    # pd.Series hints unresolvable strings for pandas_udf's inference
+    @pandas_udf(cent_type, PandasUDFType.SCALAR)
+    def assign(vecs):
         all_cids, Cm = bc.value
-        for pdf in batches:
-            if pdf.empty:
-                continue
-            D = np.array(pdf[vec_col].tolist(), dtype=np.float64)
-            dn = np.linalg.norm(D, axis=1, keepdims=True)
-            Dn = np.divide(D, dn, out=np.zeros_like(D), where=dn > 0)
-            S = Dn @ Cm.T
-            sel = np.concatenate(
-                [s[:1] for s in _topn_list_sel(S, all_cids, 1)]
-            )
-            out = pdf.copy()
-            out[cent_id_col] = all_cids[sel]
-            yield out
+        if vecs.empty:
+            return pd.Series([], dtype=object)
+        D = np.array(vecs.tolist(), dtype=np.float64)
+        dn = np.linalg.norm(D, axis=1, keepdims=True)
+        Dn = np.divide(D, dn, out=np.zeros_like(D), where=dn > 0)
+        S = Dn @ Cm.T
+        sel = np.concatenate([s[:1] for s in _topn_list_sel(S, all_cids, 1)])
+        return pd.Series(all_cids[sel])
 
-    return emb.mapInPandas(assign, schema=out_schema)
+    return emb.withColumn(cent_id_col, assign(F.col(vec_col)))
 
 
 def _topn_list_sel(S, all_cids, n: int):

@@ -75,8 +75,8 @@ ALLOWED: dict[str, dict[str, int]] = {
         # raise-guarded by max_rows count immediately above (bounded matmul)
         "rows = emb.select(id_col, vec_col).collect()": 1,
         # tiny centroid relation (n_lists/k rows) for the BLAS IVF and
-        # SemDeDup assignment kernels
-        "crows = centroids.select(cent_id_col, cent_vec_col).collect()": 2,
+        # SemDeDup assignment kernels (+ the r13 inline-assign UDF form)
+        "crows = centroids.select(cent_id_col, cent_vec_col).collect()": 3,
         # partition-pruning predicate: bounded by queries x nprobe and the
         # max_probed_lists limit+raise guard
         'q_lists.select("cent_id").distinct().limit(max_probed_lists + 1).collect()': 1,
