@@ -169,9 +169,19 @@ def train_ivf_centroids(
     )
     if sample_fraction is not None:
         ds = ds.sample(fraction=sample_fraction, seed=seed)
-    model = KMeans(
-        k=n_lists, seed=seed, maxIter=max_iter, initMode="k-means||"
-    ).fit(ds)
+    # pin the (sampled) training set: k-means|| init + Lloyd iterations are
+    # ~15 passes, and on an UNCACHED input each pass re-runs the upstream
+    # scan — for a retrain that means 15 tombstone-masked reads of the
+    # live index (r13; Spark ML's internal persistence handles the
+    # converted instances, but caching at the DataFrame layer makes the
+    # bound explicit and survives impl changes)
+    ds = ds.persist()
+    try:
+        model = KMeans(
+            k=n_lists, seed=seed, maxIter=max_iter, initMode="k-means||"
+        ).fit(ds)
+    finally:
+        ds.unpersist()
     spark = emb.sparkSession
     return spark.createDataFrame(
         [
