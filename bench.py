@@ -460,17 +460,8 @@ def main() -> None:
     floor_plan = spark.range(0, 32, 1, 32).mapInPandas(
         lambda it: (pdf for pdf in it), schema="id long"
     )
-    # a floor probe, not a query: kept OUT of the headline total so
-    # "value" stays comparable with prior rounds' query-only sums
-    FLOORS["python_job_floor"], spread = best_of(
-        lambda: floor_plan.write.format("noop").mode("overwrite").save(), 5
-    )
-    query_meta["python_job_floor"] = {
-        "shape": "empty mapInPandas, 32 partitions", "repeats": 5,
-        "spread": spread, "since_round": 5, "reported_in": "floors",
-    }
 
-    # CPU floor (r13): the scheduling floor above is an EMPTY round-trip —
+    # CPU floor (r13): the scheduling floor is an EMPTY round-trip —
     # it prices scheduler/worker-channel overhead but is blind to
     # co-tenant CPU contention, which hits the compute-bound keys
     # (encode/search/PQ, all numpy kernels) 1.3-1.5x while the empty
@@ -487,12 +478,34 @@ def main() -> None:
             x = _a @ _a
         return x
 
-    FLOORS["numpy_cpu_floor"], spread = best_of(_matmul_floor, 5)
-    query_meta["numpy_cpu_floor"] = {
-        "shape": "8x 512x512 float64 matmul, driver-side single call",
-        "repeats": 5, "spread": spread, "since_round": 13,
-        "reported_in": "floors",
-    }
+    def probe_floors(suffix: str) -> None:
+        """Both floor probes, keyed ``python_job_floor{suffix}`` /
+        ``numpy_cpu_floor{suffix}``.  Floor probes, not queries: kept OUT
+        of the headline total so "value" stays comparable with prior
+        rounds' query-only sums.  Probed at run START (the value_floor_norm
+        anchor) AND at run END (r13 VERDICT #8): both floors used to be
+        start-only, so a load spike arriving MID-run — exactly what
+        corrupted the r13 ivf_retrain record — was invisible in the record
+        of the run it corrupted.  A start/end pair that disagrees >1.3x
+        marks every single-repeat key in between as contention-suspect."""
+        FLOORS[f"python_job_floor{suffix}"], spread = best_of(
+            lambda: floor_plan.write.format("noop").mode("overwrite").save(),
+            5,
+        )
+        query_meta[f"python_job_floor{suffix}"] = {
+            "shape": "empty mapInPandas, 32 partitions", "repeats": 5,
+            "spread": spread, "since_round": 5 if not suffix else 14,
+            "reported_in": "floors",
+        }
+        FLOORS[f"numpy_cpu_floor{suffix}"], spread = best_of(_matmul_floor, 5)
+        query_meta[f"numpy_cpu_floor{suffix}"] = {
+            "shape": "8x 512x512 float64 matmul, driver-side single call",
+            "repeats": 5, "spread": spread,
+            "since_round": 13 if not suffix else 14,
+            "reported_in": "floors",
+        }
+
+    probe_floors("")
     emit(timings, query_meta, sf, partial=True)
 
     # Three timed runs per query, report the min: run 1 pays whole-stage
@@ -771,7 +784,12 @@ def main() -> None:
                 "append + superseded thin-scan + tombstone append "
                 "(upsert_vector_index, auto batch id); all-replacement "
                 "batch — the worst case (inserts skip the tombstone "
-                "write)",
+                "write).  r14: max-batch comes from the __meta.json "
+                "sidecar and landed-count from the append's own "
+                "Observation (two of r13's three thin O(live) scans "
+                "gone); the superseded probe stays FULL here because "
+                "cent_id churn is partition-UNSTABLE (negated vectors "
+                "move lists — stable_partitions=False)",
             }
             emit(timings, query_meta, sf, partial=True)
 
@@ -797,26 +815,130 @@ def main() -> None:
             }
             emit(timings, query_meta, sf, partial=True)
 
+            # symlink-layout compaction (r13 VERDICT #7's comparison
+            # anchor): fold the 3 churn batches' tombstones into a fresh
+            # generation + atomic symlink swap.  repeats=1 — a compact IS
+            # a full live-row rewrite (same policy as ivf_retrain).
+            from semantic_vector_search_system_spark.sources.parquet_index import (  # noqa: E501
+                compact_vector_index,
+            )
+
+            timings[f"index_compact_{n}_docs"], spread = best_of(
+                lambda: compact_vector_index(
+                    spark, life_idx, id_col="docid", partition_by="cent_id"
+                ),
+                1,
+            )
+            query_meta[f"index_compact_{n}_docs"] = {
+                "repeats": 1, "spread": spread, "since_round": 14,
+                "timed_region": "compact_vector_index: tombstone-masked "
+                "live rewrite (partitionBy cent_id, zstd) + staging "
+                "rename + atomic symlink swap + grace-GC — the shared-FS "
+                "commit the manifest_compact key prices the CAS against",
+            }
+            emit(timings, query_meta, sf, partial=True)
+
+            # manifest (object-store pointer) layout twins (r13 VERDICT
+            # #7): the SAME corpus, churn and serve shapes through the
+            # pointer-CAS layout — the per-key deltas vs the symlink keys
+            # price pointer resolution (upsert/serve) and the conditional-
+            # PUT commit (compact).  Index build is untimed (parity with
+            # the symlink build above).
+            from semantic_vector_search_system_spark.sources.manifest_index import (  # noqa: E501
+                compact_manifest_index,
+                current_gen_dir,
+                upsert_manifest_index,
+                write_manifest_index,
+            )
+
+            mani_dir = f"{life_dir}/mindex"
+            write_manifest_index(
+                dvec.join(dl, "docid").withColumn("_batch", F.lit(0)),
+                mani_dir, partition_by="cent_id",
+            )
+
+            def _mani_upsert_churn():
+                from semantic_vector_search_system_spark.operators.similarity import (  # noqa: E501
+                    ivf_assign_inline,
+                )
+
+                upsert_manifest_index(
+                    spark, mani_dir,
+                    ivf_assign_inline(churn, cents, vec_col="vec"),
+                    id_col="docid", batch=None, partition_by="cent_id",
+                )
+
+            timings[f"manifest_upsert_10k_churn_{n}_docs"], spread = best_of(
+                _mani_upsert_churn, 3
+            )
+            query_meta[f"manifest_upsert_10k_churn_{n}_docs"] = {
+                "repeats": 3, "spread": spread, "since_round": 14,
+                "churn_rows": n_churn,
+                "timed_region": "index_upsert_10k_churn's region through "
+                "the pointer layout (resolve current gen + "
+                "upsert_vector_index on its prefix); delta vs that key "
+                "prices pointer resolution",
+            }
+            emit(timings, query_meta, sf, partial=True)
+
+            timings[f"manifest_serve_masked_1q_{n}_docs"], spread = best_of(
+                lambda: ivf_search_partitioned(
+                    spark, current_gen_dir(mani_dir), cents, one_q, k=1,
+                    nprobe=4, precollected_centroids=pre_cents,
+                    merge="driver", precollected_queries=q_mem, live=True,
+                ).write.format("noop").mode("overwrite").save(),
+                3,
+            )
+            query_meta[f"manifest_serve_masked_1q_{n}_docs"] = {
+                "n_lists": 64, "nprobe": 4, "repeats": 3, "spread": spread,
+                "since_round": 14,
+                "timed_region": "index_serve_masked_1q's region over the "
+                "manifest layout's CURRENT generation (pointer resolve + "
+                "pruned scan + tombstone mask)",
+            }
+            emit(timings, query_meta, sf, partial=True)
+
+            timings[f"manifest_compact_{n}_docs"], spread = best_of(
+                lambda: compact_manifest_index(
+                    spark, mani_dir, id_col="docid", partition_by="cent_id"
+                ),
+                1,
+            )
+            query_meta[f"manifest_compact_{n}_docs"] = {
+                "repeats": 1, "spread": spread, "since_round": 14,
+                "timed_region": "compact_manifest_index: tombstone-masked "
+                "live rewrite into gen-N+1 + conditional-PUT pointer CAS "
+                "+ orphan GC; delta vs index_compact prices the manifest "
+                "commit vs the symlink swap",
+            }
+            emit(timings, query_meta, sf, partial=True)
+            shutil.rmtree(mani_dir, ignore_errors=True)
+
             # retrain-after-drift: full re-cluster (2% bounded sample) +
             # 1M-row re-assignment + partitioned rewrite + crash-safe
             # generation swap — the O(live) maintenance op ivf_drift_signal
-            # gates.  repeats=1: a retrain IS a full index rewrite; its
-            # run-to-run variance is write-bound, and three rewrites would
-            # dominate the whole bench for one number.
+            # gates.  repeats=2 (r13 VERDICT #1: the r13 record was
+            # repeats=1 inside a co-tenant load spike and documented the
+            # box, not the code — min-of-2 is the dedup_1000000_docs
+            # precedent for write-heavy keys); input is the COMPACTED
+            # index (tombstone-free), so the timed region is pure
+            # train + assign + rewrite + swap.
             timings[f"ivf_retrain_{n}_docs"], spread = best_of(
                 lambda: ivf_retrain_index(
                     spark, life_idx, 64, id_col="docid", vec_col="vec",
                     seed=7, max_iter=10, sample_fraction=0.02,
                 ),
-                1,
+                2,
             )
             query_meta[f"ivf_retrain_{n}_docs"] = {
-                "n_lists": 64, "repeats": 1, "spread": spread,
+                "n_lists": 64, "repeats": 2, "spread": spread,
                 "since_round": 13,
-                "timed_region": "train_ivf_centroids (2% sample) + "
-                "ivf_assign_fast over the live 1M rows + partitionBy("
-                "cent_id) rewrite + generation swap (tombstones fold "
-                "in; the index this leaves is tombstone-free)",
+                "timed_region": "train_ivf_centroids (cached 2% sample) + "
+                "ivf_assign_inline over the live 1M rows (scalar pandas "
+                "UDF — vectors cross Arrow once, no join-back Exchange) + "
+                "ONE repartition(n_lists, cent_id) + partitionBy(cent_id) "
+                "rewrite + generation swap (r14: min-of-2; r13's 94.66s "
+                "was repeats=1 under a 20-29 load spike)",
             }
             emit(timings, query_meta, sf, partial=True)
             churn.unpersist()
@@ -1488,6 +1610,12 @@ def main() -> None:
         }
         emit(timings, query_meta, sf, partial=True)
         docs.unpersist()
+
+    # End-of-run floors (r13 VERDICT #8): re-probe both floors AFTER the
+    # last key so a mid-run load spike shows in the record of the run it
+    # corrupts (the start-only floors were quiet for the r13 run whose
+    # retrain key a later spike hit).
+    probe_floors("_end")
 
     # Stop FIRST, then print the authoritative final line (r4 lesson,
     # VERDICT item 1): shutdown is when worker/daemon teardown noise hits

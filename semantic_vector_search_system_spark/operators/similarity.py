@@ -313,6 +313,14 @@ def ivf_retrain_index(
       explicit ``repartition(n_lists, cent_id)`` Exchange between
       assignment and write bounds output at ~one file per list and is
       the ONLY wide operation in the whole retrain.
+
+    Session-scope caveat (r13 ADVICE, low): the split-size override is a
+    SESSION conf — ``spark.sql.files.maxPartitionBytes`` has no per-read
+    option, so any OTHER query planned in this SparkSession during the
+    retrain window also plans with the tiny split size (inflated task
+    counts, correct results).  Run retrains from a dedicated maintenance
+    session, not the session serving latency-sensitive queries — the
+    single-writer assumption the rest of the lifecycle already makes.
     """
     import shutil
 
@@ -649,9 +657,8 @@ def ivf_assign_inline(
     and arithmetic are shared with :func:`ivf_assign_fast`
     (``_topn_list_sel``), so the two forms can never drift."""
     import numpy as np
-    import pandas as pd
 
-    from pyspark.sql.functions import PandasUDFType, pandas_udf
+    from ..functions.arrow_udfs import nearest_centroid_udf
 
     crows = centroids.select(cent_id_col, cent_vec_col).collect()
     if not crows:
@@ -663,21 +670,11 @@ def ivf_assign_inline(
     bc = emb.sparkSession.sparkContext.broadcast((cids, Cn))
 
     cent_type = centroids.schema[cent_id_col].dataType.simpleString()
-
-    # explicit functionType: `from __future__ import annotations` makes the
-    # pd.Series hints unresolvable strings for pandas_udf's inference
-    @pandas_udf(cent_type, PandasUDFType.SCALAR)
-    def assign(vecs):
-        all_cids, Cm = bc.value
-        if vecs.empty:
-            return pd.Series([], dtype=object)
-        D = np.array(vecs.tolist(), dtype=np.float64)
-        dn = np.linalg.norm(D, axis=1, keepdims=True)
-        Dn = np.divide(D, dn, out=np.zeros_like(D), where=dn > 0)
-        S = Dn @ Cm.T
-        sel = np.concatenate([s[:1] for s in _topn_list_sel(S, all_cids, 1)])
-        return pd.Series(all_cids[sel])
-
+    # the UDF is built in functions/arrow_udfs.py — a module WITHOUT
+    # `from __future__ import annotations`, so pandas_udf can infer the
+    # eval type from real pd.Series hints instead of the deprecated
+    # PandasUDFType.SCALAR enum (SPARK-28264; r13 VERDICT #5)
+    assign = nearest_centroid_udf(cent_type, bc, _topn_list_sel)
     return emb.withColumn(cent_id_col, assign(F.col(vec_col)))
 
 

@@ -1421,87 +1421,44 @@ def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
 # In exchange 24 r12-driver-green rows park, each with family coverage
 # in the r13 window (notes per entry below).  26 + 24 = 50.
 #
+# Round-14 rotation (r13 VERDICT #3 — execute the calendar as written):
+# the three paired probes park (driver-green r13; they were diagnostic
+# scaffolding for the r9–r12 red cell, and family twin
+# paired_test_components stays in-window as the A13 anchor), and the
+# FIRST 21 of the 41 r11-green parks return (tranche 1, oldest first,
+# list order).  Staying in-window (29): ann_index_upsert +
+# stream_index_upsert (CHANGED this round — r13 VERDICT #2's O(churn)
+# upsert path: max-batch sidecar, Observation landed-count, prunable
+# superseded probe; plus the r13 ADVICE streaming _norm_path/layout
+# changes); paired_test_components (A13 anchor); json_kpi (anchor: only
+# JSON extraction); incremental_dedup (NULL-int driver-model evidence
+# row); and 24 family-breadth keepers (revenue_by_nation,
+# segment_order_stats, event_percentiles, user_event_pivot,
+# user_running_value, knn_topk, knn_topk_heap, knn_hybrid_filtered,
+# minhash_signatures, mannwhitney_components, stream_sessionize,
+# token_counts_regex, ann_ivf_topk, stream_user_totals_stateful,
+# sql_interface_pricing, asof_grouped_orders, stream_dedup_events,
+# stream_view_purchase_join, pii_scan_report, bpe_encode_tokens,
+# context_windows, training_shuffle_shards, leakage_safe_splits,
+# crawl_snapshot_diff).  In exchange 18 r13-driver-green rows park,
+# each with family coverage in the r14 window (notes per entry below).
+# 29 + 21 = 50.
+#
 # RE-VERIFICATION CALENDAR:
-#   r14: the three paired probes (paired_pairs_probe /
-#        paired_moments_probe / paired_wilcoxon_probe) become
-#        DEMOTED-eligible once r13 shows them driver-green (r12 VERDICT
-#        #7): they were diagnostic scaffolding for the r9–r12 red cell,
-#        family twin paired_test_components stays as the A13 anchor.
-#        Then the 41 r11-green parks return in two tranches (r14/r15,
-#        oldest first) as window room allows, PLUS the 24 rows parked
-#        THIS round queue behind them (r15/r16); new/changed rows always
+#   r15: the remaining 20 r11-green parks return (tranche 2 — 4 rounds
+#        since their r11 driver check, one over the ~3 guideline, per
+#        the two-tranche calendar written r13; covered by the local
+#        115-row sweep every round in between), plus as many of the 24
+#        r12-green parks as window room allows (parking r14-green rows
+#        with family coverage).  r16: the rest of the r12-green parks
+#        and the 18 rows parked THIS round; the 3 paired probes return
+#        on the normal cycle (r16/r17).  New/changed rows always
 #        in-window the round they change.
-#   Every round: no row goes more than ~3 rounds without a driver check.
+#   Every round: no row goes more than ~3 rounds without a driver check
+#     (the one documented exception above).
 DEMOTED: tuple[str, ...] = (
-    # --- r11-driver-green parks (0 rounds stale; return r14/r15) ---
-    "retrieval_quality",         # rank-metric suite ≡ bm25_topk (in-window
-                                 #   ranked retrieval) — green r11
-    "doc_quality",               # per-doc text scoring ≡ pii_scan_report +
-                                 #   token_stats_by_lang (returning
-                                 #   rule-scan/token family) — green r11
-    "ngram_jaccard_pairs",       # shingle overlap ≡ decontamination
-                                 #   (returning, same shingle-jaccard) —
-                                 #   green r11
-    "neardup_keep_one",          # LSH + components keep-one ≡
-                                 #   lsh_candidate_pairs +
-                                 #   duplicate_components +
-                                 #   leakage_safe_splits (all returning,
-                                 #   same signature/banding/components
-                                 #   chain) — green r11
-    "source_cap_sample",         # per-source rank cap ≡ top_orders_per
-                                 #   _customer... parked twin, but
-                                 #   nation_customer_rank family is parked
-                                 #   too; covered by knn_topk_heap
-                                 #   (returning rank top-k) — green r11
-    "source_mixture_weights",    # mixture weights ≡ training_shuffle_shards
-                                 #   (returning hash-bucketed corpus
-                                 #   assembly) — green r11
-    "sequence_packing",          # greedy packing ≡ context_windows
-                                 #   (returning ordered sample assembly) —
-                                 #   former anchor, parks per header note —
-                                 #   green r11
-    "self_retrieval_e2e",        # encode→retrieve capstone ≡ knn_topk +
-                                 #   knn_topk_heap + snippet family
-                                 #   (returning) — green r11
-    "ann_recall",                # IVF recall grid ≡ ann_ivf_topk +
-                                 #   knn_hybrid_filtered (returning IVF
-                                 #   probe chain) — green r11
-    "tfidf_self_retrieval",      # TF-IDF retrieval ≡ bm25_topk (in-window
-                                 #   lexical ranking) — green r11
-    "asof_latest_order",         # as-of join ≡ asof_grouped_orders
-                                 #   (returning window-strategy twin) —
-                                 #   green r11
-    "label_centroids",           # grouped-map centroid ≡ kmeans family via
-                                 #   semdedup_keep_one (returning
-                                 #   assignment + centroid kernels) —
-                                 #   green r11
-    "quantized_topk_rerank",     # PQ rerank ≡ knn_topk_heap (returning JVM
-                                 #   heap top-k) + ann_ivf_topk — green r11
-    "index_upsert_counts",       # ingest counts ≡ ann_index_upsert +
-                                 #   stream_index_upsert (both in-window
-                                 #   upsert-count relations) — former
-                                 #   anchor, parks per header note —
-                                 #   green r11
-    "media_features",            # multimodal decode ≡ media_kind_stats +
-                                 #   media_ahash_dedup + media_hamming_pairs
-                                 #   (ALL returning) — former anchor,
-                                 #   parks per header note — green r11
-    "sketch_set_ops",            # KMV/theta algebra ≡ sketch_stats
-                                 #   (returning, same sketch kernel) —
-                                 #   green r11
-    "training_corpus_selection", # routing filters ≡ decontamination +
-                                 #   leakage_safe_splits (returning
-                                 #   anti-join/split gates) — green r11
-    "dataset_splits",            # hash splits ≡ training_shuffle_shards +
-                                 #   leakage_safe_splits (returning) —
-                                 #   green r11
-    "gopher_quality_report",     # rule scan ≡ pii_scan_report (returning
-                                 #   regex-scan family) — green r11
-    "ann_pq_topk",               # PQ ADC ≡ ann_ivf_topk (returning ANN
-                                 #   family; PQ kernel also inside
-                                 #   quantized rerank tests) — green r11
-    "quality_classifier_report", # classifier scoring ≡ doc-quality family
-                                 #   via pii_scan_report — green r11
+    # --- r11-green parks, tranche 2 (return r15 per calendar; the 21
+    #     tranche-1 rows returned r14 and are no longer listed here) ---
     "bigram_lm_report",          # bigram LM ≡ corpus_vocabulary (returning
                                  #   token-count aggregation) — green r11
     "lm_perplexity_buckets",     # NTILE buckets ≡ event_percentiles
@@ -1640,6 +1597,77 @@ DEMOTED: tuple[str, ...] = (
                                  #   (staying) + minhash_signatures /
                                  #   lsh banding family (returning) —
                                  #   green r12
+    # --- r13-green parks (r13 VERDICT #3/#7 rotation; return r16) ---
+    "paired_pairs_probe",        # r9-r12 red-cell diagnostic scaffolding,
+                                 #   driver-green r13 → DEMOTED-eligible
+                                 #   per the r13 calendar; family twin
+                                 #   paired_test_components STAYS as the
+                                 #   A13 anchor — green r13
+    "paired_moments_probe",      # same probe family — green r13
+    "paired_wilcoxon_probe",     # same probe family — green r13
+    "customers_without_orders",  # left_anti gate ≡
+                                 #   training_corpus_selection (returning
+                                 #   anti-join routing gates) — green r13
+    "top_orders_per_customer",   # W3 rank top-k ≡ source_cap_sample
+                                 #   (returning per-source rank cap, same
+                                 #   row_number cut) + knn_topk_heap
+                                 #   (staying bounded top-k) — green r13
+    "nation_customer_rank",      # W4 rank ≡ source_cap_sample (returning
+                                 #   rank window) — green r13
+    "nations_with_both",         # INTERSECT ≡ sketch_set_ops (returning
+                                 #   set algebra) — green r13
+    "exact_dedup",               # keyed min-struct keep-one ≡
+                                 #   incremental_dedup (staying) +
+                                 #   neardup_keep_one (returning keep-one
+                                 #   chain) — green r13
+    "simhash",                   # hash identity ≡ minhash_signatures
+                                 #   (staying md5 signature kernel) +
+                                 #   ngram_jaccard_pairs (returning
+                                 #   shingle hashing) — green r13
+    "embedding_neardup_pairs",   # embedding-cosine pairs ≡ knn_topk
+                                 #   (staying cosine kernel) + ann_recall
+                                 #   (returning embedding eval) — green r13
+    "brand_price_stats",         # A11 count/mean/min/max ≡
+                                 #   sql_interface_pricing (staying money
+                                 #   summary aggregates) — green r13
+    "region_customer_rollup",    # broadcast snowflake join-agg ≡
+                                 #   revenue_by_nation (staying, same
+                                 #   idiom) — green r13
+    "urgent_orders_by_year",     # P4/P8 routing filters ≡
+                                 #   training_corpus_selection (returning
+                                 #   routing gates) + revenue_by_nation
+                                 #   (staying filtered money agg) —
+                                 #   green r13
+    "supplier_balance_by_nation",# money join-agg ≡ revenue_by_nation
+                                 #   (staying, same idiom) — green r13
+    "snippet_queries",           # S5 generator + F1 substring ≡
+                                 #   doc_quality (returning per-doc text
+                                 #   functions) + token_counts_regex
+                                 #   (staying tokenize) — green r13
+    "langid_confusion",          # language-ID ≡ doc_quality +
+                                 #   gopher_quality_report (both returning
+                                 #   text-quality rule scans) — green r13
+    "sketch_stats",              # KMV/theta sketch ≡ sketch_set_ops
+                                 #   (returning, same sketch kernel — the
+                                 #   inverse of its r11 park note) —
+                                 #   green r13
+    "hybrid_rrf_fusion",         # rank fusion ≡ retrieval_quality
+                                 #   (returning rank metrics) +
+                                 #   tfidf_self_retrieval (returning
+                                 #   lexical retrieval) — green r13
+    "url_refetch_dedup",         # URL canonicalize dedup ≡
+                                 #   incremental_dedup (staying keep-one)
+                                 #   + crawl_snapshot_diff (staying crawl
+                                 #   identity) — green r13
+    "media_kind_stats",          # multimodal decode stats ≡
+                                 #   media_features (returning — exact
+                                 #   family twin, inverse of its r11 park
+                                 #   note) — green r13
+    "stream_hourly_counts",      # streaming windowed agg ≡
+                                 #   stream_user_totals_stateful (staying
+                                 #   stateful agg) + stream_sessionize
+                                 #   (staying event-time windows) —
+                                 #   green r13
 )
 
 

@@ -47,11 +47,17 @@ import os
 
 from pyspark.sql import DataFrame, SparkSession
 
+from .parquet_index import _norm_path
+
 _POINTER = "current.json"
 
 
 def _pointer_path(path: str) -> str:
-    return os.path.join(path, _POINTER)
+    # _norm_path (r12/r13 ADVICE): the pointer file is read/written with
+    # Python os.* (Python-cwd resolution) while the gen dirs it names are
+    # scanned by Spark (JVM-cwd resolution) — absolutize once so a
+    # relative index path can't split the two faces across trees
+    return os.path.join(_norm_path(path), _POINTER)
 
 
 def get_pointer(path: str) -> dict | None:
@@ -87,6 +93,7 @@ def put_pointer(path: str, pointer: dict, expected_gen: int | None) -> None:
     """
     import fcntl
 
+    path = _norm_path(path)
     os.makedirs(path, exist_ok=True)
     lock_path = _pointer_path(path) + ".lock"
     with open(lock_path, "w") as lk:
@@ -112,7 +119,7 @@ def put_pointer(path: str, pointer: dict, expected_gen: int | None) -> None:
 def _new_gen_dir(path: str, gen: int) -> str:
     import uuid
 
-    return os.path.join(path, f"gen-{gen}-{uuid.uuid4().hex[:8]}")
+    return os.path.join(_norm_path(path), f"gen-{gen}-{uuid.uuid4().hex[:8]}")
 
 
 def _gen_number(dirname: str) -> int | None:
@@ -129,7 +136,7 @@ def current_gen_dir(path: str) -> str:
         raise FileNotFoundError(
             f"no committed generation at {path!r} (missing {_POINTER})"
         )
-    return os.path.join(path, cur["dir"])
+    return os.path.join(_norm_path(path), cur["dir"])
 
 
 def write_manifest_index(
@@ -193,6 +200,7 @@ def rewrite_manifest_index(
     """
     import shutil
 
+    path = _norm_path(path)
     cur = get_pointer(path)
     if cur is None:
         raise FileNotFoundError(
@@ -217,11 +225,20 @@ def rewrite_manifest_index(
     for name in os.listdir(path):
         n = _gen_number(name)
         if n is None or name.split("__")[0] in keep:
-            # side tables (gen-<N>-<tok>__tombstones) share their
-            # generation's lifecycle: kept while the gen is in grace
+            # side tables/files (gen-<N>-<tok>__tombstones, __meta.json)
+            # share their generation's lifecycle: kept while in grace
             continue
         if n <= new_gen:
-            shutil.rmtree(os.path.join(path, name), ignore_errors=True)
+            victim = os.path.join(path, name)
+            if os.path.isdir(victim):
+                shutil.rmtree(victim, ignore_errors=True)
+            else:
+                # side FILES (the __meta.json max-batch sidecar) are not
+                # trees — rmtree would silently leave them as orphans
+                try:
+                    os.remove(victim)
+                except OSError:
+                    pass
             dropped.append(name)
     spark.catalog.refreshByPath(new_dir)
     return {"gen": new_gen, "dir": pointer["dir"], "gc": sorted(dropped)}
@@ -253,16 +270,19 @@ def upsert_manifest_index(
     id_col: str = "docid",
     batch: int | None = None,
     partition_by: str | None = None,
+    stable_partitions: bool = False,
 ) -> dict:
     """Latest-wins upsert against the CURRENT generation (composes
     ``parquet_index.upsert_vector_index`` on the resolved gen dir —
-    identical semantics, tombstones land in the generation's
-    ``__tombstones`` side prefix and fold at the next compaction)."""
+    identical semantics incl. the ``stable_partitions`` pruning
+    contract; tombstones land in the generation's ``__tombstones`` side
+    prefix and fold at the next compaction)."""
     from .parquet_index import upsert_vector_index
 
     return upsert_vector_index(
         spark, current_gen_dir(path), updates,
         id_col=id_col, batch=batch, partition_by=partition_by,
+        stable_partitions=stable_partitions,
     )
 
 
@@ -302,17 +322,29 @@ def compact_manifest_index(
     the PREVIOUS generation after its side tables are collected sees it
     unmasked — grace covers in-flight scans, not long-lived stale
     pointers."""
-    from .parquet_index import _tombstones_path, read_optional_parquet
+    from .parquet_index import (
+        _claim_max_batch,
+        _read_claimed_max_batch,
+        _tombstones_path,
+        read_optional_parquet,
+    )
 
     cur_dir = current_gen_dir(path)
     tomb = read_optional_parquet(spark, _tombstones_path(cur_dir))
     if tomb is None or tomb.limit(1).count() == 0:
         return {"compacted": False, "dropped": 0}
     n_before = spark.read.parquet(cur_dir).count()
+    claimed = _read_claimed_max_batch(cur_dir)
     live = read_live_manifest_index(spark, path, id_col=id_col)
     out = rewrite_manifest_index(
         spark, path, live, partition_by=partition_by
     )
-    n_after = spark.read.parquet(current_gen_dir(path)).count()
+    new_dir = current_gen_dir(path)
+    if claimed is not None:
+        # carry the max-batch claim into the new generation's sidecar so
+        # the first post-compaction upsert skips the legacy thin scan
+        # (batch ids are index-lifetime, not per-generation)
+        _claim_max_batch(new_dir, claimed)
+    n_after = spark.read.parquet(new_dir).count()
     out.update({"compacted": True, "dropped": n_before - n_after})
     return out

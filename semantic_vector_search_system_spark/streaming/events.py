@@ -187,10 +187,19 @@ def _make_upsert_handler(
     id_col: str,
     version_col: str | None,
     partition_by: str | None,
+    layout: str = "symlink",
 ):
     """The foreachBatch handler for :func:`streaming_upsert_foreach_batch`
-    (factored out so tests can drive re-delivery/skip directly)."""
+    (factored out so tests can drive re-delivery/skip directly).
+    ``layout``: ``"symlink"`` upserts straight into the parquet index;
+    ``"manifest"`` routes through ``upsert_manifest_index`` (the
+    object-store pointer layout, r13 VERDICT #6) — same marker
+    idempotence, the mutation just lands in the CURRENT committed
+    generation's prefix."""
     import json
+
+    if layout not in ("symlink", "manifest"):
+        raise ValueError(f"unknown index layout {layout!r}")
 
     def handle(batch_df: DataFrame, epoch_id: int) -> None:
         marker = os.path.join(marker_dir, f"{epoch_id}.json")
@@ -208,6 +217,17 @@ def _make_upsert_handler(
             )
         if not batch.take(1):
             out = {"upserted": 0, "replaced": 0, "batch": None}
+        elif layout == "manifest":
+            from ..sources.manifest_index import upsert_manifest_index
+
+            out = upsert_manifest_index(
+                batch.sparkSession,
+                index_path,
+                batch,
+                id_col=id_col,
+                batch=None,  # auto-assign: monotonic in stream order
+                partition_by=partition_by,
+            )
         else:
             from ..sources.parquet_index import upsert_vector_index
 
@@ -234,6 +254,7 @@ def streaming_upsert_foreach_batch(
     version_col: str | None = None,
     partition_by: str | None = None,
     checkpoint: str | None = None,
+    layout: str = "symlink",
 ) -> None:
     """Streaming UPSERT face of the mutable vector index (r11 VERDICT #5;
     reference online write path: `pinecone/client.py:61-90`,
@@ -267,13 +288,35 @@ def streaming_upsert_foreach_batch(
     micro-batch may carry several updates for one id; upsert_vector_index
     rejects same-batch duplicates by design).  Rows with duplicate
     ``(id, version)`` pairs are caller error — ties are not broken.
+
+    ``layout`` (r13 VERDICT #6): ``"symlink"`` (default, shared-FS
+    generation layout — the index may not exist yet and is created by
+    the first upsert) or ``"manifest"`` (object-store pointer layout —
+    the index must already be committed via ``write_manifest_index``;
+    each epoch's rows land as new files in the CURRENT generation's
+    prefix, so the pointer is untouched and a concurrent
+    compact/retrain CAS still serializes correctly).
+
+    Path discipline (r13 ADVICE, low): ``index_path``/``checkpoint``
+    are abspath-normalized at entry — the marker dir is managed with
+    Python ``os.*`` (Python-cwd resolution) while ``checkpointLocation``
+    resolves against the JVM cwd, so a RELATIVE checkpoint would split
+    the markers from the checkpoint they must share a lifecycle with
+    (deleting the Spark checkpoint would leave stale markers that
+    silently skip a new stream's epochs — the exact bug the
+    checkpoint-scoping fix targets).
     """
+    from ..sources.parquet_index import _norm_path
+
+    index_path = _norm_path(index_path)
     if checkpoint is None:
         checkpoint = index_path.rstrip("/") + "__upsert_ckpt"
+    checkpoint = _norm_path(checkpoint)
     marker_dir = _epoch_marker_dir(checkpoint)
     os.makedirs(marker_dir, exist_ok=True)
     handle = _make_upsert_handler(
-        index_path, marker_dir, id_col, version_col, partition_by
+        index_path, marker_dir, id_col, version_col, partition_by,
+        layout=layout,
     )
     writer = updates_stream.writeStream.foreachBatch(handle).trigger(
         availableNow=True

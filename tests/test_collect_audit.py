@@ -103,10 +103,12 @@ ALLOWED: dict[str, dict[str, int]] = {
     },
     "sources/parquet_index.py": {
         # _max_batch (r12 batch-freshness gate): ONE scalar MAX row over a
-        # thin single-column scan
+        # thin single-column scan — r14: runs at most once per index
+        # (legacy/no-sidecar fallback; __meta.json serves every later call)
         'row = stored.agg(F.max("_batch").alias("m")).collect()[0]': 1,
-        # upsert dup-id gate: ONE (count, count_distinct) aggregate row
-        ").collect()[0]": 1,
+        # upsert pre-pass: ONE aggregate row over the churn-sized updates
+        # batch (dup-id gate + optional touched-partition collect_set)
+        "dup_row = updates.agg(*aggs).collect()[0]": 1,
     },
     "operators/search.py": {
         # collect_doc_matrix: raise-guarded by max_rows count above

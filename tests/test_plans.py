@@ -353,39 +353,37 @@ def test_driver_window_covers_every_operator_family():
     window = set(names[:50])
     # every non-demoted query is inside the driver's window
     assert window == set(CATALOG) - set(DEMOTED)
-    # r13 flagship set = the calendar window (r12 VERDICT #3; DEMOTED
-    # header): 24 calendar returners + 26 keepers = exactly 50.
+    # r14 flagship set = the calendar window (r13 VERDICT #3; DEMOTED
+    # header): 21 r11-park returners (tranche 1) + 29 keepers = exactly 50.
     flagships = {
-        # the 24 r10-last-checked parks (calendar: MUST return r13),
-        # including all 8 cents-purge-changed money rows — their first
-        # driver check since the rebuild
-        "revenue_by_nation", "segment_order_stats",
-        "customers_without_orders", "top_orders_per_customer",
-        "user_running_value", "nation_customer_rank", "exact_dedup",
-        "simhash", "minhash_signatures", "embedding_neardup_pairs",
-        "brand_price_stats", "region_customer_rollup",
-        "urgent_orders_by_year", "mannwhitney_components",
-        "snippet_queries", "stream_hourly_counts", "stream_sessionize",
-        "langid_confusion", "token_counts_regex",
-        "supplier_balance_by_nation", "sketch_stats", "hybrid_rrf_fusion",
-        "url_refetch_dedup", "crawl_snapshot_diff",
-        # CHANGED this round, must stay until driver-green: the paired
-        # family (oracle-face CAST(...AS BIGINT) fix, r12 VERDICT #1) and
-        # the index-lifecycle rows (r12 ADVICE hardening)
-        "paired_test_components", "paired_pairs_probe",
-        "paired_moments_probe", "paired_wilcoxon_probe",
+        # the 21 r11-green parks returning r14 (calendar tranche 1,
+        # oldest first, DEMOTED list order)
+        "retrieval_quality", "doc_quality", "ngram_jaccard_pairs",
+        "neardup_keep_one", "source_cap_sample", "source_mixture_weights",
+        "sequence_packing", "self_retrieval_e2e", "ann_recall",
+        "tfidf_self_retrieval", "asof_latest_order", "label_centroids",
+        "quantized_topk_rerank", "index_upsert_counts", "media_features",
+        "sketch_set_ops", "training_corpus_selection", "dataset_splits",
+        "gopher_quality_report", "ann_pq_topk", "quality_classifier_report",
+        # CHANGED this round, must stay until driver-green: the index
+        # lifecycle rows (r13 VERDICT #2 O(churn) upsert path + r13
+        # ADVICE streaming/manifest hardening)
         "ann_index_upsert", "stream_index_upsert",
         # evidence + anchor keepers
-        "incremental_dedup",  # NULL-int driver-model evidence row
-        "json_kpi",           # only JSON extraction
+        "paired_test_components",  # A13 anchor (probes parked r14)
+        "incremental_dedup",       # NULL-int driver-model evidence row
+        "json_kpi",                # only JSON extraction
         # family-breadth keepers (see DEMOTED header)
-        "event_percentiles", "user_event_pivot", "nations_with_both",
-        "knn_topk", "knn_topk_heap", "knn_hybrid_filtered", "ann_ivf_topk",
-        "stream_user_totals_stateful", "sql_interface_pricing",
-        "asof_grouped_orders", "media_kind_stats", "stream_dedup_events",
-        "stream_view_purchase_join", "pii_scan_report",
-        "bpe_encode_tokens", "context_windows", "training_shuffle_shards",
-        "leakage_safe_splits",
+        "revenue_by_nation", "segment_order_stats", "event_percentiles",
+        "user_event_pivot", "user_running_value", "knn_topk",
+        "knn_topk_heap", "knn_hybrid_filtered", "minhash_signatures",
+        "mannwhitney_components", "stream_sessionize", "token_counts_regex",
+        "ann_ivf_topk", "stream_user_totals_stateful",
+        "sql_interface_pricing", "asof_grouped_orders",
+        "stream_dedup_events", "stream_view_purchase_join",
+        "pii_scan_report", "bpe_encode_tokens", "context_windows",
+        "training_shuffle_shards", "leakage_safe_splits",
+        "crawl_snapshot_diff",
     }
     assert flagships <= window
     assert len(flagships) == 50  # the window IS fully specified this round
