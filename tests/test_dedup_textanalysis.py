@@ -2447,3 +2447,148 @@ def test_ivf_assign_inline_parity_and_zero_shuffle(spark):
     no_cents = cents.filter(F.lit(False))
     with _pytest.raises(ValueError, match="centroids relation is empty"):
         ivf_assign_inline(d, no_cents, vec_col="vec")
+
+
+def test_drift_retrain_lifecycle_recall_and_reader_grace(spark, tmp_path):
+    """r13 VERDICT #4 — the drift→retrain loop CLOSED end-to-end: churn
+    an index until ivf_drift_signal fires, retrain, and assert (a) the
+    masked live view stays exact through the whole cycle, (b) self-hit
+    recall@1 on the retrained index recovers to the pre-churn floor for
+    BOTH old and shifted vectors, and (c) a reader pinned to the
+    pre-retrain generation stays consistent THROUGH the swap (the
+    one-generation grace).  SCALE.md's retrain-cadence paragraph cites
+    this test."""
+    import os
+    import random
+
+    from semantic_vector_search_system_spark.operators.similarity import (
+        ivf_assign_fast,
+        ivf_assignment_quality,
+        ivf_drift_signal,
+        ivf_retrain_index,
+        ivf_search_partitioned,
+        train_ivf_centroids,
+    )
+    from semantic_vector_search_system_spark.sources.parquet_index import (
+        read_live_index,
+        upsert_vector_index,
+        write_vector_index,
+    )
+
+    rng = random.Random(23)
+    modes = [[10.0, 0.0, 0.0, 0.0], [0.0, 10.0, 0.0, 0.0],
+             [0.0, 0.0, 10.0, 0.0]]
+
+    def jitter(mode):
+        return [c + rng.gauss(0, 0.3) for c in mode]
+
+    base_rows = [(i, jitter(modes[i % 3])) for i in range(150)]
+    emb = spark.createDataFrame(base_rows, "docid long, vec array<double>")
+    cents = train_ivf_centroids(emb, n_lists=3, vec_col="vec", max_iter=5)
+    train_q = ivf_assignment_quality(emb, cents, id_col="docid", vec_col="vec")
+
+    idx = str(tmp_path / "lifecycle_idx")
+    assigned = ivf_assign_fast(
+        emb, cents, id_col="docid", vec_col="vec", nprobe=1
+    ).select("docid", "cent_id")
+    write_vector_index(
+        emb.join(assigned, "docid"), idx, partition_by="cent_id", batch=0
+    )
+
+    def self_hit_recall(query_rows, codebook):
+        q = spark.createDataFrame(
+            query_rows, "qid long, qvec array<double>"
+        )
+        hits = ivf_search_partitioned(
+            spark, idx, codebook, q, k=1, nprobe=1, live=True,
+            id_col="docid", vec_col="vec",
+        )
+        got = {r["qid"]: r["docid"] for r in hits.collect()}
+        return sum(1 for qid, d in got.items() if qid == d) / len(query_rows)
+
+    base_queries = [(i, v) for i, v in base_rows[:12]]
+    recall_pre = self_hit_recall(base_queries, cents)
+    assert recall_pre >= 0.9
+
+    # churn in batches of a NEW 4th-axis mode until the signal fires
+    # (consecutive-batch gating is the operator's documented contract;
+    # here each batch is equally shifted, so firing within 3 is a bug
+    # bound, not a tuning choice)
+    shifted_rows, fired = [], False
+    for b in range(3):
+        batch_rows = [
+            (1000 + 100 * b + i,
+             [rng.gauss(0, 0.3), rng.gauss(0, 0.3), rng.gauss(0, 0.3),
+              10.0 + rng.gauss(0, 0.3)])
+            for i in range(40)
+        ]
+        shifted_rows += batch_rows
+        batch = spark.createDataFrame(
+            batch_rows, "docid long, vec array<double>"
+        )
+        b_assigned = ivf_assign_fast(
+            batch, cents, id_col="docid", vec_col="vec", nprobe=1
+        ).select("docid", "cent_id")
+        upsert_vector_index(
+            spark, idx, batch.join(b_assigned, "docid"),
+            id_col="docid", partition_by="cent_id",
+        )
+        sig = ivf_drift_signal(
+            train_q,
+            ivf_assignment_quality(
+                batch, cents, id_col="docid", vec_col="vec"
+            ),
+        )
+        if sig["needs_retrain"]:
+            fired = True
+            break
+    assert fired, "drift signal never fired under a sustained new mode"
+
+    # retrain #1: migrates to the symlink layout, folds tombstones
+    new_cents = ivf_retrain_index(
+        spark, idx, n_lists=4, id_col="docid", vec_col="vec", max_iter=5
+    )
+    assert os.path.islink(idx)
+    n_live = 150 + len(shifted_rows)
+    assert spark.read.parquet(idx).count() == n_live
+
+    # (b) recall recovers on the retrained index — old AND shifted modes
+    shifted_queries = [(i, v) for i, v in shifted_rows[:12]]
+    assert self_hit_recall(base_queries, new_cents) >= recall_pre - 0.05
+    assert self_hit_recall(shifted_queries, new_cents) >= 0.9
+
+    # replacement churn on the retrained index: masked serve parity —
+    # the replaced ids must serve exactly their NEW vectors through the
+    # tombstone mask (one live generation each)
+    repl_rows = [(i, jitter(modes[i % 3])) for i in range(20)]
+    repl = spark.createDataFrame(repl_rows, "docid long, vec array<double>")
+    r_assigned = ivf_assign_fast(
+        repl, new_cents, id_col="docid", vec_col="vec", nprobe=1
+    ).select("docid", "cent_id")
+    out = upsert_vector_index(
+        spark, idx, repl.join(r_assigned, "docid"),
+        id_col="docid", partition_by="cent_id",
+    )
+    assert out["replaced"] == 20
+    live = read_live_index(spark, idx, id_col="docid")
+    assert live.count() == n_live
+    got = {
+        r["docid"]: r["vec"]
+        for r in live.filter(F.col("docid") < 20).collect()
+    }
+    assert got == {i: v for i, v in repl_rows}  # new vectors, exactly once
+    assert self_hit_recall([(i, v) for i, v in repl_rows[:8]], new_cents) >= 0.9
+
+    # (c) a reader pinned to the CURRENT generation stays consistent
+    # through the next swap: the grace policy keeps the previous
+    # generation's files intact for one full maintenance cycle
+    pinned_dir = os.path.realpath(idx)
+    pinned = spark.read.parquet(pinned_dir)
+    n_pinned = pinned.count()
+    ivf_retrain_index(
+        spark, idx, n_lists=4, id_col="docid", vec_col="vec", max_iter=5
+    )
+    assert os.path.realpath(idx) != pinned_dir  # the swap happened
+    assert os.path.isdir(pinned_dir)  # grace: old generation intact
+    assert pinned.count() == n_pinned  # pinned reader still consistent
+    assert spark.read.parquet(idx).count() == n_live  # new gen complete

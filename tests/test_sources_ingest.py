@@ -541,8 +541,50 @@ def test_compact_rejects_object_store_paths(spark):
         recover_vector_index("hdfs://nn/index")
 
 
-def test_streaming_upsert_foreach_batch_and_crash_order(spark, tmp_path):
-    """r11 VERDICT #5 + r12 ADVICE (medium): the streaming upsert face must
+def _layout_io(layout):
+    """(init, read_live, raw_count) for a streaming-upsert index layout
+    (r13 VERDICT #6: the streaming face runs over BOTH layouts)."""
+    from semantic_vector_search_system_spark.sources.manifest_index import (
+        current_gen_dir,
+        read_live_manifest_index,
+        write_manifest_index,
+    )
+    from semantic_vector_search_system_spark.sources.parquet_index import (
+        read_live_index,
+    )
+
+    if layout == "symlink":
+        return (
+            _mini_index,
+            lambda spark, idx: read_live_index(spark, idx, id_col="docid"),
+            lambda spark, idx: spark.read.parquet(idx).count(),
+        )
+
+    def init(spark, idx, n=6):
+        base = spark.createDataFrame(
+            [(f"d{i}", [float(i), 0.0], "news") for i in range(n)],
+            "docid string, vec array<float>, category string",
+        )
+        write_manifest_index(base.withColumn("_batch", F.lit(0)), idx)
+        return base
+
+    return (
+        init,
+        lambda spark, idx: read_live_manifest_index(
+            spark, idx, id_col="docid"
+        ),
+        lambda spark, idx: spark.read.parquet(
+            current_gen_dir(idx)
+        ).count(),
+    )
+
+
+@pytest.mark.parametrize("layout", ["symlink", "manifest"])
+def test_streaming_upsert_foreach_batch_and_crash_order(
+    spark, tmp_path, layout
+):
+    """r11 VERDICT #5 + r12 ADVICE (medium) + r13 VERDICT #6 (both index
+    layouts): the streaming upsert face must
     (a) produce the same live view as batch upserts, (b) SKIP a
     re-delivered epoch (idempotent marker, committed after the upsert,
     scoped to the CHECKPOINT), and (c) heal a crash that landed the
@@ -552,15 +594,13 @@ def test_streaming_upsert_foreach_batch_and_crash_order(spark, tmp_path):
     import json
     import os
 
-    from semantic_vector_search_system_spark.sources.parquet_index import (
-        read_live_index,
-    )
     from semantic_vector_search_system_spark.streaming.events import (
         streaming_upsert_foreach_batch,
     )
 
+    init, read_live, raw_count = _layout_io(layout)
     idx = str(tmp_path / "stream_idx")
-    _mini_index(spark, idx)  # d0..d5, batch 0
+    init(spark, idx)  # d0..d5, batch 0
 
     # stream source: two parquet files with DISJOINT id sets
     src = str(tmp_path / "updates")
@@ -587,9 +627,10 @@ def test_streaming_upsert_foreach_batch_and_crash_order(spark, tmp_path):
         .parquet(src)
     )
     streaming_upsert_foreach_batch(
-        stream, idx, id_col="docid", checkpoint=str(tmp_path / "ckpt")
+        stream, idx, id_col="docid", checkpoint=str(tmp_path / "ckpt"),
+        layout=layout,
     )
-    live = read_live_index(spark, idx, id_col="docid")
+    live = read_live(spark, idx)
     assert live.count() == 7  # 6 base - 2 replaced + 2 new gens + 1 insert
     got = {r["docid"]: r["vec"][0] for r in live.collect()}
     assert got["d0"] == 90.0 and got["d1"] == 91.0 and got["d9"] == 99.0
@@ -613,11 +654,13 @@ def test_streaming_upsert_foreach_batch_and_crash_order(spark, tmp_path):
         _make_upsert_handler,
     )
 
-    raw_before = spark.read.parquet(idx).count()
-    handle = _make_upsert_handler(idx, marker_dir, "docid", None, None)
+    raw_before = raw_count(spark, idx)
+    handle = _make_upsert_handler(
+        idx, marker_dir, "docid", None, None, layout=layout
+    )
     handle(spark.read.parquet(src), 0)  # epoch 0 marker exists -> skip
     handle(spark.read.parquet(src), 1)
-    assert spark.read.parquet(idx).count() == raw_before
+    assert raw_count(spark, idx) == raw_before
     # ... and re-running the whole stream on the SAME checkpoint is also
     # a no-op (Spark's own offset log short-circuits before the handler)
     stream2 = (
@@ -626,9 +669,10 @@ def test_streaming_upsert_foreach_batch_and_crash_order(spark, tmp_path):
         .parquet(src)
     )
     streaming_upsert_foreach_batch(
-        stream2, idx, id_col="docid", checkpoint=str(tmp_path / "ckpt")
+        stream2, idx, id_col="docid", checkpoint=str(tmp_path / "ckpt"),
+        layout=layout,
     )
-    assert spark.read.parquet(idx).count() == raw_before
+    assert raw_count(spark, idx) == raw_before
 
     # (c) crash between upsert and marker: the SAME epoch re-delivers
     # with no marker; the re-run upserts under a fresh generation,
@@ -637,13 +681,16 @@ def test_streaming_upsert_foreach_batch_and_crash_order(spark, tmp_path):
     handle(
         spark.read.parquet(os.path.join(src, "u1.parquet")), 1
     )  # re-delivery of epoch 1
-    live2 = read_live_index(spark, idx, id_col="docid")
+    live2 = read_live(spark, idx)
     assert live2.count() == 7
     got2 = {r["docid"]: r["vec"][0] for r in live2.collect()}
     assert got2 == got  # identical live view after healing
 
 
-def test_streaming_upsert_fresh_checkpoint_does_not_skip(spark, tmp_path):
+@pytest.mark.parametrize("layout", ["symlink", "manifest"])
+def test_streaming_upsert_fresh_checkpoint_does_not_skip(
+    spark, tmp_path, layout
+):
     """r12 ADVICE (medium) regression: restarting the stream with a FRESH
     checkpointLocation restarts epoch ids at 0; under the old
     index-scoped marker layout the new epoch 0 collided with the old
@@ -653,15 +700,13 @@ def test_streaming_upsert_fresh_checkpoint_does_not_skip(spark, tmp_path):
     duplicates) and land the new rows."""
     import os
 
-    from semantic_vector_search_system_spark.sources.parquet_index import (
-        read_live_index,
-    )
     from semantic_vector_search_system_spark.streaming.events import (
         streaming_upsert_foreach_batch,
     )
 
+    init, read_live, _raw = _layout_io(layout)
     idx = str(tmp_path / "fresh_ckpt_idx")
-    _mini_index(spark, idx)  # d0..d5
+    init(spark, idx)  # d0..d5
     src = str(tmp_path / "updates")
     os.makedirs(src)
 
@@ -684,9 +729,10 @@ def test_streaming_upsert_fresh_checkpoint_does_not_skip(spark, tmp_path):
         spark.readStream.schema(spark.read.parquet(src).schema).parquet(src)
     )
     streaming_upsert_foreach_batch(
-        stream, idx, id_col="docid", checkpoint=str(tmp_path / "ckptA")
+        stream, idx, id_col="docid", checkpoint=str(tmp_path / "ckptA"),
+        layout=layout,
     )
-    assert read_live_index(spark, idx, id_col="docid").count() == 6
+    assert read_live(spark, idx).count() == 6
 
     # new data arrives; the stream is restarted with a FRESH checkpoint,
     # so ALL files (old u0 + new u1) land in the new stream's epoch 0 —
@@ -702,9 +748,10 @@ def test_streaming_upsert_fresh_checkpoint_does_not_skip(spark, tmp_path):
         spark.readStream.schema(spark.read.parquet(src).schema).parquet(src)
     )
     streaming_upsert_foreach_batch(
-        stream2, idx, id_col="docid", checkpoint=str(tmp_path / "ckptB")
+        stream2, idx, id_col="docid", checkpoint=str(tmp_path / "ckptB"),
+        layout=layout,
     )
-    live = read_live_index(spark, idx, id_col="docid")
+    live = read_live(spark, idx)
     got = {r["docid"]: r["vec"][0] for r in live.collect()}
     assert got["d42"] == 42.0  # the new row LANDED (old layout dropped it)
     assert got["d0"] == 90.0  # the replayed replacement healed, not duped
@@ -994,3 +1041,214 @@ def test_put_pointer_cas_is_atomic_under_thread_race(tmp_path):
         t.join()
     assert len(wins) == 1 and len(losses) == 7
     assert get_pointer(path)["dir"] == f"gen-2-{wins[0]}"
+
+
+def test_upsert_max_batch_sidecar_lifecycle(spark, tmp_path):
+    """r13 VERDICT #2: the max-generation probe is a sidecar read, not a
+    thin index scan — claimed on write, advanced monotonically on every
+    upsert BEFORE the append (a claim-then-crash leaves a harmless id
+    gap, never a reusable id), rebuilt once from the thin scan when
+    missing (legacy index), and authoritative for the explicit-batch
+    freshness gate."""
+    import json
+    import os
+
+    from semantic_vector_search_system_spark.sources.parquet_index import (
+        _meta_path,
+        _read_claimed_max_batch,
+        upsert_vector_index,
+        write_vector_index,
+    )
+
+    path = str(tmp_path / "side_idx")
+    base = spark.createDataFrame(
+        [(f"d{i}", [float(i), 0.0], "news") for i in range(6)],
+        "docid string, vec array<float>, category string",
+    )
+    write_vector_index(base, path, batch=0)
+    assert _read_claimed_max_batch(path) == 0
+
+    upd = spark.createDataFrame(
+        [("d0", [9.0, 0.0], "news")],
+        "docid string, vec array<float>, category string",
+    )
+    out = upsert_vector_index(spark, path, upd, id_col="docid")
+    assert out["batch"] == 1 and _read_claimed_max_batch(path) == 1
+
+    # legacy index (no sidecar): ONE thin-scan fallback, claim persisted
+    os.remove(_meta_path(path))
+    out2 = upsert_vector_index(spark, path, upd, id_col="docid")
+    assert out2["batch"] == 2
+    assert _read_claimed_max_batch(path) == 2
+
+    # claim-then-crash: a claimed-but-never-written generation is a GAP,
+    # not a reuse — the next auto batch id skips past it
+    with open(_meta_path(path), "w") as fh:
+        json.dump({"max_batch": 7}, fh)
+    out3 = upsert_vector_index(spark, path, upd, id_col="docid")
+    assert out3["batch"] == 8
+    # and the explicit-batch freshness gate reads the sidecar claim
+    with pytest.raises(ValueError, match="not fresh"):
+        upsert_vector_index(spark, path, upd, id_col="docid", batch=8)
+
+    # overwrite RESETS the claim (history discarded with the data)
+    write_vector_index(base, path, batch=0, mode="overwrite")
+    assert _read_claimed_max_batch(path) == 0
+
+
+def test_upsert_superseded_probe_prunes_to_touched_partitions(
+    spark, tmp_path
+):
+    """The r13 VERDICT #2 scale property, plan-gated: under the
+    stable_partitions contract the superseded probe's parquet scan
+    carries the touched-partition values as PartitionFilters — the
+    upsert job reads only the partition directories the update batch
+    names, O(touched), never the whole live index."""
+    from semantic_vector_search_system_spark.sources.parquet_index import (
+        _superseded_probe,
+        upsert_vector_index,
+        write_vector_index,
+    )
+
+    path = str(tmp_path / "pruned_idx")
+    cats = ["news", "sports", "science", "arts"]
+    base = spark.createDataFrame(
+        [(f"d{i}", [float(i), 0.0], cats[i % 4]) for i in range(40)],
+        "docid string, vec array<float>, category string",
+    )
+    write_vector_index(base, path, partition_by="category", batch=0)
+
+    # id->category is stable here (derived from the id), so pruning is
+    # sound; the update touches ONLY the "news" partition
+    upd = spark.createDataFrame(
+        [(f"d{i}", [100.0, 1.0], "news") for i in (0, 4, 8)],
+        "docid string, vec array<float>, category string",
+    )
+    out = upsert_vector_index(
+        spark, path, upd, id_col="docid", partition_by="category",
+        stable_partitions=True,
+    )
+    assert out == {"upserted": 3, "replaced": 3, "batch": 1}
+
+    # plan gate on the exact probe relation the upsert builds
+    keys = F.broadcast(upd.select("docid").distinct())
+    probe = _superseded_probe(
+        spark, path, keys, 2, "docid", "category", ["news"]
+    )
+    plan = probe._jdf.queryExecution().executedPlan().toString()
+    pf_line = next(
+        ln for ln in plan.splitlines() if "PartitionFilters" in ln
+    )
+    assert "category" in pf_line and "news" in pf_line, pf_line
+    # and the probe stays thin: no vector column in the read schema
+    read_schema = plan.split("ReadSchema: ", 1)[1].splitlines()[0]
+    assert "vec" not in read_schema, read_schema
+
+
+def test_upsert_pruning_unsafe_when_partitions_move(spark, tmp_path):
+    """WHY stable_partitions defaults to False (the correctness analysis
+    behind r13 VERDICT #2's 'prune when partition_by is set'): with a
+    payload-derived partition key an id MOVES partitions between
+    generations (an IVF cent_id re-assignment — the bench churn negates
+    vectors and nearly every id changes list), the update batch never
+    names the old partition, and a pruned probe misses the old
+    generation — BOTH generations stay live.  The default full probe
+    handles the move correctly."""
+    from semantic_vector_search_system_spark.sources.parquet_index import (
+        read_live_index,
+        upsert_vector_index,
+        write_vector_index,
+    )
+
+    def build(path):
+        base = spark.createDataFrame(
+            [("d0", [1.0, 0.0], "news"), ("d1", [2.0, 0.0], "sports")],
+            "docid string, vec array<float>, category string",
+        )
+        write_vector_index(base, path, partition_by="category", batch=0)
+
+    # d0 moves news -> sports (category derived from the new payload)
+    moved = spark.createDataFrame(
+        [("d0", [9.0, 9.0], "sports")],
+        "docid string, vec array<float>, category string",
+    )
+
+    # default (full probe): the move is caught, one live generation
+    safe = str(tmp_path / "safe_idx")
+    build(safe)
+    out = upsert_vector_index(
+        spark, safe, moved, id_col="docid", partition_by="category"
+    )
+    assert out["replaced"] == 1
+    live = read_live_index(spark, safe, id_col="docid")
+    assert live.filter(F.col("docid") == "d0").count() == 1
+
+    # stable_partitions=True on a MOVING key: the pruned probe reads only
+    # the new partition, misses the old generation, and both stay live —
+    # the documented contract violation this test pins
+    unsafe = str(tmp_path / "unsafe_idx")
+    build(unsafe)
+    out2 = upsert_vector_index(
+        spark, unsafe, moved, id_col="docid", partition_by="category",
+        stable_partitions=True,
+    )
+    assert out2["replaced"] == 0  # the old generation was NOT found
+    live2 = read_live_index(spark, unsafe, id_col="docid")
+    assert live2.filter(F.col("docid") == "d0").count() == 2
+
+
+def test_promote_grace_survives_symlinked_ancestor(spark, tmp_path):
+    """r13 ADVICE (low): with a SYMLINKED ANCESTOR directory (macOS /tmp,
+    a linked data mount), resolving the index link with realpath also
+    resolves the ancestors while _gen_dirs entries preserve them — a
+    one-sided comparison never matches the keep-set and the grace-GC
+    rmtrees the PREVIOUS generation immediately after the swap, voiding
+    the documented one-generation reader grace.  Both sides now
+    canonicalize with realpath; the previous generation must survive a
+    swap performed through the linked path."""
+    import os
+
+    from semantic_vector_search_system_spark.sources.parquet_index import (
+        compact_vector_index,
+        delete_from_vector_index,
+        read_live_index,
+        write_vector_index,
+    )
+
+    real_base = tmp_path / "real_base"
+    real_base.mkdir()
+    linked_base = tmp_path / "linked_base"
+    os.symlink(str(real_base), str(linked_base))
+    idx = str(linked_base / "anc_idx")
+
+    base = spark.createDataFrame(
+        [(f"d{i}", [float(i), 0.0], "news") for i in range(8)],
+        "docid string, vec array<float>, category string",
+    )
+    write_vector_index(base, idx, batch=0)
+
+    def gens():
+        return sorted(
+            n for n in os.listdir(str(real_base))
+            if n.startswith("anc_idx__gen")
+        )
+
+    # first compact: legacy migration (real dir -> gen1, new tree gen2)
+    delete_from_vector_index(
+        spark, idx, spark.createDataFrame([("d0",)], "docid string")
+    )
+    assert compact_vector_index(spark, idx, id_col="docid")["compacted"]
+    assert os.path.islink(idx)
+    assert gens() == ["anc_idx__gen1", "anc_idx__gen2"]
+
+    # second compact through the SYMLINKED-ancestor path (was_link=True —
+    # the code path whose prev_target is obtained by resolving the link):
+    # gen2 must survive as reader grace, gen1 must be dropped
+    prev_real = os.path.realpath(idx)
+    delete_from_vector_index(
+        spark, idx, spark.createDataFrame([("d1",)], "docid string")
+    )
+    assert compact_vector_index(spark, idx, id_col="docid")["compacted"]
+    assert gens() == ["anc_idx__gen2", "anc_idx__gen3"]
+    assert os.path.isdir(prev_real)  # the grace generation is intact
+    assert read_live_index(spark, idx, id_col="docid").count() == 6
