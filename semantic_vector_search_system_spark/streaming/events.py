@@ -188,6 +188,7 @@ def _make_upsert_handler(
     version_col: str | None,
     partition_by: str | None,
     layout: str = "symlink",
+    stable_partitions: bool = False,
 ):
     """The foreachBatch handler for :func:`streaming_upsert_foreach_batch`
     (factored out so tests can drive re-delivery/skip directly).
@@ -227,6 +228,7 @@ def _make_upsert_handler(
                 id_col=id_col,
                 batch=None,  # auto-assign: monotonic in stream order
                 partition_by=partition_by,
+                stable_partitions=stable_partitions,
             )
         else:
             from ..sources.parquet_index import upsert_vector_index
@@ -238,6 +240,7 @@ def _make_upsert_handler(
                 id_col=id_col,
                 batch=None,  # auto-assign: monotonic in stream order
                 partition_by=partition_by,
+                stable_partitions=stable_partitions,
             )
         tmp = marker + ".tmp"
         with open(tmp, "w") as fh:
@@ -255,6 +258,7 @@ def streaming_upsert_foreach_batch(
     partition_by: str | None = None,
     checkpoint: str | None = None,
     layout: str = "symlink",
+    stable_partitions: bool = False,
 ) -> None:
     """Streaming UPSERT face of the mutable vector index (r11 VERDICT #5;
     reference online write path: `pinecone/client.py:61-90`,
@@ -289,6 +293,11 @@ def streaming_upsert_foreach_batch(
     rejects same-batch duplicates by design).  Rows with duplicate
     ``(id, version)`` pairs are caller error — ties are not broken.
 
+    ``stable_partitions`` passes through to the upsert's superseded-probe
+    pruning contract (see ``upsert_vector_index`` — opt-in ONLY when an
+    id's partition value is a stable function of the id/immutable
+    metadata; payload-derived keys like cent_id must keep the default).
+
     ``layout`` (r13 VERDICT #6): ``"symlink"`` (default, shared-FS
     generation layout — the index may not exist yet and is created by
     the first upsert) or ``"manifest"`` (object-store pointer layout —
@@ -316,7 +325,7 @@ def streaming_upsert_foreach_batch(
     os.makedirs(marker_dir, exist_ok=True)
     handle = _make_upsert_handler(
         index_path, marker_dir, id_col, version_col, partition_by,
-        layout=layout,
+        layout=layout, stable_partitions=stable_partitions,
     )
     writer = updates_stream.writeStream.foreachBatch(handle).trigger(
         availableNow=True
