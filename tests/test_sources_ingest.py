@@ -1252,3 +1252,76 @@ def test_promote_grace_survives_symlinked_ancestor(spark, tmp_path):
     assert gens() == ["anc_idx__gen2", "anc_idx__gen3"]
     assert os.path.isdir(prev_real)  # the grace generation is intact
     assert read_live_index(spark, idx, id_col="docid").count() == 6
+
+
+def test_upsert_empty_batch_is_noop_with_id_gap(spark, tmp_path):
+    """An empty updates batch must not hang the Observation landed-count
+    or corrupt state: zero rows land, nothing is superseded, and the
+    claimed-then-unused generation id is a harmless gap (the same
+    contract as a claim-then-crash)."""
+    from semantic_vector_search_system_spark.sources.parquet_index import (
+        read_live_index,
+        upsert_vector_index,
+        write_vector_index,
+    )
+
+    path = str(tmp_path / "empty_idx")
+    base = spark.createDataFrame(
+        [("d0", [1.0, 0.0], "news")],
+        "docid string, vec array<float>, category string",
+    )
+    write_vector_index(base, path, partition_by="category", batch=0)
+    empty = spark.createDataFrame(
+        [], "docid string, vec array<float>, category string"
+    )
+    out = upsert_vector_index(
+        spark, path, empty, id_col="docid", partition_by="category",
+        stable_partitions=True,
+    )
+    assert out == {"upserted": 0, "replaced": 0, "batch": 1}
+    assert read_live_index(spark, path, id_col="docid").count() == 1
+    # the burned id is a gap, not a reuse
+    upd = spark.createDataFrame(
+        [("d0", [2.0, 0.0], "news")],
+        "docid string, vec array<float>, category string",
+    )
+    assert upsert_vector_index(spark, path, upd, id_col="docid")["batch"] == 2
+
+
+def test_manifest_compact_carries_max_batch_claim(spark, tmp_path):
+    """Manifest-layout compaction rewrites into a NEW generation
+    directory, which would orphan the per-generation max-batch sidecar —
+    compact_manifest_index must carry the claim forward so the first
+    post-compaction upsert stays O(1) on the generation probe AND keeps
+    the id sequence monotonic across the rewrite."""
+    from semantic_vector_search_system_spark.sources.manifest_index import (
+        compact_manifest_index,
+        current_gen_dir,
+        upsert_manifest_index,
+        write_manifest_index,
+    )
+    from semantic_vector_search_system_spark.sources.parquet_index import (
+        _read_claimed_max_batch,
+    )
+
+    path = str(tmp_path / "mani_claim")
+    base = spark.createDataFrame(
+        [(f"d{i}", [float(i), 0.0], "news") for i in range(5)],
+        "docid string, vec array<float>, category string",
+    )
+    write_manifest_index(base.withColumn("_batch", F.lit(0)), path)
+
+    upd = spark.createDataFrame(
+        [("d0", [9.0, 0.0], "news")],
+        "docid string, vec array<float>, category string",
+    )
+    out = upsert_manifest_index(spark, path, upd, id_col="docid")
+    assert out["batch"] == 1  # legacy thin-scan fallback, claim persisted
+    assert _read_claimed_max_batch(current_gen_dir(path)) == 1
+
+    res = compact_manifest_index(spark, path, id_col="docid")
+    assert res["compacted"] is True
+    # claim travelled into the NEW generation's sidecar
+    assert _read_claimed_max_batch(current_gen_dir(path)) == 1
+    out2 = upsert_manifest_index(spark, path, upd, id_col="docid")
+    assert out2["batch"] == 2  # monotonic across the rewrite, no rescan
