@@ -1250,9 +1250,17 @@ def main() -> None:
             sd_cents = dvec.filter(
                 F.substring("docid", 2, 18).cast("long") < 1024
             ).select(F.col("docid").alias("cent_id"), F.col("vec").alias("cvec"))
+            # r14: assign="inline" (scalar-UDF struct on the carried row)
+            # replaces "fast_join" — parity-tested row-identical
+            # (tests/test_dedup_textanalysis.py::
+            # test_semdedup_inline_strategy_parity_and_single_exchange);
+            # interleaved 1M A/B under load: fast_join {113, 81, 31} s vs
+            # inline {37, 17, 17} s — the vec column no longer re-encodes
+            # out of Python (fast's tax) NOR shuffles twice through the
+            # id rejoin (fast_join's tax); ONE Exchange total.
             sd_plan = semdedup(
                 dvec, sd_cents, threshold=0.99, keep="far",
-                id_col="docid", vec_col="vec", assign="fast_join",
+                id_col="docid", vec_col="vec", assign="inline",
                 score_dtype="float32",
             )
             timings[f"semdedup_{n}_docs"], spread = best_of(
@@ -1261,10 +1269,12 @@ def main() -> None:
             )
             query_meta[f"semdedup_{n}_docs"] = {
                 "n_clusters": 1024, "threshold": 0.99, "keep": "far",
-                "score_dtype": "float32", "assign": "fast_join",
+                "score_dtype": "float32", "assign": "inline",
                 "repeats": 2, "spread": spread, "since_round": 7,
-                "timed_region": "skinny Arrow assign -> JVM vec join -> "
-                "cent_id shuffle -> per-cluster tiled triangular-max prune",
+                "timed_region": "scalar-UDF struct assign on the carried "
+                "row (one Arrow crossing IN, thin struct back) -> ONE "
+                "cent_id shuffle -> per-cluster tiled triangular-max "
+                "prune (r14; was fast_join: skinny assign + JVM vec join)",
             }
             emit(timings, query_meta, sf, partial=True)
             rq.unpersist()
@@ -1388,8 +1398,13 @@ def main() -> None:
             linear_quality_margin,
         )
 
+        # r14: strategy="fast" (Arrow kernel, per-distinct-token memoized
+        # digests) replaces the expr DECIMAL fold — BITWISE-identical
+        # output (tests/test_quality_filters.py::
+        # test_linear_quality_margin_fast_face_bitwise_parity); the expr
+        # face pays one md5 expression per token INSTANCE (~111M here).
         timings["quality_classifier_1000000_docs"], spread = best_of(
-            lambda: linear_quality_margin(docs, id_col="id")
+            lambda: linear_quality_margin(docs, id_col="id", strategy="fast")
             .write.format("noop")
             .mode("overwrite")
             .save(),
@@ -1397,6 +1412,8 @@ def main() -> None:
         )
         query_meta["quality_classifier_1000000_docs"] = {
             "repeats": 2, "spread": spread, "since_round": 7,
+            "strategy": "fast (r14; expr face through r13 — "
+            "bitwise-parity-tested)",
         }
         emit(timings, query_meta, sf, partial=True)
 

@@ -38,11 +38,62 @@ def nearest_centroid_udf(cent_type: str, bc, topn_sel):
         all_cids, Cm = bc.value
         if vecs.empty:
             return pd.Series([], dtype=object)
-        D = np.array(vecs.tolist(), dtype=np.float64)
+        # stack, not tolist(): Arrow hands list cells back as ndarrays —
+        # stack is a per-row memcpy (r14, guide §4.2)
+        D = np.stack(vecs.to_numpy()).astype(np.float64, copy=False)
         dn = np.linalg.norm(D, axis=1, keepdims=True)
         Dn = np.divide(D, dn, out=np.zeros_like(D), where=dn > 0)
         S = Dn @ Cm.T
-        sel = np.concatenate([s[:1] for s in topn_sel(S, all_cids, 1)])
+        sel = topn_sel(S, all_cids, 1)[:, 0]
         return pd.Series(all_cids[sel])
+
+    return assign
+
+
+def nearest_centroid_sim_udf(cent_type: str, bc, f32: bool):
+    """Scalar pandas UDF assigning each vector its nearest centroid id AND
+    the winning cosine as ONE struct column — the SemDeDup twin of
+    :func:`nearest_centroid_udf` (r14).
+
+    ``bc`` is a broadcast of ``(cent_ids, normalized_centroid_matrix)``
+    (float32 matrix when ``f32``).  Arithmetic and tie-break mirror
+    ``operators.similarity.semdedup_assign_fast`` exactly: batch
+    normalize in the scoring dtype, one matmul against the
+    cent_id-ascending centroid matrix, ``argmax`` first-max rule = the
+    ascending-cent_id tie-break, None cells score as zero vectors.  The
+    vector column crosses into Python once, only the thin (cent_id,
+    cent_sim) struct crosses back, and the carrying row never leaves the
+    JVM plan — the ``ivf_assign_inline`` minimum-data-motion shape
+    applied to the assignment that SemDeDup's keep-order needs."""
+    import numpy as np
+
+    @pandas_udf(f"struct<cent_id:{cent_type}, cent_sim:double>")
+    def assign(vecs: pd.Series) -> pd.DataFrame:
+        all_cids, Cm = bc.value
+        order = np.argsort(all_cids, kind="stable")
+        Cm_o, cids_o = Cm[order], all_cids[order]
+        if vecs.empty:
+            return pd.DataFrame({"cent_id": [], "cent_sim": []})
+        dim = Cm_o.shape[1]
+        want = np.float32 if f32 else np.float64
+        if vecs.isna().any():
+            D = np.array(
+                [v if v is not None else [0.0] * dim for v in vecs],
+                dtype=want,
+            )
+        else:
+            # Arrow hands list<float> cells back as ndarrays; stack is a
+            # per-row memcpy, no python-level upcast loop
+            D = np.stack(vecs.to_numpy()).astype(want, copy=False)
+        dn = np.linalg.norm(D, axis=1, keepdims=True)
+        Dn = np.divide(D, dn, out=np.zeros_like(D), where=dn > 0)
+        S = Dn @ Cm_o.T
+        best = np.argmax(S, axis=1)
+        return pd.DataFrame(
+            {
+                "cent_id": cids_o[best],
+                "cent_sim": S[np.arange(len(best)), best].astype(np.float64),
+            }
+        )
 
     return assign

@@ -140,48 +140,142 @@ def dsir_topk(
     return top.withColumn("rank", F.row_number().over(w).cast("int"))
 
 
-def _py_grams(text: str) -> list[str]:
-    # py_tokenize == functions.text.tokenize's Java-\s+ class (NOT
-    # str.split(): that also splits on NBSP/\x85/  etc., which would
-    # give different features under strategy='fast' / dsir_score_batch /
-    # the streaming gate than under strategy='expr' — r8 ADVICE fix,
-    # parity-pinned by test_dsir unicode-whitespace case)
-    toks = py_tokenize(text)
-    return toks + [f"{a} {b}" for a, b in zip(toks, toks[1:])]
+# Gram definition shared by every fast face: unigrams = py_tokenize(text)
+# (functions.text.tokenize's Java-\s+ class, NOT str.split(): that also
+# splits on NBSP/\x85/unicode line separators etc., which would give
+# different features under strategy='fast' / dsir_score_batch / the
+# streaming gate than under strategy='expr' — r8 ADVICE fix,
+# parity-pinned by test_dsir unicode-whitespace case); bigrams =
+# "w1 w2" over adjacent tokens.
+
+
+def _feat_fns(n_buckets: int):
+    """The md5 feature hash with worker-global memos, split by gram kind
+    (the encode-kernel precedent): md5 runs once per DISTINCT gram per
+    worker.  Bigrams memo on the TOKEN TUPLE so the hot loop never
+    builds the "w1 w2" string (or hashes it) for a pair it has already
+    seen — the string join + digest run only on memo misses."""
+    import hashlib
+
+    uni_memo: dict[str, int] = {}
+    bi_memo: dict[tuple, int] = {}
+
+    def feat_of(g: str) -> int:
+        f = uni_memo.get(g)
+        if f is None:
+            f = int(hashlib.md5(g.encode("utf-8")).hexdigest()[:15], 16) % n_buckets
+            uni_memo[g] = f
+        return f
+
+    def feat_of_bi(p: tuple) -> int:
+        f = bi_memo.get(p)
+        if f is None:
+            g = p[0] + " " + p[1]
+            f = int(hashlib.md5(g.encode("utf-8")).hexdigest()[:15], 16) % n_buckets
+            bi_memo[p] = f
+        return f
+
+    return feat_of, feat_of_bi
 
 
 def _count_kernel(n_buckets: int, text_col: str):
-    """Per-batch hashed-gram counting with a worker-global digest memo
-    (the encode-kernel precedent): md5 runs once per DISTINCT gram per
-    worker, and each batch emits at most n_buckets partial rows."""
-    import hashlib
+    """Per-batch hashed-gram counting; each batch emits at most n_buckets
+    partial rows.
 
+    r14 (guide §4.2 — vectorize inside the kernel): gram instances are
+    counted at BATCH level by ``Counter.update`` (C-speed
+    ``_count_elements`` over the token list / bigram-tuple zip), and the
+    Python-level work — memo probe + feature bucketing — runs once per
+    DISTINCT gram per batch instead of once per INSTANCE.  On the 1M
+    bench corpus (~211M gram instances, tiny generator vocabulary) that
+    removes ~99% of the interpreted iterations; output is the identical
+    integer count relation (instance-level sums commute)."""
     import pandas as pd
 
-    memo: dict[str, int] = {}
-
-    def feat_of(g: str) -> int:
-        f = memo.get(g)
-        if f is None:
-            f = int(hashlib.md5(g.encode("utf-8")).hexdigest()[:15], 16) % n_buckets
-            memo[g] = f
-        return f
+    feat_of, feat_of_bi = _feat_fns(n_buckets)
 
     def fn(batches):
         from collections import Counter
 
         for pdf in batches:
-            c: Counter = Counter()
+            tc: Counter = Counter()
+            bc: Counter = Counter()
             for t in pdf[text_col]:
                 if t:
-                    for g in _py_grams(t):
-                        c[feat_of(g)] += 1
+                    toks = py_tokenize(t)
+                    tc.update(toks)
+                    if len(toks) > 1:
+                        bc.update(zip(toks, toks[1:]))
+            c: Counter = Counter()
+            for tok, k in tc.items():
+                c[feat_of(tok)] += k
+            for p, k in bc.items():
+                c[feat_of_bi(p)] += k
             if c:
                 yield pd.DataFrame(
                     {"feat": list(c.keys()), "pc": list(c.values())}
                 )
 
     return fn, feat_of
+
+
+def _score_kernel(n_buckets: int, text_col: str, doc_id: str, int_r: dict):
+    """Per-doc scoring kernel shared by the fast face and the stored-model
+    serving face (r14, guide §4.2): per-doc gram counts via C-speed
+    ``Counter`` over the token list / bigram-tuple zip (no per-instance
+    string building), and a worker-global memo from DISTINCT gram straight
+    to its exact 1e-12-scaled integer ratio.  The summed integer is
+    bitwise the per-instance loop's (instance sums commute), so the
+    Decimal replay — exact decimal sum -> double (cast), one IEEE
+    division, round-6 HALF_UP — is unchanged."""
+    import math
+    from decimal import Decimal
+
+    feat_of, feat_of_bi = _feat_fns(n_buckets)
+    r_uni: dict[str, int] = {}
+    r_bi: dict[tuple, int] = {}
+
+    def score_fn(batches):
+        from collections import Counter
+
+        import pandas as pd
+
+        for pdf in batches:
+            ids, nfs, scs = [], [], []
+            for did, t in zip(pdf[doc_id], pdf[text_col]):
+                if not t:
+                    continue
+                toks = py_tokenize(t)
+                nt = len(toks)
+                if nt == 0:
+                    continue
+                n = nt + (nt - 1 if nt > 1 else 0)
+                total = 0
+                for tok, k in Counter(toks).items():
+                    v = r_uni.get(tok)
+                    if v is None:
+                        v = int_r[feat_of(tok)]
+                        r_uni[tok] = v
+                    total += k * v
+                if nt > 1:
+                    for p, k in Counter(zip(toks, toks[1:])).items():
+                        v = r_bi.get(p)
+                        if v is None:
+                            v = int_r[feat_of_bi(p)]
+                            r_bi[p] = v
+                        total += k * v
+                # exact decimal sum -> double (cast), one IEEE division,
+                # round-6 HALF_UP: F.round semantics replayed exactly
+                mean = float(Decimal(total).scaleb(-12)) / float(n)
+                ids.append(did)
+                nfs.append(n)
+                scs.append(math.floor(mean * 1e6 + 0.5) / 1e6)
+            if ids:
+                yield pd.DataFrame(
+                    {doc_id: ids, "n_feats": nfs, "dsir_score": scs}
+                )
+
+    return score_fn
 
 
 def _fast_counts(
@@ -216,9 +310,6 @@ def _dsir_topk_fast(
     DECIMAL aggregation. Measured at 1M docs (111M tokens): the expr
     face exceeds 9 minutes; this face is tens of seconds."""
     import math
-    from decimal import Decimal
-
-    import pandas as pd
 
     ct, tn = _fast_counts(target_docs, n_buckets, text_col)
     cr, rn = _fast_counts(raw_docs, n_buckets, text_col)
@@ -230,34 +321,7 @@ def _dsir_topk_fast(
         # the expr face's quantize(r, 12), scaled (FLOOR form, r10 #2)
         int_r[f] = math.floor(r * 1e12 + 0.5)
 
-    _, feat_of = _count_kernel(n_buckets, text_col)
-
-    def score_fn(batches):
-        from collections import Counter
-
-        for pdf in batches:
-            ids, nfs, scs = [], [], []
-            for did, t in zip(pdf[doc_id], pdf[text_col]):
-                if not t:
-                    continue
-                c: Counter = Counter()
-                for g in _py_grams(t):
-                    c[feat_of(g)] += 1
-                n = sum(c.values())
-                if n == 0:
-                    continue
-                total = sum(cnt * int_r[f] for f, cnt in c.items())
-                # exact decimal sum -> double (cast), one IEEE division,
-                # round-6 HALF_UP: F.round semantics replayed exactly
-                mean = float(Decimal(total).scaleb(-12)) / float(n)
-                ids.append(did)
-                nfs.append(n)
-                scs.append(math.floor(mean * 1e6 + 0.5) / 1e6)
-            if ids:
-                yield pd.DataFrame(
-                    {doc_id: ids, "n_feats": nfs, "dsir_score": scs}
-                )
-
+    score_fn = _score_kernel(n_buckets, text_col, doc_id, int_r)
     id_type = dict(raw_docs.dtypes)[doc_id]
     rep = raw_docs.select(doc_id, text_col).mapInPandas(
         score_fn, schema=f"{doc_id} {id_type}, n_feats long, dsir_score double"
@@ -337,36 +401,7 @@ def dsir_score_batch(
         int(r["feat"]): int(r["int_r"])
         for r in spark.read.table(f"{table_prefix}_ratios").collect()
     }  # bounded: n_buckets rows (the whole stored model)
-    import math
-    from decimal import Decimal
-
-    _, feat_of = _count_kernel(n_buckets, text_col)
-
-    def score_fn(batches):
-        import pandas as pd
-        from collections import Counter
-
-        for pdf in batches:
-            ids, nfs, scs = [], [], []
-            for did, t in zip(pdf[doc_id], pdf[text_col]):
-                if not t:
-                    continue
-                c: Counter = Counter()
-                for g in _py_grams(t):
-                    c[feat_of(g)] += 1
-                n = sum(c.values())
-                if n == 0:
-                    continue
-                total = sum(cnt * int_r[f] for f, cnt in c.items())
-                mean = float(Decimal(total).scaleb(-12)) / float(n)
-                ids.append(did)
-                nfs.append(n)
-                scs.append(math.floor(mean * 1e6 + 0.5) / 1e6)
-            if ids:
-                yield pd.DataFrame(
-                    {doc_id: ids, "n_feats": nfs, "dsir_score": scs}
-                )
-
+    score_fn = _score_kernel(n_buckets, text_col, doc_id, int_r)
     id_type = dict(batch_docs.dtypes)[doc_id]
     rep = batch_docs.select(doc_id, text_col).mapInPandas(
         score_fn, schema=f"{doc_id} {id_type}, n_feats long, dsir_score double"

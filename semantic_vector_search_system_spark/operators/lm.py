@@ -103,29 +103,33 @@ def _bigram_lm_score_fast(
     from ..functions.text import py_tokenize
 
     cnt2, cnt1, vocab = model
-    n2 = cnt2.count()
-    if n2 > max_model_rows:
+    # one collect doubles as the size gate — the r13 form paid a separate
+    # count() job (an extra scan of the stored table per serving call)
+    c2_rows = cnt2.collect()
+    if len(c2_rows) > max_model_rows:
         raise ValueError(
-            f"bigram_lm_score(strategy='fast'): cnt2 has {n2} rows > "
-            f"max_model_rows={max_model_rows} — use strategy='expr' "
+            f"bigram_lm_score(strategy='fast'): cnt2 has {len(c2_rows)} rows"
+            f" > max_model_rows={max_model_rows} — use strategy='expr' "
             "(distributed joins) for open-vocabulary models this large"
         )
-    c2 = {(r["w1"], r["w2"]): int(r["c12"]) for r in cnt2.collect()}
+    c2 = {(r["w1"], r["w2"]): int(r["c12"]) for r in c2_rows}
     c1 = {r["w1"]: int(r["c1"]) for r in cnt1.collect()}
     vs = int(vocab.collect()[0]["vs"])
     bc = docs.sparkSession.sparkContext.broadcast((c2, c1, vs))
 
     def fn(batches):
+        from collections import Counter
+
         b2, b1, bvs = bc.value
         memo: dict = {}
 
-        def int_r(a: str, b: str) -> int:
-            v = memo.get((a, b))
+        def int_r(p: tuple) -> int:
+            v = memo.get(p)
             if v is None:
-                r = (b2.get((a, b), 0) + 1.0) / (b1.get(a, 0) + bvs)
+                r = (b2.get(p, 0) + 1.0) / (b1.get(p[0], 0) + bvs)
                 # the expr face's quantize(r, 12), scaled: FLOOR(r·1e12+0.5)
                 v = math.floor(r * 1e12 + 0.5)
-                memo[(a, b)] = v
+                memo[p] = v
             return v
 
         for pdf in batches:
@@ -136,8 +140,12 @@ def _bigram_lm_score_fast(
                     continue  # no defined bigram likelihood (expr parity)
                 n = len(toks) - 1
                 total = 0
-                for a, b in zip(toks, toks[1:]):
-                    total += int_r(a, b)
+                # r14 (guide §4.2): count bigram TUPLES at C speed, pay
+                # the Python-level memo probe once per DISTINCT pair per
+                # doc — instance sums commute, so the integer is the
+                # per-instance loop's exactly
+                for p, k in Counter(zip(toks, toks[1:])).items():
+                    total += k * int_r(p)
                 # exact decimal sum -> double (cast), one IEEE division,
                 # quantize-6 (FLOOR form): the expr face's agg replayed
                 mean = float(Decimal(total).scaleb(-12)) / float(n)
@@ -193,13 +201,15 @@ def bigram_lm_score(
     (serving hot path; the curation funnel uses it).
     """
     if strategy == "auto":
-        # one cheap count on the (stored/checkpointed) model relation
-        # picks the face: kernel while the model fits a heap, expr joins
-        # beyond — callers with open-vocabulary models never crash, they
-        # degrade to the distributed path
-        strategy = (
-            "fast" if model[0].count() <= max_model_rows else "expr"
-        )
+        # one cheap BOUNDED probe on the (stored/checkpointed) model
+        # relation picks the face: kernel while the model fits a heap,
+        # expr joins beyond — callers with open-vocabulary models never
+        # crash, they degrade to the distributed path.  limit(bound+1)
+        # keeps the probe O(bound) instead of a full count of a
+        # corpus-shaped cnt2 (r14; the full count also re-ran per
+        # serving call)
+        probe = model[0].limit(max_model_rows + 1).count()
+        strategy = "fast" if probe <= max_model_rows else "expr"
     if strategy == "fast":
         return _bigram_lm_score_fast(
             docs, model, text_col, doc_id, max_model_rows

@@ -251,12 +251,84 @@ def quality_accept_col(text_col="text") -> Column:
     return (n_tok > 0) & (margin > 0)
 
 
+def _linear_quality_margin_fast(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    extra_cols: tuple[str, ...],
+) -> DataFrame:
+    """Arrow-kernel face of the weights=None margin, BITWISE-identical
+    output (parity-tested vs the expression face; the dsir/lm fast-face
+    recipe applied to the quality classifier — r14, guide §4.2).
+
+    Why the replay is exact: the stand-in weight is ``w(tok) = k/1000.0``
+    with ``k = stable_hash64('qw1'||tok) % 2001 - 1000`` an integer in
+    [-1000, 1000].  The double ``k/1000.0`` casts to DECIMAL(38,12) as
+    EXACTLY ``k·1e-3`` (a 3-decimal value is its own shortest repr;
+    HALF_UP at 12 places is lossless), so the expr face's running
+    DECIMAL fold is ``Σk · 1e-3`` and its final double cast is the
+    correctly-rounded double of ``Σk/1000`` — replayed here as
+    ``float(Decimal(Σk).scaleb(-3))``, followed by the same one IEEE
+    division by n_tokens.  Per-token md5 runs once per DISTINCT token
+    per worker (memo); per-doc token counts come from C-speed
+    ``Counter``; zero-token docs are dropped exactly like both
+    relational faces."""
+    from decimal import Decimal
+
+    from ..functions.hashing import stable_hash64_py
+    from ..functions.text import py_tokenize
+
+    dt = dict(docs.dtypes)
+    cols = [id_col, *extra_cols]
+    schema = ", ".join(
+        [f"`{c}` {dt[c]}" for c in cols] + ["n_tokens long", "margin double"]
+    )
+
+    def fn(batches):
+        from collections import Counter
+
+        import pandas as pd
+
+        memo: dict[str, int] = {}
+
+        def k_of(tok: str) -> int:
+            v = memo.get(tok)
+            if v is None:
+                v = stable_hash64_py("qw1" + tok) % 2001 - 1000
+                memo[tok] = v
+            return v
+
+        for pdf in batches:
+            kept_idx, nt_l, mg_l = [], [], []
+            for i, t in enumerate(pdf[text_col]):
+                toks = py_tokenize(t) if t else []
+                n = len(toks)
+                if n == 0:
+                    continue
+                total = 0
+                for tok, c in Counter(toks).items():
+                    total += c * k_of(tok)
+                kept_idx.append(i)
+                nt_l.append(n)
+                mg_l.append(float(Decimal(total).scaleb(-3)) / float(n))
+            if kept_idx:
+                sub = pdf if len(kept_idx) == len(pdf) else pdf.iloc[kept_idx]
+                out = {c: sub[c].to_numpy() for c in cols}
+                out["n_tokens"] = nt_l
+                out["margin"] = mg_l
+                yield pd.DataFrame(out)
+
+    rep = docs.select(*cols, text_col).mapInPandas(fn, schema=schema)
+    return rep.withColumn("accept", F.col("margin") > 0)
+
+
 def linear_quality_margin(
     docs: DataFrame,
     weights: DataFrame | None = None,
     id_col: str = "doc_id",
     text_col: str = "text",
     extra_cols: tuple[str, ...] = (),
+    strategy: str = "expr",
 ) -> DataFrame:
     """Model-based quality filtering, the classifier stage of production
     training-data pipelines (a fastText/logreg quality model scores every
@@ -276,7 +348,23 @@ def linear_quality_margin(
     the same margin is an explode + broadcast-join + per-doc aggregation
     (the weight table is vocabulary-sized — MBs — and broadcasts; the only
     shuffle is the doc-keyed mean).
+
+    ``strategy`` (weights=None only): ``"expr"`` (default, the oracle
+    face) or ``"fast"`` — the Arrow kernel with per-distinct-token
+    memoized digests, BITWISE-identical output (parity-tested; see
+    :func:`_linear_quality_margin_fast` for the exactness argument).
+    The fast face is the 10^8-token bench/serving path: the expr face
+    pays one md5 EXPRESSION per token INSTANCE inside the fold.
     """
+    if strategy not in ("expr", "fast"):
+        raise ValueError(f"unknown strategy {strategy!r}")
+    if strategy == "fast":
+        if weights is not None:
+            raise ValueError(
+                "strategy='fast' replays the deterministic weights=None "
+                "margin; pass weights through the expr face"
+            )
+        return _linear_quality_margin_fast(docs, id_col, text_col, extra_cols)
     toks = tokenize(text_col)
     if weights is None:
         margin_sum = _margin_sum_col(toks)

@@ -177,9 +177,24 @@ def train_ivf_centroids(
     # bound explicit and survives impl changes)
     ds = ds.persist()
     try:
+        # r14 (guide §2.6/§1.2 — per-pass scheduling overhead): the sample
+        # inherits the SCAN's partitioning (the retrain path deliberately
+        # shrinks splits so the full-corpus assignment fills the cluster),
+        # so a 20k-row sample can arrive in 64 near-empty partitions and
+        # every one of the ~15 k-means passes schedules 64 no-op tasks —
+        # measured as the dominant term of the train phase.  Bound the fit
+        # parallelism to the SAMPLE's size (~4k rows/task, capped at
+        # defaultParallelism so a big sample still fills the cluster); the
+        # count() doubles as the cache materialization the old code paid
+        # on the first pass anyway.
+        n_sample = ds.count()
+        par = emb.sparkSession.sparkContext.defaultParallelism
+        fit_parts = max(1, min(
+            ds.rdd.getNumPartitions(), par, n_sample // 4096 + 1
+        ))
         model = KMeans(
             k=n_lists, seed=seed, maxIter=max_iter, initMode="k-means||"
-        ).fit(ds)
+        ).fit(ds.coalesce(fit_parts))
     finally:
         ds.unpersist()
     spark = emb.sparkSession
@@ -609,21 +624,25 @@ def ivf_assign_fast(
         for pdf in batches:
             if pdf.empty:
                 continue
-            D = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+            # stack, not tolist(): Arrow hands list cells back as
+            # ndarrays — stack is a per-row memcpy (r14, guide §4.2)
+            D = np.stack(pdf[vec_col].to_numpy()).astype(
+                np.float64, copy=False
+            )
             dn = np.linalg.norm(D, axis=1, keepdims=True)
             Dn = np.divide(D, dn, out=np.zeros_like(D), where=dn > 0)
             S = Dn @ Cm.T  # (batch, n_centroids)
             ids = pdf[id_col].to_numpy()
-            out_id, out_cent, out_rank = [], [], []
-            for i, sel in enumerate(_topn_list_sel(S, all_cids, np_)):
-                out_id.append(np.repeat(ids[i], len(sel)))
-                out_cent.append(all_cids[sel])
-                out_rank.append(np.arange(1, len(sel) + 1, dtype=np.int32))
+            sel = _topn_list_sel(S, all_cids, np_)  # (batch, np_)
+            m = sel.shape[1]
+            # row-major flatten == the old per-row concatenation order
             yield pd.DataFrame(
                 {
-                    id_col: np.concatenate(out_id),
-                    cent_id_col: np.concatenate(out_cent),
-                    "cent_rank": np.concatenate(out_rank),
+                    id_col: np.repeat(ids, m),
+                    cent_id_col: all_cids[sel].ravel(),
+                    "cent_rank": np.tile(
+                        np.arange(1, m + 1, dtype=np.int32), len(ids)
+                    ),
                 }
             )
 
@@ -679,20 +698,29 @@ def ivf_assign_inline(
 
 
 def _topn_list_sel(S, all_cids, n: int):
-    """Per-row indices of the ``n`` best lists by (sim desc, cent_id asc) —
-    stable argsort by cent_id then stable argsort by -sim, exact parity
-    with :func:`ivf_assign`'s window ordering.  Shared by the distributed
-    assignment kernel and the driver-side assignment of
-    :func:`ivf_search_partitioned`'s broadcast strategy, so the two can
-    never drift."""
+    """Per-row indices of the ``n`` best lists by (sim desc, cent_id asc)
+    as an ``(rows, n)`` array — stable argsort by cent_id then stable
+    argsort by -sim, exact parity with :func:`ivf_assign`'s window
+    ordering.  Shared by the distributed assignment kernel and the
+    driver-side assignment of :func:`ivf_search_partitioned`'s broadcast
+    strategy, so the two can never drift.
+
+    r14 (guide §4.2 — vectorize inside the kernel): the per-row Python
+    loop + per-row argsort made the retrain's 1M-row assignment stage
+    interpreter-bound.  ``n == 1`` is one ``argmax`` over the
+    cent_id-ascending columns (first-max rule IS the ascending-cent_id
+    tie-break); ``n > 1`` is one batched stable argsort.  Ordering
+    semantics are bit-identical to the old per-row form (same stable
+    argsort of the same negated row)."""
     import numpy as np
 
     cent_order = np.argsort(all_cids, kind="stable")
-    out = []
-    for i in range(S.shape[0]):
-        row = S[i, cent_order]
-        out.append(cent_order[np.argsort(-row, kind="stable")[:n]])
-    return out
+    So = S[:, cent_order]
+    if n == 1:
+        best = np.argmax(So, axis=1)
+        return cent_order[best][:, None]
+    idx = np.argsort(-So, axis=1, kind="stable")[:, :n]
+    return cent_order[idx]
 
 
 def ivf_topk_fast(
@@ -1506,6 +1534,56 @@ def semdedup_assign_fast(
     return emb.select(id_col, vec_col).mapInPandas(assign, schema=schema)
 
 
+def semdedup_assign_inline(
+    emb: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cent_id_col: str = "cent_id",
+    cent_vec_col: str = "cvec",
+    score_dtype: str = "float64",
+) -> DataFrame:
+    """Nearest-centroid assignment that CARRIES THE ROW (r14): cent_id
+    and the winning cosine are appended as one struct column computed by
+    a scalar (Arrow-batched) pandas UDF over the vector column — the
+    ``ivf_assign_inline`` minimum-data-motion shape with the cent_sim
+    SemDeDup's keep-order needs.
+
+    Output ``(id, cent_id, cent_sim, vec)``, same kernel arithmetic and
+    tie-break as :func:`semdedup_assign_fast` (parity-tested).  Versus
+    the two r7b transports: the vectors cross INTO Python once (the
+    matmul needs them) but never back OUT (``assign="fast"``'s Arrow
+    re-encode of the fat column — the measured 13.5-20 s term), and
+    there is no id-keyed rejoin (``assign="fast_join"``'s extra JVM
+    shuffle of the vector relation).  The only Exchange left in the
+    whole SemDeDup plan is the cent_id group shuffle, which now moves
+    the vectors exactly once — strictly less data motion than either
+    prior form on every axis."""
+    import numpy as np
+
+    from ..functions.arrow_udfs import nearest_centroid_sim_udf
+
+    crows = centroids.select(cent_id_col, cent_vec_col).collect()
+    if not crows:
+        raise ValueError("semdedup_assign_inline: centroids relation is empty")
+    cids = np.array([r[0] for r in crows])
+    C = np.array([r[1] for r in crows], dtype=np.float64)
+    cn = np.linalg.norm(C, axis=1, keepdims=True)
+    Cn = np.divide(C, cn, out=np.zeros_like(C), where=cn > 0)
+    f32 = score_dtype == "float32"
+    bc = emb.sparkSession.sparkContext.broadcast(
+        (cids, Cn.astype(np.float32) if f32 else Cn)
+    )
+    cent_type = centroids.schema[cent_id_col].dataType.simpleString()
+    assign = nearest_centroid_sim_udf(cent_type, bc, f32)
+    return emb.withColumn("_asgn", assign(F.col(vec_col))).select(
+        F.col(id_col),
+        F.col("_asgn.cent_id").alias(cent_id_col),
+        F.col("_asgn.cent_sim").alias("cent_sim"),
+        F.col(vec_col),
+    )
+
+
 def _semdedup_grid(
     big_rows: DataFrame,
     threshold: float,
@@ -1693,7 +1771,12 @@ def semdedup(
     the network-bound-cluster choice; ``assign="fast_join"`` emits a
     skinny assignment and re-attaches vectors with a JVM shuffle join —
     2x vector shuffle volume but no Arrow re-encode of the vector column
-    out of Python, the measured local/CPU-bound winner (A/B in the code). The kernel runs the triangular
+    out of Python, the r7b winner of the fast/fast_join pair;
+    ``assign="inline"`` (r14) computes (cent_id, cent_sim) as a
+    scalar-UDF struct on the CARRIED row — no Arrow re-encode OUT of
+    Python AND no rejoin, vectors shuffle exactly once (the cent_id
+    group), strictly less data motion than both fast forms (the bench
+    path; parity-tested vs fast_join). The kernel runs the triangular
     max as tiled BLAS (block_rows x block_rows tiles), so memory is
     O(block^2 + b*dim) per cluster, never O(b^2). Cluster size is the
     bounded unit — pick k ~ sqrt(n) (paper: fixed k ~ 11k at web scale) so
@@ -1713,7 +1796,17 @@ def semdedup(
 
     if keep not in ("far", "min_id"):
         raise ValueError(f"semdedup: unknown keep policy {keep!r}")
-    if assign == "fast":
+    if assign == "inline":
+        # r14: scalar-UDF struct assignment — vectors cross into Python
+        # once (the matmul), never back out, no id rejoin; the cent_id
+        # group shuffle is the plan's ONLY Exchange and moves the
+        # vectors exactly once.  Minimum data motion of the three fast
+        # transports on every axis (see semdedup_assign_inline).
+        rows = semdedup_assign_inline(
+            emb, centroids, id_col, vec_col, cent_id_col, cent_vec_col,
+            score_dtype=score_dtype,
+        )
+    elif assign == "fast":
         # fused: the narrow Arrow assigner carries the vector through, so
         # the ONLY Exchange in the whole plan is the cent_id group shuffle
         # — vectors cross the network ONCE (the network-bound choice)

@@ -46,6 +46,7 @@ import json
 import os
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from .parquet_index import _norm_path
 
@@ -208,6 +209,11 @@ def rewrite_manifest_index(
         )
     new_gen = cur["gen"] + 1
     new_dir = _new_gen_dir(path, new_gen)
+    if partition_by:
+        # r14 (guide §6): same pre-write clustering as the symlink
+        # layout's compact — one file per partition value instead of a
+        # per-task file spray + implicit partition-column sort.
+        new_rows = new_rows.repartition(F.col(partition_by))
     writer = new_rows.write.mode("overwrite").option(
         "compression", compression
     )

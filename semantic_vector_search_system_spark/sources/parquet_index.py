@@ -81,6 +81,20 @@ def write_vector_index(
             _claim_max_batch(path, int(batch), reset=(mode == "overwrite"))
     if target_partitions:
         df = df.repartition(target_partitions)
+    elif partition_by:
+        # r14 (guide §6 — small files hurt twice): cluster rows by the
+        # partition value before a dynamic-partition write.  Without it,
+        # every write task sprays one file into every partition directory
+        # it touches (T x P files: 2048 at the 1M/64-list bench geometry)
+        # AND pays a per-task sort of the full fat rows (dynamic partition
+        # writes sort by partition columns when rows aren't clustered).
+        # One hash exchange on the partition key bounds output at one
+        # file per partition value and makes every later scan of the
+        # index (serve probes, upsert probes, compaction) list and open
+        # P files instead of T x P.  Partition count follows
+        # spark.sql.shuffle.partitions (conf/env-driven), not a local
+        # constant.
+        df = df.repartition(F.col(partition_by))
     writer = df.write.mode(mode).option("compression", compression)
     if partition_by:
         writer = writer.partitionBy(partition_by)
@@ -502,6 +516,14 @@ def compact_vector_index(
     n_before = spark.read.parquet(path).count()
     staging = path + "__staging"
     shutil.rmtree(staging, ignore_errors=True)
+    if partition_by:
+        # r14 (guide §6): cluster by the partition value before the
+        # dynamic-partition rewrite — measured at the 1M/64-list bench
+        # geometry: 6.4 s / 1628 output files as-is vs 5.2 s / 64 files
+        # with the exchange (the implicit per-task partition-column sort
+        # of the fat rows costs more than one thin-keyed shuffle), and
+        # every post-compaction scan opens P files instead of T x P.
+        live = live.repartition(F.col(partition_by))
     writer = live.write.mode("overwrite").option("compression", "zstd")
     if partition_by:
         writer = writer.partitionBy(partition_by)

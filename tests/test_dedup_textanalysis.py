@@ -1804,6 +1804,34 @@ def test_semdedup_fast_join_strategy_parity(spark):
     assert a == b
 
 
+def test_semdedup_inline_strategy_parity_and_single_exchange(spark):
+    """assign="inline" (r14, the bench path: scalar-UDF struct assignment
+    on the carried row — no Arrow re-encode of the vector column out of
+    Python AND no id rejoin) is row-identical to the fused carry form on
+    real data, at both scoring dtypes, and its plan keeps the fused
+    form's 100 TB property: the ONLY Exchange is the cent_id group
+    shuffle, which moves the vectors exactly once."""
+    from semantic_vector_search_system_spark.operators.similarity import semdedup
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    cents = emb.filter("vec_id < 8").selectExpr(
+        "vec_id AS cent_id", "embedding AS cvec"
+    )
+    a = sorted(map(tuple, semdedup(
+        emb, cents, threshold=0.32, keep="far", assign="fast").collect()))
+    for dt in ("float64", "float32"):
+        plan_df = semdedup(
+            emb, cents, threshold=0.32, keep="far", assign="inline",
+            score_dtype=dt,
+        )
+        # read the plan BEFORE executing: a finalized AQE plan string
+        # repeats the Exchange in its "Initial Plan" section
+        plan = plan_df._jdf.queryExecution().executedPlan().toString()
+        assert plan.count("Exchange") == 1, plan[:4000]
+        if dt == "float64":
+            assert a == sorted(map(tuple, plan_df.collect()))
+
+
 def test_semdedup_giant_cluster_guard_exact_and_bounded(spark):
     """r7 VERDICT #6: one pathological cluster above max_cluster_rows is
     routed through the pair-grid kernel — output EXACTLY equals the

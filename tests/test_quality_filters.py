@@ -203,6 +203,51 @@ def test_linear_quality_margin_matches_python(spark):
         assert got[i]["source"] == f"s{i % 2}"
 
 
+def test_linear_quality_margin_fast_face_bitwise_parity(spark):
+    """strategy="fast" (r14: the Arrow kernel with memoized digests, the
+    10^8-token bench path) is BITWISE-identical to the expr face's
+    DECIMAL fold — exercised over real corpus text plus the edge cases
+    that distinguish the faces: empty text, whitespace-only text (both
+    dropped), unicode whitespace (tokenizer-class parity), repeated
+    tokens (the Counter path), and a negative-margin doc."""
+    from pyspark.sql import functions as F
+
+    from semantic_vector_search_system_spark.datagen import generate_documents
+    from semantic_vector_search_system_spark.operators.quality_filters import (
+        linear_quality_margin,
+    )
+
+    docs = generate_documents(spark, 500, seed=11, num_partitions=4)
+    edge = spark.createDataFrame(
+        [
+            ("e1", ""),
+            ("e2", "   "),
+            ("e3", "alpha beta gamma"),
+            ("e4", "alpha alpha alpha beta"),
+            ("e5", "zq zq zq"),
+        ],
+        "id string, text string",
+    )
+    df = docs.select("id", "text").unionByName(edge)
+    expr_rows = sorted(
+        map(tuple, linear_quality_margin(df, id_col="id").collect())
+    )
+    fast_rows = sorted(
+        map(
+            tuple,
+            linear_quality_margin(df, id_col="id", strategy="fast").collect(),
+        )
+    )
+    assert expr_rows == fast_rows
+    assert len(expr_rows) == 503  # e1/e2 dropped by both faces
+    # extra_cols ride through the fast face too
+    fast_x = linear_quality_margin(
+        df.withColumn("src", F.lit("s")), id_col="id",
+        extra_cols=("src",), strategy="fast",
+    ).columns
+    assert fast_x == ["id", "src", "n_tokens", "margin", "accept"]
+
+
 def test_linear_quality_margin_real_weight_table_path(spark):
     """A real (tok, w) weight table broadcast-joins through the same
     operator: known weights -> exact margins; unknown tokens weigh 0."""
