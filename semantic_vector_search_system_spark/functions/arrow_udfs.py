@@ -19,6 +19,56 @@ import pandas as pd
 from pyspark.sql.functions import pandas_udf
 
 
+def lm_score_udf(bc):
+    """Scalar pandas UDF computing the bigram-LM fluency score of a text
+    column row-locally (r14) — the filter-shaped face of
+    ``operators.lm._bigram_lm_score_fast``: identical memoized integer
+    ratios (``floor(r·1e12+0.5)``), identical Decimal replay of the
+    final cast/divide/quantize-6, and texts with fewer than two tokens
+    score NULL (a ``>= threshold`` filter then drops them, exactly like
+    the relation face's inner join).  As a plain Column it gates a
+    pipeline stage with NO doc-keyed join and no recompute of the gated
+    relation on a second join branch.
+
+    ``bc`` broadcasts ``(c2, c1, vs)`` — the collected count dicts.
+    """
+    import math
+    from collections import Counter
+    from decimal import Decimal
+
+    from .text import py_tokenize
+
+    memo: dict = {}
+
+    @pandas_udf("double")
+    def score(texts: pd.Series) -> pd.Series:
+        c2, c1, vs = bc.value
+
+        def int_r(p: tuple) -> int:
+            v = memo.get(p)
+            if v is None:
+                r = (c2.get(p, 0) + 1.0) / (c1.get(p[0], 0) + vs)
+                v = math.floor(r * 1e12 + 0.5)
+                memo[p] = v
+            return v
+
+        out = []
+        for t in texts:
+            toks = py_tokenize(t) if t else []
+            if len(toks) < 2:
+                out.append(None)
+                continue
+            n = len(toks) - 1
+            total = 0
+            for p, k in Counter(zip(toks, toks[1:])).items():
+                total += k * int_r(p)
+            mean = float(Decimal(total).scaleb(-12)) / float(n)
+            out.append(math.floor(mean * 1e6 + 0.5) / 1e6)
+        return pd.Series(out, dtype="float64")
+
+    return score
+
+
 def nearest_centroid_udf(cent_type: str, bc, topn_sel):
     """Scalar pandas UDF assigning each vector its nearest centroid id.
 

@@ -125,6 +125,126 @@ def _assign_fast(e: DataFrame, cents: list[tuple[int, list[float]]]) -> DataFram
     return e.mapInPandas(fn, schema=schema)
 
 
+def _dec12_partial_means_fast(
+    e: DataFrame, cents: list[tuple[int, list[float]]]
+) -> DataFrame:
+    """Fused Arrow kernel for one ``strategy="fast"`` Lloyd update (r14,
+    guide §2.3/§2.4): assignment AND per-partition DECIMAL(38,12)
+    partial mean-sums in ONE narrow pass — ``(cent_id, idx, psum, pn)``,
+    at most k*dim rows per partition.  Replaces assign → join-the-
+    vectors-back → posexplode (k·dim rows per MEMBER) → wide DECIMAL
+    hash-aggregate: nothing corpus-sized is exploded or shuffled, the
+    one exchange moves O(partitions · k · dim) partial rows.
+
+    Bitwise contract (the oracle replays this): Spark's
+    ``cast(double AS decimal(38,12))`` is BigDecimal.valueOf (shortest
+    decimal representation) rounded HALF_UP at 12 places — replayed per
+    element as ``Decimal(repr(v)).quantize(1e-12, ROUND_HALF_UP)``,
+    vectorized as ``floor(|v|·1e12 + 0.5)`` with a Decimal fixup for the
+    rare elements within float error of a .5 boundary (and a wholesale
+    per-element Decimal fallback beyond the int64-exact magnitude
+    window).  Partial sums are exact python/int64 integers at scale
+    1e-12; Spark then decimal-sums the partials — associative and
+    exact — so the final cast/divide/quantize sees the identical
+    decimal the per-row fold produced.  Non-finite components add 0
+    (Spark's cast yields NULL, which SUM skips) while their row still
+    counts toward n_members, matching count(*)."""
+    import numpy as np
+    import pandas as pd
+
+    cents = sorted(cents, key=lambda t: t[0])
+    cids = np.array([c[0] for c in cents], dtype=np.int64)
+    C = np.array([c[1] for c in cents], dtype=np.float64)
+    k, dim = C.shape
+
+    schema = "cent_id int, idx int, psum decimal(38,12), pn long"
+
+    def fn(batches):
+        from decimal import ROUND_HALF_UP, Decimal
+
+        TWELVE = Decimal(1).scaleb(-12)
+
+        def exact_q(v: float) -> int:
+            # signed exact scaled-integer of Spark's double->dec12 cast
+            return int(
+                Decimal(repr(float(v)))
+                .quantize(TWELVE, rounding=ROUND_HALF_UP)
+                .scaleb(12)
+            )
+
+        S = [[0] * dim for _ in range(k)]  # python ints: exact, unbounded
+        N = np.zeros(k, dtype=np.int64)
+        seen = False
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            seen = True
+            V = np.stack(pdf["v"].to_numpy()).astype(np.float64, copy=False)
+            # assignment: EXACT _assign_fast arithmetic (sequential
+            # per-dimension fold; argmin first-min = smallest cent_id)
+            acc = np.zeros((len(pdf), k), dtype=np.float64)
+            for j in range(V.shape[1]):
+                d = V[:, j : j + 1] - C[None, :, j][0]
+                acc += d * d
+            pos = np.argmin(acc, axis=1)
+            N += np.bincount(pos, minlength=k)
+            finite = np.isfinite(V)
+            all_finite = bool(finite.all())
+            maxabs = float(np.abs(V[finite]).max()) if finite.any() else 0.0
+            if maxabs > 100.0:
+                # beyond the int64-exact fast window: per-element Decimal
+                # (rare — normalized embedding components are <= 1)
+                for i in range(len(pdf)):
+                    row = S[pos[i]]
+                    Vi = V[i]
+                    for j in range(dim):
+                        v = Vi[j]
+                        if np.isfinite(v):
+                            row[j] += exact_q(v)
+                continue
+            A = np.abs(np.where(finite, V, 0.0)) * 1e12
+            q = np.floor(A + 0.5)
+            frac = A - np.floor(A)
+            near = np.abs(frac - 0.5) <= (A * 2.0 ** -50 + 1e-9)
+            qi = q.astype(np.int64)
+            if near.any():
+                for i, j in np.argwhere(near):
+                    v = V[i, j]
+                    if np.isfinite(v):
+                        qi[i, j] = abs(exact_q(v))
+            neg = np.signbit(V) & finite
+            qi = np.where(neg, -qi, qi)
+            SB = np.zeros((k, dim), dtype=np.int64)
+            np.add.at(SB, pos, qi)
+            for c in range(k):
+                sb = SB[c]
+                if not sb.any():
+                    continue
+                rc = S[c]
+                for j in range(dim):
+                    if sb[j]:
+                        rc[j] += int(sb[j])
+        if not seen:
+            return
+        out_c, out_i, out_s, out_n = [], [], [], []
+        for c in range(k):
+            if N[c] == 0:
+                continue
+            n_c = int(N[c])
+            cid = int(cids[c])
+            row = S[c]
+            for j in range(dim):
+                out_c.append(cid)
+                out_i.append(j)
+                out_s.append(Decimal(row[j]).scaleb(-12))
+                out_n.append(n_c)
+        yield pd.DataFrame(
+            {"cent_id": out_c, "idx": out_i, "psum": out_s, "pn": out_n}
+        )
+
+    return e.select("v").mapInPandas(fn, schema=schema)
+
+
 def _require_integral_id(df: DataFrame, id_col: str) -> None:
     """The smallest-id init and the smaller-id tie rule need a numeric
     id (a string id would order lexicographically AND fail the long
@@ -154,10 +274,32 @@ def _lloyd(
     cents: list[tuple[int, list[float]]] = [
         (int(r["vec_id"]), [float(x) for x in r["v"]]) for r in init_rows
     ]
-    assign = _assign_expr if strategy == "expr" else _assign_fast
     outs: list[DataFrame] = []
     for it in range(1, n_iter + 1):
-        assigned = assign(e, cents)
+        if strategy == "fast":
+            # r14: fused kernel — assignment + exact DECIMAL partials in
+            # one narrow pass (no vector rejoin, no k·dim-per-member
+            # explode, no corpus-sized aggregation); bitwise-identical
+            # final means (see _dec12_partial_means_fast)
+            partials = _dec12_partial_means_fast(e, cents)
+            means = (
+                partials.groupBy("cent_id", "idx")
+                .agg(
+                    quantize(
+                        F.sum("psum").cast("double")
+                        / F.sum("pn").cast("double"),
+                        round_digits,
+                    ).alias("centroid_val"),
+                    F.sum("pn").alias("n_members"),
+                )
+                .localCheckpoint()
+            )
+            mrows = means.collect()  # bounded: k*dim rows
+            by_cid = _fold_mrows(mrows)
+            cents = _carry(cents, by_cid)
+            outs.append(means.withColumn("iter", F.lit(it)))
+            continue
+        assigned = _assign_expr(e, cents)
         if "v" not in assigned.columns:  # skinny kernel: join vectors back
             assigned = assigned.join(e, "vec_id")
         means = (
@@ -178,20 +320,32 @@ def _lloyd(
             .localCheckpoint()
         )
         mrows = means.collect()  # bounded: k*dim rows (centroid state)
-        by_cid: dict[int, list[tuple[int, float]]] = {}
-        for r in mrows:
-            by_cid.setdefault(int(r["cent_id"]), []).append(
-                (int(r["idx"]), float(r["centroid_val"]))
-            )
-        nxt: list[tuple[int, list[float]]] = []
-        for cid, cv in cents:  # carry empties forward, keep cid order
-            if cid in by_cid:
-                nxt.append((cid, [v for _, v in sorted(by_cid[cid])]))
-            else:
-                nxt.append((cid, cv))
-        cents = nxt
+        by_cid = _fold_mrows(mrows)
+        cents = _carry(cents, by_cid)
         outs.append(means.withColumn("iter", F.lit(it)))
     return outs, cents
+
+
+def _fold_mrows(mrows) -> dict[int, list[tuple[int, float]]]:
+    by_cid: dict[int, list[tuple[int, float]]] = {}
+    for r in mrows:
+        by_cid.setdefault(int(r["cent_id"]), []).append(
+            (int(r["idx"]), float(r["centroid_val"]))
+        )
+    return by_cid
+
+
+def _carry(
+    cents: list[tuple[int, list[float]]],
+    by_cid: dict[int, list[tuple[int, float]]],
+) -> list[tuple[int, list[float]]]:
+    nxt: list[tuple[int, list[float]]] = []
+    for cid, cv in cents:  # carry empties forward, keep cid order
+        if cid in by_cid:
+            nxt.append((cid, [v for _, v in sorted(by_cid[cid])]))
+        else:
+            nxt.append((cid, cv))
+    return nxt
 
 
 def kmeans_lloyd(

@@ -60,10 +60,27 @@ def _funnel_stages(
     # margin relation back on doc_id, shuffling every batch's text for a
     # per-row decision (same accepted set, one exchange fewer per batch)
     s2 = s1.filter(quality_accept_col(text_col))
-    # lm_strategy="auto" (r9b): the Arrow kernel face while the stored
-    # model fits a heap (serving hot path — at the 100k-batch bench shape
-    # the expr explode chain alone was ~27 s, the kernel ~2 s), expr joins
-    # beyond the bound (open-vocabulary models)
+    # lm_strategy="auto" (r9b/r14): while the stored model fits a heap
+    # (serving hot path), the LM gate is a ROW-LOCAL scalar-UDF filter —
+    # bitwise the fast relation face's score (lm.bigram_lm_score_col),
+    # with no doc-keyed join and no second computation of s2 on the
+    # join's probe side (the r13 shape computed s2 once per join branch);
+    # expr joins beyond the bound (open-vocabulary models).  <2-token
+    # texts score NULL and fail the >= comparison, exactly the relation
+    # face's inner-join drop.
+    if lm_strategy == "auto":
+        from .lm import bigram_lm_score_col
+
+        bound = 5_000_000  # bigram_lm_score's auto bound, unchanged
+        probe = model[0].limit(bound + 1).count()
+        if probe <= bound:
+            score = bigram_lm_score_col(
+                batch.sparkSession, model, text_col=text_col,
+                max_model_rows=bound,
+            )
+            s3 = s2.filter(score >= F.lit(float(threshold)))
+            return s1, s2, s3
+        lm_strategy = "expr"
     rep = bigram_lm_score(
         s2, model, text_col=text_col, doc_id=doc_id, strategy=lm_strategy
     )
@@ -161,7 +178,17 @@ def incremental_curation_funnel(
         .select("norm_hash", F.col(f"_m.{doc_id}").alias(doc_id))
     )
     if seen_hashes is not None:
-        first = first.join(seen_hashes, "norm_hash", "left_anti")
+        # r14 (guide §3.1; plan-audited): Spark was BROADCASTING the
+        # stored accepted-hash state (corpus-sized, ~1M rows at the bench
+        # shape, growing with every batch) to anti-join the churn-sized
+        # probe — a per-call driver collect of state that the
+        # bucketBy(norm_hash) layout exists to keep in place.  The
+        # shuffle-hash hint pins the scale-correct shape: the stored side
+        # is read where it lives, only the batch-sized probe shuffles.
+        # A join hint never changes semantics.
+        first = first.join(
+            seen_hashes.hint("shuffle_hash"), "norm_hash", "left_anti"
+        )
     accepted = first.select(doc_id, "norm_hash")
     return accepted, accepted.select("norm_hash")
 

@@ -70,6 +70,50 @@ def train_bigram_lm(
     return cnt2, cnt1, vocab
 
 
+def collect_lm_model(
+    model: tuple[DataFrame, DataFrame, DataFrame], max_model_rows: int
+) -> tuple[dict, dict, int]:
+    """Collect a (cnt2, cnt1, vocab) model to driver dicts under the
+    heap-size gate.  ONE collect doubles as the size gate — the r13 form
+    paid a separate count() job (an extra scan of the stored table per
+    serving call)."""
+    cnt2, cnt1, vocab = model
+    c2_rows = cnt2.collect()
+    if len(c2_rows) > max_model_rows:
+        raise ValueError(
+            f"bigram_lm_score(strategy='fast'): cnt2 has {len(c2_rows)} rows"
+            f" > max_model_rows={max_model_rows} — use strategy='expr' "
+            "(distributed joins) for open-vocabulary models this large"
+        )
+    c2 = {(r["w1"], r["w2"]): int(r["c12"]) for r in c2_rows}
+    c1 = {r["w1"]: int(r["c1"]) for r in cnt1.collect()}
+    vs = int(vocab.collect()[0]["vs"])
+    return c2, c1, vs
+
+
+def bigram_lm_score_col(
+    spark,
+    model: tuple[DataFrame, DataFrame, DataFrame],
+    text_col: str = "text",
+    max_model_rows: int = 2_000_000,
+):
+    """Row-local Column face of the fast LM score (r14): a scalar pandas
+    UDF over the text column, bitwise the relation face's lm_score
+    (shared integer-ratio memoization and Decimal replay; <2-token texts
+    score NULL, so a ``>= threshold`` comparison drops them exactly like
+    the relation face's inner join).  Lets a pipeline gate on fluency as
+    a plain ``filter`` — no doc-keyed join, no second computation of the
+    gated relation on the join's probe side (the curation funnel's
+    serving shape).  Raises beyond ``max_model_rows`` like the fast
+    relation face; callers with open-vocabulary models keep the expr
+    join."""
+    from ..functions.arrow_udfs import lm_score_udf
+
+    c2, c1, vs = collect_lm_model(model, max_model_rows)
+    bc = spark.sparkContext.broadcast((c2, c1, vs))
+    return lm_score_udf(bc)(F.col(text_col))
+
+
 def _bigram_lm_score_fast(
     docs: DataFrame,
     model: tuple[DataFrame, DataFrame, DataFrame],
@@ -102,19 +146,7 @@ def _bigram_lm_score_fast(
 
     from ..functions.text import py_tokenize
 
-    cnt2, cnt1, vocab = model
-    # one collect doubles as the size gate — the r13 form paid a separate
-    # count() job (an extra scan of the stored table per serving call)
-    c2_rows = cnt2.collect()
-    if len(c2_rows) > max_model_rows:
-        raise ValueError(
-            f"bigram_lm_score(strategy='fast'): cnt2 has {len(c2_rows)} rows"
-            f" > max_model_rows={max_model_rows} — use strategy='expr' "
-            "(distributed joins) for open-vocabulary models this large"
-        )
-    c2 = {(r["w1"], r["w2"]): int(r["c12"]) for r in c2_rows}
-    c1 = {r["w1"]: int(r["c1"]) for r in cnt1.collect()}
-    vs = int(vocab.collect()[0]["vs"])
+    c2, c1, vs = collect_lm_model(model, max_model_rows)
     bc = docs.sparkSession.sparkContext.broadcast((c2, c1, vs))
 
     def fn(batches):

@@ -257,17 +257,22 @@ def pq_encode_fast(
     id_type = dict(emb.dtypes)[id_col]
 
     def encode(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        # r14 (guide §4.5): the codebook norms are batch-invariant —
+        # compute once per task, not once per (batch, subspace)
+        c2s = [(books[j] ** 2).sum(axis=1) for j in range(m)]
         for pdf in batches:
             if not len(pdf):
                 continue
-            X = np.asarray(list(pdf[vec_col]), dtype=np.float64)
+            # stack, not list(): Arrow hands list cells back as ndarrays
+            X = np.stack(pdf[vec_col].to_numpy()).astype(
+                np.float64, copy=False
+            )
             codes = np.empty((len(X), m), dtype=np.int32)
             for j in range(m):
                 S = X[:, j * d : (j + 1) * d]
                 # ||s-c||^2 = ||s||^2 - 2 s.c + ||c||^2 ; argmin drops ||s||^2
                 dots = S @ books[j].T
-                c2 = (books[j] ** 2).sum(axis=1)
-                codes[:, j] = (c2[None, :] - 2.0 * dots).argmin(axis=1)
+                codes[:, j] = (c2s[j][None, :] - 2.0 * dots).argmin(axis=1)
             yield pd.DataFrame(
                 {id_col: pdf[id_col].values, "codes": list(codes)}
             )
@@ -517,10 +522,14 @@ def ivfpq_encode(
     id_type = dict(emb.dtypes)[id_col]
 
     def encode(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        # r14 (guide §4.5): codebook norms are batch-invariant
+        c2s = [(books[j] ** 2).sum(axis=1) for j in range(m)]
         for pdf in batches:
             if not len(pdf):
                 continue
-            X = np.asarray(list(pdf[vec_col]), dtype=np.float64)
+            X = np.stack(pdf[vec_col].to_numpy()).astype(
+                np.float64, copy=False
+            )
             S = _normalize_rows(X) @ Cn.T
             pick = order[np.argmax(S[:, order], axis=1)]
             R = X - Cm[pick]
@@ -528,8 +537,7 @@ def ivfpq_encode(
             for j in range(m):
                 Rj = R[:, j * d : (j + 1) * d]
                 dots = Rj @ books[j].T
-                c2 = (books[j] ** 2).sum(axis=1)
-                codes[:, j] = (c2[None, :] - 2.0 * dots).argmin(axis=1)
+                codes[:, j] = (c2s[j][None, :] - 2.0 * dots).argmin(axis=1)
             yield pd.DataFrame(
                 {
                     id_col: pdf[id_col].values,

@@ -351,7 +351,9 @@ def topk_bruteforce(
     use_cosine = metric == "cosine"
 
     def _score_matrix(pdf: pd.DataFrame):
-        D = np.array(pdf[vec_col].tolist(), dtype=np_dt)
+        # stack, not tolist(): Arrow hands list cells back as ndarrays —
+        # per-row memcpy, no python-level element loop (r14, guide §4.2)
+        D = np.stack(pdf[vec_col].to_numpy()).astype(np_dt, copy=False)
         if use_cosine:
             dn = np.linalg.norm(D, axis=1, keepdims=True)
             D = np.divide(D, dn, out=np.zeros_like(D), where=dn > 0)

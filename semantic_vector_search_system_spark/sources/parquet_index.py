@@ -353,9 +353,13 @@ def upsert_vector_index(
     n_up = int(obs.get["n"])
     replaced = 0
     if stored is not None:
+        # localCheckpoint so the probe's scan+semi-join runs ONCE: the
+        # r13 form re-ran the whole probe plan for the tombstone write
+        # after counting it (two thin index scans per upsert — r14,
+        # guide §1.2).  The materialized relation is churn-bounded.
         superseded = _superseded_probe(
             spark, path, keys, batch, id_col, partition_by, touched
-        )
+        ).localCheckpoint()
         # count() doubles as the skip-gate: zero superseded -> no
         # tombstone append at all (pure-insert batches stay one write)
         replaced = superseded.count()
@@ -403,6 +407,7 @@ def delete_from_vector_index(
         read_live_index(spark, path, id_col=id_col)
         .select(id_col, "_batch")
         .join(F.broadcast(ids.select(id_col).distinct()), id_col, "left_semi")
+        .localCheckpoint()  # one probe scan for count + write (r14)
     )
     n = doomed.count()
     if n:

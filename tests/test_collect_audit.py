@@ -48,7 +48,10 @@ ALLOWED: dict[str, dict[str, int]] = {
         # broadcast dicts — raise-guarded by the max_model_rows count
         # immediately above (cnt1/vocab are <= cnt2 by construction); the
         # same trade as dsir's bucket-bounded _fast_counts collect
-        'c2 = {(r["w1"], r["w2"]): int(r["c12"]) for r in cnt2.collect()}': 1,
+        # r14: ONE collect doubles as the size gate (len-checked against
+        # max_model_rows immediately after) — the separate count() job
+        # the r13 form paid per serving call is gone
+        "c2_rows = cnt2.collect()": 1,
         'c1 = {r["w1"]: int(r["c1"]) for r in cnt1.collect()}': 1,
         'vs = int(vocab.collect()[0]["vs"])': 1,
     },
@@ -76,7 +79,9 @@ ALLOWED: dict[str, dict[str, int]] = {
         "rows = emb.select(id_col, vec_col).collect()": 1,
         # tiny centroid relation (n_lists/k rows) for the BLAS IVF and
         # SemDeDup assignment kernels (+ the r13 inline-assign UDF form)
-        "crows = centroids.select(cent_id_col, cent_vec_col).collect()": 3,
+        # x4 since r14: semdedup_assign_inline added a fourth centroid
+        # collect (same tiny n_lists x dim relation, broadcast once)
+        "crows = centroids.select(cent_id_col, cent_vec_col).collect()": 4,
         # partition-pruning predicate: bounded by queries x nprobe and the
         # max_probed_lists limit+raise guard
         'q_lists.select("cent_id").distinct().limit(max_probed_lists + 1).collect()': 1,
@@ -181,6 +186,9 @@ ALLOWED: dict[str, dict[str, int]] = {
         # every k-means implementation carries (Spark ML treeAggregates the
         # same matrix to the driver each step)
         "mrows = means.collect()  # bounded: k*dim rows (centroid state)": 1,
+        # r14 fused fast-Lloyd branch: the same k*dim centroid state,
+        # collected from the partial-sum aggregate instead of the explode
+        "mrows = means.collect()  # bounded: k*dim rows": 1,
     },
     "operators/sketch.py": {
         # single scalar aggregate (min theta across sketch rows) deciding
