@@ -76,6 +76,21 @@ TAIL_BUDGET = 1800
 REF_FLOOR = 0.292
 
 
+def _bench_cpus() -> int | None:
+    """Core count this run was invoked with (``$SPARK_GRAFT_CPUS`` — the
+    master is ``local[$SPARK_GRAFT_CPUS]``, session.py:40).  Stamped into
+    every emitted/mirrored line so the mirror fold can tell runs at
+    DIFFERENT core counts apart: the r14 driver's 8-core scaling run
+    folded every key down to same-day 32-core minima because
+    fold_with_mirror keyed lines on (sf, head) but not cpus, erasing the
+    scaling signal it existed to measure (r14 VERDICT #1/"Next #2")."""
+    v = os.environ.get("SPARK_GRAFT_CPUS")
+    try:
+        return int(v) if v else None
+    except ValueError:
+        return None
+
+
 def emit(timings: dict, query_meta: dict, sf, *, partial: bool) -> str:
     """Write the full cumulative metric record to bench_out.json and print a
     compact, tail-safe JSON line for the driver.
@@ -108,9 +123,10 @@ def emit(timings: dict, query_meta: dict, sf, *, partial: bool) -> str:
     raw_this_run = None
     fold_source = None
     head = _git_head() if _MIRROR_ENABLED else None
+    cpus = _bench_cpus()
     if not partial and _MIRROR_ENABLED:
         timings, fold_info, raw_this_run, fold_source = fold_with_mirror(
-            timings, sf, head=head
+            timings, sf, head=head, cpus=cpus
         )
     pj_floor = FLOORS.get("python_job_floor")
     full = {
@@ -134,6 +150,7 @@ def emit(timings: dict, query_meta: dict, sf, *, partial: bool) -> str:
         **({"accuracy": ACCURACY} if ACCURACY else {}),
         **({"partial": True} if partial else {}),
         **({"head": head} if head else {}),
+        **({"cpus": cpus} if cpus is not None else {}),
         **({"xrun": fold_info} if fold_info else {}),
         **({"raw_this_run": raw_this_run} if raw_this_run else {}),
         **({"fold_source": fold_source} if fold_source else {}),
@@ -329,6 +346,7 @@ def _git_head() -> str | None:
 def fold_with_mirror(
     timings: dict, sf, notes_text: str | None = None, now=None,
     max_age_hours: float = MIRROR_FOLD_HOURS, head: str | None = None,
+    cpus: int | None = "unset",
 ) -> tuple[dict, dict | None, dict | None, dict | None]:
     """Fold each key to the min across this run and the round's recent
     mirrored clean lines (r8 VERDICT #1).
@@ -341,6 +359,16 @@ def fold_with_mirror(
     minimum as 'noise'.  ``head=None`` (git unavailable) folds across
     the window as before — the fold_source provenance still names every
     borrowed line.
+
+    CPU-count gate (r15; r14 VERDICT "Next #2"): when ``cpus`` is passed
+    (the CLI path always passes ``_bench_cpus()``), only mirrored lines
+    recorded at the SAME core count fold in — equality includes
+    both-None.  Without this gate the r14 driver's 8-core scaling run
+    folded every key to same-day 32-core minima and the scaling block
+    read all-1.0 (``suspect_cpus_ignored``).  Mismatches are counted
+    under ``fold_info["skipped_other_cpus"]``.  The sentinel default
+    ``"unset"`` (parameter omitted entirely — legacy unit-test callers)
+    keeps the pre-r15 behavior of ignoring the field.
 
     Returns (folded_timings, fold_info, raw_this_run, fold_source):
     - folded_timings: per-key min(this run, recent same-sf/-head lines)
@@ -368,6 +396,7 @@ def fold_with_mirror(
     minima: dict = {}  # key -> (value, source-line tag)
     runs = 0
     skipped_other_head = 0
+    skipped_other_cpus = 0
     for stamp, rec in _parse_mirrored_lines(notes_text):
         if rec.get("sf") != sf:
             continue
@@ -381,6 +410,11 @@ def fold_with_mirror(
             # dirty runs share the marker but not necessarily the code
             skipped_other_head += 1
             continue
+        if cpus != "unset" and rec.get("cpus") != cpus:
+            # a line recorded at a different (or unstamped) core count is
+            # a different machine shape, not a quieter window
+            skipped_other_cpus += 1
+            continue
         runs += 1
         tag = f"{stamp.strftime('%Y-%m-%d %H:%MZ')}@{rec.get('head') or '?'}"
         for k, v in rec.get("queries", {}).items():
@@ -388,10 +422,15 @@ def fold_with_mirror(
                 if k not in minima or v < minima[k][0]:
                     minima[k] = (v, tag)
     if not runs:
+        skips = {
+            **({"skipped_other_head": skipped_other_head}
+               if skipped_other_head else {}),
+            **({"skipped_other_cpus": skipped_other_cpus}
+               if skipped_other_cpus else {}),
+        }
         info = (
-            {"runs": 0, "window_h": max_age_hours,
-             "skipped_other_head": skipped_other_head}
-            if skipped_other_head else None
+            {"runs": 0, "window_h": max_age_hours, **skips}
+            if skips else None
         )
         return dict(timings), info, None, None
     folded, noisy, raw, src = {}, {}, {}, {}
@@ -407,6 +446,8 @@ def fold_with_mirror(
     info = {"runs": runs, "window_h": max_age_hours}
     if skipped_other_head:
         info["skipped_other_head"] = skipped_other_head
+    if skipped_other_cpus:
+        info["skipped_other_cpus"] = skipped_other_cpus
     if noisy:
         # a contended run can flag dozens of keys; the printed line only
         # needs the worst offenders to be self-identifying — cap at the

@@ -332,6 +332,7 @@ def compact_manifest_index(
         _claim_max_batch,
         _read_claimed_max_batch,
         _tombstones_path,
+        observed_live_view,
         read_optional_parquet,
     )
 
@@ -339,18 +340,22 @@ def compact_manifest_index(
     tomb = read_optional_parquet(spark, _tombstones_path(cur_dir))
     if tomb is None or tomb.limit(1).count() == 0:
         return {"compacted": False, "dropped": 0}
-    n_before = spark.read.parquet(cur_dir).count()
     claimed = _read_claimed_max_batch(cur_dir)
-    live = read_live_manifest_index(spark, path, id_col=id_col)
+    # r15 (guide §1.2; r14 VERDICT "Next #1"): n_before/n_after ride the
+    # gen-N+1 rewrite plan as Observations — same fix as
+    # compact_vector_index; the r14 form paid a full current-gen count
+    # before the rewrite and a new-gen re-scan after, solely for
+    # "dropped".  One job total.
+    live, counts = observed_live_view(spark, cur_dir, tomb, id_col=id_col)
     out = rewrite_manifest_index(
         spark, path, live, partition_by=partition_by
     )
+    n_before, n_after = counts()
     new_dir = current_gen_dir(path)
     if claimed is not None:
         # carry the max-batch claim into the new generation's sidecar so
         # the first post-compaction upsert skips the legacy thin scan
         # (batch ids are index-lifetime, not per-generation)
         _claim_max_batch(new_dir, claimed)
-    n_after = spark.read.parquet(new_dir).count()
     out.update({"compacted": True, "dropped": n_before - n_after})
     return out

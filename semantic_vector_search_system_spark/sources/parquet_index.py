@@ -517,8 +517,7 @@ def compact_vector_index(
     tomb = read_optional_parquet(spark, tomb_path)
     if tomb is None or tomb.limit(1).count() == 0:
         return {"compacted": False, "dropped": 0}
-    live = read_live_index(spark, path, id_col=id_col)
-    n_before = spark.read.parquet(path).count()
+    live, counts = observed_live_view(spark, path, tomb, id_col=id_col)
     staging = path + "__staging"
     shutil.rmtree(staging, ignore_errors=True)
     if partition_by:
@@ -533,10 +532,46 @@ def compact_vector_index(
     if partition_by:
         writer = writer.partitionBy(partition_by)
     writer.parquet(staging)
-    n_after = spark.read.parquet(staging).count()
+    # r15 (guide §1.2; r14 VERDICT "Next #1"): n_before/n_after ride the
+    # rewrite plan as Observations — the r14 form paid two metric-only
+    # O(live) jobs per compact (a full-index count before the rewrite and
+    # a staging re-scan after) solely to report "dropped"; the upsert
+    # path's landed-count Observation was the precedent.  One job total.
+    n_before, n_after = counts()
 
     _promote_staging(spark, path, staging, tomb_path)
     return {"compacted": True, "dropped": n_before - n_after}
+
+
+def observed_live_view(
+    spark: SparkSession, path: str, tomb: DataFrame, id_col: str
+):
+    """The tombstone-masked live view of ``path`` with row counters RIDING
+    the plan (guide §1.2): returns ``(live_df, counts)`` where ``counts()``
+    — valid only after an action has executed the returned plan exactly
+    once — yields ``(n_physical_rows, n_live_rows)``.  Lets compaction
+    (and the manifest twin) report ``dropped`` without the two
+    metric-only O(live) scans the r14 form paid: one ``Observation``
+    below the tombstone anti-join counts every physical row the rewrite
+    scanned, one above it counts the live rows it wrote.  ``count(lit(1))``
+    adds no columns, so scan pruning is untouched."""
+    from pyspark.sql import Observation
+
+    obs_all = Observation()
+    obs_live = Observation()
+    index = spark.read.parquet(_norm_path(path)).observe(
+        obs_all, F.count(F.lit(1)).alias("n")
+    )
+    live = index.join(
+        F.broadcast(tomb.select(id_col, "_batch")),
+        [id_col, "_batch"],
+        "left_anti",
+    ).observe(obs_live, F.count(F.lit(1)).alias("n"))
+
+    def counts() -> tuple[int, int]:
+        return int(obs_all.get["n"]), int(obs_live.get["n"])
+
+    return live, counts
 
 
 def _promote_staging(

@@ -277,6 +277,68 @@ def test_fold_skips_lines_from_other_commits(tmp_path, monkeypatch):
     assert src2 == {"q": "2026-08-15 10:00Z@old0001"}
 
 
+def test_fold_skips_lines_at_other_cpu_counts():
+    """r14 VERDICT #1/"Next #2": the driver's 8-core scaling run folded
+    every key to same-day 32-core minima because mirror lines were keyed
+    on (sf, head) but not core count — the scaling block read all-1.0.
+    With the cpus gate an 8-core run folds ONLY against 8-core lines,
+    and legacy lines without a cpus stamp never fold into a stamped run."""
+    notes = _notes(
+        # same head, 32-core quiet minimum — must NOT fold into an 8-core run
+        ("2026-08-15 10:00Z", {"sf": 0.1, "head": "h1", "cpus": 32,
+                               "queries": {"q": 1.0}}),
+        # legacy line without a cpus stamp — also skipped
+        ("2026-08-15 10:30Z", {"sf": 0.1, "head": "h1",
+                               "queries": {"q": 1.5}}),
+        # same head, same core count — folds
+        ("2026-08-15 11:00Z", {"sf": 0.1, "head": "h1", "cpus": 8,
+                               "queries": {"q": 3.0}}),
+    )
+    folded, info, raw, src = bench.fold_with_mirror(
+        {"q": 5.0}, 0.1, notes, _NOW, head="h1", cpus=8
+    )
+    assert folded == {"q": 3.0}  # the 8-core line, never the 32-core 1.0
+    assert info["runs"] == 1
+    assert info["skipped_other_cpus"] == 2
+    assert src == {"q": "2026-08-15 11:00Z@h1"}
+    # nothing eligible at all -> raw timings survive, skip count reported
+    folded2, info2, _, _ = bench.fold_with_mirror(
+        {"q": 5.0}, 0.1, notes, _NOW, head="h1", cpus=16
+    )
+    assert folded2 == {"q": 5.0}
+    assert info2["runs"] == 0 and info2["skipped_other_cpus"] == 3
+
+
+def test_final_emit_stamps_cpus_and_folds_per_cpu(tmp_path, monkeypatch):
+    """End-to-end: the CLI-mode emit stamps $SPARK_GRAFT_CPUS into the
+    printed and mirrored line and passes it to the fold."""
+    notes_path = tmp_path / "BENCH_NOTES.md"
+    stamp = datetime.datetime.now(datetime.timezone.utc).strftime("%Y-%m-%d %H:%MZ")
+    notes_path.write_text(_notes(
+        (stamp, {"sf": 0.1, "head": "abc1234", "cpus": 32,
+                 "queries": {"k": 1.0}}),
+        (stamp, {"sf": 0.1, "head": "abc1234", "cpus": 8,
+                 "queries": {"k": 4.0}}),
+    ))
+    monkeypatch.setattr(bench, "OUT_PATH", str(tmp_path / "bench_out.json"))
+    monkeypatch.setattr(bench, "NOTES_PATH", str(notes_path))
+    monkeypatch.setattr(bench, "FLOORS", {})
+    monkeypatch.setattr(bench, "ACCURACY", {})
+    monkeypatch.setattr(bench, "_MIRROR_ENABLED", True)
+    monkeypatch.setattr(bench, "_git_head", lambda: "abc1234")
+    monkeypatch.setenv("SPARK_GRAFT_CPUS", "8")
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        line = bench.emit({"k": 5.0}, {}, 0.1, partial=False)
+    parsed = json.loads(line)
+    assert parsed["cpus"] == 8
+    assert parsed["queries"]["k"] == 4.0  # the 8-core mirror, not 1.0
+    mirrored = json.loads(
+        notes_path.read_text().splitlines()[-1].split(" :: `", 1)[1][:-1]
+    )
+    assert mirrored["cpus"] == 8
+
+
 def test_partial_emits_never_fold(tmp_path, monkeypatch):
     notes_path = tmp_path / "BENCH_NOTES.md"
     notes_path.write_text(_notes(
