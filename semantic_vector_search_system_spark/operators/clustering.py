@@ -191,7 +191,15 @@ def _dec12_partial_means_fast(
             finite = np.isfinite(V)
             all_finite = bool(finite.all())
             maxabs = float(np.abs(V[finite]).max()) if finite.any() else 0.0
-            if maxabs > 100.0:
+            # int64-exact window guard (r14 ADVICE, low): the per-batch
+            # SB accumulator wraps silently if rows x per-element scaled
+            # magnitude can reach 2^63 — the old code relied on the
+            # UNASSERTED 10k Arrow batch default (92k rows at maxabs=100
+            # would have corrupted centroid sums with no error).  Route
+            # any batch that could overflow through the per-element
+            # Decimal/python-int path instead.
+            overflow_risk = len(pdf) * (maxabs * 1e12 + 1.0) >= float(2**62)
+            if maxabs > 100.0 or overflow_risk:
                 # beyond the int64-exact fast window: per-element Decimal
                 # (rare — normalized embedding components are <= 1)
                 for i in range(len(pdf)):
@@ -202,7 +210,13 @@ def _dec12_partial_means_fast(
                         if np.isfinite(v):
                             row[j] += exact_q(v)
                 continue
-            A = np.abs(np.where(finite, V, 0.0)) * 1e12
+            if all_finite:
+                # fully-finite batch (the normal case): skip the
+                # where/signbit masking (r14 ADVICE, low — all_finite was
+                # computed but never used)
+                A = np.abs(V) * 1e12
+            else:
+                A = np.abs(np.where(finite, V, 0.0)) * 1e12
             q = np.floor(A + 0.5)
             frac = A - np.floor(A)
             near = np.abs(frac - 0.5) <= (A * 2.0 ** -50 + 1e-9)
@@ -212,7 +226,7 @@ def _dec12_partial_means_fast(
                     v = V[i, j]
                     if np.isfinite(v):
                         qi[i, j] = abs(exact_q(v))
-            neg = np.signbit(V) & finite
+            neg = np.signbit(V) if all_finite else (np.signbit(V) & finite)
             qi = np.where(neg, -qi, qi)
             SB = np.zeros((k, dim), dtype=np.int64)
             np.add.at(SB, pos, qi)

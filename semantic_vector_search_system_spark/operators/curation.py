@@ -69,9 +69,12 @@ def _funnel_stages(
     # texts score NULL and fail the >= comparison, exactly the relation
     # face's inner-join drop.
     if lm_strategy == "auto":
-        from .lm import bigram_lm_score_col
+        from .lm import DEFAULT_MAX_MODEL_ROWS, bigram_lm_score_col
 
-        bound = 5_000_000  # bigram_lm_score's auto bound, unchanged
+        # the SHARED constant (r14 ADVICE): the funnel's auto gate must
+        # pick the same face bigram_lm_score(strategy='auto') picks in
+        # fit_funnel_state, or fit/serve batch-equivalence breaks
+        bound = DEFAULT_MAX_MODEL_ROWS
         probe = model[0].limit(bound + 1).count()
         if probe <= bound:
             score = bigram_lm_score_col(

@@ -33,6 +33,12 @@ from pyspark.sql import functions as F
 from ..functions.quantize import quantize
 from ..functions.text import tokenize
 
+#: Heap-size gate for collecting a bigram model to driver dicts — the ONE
+#: constant the fast/auto faces and the curation funnel's auto gate share
+#: (r14 ADVICE, low: the funnel duplicated the literal, so a change here
+#: would have silently diverged the fit/serve batch-equivalence contract).
+DEFAULT_MAX_MODEL_ROWS = 5_000_000
+
 
 def _bigram_pairs(text_col: str) -> F.Column:
     """Array of (w1, w2) structs over the whitespace tokens; empty for
@@ -76,13 +82,17 @@ def collect_lm_model(
     """Collect a (cnt2, cnt1, vocab) model to driver dicts under the
     heap-size gate.  ONE collect doubles as the size gate — the r13 form
     paid a separate count() job (an extra scan of the stored table per
-    serving call)."""
+    serving call).  The collect is LIMIT-bounded (r14 ADVICE, medium):
+    an explicit strategy='fast' call on an open-vocabulary (corpus-
+    shaped) model must hit the guarded ValueError, not OOM the driver
+    pulling the whole relation before the length check — limit(bound+1)
+    caps driver memory at one over the gate while len() still decides."""
     cnt2, cnt1, vocab = model
-    c2_rows = cnt2.collect()
+    c2_rows = cnt2.limit(max_model_rows + 1).collect()
     if len(c2_rows) > max_model_rows:
         raise ValueError(
-            f"bigram_lm_score(strategy='fast'): cnt2 has {len(c2_rows)} rows"
-            f" > max_model_rows={max_model_rows} — use strategy='expr' "
+            f"bigram_lm_score(strategy='fast'): cnt2 has more than "
+            f"max_model_rows={max_model_rows} rows — use strategy='expr' "
             "(distributed joins) for open-vocabulary models this large"
         )
     c2 = {(r["w1"], r["w2"]): int(r["c12"]) for r in c2_rows}
@@ -202,7 +212,7 @@ def bigram_lm_score(
     doc_id: str = "doc_id",
     broadcast_counts: str = "cnt1",
     strategy: str = "expr",
-    max_model_rows: int = 5_000_000,
+    max_model_rows: int = DEFAULT_MAX_MODEL_ROWS,
 ) -> DataFrame:
     """Per-document add-one-smoothed bigram likelihood: ``(doc_id,
     n_bigrams, lm_score)`` — one row per scored doc with >= 1 bigram

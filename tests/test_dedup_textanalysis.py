@@ -1817,9 +1817,14 @@ def test_semdedup_inline_strategy_parity_and_single_exchange(spark):
     cents = emb.filter("vec_id < 8").selectExpr(
         "vec_id AS cent_id", "embedding AS cvec"
     )
-    a = sorted(map(tuple, semdedup(
-        emb, cents, threshold=0.32, keep="far", assign="fast").collect()))
     for dt in ("float64", "float32"):
+        # value-pin BOTH scoring dtypes against the fused carry form at
+        # the SAME dtype (r14 ADVICE, low: the f32 inline path used to be
+        # plan-gated only, leaving its keep-set unpinned)
+        a = sorted(map(tuple, semdedup(
+            emb, cents, threshold=0.32, keep="far", assign="fast",
+            score_dtype=dt,
+        ).collect()))
         plan_df = semdedup(
             emb, cents, threshold=0.32, keep="far", assign="inline",
             score_dtype=dt,
@@ -1828,8 +1833,7 @@ def test_semdedup_inline_strategy_parity_and_single_exchange(spark):
         # repeats the Exchange in its "Initial Plan" section
         plan = plan_df._jdf.queryExecution().executedPlan().toString()
         assert plan.count("Exchange") == 1, plan[:4000]
-        if dt == "float64":
-            assert a == sorted(map(tuple, plan_df.collect()))
+        assert a == sorted(map(tuple, plan_df.collect())), dt
 
 
 def test_semdedup_giant_cluster_guard_exact_and_bounded(spark):
