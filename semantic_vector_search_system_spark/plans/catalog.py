@@ -1444,81 +1444,95 @@ def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
 # each with family coverage in the r14 window (notes per entry below).
 # 29 + 21 = 50.
 #
+# Round-15 rotation (r14 VERDICT "Next #3" + the calendar written r14):
+# ALL 20 r11-green tranche-2 parks return (4 rounds since their r11
+# driver check), plus the two rows whose faces CHANGED this round and
+# must be driver-verified on the benched code: semdedup_keep_one (now
+# assign="inline" — the r14 bench face; row-parity pytest-pinned, hash
+# verified unmoved at sf0.001/sf0.01) and span_dedup (r12-green park,
+# returning with this round's chunker change).  quality_classifier_report
+# (now strategy="fast") was already in-window and stays.  In exchange 22
+# r14-green rows park, each with family coverage in the r15 window
+# (notes per entry below).  28 stay + 22 return = 50.
+#
 # RE-VERIFICATION CALENDAR:
-#   r15: the remaining 20 r11-green parks return (tranche 2 — 4 rounds
-#        since their r11 driver check, one over the ~3 guideline, per
-#        the two-tranche calendar written r13; covered by the local
-#        115-row sweep every round in between), plus as many of the 24
-#        r12-green parks as window room allows (parking r14-green rows
-#        with family coverage).  r16: the rest of the r12-green parks
-#        and the 18 rows parked THIS round; the 3 paired probes return
-#        on the normal cycle (r16/r17).  New/changed rows always
-#        in-window the round they change.
-#   Every round: no row goes more than ~3 rounds without a driver check
-#     (the one documented exception above).
+#   r16: the remaining 22 r12-green parks return (4 rounds since their
+#        r12 driver check — the window could not hold them this round
+#        on top of the 20 tranche-2 returners + 2 changed rows; they are
+#        covered by the local 115-row sweep every round), plus the 3
+#        paired probes (normal cycle); park r15-green rows with family
+#        coverage to make room.  r17: the 21 r13-green parks return.
+#   Every round: new/changed rows in-window the round they change; no
+#   row goes more than ~4 rounds without a driver check.
 DEMOTED: tuple[str, ...] = (
-    # --- r11-green parks, tranche 2 (return r15 per calendar; the 21
-    #     tranche-1 rows returned r14 and are no longer listed here) ---
-    "bigram_lm_report",          # bigram LM ≡ corpus_vocabulary (returning
-                                 #   token-count aggregation) — green r11
-    "lm_perplexity_buckets",     # NTILE buckets ≡ event_percentiles
-                                 #   (returning percentile family) —
-                                 #   green r11
-    "ann_ivfpq_topk",            # IVF+PQ ≡ ann_ivf_topk (returning IVF
-                                 #   chain) — green r11
-    "bpe_merges",                # BPE train ≡ bpe_encode_tokens (returning
-                                 #   — its oracle embeds the full
-                                 #   bpe_merges CTE chain) — green r11
-    "bitext_margin_pairs",       # margin mining ≡ knn family (returning
-                                 #   knn_topk) — green r11
-    "similarity_pagerank",       # iterative graph ≡ duplicate_components
-                                 #   (returning iterative components) —
-                                 #   green r11
-    "kmeans_steps",              # Lloyd trajectory ≡ semdedup_keep_one
-                                 #   (returning — runs the same assignment
-                                 #   + centroid-update kernels) — green r11
-    "dsir_selection",            # DSIR ratios ≡ global_top_spenders
-                                 #   (returning global top-k) + corpus
-                                 #   routing family — green r11
-    "prototype_sample",          # per-cluster top-m ≡ knn_topk_heap
+    # --- r14-green parks (r15 rotation; return r16/r17 per calendar) ---
+    "segment_order_stats",       # money agg ≡ revenue_by_nation (staying
+                                 #   money join-agg) — green r13+r14
+    "sql_interface_pricing",     # SQL-face money summary ≡
+                                 #   revenue_by_nation (staying) —
+                                 #   green r13+r14
+    "event_percentiles",         # percentiles ≡ lm_perplexity_buckets
+                                 #   (returning NTILE/percentile family) —
+                                 #   green r13+r14
+    "user_running_value",        # running frame ≡
+                                 #   stream_user_totals_stateful (staying
+                                 #   running-total streaming twin) —
+                                 #   green r13+r14
+    "knn_topk_heap",             # bounded top-k ≡ prototype_sample
                                  #   (returning — SAME rank_topk_heap
-                                 #   Aggregator) — green r11
-    "mmr_diversified_topk",      # greedy diversification ≡ knn_topk +
-                                 #   embedding cosine family (returning
-                                 #   embedding_neardup... r13; covered by
-                                 #   knn_topk) — green r11
-    "retrieval_ndcg",            # nDCG ≡ bm25_topk (in-window ranking) —
-                                 #   green r11
-    "hard_negative_mining",      # hard negatives ≡ knn_topk (returning
-                                 #   same knn kernel) — green r11
-    "temperature_mixture",       # temperature weights ≡
-                                 #   source_mixture_weights family (parked
-                                 #   together; covered by
-                                 #   training_shuffle_shards returning) —
-                                 #   green r11
-    "curation_funnel",           # staged funnel ≡ decontamination +
-                                 #   normalized_exact_dedup (returning
-                                 #   anti-join + dedup gates) — green r11
-    "stream_curation_funnel",    # incremental funnel ≡ stream_dedup_events
-                                 #   + stream_view_purchase_join (returning
-                                 #   streaming family) — green r11
-    "ann_ivf_filtered",          # filtered ANN ≡ knn_hybrid_filtered
-                                 #   (returning — the same pushed
-                                 #   pre-filter on the exact face) +
-                                 #   ann_ivf_topk — green r11
-    "crawl_e2e",                 # crawl capstone ≡ normalized_exact_dedup
-                                 #   + doc_fingerprint + crawl_snapshot_diff
-                                 #   (r13) — its composed stages' families
-                                 #   return — green r11
-    "recrawl_priority",          # crawl scheduler ≡ quantizer family
-                                 #   (FLOOR quantizer gates in-window via
-                                 #   event_percentiles + the paired cents
-                                 #   rows) — green r11
-    "perceptron_quality_weights",# batch perceptron ≡ quality_classifier
-                                 #   family — green r11 (first check)
-    "robots_page_filter",        # robots politeness ≡ crawl family —
-                                 #   green r11 (first check)
-    # --- r12-green parks (return r15/r16 per calendar) ---
+                                 #   Aggregator) + knn_topk (staying) —
+                                 #   green r13+r14
+    "knn_hybrid_filtered",       # pushed pre-filter ≡ ann_ivf_filtered
+                                 #   (returning, same pre-filter contract)
+                                 #   — green r13+r14
+    "retrieval_quality",         # rank metrics ≡ retrieval_ndcg
+                                 #   (returning rank-metric family) —
+                                 #   green r11+r14
+    "doc_quality",               # text-rule scan ≡ gopher_quality_report
+                                 #   (staying rule-scan family) —
+                                 #   green r11+r14
+    "minhash_signatures",        # md5 signature kernel ≡
+                                 #   ngram_jaccard_pairs (staying shingle
+                                 #   hashing) + crawl_e2e (returning LSH
+                                 #   chain) — green r13+r14
+    "mannwhitney_components",    # rank-sum stats ≡ paired_test_components
+                                 #   (staying A13 anchor) — green r13+r14
+    "stream_sessionize",         # event-time session windows ≡
+                                 #   stream_user_totals_stateful (staying
+                                 #   stateful streaming) — green r13+r14
+    "token_counts_regex",        # tokenize-count ≡ bigram_lm_report
+                                 #   (returning token-count aggregation) —
+                                 #   green r13+r14
+    "ann_ivf_topk",              # IVF chain ≡ ann_ivfpq_topk +
+                                 #   ann_ivf_filtered (both returning IVF
+                                 #   serving) — green r13+r14
+    "asof_grouped_orders",       # as-of join ≡ asof_latest_order
+                                 #   (staying as-of family) — green r13+r14
+    "stream_dedup_events",       # streaming dedup gate ≡
+                                 #   stream_curation_funnel (returning
+                                 #   streaming dedup/funnel) —
+                                 #   green r13+r14
+    "stream_view_purchase_join", # streaming join funnel ≡
+                                 #   stream_curation_funnel (returning) —
+                                 #   green r13+r14
+    "pii_scan_report",           # text-rule scan ≡ gopher_quality_report
+                                 #   (staying rule scans) — green r13+r14
+    "bpe_encode_tokens",         # BPE encode ≡ bpe_merges (returning —
+                                 #   its own oracle embeds the encode
+                                 #   chain's merges) — green r13+r14
+    "context_windows",           # packing windows ≡ sequence_packing
+                                 #   (staying packing family) —
+                                 #   green r13+r14
+    "training_shuffle_shards",   # seeded shards ≡ temperature_mixture
+                                 #   (returning mixture weights) +
+                                 #   dataset_splits (staying) —
+                                 #   green r13+r14
+    "leakage_safe_splits",       # split gates ≡ dataset_splits (staying
+                                 #   split family) — green r13+r14
+    "crawl_snapshot_diff",       # crawl identity diff ≡ crawl_e2e +
+                                 #   recrawl_priority (returning crawl
+                                 #   family) — green r13+r14
+    # --- r12-green parks (return r16 per calendar) ---
     "pricing_summary",           # money agg ≡ brand_price_stats +
                                  #   revenue_by_nation +
                                  #   supplier_balance_by_nation (ALL
@@ -1547,13 +1561,6 @@ DEMOTED: tuple[str, ...] = (
     "normalized_exact_dedup",    # keep-one dedup ≡ exact_dedup +
                                  #   url_refetch_dedup (returning identity
                                  #   dedups) — green r12
-    "span_dedup",                # chunk-hash dedup ≡ exact_dedup
-                                 #   (returning keyed min-struct agg) +
-                                 #   incremental_dedup (staying stored-
-                                 #   index face) — green r12
-    "semdedup_keep_one",         # semantic dedup ≡ embedding_neardup_pairs
-                                 #   (returning embedding-cosine dedup) —
-                                 #   green r12
     "duplicate_components",      # connected components ≡
                                  #   leakage_safe_splits (staying — same
                                  #   signature/banding/components chain
@@ -4375,11 +4382,20 @@ def quality_classifier_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     a trained export (a real (tok, w) table broadcast-joins through the
     same operator, tested); per-source acceptance report. The no-weights
     path is a pure narrow projection — no explode, no shuffle before the
-    source-keyed report agg."""
+    source-keyed report agg.
+
+    r15 (r14 VERDICT "Next #3"): the row runs ``strategy="fast"`` — the
+    SAME face the bench times — so the driver's DuckDB hash verifies the
+    benched code, not an expr twin.  The fast face is BITWISE-identical
+    (pytest-pinned: test_quality_filters.py::
+    test_linear_quality_margin_fast_face_bitwise_parity), so the hash
+    must not move — verified at sf0.001/sf0.01 before the flip landed."""
     from ..operators.quality_filters import linear_quality_margin
 
     docs = T(spark, sf_dir, "documents")
-    perdoc = linear_quality_margin(docs, extra_cols=("source",))
+    perdoc = linear_quality_margin(
+        docs, extra_cols=("source",), strategy="fast"
+    )
     return perdoc.groupBy("source").agg(
         F.count("*").alias("n_docs"),
         F.sum(F.when(F.col("margin") > 0, 1).otherwise(0))
@@ -4435,14 +4451,22 @@ def semdedup_keep_one(spark: SparkSession, sf_dir: str) -> DataFrame:
     Beyond the reference surface (its embedding dedup is the all-pairs
     threshold loop, embeddings/search.py): clustering bounds the compare
     set per task, n*(n/k)*dim total flops — the form that survives web
-    scale. Physical shape: broadcast assignment + ONE cent_id-keyed
-    shuffle into a tiled-BLAS grouped kernel (operators/similarity.py::
-    semdedup)."""
+    scale. Physical shape (r15; r14 VERDICT "Next #3"): the row runs
+    ``assign="inline"`` — the SAME face the bench times — so the
+    driver's DuckDB hash verifies the benched code: scalar-UDF struct
+    assignment on the carried row, then ONE cent_id-keyed shuffle into
+    the tiled-BLAS grouped kernel (operators/similarity.py::semdedup).
+    Row-parity with the fused face is pytest-pinned at both scoring
+    dtypes (test_dedup_textanalysis.py::
+    test_semdedup_inline_strategy_parity_and_single_exchange), so the
+    hash must not move — verified at sf0.001/sf0.01 before the flip."""
     emb = T(spark, sf_dir, "embeddings")
     cents = emb.filter(F.col("vec_id") < 8).select(
         F.col("vec_id").alias("cent_id"), F.col("embedding").alias("cvec")
     )
-    out = sim.semdedup(emb, cents, threshold=0.32, keep="far")
+    out = sim.semdedup(
+        emb, cents, threshold=0.32, keep="far", assign="inline"
+    )
     return out.withColumn("cent_sim", F.round("cent_sim", 4))
 
 

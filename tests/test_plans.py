@@ -353,37 +353,40 @@ def test_driver_window_covers_every_operator_family():
     window = set(names[:50])
     # every non-demoted query is inside the driver's window
     assert window == set(CATALOG) - set(DEMOTED)
-    # r14 flagship set = the calendar window (r13 VERDICT #3; DEMOTED
-    # header): 21 r11-park returners (tranche 1) + 29 keepers = exactly 50.
+    # r15 flagship set = the calendar window (r14 VERDICT "Next #3";
+    # DEMOTED header): 20 r11-park returners (tranche 2) + the 2
+    # changed-face returners + 28 keepers = exactly 50.
     flagships = {
-        # the 21 r11-green parks returning r14 (calendar tranche 1,
-        # oldest first, DEMOTED list order)
-        "retrieval_quality", "doc_quality", "ngram_jaccard_pairs",
-        "neardup_keep_one", "source_cap_sample", "source_mixture_weights",
-        "sequence_packing", "self_retrieval_e2e", "ann_recall",
-        "tfidf_self_retrieval", "asof_latest_order", "label_centroids",
-        "quantized_topk_rerank", "index_upsert_counts", "media_features",
-        "sketch_set_ops", "training_corpus_selection", "dataset_splits",
-        "gopher_quality_report", "ann_pq_topk", "quality_classifier_report",
-        # CHANGED this round, must stay until driver-green: the index
-        # lifecycle rows (r13 VERDICT #2 O(churn) upsert path + r13
-        # ADVICE streaming/manifest hardening)
-        "ann_index_upsert", "stream_index_upsert",
+        # the 20 r11-green parks returning r15 (calendar tranche 2)
+        "bigram_lm_report", "lm_perplexity_buckets", "ann_ivfpq_topk",
+        "bpe_merges", "bitext_margin_pairs", "similarity_pagerank",
+        "kmeans_steps", "dsir_selection", "prototype_sample",
+        "mmr_diversified_topk", "retrieval_ndcg", "hard_negative_mining",
+        "temperature_mixture", "curation_funnel", "stream_curation_funnel",
+        "ann_ivf_filtered", "crawl_e2e", "recrawl_priority",
+        "perceptron_quality_weights", "robots_page_filter",
+        # CHANGED faces this round (r14 VERDICT "Next #3"/#4): the rows
+        # now run the SAME implementations the bench times
+        "semdedup_keep_one",          # assign="inline"
+        "span_dedup",                 # arrow chunker
+        "quality_classifier_report",  # strategy="fast" (was in-window)
+        # index lifecycle rows (r14-changed O(churn) upsert path — keep
+        # until 2x driver-green on the new code)
+        "ann_index_upsert", "stream_index_upsert", "index_upsert_counts",
         # evidence + anchor keepers
         "paired_test_components",  # A13 anchor (probes parked r14)
         "incremental_dedup",       # NULL-int driver-model evidence row
         "json_kpi",                # only JSON extraction
-        # family-breadth keepers (see DEMOTED header)
-        "revenue_by_nation", "segment_order_stats", "event_percentiles",
-        "user_event_pivot", "user_running_value", "knn_topk",
-        "knn_topk_heap", "knn_hybrid_filtered", "minhash_signatures",
-        "mannwhitney_components", "stream_sessionize", "token_counts_regex",
-        "ann_ivf_topk", "stream_user_totals_stateful",
-        "sql_interface_pricing", "asof_grouped_orders",
-        "stream_dedup_events", "stream_view_purchase_join",
-        "pii_scan_report", "bpe_encode_tokens", "context_windows",
-        "training_shuffle_shards", "leakage_safe_splits",
-        "crawl_snapshot_diff",
+        # family-breadth keepers (see DEMOTED header for the coverage
+        # notes of the 22 rows that parked in exchange)
+        "revenue_by_nation", "user_event_pivot", "knn_topk",
+        "ngram_jaccard_pairs", "neardup_keep_one", "source_cap_sample",
+        "source_mixture_weights", "sequence_packing",
+        "stream_user_totals_stateful", "asof_latest_order",
+        "self_retrieval_e2e", "ann_recall", "tfidf_self_retrieval",
+        "label_centroids", "quantized_topk_rerank", "media_features",
+        "sketch_set_ops", "training_corpus_selection", "dataset_splits",
+        "gopher_quality_report", "ann_pq_topk",
     }
     assert flagships <= window
     assert len(flagships) == 50  # the window IS fully specified this round
