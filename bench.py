@@ -1419,8 +1419,15 @@ def main() -> None:
             span_dedup as _span_dedup,
         )
 
+        # r15: chunker="arrow" (one mapInPandas pass, per-distinct-chunk
+        # memoized digests) replaces the expr chunk construction —
+        # BITWISE-identical rows (tests/test_lexical.py::
+        # test_span_dedup_arrow_chunker_bitwise_parity; the catalog
+        # oracle row runs the same face); interleaved 1M A/B:
+        # expr {11.79, 11.74, 11.21} vs arrow {6.69, 6.93, 23.21*}
+        # (* = co-tenant spike).
         timings["span_dedup_1000000_docs"], spread = best_of(
-            lambda: _span_dedup(docs, span_tokens=20, doc_id="id")
+            lambda: _span_dedup(docs, span_tokens=20, doc_id="id", chunker="arrow")
             .write.format("noop")
             .mode("overwrite")
             .save(),
@@ -1428,6 +1435,8 @@ def main() -> None:
         )
         query_meta["span_dedup_1000000_docs"] = {
             "repeats": 2, "spread": spread, "since_round": 7,
+            "chunker": "arrow (r15; expr face through r14 — "
+            "bitwise-parity-tested)",
         }
         emit(timings, query_meta, sf, partial=True)
 

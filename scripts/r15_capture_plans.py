@@ -85,12 +85,12 @@ def main() -> None:
     p = os.path.join(out, f"index_compact_{label}.txt")
     if os.path.exists(p):
         os.remove(p)
-    live = read_live_index(spark, idx, id_col="docid")
-    dump(
-        live.repartition(F.col("cent_id")), p,
-        "live-rewrite plan (the staging write input)",
-    )
     if label == "before":
+        live = read_live_index(spark, idx, id_col="docid")
+        dump(
+            live.repartition(F.col("cent_id")), p,
+            "live-rewrite plan (the staging write input)",
+        )
         dump(
             spark.read.parquet(idx).groupBy().count(), p,
             "metric-only job 1: n_before = spark.read.parquet(path).count()",
@@ -99,6 +99,20 @@ def main() -> None:
             live.groupBy().count(), p,
             "metric-only job 2 (shape): n_after = "
             "spark.read.parquet(staging).count() after the rewrite",
+        )
+    else:
+        from semantic_vector_search_system_spark.sources.parquet_index import (
+            _tombstones_path,
+            observed_live_view,
+            read_optional_parquet,
+        )
+
+        tomb = read_optional_parquet(spark, _tombstones_path(idx))
+        live, _counts = observed_live_view(spark, idx, tomb, id_col="docid")
+        dump(
+            live.repartition(F.col("cent_id")), p,
+            "live-rewrite plan with n_before/n_after riding it as "
+            "CollectMetrics (the ONLY job a compact now runs)",
         )
 
     # --- masked serve (live=True) --------------------------------------

@@ -4277,10 +4277,17 @@ def span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     non-overlapping chunks, keep the globally first occurrence of each
     distinct chunk (by doc_id, pos), reassemble survivors per document.
     One hash-keyed window + one doc_id-keyed aggregation; complements the
-    document-level family (exact_dedup / neardup_keep_one)."""
+    document-level family (exact_dedup / neardup_keep_one).
+
+    r15 (r14 VERDICT "Next #3"/#4): the row runs ``chunker="arrow"`` —
+    the SAME face the bench times — so the driver hash verifies the
+    benched chunk construction.  Bitwise parity with the expr face is
+    pytest-pinned (test_lexical.py::
+    test_span_dedup_arrow_chunker_bitwise_parity), so the hash must not
+    move — verified at sf0.001/sf0.01 before the flip landed."""
     from ..operators.lexical import span_dedup as _span
 
-    return _span(T(spark, sf_dir, "documents"), span_tokens=20)
+    return _span(T(spark, sf_dir, "documents"), span_tokens=20, chunker="arrow")
 
 
 # ---------------------------------------------------------------------------

@@ -441,6 +441,58 @@ def read_live_index(
     )
 
 
+#: driver_tombstone_pairs reads the tombstone side table with pyarrow on
+#: the DRIVER only while its files total at most this many bytes — churn
+#: batches are ~10k (id, _batch) rows (a few hundred KB); anything larger
+#: falls back to the broadcast anti-join.
+_DRIVER_MASK_MAX_BYTES = 32 << 20
+
+
+def driver_tombstone_pairs(
+    path: str, id_col: str, max_bytes: int = _DRIVER_MASK_MAX_BYTES
+) -> tuple[str, frozenset | None]:
+    """Serve-path fast mask (r15; r14 VERDICT "Next #8"): read the
+    churn-sized tombstone table DRIVER-SIDE (pyarrow, no Spark job) so a
+    single-query serve over a mutated index skips the per-call tombstone
+    scan + BroadcastExchange build the JVM anti-join pays.
+
+    Returns ``(mode, pairs)``:
+
+    * ``("none", None)`` — no tombstone table exists: the index was never
+      mutated, serve unmasked (same contract as :func:`read_live_index`);
+    * ``("pairs", frozenset((id, _batch)))`` — mask these pairs row-
+      locally (e.g. inside the serving kernel);
+    * ``("fallback", None)`` — not a local path, or the table is too big
+      for a driver read: the caller must use the broadcast anti-join.
+
+    FAIL-CLOSED (the r11 ADVICE contract): only a genuinely MISSING
+    table returns "none"; any read error while the table exists
+    propagates — falling back to an unmasked serve would resurrect
+    deleted/superseded vectors."""
+    tomb = _tombstones_path(path)
+    if "://" in tomb:
+        return "fallback", None
+    if not os.path.exists(tomb):
+        return "none", None
+    total = 0
+    for root, _dirs, files in os.walk(tomb):
+        total += sum(
+            os.path.getsize(os.path.join(root, f))
+            for f in files
+            if not f.startswith(("_", "."))
+        )
+    if total > max_bytes:
+        return "fallback", None
+    import pyarrow.dataset as ds
+
+    tbl = ds.dataset(tomb, format="parquet").to_table(
+        columns=[id_col, "_batch"]
+    )
+    ids = tbl.column(id_col).to_pylist()
+    batches = tbl.column("_batch").to_pylist()
+    return "pairs", frozenset(zip(ids, batches))
+
+
 def _gen_dirs(path: str) -> list[tuple[int, str]]:
     """Existing ``<path>__gen<N>`` directories, sorted by N ascending."""
     parent = os.path.dirname(os.path.abspath(path)) or "."

@@ -253,6 +253,55 @@ def test_span_dedup_keep_first_agg_vs_window_parity_planted_skew(spark):
         span_dedup(df, keep_first="bogus")
 
 
+def test_span_dedup_arrow_chunker_bitwise_parity(spark):
+    """chunker="arrow" (r15, the 1M bench face: one mapInPandas pass with
+    per-distinct-chunk memoized md5 digests) produces EXACTLY the expr
+    face's rows — pinned on cross-doc dups, intra-doc dups, ragged tails,
+    full elimination, empty/whitespace-only/null text, exact-multiple
+    lengths, repeated boilerplate (the memo hot path) and unicode
+    whitespace (NBSP must NOT split: Java \\s is ASCII-only, so the
+    kernel must use py_tokenize, not str.split)."""
+    docs = {
+        0: "a b c d e f",
+        1: "a b c x y z",
+        2: "a b c d e f",            # full duplicate of 0
+        3: "p q r p q r",            # intra-doc dup
+        4: "lone tail",              # ragged single chunk
+        5: " ".join(f"t{i % 4}" for i in range(17)),
+        6: "",                       # zero tokens
+        7: "   \t\n  ",              # whitespace-only: zero tokens
+        8: "x y z w",           # NBSP inside a token (ASCII \\s parity)
+        9: "a b c d e f g h i",      # exact multiple of span_tokens=3
+        10: "nav boiler one nav boiler one nav boiler one",  # memo hot path
+        11: None,                    # null text
+    }
+    df = spark.createDataFrame(
+        [(k, v) for k, v in docs.items()], "doc_id long, text string"
+    )
+    expr = sorted(
+        map(tuple, span_dedup(df, span_tokens=3, chunker="expr").collect()),
+        key=str,
+    )
+    arrow = sorted(
+        map(tuple, span_dedup(df, span_tokens=3, chunker="arrow").collect()),
+        key=str,
+    )
+    assert expr == arrow
+    # the arrow plan replaces the posexplode chain with one Python stage
+    import re as _re
+
+    plan = (
+        span_dedup(df, span_tokens=3, chunker="arrow")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    final = plan.split("== Initial Plan ==")[0]
+    assert not _re.search(r"Generate posexplode", final), final[:2000]
+    with pytest.raises(ValueError):
+        span_dedup(df, chunker="bogus")
+    with pytest.raises(ValueError):
+        span_dedup(df, chunker="arrow", shuffle="keys")
+
+
 def test_span_dedup_null_and_empty_text(spark):
     """Null text: chunking yields no rows, the left join keeps the doc
     with null n_chunks / 0 kept / empty dedup_text — same contract as the
